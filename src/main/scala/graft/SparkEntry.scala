@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** All query modules (SURVEY.md §2). Merged left-to-right; keys are
+    * globally unique. */
+  private def modules: Seq[Map[String, QueryDef]] = Seq(
+    Ctr.defs,
+    Relational.defs,
+    Dedup.defs,
+    Similarity.defs,
+    TextAnalysis.defs,
+    Multimodal.defs
+  )
+
+  lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all("q5_regional_revenue").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.fn }
+
+  /** DuckDB-equivalent SQL for hash-compared queries. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
+
+  /** Headline queries for Bench. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.collect { case (k, q) if q.bench => k -> q.fn }
 }

@@ -1,0 +1,222 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic hash/sketch kernels shared by the expressions below and
+  * the dedup/similarity operators. All public algorithms: FNV-1a 64,
+  * splitmix64 (Steele et al., "Fast splittable pseudorandom number
+  * generators"), SimHash (Charikar 2002), MinHash (Broder 1997).
+  */
+object Kernels {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+  def fnv64(s: String): Long = { val b = s.getBytes("UTF-8"); fnv64(b, 0, b.length) }
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit SimHash over whitespace tokens (unit weights). */
+  def simhash64(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val s = text.toString
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val h = fnv64(s.substring(start, i))
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Whitespace tokens → w-shingle FNV hashes (w=3), distinct not
+    * required (min is idempotent). Empty docs → empty array. */
+  def shingleHashes(text: UTF8String, w: Int): Array[Long] = {
+    val toks = text.toString.split(" ")
+    if (toks.length < w) return Array.emptyLongArray
+    val out = new Array[Long](toks.length - w + 1)
+    var i = 0
+    while (i + w <= toks.length) {
+      var h = FnvOffset
+      var k = 0
+      while (k < w) {
+        val b = toks(i + k).getBytes("UTF-8")
+        var bi = 0
+        while (bi < b.length) { h ^= (b(bi) & 0xffL); h *= FnvPrime; bi += 1 }
+        h ^= ' '.toLong; h *= FnvPrime
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: perm j is h -> a_j*h + b_j (wrapping 64-bit),
+    * constants from splitmix64 — a universal-ish family, deterministic
+    * across the cluster (no Random). */
+  def minhashSig(text: UTF8String, numPerms: Int, shingleW: Int): Array[Long] = {
+    val hs = shingleHashes(text, shingleW)
+    val sig = new Array[Long](numPerms)
+    var j = 0
+    while (j < numPerms) {
+      val a = splitmix64(2L * j) | 1L // odd → bijective mod 2^64
+      val b = splitmix64(2L * j + 1)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = a * hs(i) + b
+        if (v < best) best = v
+        i += 1
+      }
+      sig(j) = if (hs.isEmpty) 0L else best
+      j += 1
+    }
+    sig
+  }
+
+  def minhashSigData(text: UTF8String, numPerms: Int, shingleW: Int): ArrayData =
+    new GenericArrayData(minhashSig(text, numPerms, shingleW))
+
+  /** Polynomial rolling hash (base 1000003, wrapping 64-bit) over UTF-8
+    * bytes — the document fingerprint. */
+  def rollingHash(text: UTF8String): Long = {
+    val b = text.getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = h * 1000003L + (b(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Random-hyperplane LSH bucket (Charikar 2002): numPlanes sign bits.
+    * Plane coefficients are splitmix64-derived uniforms in [-1,1) —
+    * deterministic, no stored model. */
+  def lshBucket(vec: ArrayData, numPlanes: Int): Int = {
+    val n = vec.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val coef = (Kernels.splitmix64(p.toLong * 8192L + i).toDouble / 9.223372036854776e18) // [-1,1)
+        dot += vec.getFloat(i) * coef
+        i += 1
+      }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // dot/(sqrt(na)*sqrt(nb)) — EXACTLY the operand order the DuckDB
+    // oracle uses, so doubles match bitwise.
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Cosine similarity of two float vectors as a native Catalyst
+  * expression: stays inside whole-stage codegen (one static call per
+  * row), no UDF serialization, no Row boxing.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.Kernels.cosine($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of a text column (whitespace tokens). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Kernels.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature (array<bigint>) of a text column. */
+case class MinHashSig(child: Expression, numPerms: Int, shingleW: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhashSigData(v.asInstanceOf[UTF8String], numPerms, shingleW)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.minhashSigData($c, $numPerms, $shingleW)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Polynomial rolling-hash fingerprint of a text column. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Kernels.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane LSH bucket id of a float-vector column. */
+case class LshBucket(child: Expression, numPlanes: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.lshBucket(v.asInstanceOf[ArrayData], numPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lshBucket($c, $numPlanes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API facade for the native expressions (Spark 4 classic:
+  * Column ↔ catalyst Expression via ExpressionUtils). */
+object Fns {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+  def cosine_sim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def minhash_sig(c: Column, numPerms: Int = 128, shingleW: Int = 3): Column =
+    column(MinHashSig(expression(c), numPerms, shingleW))
+  def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def lsh_bucket(c: Column, numPlanes: Int = 16): Column = column(LshBucket(expression(c), numPlanes))
+}

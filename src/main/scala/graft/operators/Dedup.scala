@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Deduplication operators for document corpora (SURVEY.md §2-C).
+  *
+  * Scale notes (100 TB): every variant reduces a document to a small
+  * fixed-width key/signature FIRST (hash, minhash sig, simhash word),
+  * so all shuffles move O(#docs × signature) bytes — never document
+  * text. Candidate generation is always an equi-join on banded keys
+  * (LSH bands / hamming bands / shingle hashes), never a cross join.
+  */
+object Dedup {
+
+  /** Exact dedup: first (lowest doc_id) survivor per distinct text.
+    * Pre-hashing with xxhash64 keeps the shuffle narrow; the full text
+    * comparison within a hash group guards against collisions.
+    */
+  def exactSurvivors(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(xxhash64(col("text")).as("h"), col("text"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
+      .select("doc_id", "copies")
+
+  /** Per-doc MinHash/LSH index rows: `bands` band keys per document.
+    * Join this to itself on (band, band_hash) to get candidate pairs.
+    */
+  def minhashIndex(docs: DataFrame, numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    val rows = numPerms / bands
+    docs
+      .select(col("doc_id"), Fns.minhash_sig(col("text"), numPerms).as("sig"))
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(
+        col("doc_id"), col("band"),
+        xxhash64(slice(col("sig"), col("band") * rows + 1, lit(rows))).as("band_hash"))
+  }
+
+  /** Near-dup pairs via MinHash+LSH: candidates from band collisions,
+    * verified by estimated Jaccard (matching signature fraction). */
+  def minhashPairs(docs: DataFrame, threshold: Double,
+                   numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    val sigs = docs.select(col("doc_id"), Fns.minhash_sig(col("text"), numPerms).as("sig"))
+    val idx = minhashIndex(docs, numPerms, bands)
+    val cand = idx.as("a")
+      .join(idx.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($numPerms as double)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, hamming ≤ maxDist.
+    * Band trick: split the word into (maxDist+1) bands — any pair with
+    * hamming ≤ maxDist agrees on ≥1 whole band (pigeonhole), so
+    * candidates come from an equi-join on (band, band_bits). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sigs = docs.select(col("doc_id"), Fns.simhash64(col("text")).as("sh"))
+    val banded = sigs.select(
+      col("doc_id"), col("sh"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_bits",
+        expr(s"shiftrightunsigned(sh, band * $width)")
+          .bitwiseAND(lit((1L << width) - 1)))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact word-w-gram Jaccard similarity for all pairs sharing ≥1
+    * shingle. Equi-join on the shingle hash: work is proportional to
+    * shared-shingle pairs, not |docs|². */
+  def ngramJaccardPairs(spark: SparkSession, docs: DataFrame, w: Int = 3): DataFrame = {
+    import spark.implicits._
+    val tok = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= w)
+    val sh = tok
+      .select($"doc_id", explode(
+        expr(s"transform(sequence(0, size(ws) - $w), i -> concat_ws(' ', slice(ws, i + 1, $w)))")).as("s"))
+      .distinct()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9).as("jaccard"))
+  }
+
+  /** Embedding-cosine duplicate candidates among all pairs (exact; the
+    * LSH/IVF paths in Similarity are the at-scale variants). */
+  def embeddingPairs(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", round(Fns.cosine_sim($"ea", $"eb"), 9).as("cos_sim"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2-F).
+  *
+  * Media assets are opaque `binary` columns plus a typed metadata
+  * struct. Decode / feature-extraction runs BATCHED per partition via
+  * `Dataset.mapPartitions` (the Scala analog of `mapInPandas`): the
+  * decoder sees a buffered batch of blobs, amortizing any per-model /
+  * per-codec setup cost, and emits fixed-width feature rows. At 100 TB
+  * the batch size bounds executor memory per task and the blobs never
+  * pass through a shuffle — features (tiny) do.
+  *
+  * The actual image/audio codecs are NOT in this container, so the
+  * real decoders are stubbed (`StubImageDecoder` et al.) behind the
+  * `Decoder` interface; `ByteStatsDecoder` is a deterministic, fully
+  * real implementation used by the verified query path.
+  */
+object Multimodal {
+
+  case class Asset(doc_id: Long, modality: String, blob: Array[Byte])
+  case class Features(doc_id: Long, n_bytes: Long, head_byte: Long, byte_sum: Long)
+
+  /** A batched blob decoder. Implementations must be deterministic. */
+  trait Decoder extends Serializable {
+    def batchSize: Int = 64
+    def decode(batch: Seq[Asset]): Seq[Features]
+  }
+
+  /** Real decoder: byte-level statistics (works on any modality). */
+  object ByteStatsDecoder extends Decoder {
+    def decode(batch: Seq[Asset]): Seq[Features] = batch.map { a =>
+      val n = a.blob.length.toLong
+      val head = if (n > 0) (a.blob(0) & 0xff).toLong else -1L
+      var sum = 0L
+      var i = 0
+      while (i < a.blob.length) { sum += (a.blob(i) & 0xffL); i += 1 }
+      Features(a.doc_id, n, head, sum)
+    }
+  }
+
+  /** STUB — image decode (JPEG/PNG → pixels) needs codecs absent from
+    * this container. Deterministic fake: derives a pseudo
+    * width/height/channel feature from the blob hash so the plumbing
+    * (schema, batching, partitioning) is exercised end-to-end. */
+  object StubImageDecoder extends Decoder {
+    def decode(batch: Seq[Asset]): Seq[Features] = batch.map { a =>
+      val h = graft.functions.Kernels.fnv64(a.blob, 0, a.blob.length)
+      Features(a.doc_id, a.blob.length.toLong, math.abs(h % 4096), math.abs((h >>> 12) % 4096))
+    }
+  }
+
+  /** Build a binary-asset manifest from the documents table: blob =
+    * UTF-8 bytes of the text (a stand-in corpus; swap the projection
+    * for real image/audio columns). Partitioned by modality so
+    * downstream per-modality decode jobs prune at the source. */
+  def manifest(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("modality"),
+      col("text").cast("binary").as("blob"))
+      .as[Asset]
+  }
+
+  /** Batched per-partition decode: the core multimodal plumbing. */
+  def extractFeatures(spark: SparkSession, assets: Dataset[Asset],
+                      decoder: Decoder = ByteStatsDecoder): Dataset[Features] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(decoder.batchSize).flatMap(b => decoder.decode(b))
+    }
+  }
+}

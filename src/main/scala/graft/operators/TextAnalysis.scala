@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality / language-ID / token-statistics operators
+  * (SURVEY.md §2-E). Everything is built from codegen'd built-ins (or
+  * native expressions) — no UDFs — so at 100 TB these run inside the
+  * scan's whole-stage-codegen pass, one streaming pass per document.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punct. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def whitespaceTokens(text: Column): Column = split(text, " ")
+
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(whitespaceTokens(col("text"))).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit(BpeTokenPattern)).cast("long").as("n_bpe_tokens"))
+
+  /** Heuristic quality signals: punctuation density, stopword ratio,
+    * mean word length — the standard cheap pre-filters for LLM corpus
+    * curation (cf. C4/Gopher rules). All ratios are single double
+    * divisions (oracle-parity safe). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ws = whitespaceTokens(col("text"))
+    val nTok = size(ws).cast("double")
+    val stopHits = size(filter(ws, t => t.isin(Stopwords.map(x => x: Any): _*))).cast("double")
+    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+    val wordChars = length(regexp_replace(col("text"), " ", "")).cast("double")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_tokens"),
+      round(nPunct / length(col("text")), 9).as("punct_ratio"),
+      round(stopHits / nTok, 9).as("stopword_ratio"),
+      round(wordChars / nTok, 9).as("mean_word_len"))
+  }
+
+  /** n-gram-profile language ID: score = stop-token hits per language
+    * profile; deterministic argmax with 'und' fallback. Profiles are
+    * tiny hardcoded common-token sets (public langid heuristics). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = whitespaceTokens(col("text"))
+    val hitCols = LangProfiles.map { case (lang, prof) =>
+      size(filter(ws, t => t.isin(prof.map(x => x: Any): _*))).as(s"hits_$lang")
+    }
+    val scored = docs.select((col("doc_id") +: hitCols): _*)
+    val best = LangProfiles.map(_._1).foldLeft(lit(0)) { (acc, lang) =>
+      greatest(acc, col(s"hits_$lang"))
+    }
+    // argmax with first-profile-wins tie-break, 'und' when no hits
+    val pred = LangProfiles.map(_._1).foldRight(lit("und"): Column) { (lang, acc) =>
+      when(col(s"hits_$lang") === col("best_hits") && col("best_hits") > 0, lit(lang)).otherwise(acc)
+    }
+    scored
+      .withColumn("best_hits", best)
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("pred_lang"), col("best_hits").cast("long").as("score"))
+  }
+
+  /** Rolling polynomial-hash fingerprint (native expression). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.Fns.rolling_hash(col("text")).as("fingerprint"))
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.ClickThru
+import graft.sources.{JsonLogs, Tables}
+
+/** SURVEY.md §2-A: the reference's own query surface.
+  *
+  * `ctr_referrer` runs the FULL reference pipeline shape end-to-end:
+  * impression/click JSON log lines (with a noise prefix, as the
+  * reference's inputs have — ClickThru.java:97-98) are derived
+  * deterministically from `events`, parsed by the tolerant JsonLogs
+  * source, unified+joined on impressionId and ratio-aggregated by
+  * (referrer, ad_id) by the ClickThru operator. The oracle computes the
+  * same answer directly — so the whole JSON → join → agg path is
+  * hash-verified.
+  */
+object Ctr {
+
+  private val impSchema = StructType(Seq(
+    StructField("impressionId", StringType),
+    StructField("referrer", StringType),
+    StructField("adId", StringType)))
+
+  private val clkSchema = StructType(Seq(
+    StructField("impressionId", StringType)))
+
+  private def ctrReferrer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // Deterministic impression log: every event is an impression;
+    // referrer/adId derived from stable columns. The "[ts] " prefix is
+    // the noise the reference strips before '{'.
+    val impLines = ev.select(concat(
+      lit("ts="), $"event_id".cast("string"), lit(" "),
+      to_json(struct(
+        $"event_id".cast("string").as("impressionId"),
+        concat(lit("r"), ($"user_id" % 7).cast("string")).as("referrer"),
+        concat(lit("ad"), ($"event_id" % 13).cast("string")).as("adId")))).as("value"))
+    // Click log: the events that are clicks, keyed by impressionId only.
+    val clkLines = ev.filter($"event_type" === "click").select(concat(
+      lit("click "),
+      to_json(struct($"event_id".cast("string").as("impressionId")))).as("value"))
+
+    val impressions = JsonLogs.parse(impLines, impSchema)
+    val clicks = JsonLogs.parse(clkLines, clkSchema)
+    ClickThru.ctr(impressions, clicks, "impressionId", Seq("referrer", "adId"))
+      .select($"referrer", $"adId".as("ad_id"), $"impressions", $"clicks", $"ctr")
+      .orderBy($"referrer", $"ad_id")
+  }
+
+  private val ctrReferrerSql =
+    """SELECT 'r' || CAST(user_id % 7 AS VARCHAR) AS referrer,
+      | 'ad' || CAST(event_id % 13 AS VARCHAR) AS ad_id,
+      | COUNT(*) AS impressions,
+      | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+      | CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) / COUNT(*) AS ctr
+      |FROM events GROUP BY referrer, ad_id ORDER BY referrer, ad_id""".stripMargin
+
+  /** The reference's ratio-aggregate shape applied per user: CTR as
+    * clicks/views (null when the user never saw a view). */
+  private def ctrUser(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "click", 1)).as("clicks"),
+        count(when($"event_type" === "view", 1)).as("views"))
+      .withColumn("ctr",
+        when($"views" === 0, lit(null).cast("double"))
+          .otherwise($"clicks".cast("double") / $"views"))
+      .orderBy($"user_id")
+  }
+
+  private val ctrUserSql =
+    """SELECT user_id,
+      | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+      | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+      | CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+      |   / NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS ctr
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "ctr_referrer" -> QueryDef(ctrReferrer, Some(ctrReferrerSql), bench = true),
+    "ctr_user" -> QueryDef(ctrUser, Some(ctrUserSql))
+  )
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup => DedupOps}
+
+/** SURVEY.md §2-C: dedup query surface over `documents`/`embeddings`.
+  *
+  * The corpus has no planted near-dups, so the pair-emitting variants
+  * surface a deterministic top-K by similarity (always non-empty);
+  * planted-duplicate recall is asserted in DedupSpec.
+  */
+object Dedup {
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.exactSurvivors(Tables.documents(s, dir)).orderBy($"doc_id")
+  }
+
+  private val dedupExactSql =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** The LSH index itself (doc → band keys): what you'd persist and
+    * self-join at 100 TB. Pair recall is spec-tested. Rows-only. */
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.minhashIndex(Tables.documents(s, dir))
+      .orderBy($"doc_id", $"band")
+  }
+
+  /** SimHash signatures (rows-only; pairs spec-tested). */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", graft.functions.Fns.simhash64($"text").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact 3-gram Jaccard, top-50 most-similar pairs — hash-verified
+    * against a full SQL re-derivation in DuckDB. */
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.ngramJaccardPairs(s, Tables.documents(s, dir))
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(50)
+  }
+
+  private val dedupNgramJaccardSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |    FROM tok) u),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard
+      |FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  /** Embedding-cosine near-dup: top-100 pairs by cosine — hash-verified
+    * (cosine computed with identical operand order both sides). */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.embeddingPairs(s, Tables.embeddings(s, dir))
+      .orderBy($"cos_sim".desc, $"vec_a", $"vec_b")
+      .limit(100)
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (SQRT(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |         * SQRT(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 9) AS cos_sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cos_sim FROM p
+      |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
+    "dedup_minhash" -> QueryDef(dedupMinhash, None, bench = true),
+    "dedup_simhash" -> QueryDef(dedupSimhash, None),
+    "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
+    "dedup_embedding" -> QueryDef(dedupEmbedding, Some(dedupEmbeddingSql))
+  )
+}

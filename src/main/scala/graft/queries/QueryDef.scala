@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named query: the Spark plan plus (when SQL-expressible) the DuckDB
+  * oracle the driver hash-compares against.
+  *
+  * Oracle-parity rules (see SURVEY.md §6):
+  *  - identical output column names on both sides;
+  *  - explicit total ORDER BY on both sides;
+  *  - money math in exact DECIMAL(18,2), cast to DOUBLE only at the
+  *    end — both engines then produce bit-identical doubles;
+  *  - ratio columns as a single double division of identical operands.
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** headline queries run in Bench */
+    bench: Boolean = false)
+
+object QueryDef {
+  /** Exact 2-dp decimal view of a double money column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Final exact-decimal → double conversion (deterministic both engines). */
+  def dbl(c: Column): Column = c.cast("double")
+}

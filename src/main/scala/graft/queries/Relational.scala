@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef.{dec, dbl}
+import graft.sources.Tables
+
+/** The relational core: the complete MapReduce analytics vocabulary
+  * (map/filter/join/group/aggregate/sort/count/explode) the reference
+  * family expresses, re-expressed as Catalyst plans. SURVEY.md §2-B.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-filter → partial agg → final agg. One shuffle,
+    * map-side combine; filter + 7-column pruning pushed to parquet. */
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= "2000-01-01")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dbl(sum(dec($"l_quantity"))).as("sum_qty"),
+        dbl(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))).as("sum_disc_price"),
+        dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")) * (lit(1) + dec($"l_tax")))).as("sum_charge"),
+        (dbl(sum(dec($"l_quantity"))) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(dec($"l_extendedprice"))) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Predicate + projection pushdown: the scan must read 4 columns and
+    * carry PushedFilters (asserted in RelationalSpec via explain). */
+  private def qFilterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R" && $"l_extendedprice" > 50000.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFilterProjectSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_extendedprice > 50000.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H Q3 shape: dim-filtered customer broadcast into orders,
+    * shuffle join to lineitem on orderkey, agg, top-10
+    * (TakeOrderedAndProject — no global sort). */
+  private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(s, dir).filter($"o_orderdate" < "1998-01-01")
+    val li = Tables.lineitem(s, dir).filter($"l_shipdate" > "1998-01-01")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey")
+      .agg(dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+      |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 6-table star join. region/nation/supplier are tiny
+    * → broadcast; the two fact joins shuffle on their keys once. */
+  private def q5RegionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1998-01-01")
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  private def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_nationkey", $"c_mktsegment")
+      .distinct()
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  private val qDistinctSql =
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY c_nationkey, c_mktsegment"
+
+  /** Global top-k: orderBy+limit planned as TakeOrderedAndProject —
+    * per-partition heaps, no total sort, no single-reducer bottleneck. */
+  private def qTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  private val qTopkSql =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
+
+  private def qSemijoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  private val qSemijoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** NOT EXISTS → left_anti: customers who never placed a >400k order
+    * (plain no-orders is empty in this corpus at every sf). */
+  private def qAntijoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 400000.0)
+    Tables.customer(s, dir)
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  private val qAntijoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def qUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+      .union(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+      .distinct()
+      .orderBy($"nationkey")
+  }
+
+  private val qUnionSql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  /** Rank-per-group window: top-2 orders per customer. Single shuffle on
+    * the partition key; row_number with a total tiebreak for determinism. */
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  private val qWindowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      | FROM orders) t WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin
+
+  /** Running (prefix) sum per user over event time — exact decimal in
+    * the frame so both engines agree bitwise. */
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running", dbl(sum(dec($"value")).over(w)))
+      .select($"user_id", $"event_id", $"running")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val qWindowRunningSql =
+    """SELECT user_id, event_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** ROLLUP grouping sets; NULL markers folded to 'ALL' so both engines
+    * order identically. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dbl(sum(dec($"o_totalprice"))).as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  private val qRollupSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      | COALESCE(o_orderpriority, 'ALL') AS priority,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Pivot event_type → columns (explicit value list so the output
+    * schema is static — required for both Catalyst and the oracle). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .select($"user_id" +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy($"user_id")
+  }
+
+  private val qPivotSql =
+    """SELECT user_id,
+      | COUNT(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+      | COUNT(CASE WHEN event_type='view' THEN 1 END) AS n_view,
+      | COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+      | COUNT(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+      | COUNT(CASE WHEN event_type='error' THEN 1 END) AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** JSON field extraction from a string column (the reference's core
+    * parsing step, as a codegen'd path expression). */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", get_json_object($"props", "$.k").cast("long").as("k"))
+      .orderBy($"event_id")
+  }
+
+  private val qJsonExtractSql =
+    """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Canonical MapReduce word-count: explode → partial agg → top-100. */
+  private def qWordcount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(100)
+  }
+
+  private val qWordcountSql =
+    """SELECT w AS word, COUNT(*) AS n FROM (
+      | SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |GROUP BY w ORDER BY n DESC, word LIMIT 100""".stripMargin
+
+  /** Inverted-index document frequency: term → #docs containing it. */
+  private def qDocFrequency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"word")
+      .agg(countDistinct($"doc_id").as("df"))
+      .orderBy($"word")
+  }
+
+  private val qDocFrequencySql =
+    """SELECT w AS word, COUNT(DISTINCT doc_id) AS df FROM (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |GROUP BY w ORDER BY word""".stripMargin
+
+  /** Full inverted index: term → sorted postings array. Array output is
+    * not hash-comparable in the oracle → rows-only check; exactness is
+    * covered by q_doc_frequency + RelationalSpec. */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"word")
+      .agg(sort_array(collect_set($"doc_id")).as("postings"),
+           countDistinct($"doc_id").as("df"))
+      .orderBy($"word")
+  }
+
+  /** Event-time hourly aggregate (string-keyed hour for oracle parity). */
+  private def qHourlyStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_format($"ts", "yyyy-MM-dd HH:00:00").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dbl(sum(dec($"value"))).as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  private val qHourlyStatsSql =
+    """SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min): lag → new-session flag →
+    * prefix-sum session ordinal → per-session rollup. ONE shuffle on
+    * user_id serves both windows and the final agg. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min($"event_id").as("first_event"),
+           max($"event_id").as("last_event"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private val qSessionizeSql =
+    """WITH x AS (
+      | SELECT user_id, event_id, ts,
+      |   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      | FROM events),
+      |y AS (
+      | SELECT user_id, event_id,
+      |   CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM x)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      | MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q1_pricing_summary" -> QueryDef(q1PricingSummary, Some(q1Sql), bench = true),
+    "q_filter_project" -> QueryDef(qFilterProject, Some(qFilterProjectSql)),
+    "q3_top_orders" -> QueryDef(q3TopOrders, Some(q3Sql), bench = true),
+    "q5_regional_revenue" -> QueryDef(q5RegionalRevenue, Some(q5Sql), bench = true),
+    "q_distinct" -> QueryDef(qDistinct, Some(qDistinctSql)),
+    "q_topk" -> QueryDef(qTopk, Some(qTopkSql)),
+    "q_semijoin" -> QueryDef(qSemijoin, Some(qSemijoinSql)),
+    "q_antijoin" -> QueryDef(qAntijoin, Some(qAntijoinSql)),
+    "q_union" -> QueryDef(qUnion, Some(qUnionSql)),
+    "q_window_rank" -> QueryDef(qWindowRank, Some(qWindowRankSql)),
+    "q_window_running" -> QueryDef(qWindowRunning, Some(qWindowRunningSql), bench = true),
+    "q_rollup" -> QueryDef(qRollup, Some(qRollupSql)),
+    "q_pivot" -> QueryDef(qPivot, Some(qPivotSql)),
+    "q_json_extract" -> QueryDef(qJsonExtract, Some(qJsonExtractSql)),
+    "q_wordcount" -> QueryDef(qWordcount, Some(qWordcountSql), bench = true),
+    "q_doc_frequency" -> QueryDef(qDocFrequency, Some(qDocFrequencySql)),
+    "q_inverted_index" -> QueryDef(qInvertedIndex, None),
+    "q_hourly_stats" -> QueryDef(qHourlyStats, Some(qHourlyStatsSql)),
+    "q_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql), bench = true)
+  )
+}

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Dev smoke: drives the driver-contract surfaces (entry, tolerant
+  * JSON source, ClickThru semantics) end-to-end. Run:
+  *   sbt "runMain graft.tools.Smoke"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // 1. driver smoke: entry() rows>0
+    val e = graft.SparkEntry.entry(spark)
+    println("ENTRY_ROWS=" + e.count())
+    e.show(5, truncate = false)
+
+    // 2. probe: poison lines through the tolerant JSON source
+    val schema = StructType(Seq(
+      StructField("impressionId", StringType),
+      StructField("referrer", StringType),
+      StructField("adId", StringType)))
+    val raw = Seq(
+      """garbage prefix {"impressionId":"i1","referrer":"r1","adId":"a1"}""",
+      """{"impressionId":"i2","referrer":"r2","adId":"a2"}""",
+      """no json here at all""",
+      """{{{{broken json""",
+      "").toDF("value")
+    val parsed = graft.sources.JsonLogs.parse(raw, schema)
+    println("POISON_PARSED=" + parsed.count())
+    parsed.show(truncate = false)
+
+    // 3. probe: duplicate clicks for one impression collapse to 0/1
+    val imps = Seq(("i1", "r1", "a1"), ("i2", "r1", "a1"), ("i3", "r2", "a9"))
+      .toDF("impressionId", "referrer", "adId")
+    val clks = Seq("i1", "i1", "i1", "i3").toDF("impressionId")
+    val ctr = graft.operators.ClickThru.ctr(imps, clks, "impressionId", Seq("referrer", "adId"))
+    ctr.orderBy("referrer").show(truncate = false)
+    println("SMOKE_DONE")
+    spark.stop()
+  }
+}
