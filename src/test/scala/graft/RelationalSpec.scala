@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  def run(name: String) = Relational.defs(name).fn(spark, sf)
+
+  test("q1 aggregates the full filtered lineitem") {
+    val rows = run("q1_pricing_summary").collect()
+    assert(rows.nonEmpty && rows.length <= 9) // |returnflag| x |linestatus|
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter("l_shipdate <= '2000-01-01'").count()
+    assert(total == expected)
+  }
+
+  test("filter+projection are pushed into the parquet scan") {
+    val plan = run("q_filter_project").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("l_returnflag"), "filter column not pushed")
+    // pruned read schema: only the 3 needed columns + filter column
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no total sort)") {
+    val plan = run("q_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("q5 broadcasts the dimension tables") {
+    val plan = run("q5_regional_revenue").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("semijoin + antijoin partition the big-spender customer set") {
+    // semijoin: customers with orders; antijoin variant uses >400k filter
+    val semi = run("q_semijoin").count()
+    val anti = run("q_antijoin").count()
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(semi <= total && anti <= total)
+    assert(anti > 0, "antijoin should be non-empty on this corpus")
+  }
+
+  test("sessionize: session ids are dense per user and gaps split sessions") {
+    import spark.implicits._
+    val sess = run("q_sessionize")
+    val bad = sess.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"session_id").as("mx"),
+           org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter($"mx" =!= $"n").count()
+    assert(bad == 0, "session ids must be dense 1..n per user")
+  }
+
+  test("wordcount totals equal token count") {
+    import spark.implicits._
+    val n = run("q_wordcount").agg(org.apache.spark.sql.functions.sum($"n")).as[Long].head()
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("sum(size(split(text, ' '))) s").as[Long].head()
+    assert(n == toks) // vocab is small → top-100 covers all words
+  }
+}

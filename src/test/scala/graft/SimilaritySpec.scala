@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  lazy val emb = Tables.embeddings(spark, sf)
+  lazy val probes = emb.filter("vec_id < 5")
+
+  test("bruteForce ranks by cosine, k per query, no self-matches") {
+    import spark.implicits._
+    val got = Similarity.bruteForce(spark, emb, probes, k = 5).collect()
+    assert(got.length == 25)
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Double]("cos_sim")).sliding(2).forall(p => p.head >= p.last))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+  }
+
+  test("a planted duplicate vector is every method's top neighbor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // clone vec 0 as id 9999 → its nearest neighbor must be 0 with cos ≈ 1
+    val clone = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(9999L))
+    val corpus = emb.unionByName(clone.select(emb.columns.map(col): _*))
+    val p = corpus.filter($"vec_id" === 9999L)
+    for ((name, df) <- Seq(
+        "brute" -> Similarity.bruteForce(spark, corpus, p, k = 1),
+        "lsh" -> Similarity.lshTopK(spark, corpus, p, k = 1),
+        "ivf" -> Similarity.ivfTopK(spark, corpus, p, k = 1))) {
+      val top = df.collect()
+      assert(top.length == 1, s"$name returned ${top.length} rows")
+      assert(top(0).getAs[Long]("neighbor_id") == 0L, s"$name top=${top(0)}")
+      assert(top(0).getAs[Double]("cos_sim") > 0.999999, s"$name cos=${top(0)}")
+    }
+  }
+
+  test("lsh candidates are a subset of brute-force scores (same cosine)") {
+    val brute = Similarity.bruteForce(spark, emb, probes, k = 500).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val lsh = Similarity.lshTopK(spark, emb, probes, k = 5).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getAs[Double]("cos_sim")) < 1e-12)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+import graft.functions.Kernels
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenStats counts whitespace and BPE-ish tokens") {
+    val d = docs(Seq((1L, "Hello world, 42 times!")))
+    val r = TextAnalysis.tokenStats(d).collect()(0)
+    assert(r.getAs[Long]("n_chars") == 22)
+    assert(r.getAs[Long]("n_ws_tokens") == 4)
+    // Hello|world|,|42|times|! → 6
+    assert(r.getAs[Long]("n_bpe_tokens") == 6)
+  }
+
+  test("qualityScore ratios") {
+    val d = docs(Seq((1L, "the cat and the dog")))
+    val r = TextAnalysis.qualityScore(d).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 3.0 / 5) < 1e-9)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 15.0 / 5) < 1e-9)
+  }
+
+  test("langId picks the profile with most hits") {
+    val d = docs(Seq(
+      (1L, "the cat and the dog of a to"),
+      (2L, "el perro la casa de que y los"),
+      (3L, "zzz qqq www")))
+    val got = TextAnalysis.langId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val a = Kernels.rollingHash(UTF8String.fromString("hello world"))
+    val b = Kernels.rollingHash(UTF8String.fromString("hello world"))
+    val c = Kernels.rollingHash(UTF8String.fromString("hello worle"))
+    assert(a == b && a != c)
+  }
+
+  test("simhash of near-identical texts is hamming-close") {
+    val t1 = "one two three four five six seven eight nine ten"
+    val t2 = "one two three four five six seven eight nine zzz"
+    val h1 = Kernels.simhash64(UTF8String.fromString(t1))
+    val h2 = Kernels.simhash64(UTF8String.fromString(t2))
+    val far = Kernels.simhash64(UTF8String.fromString("alpha beta gamma delta epsilon zeta eta theta"))
+    assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ far))
+  }
+}
