@@ -43,6 +43,22 @@ object Smoke {
     val clks = Seq("i1", "i1", "i1", "i3").toDF("impressionId")
     val ctr = graft.operators.ClickThru.ctr(imps, clks, "impressionId", Seq("referrer", "adId"))
     ctr.orderBy("referrer").show(truncate = false)
+    // 4. streaming surface: gap-sessionize a memory stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 86400000L
+    def sev(id: Long, user: Long, min: Long) = EventStream.Event(
+      id, new java.sql.Timestamp(t0 + min * 60000L), user, "view", 1.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(spark, input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("smoke_sess").outputMode("append").start()
+    input.addData(sev(1, 1, 0), sev(2, 1, 10), sev(3, 1, 60))
+    q.processAllAvailable()
+    val sessions = spark.sql("select * from smoke_sess").collect()
+    println("STREAM_SESSIONS=" + sessions.length + " " + sessions.mkString(";"))
+    q.stop()
+
     println("SMOKE_DONE")
     spark.stop()
   }

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // base offset: epoch-0 events are exactly at the initial watermark and
+  // Spark's late-data filter drops ts <= watermark
+  val T0 = 86400000L
+  def ev(id: Long, user: Long, min: Long): Event =
+    Event(id, new Timestamp(T0 + min * 60000L), user, "view", 1.0)
+
+  test("streaming sessionize: gap-close and watermark-timeout emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(spark, input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // session A: events at t=0,10; event at t=60 opens session B (gap 50>30)
+      input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 60))
+      q.processAllAvailable()
+      val afterGap = spark.sql("select * from sess").as[EventStream.SessionOut].collect()
+      assert(afterGap.length == 1, s"got: ${afterGap.mkString(";")}")
+      assert(afterGap(0).n_events == 2, s"got: ${afterGap.mkString(";")}")
+      assert(afterGap(0).session_start.getTime == T0)
+      assert(afterGap(0).session_end.getTime == T0 + 10 * 60000L)
+
+      // t=300 closes session B by gap; watermark (300-30=270) then
+      // times out session C=[300] only after a later batch
+      input.addData(ev(4, 1, 300))
+      q.processAllAvailable()
+      input.addData(ev(5, 2, 500)) // push watermark to 470 > 300+30
+      q.processAllAvailable()
+      input.addData(ev(6, 2, 900)) // another nudge so timeout fires
+      q.processAllAvailable()
+      val all = spark.sql("select * from sess").as[EventStream.SessionOut].collect()
+      val u1 = all.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(u1.length == 3, s"got ${u1.mkString(";")}")
+      assert(u1(1).session_start.getTime == T0 + 60 * 60000L && u1(1).n_events == 1)
+      assert(u1(2).session_start.getTime == T0 + 300 * 60000L)
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 0), ev(2, 1, 30), ev(3, 1, 70))
+      q.processAllAvailable()
+      input.addData(ev(4, 1, 600)) // watermark far past hour 0 and 1
+      q.processAllAvailable()
+      val rows = spark.sql("select window.start, n from wc order by 1").collect()
+      assert(rows.length >= 2)
+      assert(rows(0).getAs[Long]("n") == 2) // hour 0: t=0,30
+      assert(rows(1).getAs[Long]("n") == 1) // hour 1: t=70
+    } finally q.stop()
+  }
+}
