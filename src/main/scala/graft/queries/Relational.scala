@@ -371,7 +371,22 @@ object Relational {
       | MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Same sessionization, via the custom SessionizePlan/Exec operator
+    * (graft.plans) — one shuffle + one sort + single pass, no Window
+    * buffers. Hash-verified against the identical oracle. */
+  private def qSessionizePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"ts", $"event_id")
+    graft.plans.Sessionize.withSessionIds(ev, "user_id", "ts", gapMinutes = 30)
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min($"event_id").as("first_event"),
+           max($"event_id").as("last_event"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_sessionize_plan" -> QueryDef(qSessionizePlan, Some(qSessionizeSql), bench = true),
     "q1_pricing_summary" -> QueryDef(q1PricingSummary, Some(q1Sql), bench = true),
     "q_filter_project" -> QueryDef(qFilterProject, Some(qFilterProjectSql)),
     "q3_top_orders" -> QueryDef(q3TopOrders, Some(q3Sql), bench = true),
