@@ -92,9 +92,12 @@ object Dedup {
     val tok = docs
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= w)
+    // Join on the 64-bit shingle hash, not the string: the self-join
+    // moves/compares 8-byte keys instead of ~25-byte UTF8 strings.
+    // (Counts differ from exact only on a 64-bit collision.)
     val sh = tok
       .select($"doc_id", explode(
-        expr(s"transform(sequence(0, size(ws) - $w), i -> concat_ws(' ', slice(ws, i + 1, $w)))")).as("s"))
+        expr(s"transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w))))")).as("s"))
       .distinct()
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")

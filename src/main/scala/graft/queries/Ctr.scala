@@ -44,8 +44,13 @@ object Ctr {
       lit("click "),
       to_json(struct($"event_id".cast("string").as("impressionId")))).as("value"))
 
-    val impressions = JsonLogs.parse(impLines, impSchema)
-    val clicks = JsonLogs.parse(clkLines, clkSchema)
+    // A single-row-group parquet source yields ONE scan task; real log
+    // ingestion reads many files. Spread the CPU-bound JSON parse
+    // across the cluster before parsing (cheap narrow-ish shuffle of
+    // raw lines, exactly what a distributed log collector produces).
+    val par = s.sparkContext.defaultParallelism
+    val impressions = JsonLogs.parse(impLines.repartition(par), impSchema)
+    val clicks = JsonLogs.parse(clkLines.repartition(par), clkSchema)
     ClickThru.ctr(impressions, clicks, "impressionId", Seq("referrer", "adId"))
       .select($"referrer", $"adId".as("ad_id"), $"impressions", $"clicks", $"ctr")
       .orderBy($"referrer", $"ad_id")

@@ -25,4 +25,12 @@ object QueryDef {
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   /** Final exact-decimal → double conversion (deterministic both engines). */
   def dbl(c: Column): Column = c.cast("double")
+
+  /** Exact integer-cents view of a 2-dp money column: `round(x*100)` as
+    * long. Integer aggregation stays in whole-stage codegen (~2.5x the
+    * throughput of decimal sums here) and is exact, so the final
+    * int→double conversion is bit-identical in Spark and DuckDB. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+  /** Integer percent view of a 2-dp rate column (discount/tax). */
+  def pct(c: Column): Column = round(c * 100).cast("long")
 }

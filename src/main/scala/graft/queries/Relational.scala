@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.queries.QueryDef.{dec, dbl}
+import graft.queries.QueryDef.{dec, dbl, cents, pct}
 import graft.sources.Tables
 
 /** The relational core: the complete MapReduce analytics vocabulary
@@ -16,28 +16,35 @@ object Relational {
     * map-side combine; filter + 7-column pruning pushed to parquet. */
   private def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Money math in exact integer cents (see QueryDef.cents): all sums
+    // are int64, codegen'd, exact; converted to double identically in
+    // the oracle. Units: cents*pct = 1e-4 dollars; charge = 1e-6.
+    val q = round($"l_quantity").cast("long")
+    val p = cents($"l_extendedprice")
+    val d = pct($"l_discount")
+    val t = pct($"l_tax")
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" <= "2000-01-01")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        dbl(sum(dec($"l_quantity"))).as("sum_qty"),
-        dbl(sum(dec($"l_extendedprice"))).as("sum_base_price"),
-        dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))).as("sum_disc_price"),
-        dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")) * (lit(1) + dec($"l_tax")))).as("sum_charge"),
-        (dbl(sum(dec($"l_quantity"))) / count(lit(1))).as("avg_qty"),
-        (dbl(sum(dec($"l_extendedprice"))) / count(lit(1))).as("avg_price"),
+        sum(q).cast("double").as("sum_qty"),
+        (sum(p).cast("double") / 100.0).as("sum_base_price"),
+        (sum(p * (lit(100L) - d)).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(p * (lit(100L) - d) * (lit(100L) + t)).cast("double") / 1000000.0).as("sum_charge"),
+        (sum(q).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(p).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      | CAST(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_base_price,
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS sum_disc_price,
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_charge,
+      | CAST(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE)/COUNT(*) AS avg_qty,
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
       | COUNT(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -68,14 +75,14 @@ object Relational {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey")
-      .agg(dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))).as("revenue"))
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))).cast("double") / 10000.0).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
   }
 
   private val q3Sql =
     """SELECT l_orderkey,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
@@ -99,13 +106,13 @@ object Relational {
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))).as("revenue"))
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))).cast("double") / 10000.0).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
   private val q5Sql =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

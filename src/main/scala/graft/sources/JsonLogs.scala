@@ -28,12 +28,14 @@ object JsonLogs {
     */
   def parse(raw: DataFrame, schema: StructType, col: String = "value"): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    // PERMISSIVE from_json yields an all-null struct for malformed
-    // payloads (not a null struct) — treat those as unparseable too.
-    val anyField = schema.fields.map(f => c(s"j.${f.name}").isNotNull).reduce(_ || _)
-    raw
-      .select(from_json(jsonPayload(raw(col)), schema).as("j"))
-      .filter(c("j").isNotNull && anyField)
-      .select("j.*")
+    // `select(j.*)` would let Catalyst rewrite each output column into
+    // its own copy of from_json — parsing every line once per field.
+    // `inline` is a generator: ONE from_json evaluation per row, all
+    // fields emitted together.
+    val parsed = raw.select(inline(array(from_json(jsonPayload(raw(col)), schema))))
+    // PERMISSIVE from_json yields all-null fields for malformed
+    // payloads — drop those rows (the reference throws instead; at
+    // 100 TB a poison line must not kill the job).
+    parsed.filter(schema.fields.map(f => c(f.name).isNotNull).reduce(_ || _))
   }
 }
