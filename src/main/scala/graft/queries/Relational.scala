@@ -392,7 +392,82 @@ object Relational {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** GROUP BY + HAVING: high-volume customers. */
+  private def qHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           (sum(cents($"o_totalprice")).cast("double") / 100.0).as("total_spent"))
+      .filter($"n_orders" >= 15)
+      .orderBy($"o_custkey")
+  }
+
+  private val qHavingSql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      | CAST(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS total_spent
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin
+
+  /** TPC-H Q17 shape: correlated per-part average via a self-aggregated
+    * join (the MR "two-pass" pattern, as one reused-shuffle plan). */
+  private def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val avgQ = li.groupBy($"l_partkey".as("p_key"))
+      .agg((sum(round($"l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"))
+    li.join(avgQ, $"l_partkey" === $"p_key")
+      .filter($"l_quantity" < $"avg_qty" * 0.5)
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_small"),
+           (sum(cents($"l_extendedprice")).cast("double") / 100.0).as("small_revenue"))
+      .filter($"n_small" >= 3)
+      .orderBy($"l_partkey")
+  }
+
+  private val q17Sql =
+    """WITH a AS (
+      | SELECT l_partkey AS p_key,
+      |  CAST(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE)/COUNT(*) AS avg_qty
+      | FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, COUNT(*) AS n_small,
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS small_revenue
+      |FROM lineitem JOIN a ON l_partkey = p_key
+      |WHERE l_quantity < avg_qty * 0.5
+      |GROUP BY l_partkey HAVING COUNT(*) >= 3 ORDER BY l_partkey""".stripMargin
+
+  /** Exact distributed median/p90 per group (sort-based percentile). */
+  private def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val qPercentileSql =
+    """SELECT o_orderpriority,
+      | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med,
+      | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Sketch aggregates: HLL distinct (approx, deterministic given the
+    * same algorithm but not oracle-reproducible → bounds checked in
+    * spec; exact distinct alongside for the oracle). */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"),
+           approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_having" -> QueryDef(qHaving, Some(qHavingSql)),
+    "q17_small_quantity" -> QueryDef(q17SmallQuantity, Some(q17Sql), bench = true),
+    "q_percentile" -> QueryDef(qPercentile, Some(qPercentileSql)),
+    "q_approx_distinct" -> QueryDef(qApproxDistinct, None),
     "q_sessionize_plan" -> QueryDef(qSessionizePlan, Some(qSessionizeSql), bench = true),
     "q1_pricing_summary" -> QueryDef(q1PricingSummary, Some(q1Sql), bench = true),
     "q_filter_project" -> QueryDef(qFilterProject, Some(qFilterProjectSql)),

@@ -59,6 +59,18 @@ object Smoke {
     println("STREAM_SESSIONS=" + sessions.length + " " + sessions.mkString(";"))
     q.stop()
 
+    // 5. skew + sinks surfaces
+    val skewLeft = (1 to 1000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "payload")
+    val skewRight = (1L to 1000L).map(k => (k, s"d$k")).toDF("k", "attr")
+    val sj = graft.operators.Skew.saltedJoin(skewLeft, skewRight, "k", 8).count()
+    println(s"SALTED_JOIN_ROWS=$sj (plain=" + skewLeft.join(skewRight, "k").count() + ")")
+    val wh = java.nio.file.Files.createTempDirectory("smoke-sink").toString
+    graft.sources.Sinks.writePartitioned(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"), s"$wh/docs", Seq("lang"))
+    println("PARTITIONED_LANGS=" + new java.io.File(s"$wh/docs").listFiles()
+      .count(_.getName.startsWith("lang=")))
+
     println("SMOKE_DONE")
     spark.stop()
   }

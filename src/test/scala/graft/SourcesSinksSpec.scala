@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{Sinks, Tables}
+
+class SourcesSinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def tmp(): String = Files.createTempDirectory("graft-sink").toString
+
+  test("csv and json-lines round-trip the documents table") {
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "lang", "n_chars")
+    val d1 = tmp(); val d2 = tmp()
+    docs.write.mode("overwrite").option("header", "true").csv(d1)
+    docs.write.mode("overwrite").json(d2)
+    val csvBack = Sinks.readCsv(spark, d1, docs.schema)
+    val jsonBack = Sinks.readJsonLines(spark, d2, docs.schema)
+    assert(csvBack.exceptAll(docs).count() == 0 && docs.exceptAll(csvBack).count() == 0)
+    assert(jsonBack.exceptAll(docs).count() == 0 && docs.exceptAll(jsonBack).count() == 0)
+  }
+
+  test("partitioned write prunes partitions at scan time") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dir = tmp()
+    Sinks.writePartitioned(docs, dir, Seq("lang"))
+    val scan = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    // partition filter must appear as PartitionFilters, not a data filter
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
+    assert(scan.count() ==
+      Tables.documents(spark, TestSpark.sf).filter(col("lang") === "en").count())
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cust = Tables.customer(spark, TestSpark.sf)
+      val ord = Tables.orders(spark, TestSpark.sf)
+        .withColumnRenamed("o_custkey", "c_custkey")
+      Sinks.writeBucketed(cust, "b_cust", s"$wh/b_cust", "c_custkey", 8)
+      Sinks.writeBucketed(ord, "b_ord", s"$wh/b_ord", "c_custkey", 8)
+      val joined = spark.table("b_cust").join(spark.table("b_ord"), "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == Tables.orders(spark, TestSpark.sf)
+        .join(Tables.customer(spark, TestSpark.sf),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+      spark.sql("DROP TABLE IF EXISTS b_ord")
+    }
+  }
+}
