@@ -48,7 +48,68 @@ object TextAnalysis {
     TA.fingerprint(Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
+  /** TF-IDF top-5 terms per document — the classic MR "chained jobs"
+    * showcase (tf, df, join, rank) as one Catalyst plan with a single
+    * scan feeding both aggregations. */
+  private def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+      .withColumn("tfidf", round($"tf" * log($"n_docs".cast("double") / $"df"), 9))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"doc_id", $"term", $"rk", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  private val textTfidfSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |total AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term AS term,
+      |    ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total),
+      |r AS (
+      |  SELECT doc_id, term, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, rk, tfidf FROM r WHERE rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** Per-label embedding centroid (exploded layout). Elements are
+    * quantized to integer nano-units before summing: int64 sums are
+    * exact and order-independent, so both engines produce identical
+    * doubles (cross-partition float sums are order-dependent, and
+    * giant-decimal→double casts are not correctly rounded in every
+    * engine). */
+  private def textLabelCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos0", "v")))
+      .select($"label", ($"pos0" + 1).as("pos"), $"v")
+      .groupBy($"label", $"pos")
+      .agg((sum(round($"v".cast("double") * 1e9).cast("long")).cast("double") / 1e9 / count(lit(1))).as("c"))
+      .orderBy($"label", $"pos")
+  }
+
+  private val textLabelCentroidSql =
+    """SELECT label, pos,
+      | CAST(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE)*1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000000.0/COUNT(*) AS c
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        unnest(range(1, len(embedding)+1)) AS pos FROM embeddings) t
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_tfidf" -> QueryDef(textTfidf, Some(textTfidfSql), bench = true),
+    "emb_label_centroid" -> QueryDef(textLabelCentroid, Some(textLabelCentroidSql)),
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
     "text_quality" -> QueryDef(textQuality, Some(textQualitySql), bench = true),
     "text_langid" -> QueryDef(textLangid, None),
