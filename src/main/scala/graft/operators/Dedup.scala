@@ -111,6 +111,40 @@ object Dedup {
         round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9).as("jaccard"))
   }
 
+  /** Connected components over a duplicate-pair edge list: every doc
+    * gets the min doc_id of its component as `cluster` — turning
+    * pairwise near-dup hits into dedup groups ("keep one per cluster").
+    *
+    * Iterative min-label propagation (the standard Spark CC pattern,
+    * cf. GraphX/GraphFrames): converges in O(diameter) rounds; each
+    * round is one equi-join + aggregate. `localCheckpoint` truncates
+    * the growing lineage. The per-round convergence check is a scalar
+    * count — not a data collect. */
+  def clusters(spark: SparkSession, pairs: DataFrame,
+               maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("cluster", $"id").localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select($"id".as("dst"), $"cluster".as("nlabel")), "dst")
+        .groupBy($"src".as("id")).agg(min($"nlabel").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select($"id", least($"cluster", coalesce($"nmin", $"cluster")).as("cluster"),
+          $"cluster".as("old"))
+        .localCheckpoint()
+      changed = next.filter($"cluster" =!= $"old").count()
+      labels = next.select($"id", $"cluster")
+      iter += 1
+    }
+    labels.select($"id".as("doc_id"), $"cluster")
+  }
+
   /** Embedding-cosine duplicate candidates among all pairs (exact; the
     * LSH/IVF paths in Similarity are the at-scale variants). */
   def embeddingPairs(spark: SparkSession, emb: DataFrame): DataFrame = {

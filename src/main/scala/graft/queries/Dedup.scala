@@ -85,7 +85,51 @@ object Dedup {
       |SELECT vec_a, vec_b, cos_sim FROM p
       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100""".stripMargin
 
+  /** Dedup groups: connected components over the top near-dup pairs
+    * (iterative — rows-only; semantics spec-tested with planted
+    * chains). */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.ngramJaccardPairs(s, Tables.documents(s, dir))
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(200)
+    DedupOps.clusters(s, pairs).orderBy($"doc_id")
+  }
+
+  /** Corpus curation: quality-filter + dedup-survivor semijoin — the
+    * end-to-end "keep the good docs" pipeline, hash-verified. */
+  private def dedupCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quality = graft.operators.TextAnalysis.qualityScore(Tables.documents(s, dir))
+    val survivors = DedupOps.exactSurvivors(Tables.documents(s, dir)).select($"doc_id")
+    quality
+      .filter($"n_tokens" >= 30 && $"n_tokens" <= 90 &&
+        $"stopword_ratio" >= 0.02 && $"mean_word_len" < 5.0)
+      .join(survivors, "doc_id") // semijoin-shaped: survivors is a projection
+      .select($"doc_id", $"n_tokens", $"stopword_ratio", $"mean_word_len")
+      .orderBy($"doc_id")
+  }
+
+  private val dedupCurationSql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |   ROUND(CAST(len(list_filter(string_split(text, ' '),
+      |       t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+      |     / len(string_split(text, ' ')), 9) AS stopword_ratio,
+      |   ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |     / len(string_split(text, ' ')), 9) AS mean_word_len
+      |  FROM documents),
+      |surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+      |SELECT q.doc_id AS doc_id, n_tokens, stopword_ratio, mean_word_len
+      |FROM q JOIN surv ON q.doc_id = surv.doc_id
+      |WHERE n_tokens >= 30 AND n_tokens <= 90
+      |  AND stopword_ratio >= 0.02 AND mean_word_len < 5.0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_clusters" -> QueryDef(dedupClusters, None),
+    "dedup_curation" -> QueryDef(dedupCuration, Some(dedupCurationSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, None, bench = true),
     "dedup_simhash" -> QueryDef(dedupSimhash, None),

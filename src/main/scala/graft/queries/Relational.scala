@@ -463,7 +463,87 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Window-function suite: lead, ntile, percent_rank, cume_dist,
+    * first_value over one shuffle-shared window spec. */
+  private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 20)
+      .select(
+        $"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        lead($"o_orderkey", 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cume"),
+        first_value($"o_orderkey").over(w).as("cheapest"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  private val qWindowSuiteSql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      | LEAD(o_orderkey, 1) OVER w AS next_order,
+      | NTILE(4) OVER w AS quartile,
+      | ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+      | ROUND(CUME_DIST() OVER w, 9) AS cume,
+      | FIRST_VALUE(o_orderkey) OVER w AS cheapest
+      |FROM orders WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Funnel: per-user view→purchase conversion within 30-min sessions —
+    * sessionize → per-session flags → per-user rates. The composite
+    * the reference family would need 3 chained MR jobs for. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        max(when($"event_type" === "view", 1).otherwise(0)).as("has_view"),
+        max(when($"event_type" === "purchase", 1).otherwise(0)).as("has_purchase"))
+    sess.groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count(when($"has_view" === 1, 1)).as("view_sessions"),
+        count(when($"has_view" === 1 && $"has_purchase" === 1, 1)).as("converted"))
+      .withColumn("conv_rate",
+        when($"view_sessions" === 0, lit(null).cast("double"))
+          .otherwise($"converted".cast("double") / $"view_sessions"))
+      .orderBy($"user_id")
+  }
+
+  private val qFunnelSql =
+    """WITH x AS (
+      | SELECT user_id, event_id, ts, event_type,
+      |   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      | FROM events),
+      |y AS (
+      | SELECT user_id, event_type,
+      |   CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM x),
+      |sess AS (
+      | SELECT user_id, session_id,
+      |   MAX(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS has_view,
+      |   MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS has_purchase
+      | FROM y GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      | COUNT(CASE WHEN has_view=1 THEN 1 END) AS view_sessions,
+      | COUNT(CASE WHEN has_view=1 AND has_purchase=1 THEN 1 END) AS converted,
+      | CAST(COUNT(CASE WHEN has_view=1 AND has_purchase=1 THEN 1 END) AS DOUBLE)
+      |   / NULLIF(COUNT(CASE WHEN has_view=1 THEN 1 END), 0) AS conv_rate
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_window_suite" -> QueryDef(qWindowSuite, Some(qWindowSuiteSql)),
+    "q_funnel" -> QueryDef(qFunnel, Some(qFunnelSql), bench = true),
     "q_having" -> QueryDef(qHaving, Some(qHavingSql)),
     "q17_small_quantity" -> QueryDef(q17SmallQuantity, Some(q17Sql), bench = true),
     "q_percentile" -> QueryDef(qPercentile, Some(qPercentileSql)),

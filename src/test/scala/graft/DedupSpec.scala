@@ -45,6 +45,15 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-9)
   }
 
+  test("clusters: chains merge into one component, min doc_id wins") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash est_jaccard approximates true jaccard") {
     val d = docs(Seq((1L, base), (2L, nearDup)))
     val est = Dedup.minhashPairs(d, threshold = 0.0).collect()(0).getAs[Double]("est_jaccard")
