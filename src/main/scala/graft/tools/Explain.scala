@@ -1,0 +1,32 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted plans for every query: sbt "runMain graft.tools.Explain <outFile>". */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/explains.txt")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        sb.append(s"\n========== $name ==========\n")
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch { case e: Throwable => sb.append(s"\n== $name FAILED: ${e.getMessage}\n") }
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"EXPLAIN_WRITTEN $out")
+    spark.stop()
+  }
+}
