@@ -33,6 +33,37 @@ object EventStream {
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming CTR — the reference pipeline (ClickThru.java) as a
+    * stream-stream join. Impressions and clicks arrive as separate
+    * streams; a click joins its impression within `joinWindow` (the
+    * watermarks bound the join state, so it runs forever at constant
+    * memory). Output: per-window (referrer, adId) CTR, complete once
+    * the watermark closes the window.
+    *
+    * @param impressions streaming DF: (impressionId, referrer, adId, ts)
+    * @param clicks      streaming DF: (impressionId, click_ts)
+    */
+  def streamingCtr(impressions: DataFrame, clicks: DataFrame,
+                   joinWindow: String = "30 minutes",
+                   aggWindow: String = "1 hour"): DataFrame = {
+    val imp = impressions.withWatermark("ts", joinWindow)
+    val clk = clicks
+      .withColumnRenamed("impressionId", "c_impressionId")
+      .withWatermark("click_ts", joinWindow)
+    val joined = imp.join(clk,
+      expr(s"""
+        c_impressionId = impressionId AND
+        click_ts >= ts AND
+        click_ts <= ts + INTERVAL 30 MINUTES"""),
+      "leftOuter")
+    joined
+      .groupBy(window(col("ts"), aggWindow), col("referrer"), col("adId"))
+      .agg(
+        count(lit(1)).as("impressions"),
+        count(col("c_impressionId")).as("clicks"),
+        (count(col("c_impressionId")).cast("double") / count(lit(1))).as("ctr"))
+  }
+
   /** Gap-based sessionization: the streaming form of q_sessionize.
     * Sessions close either when a later event exceeds the gap (emitted
     * immediately) or when the event-time watermark passes last+gap

@@ -71,6 +71,26 @@ object Smoke {
     println("PARTITIONED_LANGS=" + new java.io.File(s"$wh/docs").listFiles()
       .count(_.getName.startsWith("lang=")))
 
+    // 6. streaming CTR: the reference pipeline as a stream-stream join
+    val impIn = MemoryStream[(String, String, String, java.sql.Timestamp)]
+    val clkIn = MemoryStream[(String, java.sql.Timestamp)]
+    def st(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    val qc = EventStream.streamingCtr(
+      impIn.toDF.toDF("impressionId", "referrer", "adId", "ts"),
+      clkIn.toDF.toDF("impressionId", "click_ts"))
+      .writeStream.format("memory").queryName("smoke_ctr").outputMode("append").start()
+    impIn.addData(("i1", "r1", "a1", st(0)), ("i2", "r1", "a1", st(5)))
+    clkIn.addData(("i1", st(3)))
+    qc.processAllAvailable()
+    impIn.addData(("i9", "r9", "a9", st(500))); clkIn.addData(("i9", st(501)))
+    qc.processAllAvailable()
+    impIn.addData(("i10", "r9", "a9", st(900))); clkIn.addData(("i10", st(901)))
+    qc.processAllAvailable()
+    println("STREAM_CTR=" + spark.sql(
+      "select referrer, adId, impressions, clicks, ctr from smoke_ctr order by referrer")
+      .collect().mkString(";"))
+    qc.stop()
+
     println("SMOKE_DONE")
     spark.stop()
   }

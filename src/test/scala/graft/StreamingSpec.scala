@@ -48,6 +48,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CTR: stream-stream join with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Imp(impressionId: String, referrer: String, adId: String, ts: Timestamp)
+    val impIn = MemoryStream[(String, String, String, Timestamp)]
+    val clkIn = MemoryStream[(String, Timestamp)]
+    val imps = impIn.toDF.toDF("impressionId", "referrer", "adId", "ts")
+    val clks = clkIn.toDF.toDF("impressionId", "click_ts")
+    val q = graft.streaming.EventStream.streamingCtr(imps, clks)
+      .writeStream.format("memory").queryName("sctr").outputMode("append").start()
+    try {
+      def t(min: Long) = new Timestamp(T0 + min * 60000L)
+      impIn.addData(("i1", "r1", "a1", t(0)), ("i2", "r1", "a1", t(5)), ("i3", "r2", "a2", t(10)))
+      clkIn.addData(("i1", t(3))) // i1 clicked within window; i2/i3 not
+      q.processAllAvailable()
+      // push both watermarks far past the agg window + join window
+      impIn.addData(("i9", "r9", "a9", t(500)))
+      clkIn.addData(("i9", t(501)))
+      q.processAllAvailable()
+      impIn.addData(("i10", "r9", "a9", t(900)))
+      clkIn.addData(("i10", t(901)))
+      q.processAllAvailable()
+      val rows = spark.sql("select referrer, adId, impressions, clicks, ctr from sctr order by referrer")
+        .collect()
+      val r1 = rows.find(_.getString(0) == "r1").get
+      assert(r1.getAs[Long]("impressions") == 2 && r1.getAs[Long]("clicks") == 1)
+      assert(math.abs(r1.getAs[Double]("ctr") - 0.5) < 1e-12)
+      val r2 = rows.find(_.getString(0) == "r2").get
+      assert(r2.getAs[Long]("impressions") == 1 && r2.getAs[Long]("clicks") == 0)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
