@@ -541,7 +541,77 @@ object Relational {
       |   / NULLIF(COUNT(CASE WHEN has_view=1 THEN 1 END), 0) AS conv_rate
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Custom typed Aggregator (UDAF): quantity-weighted mean price per
+    * return flag. Exact integer accumulation → oracle-identical. */
+  private def qWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.udf.register("graft_wavg",
+      org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean))
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        cents($"l_extendedprice").as("pc"),
+        round($"l_quantity").cast("long").as("w"))
+      .groupBy($"l_returnflag")
+      .agg(expr("graft_wavg(pc, w)").as("wavg_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val qWeightedAvgSql =
+    """SELECT l_returnflag,
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |   / CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) / 100.0 AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT. */
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_nationkey".as("nationkey")).distinct()
+      .intersect(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")).distinct())
+      .orderBy($"nationkey")
+  }
+
+  private val qIntersectSql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  /** EXCEPT: orders with no returned lineitem (non-empty at every sf). */
+  private def qExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select($"o_orderkey".as("orderkey"))
+      .except(Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+        .select($"l_orderkey".as("orderkey")))
+      .orderBy($"orderkey")
+  }
+
+  private val qExceptSql =
+    """SELECT o_orderkey AS orderkey FROM orders
+      |EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |ORDER BY orderkey""".stripMargin
+
+  /** Full CUBE grouping sets. */
+  private def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .cube($"event_type", ($"user_id" % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce($"event_type", lit("ALL")).as("event_type"),
+        coalesce($"user_bucket".cast("string"), lit("ALL")).as("user_bucket"), $"n")
+      .orderBy($"event_type", $"user_bucket")
+  }
+
+  private val qCubeSql =
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      | COALESCE(CAST(user_bucket AS VARCHAR), 'ALL') AS user_bucket,
+      | COUNT(*) AS n
+      |FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events) t
+      |GROUP BY CUBE(event_type, user_bucket)
+      |ORDER BY event_type, user_bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_weighted_avg" -> QueryDef(qWeightedAvg, Some(qWeightedAvgSql)),
+    "q_intersect" -> QueryDef(qIntersect, Some(qIntersectSql)),
+    "q_except" -> QueryDef(qExcept, Some(qExceptSql)),
+    "q_cube" -> QueryDef(qCube, Some(qCubeSql)),
     "q_window_suite" -> QueryDef(qWindowSuite, Some(qWindowSuiteSql)),
     "q_funnel" -> QueryDef(qFunnel, Some(qFunnelSql), bench = true),
     "q_having" -> QueryDef(qHaving, Some(qHavingSql)),
