@@ -87,8 +87,43 @@ object Ctr {
       |   / NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS ctr
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Click attribution via the AsOf operator: each click is attributed
+    * to the user's latest view at-or-before it. One shuffle + one
+    * sort regardless of per-user event counts. */
+  private def ctrAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts")
+    graft.operators.AsOf.join(
+      clicks, views, key = "user_id",
+      leftTs = "ts", rightTs = "ts", rightId = "event_id",
+      matchCol = "attributed_view")
+      .select($"user_id", $"click_id", $"attributed_view")
+      .orderBy($"user_id", $"click_id")
+  }
+
+  private val ctrAttributionSql =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+      |v AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT c.user_id, c.click_id, v.event_id AS attributed_view,
+      |    ROW_NUMBER() OVER (PARTITION BY c.user_id, c.click_id
+      |                       ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      |  FROM c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts)
+      |SELECT user_id, click_id, attributed_view FROM j WHERE rn = 1
+      |UNION ALL
+      |SELECT c.user_id, c.click_id, NULL AS attributed_view FROM c
+      |WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts)
+      |ORDER BY user_id, click_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ctr_referrer" -> QueryDef(ctrReferrer, Some(ctrReferrerSql), bench = true),
-    "ctr_user" -> QueryDef(ctrUser, Some(ctrUserSql))
+    "ctr_user" -> QueryDef(ctrUser, Some(ctrUserSql)),
+    "ctr_attribution" -> QueryDef(ctrAttribution, Some(ctrAttributionSql), bench = true)
   )
 }
