@@ -19,9 +19,11 @@ object SparkEntry {
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's own pipeline: tolerant JSON logs →
+    * join → CTR by (referrer, ad). */
   def entry(spark: SparkSession): DataFrame =
-    all("q5_regional_revenue").fn(spark, "/root/testdata/sf0.001")
+    all("ctr_referrer").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
