@@ -22,7 +22,31 @@ object Multimodal {
       | CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS BIGINT) AS byte_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Typed asset manifest: blob + metadata struct, flattened for the
+    * oracle. At scale this is the modality-partitioned table every
+    * decode job prunes against. */
+  private def mmManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        lit("text/plain").as("modality"),
+        $"text".cast("binary").as("blob"),
+        struct($"source", $"lang", $"n_chars").as("meta"))
+      .select($"doc_id", $"modality",
+        octet_length($"blob").cast("long").as("n_bytes"),
+        $"meta.source".as("source"), $"meta.lang".as("lang"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmManifestSql =
+    """SELECT doc_id, 'text/plain' AS modality,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | source, lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql))
+    "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql)),
+    "mm_manifest" -> QueryDef(mmManifest, Some(mmManifestSql))
   )
 }
