@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-stop session factory: the configs this engine needs (UTC, AQE,
+  * nanos-as-long for ns-parquet, right-sized shuffle partitions) plus
+  * native-function registration. Library users call
+  * `GraftSession.local(...)` or apply `configure` to their own builder.
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.Fns.registerAll(s)
+    s
+  }
+}

@@ -139,13 +139,16 @@ object Kernels {
     bucket
   }
 
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData): Double = cosine(a, b, true, true)
+
+  /** aFloat/bFloat: element width of each array (float32 vs float64). */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -161,10 +164,16 @@ object Kernels {
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.Kernels.cosine($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)});")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -219,4 +228,15 @@ object Fns {
     column(MinHashSig(expression(c), numPerms, shingleW))
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def lsh_bucket(c: Column, numPlanes: Int = 16): Column = column(LshBucket(expression(c), numPlanes))
+
+  /** Make the native expressions available from SQL:
+    * `SELECT cosine_sim(a, b), simhash64(text) ...`. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.Bridge.registerFunction
+    registerFunction(spark, "cosine_sim", es => CosineSim(es(0), es(1)))
+    registerFunction(spark, "simhash64", es => SimHash64(es.head))
+    registerFunction(spark, "minhash_sig", es => MinHashSig(es.head, 128, 3))
+    registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
+    registerFunction(spark, "lsh_bucket", es => LshBucket(es.head, 16))
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Kernels
+
+/** Seeded randomized property checks for the hash/sketch kernels. */
+class KernelsPropertySpec extends AnyFunSuite {
+
+  val rnd = new scala.util.Random(42)
+  val vocab = (0 until 50).map(i => s"w$i")
+  def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  def u8(s: String) = UTF8String.fromString(s)
+
+  def exactJaccard(a: String, b: String, w: Int = 3): Double = {
+    def sh(s: String) = s.split(" ").sliding(w).map(_.mkString(" ")).toSet
+    val (x, y) = (sh(a), sh(b))
+    x.intersect(y).size.toDouble / x.union(y).size
+  }
+
+  def estJaccard(a: String, b: String): Double = {
+    val (sa, sb) = (Kernels.minhashSig(u8(a), 128, 3), Kernels.minhashSig(u8(b), 128, 3))
+    sa.zip(sb).count { case (x, y) => x == y } / 128.0
+  }
+
+  test("minhash estimate tracks exact jaccard within 3 sigma over 50 random pairs") {
+    var maxErr = 0.0
+    for (_ <- 1 to 50) {
+      val a = doc(40 + rnd.nextInt(40))
+      // mutate a little → related doc; or fresh doc → unrelated
+      val b = if (rnd.nextBoolean()) {
+        val toks = a.split(" ")
+        toks.updated(rnd.nextInt(toks.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      } else doc(40 + rnd.nextInt(40))
+      val err = math.abs(estJaccard(a, b) - exactJaccard(a, b))
+      maxErr = math.max(maxErr, err)
+    }
+    // stddev of the estimator ≈ sqrt(j(1-j)/128) ≤ 0.045; 3σ ≈ 0.14
+    assert(maxErr < 0.14, s"max |est-exact| = $maxErr")
+  }
+
+  test("simhash hamming distance orders by similarity on average") {
+    var nearSum = 0; var farSum = 0
+    for (_ <- 1 to 30) {
+      val a = doc(60)
+      val toks = a.split(" ")
+      val near = toks.updated(rnd.nextInt(toks.length), vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val far = doc(60)
+      nearSum += java.lang.Long.bitCount(Kernels.simhash64(u8(a)) ^ Kernels.simhash64(u8(near)))
+      farSum += java.lang.Long.bitCount(Kernels.simhash64(u8(a)) ^ Kernels.simhash64(u8(far)))
+    }
+    assert(nearSum < farSum, s"near=$nearSum far=$farSum")
+  }
+
+  test("kernels are pure: same input, same output, across many inputs") {
+    for (_ <- 1 to 20) {
+      val s = doc(30)
+      assert(Kernels.simhash64(u8(s)) == Kernels.simhash64(u8(s)))
+      assert(Kernels.rollingHash(u8(s)) == Kernels.rollingHash(u8(s)))
+      assert(Kernels.minhashSig(u8(s), 128, 3).toSeq == Kernels.minhashSig(u8(s), 128, 3).toSeq)
+    }
+  }
+
+  test("minhash handles degenerate docs") {
+    assert(Kernels.minhashSig(u8(""), 128, 3).forall(_ == 0L))
+    assert(Kernels.minhashSig(u8("one two"), 128, 3).forall(_ == 0L)) // < shingle width
+    assert(Kernels.shingleHashes(u8("a b c"), 3).length == 1)
+  }
+}

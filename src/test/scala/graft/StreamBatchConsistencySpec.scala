@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** The strongest streaming guarantee: the streaming sessionizer over
+  * the real events table produces EXACTLY the batch sessionizer's
+  * sessions once the watermark flushes everything. */
+class StreamBatchConsistencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming sessionize == batch sessionize on sf0.001 events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(spark, input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("consistency_sess")
+      .outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+      // two sentinel batches: advance the watermark, then fire timeouts
+      val far = events.last.ts.getTime + 10L * 24 * 3600 * 1000
+      input.addData(Event(-1L, new Timestamp(far), -1L, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(far + 60000), -1L, "x", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "select user_id, session_start, session_end, n_events from consistency_sess where user_id >= 0")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getInt(3).toLong))
+        .toSet
+
+      // batch expectation with the same ms-granularity gap rule
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val batch = graft.sources.Tables.events(spark, TestSpark.sf)
+        .withColumn("tms", (unix_micros($"ts") / 1000).cast("long"))
+        .withColumn("prev", lag($"tms", 1).over(w))
+        .withColumn("new_s", when($"prev".isNull || $"tms" - $"prev" > 30 * 60000L, 1).otherwise(0))
+        .withColumn("sid", sum($"new_s").over(wRun))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"tms").as("s"), max($"tms").as("e"), count(lit(1)).as("n"))
+        .select($"user_id", $"s", $"e", $"n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+}
