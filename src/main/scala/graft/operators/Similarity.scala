@@ -49,16 +49,47 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
   }
 
-  /** IVF-style ANN. Deterministic coarse "centroids": the embeddings of
-    * the first nCells vec_ids (k-means would need training state; a
-    * fixed seed subset keeps the operator stateless and reproducible —
-    * swap in trained centroids via the `centroids` frame at will).
-    */
-  def ivfTopK(spark: SparkSession, emb: DataFrame, probes: DataFrame,
-              k: Int, nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+  /** Deterministic distributed k-means (Lloyd's): init = embeddings of
+    * the k smallest vec_ids; each round assigns via a broadcast of the
+    * k×dim centroid table and re-averages per cell. All data movement
+    * is one groupBy per round over (cell, pos) — no collect of
+    * anything data-sized (centroids are k×dim floats).
+    * Returns (cell, centroid: Array[Float]). */
+  def kmeans(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
-    val centroids = emb.filter($"vec_id" < nCells)
-      .select($"vec_id".as("cell"), $"embedding".as("ce"))
+    var centroids = emb.orderBy($"vec_id").limit(k)
+      .select(monotonically_increasing_id().as("cell"), $"embedding".as("ce"))
+      .select($"cell", $"ce")
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy($"vec_id").orderBy($"cell_sim".desc, $"cell")
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("cell_sim", Fns.cosine_sim($"embedding", $"ce"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"cell", $"embedding")
+      centroids = assigned
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg(avg($"v").as("cv"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pairs"))
+        .select($"cell", expr("transform(pairs, p -> cast(p.cv as float))").as("ce"))
+        .localCheckpoint()
+    }
+    centroids.select($"cell", $"ce".as("centroid"))
+  }
+
+  /** IVF-style ANN. Coarse centroids default to a deterministic
+    * first-k init; pass `trainedCentroids` (e.g. from [[kmeans]]) for
+    * trained cells. */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, probes: DataFrame,
+              k: Int, nCells: Int = 8, nProbe: Int = 2,
+              trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val centroids = trainedCentroids
+      .map(_.select(col("cell"), col("centroid").as("ce")))
+      .getOrElse(emb.filter($"vec_id" < nCells)
+        .select($"vec_id".as("cell"), $"embedding".as("ce")))
 
     def nearestCells(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy($"cell_sim".desc, $"cell")

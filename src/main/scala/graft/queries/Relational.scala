@@ -607,7 +607,48 @@ object Relational {
       |GROUP BY CUBE(event_type, user_bucket)
       |ORDER BY event_type, user_bucket""".stripMargin
 
+  /** TPC-H Q14 shape: conditional-aggregate ratio over a fact⋈dim join. */
+  private def q14PromoRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01")
+    val rev = sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount")))
+    val promoRev = sum(when($"p_type" === "PROMO",
+      cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))).otherwise(0L))
+    li.join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .agg((promoRev.cast("double") * 100.0 / rev.cast("double")).as("promo_pct"))
+  }
+
+  private val q14Sql =
+    """SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |   THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+      |   ELSE 0 END) AS BIGINT) AS DOUBLE) * 100.0
+      | / CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)
+      | AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
+  /** Argmin-per-group (TPC-H Q2 shape): cheapest supplier per nation. */
+  private def qArgmin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal", $"s_suppkey")
+    Tables.supplier(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"s_nationkey", $"s_suppkey", $"s_acctbal")
+      .orderBy($"s_nationkey")
+  }
+
+  private val qArgminSql =
+    """SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+      | SELECT s_nationkey, s_suppkey, s_acctbal,
+      |  ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS rk
+      | FROM supplier) t WHERE rk = 1 ORDER BY s_nationkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q14_promo_ratio" -> QueryDef(q14PromoRatio, Some(q14Sql)),
+    "q_argmin" -> QueryDef(qArgmin, Some(qArgminSql)),
     "q_weighted_avg" -> QueryDef(qWeightedAvg, Some(qWeightedAvgSql)),
     "q_intersect" -> QueryDef(qIntersect, Some(qIntersectSql)),
     "q_except" -> QueryDef(qExcept, Some(qExceptSql)),
