@@ -33,6 +33,18 @@ object EventStream {
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: keep the first occurrence of each text
+    * hash; duplicates arriving within the watermark horizon are
+    * dropped, and per-hash state is evicted once the watermark passes
+    * — bounded memory on an unbounded stream (duplicates farther
+    * apart than the horizon can reappear; that's the documented
+    * tradeoff). The streaming sibling of Dedup.exactSurvivors. */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Streaming CTR — the reference pipeline (ClickThru.java) as a
     * stream-stream join. Impressions and clicks arrive as separate
     * streams; a click joins its impression within `joinWindow` (the

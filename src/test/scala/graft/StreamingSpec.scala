@@ -80,6 +80,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-horizon duplicates, keeps firsts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.EventStream.streamingDedup(
+      input.toDF.toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      def d(id: Long, min: Long, text: String) = (id, new Timestamp(T0 + min * 60000L), text)
+      input.addData(d(1, 0, "alpha"), d(2, 1, "beta"), d(3, 2, "alpha"))
+      q.processAllAvailable()
+      input.addData(d(4, 5, "alpha"), d(5, 6, "gamma")) // alpha again within horizon
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from sdedup").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 5L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
