@@ -646,7 +646,95 @@ object Relational {
       |  ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS rk
       | FROM supplier) t WHERE rk = 1 ORDER BY s_nationkey""".stripMargin
 
+  /** TPC-H Q7 shape: bidirectional nation-pair trade volume by year. */
+  private def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = Tables.nation(s, dir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+              ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))).cast("double") / 10000.0).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  private val q7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | YEAR(l_shipdate) AS l_year,
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q19 shape: disjunctive multi-column predicates (exercises
+    * OR-pushdown and join-condition hoisting). */
+  private def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 20)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) && $"l_quantity".between(10, 30)) ||
+        ($"p_type" === "PROMO" && $"l_quantity" >= 25))
+      .agg(
+        (sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql =
+    """SELECT
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+      | COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_type = 'PROMO' AND l_quantity >= 25)""".stripMargin
+
+  /** TPC-H Q22 shape: scalar-subquery threshold + anti-join. */
+  private def q22RichIdle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg((sum(cents($"c_acctbal")).cast("double") / 100.0 / count(lit(1))).as("avg_bal"))
+    val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 400000.0)
+    cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+           (sum(cents($"c_acctbal")).cast("double") / 100.0).as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q22Sql =
+    """WITH t AS (
+      |  SELECT CAST(CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0/COUNT(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment, COUNT(*) AS numcust,
+      | CAST(CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS total_bal
+      |FROM customer, t
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q7_volume_shipping" -> QueryDef(q7VolumeShipping, Some(q7Sql)),
+    "q19_disjunctive" -> QueryDef(q19Disjunctive, Some(q19Sql)),
+    "q22_rich_idle" -> QueryDef(q22RichIdle, Some(q22Sql)),
     "q14_promo_ratio" -> QueryDef(q14PromoRatio, Some(q14Sql)),
     "q_argmin" -> QueryDef(qArgmin, Some(qArgminSql)),
     "q_weighted_avg" -> QueryDef(qWeightedAvg, Some(qWeightedAvgSql)),
