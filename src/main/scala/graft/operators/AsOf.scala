@@ -45,6 +45,6 @@ object AsOf {
     r.unionByName(l)
       .withColumn(matchCol, last(col("_rid"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(col(key) +: leftCols.filterNot(_ == key).map(col) :+ col(matchCol): _*)
+      .select((col(key) +: payload.map(col) :+ col(matchCol)).toIndexedSeq: _*)
   }
 }

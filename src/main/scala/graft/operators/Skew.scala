@@ -22,7 +22,7 @@ object Skew {
     // Salt from a hash of the whole left row: deterministic (no rand()),
     // uniform even when the key column itself is constant.
     val leftSalted = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
     val rightReplicated = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     leftSalted.join(rightReplicated, Seq(key, "_salt")).drop("_salt")
@@ -37,7 +37,7 @@ object Skew {
   def saltedAgg(df: DataFrame, key: String, salts: Int,
                 partial: Map[String, String], merge: Map[String, String]): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
     salted.groupBy(col(key), col("_salt")).agg(partial)
       .groupBy(col(key)).agg(merge)
   }

@@ -76,8 +76,8 @@ object Smoke {
     val clkIn = MemoryStream[(String, java.sql.Timestamp)]
     def st(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
     val qc = EventStream.streamingCtr(
-      impIn.toDF.toDF("impressionId", "referrer", "adId", "ts"),
-      clkIn.toDF.toDF("impressionId", "click_ts"))
+      impIn.toDF().toDF("impressionId", "referrer", "adId", "ts"),
+      clkIn.toDF().toDF("impressionId", "click_ts"))
       .writeStream.format("memory").queryName("smoke_ctr").outputMode("append").start()
     impIn.addData(("i1", "r1", "a1", st(0)), ("i2", "r1", "a1", st(5)))
     clkIn.addData(("i1", st(3)))
