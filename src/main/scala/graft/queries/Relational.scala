@@ -731,7 +731,21 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Same result as q_window_rank via the heap-based GroupTopK custom
+    * operator: no sort, no Window — one exchange + bounded heaps. */
+  private def qGroupTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GroupTopK.topK(
+      Tables.orders(s, dir).select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      groupCols = Seq("o_custkey"),
+      orderBy = Seq(graft.plans.GroupTopK.Sort("o_totalprice", desc = true), graft.plans.GroupTopK.Sort("o_orderkey")),
+      k = 2)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q_group_topk" -> QueryDef(qGroupTopk, Some(qWindowRankSql), bench = true),
     "q7_volume_shipping" -> QueryDef(q7VolumeShipping, Some(q7Sql)),
     "q19_disjunctive" -> QueryDef(q19Disjunctive, Some(q19Sql)),
     "q22_rich_idle" -> QueryDef(q22RichIdle, Some(q22Sql)),

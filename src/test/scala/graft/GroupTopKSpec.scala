@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.GroupTopK
+
+class GroupTopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("matches the window-function formulation exactly") {
+    val win = queries.Relational.defs("q_window_rank").fn(spark, TestSpark.sf)
+    val heap = queries.Relational.defs("q_group_topk").fn(spark, TestSpark.sf)
+    assert(win.exceptAll(heap).count() == 0 && heap.exceptAll(win).count() == 0)
+  }
+
+  test("plan has no Sort and no Window, exactly one exchange") {
+    import spark.implicits._
+    val df = GroupTopK.topK(
+      graft.sources.Tables.orders(spark, TestSpark.sf)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      Seq("o_custkey"), Seq(GroupTopK.Sort("o_totalprice", desc = true), GroupTopK.Sort("o_orderkey")), 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("ties + small groups + k larger than group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0), // all tied → id order
+      (2L, 20L, 1.0)                                    // group smaller than k
+    ).toDF("g", "id", "v")
+    val got = GroupTopK.topK(df, Seq("g"), Seq(GroupTopK.Sort("v", desc = true), GroupTopK.Sort("id")), 2)
+      .select($"g", $"id", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.toSeq == Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1)))
+  }
+}
