@@ -771,7 +771,7 @@ object Relational {
     "q_semijoin" -> QueryDef(qSemijoin, Some(qSemijoinSql)),
     "q_antijoin" -> QueryDef(qAntijoin, Some(qAntijoinSql)),
     "q_union" -> QueryDef(qUnion, Some(qUnionSql)),
-    "q_window_rank" -> QueryDef(qWindowRank, Some(qWindowRankSql)),
+    "q_window_rank" -> QueryDef(qWindowRank, Some(qWindowRankSql), bench = true),
     "q_window_running" -> QueryDef(qWindowRunning, Some(qWindowRunningSql), bench = true),
     "q_rollup" -> QueryDef(qRollup, Some(qRollupSql)),
     "q_pivot" -> QueryDef(qPivot, Some(qPivotSql)),
