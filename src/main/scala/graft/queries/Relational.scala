@@ -744,7 +744,48 @@ object Relational {
       .orderBy($"o_custkey", $"rk")
   }
 
+  /** Interval join: events ⋈ their own session windows via the
+    * bucketized RangeJoin. Self-validating — counts must equal the
+    * sessionizer's n_events (sessions are time-disjoint per user). */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("start_ts"), max($"ts").as("end_ts"))
+    val pts = Tables.events(s, dir).select($"user_id", $"ts", $"event_id")
+    graft.operators.RangeJoin.intervalJoin(pts, sess, "user_id", "ts", "start_ts", "end_ts")
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private val qIntervalJoinSql =
+    """WITH x AS (
+      | SELECT user_id, event_id, ts,
+      |   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      | FROM events),
+      |y AS (
+      | SELECT user_id, ts,
+      |   CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM x),
+      |s AS (
+      | SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+      | FROM y GROUP BY user_id, session_id)
+      |SELECT s.user_id AS user_id, s.session_id AS session_id, COUNT(*) AS n_points
+      |FROM s JOIN events e ON e.user_id = s.user_id
+      |  AND e.ts >= s.start_ts AND e.ts <= s.end_ts
+      |GROUP BY s.user_id, s.session_id ORDER BY user_id, session_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_interval_join" -> QueryDef(qIntervalJoin, Some(qIntervalJoinSql)),
     "q_group_topk" -> QueryDef(qGroupTopk, Some(qWindowRankSql), bench = true),
     "q7_volume_shipping" -> QueryDef(q7VolumeShipping, Some(q7Sql)),
     "q19_disjunctive" -> QueryDef(q19Disjunctive, Some(q19Sql)),
