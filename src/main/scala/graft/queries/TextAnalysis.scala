@@ -107,7 +107,28 @@ object TextAnalysis {
       |        unnest(range(1, len(embedding)+1)) AS pos FROM embeddings) t
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** Deterministic hash-bucketed split assignment (rows-only: xxhash64
+    * buckets aren't reproducible in the oracle; determinism + ratio
+    * bounds are spec-tested). */
+  private def corpusSplits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Corpus.assignSplits(
+      Tables.documents(s, dir).select($"doc_id"),
+      "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .orderBy($"doc_id")
+  }
+
+  /** Greedy per-shard sequence packing into 1024-token bins (rows-only;
+    * invariants spec-tested). */
+  private def corpusPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Corpus.packGreedy(s, Tables.documents(s, dir), maxTokens = 1024, shards = 8)
+      .toDF().orderBy($"doc_id")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_splits" -> QueryDef(corpusSplits, None),
+    "corpus_pack" -> QueryDef(corpusPack, None),
     "text_tfidf" -> QueryDef(textTfidf, Some(textTfidfSql), bench = true),
     "emb_label_centroid" -> QueryDef(textLabelCentroid, Some(textLabelCentroidSql)),
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
