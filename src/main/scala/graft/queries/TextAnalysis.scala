@@ -126,7 +126,31 @@ object TextAnalysis {
       .toDF().orderBy($"doc_id")
   }
 
+  /** Bigram language-model counts: the n-gram statistics step of
+    * classic LM pipelines (conditional counts per leading token). */
+  private def textBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("bg"))
+      .groupBy($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w1", $"w2")
+      .limit(100)
+  }
+
+  private val textBigramsSql =
+    """SELECT b['w1'] AS w1, b['w2'] AS w2, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(ws)),
+      |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents) t
+      |  WHERE len(ws) >= 2) u
+      |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_bigrams" -> QueryDef(textBigrams, Some(textBigramsSql)),
     "corpus_splits" -> QueryDef(corpusSplits, None),
     "corpus_pack" -> QueryDef(corpusPack, None),
     "text_tfidf" -> QueryDef(textTfidf, Some(textTfidfSql), bench = true),

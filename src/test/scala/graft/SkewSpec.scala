@@ -20,6 +20,18 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("saltedAgg two-phase sum equals the direct aggregation") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy($"k").agg(sum($"v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedAgg(df, "k", salts = 8,
+      partial = Map("v" -> "sum"), merge = Map("sum(v)" -> "sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
   test("salted rows actually spread across salt values") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (7L, i)).toDF("k", "payload")
