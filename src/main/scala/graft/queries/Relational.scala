@@ -784,7 +784,37 @@ object Relational {
       |  AND e.ts >= s.start_ts AND e.ts <= s.end_ts
       |GROUP BY s.user_id, s.session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Distributed grep — the other canonical MR example: regex filter
+    * over documents, with match counts. */
+  private def qGrep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"text".rlike("hash (join|agg)"))
+      .select($"doc_id", regexp_count($"text", lit("hash (join|agg)")).as("matches"))
+      .orderBy($"doc_id")
+  }
+
+  private val qGrepSql =
+    """SELECT doc_id, CAST(len(regexp_extract_all(text, 'hash (join|agg)')) AS BIGINT) AS matches
+      |FROM documents WHERE regexp_matches(text, 'hash (join|agg)')
+      |ORDER BY doc_id""".stripMargin
+
+  /** Histogram: fixed-width value buckets over events. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(floor($"value" / 25.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
+  private val qHistogramSql =
+    """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_grep" -> QueryDef(qGrep, Some(qGrepSql)),
+    "q_histogram" -> QueryDef(qHistogram, Some(qHistogramSql)),
     "q_interval_join" -> QueryDef(qIntervalJoin, Some(qIntervalJoinSql)),
     "q_group_topk" -> QueryDef(qGroupTopk, Some(qWindowRankSql), bench = true),
     "q7_volume_shipping" -> QueryDef(q7VolumeShipping, Some(q7Sql)),
