@@ -9,5 +9,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
   }
 }

@@ -233,10 +233,26 @@ object Fns {
     * `SELECT cosine_sim(a, b), simhash64(text) ...`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.Bridge.registerFunction
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def intArg(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     registerFunction(spark, "cosine_sim", es => CosineSim(es(0), es(1)))
     registerFunction(spark, "simhash64", es => SimHash64(es.head))
-    registerFunction(spark, "minhash_sig", es => MinHashSig(es.head, 128, 3))
+    registerFunction(spark, "minhash_sig", {
+      case Seq(c) => MinHashSig(c, 128, 3)
+      case Seq(c, n) => MinHashSig(c, intArg(n, "numPerms"), 3)
+      case Seq(c, n, w) => MinHashSig(c, intArg(n, "numPerms"), intArg(w, "shingleW"))
+      case es => throw new IllegalArgumentException(s"minhash_sig takes 1-3 args, got ${es.length}")
+    })
     registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
-    registerFunction(spark, "lsh_bucket", es => LshBucket(es.head, 16))
+    registerFunction(spark, "lsh_bucket", {
+      case Seq(c) => LshBucket(c, 16)
+      case Seq(c, n) => LshBucket(c, intArg(n, "numPlanes"))
+      case es => throw new IllegalArgumentException(s"lsh_bucket takes 1-2 args, got ${es.length}")
+    })
   }
 }

@@ -37,7 +37,9 @@ object AsOf {
     val lCols: Seq[Column] =
       Seq(col(key), col(leftTs).as("_ts"), lit(1).as("_side"),
         lit(null).cast(right.schema(rightId).dataType).as("_rid")) ++ payload.map(col)
-    val r = right.select(rCols: _*)
+    // equi-join semantics: a NULL key matches nothing — drop null-key
+    // right rows (left null-key rows then correctly get a null match)
+    val r = right.na.drop(Seq(key)).select(rCols: _*)
     val l = left.select(lCols: _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_side"), col("_rid"))

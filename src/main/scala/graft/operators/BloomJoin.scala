@@ -4,7 +4,7 @@ import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.apache.spark.sql.graft.Bridge
 
 /** Bloom-filter pre-join pruning (SURVEY.md §5): before shuffling the
@@ -24,12 +24,17 @@ object BloomJoin {
 
   def prunedJoin(big: DataFrame, small: DataFrame, key: String,
                  expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = small.na.drop(Seq(key)).stat.bloomFilter(key, expectedKeys, fpp)
+    // Probe and build on xxhash64(key), not the raw column: the native
+    // predicate only accepts longs, and hashing first makes the filter
+    // type-agnostic (strings, decimals, structs) with identical
+    // semantics on both sides.
+    val hashed = small.na.drop(Seq(key)).select(xxhash64(col(key)).as("_h"))
+    val bf = hashed.stat.bloomFilter("_h", expectedKeys, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal(bos.toByteArray),
-      Bridge.expression(col(key).cast("long"))))
+      Bridge.expression(xxhash64(col(key)))))
     big.filter(mightContain).join(small, key)
   }
 }

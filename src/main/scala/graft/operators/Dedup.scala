@@ -28,6 +28,8 @@ object Dedup {
     * Join this to itself on (band, band_hash) to get candidate pairs.
     */
   def minhashIndex(docs: DataFrame, numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    require(bands > 0 && numPerms % bands == 0,
+      s"numPerms ($numPerms) must be a positive multiple of bands ($bands)")
     val rows = numPerms / bands
     docs
       .select(col("doc_id"), Fns.minhash_sig(col("text"), numPerms).as("sig"))

@@ -113,6 +113,7 @@ object GroupTopK {
   def topK(df: DataFrame, groupCols: Seq[String],
            orderBy: Seq[Sort], k: Int,
            rankCol: String = "rk"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     ensureRegistered(spark)
     val lp = Bridge.analyzed(df)

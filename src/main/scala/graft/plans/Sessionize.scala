@@ -83,7 +83,10 @@ case class SessionizeExec(
           case s: UTF8String => if (!hasUser || s != curUser) s.copy() else curUser
           case x => x
         }
-        val t = tsExpr.eval(row).asInstanceOf[Long]
+        val tv = tsExpr.eval(row)
+        if (tv == null) throw new IllegalStateException(
+          "sessionize: NULL timestamp — filter null ts rows before sessionizing")
+        val t = tv.asInstanceOf[Long]
         if (!hasUser || u != curUser) {
           hasUser = true; curUser = u; sid = 1L
         } else if (t - lastTs > gap) {
@@ -117,8 +120,15 @@ object Sessionize {
     val lp = Bridge.analyzed(df)
     def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not in ${lp.output.map(_.name)}"))
+    val ts = attr(tsCol)
+    ts.dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => // micros-backed
+      case other => throw new IllegalArgumentException(
+        s"$tsCol must be a timestamp column, got $other")
+    }
     val sessionAttr = AttributeReference("session_id", LongType, nullable = false)()
     Bridge.ofRows(spark,
-      SessionizePlan(lp, attr(userCol), attr(tsCol), gapMinutes * 60L * 1000000L, sessionAttr))
+      SessionizePlan(lp, attr(userCol), ts, gapMinutes * 60L * 1000000L, sessionAttr))
   }
 }

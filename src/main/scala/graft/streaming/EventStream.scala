@@ -59,14 +59,19 @@ object EventStream {
                    joinWindow: String = "30 minutes",
                    aggWindow: String = "1 hour"): DataFrame = {
     val imp = impressions.withWatermark("ts", joinWindow)
+    // Reference semantics collapse repeated clicks on one impression to
+    // a single 0/1 flag (ClickThru.java:137-147) — dedup clicks within
+    // the watermark horizon so the join emits at most one row per
+    // impression-click match.
     val clk = clicks
       .withColumnRenamed("impressionId", "c_impressionId")
       .withWatermark("click_ts", joinWindow)
+      .dropDuplicatesWithinWatermark("c_impressionId")
     val joined = imp.join(clk,
       expr(s"""
         c_impressionId = impressionId AND
         click_ts >= ts AND
-        click_ts <= ts + INTERVAL 30 MINUTES"""),
+        click_ts <= ts + INTERVAL $joinWindow"""),
       "leftOuter")
     joined
       .groupBy(window(col("ts"), aggWindow), col("referrer"), col("adId"))
@@ -111,7 +116,10 @@ object EventStream {
         val t = e.ts.getTime
         acc = acc match {
           case Some(a) if t - a.last <= gapMs =>
-            Some(a.copy(last = math.max(a.last, t), n = a.n + 1))
+            // a late (within-watermark) event may extend the session
+            // backwards as well as forwards
+            Some(a.copy(start = math.min(a.start, t),
+              last = math.max(a.last, t), n = a.n + 1))
           case Some(a) =>
             closed += toOut(userId, a)
             Some(SessionAcc(t, t, 1))
