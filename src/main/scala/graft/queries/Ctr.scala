@@ -19,7 +19,7 @@ import graft.sources.{JsonLogs, Tables}
   */
 object Ctr {
 
-  private val impSchema = StructType(Seq(
+  private[graft] val impSchema = StructType(Seq(
     StructField("impressionId", StringType),
     StructField("referrer", StringType),
     StructField("adId", StringType)))
@@ -27,18 +27,24 @@ object Ctr {
   private val clkSchema = StructType(Seq(
     StructField("impressionId", StringType)))
 
-  private def ctrReferrer(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic impression log derived from events: every event is
+    * an impression; referrer/adId from stable columns. The "ts=" prefix
+    * is the noise the reference strips before '{'. (Shared with
+    * tools.Perf so stage timings measure the real pipeline.) */
+  private[graft] def impressionLines(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
-    // Deterministic impression log: every event is an impression;
-    // referrer/adId derived from stable columns. The "[ts] " prefix is
-    // the noise the reference strips before '{'.
-    val impLines = ev.select(concat(
+    Tables.events(s, dir).select(concat(
       lit("ts="), $"event_id".cast("string"), lit(" "),
       to_json(struct(
         $"event_id".cast("string").as("impressionId"),
         concat(lit("r"), ($"user_id" % 7).cast("string")).as("referrer"),
         concat(lit("ad"), ($"event_id" % 13).cast("string")).as("adId")))).as("value"))
+  }
+
+  private def ctrReferrer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val impLines = impressionLines(s, dir)
     // Click log: the events that are clicks, keyed by impressionId only.
     val clkLines = ev.filter($"event_type" === "click").select(concat(
       lit("click "),

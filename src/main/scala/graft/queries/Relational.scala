@@ -282,7 +282,7 @@ object Relational {
   }
 
   private val qJsonExtractSql =
-    """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Canonical MapReduce word-count: explode → partial agg → top-100. */
@@ -344,10 +344,10 @@ object Relational {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin
 
-  /** Gap-based sessionization (30-min): lag → new-session flag →
-    * prefix-sum session ordinal → per-session rollup. ONE shuffle on
-    * user_id serves both windows and the final agg. */
-  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+  /** Shared 30-min gap sessionization (window formulation): events with
+    * an event-level `session_id` column. ONE shuffle on user_id serves
+    * the windows and any downstream per-session aggregate. */
+  private[queries] def sessionizedEvents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -356,6 +356,14 @@ object Relational {
       .withColumn("new_s",
         when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
       .withColumn("session_id", sum($"new_s").over(wRun))
+      .drop("prev_ts", "new_s")
+  }
+
+  /** Gap-based sessionization (30-min): lag → new-session flag →
+    * prefix-sum session ordinal → per-session rollup. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionizedEvents(s, dir)
       .groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("n_events"),
            min($"event_id").as("first_event"),
@@ -496,13 +504,7 @@ object Relational {
     * the reference family would need 3 chained MR jobs for. */
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(s, dir)
-      .withColumn("prev_ts", lag($"ts", 1).over(w))
-      .withColumn("new_s",
-        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
-      .withColumn("session_id", sum($"new_s").over(wRun))
+    val sess = sessionizedEvents(s, dir)
       .groupBy($"user_id", $"session_id")
       .agg(
         max(when($"event_type" === "view", 1).otherwise(0)).as("has_view"),
@@ -749,13 +751,7 @@ object Relational {
     * sessionizer's n_events (sessions are time-disjoint per user). */
   private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(s, dir)
-      .withColumn("prev_ts", lag($"ts", 1).over(w))
-      .withColumn("new_s",
-        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
-      .withColumn("session_id", sum($"new_s").over(wRun))
+    val sess = sessionizedEvents(s, dir)
       .groupBy($"user_id", $"session_id")
       .agg(min($"ts").as("start_ts"), max($"ts").as("end_ts"))
     val pts = Tables.events(s, dir).select($"user_id", $"ts", $"event_id")

@@ -26,12 +26,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
     * type for — sessions set spark.sql.legacy.parquet.nanosAsLong and
-    * we floor-divide to micros here (identical to DuckDB's ns→µs
-    * truncation, so oracle timestamps agree exactly). */
+    * we FLOOR-divide to micros here. Floor (not truncate-toward-zero:
+    * `div` alone would round pre-epoch values the wrong way) matches
+    * DuckDB's ns→µs cast exactly, so oracle timestamps agree for any
+    * epoch sign. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

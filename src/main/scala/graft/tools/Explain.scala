@@ -9,12 +9,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/explains.txt")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
