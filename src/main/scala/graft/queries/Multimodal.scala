@@ -6,7 +6,11 @@ import graft.operators.{Multimodal => MM}
 
 /** SURVEY.md §2-F: the multimodal decode path, hash-verified at the
   * byte level (n_bytes / head_byte / byte_sum are recomputed by the
-  * oracle from the source text — both sides see identical UTF-8). */
+  * oracle from the source text). NOTE: the oracle sums CODE POINTS
+  * (DuckDB can't iterate blob bytes) while the decoder sums UTF-8
+  * BYTES — equal only on ASCII corpora, which this test corpus is at
+  * every sf. The decoder (byte-level) is the semantically correct
+  * side for real binary assets. */
 object Multimodal {
 
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {

@@ -33,6 +33,25 @@ object Perf {
 
     time("q1")(noop(graft.queries.Relational.defs("q1_pricing_summary").fn(spark, dir)))
     time("q1_again")(noop(graft.queries.Relational.defs("q1_pricing_summary").fn(spark, dir)))
+
+    // GroupTopK vs Window at a size where the sort matters (5M rows,
+    // 1k groups of 5k rows each, top-3)
+    import org.apache.spark.sql.expressions.Window
+    val big = spark.range(5000000L)
+      .select(($"id" % 1000).as("g"), (($"id" * 2654435761L) % 1000000).as("v"), $"id")
+    big.persist(); big.count()
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    time("topk_window_5m")(noop(
+      big.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)))
+    time("topk_window_5m_2")(noop(
+      big.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)))
+    time("topk_heap_5m")(noop(graft.plans.GroupTopK.topK(
+      big, Seq("g"), Seq(graft.plans.GroupTopK.Sort("v", desc = true),
+        graft.plans.GroupTopK.Sort("id")), 3)))
+    time("topk_heap_5m_2")(noop(graft.plans.GroupTopK.topK(
+      big, Seq("g"), Seq(graft.plans.GroupTopK.Sort("v", desc = true),
+        graft.plans.GroupTopK.Sort("id")), 3)))
+    big.unpersist()
     spark.stop()
   }
 }
