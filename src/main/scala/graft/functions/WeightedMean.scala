@@ -18,10 +18,11 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object WeightedMean extends Aggregator[(Long, Long), (Long, Long), Double] {
   override def zero: (Long, Long) = (0L, 0L)
+  // exact ops: overflow fails loudly instead of silently wrapping
   override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
-    (b._1 + a._1 * a._2, b._2 + a._2)
+    (Math.addExact(b._1, Math.multiplyExact(a._1, a._2)), Math.addExact(b._2, a._2))
   override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
-    (x._1 + y._1, x._2 + y._2)
+    (Math.addExact(x._1, y._1), Math.addExact(x._2, y._2))
   override def finish(r: (Long, Long)): Double =
     if (r._2 == 0) Double.NaN else r._1.toDouble / r._2 / 100.0
   override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -129,7 +130,8 @@ object Kernels {
       var dot = 0.0
       var i = 0
       while (i < n) {
-        val coef = (Kernels.splitmix64(p.toLong * 8192L + i).toDouble / 9.223372036854776e18) // [-1,1)
+        // stride must exceed any plausible dim or planes share coefs
+        val coef = (Kernels.splitmix64(p.toLong * 1000003L + i).toDouble / 9.223372036854776e18) // [-1,1)
         dot += vec.getFloat(i) * coef
         i += 1
       }
@@ -163,6 +165,14 @@ object Kernels {
   * row), no UDF serialization, no Row boxing.
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double> args, got ${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -180,6 +190,9 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
 /** 64-bit SimHash of a text column (whitespace tokens). */
 case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash64 expects a string argument, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = Kernels.simhash64(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -190,6 +203,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** MinHash signature (array<bigint>) of a text column. */
 case class MinHashSig(child: Expression, numPerms: Int, shingleW: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"minhash_sig expects a string argument, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Kernels.minhashSigData(v.asInstanceOf[UTF8String], numPerms, shingleW)
@@ -201,6 +217,9 @@ case class MinHashSig(child: Expression, numPerms: Int, shingleW: Int)
 
 /** Polynomial rolling-hash fingerprint of a text column. */
 case class RollingHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"rolling_hash expects a string argument, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = Kernels.rollingHash(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -210,6 +229,10 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
 /** Random-hyperplane LSH bucket id of a float-vector column. */
 case class LshBucket(child: Expression, numPlanes: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_bucket expects array<float>, got ${t.sql}")
+  }
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any =
     Kernels.lshBucket(v.asInstanceOf[ArrayData], numPlanes)

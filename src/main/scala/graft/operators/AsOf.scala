@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param left     probe side
-    * @param right    reference side (its `valueCol` is attached)
+  /** @param left     probe side (all its columns are kept)
+    * @param right    reference side — only `rightId` is attached; join
+    *                 back on it for more right-side columns
     * @param key      equi-join key column name (both sides)
     * @param leftTs   left event-time column
     * @param rightTs  right event-time column
@@ -37,9 +38,10 @@ object AsOf {
     val lCols: Seq[Column] =
       Seq(col(key), col(leftTs).as("_ts"), lit(1).as("_side"),
         lit(null).cast(right.schema(rightId).dataType).as("_rid")) ++ payload.map(col)
-    // equi-join semantics: a NULL key matches nothing — drop null-key
-    // right rows (left null-key rows then correctly get a null match)
-    val r = right.na.drop(Seq(key)).select(rCols: _*)
+    // equi-join semantics: a NULL key or NULL timestamp matches nothing
+    // — drop such right rows (left null-key rows then correctly get a
+    // null match; a null-ts right row must never win the window)
+    val r = right.na.drop(Seq(key, rightTs)).select(rCols: _*)
     val l = left.select(lCols: _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_side"), col("_rid"))

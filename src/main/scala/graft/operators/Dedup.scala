@@ -27,12 +27,19 @@ object Dedup {
   /** Per-doc MinHash/LSH index rows: `bands` band keys per document.
     * Join this to itself on (band, band_hash) to get candidate pairs.
     */
-  def minhashIndex(docs: DataFrame, numPerms: Int = 128, bands: Int = 16): DataFrame = {
+  def minhashIndex(docs: DataFrame, numPerms: Int = 128, bands: Int = 16): DataFrame =
+    bandSignatures(
+      docs.select(col("doc_id"), Fns.minhash_sig(col("text"), numPerms).as("sig")),
+      numPerms, bands)
+
+  /** Band an existing (doc_id, sig) frame — lets callers that also need
+    * the raw signatures compute them ONCE (the signature kernel is the
+    * dominant per-doc cost). */
+  def bandSignatures(sigs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     require(bands > 0 && numPerms % bands == 0,
       s"numPerms ($numPerms) must be a positive multiple of bands ($bands)")
     val rows = numPerms / bands
-    docs
-      .select(col("doc_id"), Fns.minhash_sig(col("text"), numPerms).as("sig"))
+    sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(
         col("doc_id"), col("band"),
@@ -43,8 +50,10 @@ object Dedup {
     * verified by estimated Jaccard (matching signature fraction). */
   def minhashPairs(docs: DataFrame, threshold: Double,
                    numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    // compute signatures once; band from the same frame
     val sigs = docs.select(col("doc_id"), Fns.minhash_sig(col("text"), numPerms).as("sig"))
-    val idx = minhashIndex(docs, numPerms, bands)
+      .localCheckpoint()
+    val idx = bandSignatures(sigs, numPerms, bands)
     val cand = idx.as("a")
       .join(idx.as("b"),
         col("a.band") === col("b.band") &&
@@ -68,13 +77,15 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
+    // (1L << 64) is a no-op shift on the JVM — maxDist=0 would produce
+    // mask 0 and degrade the band join into a full cross product
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val sigs = docs.select(col("doc_id"), Fns.simhash64(col("text")).as("sh"))
     val banded = sigs.select(
       col("doc_id"), col("sh"),
       explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_bits",
-        expr(s"shiftrightunsigned(sh, band * $width)")
-          .bitwiseAND(lit((1L << width) - 1)))
+        expr(s"shiftrightunsigned(sh, band * $width)").bitwiseAND(lit(mask)))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -133,6 +144,7 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
+      // (convergence warning emitted below if maxIters is exhausted)
       val neighborMin = edges
         .join(labels.select($"id".as("dst"), $"cluster".as("nlabel")), "dst")
         .groupBy($"src".as("id")).agg(min($"nlabel").as("nmin"))
@@ -144,6 +156,10 @@ object Dedup {
       labels = next.select($"id", $"cluster")
       iter += 1
     }
+    if (changed > 0)
+      System.err.println(s"[graft] Dedup.clusters: NOT converged after $maxIters rounds " +
+        s"($changed labels still changing) — components wider than $maxIters hops are split; " +
+        "raise maxIters")
     labels.select($"id".as("doc_id"), $"cluster")
   }
 

@@ -86,10 +86,13 @@ object Similarity {
               k: Int, nCells: Int = 8, nProbe: Int = 2,
               trainedCentroids: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    // default init must not assume 0-based contiguous vec_ids — take
+    // the first nCells in id order and re-number the cells
     val centroids = trainedCentroids
       .map(_.select(col("cell"), col("centroid").as("ce")))
-      .getOrElse(emb.filter($"vec_id" < nCells)
-        .select($"vec_id".as("cell"), $"embedding".as("ce")))
+      .getOrElse(emb.orderBy($"vec_id").limit(nCells)
+        .select(row_number().over(Window.orderBy($"vec_id")).cast("long").as("cell"),
+          $"embedding".as("ce")))
 
     def nearestCells(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy($"cell_sim".desc, $"cell")

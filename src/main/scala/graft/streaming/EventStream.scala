@@ -81,11 +81,16 @@ object EventStream {
         (count(col("c_impressionId")).cast("double") / count(lit(1))).as("ctr"))
   }
 
+  case class SessState(sessions: List[SessionAcc])
+
   /** Gap-based sessionization: the streaming form of q_sessionize.
-    * Sessions close either when a later event exceeds the gap (emitted
-    * immediately) or when the event-time watermark passes last+gap
-    * (emitted via timeout) — so output is complete AND state is
-    * bounded by #active-users. */
+    * A session is emitted only once the event-time watermark passes
+    * last+gap — until then it stays in state, because a late-but-
+    * within-watermark event may still extend it or BRIDGE two
+    * apparently-separate sessions into one (interval-merge
+    * semantics). Output is therefore complete and correct under the
+    * full allowed lateness, and state stays bounded: sessions
+    * finalize as the watermark advances. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapMinutes: Int): Dataset[SessionOut] = {
     import spark.implicits._
@@ -102,36 +107,32 @@ object EventStream {
 
   private def update(gapMs: Long)(
       userId: Long, events: Iterator[Event],
-      state: GroupState[SessionAcc]): Iterator[SessionOut] = {
-    if (state.hasTimedOut) {
-      val out = state.getOption.map(toOut(userId, _)).iterator
-      state.remove()
-      out
-    } else {
-      // Batches are unordered — sort by event time within the group.
+      state: GroupState[SessState]): Iterator[SessionOut] = {
+    val wm = state.getCurrentWatermarkMs()
+    var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+    if (!state.hasTimedOut) {
       val evs = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val closed = Seq.newBuilder[SessionOut]
-      var acc = state.getOption
       for (e <- evs) {
         val t = e.ts.getTime
-        acc = acc match {
-          case Some(a) if t - a.last <= gapMs =>
-            // a late (within-watermark) event may extend the session
-            // backwards as well as forwards
-            Some(a.copy(start = math.min(a.start, t),
-              last = math.max(a.last, t), n = a.n + 1))
-          case Some(a) =>
-            closed += toOut(userId, a)
-            Some(SessionAcc(t, t, 1))
-          case None =>
-            Some(SessionAcc(t, t, 1))
+        // merge the event with EVERY session within gap reach — one
+        // event can bridge two sessions into one
+        val (touch, rest) = sessions.partition(a =>
+          t >= a.start - gapMs && t <= a.last + gapMs)
+        val merged = touch.foldLeft(SessionAcc(t, t, 1)) { (acc, a) =>
+          SessionAcc(math.min(acc.start, a.start), math.max(acc.last, a.last), acc.n + a.n)
         }
+        sessions = merged :: rest
       }
-      acc.foreach { a =>
-        state.update(a)
-        state.setTimeoutTimestamp(a.last + gapMs)
-      }
-      closed.result().iterator
     }
+    // finalized = no in-watermark event can still reach it
+    val (done, open) = sessions.partition(a => a.last + gapMs < wm)
+    if (open.nonEmpty) {
+      state.update(SessState(open))
+      // strictly greater than the watermark by construction of `open`
+      state.setTimeoutTimestamp(open.map(_.last).min + gapMs + 1)
+    } else {
+      state.remove()
+    }
+    done.sortBy(_.start).map(toOut(userId, _)).iterator
   }
 }

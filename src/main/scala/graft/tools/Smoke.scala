@@ -51,7 +51,9 @@ object Smoke {
       .writeStream.format("memory").queryName("smoke_sess").outputMode("append").start()
     input.addData(sev(1, 1, 0), sev(2, 1, 10), sev(3, 1, 60))
     q.processAllAvailable()
-    val sessions = spark.sql("select * from smoke_sess").collect()
+    input.addData(sev(4, 9, 10000)) // advance watermark to finalize user 1
+    q.processAllAvailable()
+    val sessions = spark.sql("select * from smoke_sess where user_id = 1").collect()
     println("STREAM_SESSIONS=" + sessions.length + " " + sessions.mkString(";"))
     q.stop()
 

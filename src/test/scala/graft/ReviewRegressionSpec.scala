@@ -47,6 +47,28 @@ class ReviewRegressionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize merges sessions bridged by a late event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val T0 = 86400000L
+    def ev(id: Long, min: Long) =
+      EventStream.Event(id, new Timestamp(T0 + min * 60000L), 1L, "view", 1.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(spark, input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("rr_bridge").outputMode("append").start()
+    try {
+      input.addData(ev(1, 0), ev(2, 50)) // 50min gap → looks like 2 sessions
+      q.processAllAvailable()
+      input.addData(ev(3, 25)) // late (wm=20) but bridges both into one
+      q.processAllAvailable()
+      input.addData(ev(4, 500)) // flush
+      q.processAllAvailable()
+      val s = spark.sql("select n_events from rr_bridge").collect()
+      assert(s.length == 1 && s(0).getInt(0) == 3,
+        s"bridged events must form ONE session: ${s.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize extends session start for late events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -23,27 +23,28 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStream.sessionize(spark, input.toDS(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sess").outputMode("append").start()
     try {
-      // session A: events at t=0,10; event at t=60 opens session B (gap 50>30)
+      // sessions A=[0,10], B=[60] — but neither is emitted until the
+      // watermark proves no late event can extend/bridge them
       input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 60))
       q.processAllAvailable()
-      val afterGap = spark.sql("select * from sess").as[EventStream.SessionOut].collect()
-      assert(afterGap.length == 1, s"got: ${afterGap.mkString(";")}")
-      assert(afterGap(0).n_events == 2, s"got: ${afterGap.mkString(";")}")
-      assert(afterGap(0).session_start.getTime == T0)
-      assert(afterGap(0).session_end.getTime == T0 + 10 * 60000L)
+      assert(spark.sql("select * from sess").count() == 0,
+        "sessions must not be emitted before the watermark finalizes them")
 
-      // t=300 closes session B by gap; watermark (300-30=270) then
-      // times out session C=[300] only after a later batch
+      // t=300 pushes the watermark to 270 > both A.end+gap and B.end+gap
       input.addData(ev(4, 1, 300))
       q.processAllAvailable()
-      input.addData(ev(5, 2, 500)) // push watermark to 470 > 300+30
+      val two = spark.sql("select * from sess").as[EventStream.SessionOut].collect()
+        .sortBy(_.session_start.getTime)
+      assert(two.length == 2, s"got: ${two.mkString(";")}")
+      assert(two(0).n_events == 2 && two(0).session_start.getTime == T0 &&
+        two(0).session_end.getTime == T0 + 10 * 60000L)
+      assert(two(1).n_events == 1 && two(1).session_start.getTime == T0 + 60 * 60000L)
+
+      input.addData(ev(5, 2, 500)) // watermark 470 finalizes C=[300]
       q.processAllAvailable()
-      input.addData(ev(6, 2, 900)) // another nudge so timeout fires
-      q.processAllAvailable()
-      val all = spark.sql("select * from sess").as[EventStream.SessionOut].collect()
-      val u1 = all.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      val u1 = spark.sql("select * from sess").as[EventStream.SessionOut].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
       assert(u1.length == 3, s"got ${u1.mkString(";")}")
-      assert(u1(1).session_start.getTime == T0 + 60 * 60000L && u1(1).n_events == 1)
       assert(u1(2).session_start.getTime == T0 + 300 * 60000L)
     } finally q.stop()
   }
