@@ -28,8 +28,9 @@ object Corpus {
   case class Packed(doc_id: Long, n_tokens: Long, shard: Int, bin: Long)
 
   /** Greedy sequence packing: within each shard (partition), documents
-    * are packed first-fit into bins of ≤ maxTokens — the standard
-    * "pack short documents into one context window" step. Packing is
+    * are packed next-fit (current bin or a new one — no lookback) into
+    * bins of ≤ maxTokens — the standard cheap variant of the "pack
+    * short documents into one context window" step. Packing is
     * per-shard (embarrassingly parallel); repartition first to control
     * shard count. Documents longer than maxTokens get a bin of their
     * own. Deterministic given a deterministic partitioning + order.
