@@ -808,7 +808,48 @@ object Relational {
     """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket, COUNT(*) AS n
       |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Date-dimension aggregation: seasonality by order month. */
+  private def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+           (sum(cents($"o_totalprice")).cast("double") / 100.0).as("revenue"))
+      .orderBy($"y", $"m")
+  }
+
+  private val qSeasonalitySql =
+    """SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+      | COUNT(*) AS n_orders,
+      | CAST(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS revenue
+      |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin
+
+  /** String-function suite: upper/substr/concat/length/trim parity. */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("uname"),
+        substring($"c_name", 1, 8).as("prefix"),
+        concat($"c_mktsegment", lit(":"), $"c_nationkey".cast("string")).as("seg_nat"),
+        length($"c_name").cast("long").as("name_len"),
+        trim(lpad($"c_custkey".cast("string"), 8, "0")).as("padded_key"))
+      .orderBy($"c_custkey")
+  }
+
+  private val qStringFuncsSql =
+    """SELECT c_custkey,
+      | UPPER(c_name) AS uname,
+      | SUBSTR(c_name, 1, 8) AS prefix,
+      | c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS seg_nat,
+      | CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+      | TRIM(LPAD(CAST(c_custkey AS VARCHAR), 8, '0')) AS padded_key
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_seasonality" -> QueryDef(qSeasonality, Some(qSeasonalitySql)),
+    "q_string_funcs" -> QueryDef(qStringFuncs, Some(qStringFuncsSql)),
     "q_grep" -> QueryDef(qGrep, Some(qGrepSql)),
     "q_histogram" -> QueryDef(qHistogram, Some(qHistogramSql)),
     "q_interval_join" -> QueryDef(qIntervalJoin, Some(qIntervalJoinSql)),
