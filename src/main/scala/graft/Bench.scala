@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries (QueryDef.bench) against
@@ -8,31 +10,57 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune scans/projections and flatter the numbers).
   */
 object Bench {
+
+  /** Warm-up data: the smallest sibling sf dir of the bench dir (so the
+    * warm-up pass is cheap), falling back to the bench dir itself. */
+  private def warmupDir(sfDir: String): String = {
+    val p = Paths.get(sfDir)
+    val siblings = Option(p.getParent).map { parent =>
+      if (Files.isDirectory(parent))
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          Files.list(parent).iterator).asScala
+          .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("sf"))
+          .toSeq.sortBy(d => d.getFileName.toString.stripPrefix("sf").toDoubleOption
+            .getOrElse(Double.MaxValue))
+      else Seq.empty
+    }.getOrElse(Seq.empty)
+    siblings.headOption.map(_.toString).getOrElse(sfDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
 
     // JVM + codegen warm-up: run every headline query once at the
-    // smallest sf (excluded from timings) so measurements reflect
-    // steady-state executor throughput, not Janino compile time.
+    // smallest available sf (excluded from timings) so measurements
+    // reflect steady-state executor throughput, not Janino compile time.
+    val warm = warmupDir(sfDir)
     SparkEntry.benchQueries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      try fn(spark, warm).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
 
-    // best-of-2: steady-state throughput, not GC/compilation jitter
+    // best-of-2: steady-state throughput, not GC/compilation jitter.
+    // A run that throws is dropped; a query with no successful run is
+    // reported as the sentinel -1 and excluded from the total rather
+    // than flattering the headline with a near-zero elapsed time.
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+        }
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

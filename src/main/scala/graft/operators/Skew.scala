@@ -19,10 +19,14 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    // Salt from a hash of the whole left row: deterministic (no rand()),
-    // uniform even when the key column itself is constant.
+    // Salt from a hash of (whole row, per-row id): the id term spreads hot
+    // keys even when their rows are byte-identical (pure row-content
+    // hashing would give all duplicates one salt and no skew relief). The
+    // id depends on partition layout, but the join RESULT is salt-invariant
+    // so the operator stays deterministic.
     val leftSalted = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col) :+
+        monotonically_increasing_id(): _*)), lit(salts.toLong)))
     val rightReplicated = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     leftSalted.join(rightReplicated, Seq(key, "_salt")).drop("_salt")
@@ -37,7 +41,8 @@ object Skew {
   def saltedAgg(df: DataFrame, key: String, salts: Int,
                 partial: Map[String, String], merge: Map[String, String]): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col) :+
+        monotonically_increasing_id(): _*)), lit(salts.toLong)))
     salted.groupBy(col(key), col("_salt")).agg(partial)
       .groupBy(col(key)).agg(merge)
   }

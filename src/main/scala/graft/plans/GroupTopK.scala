@@ -114,6 +114,9 @@ object GroupTopK {
            orderBy: Seq[Sort], k: Int,
            rankCol: String = "rk"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (for a global top-k use orderBy + limit, " +
+        "which plans as TakeOrderedAndProject)")
     val spark = df.sparkSession
     ensureRegistered(spark)
     val lp = Bridge.analyzed(df)

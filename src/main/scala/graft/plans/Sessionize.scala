@@ -127,8 +127,22 @@ object Sessionize {
       case other => throw new IllegalArgumentException(
         s"$tsCol must be a timestamp column, got $other")
     }
+    val user = attr(userCol)
+    user.dataType match {
+      // value-comparable types: either copied in the exec (UTF8String) or
+      // immutable primitives. Buffer-backed types (binary, struct, array,
+      // map) compare by reference against a reused row buffer, which would
+      // silently start a new session on every row — reject them up front.
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => // ok
+      case t: org.apache.spark.sql.types.NumericType => val _ = t // ok
+      case other => throw new IllegalArgumentException(
+        s"$userCol must be a string/numeric/date key column, got $other " +
+          "(buffer-backed types are not value-comparable across reused rows)")
+    }
     val sessionAttr = AttributeReference("session_id", LongType, nullable = false)()
     Bridge.ofRows(spark,
-      SessionizePlan(lp, attr(userCol), ts, gapMinutes * 60L * 1000000L, sessionAttr))
+      SessionizePlan(lp, user, ts, gapMinutes * 60L * 1000000L, sessionAttr))
   }
 }

@@ -105,6 +105,31 @@ class ReviewRegressionSpec extends AnyFunSuite {
       graft.plans.Sessionize.withSessionIds(
         Seq((1L, 2L)).toDF("user_id", "ts"), "user_id", "ts", 30) // ts not a timestamp
     }
+    intercept[IllegalArgumentException] { // empty group cols
+      GroupTopK.topK(df, Seq.empty, Seq(GroupTopK.Sort("v")), k = 1)
+    }
+    intercept[IllegalArgumentException] { // buffer-backed (binary) session key
+      graft.plans.Sessionize.withSessionIds(
+        Seq((Array[Byte](1), new Timestamp(0L))).toDF("user_id", "ts"), "user_id", "ts", 30)
+    }
+  }
+
+  test("saltedJoin spreads byte-identical hot-key rows over several salts") {
+    import spark.implicits._
+    // 1000 identical rows: row-content hashing alone would give them all
+    // ONE salt (the ADVICE.md finding); the per-row id term must spread them.
+    val left = Seq.fill(1000)(("hot", 1L)).toDF("k", "v").repartition(8)
+    val right = Seq(("hot", 9L)).toDF("k", "w")
+    val joined = graft.operators.Skew.saltedJoin(left, right, "k", salts = 8)
+    assert(joined.count() == 1000)
+    val salts = left.withColumn("_salt",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.struct($"k", $"v",
+              org.apache.spark.sql.functions.monotonically_increasing_id()),
+          ), org.apache.spark.sql.functions.lit(8L)))
+      .select("_salt").distinct().count()
+    assert(salts > 1, s"identical rows collapsed to $salts salt(s)")
   }
 
   test("sql minhash_sig honors the numPerms argument") {
