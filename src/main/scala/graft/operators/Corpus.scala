@@ -15,9 +15,11 @@ object Corpus {
     * split.
     */
   def assignSplits(df: DataFrame, keyCol: String,
-                   splits: Seq[(String, Int)]): DataFrame = {
+                   splits: Seq[(String, Int)],
+                   bucketFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                     k => pmod(xxhash64(k), lit(100L))): DataFrame = {
     require(splits.map(_._2).sum <= 100, "split percentages must sum to <= 100")
-    val bucket = pmod(xxhash64(col(keyCol)), lit(100L))
+    val bucket = bucketFn(col(keyCol))
     val (expr0, _) = splits.foldLeft((lit(splits.last._1): org.apache.spark.sql.Column, 0)) {
       case ((acc, lo), (name, pct)) =>
         (when(bucket >= lo && bucket < lo + pct, name).otherwise(acc), lo + pct)
@@ -27,13 +29,17 @@ object Corpus {
 
   case class Packed(doc_id: Long, n_tokens: Long, shard: Int, bin: Long)
 
-  /** Greedy sequence packing: within each shard (partition), documents
-    * are packed next-fit (current bin or a new one — no lookback) into
-    * bins of ≤ maxTokens — the standard cheap variant of the "pack
-    * short documents into one context window" step. Packing is
-    * per-shard (embarrassingly parallel); repartition first to control
-    * shard count. Documents longer than maxTokens get a bin of their
-    * own. Deterministic given a deterministic partitioning + order.
+  /** Greedy sequence packing: within each shard, documents are packed
+    * next-fit (current bin or a new one — no lookback) into bins of
+    * ≤ maxTokens — the standard cheap variant of the "pack short
+    * documents into one context window" step. The shard is a pure
+    * function of the key (`doc_id % shards`), NOT the physical
+    * partition id, so the result is identical regardless of cluster
+    * layout (range-partitioner sampling would make shard boundaries
+    * environment-dependent). Packing is per-shard (embarrassingly
+    * parallel); a partition holding several shards resets state at
+    * each shard boundary. Documents longer than maxTokens get a bin of
+    * their own.
     */
   def packGreedy(spark: SparkSession, docs: DataFrame, maxTokens: Long,
                  shards: Int = 0): Dataset[Packed] = {
@@ -41,19 +47,19 @@ object Corpus {
     val n = if (shards > 0) shards else docs.rdd.getNumPartitions
     docs
       .select(col("doc_id").cast("long"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .repartitionByRange(n, col("doc_id")) // deterministic shards
-      .sortWithinPartitions(col("doc_id"))
-      .as[(Long, Long)]
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(n.toLong)).cast("int").as("shard"))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Int)]
       .mapPartitions { it =>
-        val shard = org.apache.spark.TaskContext.getPartitionId()
+        var curShard = Int.MinValue
         var bin = 0L
         var used = 0L
-        var first = true
-        it.map { case (id, toks) =>
-          if (!first && used + toks > maxTokens) { bin += 1; used = 0L }
-          first = false
-          used += toks
+        it.map { case (id, toks, shard) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; used = toks }
+          else if (used + toks > maxTokens) { bin += 1L; used = toks }
+          else used += toks
           Packed(id, toks, shard, bin)
         }
       }

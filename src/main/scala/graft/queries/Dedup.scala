@@ -85,9 +85,9 @@ object Dedup {
       |SELECT vec_a, vec_b, cos_sim FROM p
       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100""".stripMargin
 
-  /** Dedup groups: connected components over the top near-dup pairs
-    * (iterative — rows-only; semantics spec-tested with planted
-    * chains). */
+  /** Dedup groups: connected components over the top near-dup pairs.
+    * Min-label propagation converges to the component-min label, which a
+    * recursive-CTE transitive closure re-derives exactly in the oracle. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = DedupOps.ngramJaccardPairs(s, Tables.documents(s, dir))
@@ -95,6 +95,36 @@ object Dedup {
       .limit(200)
     DedupOps.clusters(s, pairs).orderBy($"doc_id")
   }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |    FROM tok) u),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard
+      |    FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+      |  ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM top
+      |          UNION SELECT doc_b, doc_a FROM top),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |  WHERE e.dst != r.src)
+      |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** Corpus curation: quality-filter + dedup-survivor semijoin — the
     * end-to-end "keep the good docs" pipeline, hash-verified. */
@@ -128,7 +158,7 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
-    "dedup_clusters" -> QueryDef(dedupClusters, None),
+    "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_curation" -> QueryDef(dedupCuration, Some(dedupCurationSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, None, bench = true),

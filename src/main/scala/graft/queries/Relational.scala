@@ -469,17 +469,26 @@ object Relational {
       | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Sketch aggregates: HLL distinct (approx, deterministic given the
-    * same algorithm but not oracle-reproducible → bounds checked in
-    * spec; exact distinct alongside for the oracle). */
+  /** Sketch aggregates: HLL distinct next to exact. The raw HLL estimate
+    * is not oracle-reproducible, so the query emits the exact count plus
+    * a boolean "estimate within 5% of exact" — deterministic on both
+    * sides (Spark's HLL at rsd=0.01 is far inside the 5% bound), so the
+    * whole row hash-compares. */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("exact_parts"),
-           approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+           approx_count_distinct($"l_partkey", 0.01).as("approx"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx" - $"exact_parts") <= $"exact_parts" * 0.05).as("approx_ok"))
       .orderBy($"l_returnflag")
   }
+
+  private val qApproxDistinctSql =
+    """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      | TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Window-function suite: lead, ntile, percent_rank, cume_dist,
     * first_value over one shuffle-shared window spec. */
@@ -878,7 +887,7 @@ object Relational {
     "q_having" -> QueryDef(qHaving, Some(qHavingSql)),
     "q17_small_quantity" -> QueryDef(q17SmallQuantity, Some(q17Sql), bench = true),
     "q_percentile" -> QueryDef(qPercentile, Some(qPercentileSql)),
-    "q_approx_distinct" -> QueryDef(qApproxDistinct, None),
+    "q_approx_distinct" -> QueryDef(qApproxDistinct, Some(qApproxDistinctSql)),
     "q_sessionize_plan" -> QueryDef(qSessionizePlan, Some(qSessionizeSql), bench = true),
     "q1_pricing_summary" -> QueryDef(q1PricingSummary, Some(q1Sql), bench = true),
     "q_filter_project" -> QueryDef(qFilterProject, Some(qFilterProjectSql)),

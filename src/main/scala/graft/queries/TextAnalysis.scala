@@ -43,6 +43,26 @@ object TextAnalysis {
     TA.langId(Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
+  // Mirrors TA.langId exactly: per-language stopword hit counts, argmax
+  // with first-profile-wins tie-break, 'und' when no profile hits.
+  private val textLangidSql = {
+    val hits = TA.LangProfiles.map { case (lang, prof) =>
+      val set = prof.map(p => s"'$p'").mkString("[", ",", "]")
+      s"len(list_filter(string_split(text,' '), t -> list_contains($set, t))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val arms = TA.LangProfiles.map { case (lang, _) =>
+      s"WHEN hits_$lang = best THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id,
+       |    $hits
+       |  FROM documents),
+       |b AS (SELECT *, greatest(${TA.LangProfiles.map(p => "hits_" + p._1).mkString(", ")}) AS best FROM h)
+       |SELECT doc_id,
+       |  CASE WHEN best = 0 THEN 'und' $arms ELSE 'und' END AS pred_lang,
+       |  CAST(best AS BIGINT) AS score
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   private def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TA.fingerprint(Tables.documents(s, dir)).orderBy($"doc_id")
@@ -107,24 +127,51 @@ object TextAnalysis {
       |        unnest(range(1, len(embedding)+1)) AS pos FROM embeddings) t
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
-  /** Deterministic hash-bucketed split assignment (rows-only: xxhash64
-    * buckets aren't reproducible in the oracle; determinism + ratio
-    * bounds are spec-tested). */
+  /** Deterministic hash-bucketed split assignment. The registered query
+    * buckets on md5 (same hex on both engines → hash-verified); the
+    * operator's default bucket hash is xxhash64 (faster, Spark-native —
+    * determinism + ratio bounds spec-tested). */
   private def corpusSplits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.Corpus.assignSplits(
       Tables.documents(s, dir).select($"doc_id"),
-      "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5),
+      k => pmod(conv(substring(md5(k.cast("string")), 1, 8), 16, 10).cast("long"), lit(100L)))
       .orderBy($"doc_id")
   }
 
-  /** Greedy per-shard sequence packing into 1024-token bins (rows-only;
-    * invariants spec-tested). */
+  private val corpusSplitsSql =
+    """SELECT doc_id,
+      | CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 100 AS b
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Greedy per-shard next-fit packing into 1024-token bins. The shard
+    * is doc_id % 8 (pure key function) and packing order is doc_id, so
+    * a recursive CTE re-derives the exact bin walk in the oracle. */
   private def corpusPack(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.Corpus.packGreedy(s, Tables.documents(s, dir), maxTokens = 1024, shards = 8)
       .toDF().orderBy($"doc_id")
   }
+
+  private val corpusPackSql =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(doc_id % 8 AS INTEGER) AS shard,
+      |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |rec AS (
+      |  SELECT doc_id, n_tokens, shard, rn, 0::BIGINT AS bin, n_tokens AS used
+      |  FROM base WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.doc_id, b.n_tokens, b.shard, b.rn,
+      |    CASE WHEN r.used + b.n_tokens > 1024 THEN r.bin + 1 ELSE r.bin END,
+      |    CASE WHEN r.used + b.n_tokens > 1024 THEN b.n_tokens ELSE r.used + b.n_tokens END
+      |  FROM rec r JOIN base b ON b.shard = r.shard AND b.rn = r.rn + 1)
+      |SELECT doc_id, n_tokens, shard, bin FROM rec ORDER BY doc_id""".stripMargin
 
   /** Bigram language-model counts: the n-gram statistics step of
     * classic LM pipelines (conditional counts per leading token). */
@@ -151,13 +198,13 @@ object TextAnalysis {
 
   val defs: Map[String, QueryDef] = Map(
     "text_bigrams" -> QueryDef(textBigrams, Some(textBigramsSql)),
-    "corpus_splits" -> QueryDef(corpusSplits, None),
-    "corpus_pack" -> QueryDef(corpusPack, None),
+    "corpus_splits" -> QueryDef(corpusSplits, Some(corpusSplitsSql)),
+    "corpus_pack" -> QueryDef(corpusPack, Some(corpusPackSql)),
     "text_tfidf" -> QueryDef(textTfidf, Some(textTfidfSql), bench = true),
     "emb_label_centroid" -> QueryDef(textLabelCentroid, Some(textLabelCentroidSql)),
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
     "text_quality" -> QueryDef(textQuality, Some(textQualitySql), bench = true),
-    "text_langid" -> QueryDef(textLangid, None),
+    "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
     "text_fingerprint" -> QueryDef(textFingerprint, None)
   )
 }
