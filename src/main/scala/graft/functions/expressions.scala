@@ -60,6 +60,54 @@ object Kernels {
     out
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars (60 bits) of md5(token) as a non-negative long —
+    * a token hash any engine with an md5() builtin reproduces exactly
+    * (xxhash/FNV constants don't exist portably). */
+  def md5Hash60(token: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(token.getBytes("UTF-8"))
+    // 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    (h << 4) | ((bytes(7) & 0xf0L) >> 4)
+  }
+
+  /** 60-bit SimHash over whitespace tokens (unit weights per occurrence,
+    * empty tokens skipped) with the portable md5 token hash — same vote
+    * structure as [[simhash64]], reproducible in the oracle. */
+  def simhashMd5(text: UTF8String): Long = {
+    val votes = new Array[Int](60)
+    val s = text.toString
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val h = md5Hash60(s.substring(start, i))
+          var j = 0
+          while (j < 60) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** Whitespace tokens → w-shingle FNV hashes (w=3), distinct not
     * required (min is idempotent). Empty docs → empty array. */
   def shingleHashes(text: UTF8String, w: Int): Array[Long] = {
@@ -109,13 +157,21 @@ object Kernels {
   def minhashSigData(text: UTF8String, numPerms: Int, shingleW: Int): ArrayData =
     new GenericArrayData(minhashSig(text, numPerms, shingleW))
 
-  /** Polynomial rolling hash (base 1000003, wrapping 64-bit) over UTF-8
-    * bytes — the document fingerprint. */
+  /** Polynomial rolling hash over code points: Horner's method with
+    * base 257 mod the Mersenne prime 2^31-1 — the document fingerprint.
+    * Mod-P (rather than wrapping 64-bit) keeps every intermediate value
+    * in safe signed-64 range, so the identical recurrence is computable
+    * by any engine with plain BIGINT arithmetic (the oracle replays it
+    * with a list_reduce fold). */
   def rollingHash(text: UTF8String): Long = {
-    val b = text.getBytes
+    val s = text.toString
     var h = 0L
     var i = 0
-    while (i < b.length) { h = h * 1000003L + (b(i) & 0xffL); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 257L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -215,6 +271,18 @@ case class MinHashSig(child: Expression, numPerms: Int, shingleW: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 60-bit md5-token SimHash of a text column (oracle-reproducible). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash_md5 expects a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Kernels.simhashMd5(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhashMd5($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Polynomial rolling-hash fingerprint of a text column. */
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -250,6 +318,7 @@ object Fns {
   def minhash_sig(c: Column, numPerms: Int = 128, shingleW: Int = 3): Column =
     column(MinHashSig(expression(c), numPerms, shingleW))
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def simhash_md5(c: Column): Column = column(SimHashMd5(expression(c)))
   def lsh_bucket(c: Column, numPlanes: Int = 16): Column = column(LshBucket(expression(c), numPlanes))
 
   /** Make the native expressions available from SQL:
@@ -272,6 +341,7 @@ object Fns {
       case es => throw new IllegalArgumentException(s"minhash_sig takes 1-3 args, got ${es.length}")
     })
     registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
+    registerFunction(spark, "simhash_md5", es => SimHashMd5(es.head))
     registerFunction(spark, "lsh_bucket", {
       case Seq(c) => LshBucket(c, 16)
       case Seq(c, n) => LshBucket(c, intArg(n, "numPlanes"))

@@ -30,13 +30,34 @@ object Dedup {
       .orderBy($"doc_id", $"band")
   }
 
-  /** SimHash signatures (rows-only; pairs spec-tested). */
+  /** SimHash signatures, hash-verified: the query uses the 60-bit
+    * md5-token variant (portable hash → the oracle recomputes the exact
+    * bit votes); `simhash64` (FNV, faster) stays the operator-default
+    * with pairs spec-tested. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", graft.functions.Fns.simhash64($"text").as("simhash"))
+      .select($"doc_id", graft.functions.Fns.simhash_md5($"text").as("simhash"))
       .orderBy($"doc_id")
   }
+
+  private val dedupSimhashSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS hv
+      |  FROM tok WHERE t != ''),
+      |bits AS (
+      |  SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id, COALESCE(sig.simhash, 0) AS simhash
+      |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Exact 3-gram Jaccard, top-50 most-similar pairs — hash-verified
     * against a full SQL re-derivation in DuckDB. */
@@ -162,7 +183,7 @@ object Dedup {
     "dedup_curation" -> QueryDef(dedupCuration, Some(dedupCurationSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, None, bench = true),
-    "dedup_simhash" -> QueryDef(dedupSimhash, None),
+    "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
     "dedup_embedding" -> QueryDef(dedupEmbedding, Some(dedupEmbeddingSql))
   )

@@ -68,6 +68,18 @@ object TextAnalysis {
     TA.fingerprint(Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
+  // Replays the native RollingHash expression's Horner recurrence
+  // (base 257 mod 2^31-1 over code points) as a list_reduce fold.
+  private val textFingerprintSql =
+    """SELECT doc_id,
+      | CASE WHEN length(text) = 0 THEN 0
+      |   ELSE list_reduce(
+      |     list_prepend(0::BIGINT,
+      |       list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+      |     (h, c) -> (h * 257 + c) % 2147483647)
+      | END AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** TF-IDF top-5 terms per document — the classic MR "chained jobs"
     * showcase (tf, df, join, rank) as one Catalyst plan with a single
     * scan feeding both aggregations. */
@@ -205,6 +217,6 @@ object TextAnalysis {
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
     "text_quality" -> QueryDef(textQuality, Some(textQualitySql), bench = true),
     "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
-    "text_fingerprint" -> QueryDef(textFingerprint, None)
+    "text_fingerprint" -> QueryDef(textFingerprint, Some(textFingerprintSql))
   )
 }

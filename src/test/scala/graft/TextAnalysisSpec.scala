@@ -49,6 +49,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b && a != c)
   }
 
+  test("rollingHash matches the mod-P Horner closed form") {
+    // ((0*257+97)*257+98)*257+99 mod (2^31-1) — the recurrence the
+    // oracle replays with list_reduce
+    assert(Kernels.rollingHash(UTF8String.fromString("abc")) == 6432038L)
+    assert(Kernels.rollingHash(UTF8String.fromString("")) == 0L)
+    assert(Kernels.rollingHash(UTF8String.fromString("a")) == 97L)
+  }
+
+  test("md5Hash60 equals the first 15 hex chars of standard md5") {
+    // cross-checked against DuckDB: CAST('0x'||substring(md5(t),1,15) AS BIGINT)
+    assert(Kernels.md5Hash60("the") == 647465868329588333L)
+    assert(Kernels.md5Hash60("fox") == 196290446655796844L)
+    assert(Kernels.md5Hash60("") == 955282973525019424L)
+    // independent reimplementation via BigInteger hex parse
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("quick".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(Kernels.md5Hash60("quick") == java.lang.Long.parseLong(hex.take(15), 16))
+  }
+
+  test("simhashMd5: 60-bit, deterministic, near-dup hamming-close") {
+    val a = Kernels.simhashMd5(UTF8String.fromString("one two three four five six seven eight nine ten"))
+    val b = Kernels.simhashMd5(UTF8String.fromString("one two three four five six seven eight nine zzz"))
+    assert((a >>> 60) == 0L && a != 0L)
+    assert(java.lang.Long.bitCount(a ^ b) < 20)
+    assert(Kernels.simhashMd5(UTF8String.fromString("")) == 0L)
+  }
+
   test("simhash of near-identical texts is hamming-close") {
     val t1 = "one two three four five six seven eight nine ten"
     val t2 = "one two three four five six seven eight nine zzz"
