@@ -11,6 +11,9 @@ object SparkEntry {
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     Ctr.defs,
     Relational.defs,
+    TpchExtra.defs,
+    Graph.defs,
+    OperatorShowcase.defs,
     Dedup.defs,
     Similarity.defs,
     TextAnalysis.defs,

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef.{cents, pct}
+import graft.sources.Tables
+
+/** Gate-level correctness checks for the scale operators (SURVEY.md
+  * §2-G): salted and bloom-pruned joins must return EXACTLY the plain
+  * join's rows — the oracle is the plain SQL join, so any skew/pruning
+  * artifact (lost rows, duplicated rows) fails the hash compare. */
+object OperatorShowcase {
+
+  /** Skew.saltedJoin against a replicated dim: result must equal the
+    * plain equi-join (salting spreads hot keys over `salts` reducers;
+    * it must never change the output). */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val left = Tables.lineitem(s, dir)
+      .filter($"l_extendedprice" > 90000.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey".as("partkey"))
+    val right = Tables.part(s, dir).select($"p_partkey".as("partkey"), $"p_brand")
+    graft.operators.Skew.saltedJoin(left, right, "partkey", salts = 8)
+      .select($"l_orderkey", $"l_linenumber", $"partkey", $"p_brand")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val qSkewJoinSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey AS partkey, p_brand
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_extendedprice > 90000.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** BloomJoin.prunedJoin: big side pre-filtered by a broadcast bloom
+    * filter of the dim keys before the join — false positives are
+    * removed by the join itself, so the result must equal the plain
+    * join; here rolled up per brand. */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("partkey"), $"l_extendedprice", $"l_discount")
+    val small = Tables.part(s, dir).filter($"p_type" === "PROMO")
+      .select($"p_partkey".as("partkey"), $"p_brand")
+    graft.operators.BloomJoin.prunedJoin(big, small, "partkey", expectedKeys = 100000L)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount")))
+          .cast("double") / 10000.0).as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  private val qBloomJoinSql =
+    """SELECT p_brand, COUNT(*) AS n_lines,
+      | CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** PII redaction over the event props payload: mask emails and ≥3-digit
+    * runs — the standard pre-training scrub step, pure codegen'd regex
+    * (runs inside the scan stage at 100 TB). */
+  private def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{3,}"
+    Tables.events(s, dir)
+      .select($"event_id",
+        regexp_replace(regexp_replace($"props", email, "[EMAIL]"), digits, "[NUM]")
+          .as("redacted"),
+        regexp_count($"props", lit(digits)).as("n_num"))
+      .orderBy($"event_id")
+  }
+
+  private val textPiiRedactSql =
+    """SELECT event_id,
+      | regexp_replace(
+      |   regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |   '[0-9]{3,}', '[NUM]', 'g') AS redacted,
+      | CAST(len(regexp_extract_all(props, '[0-9]{3,}')) AS BIGINT) AS n_num
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_skew_join" -> QueryDef(qSkewJoin, Some(qSkewJoinSql)),
+    "q_bloom_join" -> QueryDef(qBloomJoin, Some(qBloomJoinSql)),
+    "text_pii_redact" -> QueryDef(textPiiRedact, Some(textPiiRedactSql))
+  )
+}
