@@ -12,19 +12,24 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Warm-up data: the smallest sibling sf dir of the bench dir (so the
-    * warm-up pass is cheap), falling back to the bench dir itself. */
+    * warm-up pass is cheap), falling back to the bench dir itself. Only
+    * dirs that parse as sf<number> AND actually hold the dataset count —
+    * a stray sibling must not silently defeat the warm-up (which would
+    * fold codegen-compile time back into the timed runs). */
   private def warmupDir(sfDir: String): String = {
     val p = Paths.get(sfDir)
-    val siblings = Option(p.getParent).map { parent =>
-      if (Files.isDirectory(parent))
-        scala.jdk.CollectionConverters.IteratorHasAsScala(
-          Files.list(parent).iterator).asScala
-          .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("sf"))
-          .toSeq.sortBy(d => d.getFileName.toString.stripPrefix("sf").toDoubleOption
-            .getOrElse(Double.MaxValue))
-      else Seq.empty
+    val siblings = Option(p.getParent).filter(Files.isDirectory(_)).map { parent =>
+      val stream = Files.list(parent)
+      try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator).asScala
+          .filter(d => Files.isDirectory(d) &&
+            Files.isRegularFile(d.resolve("lineitem.parquet")))
+          .flatMap(d => d.getFileName.toString.stripPrefix("sf").toDoubleOption
+            .map(_ -> d))
+          .toSeq.sortBy(_._1)
+      } finally stream.close()
     }.getOrElse(Seq.empty)
-    siblings.headOption.map(_.toString).getOrElse(sfDir)
+    siblings.headOption.map(_._2.toString).getOrElse(sfDir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -36,15 +36,17 @@ object Corpus {
     * function of the key (`doc_id % shards`), NOT the physical
     * partition id, so the result is identical regardless of cluster
     * layout (range-partitioner sampling would make shard boundaries
-    * environment-dependent). Packing is per-shard (embarrassingly
-    * parallel); a partition holding several shards resets state at
-    * each shard boundary. Documents longer than maxTokens get a bin of
-    * their own.
+    * environment-dependent); when `shards` is not given, a fixed
+    * default (64) is used rather than the physical partition count,
+    * which would reintroduce layout dependence. Packing is per-shard
+    * (embarrassingly parallel); a partition holding several shards
+    * resets state at each shard boundary. Documents longer than
+    * maxTokens get a bin of their own.
     */
   def packGreedy(spark: SparkSession, docs: DataFrame, maxTokens: Long,
                  shards: Int = 0): Dataset[Packed] = {
     import spark.implicits._
-    val n = if (shards > 0) shards else docs.rdd.getNumPartitions
+    val n = if (shards > 0) shards else 64
     docs
       .select(col("doc_id").cast("long"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),

@@ -68,8 +68,12 @@ object Dedup {
       .limit(50)
   }
 
-  private val dedupNgramJaccardSql =
-    """WITH tok AS (
+  /** Shared oracle fragment: exact word-3-gram Jaccard over all shingle-
+    * sharing pairs (mirrors DedupOps.ngramJaccardPairs). Used by both
+    * dedup_ngram_jaccard and (as the edge source) dedup_clusters — keep
+    * single-sourced so the two oracles can't diverge. */
+  private val ngramPairCtes =
+    """tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (
@@ -81,11 +85,16 @@ object Dedup {
       |pair AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard
-      |FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard
+      |  FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)""".stripMargin
+
+  private val dedupNgramJaccardSql =
+    s"""WITH $ngramPairCtes
+       |SELECT doc_a, doc_b, jaccard FROM scored
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
   /** Embedding-cosine near-dup: top-100 pairs by cosine — hash-verified
     * (cosine computed with identical operand order both sides). */
@@ -118,34 +127,19 @@ object Dedup {
   }
 
   private val dedupClustersSql =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, s FROM (
-      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
-      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-      |    FROM tok) u),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |pair AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |top AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT doc_a, doc_b,
-      |      ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard
-      |    FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
-      |  ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200),
-      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM top
-      |          UNION SELECT doc_b, doc_a FROM top),
-      |reach AS (
-      |  SELECT src, dst FROM edges
-      |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-      |  WHERE e.dst != r.src)
-      |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
-      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |top AS (
+       |  SELECT doc_a, doc_b FROM scored
+       |  ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM top
+       |          UNION SELECT doc_b, doc_a FROM top),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |  WHERE e.dst != r.src)
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** Corpus curation: quality-filter + dedup-survivor semijoin — the
     * end-to-end "keep the good docs" pipeline, hash-verified. */
