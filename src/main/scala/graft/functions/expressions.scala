@@ -79,6 +79,41 @@ object Kernels {
     (h << 4) | ((bytes(7) & 0xf0L) >> 4)
   }
 
+  /** Portable MinHash signature: one md5 per 3-word shingle, then the
+    * linear permutation family v_j = (a_j·hi30 + b_j·lo30) mod 2^31-1
+    * with 30-bit md5-derived coefficients — every term < 2^61, so the
+    * identical values fall out of plain BIGINT math in any engine.
+    * Returns the per-permutation minima (empty docs → empty array). */
+  def minhashSigMd5(text: UTF8String, numPerms: Int): ArrayData = {
+    val toks = text.toString.split(" ")
+    if (toks.length < 3) return new GenericArrayData(Array.emptyLongArray)
+    val a = new Array[Long](numPerms)
+    val b = new Array[Long](numPerms)
+    var j = 0
+    while (j < numPerms) {
+      // == (first-8-hex-chars value) mod 2^30: the top 32 of the 60
+      // kept bits, masked to 30
+      a(j) = (md5Hash60("a:" + j) >>> 28) & 1073741823L
+      b(j) = (md5Hash60("b:" + j) >>> 28) & 1073741823L
+      j += 1
+    }
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i + 3 <= toks.length) {
+      val h = md5Hash60(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      val hi = h >>> 30
+      val lo = h & 1073741823L
+      j = 0
+      while (j < numPerms) {
+        val v = (a(j) * hi + b(j) * lo) % 2147483647L
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** 60-bit SimHash over whitespace tokens (unit weights per occurrence,
     * empty tokens skipped) with the portable md5 token hash — same vote
     * structure as [[simhash64]], reproducible in the oracle. */
@@ -271,6 +306,22 @@ case class MinHashSig(child: Expression, numPerms: Int, shingleW: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Portable md5-based MinHash signature of a text column. */
+case class MinHashSigMd5(child: Expression, numPerms: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig_md5 expects a string argument, got ${child.dataType.sql}")
+    else if (numPerms <= 0)
+      TypeCheckResult.TypeCheckFailure(s"numPerms must be positive, got $numPerms")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhashSigMd5(v.asInstanceOf[UTF8String], numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSigMd5($c, $numPerms)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 60-bit md5-token SimHash of a text column (oracle-reproducible). */
 case class SimHashMd5(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -319,6 +370,8 @@ object Fns {
     column(MinHashSig(expression(c), numPerms, shingleW))
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def simhash_md5(c: Column): Column = column(SimHashMd5(expression(c)))
+  def minhash_sig_md5(c: Column, numPerms: Int = 32): Column =
+    column(MinHashSigMd5(expression(c), numPerms))
   def lsh_bucket(c: Column, numPlanes: Int = 16): Column = column(LshBucket(expression(c), numPlanes))
 
   /** Make the native expressions available from SQL:

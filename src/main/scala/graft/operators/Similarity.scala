@@ -96,8 +96,10 @@ object Similarity {
 
     def nearestCells(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy($"cell_sim".desc, $"cell")
+      // cell_sim rounded to 9dp before ranking: the rank is then stable
+      // against sub-nano float drift (and engine-reproducible)
       df.crossJoin(broadcast(centroids))
-        .withColumn("cell_sim", Fns.cosine_sim(col(vecCol), $"ce"))
+        .withColumn("cell_sim", round(Fns.cosine_sim(col(vecCol), $"ce"), 9))
         .withColumn("cell_rk", row_number().over(w))
         .filter($"cell_rk" <= keep)
         .drop("ce", "cell_sim", "cell_rk")

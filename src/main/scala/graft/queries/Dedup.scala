@@ -22,13 +22,54 @@ object Dedup {
     """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
-  /** The LSH index itself (doc → band keys): what you'd persist and
-    * self-join at 100 TB. Pair recall is spec-tested. Rows-only. */
+  /** The MinHash signature table (doc × perm → min shingle hash): what
+    * you'd band and self-join at 100 TB. This registered variant uses
+    * md5 permutation hashes — min over shingles of md5_60(perm ':'
+    * shingle) — which any engine reproduces exactly, so the whole
+    * signature is hash-verified. The production operator
+    * (DedupOps.minhashIndex, FNV+splitmix perms, 4-8× cheaper per doc)
+    * is pair-recall spec-tested; shuffle volume is identical
+    * (O(docs × perms) fixed-width rows). */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    DedupOps.minhashIndex(Tables.documents(s, dir))
-      .orderBy($"doc_id", $"band")
+    // One md5 per shingle; per-perm values are (a_j·hi + b_j·lo) mod
+    // 2^31-1 with 30-bit md5-derived coefficients — the classic linear
+    // permutation family, every term < 2^61 so plain BIGINT math
+    // reproduces it anywhere (no wrapping multiplies). The whole
+    // signature is computed by one native expression inside the scan
+    // stage (no shingle×perm row explosion); the oracle re-derives the
+    // identical values relationally.
+    Tables.documents(s, dir)
+      // spread docs across tasks before the CPU-heavy signature pass:
+      // the test parquet is a single row group (one scan task)
+      .repartition($"doc_id")
+      .select($"doc_id",
+        graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
+      .filter(size($"sig") > 0)
+      .select($"doc_id", posexplode($"sig").as(Seq("perm", "minhash")))
+      .orderBy($"doc_id", $"perm")
   }
+
+  private val dedupMinhashSql =
+    """WITH coefs AS (
+      |  SELECT j AS perm,
+      |    CAST('0x' || substring(md5('a:' || j::VARCHAR), 1, 8) AS BIGINT) % 1073741824 AS a,
+      |    CAST('0x' || substring(md5('b:' || j::VARCHAR), 1, 8) AS BIGINT) % 1073741824 AS b
+      |  FROM (SELECT unnest(range(0, 32)) AS j) t),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |shg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      |  FROM tok),
+      |hs AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+      |  FROM shg)
+      |SELECT doc_id, perm,
+      |  MIN((a * (h >> 30) + b * (h & 1073741823)) % 2147483647) AS minhash
+      |FROM hs CROSS JOIN coefs
+      |GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin
 
   /** SimHash signatures, hash-verified: the query uses the 60-bit
     * md5-token variant (portable hash → the oracle recomputes the exact
@@ -176,7 +217,7 @@ object Dedup {
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_curation" -> QueryDef(dedupCuration, Some(dedupCurationSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
-    "dedup_minhash" -> QueryDef(dedupMinhash, None, bench = true),
+    "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql), bench = true),
     "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
     "dedup_embedding" -> QueryDef(dedupEmbedding, Some(dedupEmbeddingSql))

@@ -1,11 +1,20 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Similarity => Sim}
+import graft.functions.Fns
 
-/** SURVEY.md §2-D: ANN query surface. Probe set = vec_id < 10. */
+/** SURVEY.md §2-D: ANN query surface. Probe set = vec_id < 10.
+  *
+  * All three tiers are hash-verified. The LSH variant registered here
+  * derives its hyperplanes from md5 (integer-quantized dot products →
+  * engine-reproducible buckets); the operator's splitmix64 planes
+  * (`Fns.lsh_bucket`, computed in-scan with no explode) remain the
+  * scale path, recall spec-tested in SimilaritySpec.
+  */
 object Similarity {
 
   private def probes(s: SparkSession, dir: String): DataFrame =
@@ -18,28 +27,93 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  // shared oracle fragment: cosine with identical operand order
+  private def cosSql(a: String, b: String): String =
+    s"""list_inner_product($a::DOUBLE[], $b::DOUBLE[])
+       |      / (SQRT(list_inner_product($a::DOUBLE[], $a::DOUBLE[]))
+       |         * SQRT(list_inner_product($b::DOUBLE[], $b::DOUBLE[])))""".stripMargin
+
   private val annBruteforceSql =
-    """WITH q AS (
-      |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-      |sc AS (
-      |  SELECT query_id, e.vec_id AS neighbor_id,
-      |    ROUND(list_inner_product(qe::DOUBLE[], e.embedding::DOUBLE[])
-      |      / (SQRT(list_inner_product(qe::DOUBLE[], qe::DOUBLE[]))
-      |         * SQRT(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 9) AS cos_sim
-      |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
-      |r AS (
-      |  SELECT query_id, neighbor_id, cos_sim,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-      |  FROM sc)
-      |SELECT query_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 5
-      |ORDER BY query_id, rk""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** Portable LSH bucket: 8 hyperplanes whose coefficients are md5-derived
+    * ints in [-1e6, 1e6]; embedding values quantized to micro-units, so
+    * the dot product (and thus the bucket) is exact integer math on both
+    * engines (|term| ≤ 6e11 × 64 dims ≪ 2^63). */
+  private def md5Buckets(s: SparkSession, emb: DataFrame, planes: Int): DataFrame = {
+    import s.implicits._
+    val coefs = s.range(planes).select($"id".as("p"))
+      .crossJoin(s.range(64).select($"id".as("i")))
+      .select($"p", $"i",
+        ((conv(substring(md5(concat($"p".cast("string"), lit(":"), $"i".cast("string"))),
+          1, 15), 16, 10).cast("long") % 2000001L) - 1000000L).as("coef"))
+    emb.select($"vec_id", posexplode($"embedding").as(Seq("i", "v")))
+      .join(broadcast(coefs), "i")
+      .groupBy($"vec_id", $"p")
+      .agg(sum(round($"v".cast("double") * 1e6).cast("long") * $"coef").as("dot"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"dot" > 0,
+        expr("shiftleft(cast(1 as bigint), cast(p as int))")).otherwise(0L)).as("bucket"))
+  }
 
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Sim.lshTopK(s, Tables.embeddings(s, dir), probes(s, dir), k = 5)
+    val emb = Tables.embeddings(s, dir)
+    val withBucket = emb.join(md5Buckets(s, emb, 8), "vec_id")
+    val q = withBucket.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
+    val scored = broadcast(q)
+      .join(withBucket, Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
       .select($"query_id", $"neighbor_id", $"rk", $"cos_sim")
       .orderBy($"query_id", $"rk")
   }
+
+  private val annLshSql =
+    s"""WITH coefs AS (
+       |  SELECT p, i,
+       |    (CAST('0x' || substring(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15) AS BIGINT)
+       |      % 2000001) - 1000000 AS coef
+       |  FROM (SELECT unnest(range(0, 8)) AS p) a
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b),
+       |vecs AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |    unnest(range(0, len(embedding))) AS i FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p, SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) * coef) AS dot
+       |  FROM vecs JOIN coefs USING (i) GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |wb AS (SELECT e.vec_id, e.embedding, b.bucket
+       |       FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM wb WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT query_id, wb.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "wb.embedding")}, 9) AS cos_sim
+       |  FROM q JOIN wb USING (bucket) WHERE wb.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -48,9 +122,39 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  // IVF with the deterministic first-8 init (the registered query's
+  // configuration): cell assignment = top-1 by 9dp-rounded cosine,
+  // probes search their 2 nearest cells.
+  private val annIvfSql =
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, c.cell, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pc AS (
+       |  SELECT query_id, cell, qe FROM (
+       |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) x WHERE crk <= 2),
+       |sc AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM pc JOIN asg a USING (cell) WHERE a.vec_id <> pc.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ann_bruteforce" -> QueryDef(annBruteforce, Some(annBruteforceSql), bench = true),
-    "ann_lsh" -> QueryDef(annLsh, None),
-    "ann_ivf" -> QueryDef(annIvf, None)
+    "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
+    "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql))
   )
 }

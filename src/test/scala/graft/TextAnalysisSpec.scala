@@ -68,6 +68,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(Kernels.md5Hash60("quick") == java.lang.Long.parseLong(hex.take(15), 16))
   }
 
+  test("minhashSigMd5 matches an independent hex-string reimplementation") {
+    val text = "the quick brown fox jumps over the lazy dog today"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def h32mod30(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1073741824L
+    }
+    val toks = text.split(" ")
+    val expected = (0 until 32).map { j =>
+      val a = h32mod30("a:" + j); val b = h32mod30("b:" + j)
+      (0 to toks.length - 3).map { i =>
+        val h = h60(toks.slice(i, i + 3).mkString(" "))
+        (a * (h >>> 30) + b * (h & 1073741823L)) % 2147483647L
+      }.min
+    }
+    val got = Kernels.minhashSigMd5(UTF8String.fromString(text), 32).toLongArray()
+    assert(got.toSeq == expected)
+    assert(Kernels.minhashSigMd5(UTF8String.fromString("a b"), 32).numElements() == 0)
+  }
+
   test("simhashMd5: 60-bit, deterministic, near-dup hamming-close") {
     val a = Kernels.simhashMd5(UTF8String.fromString("one two three four five six seven eight nine ten"))
     val b = Kernels.simhashMd5(UTF8String.fromString("one two three four five six seven eight nine zzz"))
