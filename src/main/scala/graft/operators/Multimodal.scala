@@ -73,4 +73,48 @@ object Multimodal {
       it.grouped(decoder.batchSize).flatMap(b => decoder.decode(b))
     }
   }
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_sum: Long)
+
+  /** Frame sampling: treat the blob as fixed-size frames (the stand-in
+    * for video GOP/frame boundaries) and keep every `everyN`-th frame
+    * with a per-frame byte aggregate — the 1→N expansion every
+    * video-curation pipeline needs. Runs inside the scan stage
+    * (mapPartitions, no shuffle of blobs); emitted rows are fixed-width.
+    * A real codec would replace the slice with demuxed frames; the
+    * batching/expansion plumbing is identical. */
+  def frameSample(spark: SparkSession, assets: Dataset[Asset],
+                  frameSize: Int, everyN: Int): Dataset[Frame] = {
+    require(frameSize > 0 && everyN > 0)
+    import spark.implicits._
+    assets.flatMap { a =>
+      val n = a.blob.length
+      val frames = (n + frameSize - 1) / frameSize
+      (0 until frames).iterator.filter(_ % everyN == 0).map { f =>
+        val off = f * frameSize
+        val end = math.min(off + frameSize, n)
+        var sum = 0L
+        var i = off
+        while (i < end) { sum += (a.blob(i) & 0xffL); i += 1 }
+        Frame(a.doc_id, f.toLong, off.toLong, sum)
+      }
+    }
+  }
+
+  /** Aspect-preserving resize planning over decoded dimensions: the
+    * metadata half of a resize stage (the pixel work is the stubbed
+    * codec's job). Integer math only — deterministic everywhere. */
+  def resizePlan(features: DataFrame, maxDim: Long): DataFrame = {
+    require(maxDim > 0)
+    // StubImageDecoder emits (head_byte, byte_sum) as pseudo (w, h)
+    val w = col("head_byte")
+    val h = col("byte_sum")
+    val needs = greatest(w, h) > maxDim
+    features.select(
+      col("doc_id"), w.as("w"), h.as("h"),
+      when(needs, (w * maxDim).cast("long") / greatest(w, h)).otherwise(w)
+        .cast("long").as("out_w"),
+      when(needs, (h * maxDim).cast("long") / greatest(w, h)).otherwise(h)
+        .cast("long").as("out_h"))
+  }
 }

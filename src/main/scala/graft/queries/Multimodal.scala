@@ -49,8 +49,30 @@ object Multimodal {
       | source, lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling (64-byte frames, every 2nd kept): the 1→N video
+    * expansion path, hash-verified at the byte level (same ASCII
+    * equivalence note as mm_features). */
+  private def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = MM.manifest(s, Tables.documents(s, dir))
+    MM.frameSample(s, assets, frameSize = 64, everyN = 2)
+      .toDF().orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmFrameSampleSql =
+    """WITH f AS (
+      |  SELECT doc_id, string_split(text, '') AS cs,
+      |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id, frame_idx, frame_idx * 64 AS frame_off,
+      |  CAST(list_sum(list_transform(cs[frame_idx*64 + 1 : frame_idx*64 + 64],
+      |    c -> ord(c))) AS BIGINT) AS frame_sum
+      |FROM f WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql)),
-    "mm_manifest" -> QueryDef(mmManifest, Some(mmManifestSql))
+    "mm_manifest" -> QueryDef(mmManifest, Some(mmManifestSql)),
+    "mm_frame_sample" -> QueryDef(mmFrameSample, Some(mmFrameSampleSql))
   )
 }

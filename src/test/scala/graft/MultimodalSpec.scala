@@ -49,4 +49,31 @@ class MultimodalSpec extends AnyFunSuite {
       .filter($"n_bytes" =!= org.apache.spark.sql.functions.octet_length($"text"))
     assert(joined.count() == 0)
   }
+
+  test("frameSample: every-Nth frame, offsets and sums cover the blob exactly") {
+    import spark.implicits._
+    val text = "a" * 150 // 3 frames of 64: [64, 64, 22]
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val fr = Multimodal.frameSample(spark, Multimodal.manifest(spark, docs),
+      frameSize = 64, everyN = 2).collect().sortBy(_.frame_idx)
+    assert(fr.map(f => (f.frame_idx, f.frame_off)).toSeq == Seq((0L, 0L), (2L, 128L)))
+    assert(fr(0).frame_sum == 64L * 'a')
+    assert(fr(1).frame_sum == 22L * 'a')
+    // everyN=1 covers all bytes
+    val all = Multimodal.frameSample(spark, Multimodal.manifest(spark, docs), 64, 1).collect()
+    assert(all.map(_.frame_sum).sum == 150L * 'a')
+  }
+
+  test("resizePlan: aspect-preserving integer scale, no-op below maxDim") {
+    import spark.implicits._
+    val feats = Seq(
+      Multimodal.Features(1L, 0L, 640L, 480L), // head_byte=w, byte_sum=h
+      Multimodal.Features(2L, 0L, 20L, 10L)
+    ).toDF()
+    val out = Multimodal.resizePlan(feats, maxDim = 32L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))).toMap
+    assert(out(1L) == (32L, 24L))
+    assert(out(2L) == (20L, 10L))
+  }
 }
