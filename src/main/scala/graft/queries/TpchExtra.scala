@@ -220,6 +220,94 @@ object TpchExtra {
       |FROM sole JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** Q6 shape: the forecasting-revenue-change scan — single filtered
+    * aggregation, no joins; the whole query is one codegen'd scan pass
+    * with every predicate pushed to parquet. */
+  private def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01" &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg((sum(cents($"l_extendedprice") * pct($"l_discount"))
+        .cast("double") / 10000.0).as("revenue"))
+  }
+
+  private val q6Sql =
+    """SELECT CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |   * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Q8 shape: one nation's market share of a part family's revenue per
+    * order year — a conditional-sum ratio (two exact cents sums, one
+    * double division). */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate")
+    val p = Tables.part(s, dir).filter($"p_name".contains("widget")).select($"p_partkey")
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    val n = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+    val rev = cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((sum(when($"n_name" === "NATION_3", rev).otherwise(0L)).cast("double") /
+        sum(rev).cast("double")).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  private val q8Sql =
+    """SELECT YEAR(o_orderdate) AS o_year,
+      | CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3'
+      |     THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+      |     ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |  / CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |     * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Q15 shape: top supplier(s) by windowed revenue — aggregate view +
+    * scalar-subquery max, matched on EXACT integer cents (double
+    * equality would be fragile). */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey")
+      .agg(sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))).as("rev_c"))
+    val top = rev.agg(max($"rev_c").as("max_c"))
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_name")
+    rev.crossJoin(broadcast(top))
+      .filter($"rev_c" === $"max_c")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        ($"rev_c".cast("double") / 10000.0).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE)/10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** TeraSort shape: global total-order sort. Spark plans this as
     * range-partition (sampled boundaries) + per-partition sort — the
     * scalable distributed sort; no single-reducer bottleneck. */
@@ -236,6 +324,9 @@ object TpchExtra {
 
   val defs: Map[String, QueryDef] = Map(
     "q4_order_priority" -> QueryDef(q4OrderPriority, Some(q4Sql)),
+    "q6_forecast" -> QueryDef(q6Forecast, Some(q6Sql)),
+    "q8_market_share" -> QueryDef(q8MarketShare, Some(q8Sql)),
+    "q15_top_supplier" -> QueryDef(q15TopSupplier, Some(q15Sql)),
     "q9_profit" -> QueryDef(q9Profit, Some(q9Sql), bench = true),
     "q10_returned" -> QueryDef(q10Returned, Some(q10Sql)),
     "q12_priority_class" -> QueryDef(q12PriorityClass, Some(q12Sql)),
