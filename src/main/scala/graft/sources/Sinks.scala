@@ -21,12 +21,20 @@ object Sinks {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ---- writers ----
 
   /** Hive-style partitioned parquet: queries filtering on `cols` prune
     * entire directories at planning time. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** ORC round-trip (columnar alternative; same pushdown/pruning via
+    * the native vectorized reader). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** Bucketed + sorted table: joins/aggregations on `key` between
     * tables bucketed the same way need NO shuffle and NO sort — the

@@ -22,6 +22,17 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(jsonBack.exceptAll(docs).count() == 0 && docs.exceptAll(jsonBack).count() == 0)
   }
 
+  test("orc round-trips with predicate pushdown in the scan") {
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "lang", "n_chars")
+    val dir = tmp()
+    Sinks.writeOrc(docs, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    val plan = Sinks.readOrc(spark, dir).filter(col("n_chars") > 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan)
+  }
+
   test("partitioned write prunes partitions at scan time") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val dir = tmp()
