@@ -84,26 +84,38 @@ object Kernels {
     * with 30-bit md5-derived coefficients — every term < 2^61, so the
     * identical values fall out of plain BIGINT math in any engine.
     * Returns the per-permutation minima (empty docs → empty array). */
+  // md5-derived 30-bit permutation coefficients depend only on numPerms
+  // — compute once per (process, numPerms), not per row
+  private val minhashCoefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def minhashCoefs(numPerms: Int): (Array[Long], Array[Long]) =
+    minhashCoefCache.computeIfAbsent(numPerms, { n =>
+      val a = new Array[Long](n)
+      val b = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        // == (first-8-hex-chars value) mod 2^30: the top 32 of the 60
+        // kept bits, masked to 30
+        a(j) = (md5Hash60("a:" + j) >>> 28) & 1073741823L
+        b(j) = (md5Hash60("b:" + j) >>> 28) & 1073741823L
+        j += 1
+      }
+      (a, b)
+    })
+
   def minhashSigMd5(text: UTF8String, numPerms: Int): ArrayData = {
-    val toks = text.toString.split(" ")
+    // split with limit -1: trailing empty tokens are kept, matching both
+    // SQL string_split semantics (the oracle) and Spark's split()
+    val toks = text.toString.split(" ", -1)
     if (toks.length < 3) return new GenericArrayData(Array.emptyLongArray)
-    val a = new Array[Long](numPerms)
-    val b = new Array[Long](numPerms)
-    var j = 0
-    while (j < numPerms) {
-      // == (first-8-hex-chars value) mod 2^30: the top 32 of the 60
-      // kept bits, masked to 30
-      a(j) = (md5Hash60("a:" + j) >>> 28) & 1073741823L
-      b(j) = (md5Hash60("b:" + j) >>> 28) & 1073741823L
-      j += 1
-    }
+    val (a, b) = minhashCoefs(numPerms)
     val sig = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     while (i + 3 <= toks.length) {
       val h = md5Hash60(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
       val hi = h >>> 30
       val lo = h & 1073741823L
-      j = 0
+      var j = 0
       while (j < numPerms) {
         val v = (a(j) * hi + b(j) * lo) % 2147483647L
         if (v < sig(j)) sig(j) = v

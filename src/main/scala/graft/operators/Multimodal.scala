@@ -103,18 +103,19 @@ object Multimodal {
 
   /** Aspect-preserving resize planning over decoded dimensions: the
     * metadata half of a resize stage (the pixel work is the stubbed
-    * codec's job). Integer math only — deterministic everywhere. */
+    * codec's job). Integer math only (rounded integer division via
+    * `div`), clamped to ≥1 so no plan emits a zero-pixel dimension. */
   def resizePlan(features: DataFrame, maxDim: Long): DataFrame = {
     require(maxDim > 0)
     // StubImageDecoder emits (head_byte, byte_sum) as pseudo (w, h)
-    val w = col("head_byte")
-    val h = col("byte_sum")
-    val needs = greatest(w, h) > maxDim
-    features.select(
-      col("doc_id"), w.as("w"), h.as("h"),
-      when(needs, (w * maxDim).cast("long") / greatest(w, h)).otherwise(w)
-        .cast("long").as("out_w"),
-      when(needs, (h * maxDim).cast("long") / greatest(w, h)).otherwise(h)
-        .cast("long").as("out_h"))
+    features
+      .select(col("doc_id"), col("head_byte").as("w"), col("byte_sum").as("h"))
+      .selectExpr("doc_id", "w", "h",
+        s"""CASE WHEN greatest(w, h) <= ${maxDim}L THEN w
+           | ELSE greatest(1L, (w * ${maxDim}L + greatest(w, h) div 2) div greatest(w, h))
+           |END AS out_w""".stripMargin,
+        s"""CASE WHEN greatest(w, h) <= ${maxDim}L THEN h
+           | ELSE greatest(1L, (h * ${maxDim}L + greatest(w, h) div 2) div greatest(w, h))
+           |END AS out_h""".stripMargin)
   }
 }

@@ -74,4 +74,15 @@ object TextAnalysis {
   /** Rolling polynomial-hash fingerprint (native expression). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.functions.Fns.rolling_hash(col("text")).as("fingerprint"))
+
+  /** PII scrub patterns (pre-training corpus hygiene): email addresses
+    * and ≥3-digit runs. Pure codegen'd regex — runs inside the scan. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRunPattern = "[0-9]{3,}"
+
+  /** Redact PII-shaped substrings of `text`: emails → [EMAIL], digit
+    * runs → [NUM]. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
+      DigitRunPattern, "[NUM]")
 }

@@ -57,18 +57,16 @@ object OperatorShowcase {
       |WHERE p_type = 'PROMO'
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  /** PII redaction over the event props payload: mask emails and ≥3-digit
-    * runs — the standard pre-training scrub step, pure codegen'd regex
-    * (runs inside the scan stage at 100 TB). */
+  /** PII redaction over the event props payload via the
+    * TextAnalysis.redactPii operator — the standard pre-training scrub
+    * step, pure codegen'd regex (runs inside the scan stage at 100 TB). */
   private def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val digits = "[0-9]{3,}"
     Tables.events(s, dir)
       .select($"event_id",
-        regexp_replace(regexp_replace($"props", email, "[EMAIL]"), digits, "[NUM]")
-          .as("redacted"),
-        regexp_count($"props", lit(digits)).as("n_num"))
+        graft.operators.TextAnalysis.redactPii($"props").as("redacted"),
+        regexp_count($"props",
+          lit(graft.operators.TextAnalysis.DigitRunPattern)).as("n_num"))
       .orderBy($"event_id")
   }
 

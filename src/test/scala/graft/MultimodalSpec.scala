@@ -68,12 +68,14 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     val feats = Seq(
       Multimodal.Features(1L, 0L, 640L, 480L), // head_byte=w, byte_sum=h
-      Multimodal.Features(2L, 0L, 20L, 10L)
+      Multimodal.Features(2L, 0L, 20L, 10L),
+      Multimodal.Features(3L, 0L, 1L, 1000L) // extreme aspect: clamp to 1
     ).toDF()
     val out = Multimodal.resizePlan(feats, maxDim = 32L).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))).toMap
     assert(out(1L) == (32L, 24L))
     assert(out(2L) == (20L, 10L))
+    assert(out(3L) == (1L, 32L), s"zero-dim plan must clamp: ${out(3L)}")
   }
 }

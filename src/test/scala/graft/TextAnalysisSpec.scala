@@ -90,6 +90,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     val got = Kernels.minhashSigMd5(UTF8String.fromString(text), 32).toLongArray()
     assert(got.toSeq == expected)
     assert(Kernels.minhashSigMd5(UTF8String.fromString("a b"), 32).numElements() == 0)
+    // SQL string_split parity: trailing empty tokens COUNT (split limit
+    // -1) — 'a b ' is 3 tokens / 1 shingle ('a b '), not 2 tokens
+    val trail = Kernels.minhashSigMd5(UTF8String.fromString("a b "), 32).toLongArray()
+    assert(trail.length == 32)
+    val h = h60("a b ")
+    val v0 = (h32mod30("a:0") * (h >>> 30) + h32mod30("b:0") * (h & 1073741823L)) % 2147483647L
+    assert(trail(0) == v0)
   }
 
   test("simhashMd5: 60-bit, deterministic, near-dup hamming-close") {
