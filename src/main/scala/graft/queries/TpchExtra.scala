@@ -188,9 +188,13 @@ object TpchExtra {
       .select($"o_orderkey", $"o_orderdate")
     val l = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey", $"l_shipdate")
     val withOrder = l.join(o, $"l_orderkey" === $"o_orderkey")
+    // localCheckpoint: `late` feeds BOTH the main path and the anti-join
+    // side; without it the lineitem⋈orders subplan runs twice (column
+    // aliasing defeats exchange reuse — verified via explain)
     val late = withOrder
       .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
       .select($"l_orderkey", $"l_suppkey").distinct()
+      .localCheckpoint()
     val anySupp = l.select($"l_orderkey".as("a_orderkey"), $"l_suppkey".as("a_suppkey")).distinct()
     val lateOther = late.select($"l_orderkey".as("b_orderkey"), $"l_suppkey".as("b_suppkey"))
     val sole = late
