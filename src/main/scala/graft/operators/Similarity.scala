@@ -110,7 +110,9 @@ object Similarity {
       probes.select($"vec_id".as("query_id"), $"embedding".as("qe")),
       "query_id", "qe", nProbe) // probes: nProbe cells
 
-    val scored = probeCells
+    // probe set is tiny; the corpus side is the big one — broadcast the
+    // probes so the cell join never shuffles the corpus
+    val scored = broadcast(probeCells)
       .join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
