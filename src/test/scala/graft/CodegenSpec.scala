@@ -26,17 +26,27 @@ class CodegenSpec extends AnyFunSuite {
     assert(sh.contains("Kernels.simhash64") && sh.contains("Kernels.rollingHash"))
   }
 
+  test("md5-family expressions compile into generated code") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val gen = genCode(docs.select(
+      Fns.simhash_md5($"text"), Fns.minhash_sig_md5($"text", 32)))
+    assert(gen.contains("Kernels.simhashMd5") && gen.contains("Kernels.minhashSigMd5"))
+  }
+
   test("expressions survive wholestage codegen execution end-to-end") {
     import spark.implicits._
     // force both codegen-on and codegen-off, results must agree
     val docs = Tables.documents(spark, TestSpark.sf).limit(50)
     def run(): Array[Long] =
       docs.select(Fns.simhash64($"text").as("h")).orderBy($"h").as[Long].collect()
-    val on = run()
+    def runMd5(): Array[Long] =
+      docs.select(Fns.simhash_md5($"text").as("h")).orderBy($"h").as[Long].collect()
+    val on = run(); val onMd5 = runMd5()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
-      val off = run()
-      assert(on.sameElements(off))
+      assert(on.sameElements(run()))
+      assert(onMd5.sameElements(runMd5()))
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 }

@@ -61,6 +61,36 @@ class KernelsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5 minhash estimate tracks exact jaccard over 30 random pairs") {
+    def estMd5(a: String, b: String): Double = {
+      val sa = Kernels.minhashSigMd5(u8(a), 32).toLongArray()
+      val sb = Kernels.minhashSigMd5(u8(b), 32).toLongArray()
+      sa.zip(sb).count { case (x, y) => x == y } / 32.0
+    }
+    for (_ <- 1 to 30) {
+      val a = doc(40 + rnd.nextInt(40))
+      val toks = a.split(" ").toBuffer
+      toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+      val b = toks.mkString(" ")
+      val exact = exactJaccard(a, b)
+      // 32 perms -> sigma = sqrt(j(1-j)/32) <= 0.09; allow 4 sigma
+      assert(math.abs(estMd5(a, b) - exact) <= 0.36,
+        s"est=${estMd5(a, b)} exact=$exact")
+    }
+  }
+
+  test("md5 minhash/simhash values stay in their declared ranges") {
+    for (_ <- 1 to 20) {
+      val d = doc(5 + rnd.nextInt(100))
+      val sig = Kernels.minhashSigMd5(u8(d), 32).toLongArray()
+      assert(sig.length == 32)
+      assert(sig.forall(v => v >= 0 && v < 2147483647L), sig.mkString(","))
+      val sh = Kernels.simhashMd5(u8(d))
+      assert((sh >>> 60) == 0L)
+      assert(Kernels.md5Hash60(d) >= 0 && (Kernels.md5Hash60(d) >>> 60) == 0L)
+    }
+  }
+
   test("minhash handles degenerate docs") {
     assert(Kernels.minhashSig(u8(""), 128, 3).forall(_ == 0L))
     assert(Kernels.minhashSig(u8("one two"), 128, 3).forall(_ == 0L)) // < shingle width
