@@ -135,4 +135,49 @@ object EventStream {
     }
     done.sortBy(_.start).map(toOut(userId, _)).iterator
   }
+
+  case class TopKState(counts: Map[String, Long])
+
+  case class TopKOut(window_start: Timestamp, dim: String, n: Long, rk: Int)
+
+  /** Per-window top-k dimensions by count — the streaming sibling of
+    * GroupTopK. Ranking can't be expressed as an incremental streaming
+    * aggregate (a rank is only final when the window is), so counts
+    * accrue in state keyed by window start and the top-k is emitted
+    * EXACTLY ONCE, when the event-time watermark passes the window end
+    * (event-time timeout). State per window is one (dim → count) map —
+    * bounded by dim cardinality, evicted on emit; the shuffle carries
+    * (window, dim)-keyed events only. */
+  def streamingTopK(spark: SparkSession, events: Dataset[Event],
+                    windowMinutes: Int, k: Int,
+                    watermark: String = "30 minutes"): Dataset[TopKOut] = {
+    import spark.implicits._
+    require(windowMinutes > 0 && k > 0)
+    val windowMs = windowMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => e.ts.getTime / windowMs * windowMs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        topkUpdate(windowMs, k) _)
+  }
+
+  private def topkUpdate(windowMs: Long, k: Int)(
+      windowStart: Long, events: Iterator[Event],
+      state: GroupState[TopKState]): Iterator[TopKOut] = {
+    if (state.hasTimedOut) {
+      // watermark passed window end: counts are final — emit and evict
+      val counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+      state.remove()
+      counts.toSeq.sortBy { case (d, n) => (-n, d) }.take(k).zipWithIndex.map {
+        case ((dim, n), i) => TopKOut(new Timestamp(windowStart), dim, n, i + 1)
+      }.iterator
+    } else {
+      val counts = events.foldLeft(state.getOption.map(_.counts).getOrElse(Map.empty)) {
+        (m, e) => m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+      }
+      state.update(TopKState(counts))
+      state.setTimeoutTimestamp(windowStart + windowMs) // fires when wm passes this
+      Iterator.empty
+    }
+  }
 }

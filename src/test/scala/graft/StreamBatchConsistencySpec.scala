@@ -15,6 +15,53 @@ import graft.streaming.EventStream.Event
 class StreamBatchConsistencySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("streaming windowed top-k == batch GroupTopK on sf0.001 events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+
+    val input = MemoryStream[Event]
+    val q = EventStream.streamingTopK(spark, input.toDS(), windowMinutes = 60, k = 3)
+      .writeStream.format("memory").queryName("consistency_topk")
+      .outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+      val far = events.last.ts.getTime + 10L * 24 * 3600 * 1000
+      input.addData(Event(-1L, new Timestamp(far), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(far + 60000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "select window_start, dim, n, rk from consistency_topk where dim != 'sentinel'")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(3)))
+        .toSet
+
+      val win = 3600000L
+      val counts = graft.sources.Tables.events(spark, TestSpark.sf)
+        .withColumn("wstart", ((unix_micros($"ts") / 1000).cast("long") / win).cast("long") * win)
+        .groupBy($"wstart", $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val batch = graft.plans.GroupTopK.topK(counts, Seq("wstart"),
+        Seq(graft.plans.GroupTopK.Sort("n", desc = true), graft.plans.GroupTopK.Sort("event_type")),
+        k = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("wstart"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Int]("rk")))
+        .toSet
+
+      assert(streamed == batch,
+        s"streaming top-k diverges: only-streamed=${(streamed -- batch).take(5)} " +
+          s"only-batch=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize == batch sessionize on sf0.001 events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
