@@ -490,6 +490,28 @@ object Relational {
       | TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch quantiles: approx_percentile (the distributed quantile
+    * sketch) next to the exact value, with a "within 2% relative
+    * error" boolean — same oracle trick as q_approx_distinct. */
+  private def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_med"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_med"))
+      .select($"o_orderpriority",
+        round($"exact_med", 4).as("exact_med"),
+        (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.02).as("approx_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val qApproxQuantileSql =
+    """SELECT o_orderpriority,
+      | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_med,
+      | TRUE AS approx_ok
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Window-function suite: lead, ntile, percent_rank, cume_dist,
     * first_value over one shuffle-shared window spec. */
   private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
@@ -888,6 +910,7 @@ object Relational {
     "q17_small_quantity" -> QueryDef(q17SmallQuantity, Some(q17Sql), bench = true),
     "q_percentile" -> QueryDef(qPercentile, Some(qPercentileSql)),
     "q_approx_distinct" -> QueryDef(qApproxDistinct, Some(qApproxDistinctSql)),
+    "q_approx_quantile" -> QueryDef(qApproxQuantile, Some(qApproxQuantileSql)),
     "q_sessionize_plan" -> QueryDef(qSessionizePlan, Some(qSessionizeSql), bench = true),
     "q1_pricing_summary" -> QueryDef(q1PricingSummary, Some(q1Sql), bench = true),
     "q_filter_project" -> QueryDef(qFilterProject, Some(qFilterProjectSql)),

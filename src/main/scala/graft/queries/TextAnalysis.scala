@@ -185,6 +185,31 @@ object TextAnalysis {
       |  FROM rec r JOIN base b ON b.shard = r.shard AND b.rn = r.rn + 1)
       |SELECT doc_id, n_tokens, shard, bin FROM rec ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sampling: per-language keep rates (the
+    * "rebalance the training mix" step). Membership is a pure function
+    * of the key — md5 bucket < rate×100 — so the sample is stable
+    * across runs/clusters and needs no global pass (embarrassingly
+    * parallel filter in the scan, unlike orderBy-based sampling). */
+  private def corpusSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(conv(substring(md5(concat(lit("smp:"), $"doc_id".cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(100L))
+    val rate = when($"lang" === "en", 20L).otherwise(60L)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", bucket.as("b"), rate.as("rate"))
+      .filter($"b" < $"rate")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  private val corpusSampleSql =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substring(md5('smp:' || doc_id::VARCHAR), 1, 8) AS BIGINT) % 100 AS b,
+      |    CASE WHEN lang = 'en' THEN 20 ELSE 60 END AS rate
+      |  FROM documents) t
+      |WHERE b < rate ORDER BY doc_id""".stripMargin
+
   /** Bigram language-model counts: the n-gram statistics step of
     * classic LM pipelines (conditional counts per leading token). */
   private def textBigrams(s: SparkSession, dir: String): DataFrame = {
@@ -211,6 +236,7 @@ object TextAnalysis {
   val defs: Map[String, QueryDef] = Map(
     "text_bigrams" -> QueryDef(textBigrams, Some(textBigramsSql)),
     "corpus_splits" -> QueryDef(corpusSplits, Some(corpusSplitsSql)),
+    "corpus_sample" -> QueryDef(corpusSample, Some(corpusSampleSql)),
     "corpus_pack" -> QueryDef(corpusPack, Some(corpusPackSql)),
     "text_tfidf" -> QueryDef(textTfidf, Some(textTfidfSql), bench = true),
     "emb_label_centroid" -> QueryDef(textLabelCentroid, Some(textLabelCentroidSql)),
