@@ -312,6 +312,34 @@ object TpchExtra {
       |WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Full outer join: per-nation customer/supplier presence — keeps
+    * nations with only customers, only suppliers, or both (the one join
+    * type the rest of the suite doesn't exercise). */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, dir).groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  private val qFullOuterSql =
+    """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+      | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+      |      FROM customer GROUP BY c_nationkey) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+      |      FROM supplier GROUP BY s_nationkey) s
+      |  ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** TeraSort shape: global total-order sort. Spark plans this as
     * range-partition (sampled boundaries) + per-partition sort — the
     * scalable distributed sort; no single-reducer bottleneck. */
@@ -337,6 +365,7 @@ object TpchExtra {
     "q13_cust_distribution" -> QueryDef(q13CustDistribution, Some(q13Sql)),
     "q18_large_volume" -> QueryDef(q18LargeVolume, Some(q18Sql)),
     "q21_waiting" -> QueryDef(q21Waiting, Some(q21Sql)),
-    "q_sort" -> QueryDef(qSort, Some(qSortSql), bench = true)
+    "q_sort" -> QueryDef(qSort, Some(qSortSql), bench = true),
+    "q_full_outer" -> QueryDef(qFullOuter, Some(qFullOuterSql))
   )
 }
