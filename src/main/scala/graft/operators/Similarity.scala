@@ -82,9 +82,15 @@ object Similarity {
   /** IVF-style ANN. Coarse centroids default to a deterministic
     * first-k init; pass `trainedCentroids` (e.g. from [[kmeans]]) for
     * trained cells. */
+  /** @param broadcastProbes broadcast the probe side of the cell join
+    *        (default). Right for the typical small probe set — it keeps
+    *        the corpus un-shuffled; pass false for probe sets too big
+    *        to broadcast (e.g. corpus-vs-corpus self-ANN) and the
+    *        planner falls back to a shuffle join. */
   def ivfTopK(spark: SparkSession, emb: DataFrame, probes: DataFrame,
               k: Int, nCells: Int = 8, nProbe: Int = 2,
-              trainedCentroids: Option[DataFrame] = None): DataFrame = {
+              trainedCentroids: Option[DataFrame] = None,
+              broadcastProbes: Boolean = true): DataFrame = {
     import spark.implicits._
     // default init must not assume 0-based contiguous vec_ids — take
     // the first nCells in id order and re-number the cells
@@ -110,9 +116,8 @@ object Similarity {
       probes.select($"vec_id".as("query_id"), $"embedding".as("qe")),
       "query_id", "qe", nProbe) // probes: nProbe cells
 
-    // probe set is tiny; the corpus side is the big one — broadcast the
-    // probes so the cell join never shuffles the corpus
-    val scored = broadcast(probeCells)
+    val probeSide = if (broadcastProbes) broadcast(probeCells) else probeCells
+    val scored = probeSide
       .join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),

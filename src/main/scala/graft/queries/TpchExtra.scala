@@ -187,21 +187,23 @@ object TpchExtra {
     val o = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
       .select($"o_orderkey", $"o_orderdate")
     val l = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-    val withOrder = l.join(o, $"l_orderkey" === $"o_orderkey")
-    // localCheckpoint: `late` feeds BOTH the main path and the anti-join
-    // side; without it the lineitem⋈orders subplan runs twice (column
-    // aliasing defeats exchange reuse — verified via explain)
-    val late = withOrder
+    // Single-pass formulation of the EXISTS/NOT-EXISTS pair: an order
+    // qualifies iff it has ≥2 distinct suppliers and EXACTLY ONE late
+    // one — per-order counts replace the semi+anti join pair, so the
+    // late set is derived once and nothing needs caching/checkpointing.
+    val late = l.join(o, $"l_orderkey" === $"o_orderkey")
       .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
       .select($"l_orderkey", $"l_suppkey").distinct()
-      .localCheckpoint()
-    val anySupp = l.select($"l_orderkey".as("a_orderkey"), $"l_suppkey".as("a_suppkey")).distinct()
-    val lateOther = late.select($"l_orderkey".as("b_orderkey"), $"l_suppkey".as("b_suppkey"))
-    val sole = late
-      .join(anySupp, $"a_orderkey" === $"l_orderkey" && $"a_suppkey" =!= $"l_suppkey", "left_semi")
-      .join(lateOther, $"b_orderkey" === $"l_orderkey" && $"b_suppkey" =!= $"l_suppkey", "left_anti")
+    val latePerOrder = late.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("late_supps"), min($"l_suppkey").as("sole_supp"))
+      .filter($"late_supps" === 1)
+    val totalPerOrder = l.select($"l_orderkey".as("t_orderkey"), $"l_suppkey").distinct()
+      .groupBy($"t_orderkey").agg(count(lit(1)).as("total_supps"))
+      .filter($"total_supps" >= 2)
     val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_name")
-    sole.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+    latePerOrder
+      .join(totalPerOrder, $"l_orderkey" === $"t_orderkey")
+      .join(broadcast(sup), $"sole_supp" === $"s_suppkey")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name")

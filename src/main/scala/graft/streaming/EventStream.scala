@@ -145,9 +145,16 @@ object EventStream {
     * aggregate (a rank is only final when the window is), so counts
     * accrue in state keyed by window start and the top-k is emitted
     * EXACTLY ONCE, when the event-time watermark passes the window end
-    * (event-time timeout). State per window is one (dim → count) map —
-    * bounded by dim cardinality, evicted on emit; the shuffle carries
-    * (window, dim)-keyed events only. */
+    * (event-time timeout). State per window is one (dim → count) map,
+    * bounded by dim cardinality and evicted on emit.
+    *
+    * Scale shape: only (ts, dim) pairs are shuffled (the Event payload
+    * is projected away), but each open window IS one task — the rank
+    * needs the whole window's counts in one place. That bounds
+    * parallelism by the number of open windows (window length /
+    * watermark), which is the right trade when dim cardinality is
+    * modest; for very hot windows, chain a distributed windowed count
+    * aggregation in front and rank only the (dim, count) rows. */
   def streamingTopK(spark: SparkSession, events: Dataset[Event],
                     windowMinutes: Int, k: Int,
                     watermark: String = "30 minutes"): Dataset[TopKOut] = {
@@ -156,13 +163,14 @@ object EventStream {
     val windowMs = windowMinutes * 60L * 1000L
     events
       .withWatermark("ts", watermark)
-      .groupByKey(e => e.ts.getTime / windowMs * windowMs)
+      .select(col("ts"), col("event_type")).as[(Timestamp, String)]
+      .groupByKey { case (ts, _) => ts.getTime / windowMs * windowMs }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         topkUpdate(windowMs, k) _)
   }
 
   private def topkUpdate(windowMs: Long, k: Int)(
-      windowStart: Long, events: Iterator[Event],
+      windowStart: Long, events: Iterator[(Timestamp, String)],
       state: GroupState[TopKState]): Iterator[TopKOut] = {
     if (state.hasTimedOut) {
       // watermark passed window end: counts are final — emit and evict
@@ -173,7 +181,7 @@ object EventStream {
       }.iterator
     } else {
       val counts = events.foldLeft(state.getOption.map(_.counts).getOrElse(Map.empty)) {
-        (m, e) => m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+        case (m, (_, dim)) => m.updated(dim, m.getOrElse(dim, 0L) + 1L)
       }
       state.update(TopKState(counts))
       state.setTimeoutTimestamp(windowStart + windowMs) // fires when wm passes this

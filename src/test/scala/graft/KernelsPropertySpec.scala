@@ -73,9 +73,9 @@ class KernelsPropertySpec extends AnyFunSuite {
       toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
       val b = toks.mkString(" ")
       val exact = exactJaccard(a, b)
+      val est = estMd5(a, b)
       // 32 perms -> sigma = sqrt(j(1-j)/32) <= 0.09; allow 4 sigma
-      assert(math.abs(estMd5(a, b) - exact) <= 0.36,
-        s"est=${estMd5(a, b)} exact=$exact")
+      assert(math.abs(est - exact) <= 0.36, s"est=$est exact=$exact")
     }
   }
 
