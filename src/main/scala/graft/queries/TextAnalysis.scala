@@ -210,6 +210,37 @@ object TextAnalysis {
       |  FROM documents) t
       |WHERE b < rate ORDER BY doc_id""".stripMargin
 
+  /** Heavy hitters: tokens with frequency > n/50, found via the
+    * Misra–Gries sketch (50 counters per task, k-entry merges — never a
+    * full-dictionary shuffle) and then exact-counted with a second pass
+    * over only the candidate set. The MG recall guarantee (every item
+    * above n/k survives the sketch) is what makes this hash-verifiable
+    * against the exact SQL derivation. */
+  private def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hh = udaf(new graft.functions.HeavyHitters(50))
+    val tokens = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("word"))
+    val cands = tokens.agg(hh($"word").as("cands"))
+      .select(explode($"cands").as("c"))
+      .select($"c._1".as("word"))
+    val total = tokens.agg(count(lit(1)).as("n"))
+    tokens.join(broadcast(cands), "word")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n_word"))
+      .crossJoin(broadcast(total))
+      .filter($"n_word" * 50 > $"n")
+      .select($"word", $"n_word")
+      .orderBy($"n_word".desc, $"word")
+  }
+
+  private val textHeavyHittersSql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |tot AS (SELECT COUNT(*) AS n FROM tok),
+      |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM tok GROUP BY word)
+      |SELECT word, n_word FROM c CROSS JOIN tot WHERE n_word * 50 > n
+      |ORDER BY n_word DESC, word""".stripMargin
+
   /** Bigram language-model counts: the n-gram statistics step of
     * classic LM pipelines (conditional counts per leading token). */
   private def textBigrams(s: SparkSession, dir: String): DataFrame = {
@@ -235,6 +266,7 @@ object TextAnalysis {
 
   val defs: Map[String, QueryDef] = Map(
     "text_bigrams" -> QueryDef(textBigrams, Some(textBigramsSql)),
+    "text_heavy_hitters" -> QueryDef(textHeavyHitters, Some(textHeavyHittersSql)),
     "corpus_splits" -> QueryDef(corpusSplits, Some(corpusSplitsSql)),
     "corpus_sample" -> QueryDef(corpusSample, Some(corpusSampleSql)),
     "corpus_pack" -> QueryDef(corpusPack, Some(corpusPackSql)),

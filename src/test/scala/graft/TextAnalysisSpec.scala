@@ -99,6 +99,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(trail(0) == v0)
   }
 
+  test("Misra-Gries recall guarantee: every item above n/k survives the sketch") {
+    import org.apache.spark.sql.functions.{col, explode, udaf}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // skewed stream: 3 planted heavy items + uniform noise over 500 tail items
+    val items = Seq.fill(2000)("hot" + rnd.nextInt(3)) ++
+      Seq.fill(8000)("tail" + rnd.nextInt(500))
+    val n = items.size
+    val k = 20
+    val df = rnd.shuffle(items).toDF("w").repartition(13) // arbitrary partitioning
+    val hh = udaf(new graft.functions.HeavyHitters(k))
+    val cands = df.agg(hh(col("w")).as("c")).select(explode(col("c")).as("p"))
+      .select($"p._1".as("w")).as[String].collect().toSet
+    val exact = items.groupBy(identity).view.mapValues(_.size).toMap
+    val mustFind = exact.filter { case (_, c) => c > n / k }.keySet
+    assert(mustFind.nonEmpty && mustFind.subsetOf(cands),
+      s"missed heavy items: ${mustFind -- cands}")
+    assert(cands.size <= 2 * k, s"sketch blew its size bound: ${cands.size}")
+  }
+
   test("simhashMd5: 60-bit, deterministic, near-dup hamming-close") {
     val a = Kernels.simhashMd5(UTF8String.fromString("one two three four five six seven eight nine ten"))
     val b = Kernels.simhashMd5(UTF8String.fromString("one two three four five six seven eight nine zzz"))
