@@ -314,6 +314,77 @@ object TpchExtra {
       |WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Q16 shape (partsupp proxied by distinct lineitem part-supplier
+    * pairs): supplier counts per part attribute triple, excluding one
+    * brand — distinct-aggregation over a derived relationship table. */
+  private def q16PartsSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ps = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey")).distinct()
+    val p = Tables.part(s, dir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_size" <= 25)
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    ps.join(broadcast(p), $"ps_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      | CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |      FROM lineitem) ps
+      |JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q20 shape (availqty proxied by each supplier's all-time shipped
+    * quantity per part): suppliers holding more than half of a part's
+    * 1996 shipped volume for the widget family — per-group threshold
+    * subquery + semijoin, all integer quantities. */
+  private def q20PromotionStock(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+    val widgets = Tables.part(s, dir).filter($"p_name".contains("widget"))
+      .select($"p_partkey")
+    val avail = l.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(round($"l_quantity").cast("long")).as("avail"))
+    val y96 = l.filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+      .groupBy($"l_partkey".as("y_partkey"))
+      .agg(sum(round($"l_quantity").cast("long")).as("qty96"))
+    val qualifying = avail
+      .join(broadcast(widgets), $"l_partkey" === $"p_partkey")
+      .join(y96, $"l_partkey" === $"y_partkey")
+      .filter($"avail" * 2 > $"qty96")
+      .select($"l_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(qualifying, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  private val q20Sql =
+    """WITH avail AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS avail
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |y96 AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty96
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_partkey)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (
+      |  SELECT 1 FROM avail
+      |  JOIN part ON avail.l_partkey = p_partkey AND p_name LIKE '%widget%'
+      |  JOIN y96 ON avail.l_partkey = y96.l_partkey
+      |  WHERE avail.l_suppkey = s_suppkey AND avail.avail * 2 > y96.qty96)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Full outer join: per-nation customer/supplier presence — keeps
     * nations with only customers, only suppliers, or both (the one join
     * type the rest of the suite doesn't exercise). */
@@ -368,6 +439,8 @@ object TpchExtra {
     "q18_large_volume" -> QueryDef(q18LargeVolume, Some(q18Sql)),
     "q21_waiting" -> QueryDef(q21Waiting, Some(q21Sql)),
     "q_sort" -> QueryDef(qSort, Some(qSortSql), bench = true),
-    "q_full_outer" -> QueryDef(qFullOuter, Some(qFullOuterSql))
+    "q_full_outer" -> QueryDef(qFullOuter, Some(qFullOuterSql)),
+    "q16_parts_suppliers" -> QueryDef(q16PartsSuppliers, Some(q16Sql)),
+    "q20_promotion_stock" -> QueryDef(q20PromotionStock, Some(q20Sql))
   )
 }
