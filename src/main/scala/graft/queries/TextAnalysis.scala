@@ -221,14 +221,13 @@ object TextAnalysis {
     val hh = udaf(new graft.functions.HeavyHitters(50))
     val tokens = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("word"))
-    val cands = tokens.agg(hh($"word").as("cands"))
-      .select(explode($"cands").as("c"))
-      .select($"c._1".as("word"))
-    val total = tokens.agg(count(lit(1)).as("n"))
+    // one scan yields BOTH the sketch and the total token count
+    val cands = tokens.agg(hh($"word").as("cands"), count(lit(1)).as("n"))
+      .select(explode($"cands").as("c"), $"n")
+      .select($"c._1".as("word"), $"n")
     tokens.join(broadcast(cands), "word")
-      .groupBy($"word")
+      .groupBy($"word", $"n")
       .agg(count(lit(1)).as("n_word"))
-      .crossJoin(broadcast(total))
       .filter($"n_word" * 50 > $"n")
       .select($"word", $"n_word")
       .orderBy($"n_word".desc, $"word")

@@ -319,12 +319,17 @@ object TpchExtra {
     * brand — distinct-aggregation over a derived relationship table. */
   private def q16PartsSuppliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ps = Tables.lineitem(s, dir)
-      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey")).distinct()
     val p = Tables.part(s, dir)
       .filter($"p_brand" =!= "Brand#1" && $"p_size" <= 25)
       .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
-    ps.join(broadcast(p), $"ps_partkey" === $"p_partkey")
+    // broadcast-filter BEFORE the distinct: pairs for excluded parts
+    // never reach the shuffle (Catalyst won't push an inner join below
+    // the distinct's Aggregate on its own)
+    Tables.lineitem(s, dir)
+      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .join(broadcast(p), $"ps_partkey" === $"p_partkey")
+      .select($"ps_partkey", $"ps_suppkey", $"p_brand", $"p_type", $"p_size")
+      .distinct()
       .groupBy($"p_brand", $"p_type", $"p_size")
       .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
@@ -346,16 +351,19 @@ object TpchExtra {
     * subquery + semijoin, all integer quantities. */
   private def q20PromotionStock(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val l = Tables.lineitem(s, dir)
     val widgets = Tables.part(s, dir).filter($"p_name".contains("widget"))
       .select($"p_partkey")
+    // widget filter pushed BELOW both aggregates (join key is a group
+    // key, so this is semantics-identical): only widget-family rows
+    // ever shuffle
+    val l = Tables.lineitem(s, dir)
+      .join(broadcast(widgets), $"l_partkey" === $"p_partkey")
     val avail = l.groupBy($"l_partkey", $"l_suppkey")
       .agg(sum(round($"l_quantity").cast("long")).as("avail"))
     val y96 = l.filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
       .groupBy($"l_partkey".as("y_partkey"))
       .agg(sum(round($"l_quantity").cast("long")).as("qty96"))
     val qualifying = avail
-      .join(broadcast(widgets), $"l_partkey" === $"p_partkey")
       .join(y96, $"l_partkey" === $"y_partkey")
       .filter($"avail" * 2 > $"qty96")
       .select($"l_suppkey").distinct()

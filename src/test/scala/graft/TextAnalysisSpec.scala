@@ -117,7 +117,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     val mustFind = exact.filter { case (_, c) => c > n / k }.keySet
     assert(mustFind.nonEmpty && mustFind.subsetOf(cands),
       s"missed heavy items: ${mustFind -- cands}")
-    assert(cands.size <= 2 * k, s"sketch blew its size bound: ${cands.size}")
+    assert(cands.size <= k, s"sketch blew its size bound: ${cands.size}")
   }
 
   test("simhashMd5: 60-bit, deterministic, near-dup hamming-close") {
