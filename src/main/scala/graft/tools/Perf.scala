@@ -52,6 +52,24 @@ object Perf {
       big, Seq("g"), Seq(graft.plans.GroupTopK.Sort("v", desc = true),
         graft.plans.GroupTopK.Sort("id")), 3)))
     big.unpersist()
+
+    // Misra-Gries sketch vs full groupBy on a wide-dictionary skewed
+    // stream (10M items, ~1M distinct): the sketch shuffles k-entry
+    // maps; the groupBy shuffles every distinct key
+    val zipfy = spark.range(10000000L)
+      .select(concat(lit("t"),
+        when(($"id" % 10) < 3, ($"id" % 7))             // hot keys
+          .otherwise(($"id" * 2654435761L) % 1000000)   // long tail
+          .cast("string")).as("w"))
+    zipfy.persist(); zipfy.count()
+    val hh = udaf(new graft.functions.HeavyHitters(50))
+    time("hh_sketch_10m")(noop(zipfy.agg(hh($"w").as("c"))))
+    time("hh_sketch_10m_2")(noop(zipfy.agg(hh($"w").as("c"))))
+    time("hh_groupby_10m")(noop(
+      zipfy.groupBy($"w").count().orderBy($"count".desc).limit(50)))
+    time("hh_groupby_10m_2")(noop(
+      zipfy.groupBy($"w").count().orderBy($"count".desc).limit(50)))
+    zipfy.unpersist()
     spark.stop()
   }
 }
