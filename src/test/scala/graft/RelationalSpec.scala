@@ -7,7 +7,7 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
-  def run(name: String) = Relational.defs(name).fn(spark, sf)
+  def run(name: String) = SparkEntry.all(name).fn(spark, sf)
 
   test("q1 aggregates the full filtered lineitem") {
     val rows = run("q1_pricing_summary").collect()
@@ -34,6 +34,28 @@ class RelationalSpec extends AnyFunSuite {
   test("q5 broadcasts the dimension tables") {
     val plan = run("q5_regional_revenue").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q9 profit rollup joins every dim by broadcast (no sort-merge)") {
+    val plan = run("q9_profit").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ (dim not broadcast):\n$plan")
+  }
+
+  test("q_sort plans as a range-partitioned distributed sort") {
+    val plan = run("q_sort").queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"no range partitioning:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-reducer sort:\n$plan")
+  }
+
+  test("q16 filters parts before the distinct shuffle") {
+    // the broadcast join must sit BELOW the distinct's aggregate, so
+    // excluded parts never shuffle
+    val plan = run("q16_parts_suppliers").queryExecution.executedPlan.toString
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    val aggAt = plan.indexOf("HashAggregate")
+    assert(joinAt >= 0 && aggAt >= 0 && joinAt > aggAt,
+      s"expected join nested under (printed after) the aggregate:\n$plan")
   }
 
   test("semijoin + antijoin partition the big-spender customer set") {
