@@ -169,6 +169,51 @@ object EventStream {
         topkUpdate(windowMs, k) _)
   }
 
+  case class HHState(counts: Map[String, Long])
+
+  case class HHOut(window_start: Timestamp, dim: String, lower_bound: Long)
+
+  /** Per-window heavy hitters via the Misra–Gries sketch in state —
+    * unlike [[streamingTopK]] (exact counts, state bounded by dim
+    * cardinality), this bounds state at k counters per open window
+    * REGARDLESS of cardinality, the right trade for high-cardinality
+    * dims (urls, users). Emits the surviving candidates with their
+    * lower-bound counts exactly once at watermark close; every dim
+    * with true in-window frequency > n/k is guaranteed present. */
+  def streamingHeavyHitters(spark: SparkSession, events: Dataset[Event],
+                            windowMinutes: Int, k: Int,
+                            watermark: String = "30 minutes"): Dataset[HHOut] = {
+    import spark.implicits._
+    require(windowMinutes > 0 && k > 0)
+    val windowMs = windowMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type")).as[(Timestamp, String)]
+      .groupByKey { case (ts, _) => ts.getTime / windowMs * windowMs }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        hhUpdate(windowMs, k) _)
+  }
+
+  private def hhUpdate(windowMs: Long, k: Int)(
+      windowStart: Long, events: Iterator[(Timestamp, String)],
+      state: GroupState[HHState]): Iterator[HHOut] = {
+    val mg = new graft.functions.HeavyHitters(k)
+    if (state.hasTimedOut) {
+      val counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+      state.remove()
+      counts.toSeq.sortBy { case (d, n) => (-n, d) }.map {
+        case (dim, n) => HHOut(new Timestamp(windowStart), dim, n)
+      }.iterator
+    } else {
+      val counts = events.foldLeft(state.getOption.map(_.counts).getOrElse(Map.empty)) {
+        case (m, (_, dim)) => mg.reduce(m, dim)
+      }
+      state.update(HHState(counts))
+      state.setTimeoutTimestamp(windowStart + windowMs)
+      Iterator.empty
+    }
+  }
+
   private def topkUpdate(windowMs: Long, k: Int)(
       windowStart: Long, events: Iterator[(Timestamp, String)],
       state: GroupState[TopKState]): Iterator[TopKOut] = {

@@ -62,6 +62,49 @@ class StreamBatchConsistencySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: MG guarantee holds per window vs batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+
+    val k = 2 // tighter than the event_type cardinality → decrements happen
+    val input = MemoryStream[Event]
+    val q = EventStream.streamingHeavyHitters(spark, input.toDS(), windowMinutes = 60, k = k)
+      .writeStream.format("memory").queryName("consistency_hh")
+      .outputMode("append").start()
+    try {
+      input.addData(events.toSeq); q.processAllAvailable()
+      val far = events.last.ts.getTime + 10L * 24 * 3600 * 1000
+      input.addData(Event(-1L, new Timestamp(far), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(far + 60000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "select window_start, dim, lower_bound from consistency_hh where dim != 'sentinel'")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+
+      val win = 3600000L
+      val exact = graft.sources.Tables.events(spark, TestSpark.sf)
+        .withColumn("wstart", ((unix_micros($"ts") / 1000).cast("long") / win).cast("long") * win)
+        .groupBy($"wstart", $"event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val winTotals = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+
+      // recall: every dim above n_window/k must be in the streamed output
+      val missed = exact.filter { case ((w, _), c) => c * k > winTotals(w) }
+        .keySet.filterNot(streamed.contains)
+      assert(missed.isEmpty, s"MG guarantee violated, missing: ${missed.take(5)}")
+      // lower bounds never exceed exact counts
+      val over = streamed.filter { case (key, lb) => lb > exact.getOrElse(key, 0L) }
+      assert(over.isEmpty, s"lower bound exceeds exact count: ${over.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize == batch sessionize on sf0.001 events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
