@@ -512,6 +512,30 @@ object Relational {
       | TRUE AS approx_ok
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** SCD type-2 interval build: each user's events become validity
+    * ranges [valid_from, valid_to) via lead() — the standard
+    * dimension-history construction, one shuffle on the entity key. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"event_id", $"ts".as("valid_from"), $"valid_to",
+        $"is_current", dbl(dec($"value")).as("value"))
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  private val qScd2Sql =
+    """SELECT user_id, event_id, ts AS valid_from,
+      | LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      | LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+      | CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   /** Window-function suite: lead, ntile, percent_rank, cume_dist,
     * first_value over one shuffle-shared window spec. */
   private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
@@ -905,6 +929,7 @@ object Relational {
     "q_except" -> QueryDef(qExcept, Some(qExceptSql)),
     "q_cube" -> QueryDef(qCube, Some(qCubeSql)),
     "q_window_suite" -> QueryDef(qWindowSuite, Some(qWindowSuiteSql)),
+    "q_scd2" -> QueryDef(qScd2, Some(qScd2Sql)),
     "q_funnel" -> QueryDef(qFunnel, Some(qFunnelSql), bench = true),
     "q_having" -> QueryDef(qHaving, Some(qHavingSql)),
     "q17_small_quantity" -> QueryDef(q17SmallQuantity, Some(q17Sql), bench = true),

@@ -36,6 +36,34 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Copy-on-write upsert (MERGE semantics without a table format):
+    * rows from `updates` replace target rows with the same key;
+    * unmatched update rows are inserted. Returns the merged frame —
+    * the caller writes it where/how it wants (partition-overwrite at
+    * scale so only touched partitions rewrite). One shuffle on the key
+    * (or zero if both sides are bucketed on it). */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(target.columns.sameElements(updates.columns),
+      s"schemas differ: ${target.columns.toSeq} vs ${updates.columns.toSeq}")
+    import org.apache.spark.sql.functions.col
+    val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
+    target.join(u, col(key) === col(s"_u_$key"), "full_outer")
+      .select(target.columns.toIndexedSeq.map { c =>
+        org.apache.spark.sql.functions.coalesce(col(s"_u_$c"), col(c)).as(c)
+      }: _*)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~targetMB files (the perpetual maintenance job of any streaming
+    * ingest at scale — thousands of tiny files kill scan planning). */
+  def compact(spark: SparkSession, path: String, outPath: String,
+              targetMB: Int = 128): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
+    df.repartition(parts).write.mode("overwrite").parquet(outPath)
+  }
+
   /** Bucketed + sorted table: joins/aggregations on `key` between
     * tables bucketed the same way need NO shuffle and NO sort — the
     * layout cost is paid once at write time. */

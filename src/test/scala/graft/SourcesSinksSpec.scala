@@ -33,6 +33,30 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan)
   }
 
+  test("upsert: updates replace matches, unmatched rows insert, rest untouched") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    val updates = Seq((2L, "B2", 99.0), (9L, "new", 1.0)).toDF("id", "name", "v")
+    val merged = Sinks.upsert(target, updates, "id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(merged == Map(
+      1L -> ("a", 10.0), 2L -> ("B2", 99.0), 3L -> ("c", 30.0), 9L -> ("new", 1.0)))
+    intercept[IllegalArgumentException] {
+      Sinks.upsert(target, updates.select("id", "name"), "id")
+    }
+  }
+
+  test("compact rewrites many small files into few") {
+    val src = tmp(); val dst = tmp()
+    val docs = Tables.documents(spark, TestSpark.sf)
+    docs.repartition(40).write.mode("overwrite").parquet(src)
+    assert(new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet")) >= 40)
+    Sinks.compact(spark, src, dst, targetMB = 128)
+    assert(new java.io.File(dst).listFiles().count(_.getName.endsWith(".parquet")) <= 2)
+    val back = spark.read.parquet(dst)
+    assert(back.count() == docs.count())
+  }
+
   test("partitioned write prunes partitions at scan time") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val dir = tmp()
