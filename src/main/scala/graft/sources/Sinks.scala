@@ -45,11 +45,24 @@ object Sinks {
   def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(target.columns.sameElements(updates.columns),
       s"schemas differ: ${target.columns.toSeq} vs ${updates.columns.toSeq}")
-    import org.apache.spark.sql.functions.col
-    val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
+    // one projection for the rename (not a Project per column), plus a
+    // presence flag: matched rows take the update row WHOLESALE — an
+    // explicit NULL in an update must land, not fall back to the stale
+    // target value (per-column coalesce would blend the two rows)
+    val u = updates.toDF(updates.columns.toIndexedSeq.map("_u_" + _): _*)
+      .withColumn("_u__present", lit(true))
+      // MERGE semantics: multiple update rows for one key is an error,
+      // raised distributedly at execution time (no driver-side action)
+      .withColumn("_u__n", count(lit(1)).over(Window.partitionBy(col(s"_u_$key"))))
+      .withColumn("_u__present",
+        when(col("_u__n") > 1,
+          raise_error(lit(s"upsert: multiple update rows for one $key")))
+          .otherwise(col("_u__present")))
     target.join(u, col(key) === col(s"_u_$key"), "full_outer")
       .select(target.columns.toIndexedSeq.map { c =>
-        org.apache.spark.sql.functions.coalesce(col(s"_u_$c"), col(c)).as(c)
+        when(col("_u__present"), col(s"_u_$c")).otherwise(col(c)).as(c)
       }: _*)
   }
 
@@ -59,8 +72,11 @@ object Sinks {
   def compact(spark: SparkSession, path: String, outPath: String,
               targetMB: Int = 128): Unit = {
     val df = spark.read.parquet(path)
+    val target = targetMB * 1024L * 1024L
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
+    // ceiling division: a directory in (target, 2*target) must become
+    // two files of ~target, not one double-sized file
+    val parts = math.max(1, ((bytes + target - 1) / target).toInt)
     df.repartition(parts).write.mode("overwrite").parquet(outPath)
   }
 

@@ -51,11 +51,13 @@ class RelationalSpec extends AnyFunSuite {
   test("q16 filters parts before the distinct shuffle") {
     // the broadcast join must sit BELOW the distinct's aggregate, so
     // excluded parts never shuffle
+    // compare against the BOTTOM-most aggregate (the distinct): the
+    // topmost/final groupBy always prints before the join either way
     val plan = run("q16_parts_suppliers").queryExecution.executedPlan.toString
     val joinAt = plan.indexOf("BroadcastHashJoin")
-    val aggAt = plan.indexOf("HashAggregate")
-    assert(joinAt >= 0 && aggAt >= 0 && joinAt > aggAt,
-      s"expected join nested under (printed after) the aggregate:\n$plan")
+    val lastAggAt = plan.lastIndexOf("HashAggregate")
+    assert(joinAt >= 0 && lastAggAt >= 0 && joinAt > lastAggAt,
+      s"join must sit under the distinct aggregate (print after it):\n$plan")
   }
 
   test("semijoin + antijoin partition the big-spender customer set") {

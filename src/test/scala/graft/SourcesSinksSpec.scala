@@ -33,7 +33,7 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan)
   }
 
-  test("upsert: updates replace matches, unmatched rows insert, rest untouched") {
+  test("upsert: updates replace matches wholesale, unmatched insert, rest untouched") {
     import spark.implicits._
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v")
     val updates = Seq((2L, "B2", 99.0), (9L, "new", 1.0)).toDF("id", "name", "v")
@@ -44,6 +44,16 @@ class SourcesSinksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sinks.upsert(target, updates.select("id", "name"), "id")
     }
+    // an explicit NULL in an update row must LAND (MERGE semantics),
+    // not fall back to the stale target value
+    val nullUpd = Seq((2L, Option.empty[String], 5.0)).toDF("id", "name", "v")
+    val withNull = Sinks.upsert(target, nullUpd, "id")
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getDouble(2))).toMap
+    assert(withNull(2L) == (None, 5.0), s"null update did not land: ${withNull(2L)}")
+    // MERGE rejects multiple update rows for one key
+    val dup = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "name", "v")
+    val ex = intercept[Exception] { Sinks.upsert(target, dup, "id").collect() }
+    assert(ex.getMessage != null)
   }
 
   test("compact rewrites many small files into few") {
