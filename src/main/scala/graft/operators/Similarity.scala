@@ -79,6 +79,31 @@ object Similarity {
     centroids.select($"cell", $"ce".as("centroid"))
   }
 
+  /** Coarse centroid table: trained cells when given, else the
+    * deterministic first-k init (must not assume 0-based contiguous
+    * vec_ids — take the first k in id order and re-number). */
+  private def coarseCentroids(emb: DataFrame, nCells: Int,
+                              trained: Option[DataFrame]): DataFrame =
+    trained
+      .map(_.select(col("cell"), col("centroid").as("ce")))
+      .getOrElse(emb.orderBy(col("vec_id")).limit(nCells)
+        .select(row_number().over(Window.orderBy(col("vec_id"))).cast("long").as("cell"),
+          col("embedding").as("ce")))
+
+  /** The `keep` nearest cells for each row of `df` (broadcast of the
+    * tiny centroid table — the corpus is never shuffled here).
+    * cell_sim rounded to 9dp before ranking: the rank is then stable
+    * against sub-nano float drift (and engine-reproducible). */
+  private def nearestCells(centroids: DataFrame, df: DataFrame,
+                           idCol: String, vecCol: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cell_sim").desc, col("cell"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", round(Fns.cosine_sim(col(vecCol), col("ce")), 9))
+      .withColumn("cell_rk", row_number().over(w))
+      .filter(col("cell_rk") <= keep)
+      .drop("ce", "cell_sim", "cell_rk")
+  }
+
   /** IVF-style ANN. Coarse centroids default to a deterministic
     * first-k init; pass `trainedCentroids` (e.g. from [[kmeans]]) for
     * trained cells. */
@@ -92,27 +117,10 @@ object Similarity {
               trainedCentroids: Option[DataFrame] = None,
               broadcastProbes: Boolean = true): DataFrame = {
     import spark.implicits._
-    // default init must not assume 0-based contiguous vec_ids — take
-    // the first nCells in id order and re-number the cells
-    val centroids = trainedCentroids
-      .map(_.select(col("cell"), col("centroid").as("ce")))
-      .getOrElse(emb.orderBy($"vec_id").limit(nCells)
-        .select(row_number().over(Window.orderBy($"vec_id")).cast("long").as("cell"),
-          $"embedding".as("ce")))
+    val centroids = coarseCentroids(emb, nCells, trainedCentroids)
 
-    def nearestCells(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy($"cell_sim".desc, $"cell")
-      // cell_sim rounded to 9dp before ranking: the rank is then stable
-      // against sub-nano float drift (and engine-reproducible)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cell_sim", round(Fns.cosine_sim(col(vecCol), $"ce"), 9))
-        .withColumn("cell_rk", row_number().over(w))
-        .filter($"cell_rk" <= keep)
-        .drop("ce", "cell_sim", "cell_rk")
-    }
-
-    val assigned = nearestCells(emb, "vec_id", "embedding", 1) // corpus: 1 cell each
-    val probeCells = nearestCells(
+    val assigned = nearestCells(centroids, emb, "vec_id", "embedding", 1) // corpus: 1 cell each
+    val probeCells = nearestCells(centroids,
       probes.select($"vec_id".as("query_id"), $"embedding".as("qe")),
       "query_id", "qe", nProbe) // probes: nProbe cells
 
@@ -124,5 +132,29 @@ object Similarity {
         round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+  }
+
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * nearest coarse cell, then drop any vector that has a smaller-id
+    * neighbor with cosine ≥ tau *inside its cell*. Candidate pairs are
+    * an equi-join on cell id — each cell is processed independently
+    * (embarrassingly parallel), so pair generation is O(Σ cell²), tuned
+    * by nCells / trained centroids, never a corpus-wide cross join.
+    *
+    * Returns the removal list: (drop_id, kept_by = min qualifying
+    * smaller id, n_dups = number of qualifying smaller-id neighbors).
+    * Keep-set = corpus ∖ drop_ids. */
+  def semDedup(spark: SparkSession, emb: DataFrame, tau: Double,
+               nCells: Int = 8,
+               trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val centroids = coarseCentroids(emb, nCells, trainedCentroids)
+    val assigned = nearestCells(centroids, emb, "vec_id", "embedding", 1)
+    val lo = assigned.select($"cell", $"vec_id".as("keep_id"), $"embedding".as("ke"))
+    val hi = assigned.select($"cell", $"vec_id".as("drop_id"), $"embedding".as("de"))
+    lo.join(hi, lo("cell") === hi("cell") && $"keep_id" < $"drop_id")
+      .filter(round(Fns.cosine_sim($"ke", $"de"), 9) >= tau)
+      .groupBy($"drop_id")
+      .agg(min($"keep_id").as("kept_by"), count(lit(1)).as("n_dups"))
   }
 }

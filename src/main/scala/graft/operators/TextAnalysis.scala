@@ -85,4 +85,55 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
       DigitRunPattern, "[NUM]")
+
+  /** Word n-grams of `text` as an array column — computed in-scan
+    * (codegen'd higher-order functions, no explode until the caller
+    * wants one). Empty array when the doc has fewer than n tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = whitespaceTokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: which corpus docs share any word
+    * n-gram with the benchmark/eval set, and how many distinct grams
+    * leak. The benchmark side (eval suites — tiny next to a training
+    * corpus) collapses to distinct grams and broadcasts; corpus grams
+    * stream through the broadcast join inside the scan stage, so the
+    * only shuffle is the final per-doc count over *hits* — contaminated
+    * grams only, never the full corpus n-gram stream. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val grams = (df: DataFrame) =>
+      df.select(col("doc_id"), explode(wordNgrams(col("text"), n)).as("gram"))
+    val benchGrams = grams(benchmark).select(col("gram")).distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+  }
+
+  /** Gopher-style repetition signals, computed entirely in-scan (no
+    * shuffle — every metric is a pure function of one document):
+    *  - top_word_frac: occurrences of the most frequent token / tokens;
+    *  - dup_2gram_frac / dup_3gram_frac: fraction of n-gram occurrences
+    *    that are repeats beyond the first (1 − distinct/total).
+    * The mode count is O(distinct·n) per doc via filter-per-distinct —
+    * fine for web-scale docs (n ~ 10³); for book-length inputs swap in
+    * a sort-and-fold or the HeavyHitters sketch. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ws = whitespaceTokens(col("text"))
+    def dupFrac(grams: Column): Column =
+      when(size(grams) > 0,
+        round((size(grams) - size(array_distinct(grams))).cast("double") / size(grams), 9))
+        .otherwise(lit(0.0))
+    val modeCount = array_max(transform(array_distinct(ws),
+      x => size(filter(ws, y => y === x))))
+    docs.select(
+      col("doc_id"),
+      round(modeCount.cast("double") / size(ws), 9).as("top_word_frac"),
+      dupFrac(wordNgrams(col("text"), 2)).as("dup_2gram_frac"),
+      dupFrac(wordNgrams(col("text"), 3)).as("dup_3gram_frac"))
+  }
 }

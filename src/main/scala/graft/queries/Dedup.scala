@@ -213,7 +213,44 @@ object Dedup {
       |  AND stopword_ratio >= 0.02 AND mean_word_len < 5.0
       |ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup-style semantic dedup over embeddings: nearest-of-8 coarse
+    * cells (deterministic first-8 init — same cell law ann_ivf verifies),
+    * intra-cell pairs with cosine ≥ 0.4 (the corpus' near-dup ceiling is
+    * ~0.55), survivors keep the min id. The oracle replays cell
+    * assignment and pair pruning relationally. */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Similarity.semDedup(s, Tables.embeddings(s, dir), tau = 0.4)
+      .orderBy($"drop_id")
+  }
+
+  private val dedupSemanticCos =
+    """list_inner_product(%a::DOUBLE[], %b::DOUBLE[])
+      |      / (SQRT(list_inner_product(%a::DOUBLE[], %a::DOUBLE[]))
+      |         * SQRT(list_inner_product(%b::DOUBLE[], %b::DOUBLE[])))""".stripMargin
+
+  private def cosOf(a: String, b: String): String =
+    dedupSemanticCos.replace("%a", a).replace("%b", b)
+
+  private val dedupSemanticSql =
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, c.cell, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosOf("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ROUND(${cosOf("a.embedding", "b.embedding")}, 9) >= 0.4)
+       |SELECT drop_id, MIN(keep_id) AS kept_by, CAST(COUNT(*) AS BIGINT) AS n_dups
+       |FROM pairs GROUP BY drop_id ORDER BY drop_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_curation" -> QueryDef(dedupCuration, Some(dedupCurationSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),

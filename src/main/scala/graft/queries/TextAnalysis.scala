@@ -263,7 +263,60 @@ object TextAnalysis {
       |  WHERE len(ws) >= 2) u
       |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin
 
+  /** Benchmark decontamination: docs sharing any word 3-gram with the
+    * "benchmark" slice (doc_id % 97 == 0 stands in for an eval suite).
+    * Real decontamination uses longer grams (8–13) — the synthetic
+    * corpus' tiny vocabulary needs n=3 for a non-degenerate overlap;
+    * n is a parameter of the operator. */
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    TA.contamination(
+      corpus = docs.filter($"doc_id" % 97 =!= 0),
+      benchmark = docs.filter($"doc_id" % 97 === 0),
+      n = 3)
+      .orderBy($"doc_id")
+  }
+
+  private val textContaminationSql =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(ws)-1),
+      |          i -> array_to_string(ws[i:i+2], ' '))) AS gram
+      |      FROM ws WHERE len(ws) >= 3),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+      |SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hits
+      |FROM c JOIN b USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition quality signals — zero-shuffle (pure
+    * per-document functions evaluated inside the scan). */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TA.repetitionStats(Tables.documents(s, dir)).orderBy($"doc_id")
+  }
+
+  private val textRepetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, ws,
+      |        list_transform(range(1, len(ws)),   i -> array_to_string(ws[i:i+1], ' ')) AS g2,
+      |        list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) AS g3
+      |      FROM t)
+      |SELECT doc_id,
+      |  ROUND(CAST(list_max(list_transform(list_distinct(ws),
+      |      x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE) / len(ws), 9) AS top_word_frac,
+      |  CASE WHEN len(g2) > 0
+      |    THEN ROUND(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 9)
+      |    ELSE 0.0 END AS dup_2gram_frac,
+      |  CASE WHEN len(g3) > 0
+      |    THEN ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 9)
+      |    ELSE 0.0 END AS dup_3gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_contamination" -> QueryDef(textContamination, Some(textContaminationSql)),
+    "text_repetition" -> QueryDef(textRepetition, Some(textRepetitionSql)),
     "text_bigrams" -> QueryDef(textBigrams, Some(textBigramsSql)),
     "text_heavy_hitters" -> QueryDef(textHeavyHitters, Some(textHeavyHittersSql)),
     "corpus_splits" -> QueryDef(corpusSplits, Some(corpusSplitsSql)),
