@@ -23,7 +23,7 @@ object Bench {
       try {
         scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator).asScala
           .filter(d => Files.isDirectory(d) &&
-            Files.isRegularFile(d.resolve("lineitem.parquet")))
+            Files.exists(d.resolve("lineitem.parquet")))
           .flatMap(d => d.getFileName.toString.stripPrefix("sf").toDoubleOption
             .map(_ -> d))
           .toSeq.sortBy(_._1)
@@ -41,6 +41,7 @@ object Bench {
     // smallest available sf (excluded from timings) so measurements
     // reflect steady-state executor throughput, not Janino compile time.
     val warm = warmupDir(sfDir)
+    System.err.println(s"[bench] warm-up dir: $warm")
     SparkEntry.benchQueries.foreach { case (_, fn) =>
       try fn(spark, warm).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }

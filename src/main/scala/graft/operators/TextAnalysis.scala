@@ -93,7 +93,7 @@ object TextAnalysis {
     val ws = whitespaceTokens(text)
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, n))))
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 

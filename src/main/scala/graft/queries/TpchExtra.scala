@@ -286,10 +286,13 @@ object TpchExtra {
     * equality would be fragile). */
   private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: the per-supplier aggregate is tiny, but Catalyst
+    // would otherwise recompute it (two lineitem scans) for rev and max.
     val rev = Tables.lineitem(s, dir)
       .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
       .groupBy($"l_suppkey")
       .agg(sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))).as("rev_c"))
+      .localCheckpoint()
     val top = rev.agg(max($"rev_c").as("max_c"))
     val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_name")
     rev.crossJoin(broadcast(top))
