@@ -12,6 +12,7 @@ object SparkEntry {
     Ctr.defs,
     Relational.defs,
     TpchExtra.defs,
+    TpchFinal.defs,
     Graph.defs,
     OperatorShowcase.defs,
     Dedup.defs,
