@@ -13,6 +13,7 @@ object SparkEntry {
     Relational.defs,
     TpchExtra.defs,
     TpchFinal.defs,
+    Pipeline.defs,
     Graph.defs,
     OperatorShowcase.defs,
     Dedup.defs,

@@ -24,6 +24,47 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
       .select("doc_id", "copies")
 
+  /** Span-level exact substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", adapted from suffix
+    * arrays to fixed-width token windows): a span is an `n`-token
+    * window; a span position is "duplicated" when the same window text
+    * occurs in ≥2 distinct documents. Returns per-doc span counts and
+    * the duplicated fraction — the signal used to cut repeated
+    * boilerplate from a pre-training corpus.
+    *
+    * Scale: windows are reduced to 60-bit hashes in-scan, so the single
+    * shuffle moves fixed-width (hash, doc, pos) rows — never text. The
+    * per-hash occurrence list is collected once and exploded back
+    * (bounded by the duplication factor of one span; a pathological
+    * mega-span would need a count-then-join fallback), so the gram
+    * stream is computed exactly once — no self-join, no second scan.
+    */
+  def duplicateSpanStats(docs: DataFrame, n: Int = 10): DataFrame = {
+    val ws = TextAnalysis.whitespaceTokens(col("text"))
+    val grams = docs
+      .repartition(col("doc_id")) // test parquet is one row group — spread the explode
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.wordNgrams(col("text"), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+    val dupOccs = grams
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .filter(col("nd") >= 2)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_dup_spans"))
+    docs
+      .select(col("doc_id"), greatest(size(ws) - (n - 1), lit(0)).cast("long").as("n_spans"))
+      .join(dupOccs, col("doc_id") === col("d"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 9)))
+  }
+
   /** Per-doc MinHash/LSH index rows: `bands` band keys per document.
     * Join this to itself on (band, band_hash) to get candidate pairs.
     */

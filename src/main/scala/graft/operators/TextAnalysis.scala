@@ -122,6 +122,43 @@ object TextAnalysis {
     * The mode count is O(distinct·n) per doc via filter-per-distinct —
     * fine for web-scale docs (n ~ 10³); for book-length inputs swap in
     * a sort-and-fold or the HeavyHitters sketch. */
+  /** Gopher-style composite document filter (Rae et al. 2021 §A1.1
+    * adapted to the synthetic corpus): each rule is a pure in-scan
+    * predicate; `fail_mask` records which rules fired (bit k = rule k)
+    * and `keep` is their conjunction. All ratios are single divisions
+    * of exact integer counts, so threshold comparisons are
+    * bit-identical across engines. */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val ws = whitespaceTokens(col("text"))
+    val nTok = size(ws)
+    val stopRatio = size(filter(ws, t => t.isin(Stopwords.map(x => x: Any): _*)))
+      .cast("double") / nTok.cast("double")
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok.cast("double")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
+      length(col("text")).cast("double")
+    val g3 = wordNgrams(col("text"), 3)
+    val dup3 = when(size(g3) > 0,
+      (size(g3) - size(array_distinct(g3))).cast("double") / size(g3).cast("double"))
+      .otherwise(lit(0.0))
+    val topWord = array_max(transform(array_distinct(ws),
+      x => size(filter(ws, y => y === x)))).cast("double") / nTok.cast("double")
+    val rules: Seq[(Int, Column)] = Seq(
+      0 -> (nTok < 20),             // too short
+      1 -> (stopRatio < 0.03),      // not natural-language-like
+      2 -> (mwl < 3.0 || mwl > 10.0), // gibberish token lengths
+      3 -> (topWord > 0.15),        // single-token domination
+      4 -> (dup3 > 0.1),            // boilerplate repetition
+      5 -> (punct > 0.3))           // symbol soup
+    val mask = rules.foldLeft(lit(0L)) { case (acc, (bit, cond)) =>
+      acc + when(cond, lit(1L << bit)).otherwise(lit(0L))
+    }
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      mask.as("fail_mask"))
+      .withColumn("keep", col("fail_mask") === 0L)
+  }
+
   def repetitionStats(docs: DataFrame): DataFrame = {
     val ws = whitespaceTokens(col("text"))
     def dupFrac(grams: Column): Column =

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup => DedupOps, TextAnalysis => TA}
+
+/** Round-3 pipeline batch: span-level substring dedup, the Gopher
+  * composite quality filter, the Gram-matrix block matmul, triangle
+  * counting (the classic multi-way-join MapReduce workload), and
+  * per-domain quota sampling.
+  */
+object Pipeline {
+
+  /** Lee-et-al-style duplicated-span statistics over 10-token windows. */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.duplicateSpanStats(Tables.documents(s, dir), n = 10).orderBy($"doc_id")
+  }
+
+  private val dedupSubstringSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-9)) AS i FROM toks),
+      |grams AS (SELECT doc_id, i AS pos,
+      |  CAST('0x' || substring(md5(array_to_string(ws[i:i+9], ' ')), 1, 15) AS BIGINT) AS gh
+      |  FROM pos),
+      |dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS nd FROM grams JOIN dup USING (gh) GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id,
+      |  CAST(GREATEST(len(string_split(text, ' ')) - 9, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_spans,
+      |  CASE WHEN len(string_split(text, ' ')) - 9 <= 0 THEN 0.0
+      |    ELSE ROUND(CAST(COALESCE(nd, 0) AS DOUBLE)
+      |      / (len(string_split(text, ' ')) - 9), 9) END AS dup_frac
+      |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Gopher composite keep/drop with per-rule fail bitmask. */
+  private def textGopherFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TA.gopherFilter(Tables.documents(s, dir)).orderBy($"doc_id")
+  }
+
+  private val textGopherFilterSql =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |m AS (SELECT doc_id, len(ws) AS n_tokens,
+      |  CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+      |    / len(ws) AS stop_ratio,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS mwl,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct,
+      |  list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) AS g3,
+      |  CAST(list_max(list_transform(list_distinct(ws),
+      |      x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE) / len(ws) AS topword
+      |  FROM t),
+      |r AS (SELECT doc_id, n_tokens, stop_ratio, mwl, punct, topword,
+      |  CASE WHEN len(g3) > 0
+      |    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      |    ELSE 0.0 END AS dup3
+      |  FROM m)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN stop_ratio < 0.03 THEN 2 ELSE 0 END)
+      |     + (CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 4 ELSE 0 END)
+      |     + (CASE WHEN topword > 0.15 THEN 8 ELSE 0 END)
+      |     + (CASE WHEN dup3 > 0.1 THEN 16 ELSE 0 END)
+      |     + (CASE WHEN punct > 0.3 THEN 32 ELSE 0 END) AS BIGINT) AS fail_mask,
+      |  ((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN stop_ratio < 0.03 THEN 2 ELSE 0 END)
+      |     + (CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 4 ELSE 0 END)
+      |     + (CASE WHEN topword > 0.15 THEN 8 ELSE 0 END)
+      |     + (CASE WHEN dup3 > 0.1 THEN 16 ELSE 0 END)
+      |     + (CASE WHEN punct > 0.3 THEN 32 ELSE 0 END)) = 0 AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Gram matrix EᵀE over micro-quantized embeddings — one map-side
+    * combinable aggregation; the shuffle carries one 32 KB buffer per
+    * task (see functions.GramMatrix). */
+  private def embGram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val gram = udaf(new graft.functions.GramMatrix(dim))
+    Tables.embeddings(s, dir)
+      .select(transform($"embedding",
+        x => round(x.cast("double") * 1e6).cast("long")).as("qv"))
+      .agg(gram($"qv").as("g"))
+      .select(posexplode($"g").as(Seq("k", "g_c")))
+      .select((($"k" cast "long") / lit(dim.toLong)).cast("long").as("i0"),
+        pmod($"k", lit(dim)).cast("long").as("j0"), $"g_c")
+      .select(($"i0" + 1L).as("i"), ($"j0" + 1L).as("j"), $"g_c")
+      .orderBy($"i", $"j")
+  }
+
+  private val embGramSql =
+    """WITH q AS (SELECT list_transform(embedding,
+      |    x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv
+      |  FROM embeddings)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |  CAST(SUM(qv[i]*qv[j]) AS BIGINT) AS g_c
+      |FROM q, range(1, 65) r1(i), range(1, 65) r2(j)
+      |GROUP BY i, j ORDER BY i, j""".stripMargin
+
+  /** Triangle counting over the part co-purchase graph (parts appearing
+    * in the same order, 10% order sample by key so edge density stays
+    * bounded as sf grows). Edge list derives from ONE co-keyed
+    * self-join and is localCheckpoint'd — it feeds three join legs.
+    * Per-node counts keyed by the triangle's smallest vertex. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val edges = l.as("a").join(l.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+      .localCheckpoint()
+    edges.as("e1")
+      .join(edges.as("e2"), col("e1.pb") === col("e2.pa"))
+      .join(edges.as("e3"),
+        col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"), "left_semi")
+      .groupBy(col("e1.pa").as("part_a"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"part_a")
+  }
+
+  private val qTrianglesSql =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+      |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      |SELECT e1.pa AS part_a, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa
+      |WHERE EXISTS (SELECT 1 FROM pairs e3
+      |              WHERE e3.pa = e1.pa AND e3.pb = e2.pb)
+      |GROUP BY e1.pa ORDER BY part_a""".stripMargin
+
+  /** Per-domain quota sampling: keep the K lowest-hash docs per source
+    * — the deterministic "cap each domain" curation step (stable under
+    * reruns and growth, no global pass). */
+  private def corpusCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(concat(lit("cap:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+      .filter($"rk" <= 10)
+      .select($"doc_id", $"source", $"rk".cast("long").as("rk"))
+      .orderBy($"source", $"rk")
+  }
+
+  private val corpusCapSql =
+    """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+      |FROM (SELECT doc_id, source,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY CAST('0x' || substring(md5('cap:' || doc_id::VARCHAR), 1, 15) AS BIGINT),
+      |            doc_id) AS rk
+      |      FROM documents) t
+      |WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "dedup_substring" -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
+    "text_gopher_filter" -> QueryDef(textGopherFilter, Some(textGopherFilterSql)),
+    "emb_gram" -> QueryDef(embGram, Some(embGramSql)),
+    "q_triangles" -> QueryDef(qTriangles, Some(qTrianglesSql)),
+    "corpus_cap" -> QueryDef(corpusCap, Some(corpusCapSql))
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+import graft.functions.GramMatrix
+
+/** Round-3 additions: span-level substring dedup, Gopher composite
+  * filter, Gram-matrix aggregator. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // 12 tokens: spans of 10 tokens at positions 1..3
+  private val span = "a b c d e f g h i j k l"
+
+  test("duplicateSpanStats counts positions of cross-doc shared windows") {
+    val d = docs(Seq(
+      (1L, span),                      // shares all 3 spans with doc 2
+      (2L, span),
+      (3L, "totally unlike anything else in the corpus at all here now"), // 11 tokens, 2 spans, unshared
+      (4L, "short doc")))              // < 10 tokens → 0 spans
+    val got = Dedup.duplicateSpanStats(d, n = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("duplicateSpanStats: partial overlap counts only the shared window") {
+    // doc 2 contains doc 1's exact 10-token window once, shifted
+    val d = docs(Seq(
+      (1L, "a b c d e f g h i j"),             // exactly one span
+      (2L, "x " + "a b c d e f g h i j" + " y") // 12 tokens, 3 spans, 1 shared (pos 2)
+    ))
+    val got = Dedup.duplicateSpanStats(d, n = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((3L, 1L)))
+  }
+
+  test("gopherFilter sets the right fail bits") {
+    val stopRich = (1 to 30).map(_ => "the word").mkString(" ") // 60 tokens but "the"/"word" dominate
+    val clean = ("the quick brown fox jumps over a lazy dog and then runs " +
+      "of to the big red barn while birds sing and wind blows softly today").trim
+    val short = "tiny doc here"
+    val d = docs(Seq((1L, clean), (2L, short), (3L, stopRich)))
+    val got = TextAnalysis.gopherFilter(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((0L, true)), s"clean doc should pass: ${got(1L)}")
+    assert((got(2L)._1 & 1L) == 1L && !got(2L)._2)   // rule 0: too short
+    assert((got(3L)._1 & 8L) == 8L && !got(3L)._2)   // rule 3: top-word domination
+  }
+
+  test("GramMatrix equals the brute-force outer-product sum and survives partitioning") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1L, 2L, 3L),
+      Seq(-4L, 5L, -6L),
+      Seq(7L, -8L, 9L),
+      Seq(2L, 2L, 2L))
+    val expected = Array.ofDim[Long](9)
+    vecs.foreach { v =>
+      for (i <- 0 until 3; j <- 0 until 3) expected(i * 3 + j) += v(i) * v(j)
+    }
+    val gram = udaf(new GramMatrix(3))
+    val got = vecs.toDF("qv").repartition(4)
+      .agg(gram($"qv").as("g")).collect()(0).getSeq[Long](0)
+    assert(got.toArray.sameElements(expected))
+  }
+}
