@@ -162,7 +162,42 @@ object Pipeline {
       |WHERE rk <= 10
       |ORDER BY source, rk""".stripMargin
 
+  /** Gap sessionization via Spark's built-in `session_window` — the
+    * third formulation of the same semantics (dual-Window lag+cumsum,
+    * custom SessionizeExec, built-in session windows). Note the
+    * boundary: session_window closes at exactly start+gap (end
+    * exclusive), so the oracle's new-session predicate is `>=`. */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("first_event"), max($"event_id").as("last_event"))
+      .select($"user_id",
+        date_format($"sw.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events", $"first_event", $"last_event")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val qSessionWindowSql =
+    """WITH x AS (
+      | SELECT user_id, event_id, ts,
+      |   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      | FROM events),
+      |y AS (
+      | SELECT user_id, event_id, ts,
+      |   CAST(SUM(CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+      |     THEN 1 ELSE 0 END)
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      | FROM x)
+      |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      | COUNT(*) AS n_events,
+      | MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_session_window" -> QueryDef(qSessionWindow, Some(qSessionWindowSql)),
     "dedup_substring" -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
     "text_gopher_filter" -> QueryDef(textGopherFilter, Some(textGopherFilterSql)),
     "emb_gram" -> QueryDef(embGram, Some(embGramSql)),

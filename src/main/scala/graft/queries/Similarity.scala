@@ -152,9 +152,73 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Recall@5 of the IVF path against the exact brute-force answer —
+    * the evaluation loop an ANN deployment runs before trusting the
+    * approximate index. Both sides reuse the operators above; the join
+    * is on (query, neighbor) pairs, grouped per query. */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bf = Sim.bruteForce(s, emb, probes(s, dir), k = 5)
+      .select($"query_id", $"neighbor_id")
+    val ivf = Sim.ivfTopK(s, emb, probes(s, dir), k = 5)
+      .select($"query_id".as("iq"), $"neighbor_id".as("in_"))
+    bf.join(ivf, $"query_id" === $"iq" && $"neighbor_id" === $"in_", "left")
+      .groupBy($"query_id")
+      .agg(count($"iq").as("n_hit"))
+      .select($"query_id", $"n_hit",
+        round($"n_hit".cast("double") / 5.0, 9).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  // Composes the brute-force and IVF oracles (CTEs renamed apart) and
+  // joins their top-5 sets.
+  private val annRecallSql =
+    s"""WITH q1 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc1 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q1 JOIN embeddings e ON e.vec_id <> q1.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc1) x WHERE rk <= 5),
+       |cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, c.cell, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pc AS (
+       |  SELECT query_id, cell, qe FROM (
+       |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) x WHERE crk <= 2),
+       |sc2 AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM pc JOIN asg a USING (cell) WHERE a.vec_id <> pc.query_id),
+       |iv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc2) x WHERE rk <= 5)
+       |SELECT bf.query_id, CAST(COUNT(iv.neighbor_id) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(COUNT(iv.neighbor_id) AS DOUBLE) / 5.0, 9) AS recall
+       |FROM bf LEFT JOIN iv
+       |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ann_bruteforce" -> QueryDef(annBruteforce, Some(annBruteforceSql), bench = true),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
-    "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql))
+    "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
+    "ann_recall" -> QueryDef(annRecall, Some(annRecallSql))
   )
 }

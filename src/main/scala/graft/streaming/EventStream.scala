@@ -45,6 +45,15 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Stream-static enrichment + gate: join a document stream against a
+    * static blocklist (broadcast — the static side is a dim table, so
+    * no shuffle ever touches the stream) and drop blocked sources.
+    * The static side is re-read per micro-batch, so blocklist updates
+    * take effect without restarting the query — the standard
+    * "slowly-changing reference data" streaming pattern. */
+  def streamingBlocklistFilter(docs: DataFrame, blocklist: DataFrame): DataFrame =
+    docs.join(broadcast(blocklist), Seq("source"), "left_anti")
+
   /** Streaming CTR — the reference pipeline (ClickThru.java) as a
     * stream-stream join. Impressions and clicks arrive as separate
     * streams; a click joins its impression within `joinWindow` (the

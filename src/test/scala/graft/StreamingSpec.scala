@@ -99,6 +99,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static blocklist join drops blocked sources, streams the rest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val blocklist = Seq("spam_farm", "seo_mill").toDF("source")
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.EventStream.streamingBlocklistFilter(
+      input.toDF.toDF("doc_id", "source", "text"), blocklist)
+      .writeStream.format("memory").queryName("sblock").outputMode("append").start()
+    try {
+      input.addData((1L, "wiki", "a"), (2L, "spam_farm", "b"), (3L, "news", "c"))
+      q.processAllAvailable()
+      input.addData((4L, "seo_mill", "d"), (5L, "wiki", "e"))
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from sblock").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
