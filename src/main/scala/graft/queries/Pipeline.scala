@@ -196,7 +196,64 @@ object Pipeline {
       | MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** Exact edit-distance verification of near-dup candidates, blocked
+    * by length band (candidates must share `n_chars div 16`) so the
+    * quadratic distance only runs inside small buckets — the standard
+    * "block, then verify exactly" dedup step. Both engines implement
+    * classic unit-cost Levenshtein. */
+  private def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"text", expr("n_chars div 16").as("blk"))
+    d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
+      .filter($"edit_dist" <= 20)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val dedupEditdistSql =
+    """WITH b AS (SELECT doc_id, text, n_chars // 16 AS blk FROM documents)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |  CAST(levenshtein(a.text, c.text) AS BIGINT) AS edit_dist
+      |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.text, c.text) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** CDC change-set derivation between two deterministic snapshots of
+    * orders (key-hash simulated inserts/updates/deletes). */
+  private def qCdcDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice")
+    val snapA = base.filter($"o_orderkey" % 7 =!= 0)
+    val snapB = base.filter($"o_orderkey" % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 11 === 0, $"o_totalprice" + 1.0).otherwise($"o_totalprice"))
+    graft.operators.Cdc.snapshotDiff(snapA, snapB, "o_orderkey")
+      .orderBy($"o_orderkey")
+  }
+
+  private val qCdcDiffSql =
+    """WITH a AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+      |b AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+      |      ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 <> 0)
+      |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |       WHEN b.o_orderkey IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change_type
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR a.o_totalprice <> b.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
+    "q_cdc_diff" -> QueryDef(qCdcDiff, Some(qCdcDiffSql)),
     "q_session_window" -> QueryDef(qSessionWindow, Some(qSessionWindowSql)),
     "dedup_substring" -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
     "text_gopher_filter" -> QueryDef(textGopherFilter, Some(textGopherFilterSql)),

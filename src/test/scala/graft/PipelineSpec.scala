@@ -57,6 +57,17 @@ class PipelineSpec extends AnyFunSuite {
     assert((got(3L)._1 & 8L) == 8L && !got(3L)._2)   // rule 3: top-word domination
   }
 
+  test("snapshotDiff classifies inserts, updates, deletes and drops unchanged rows") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("k", "s", "v")
+    val b = Seq((2L, "y", 20.0), (3L, "z", 31.0), (4L, "w", 40.0))
+      .toDF("k", "s", "v")
+    val got = graft.operators.Cdc.snapshotDiff(a, b, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
+  }
+
   test("GramMatrix equals the brute-force outer-product sum and survives partitioning") {
     import spark.implicits._
     val vecs = Seq(
