@@ -149,10 +149,14 @@ object Dedup {
     // Join on the 64-bit shingle hash, not the string: the self-join
     // moves/compares 8-byte keys instead of ~25-byte UTF8 strings.
     // (Counts differ from exact only on a 64-bit collision.)
+    // localCheckpoint: the shingle set feeds three consumers (both
+    // self-join sides + per-doc sizes); aliasing defeats Catalyst's
+    // exchange reuse, so without it the explode+distinct runs thrice.
     val sh = tok
       .select($"doc_id", explode(
         expr(s"transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w))))")).as("s"))
       .distinct()
+      .localCheckpoint()
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")

@@ -89,9 +89,13 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
     val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    // df as a window over tf: each (doc, term) row is one distinct doc
+    // for that term, so COUNT(*) per term partition == document
+    // frequency. One explode+aggregate instead of two, no tf⋈df join.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"term")))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+    val scored = withDf.crossJoin(broadcast(total))
       .withColumn("tfidf", round($"tf" * log($"n_docs".cast("double") / $"df"), 9))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
