@@ -10,5 +10,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    // standard row_number-top-k window queries plan as the heap exec
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

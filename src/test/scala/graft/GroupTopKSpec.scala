@@ -25,6 +25,49 @@ class GroupTopKSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("TopKRewrite: window row_number filter plans as GroupTopKExec with equal results") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def windowTopK = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")))
+      .filter($"rk" <= 2)
+    val expected = windowTopK.collect().toSet // rule off: plain window plan
+    graft.plans.AutoTopK.enable(spark)
+    try {
+      val rewritten = windowTopK
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("GroupTopK"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(rewritten.collect().toSet == expected)
+    } finally graft.plans.AutoTopK.disable(spark)
+    // rule off again: back to the window plan
+    assert(windowTopK.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("TopKRewrite leaves rank()/mismatched filters alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    graft.plans.AutoTopK.enable(spark)
+    try {
+      val ranked = graft.sources.Tables.orders(spark, TestSpark.sf)
+        .select($"o_custkey", $"o_orderkey")
+        .withColumn("rk", rank().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_orderkey")))
+        .filter($"rk" <= 2)
+      assert(ranked.queryExecution.executedPlan.toString.contains("Window"))
+      val wrongFilter = graft.sources.Tables.orders(spark, TestSpark.sf)
+        .select($"o_custkey", $"o_orderkey")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_orderkey")))
+        .filter($"rn" >= 2) // bottom-k is not top-k
+      assert(wrongFilter.queryExecution.executedPlan.toString.contains("Window"))
+    } finally graft.plans.AutoTopK.disable(spark)
+  }
+
   test("ties + small groups + k larger than group") {
     import spark.implicits._
     val df = Seq(
