@@ -251,7 +251,109 @@ object Pipeline {
       |   OR a.o_totalprice <> b.o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Schema evolution: legacy rows (no event_type) union current rows
+    * via unionByName(allowMissingColumns) — missing columns become
+    * NULL, exactly like parquet mergeSchema across old/new files. */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.queries.QueryDef.{dbl, dec}
+    val ev = Tables.events(s, dir)
+    val legacy = ev.filter($"event_id" % 2 === 0)
+      .select($"event_id", $"user_id", $"value")
+    val current = ev.filter($"event_id" % 2 =!= 0)
+      .select($"event_id", $"user_id", $"value", $"event_type")
+    legacy.unionByName(current, allowMissingColumns = true)
+      .groupBy(coalesce($"event_type", lit("unknown")).as("etype"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec($"value"))).as("sum_value"))
+      .orderBy($"etype")
+  }
+
+  private val qSchemaEvolutionSql =
+    """WITH u AS (
+      |  SELECT event_id, user_id, value, NULL AS event_type
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id, user_id, value, event_type
+      |  FROM events WHERE event_id % 2 <> 0)
+      |SELECT COALESCE(event_type, 'unknown') AS etype, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM u GROUP BY etype ORDER BY etype""".stripMargin
+
+  /** Incremental aggregation: persistable daily partials (count +
+    * exact integer cents) re-aggregated to monthly — the partial-sums
+    * pattern every incremental pipeline runs instead of rescanning raw
+    * history. The oracle computes the monthly answer directly from the
+    * raw events, proving partial-merge == full recompute. */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.queries.QueryDef.cents
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(cents($"value")).as("v_c"))
+    daily
+      .groupBy(substring($"day", 1, 7).as("month"), $"event_type")
+      .agg(sum($"n").as("n"), (sum($"v_c").cast("double") / 100.0).as("sum_value"))
+      .orderBy($"month", $"event_type")
+  }
+
+  private val qIncrementalAggSql =
+    """SELECT strftime(ts, '%Y-%m') AS month, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events GROUP BY month, event_type
+      |ORDER BY month, event_type""".stripMargin
+
+  /** Product-quantization codes (the PQ half of IVF-PQ, Jégou et al.
+    * 2011): 8 subspaces × 8 dims, 4 centroids per subspace (first-4
+    * deterministic init, as ann_ivf), nearest by exact integer squared
+    * L2 on micro-quantized values — codes are 8 small ints per vector
+    * (64-dim float32 → 8 bytes, a 32× compression). The centroid table
+    * is tiny and broadcast; assignment is in-scan argmin. */
+  private def embPqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = transform($"embedding", x => round(x.cast("double") * 1e6).cast("long"))
+    val emb = Tables.embeddings(s, dir).select($"vec_id", quant.as("qv"))
+    val cents = emb.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("cid"), $"qv".as("cv"))
+      .crossJoin(s.range(8).select($"id".cast("int").as("sub")))
+    val dist = aggregate(
+      zip_with(slice($"qv", $"sub" * 8 + 1, lit(8)), slice($"cv", $"sub" * 8 + 1, lit(8)),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"sub", $"cid", dist.as("d2"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d2", $"cid")).as("best"))
+      .select($"vec_id", $"sub".cast("long").as("sub"),
+        $"best.cid".cast("long").as("code"), $"best.d2".as("d2"))
+      .orderBy($"vec_id", $"sub")
+  }
+
+  private val embPqCodesSql =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT c.vec_id AS cid, c.qv AS cv, s.sub
+      |  FROM q c, (SELECT unnest(range(0, 8)) AS sub) s
+      |  WHERE c.vec_id < 4),
+      |scored AS (
+      |  SELECT q.vec_id, cents.sub, cents.cid,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (qv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)])
+      |         * (qv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)]))) AS d2
+      |  FROM q CROSS JOIN cents),
+      |r AS (
+      |  SELECT vec_id, sub, cid, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+      |  FROM scored)
+      |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
+      |  CAST(d2 AS BIGINT) AS d2
+      |FROM r WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_schema_evolution" -> QueryDef(qSchemaEvolution, Some(qSchemaEvolutionSql)),
+    "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
+    "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "q_cdc_diff" -> QueryDef(qCdcDiff, Some(qCdcDiffSql)),
     "q_session_window" -> QueryDef(qSessionWindow, Some(qSessionWindowSql)),
