@@ -203,8 +203,13 @@ object Pipeline {
     * classic unit-cost Levenshtein. */
   private def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Without the repartition the tiny block table broadcasts and the
+    // single-row-group scan streams through ONE task — every
+    // levenshtein on one core. Round-robin spread first: the O(len²)
+    // distance work is the whole cost of this operator.
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"text", expr("n_chars div 16").as("blk"))
+      .repartition(s.sparkContext.defaultParallelism)
     d.as("a").join(d.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

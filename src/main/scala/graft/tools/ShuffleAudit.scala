@@ -24,8 +24,12 @@ object ShuffleAudit {
       }
     })
 
+    // default: the bench set; args: audit those query names instead
+    val targets =
+      if (args.nonEmpty) graft.SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else graft.SparkEntry.benchQueries
     println(f"${"query"}%-24s ${"input_mb"}%9s ${"shuffle_mb"}%10s ${"spill_mb"}%9s")
-    graft.SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    targets.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       shuffleWrite.set(0); spill.set(0); input.set(0)
       try {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
