@@ -355,7 +355,48 @@ object Pipeline {
       |  CAST(d2 AS BIGINT) AS d2
       |FROM r WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin
 
+  /** Typed cogroup — the MapReduce reduce-side join generalized: both
+    * inputs arrive grouped by key in one task, and arbitrary Scala
+    * logic folds the two iterators. Here: per-customer order count,
+    * total cents, and a flag for customers with orders but no high
+    * value one — logic that would need two joins + conditional aggs
+    * relationally. One shuffle per side, co-partitioned by the key.
+    * The oracle re-derives the same answer with SQL aggregates. */
+  private def qCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name").as[(Long, String)]
+    val ords = Tables.orders(s, dir)
+      .select($"o_custkey", round($"o_totalprice" * 100).cast("long")).as[(Long, Long)]
+    cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) { (k, cs, os) =>
+      val name = cs.map(_._2).toSeq.headOption
+      name match {
+        case None => Iterator.empty // orders with no customer row: drop
+        case Some(n) =>
+          val cents = os.map(_._2).toArray
+          Iterator((k, n, cents.length.toLong, cents.sum,
+            cents.nonEmpty && !cents.exists(_ > 20000000L)))
+      }
+    }.toDF("c_custkey", "c_name", "n_orders", "total_cents", "small_spender")
+      .select($"c_custkey", $"c_name", $"n_orders",
+        ($"total_cents".cast("double") / 100.0).as("total_spent"), $"small_spender")
+      .orderBy($"c_custkey")
+  }
+
+  private val qCogroupSql =
+    """SELECT c_custkey, c_name,
+      |  CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS DOUBLE)/100.0
+      |    AS total_spent,
+      |  COUNT(o_custkey) > 0 AND
+      |    COUNT(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) > 20000000 THEN 1 END) = 0
+      |    AS small_spender
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cogroup" -> QueryDef(qCogroup, Some(qCogroupSql)),
     "q_schema_evolution" -> QueryDef(qSchemaEvolution, Some(qSchemaEvolutionSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
     "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
