@@ -395,7 +395,36 @@ object Pipeline {
       |GROUP BY c_custkey, c_name
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated LATERAL subquery through the pure-SQL surface
+    * (spark.sql over temp views): top order per customer. Catalyst
+    * decorrelates the per-row subquery into a join — proving the SQL
+    * front door, not just the DataFrame API, drives this engine. */
+  private def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, total
+        |FROM customer_v c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0 AS total
+        |         FROM orders_v
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val qLateralSql =
+    """SELECT c_custkey, o_orderkey, total
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey,
+      |           CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0 AS total
+      |         FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_lateral" -> QueryDef(qLateral, Some(qLateralSql)),
     "q_cogroup" -> QueryDef(qCogroup, Some(qCogroupSql)),
     "q_schema_evolution" -> QueryDef(qSchemaEvolution, Some(qSchemaEvolutionSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
