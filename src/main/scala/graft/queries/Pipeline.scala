@@ -423,7 +423,30 @@ object Pipeline {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
       |ORDER BY c_custkey""".stripMargin
 
+  /** ROLLUP with grouping_id(): the subtotal-level marker downstream
+    * BI layers key on (0 = leaf, 1 = nation subtotal, 3 = grand
+    * total) — same bitmask convention in Spark and DuckDB. */
+  private def qGroupingId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .select(coalesce($"n_name", lit("ALL")).as("nat"),
+        coalesce($"c_mktsegment", lit("ALL")).as("seg"), $"gid", $"n")
+      .orderBy($"gid", $"nat", $"seg")
+  }
+
+  private val qGroupingIdSql =
+    """SELECT COALESCE(n_name, 'ALL') AS nat, COALESCE(c_mktsegment, 'ALL') AS seg,
+      |  CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+      |  COUNT(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY gid, nat, seg""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_grouping_id" -> QueryDef(qGroupingId, Some(qGroupingIdSql)),
     "q_lateral" -> QueryDef(qLateral, Some(qLateralSql)),
     "q_cogroup" -> QueryDef(qCogroup, Some(qCogroupSql)),
     "q_schema_evolution" -> QueryDef(qSchemaEvolution, Some(qSchemaEvolutionSql)),

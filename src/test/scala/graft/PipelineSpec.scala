@@ -57,6 +57,20 @@ class PipelineSpec extends AnyFunSuite {
     assert((got(3L)._1 & 8L) == 8L && !got(3L)._2)   // rule 3: top-word domination
   }
 
+  test("emb_gram plans map-side partial aggregation around one exchange") {
+    val df = SparkEntry.queries("emb_gram")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length == 2, plan)
+    assert("Exchange".r.findAllIn(plan).length <= 2, plan) // agg + final sort
+  }
+
+  test("dedup_editdist spreads the levenshtein stage (no single-task BHJ stream)") {
+    val df = SparkEntry.queries("dedup_editdist")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RoundRobinPartitioning"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("snapshotDiff classifies inserts, updates, deletes and drops unchanged rows") {
     import spark.implicits._
     val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
