@@ -445,7 +445,68 @@ object Pipeline {
       |GROUP BY ROLLUP (n_name, c_mktsegment)
       |ORDER BY gid, nat, seg""".stripMargin
 
+  /** Per-domain token-budget cut: walk each source in deterministic
+    * hash order accumulating token counts, keep docs while the running
+    * total fits the budget — the data-mixing step that caps each
+    * domain's token contribution (not doc count: long docs use more
+    * budget). One shuffle (the window partition). */
+  private def corpusTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(concat(lit("tb:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("tok"), h.as("h"))
+      .withColumn("cum", sum($"tok").over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= 1500)
+      .select($"doc_id", $"source", $"tok", $"cum")
+      .orderBy($"source", $"cum")
+  }
+
+  private val corpusTokenBudgetSql =
+    """SELECT doc_id, source, tok, cum FROM (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source
+      |      ORDER BY CAST('0x' || substring(md5('tb:' || doc_id::VARCHAR), 1, 15) AS BIGINT),
+      |        doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM documents) t
+      |WHERE cum <= 1500
+      |ORDER BY source, cum""".stripMargin
+
+  /** Exact-arithmetic 3σ outlier flags: the z-score test cross-
+    * multiplied into pure int64 — (n·v − Σv)² > 9(nΣv² − (Σv)²) — so
+    * both engines agree bit-for-bit (no sqrt, no float variance).
+    * Per-type moments broadcast back; the flag is evaluated in-scan.
+    * Int64 bounds hold through sf1 (documented: |v_c| ≤ 5·10⁴,
+    * n ≤ 2·10⁶ ⇒ every term < 2⁶²). */
+  private def eventsZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.queries.QueryDef.cents
+    val ev = Tables.events(s, dir).select($"event_id", $"event_type", cents($"value").as("v_c"))
+    val m = ev.groupBy($"event_type".as("et"))
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("s1"), sum($"v_c" * $"v_c").as("s2"))
+    ev.join(broadcast(m), $"event_type" === $"et")
+      .filter(($"n" * $"v_c" - $"s1") > 0 &&
+        ($"n" * $"v_c" - $"s1") * ($"n" * $"v_c" - $"s1") > lit(9L) * ($"n" * $"s2" - $"s1" * $"s1"))
+      .select($"event_id", $"event_type", ($"v_c".cast("double") / 100.0).as("value"))
+      .orderBy($"event_id")
+  }
+
+  private val eventsZscoreSql =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(ROUND(value*100) AS BIGINT) AS v_c FROM events),
+      |m AS (SELECT event_type AS et, COUNT(*) AS n, SUM(v_c) AS s1,
+      |    SUM(v_c*v_c) AS s2 FROM e GROUP BY 1)
+      |SELECT event_id, event_type, CAST(v_c AS DOUBLE)/100.0 AS value
+      |FROM e JOIN m ON event_type = et
+      |WHERE (n*v_c - s1) > 0 AND (n*v_c - s1)*(n*v_c - s1) > 9*(n*s2 - s1*s1)
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_token_budget" -> QueryDef(corpusTokenBudget, Some(corpusTokenBudgetSql)),
+    "events_zscore" -> QueryDef(eventsZscore, Some(eventsZscoreSql)),
     "q_grouping_id" -> QueryDef(qGroupingId, Some(qGroupingIdSql)),
     "q_lateral" -> QueryDef(qLateral, Some(qLateralSql)),
     "q_cogroup" -> QueryDef(qCogroup, Some(qCogroupSql)),
