@@ -62,15 +62,18 @@ object Graph {
   }
 
   private val pagerankSql: String = {
+    // MATERIALIZED: edges/outdeg are referenced by all 10 iteration
+    // CTEs — without the hint DuckDB may re-inline the 4-table join
+    // per reference (OOM at sf0.1).
     val head =
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
         |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  WHERE c_nationkey <> s_nationkey),
-        |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
         |nodes AS (SELECT n_nationkey AS id FROM nation),
         |cnt AS (SELECT COUNT(*) AS n FROM nodes),
         |pr0 AS (SELECT id, 1000000000 // n AS rank_n FROM nodes CROSS JOIN cnt)""".stripMargin
