@@ -210,6 +210,47 @@ object Kernels {
     * in safe signed-64 range, so the identical recurrence is computable
     * by any engine with plain BIGINT arithmetic (the oracle replays it
     * with a list_reduce fold). */
+  /** Banded bounded edit distance (Ukkonen 1985): exact Levenshtein
+    * when it is ≤ maxDist, else maxDist+1 — O((2k+1)·n) time instead of
+    * O(n·m), with an early exit when a whole band row exceeds the
+    * bound. For dedup verification (dist ≤ 20 over ~300-char docs)
+    * that is ~15× less DP work than the full matrix. */
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Int = {
+    val s = a.toString; val t = b.toString
+    val n = s.length; val m = t.length
+    val inf = maxDist + 1
+    if (Math.abs(n - m) > maxDist) return inf
+    if (n == 0) return m // |m-0| <= maxDist here
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= maxDist) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = Math.max(1, i - maxDist)
+      val hi = Math.min(m, i + maxDist)
+      cur(0) = if (i <= maxDist) i else inf
+      if (lo > 1) cur(lo - 1) = inf // left band border
+      var rowMin = cur(0)
+      j = lo
+      while (j <= hi) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        val del = if (prev(j) < inf) prev(j) + 1 else inf
+        val ins = if (cur(j - 1) < inf) cur(j - 1) + 1 else inf
+        val sub = if (prev(j - 1) < inf) prev(j - 1) + cost else inf
+        val v = Math.min(Math.min(del, ins), Math.min(sub, inf))
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < m) cur(hi + 1) = inf // right band border for the next row
+      if (rowMin >= inf) return inf // no cell can recover below the bound
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    Math.min(prev(m), inf)
+  }
+
   def rollingHash(text: UTF8String): Long = {
     val s = text.toString
     var h = 0L
@@ -358,6 +399,26 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bounded edit distance: exact when ≤ maxDist, else maxDist+1 (see
+  * Kernels.boundedLevenshtein — banded DP, O(k·n) not O(n·m)). */
+case class BoundedLevenshtein(left: Expression, right: Expression, maxDist: Int)
+    extends BinaryExpression {
+  require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bounded_levenshtein expects (string, string), got (${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.boundedLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], maxDist)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.boundedLevenshtein($a, $b, $maxDist)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket id of a float-vector column. */
 case class LshBucket(child: Expression, numPlanes: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -385,6 +446,8 @@ object Fns {
   def minhash_sig_md5(c: Column, numPerms: Int = 32): Column =
     column(MinHashSigMd5(expression(c), numPerms))
   def lsh_bucket(c: Column, numPlanes: Int = 16): Column = column(LshBucket(expression(c), numPlanes))
+  def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
+    column(BoundedLevenshtein(expression(a), expression(b), maxDist))
 
   /** Make the native expressions available from SQL:
     * `SELECT cosine_sim(a, b), simhash64(text) ...`. */

@@ -210,10 +210,14 @@ object Pipeline {
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"text", expr("n_chars div 16").as("blk"))
       .repartition(s.sparkContext.defaultParallelism)
+    // Banded kernel: exact for dist ≤ 20 (all surviving rows), 21
+    // sentinel otherwise — O(k·n) per pair instead of O(n·m), with an
+    // early bail when a whole band row exceeds the bound.
     d.as("a").join(d.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
+        graft.functions.Fns.bounded_levenshtein(col("a.text"), col("b.text"), 20)
+          .cast("long").as("edit_dist"))
       .filter($"edit_dist" <= 20)
       .orderBy($"doc_a", $"doc_b")
   }

@@ -23,6 +23,35 @@ class KernelsPropertySpec extends AnyFunSuite {
     sa.zip(sb).count { case (x, y) => x == y } / 128.0
   }
 
+  test("boundedLevenshtein == exact levenshtein when within bound, sentinel above") {
+    def mutate(s: String, edits: Int): String = {
+      var cs = s.toVector
+      (1 to edits).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 if cs.nonEmpty => cs = cs.updated(rnd.nextInt(cs.size), ('a' + rnd.nextInt(26)).toChar)
+          case 1 if cs.nonEmpty => cs = cs.patch(rnd.nextInt(cs.size), Nil, 1)
+          case _ => cs = cs.patch(rnd.nextInt(cs.size + 1), Seq(('a' + rnd.nextInt(26)).toChar), 0)
+        }
+      }
+      cs.mkString
+    }
+    (1 to 200).foreach { _ =>
+      val a = doc(3 + rnd.nextInt(15))
+      val b = if (rnd.nextBoolean()) mutate(a, rnd.nextInt(12)) else doc(3 + rnd.nextInt(15))
+      val k = rnd.nextInt(25)
+      val exact = u8(a).levenshteinDistance(u8(b))
+      val got = Kernels.boundedLevenshtein(u8(a), u8(b), k)
+      if (exact <= k) assert(got == exact, s"a=$a b=$b k=$k exact=$exact got=$got")
+      else assert(got == k + 1, s"a=$a b=$b k=$k exact=$exact got=$got")
+    }
+    // edges: empty strings, identical, k=0
+    assert(Kernels.boundedLevenshtein(u8(""), u8(""), 0) == 0)
+    assert(Kernels.boundedLevenshtein(u8("abc"), u8("abc"), 0) == 0)
+    assert(Kernels.boundedLevenshtein(u8("abc"), u8("abd"), 0) == 1)
+    assert(Kernels.boundedLevenshtein(u8(""), u8("abc"), 2) == 3)
+    assert(Kernels.boundedLevenshtein(u8(""), u8("ab"), 2) == 2)
+  }
+
   test("minhash estimate tracks exact jaccard within 3 sigma over 50 random pairs") {
     var maxErr = 0.0
     for (_ <- 1 to 50) {
