@@ -32,7 +32,7 @@ final class GramMatrix(dim: Int)
       var j = 0
       while (j < dim) {
         val k = i * dim + j
-        b(k) = Math.addExact(b(k), qi * q(j))
+        b(k) = Math.addExact(b(k), Math.multiplyExact(qi, q(j)))
         j += 1
       }
       i += 1

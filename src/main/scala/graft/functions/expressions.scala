@@ -216,7 +216,11 @@ object Kernels {
     * bound. For dedup verification (dist ≤ 20 over ~300-char docs)
     * that is ~15× less DP work than the full matrix. */
   def boundedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Int = {
-    val s = a.toString; val t = b.toString
+    // code POINTS, not UTF-16 units — Spark's levenshtein and DuckDB's
+    // both count code points, and the oracle compare needs parity for
+    // non-BMP characters (emoji etc.)
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     val n = s.length; val m = t.length
     val inf = maxDist + 1
     if (Math.abs(n - m) > maxDist) return inf
@@ -234,7 +238,7 @@ object Kernels {
       var rowMin = cur(0)
       j = lo
       while (j <= hi) {
-        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
         val del = if (prev(j) < inf) prev(j) + 1 else inf
         val ins = if (cur(j - 1) < inf) cur(j - 1) + 1 else inf
         val sub = if (prev(j - 1) < inf) prev(j - 1) + cost else inf

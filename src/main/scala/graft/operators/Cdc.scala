@@ -21,12 +21,17 @@ object Cdc {
       "snapshots must share a schema")
     def pack(side: String): Column =
       struct(payload.map(c => col(s"$side.$c")): _*)
-    val a = oldSnap.as("a")
-    val b = newSnap.as("b")
+    // explicit presence flags, NOT key-null checks: a NULL key never
+    // joins (NULL = NULL is not true), and checking a.key IS NULL
+    // would misread such an old-side row as an insert. NULL-key rows
+    // surface as one delete + one insert — the honest answer, since
+    // no equality can pair them.
+    val a = oldSnap.withColumn("_a_present", lit(true)).as("a")
+    val b = newSnap.withColumn("_b_present", lit(true)).as("b")
     a.join(b, col(s"a.$key") === col(s"b.$key"), "full_outer")
       .withColumn("change_type",
-        when(col(s"a.$key").isNull, lit("insert"))
-          .when(col(s"b.$key").isNull, lit("delete"))
+        when(col("_a_present").isNull, lit("insert"))
+          .when(col("_b_present").isNull, lit("delete"))
           .when(pack("a") =!= pack("b"), lit("update"))
           .otherwise(lit("same")))
       .filter(col("change_type") =!= "same")

@@ -41,19 +41,22 @@ object Dedup {
     */
   def duplicateSpanStats(docs: DataFrame, n: Int = 10): DataFrame = {
     val ws = TextAnalysis.whitespaceTokens(col("text"))
+    // collect_list keeps one entry per OCCURRENCE (a doc repeating the
+    // same span contributes each position), so bare doc_ids carry the
+    // full multiplicity — no need to haul span positions through the
+    // aggregation state.
     val grams = docs
       .repartition(col("doc_id")) // test parquet is one row group — spread the explode
       .select(col("doc_id"),
-        posexplode(TextAnalysis.wordNgrams(col("text"), n)).as(Seq("pos0", "gram")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        explode(TextAnalysis.wordNgrams(col("text"), n)).as("gram"))
+      .select(col("doc_id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
     val dupOccs = grams
       .groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"),
-        collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+        collect_list(col("doc_id")).as("occ"))
       .filter(col("nd") >= 2)
-      .select(explode(col("occ")).as("o"))
-      .select(col("o.doc_id").as("d"))
+      .select(explode(col("occ")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("n_dup_spans"))
     docs
       .select(col("doc_id"), greatest(size(ws) - (n - 1), lit(0)).cast("long").as("n_spans"))

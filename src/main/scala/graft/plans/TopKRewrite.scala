@@ -21,11 +21,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
-  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
-    case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k)
-    case GreaterThan(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+  // Long arithmetic: `rn < Int.MinValue` must not wrap to a huge k
+  private def limitOf(cond: Expression, rn: Attribute): Option[Long] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k.toLong)
+    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k.toLong - 1)
+    case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k.toLong)
+    case GreaterThan(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k.toLong - 1)
     case _ => None
   }
 
@@ -38,7 +39,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
           spec.partitionSpec == partitionSpec && spec.orderSpec == orderSpec =>
       val rn = alias.toAttribute
       limitOf(cond, rn) match {
-        case Some(k) if k > 0 =>
+        case Some(kL) if kL > 0 && kL <= Int.MaxValue =>
+          val k = kL.toInt
           // Spark's InferWindowGroupLimit has already run (extra
           // optimizations are a final batch) and may have inserted a
           // WindowGroupLimit below the Window; the heap exec needs

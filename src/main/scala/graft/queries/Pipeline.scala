@@ -480,20 +480,23 @@ object Pipeline {
       |ORDER BY source, cum""".stripMargin
 
   /** Exact-arithmetic 3σ outlier flags: the z-score test cross-
-    * multiplied into pure int64 — (n·v − Σv)² > 9(nΣv² − (Σv)²) — so
-    * both engines agree bit-for-bit (no sqrt, no float variance).
-    * Per-type moments broadcast back; the flag is evaluated in-scan.
-    * Int64 bounds hold through sf1 (documented: |v_c| ≤ 5·10⁴,
-    * n ≤ 2·10⁶ ⇒ every term < 2⁶²). */
+    * multiplied — (n·v − Σv)² > 9(nΣv² − (Σv)²) — with the squared
+    * terms in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): both exact to
+    * 10³⁸, so the engines agree bit-for-bit (no sqrt, no float
+    * variance) and the headroom holds far past sf1000 (every term
+    * ≤ ~10²¹ there). Moments broadcast back; the flag is in-scan. */
   private def eventsZscore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.queries.QueryDef.cents
+    import org.apache.spark.sql.types.DecimalType
     val ev = Tables.events(s, dir).select($"event_id", $"event_type", cents($"value").as("v_c"))
     val m = ev.groupBy($"event_type".as("et"))
       .agg(count(lit(1)).as("n"), sum($"v_c").as("s1"), sum($"v_c" * $"v_c").as("s2"))
+    val big = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val dev = big($"n" * $"v_c" - $"s1")
     ev.join(broadcast(m), $"event_type" === $"et")
       .filter(($"n" * $"v_c" - $"s1") > 0 &&
-        ($"n" * $"v_c" - $"s1") * ($"n" * $"v_c" - $"s1") > lit(9L) * ($"n" * $"s2" - $"s1" * $"s1"))
+        dev * dev > big(lit(9L)) * (big($"n") * big($"s2") - big($"s1") * big($"s1")))
       .select($"event_id", $"event_type", ($"v_c".cast("double") / 100.0).as("value"))
       .orderBy($"event_id")
   }
@@ -505,7 +508,9 @@ object Pipeline {
       |    SUM(v_c*v_c) AS s2 FROM e GROUP BY 1)
       |SELECT event_id, event_type, CAST(v_c AS DOUBLE)/100.0 AS value
       |FROM e JOIN m ON event_type = et
-      |WHERE (n*v_c - s1) > 0 AND (n*v_c - s1)*(n*v_c - s1) > 9*(n*s2 - s1*s1)
+      |WHERE (n*v_c - s1) > 0
+      |  AND CAST(n*v_c - s1 AS HUGEINT) * CAST(n*v_c - s1 AS HUGEINT)
+      |    > 9 * (CAST(n AS HUGEINT)*CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT)*CAST(s1 AS HUGEINT))
       |ORDER BY event_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(

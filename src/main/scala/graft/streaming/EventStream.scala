@@ -95,13 +95,25 @@ object EventStream {
     * micro-batch is collapsed to its last row per key (by `seqCol`,
     * then any tie-break column order the caller bakes into seqCol),
     * merged into the target with `Sinks.upsert` (wholesale-row MERGE
-    * semantics), and atomically swapped in (write new snapshot, then
-    * rename — readers never see a half-written table).
+    * semantics), and swapped in via two directory renames (old →
+    * trash, staging → live). The swap is NOT transactional on a plain
+    * local/object filesystem — a reader can race the rename pair, and
+    * a crash between them leaves the snapshot in the trash dir for
+    * manual recovery; production deployments replace exactly this step
+    * with a transactional-table commit (the dataflow is identical).
     *
-    * Scale: the per-batch merge is one co-partitioned full-outer join;
-    * on a real deployment the swap becomes a transactional-table
-    * commit, but the dataflow is identical. Returns the started query.
+    * Scale: the per-batch merge is one co-partitioned full-outer join.
+    * Returns the started query.
     */
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+
   def upsertSink(updates: DataFrame, targetDir: String, key: String,
                  seqCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
@@ -122,12 +134,12 @@ object EventStream {
         val tmp = targetDir + "_staging"
         merged.write.mode("overwrite").parquet(tmp) // materialize BEFORE touching the target we just read
         val tmpPath = java.nio.file.Paths.get(tmp)
-        if (java.nio.file.Files.exists(tgtPath)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tgtPath).iterator.asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-        }
+        val trash = java.nio.file.Paths.get(targetDir + "_old")
+        deleteTree(trash)
+        if (java.nio.file.Files.exists(tgtPath))
+          java.nio.file.Files.move(tgtPath, trash) // one rename, not a slow recursive delete of the live dir
         java.nio.file.Files.move(tmpPath, tgtPath)
+        deleteTree(trash)
         ()
       }
       .start()

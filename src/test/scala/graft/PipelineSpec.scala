@@ -82,6 +82,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
   }
 
+  test("snapshotDiff: NULL keys never pair — old side is a delete, new side an insert") {
+    import spark.implicits._
+    val a = Seq((Some(1L), "x"), (None, "ghost")).toDF("k", "v")
+    val b = Seq((Some(1L), "x"), (None, "ghost")).toDF("k", "v")
+    val got = graft.operators.Cdc.snapshotDiff(a, b, "k").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+    assert(got.count(_ == (None -> "delete")) == 1, got.toSeq)
+    assert(got.count(_ == (None -> "insert")) == 1, got.toSeq)
+    assert(!got.exists(_._1.contains(1L)), got.toSeq) // unchanged row stays dropped
+  }
+
   test("GramMatrix equals the brute-force outer-product sum and survives partitioning") {
     import spark.implicits._
     val vecs = Seq(
