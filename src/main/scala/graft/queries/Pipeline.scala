@@ -317,24 +317,54 @@ object Pipeline {
     * L2 on micro-quantized values — codes are 8 small ints per vector
     * (64-dim float32 → 8 bytes, a 32× compression). The centroid table
     * is tiny and broadcast; assignment is in-scan argmin. */
-  private def embPqCodes(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def quantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val quant = transform($"embedding", x => round(x.cast("double") * 1e6).cast("long"))
-    val emb = Tables.embeddings(s, dir).select($"vec_id", quant.as("qv"))
-    val cents = emb.filter($"vec_id" < 4)
+    Tables.embeddings(s, dir).select($"vec_id", quant.as("qv"))
+  }
+
+  /** Subspace codebook (4 centroids × 8 subspaces, first-4 init) with
+    * the squared-L2 column factored out for reuse by codes and LUTs. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantized(s, dir).filter($"vec_id" < 4)
       .select($"vec_id".cast("int").as("cid"), $"qv".as("cv"))
       .crossJoin(s.range(8).select($"id".cast("int").as("sub")))
-    val dist = aggregate(
-      zip_with(slice($"qv", $"sub" * 8 + 1, lit(8)), slice($"cv", $"sub" * 8 + 1, lit(8)),
+  }
+
+  /** Exact int² L2 between a vector's `sub` slice and a centroid's. */
+  private def subDist: org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(slice(col("qv"), col("sub") * 8 + 1, lit(8)),
+        slice(col("cv"), col("sub") * 8 + 1, lit(8)),
         (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
-    emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"sub", $"cid", dist.as("d2"))
+
+  /** (vec_id, sub, code, d2): nearest codebook entry per subspace. */
+  private[queries] def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantized(s, dir).crossJoin(broadcast(pqCodebook(s, dir)))
+      .select($"vec_id", $"sub", $"cid", subDist.as("d2"))
       .groupBy($"vec_id", $"sub")
       .agg(min(struct($"d2", $"cid")).as("best"))
       .select($"vec_id", $"sub".cast("long").as("sub"),
         $"best.cid".cast("long").as("code"), $"best.d2".as("d2"))
-      .orderBy($"vec_id", $"sub")
+  }
+
+  private def embPqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqCodes(s, dir).orderBy($"vec_id", $"sub")
+  }
+
+  /** ADC lookup table for the probe set: per (query, subspace,
+    * codebook entry) exact int² distance — 320 rows, broadcast by the
+    * ann_pq_adc consumer. */
+  private[queries] def pqLut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantized(s, dir).filter($"vec_id" < 10)
+      .crossJoin(broadcast(pqCodebook(s, dir)))
+      .select($"vec_id".as("query_id"), $"sub".cast("long").as("sub"),
+        $"cid".cast("long").as("cid"), subDist.as("d2q"))
   }
 
   private val embPqCodesSql =
@@ -513,7 +543,71 @@ object Pipeline {
       |    > 9 * (CAST(n AS HUGEINT)*CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT)*CAST(s1 AS HUGEINT))
       |ORDER BY event_id""".stripMargin
 
+  /** The full curation DAG in one plan: Gopher quality gate → exact
+    * dedup (min-doc_id survivor per text) → per-domain token budget.
+    * Each stage is the already-verified operator; composing them here
+    * proves the stages chain without materialization between (one
+    * Catalyst plan, stage boundaries only at the dedup groupBy and the
+    * budget window). */
+  private def corpusCurateE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val kept = TA.gopherFilter(docs).filter($"keep").select($"doc_id")
+    val surv = docs.join(kept, "doc_id")
+      .groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val h = conv(substring(md5(concat(lit("cur:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    docs.join(surv, "doc_id")
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("tok"), h.as("h"))
+      .withColumn("cum", sum($"tok").over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= 1500)
+      .select($"doc_id", $"source", $"tok", $"cum")
+      .orderBy($"source", $"cum")
+  }
+
+  private val corpusCurateE2eSql =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |m AS (SELECT doc_id, len(ws) AS n_tokens,
+      |  CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+      |    / len(ws) AS stop_ratio,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS mwl,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct,
+      |  list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) AS g3,
+      |  CAST(list_max(list_transform(list_distinct(ws),
+      |      x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE) / len(ws) AS topword
+      |  FROM t),
+      |r AS (SELECT doc_id, n_tokens, stop_ratio, mwl, punct, topword,
+      |  CASE WHEN len(g3) > 0
+      |    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      |    ELSE 0.0 END AS dup3
+      |  FROM m),
+      |keepers AS (SELECT doc_id FROM r
+      |  WHERE NOT (n_tokens < 20) AND NOT (stop_ratio < 0.03)
+      |    AND NOT (mwl < 3.0 OR mwl > 10.0) AND NOT (topword > 0.15)
+      |    AND NOT (dup3 > 0.1) AND NOT (punct > 0.3)),
+      |surv AS (
+      |  SELECT MIN(d.doc_id) AS doc_id
+      |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+      |  GROUP BY d.text),
+      |sd AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
+      |  FROM documents d JOIN surv s ON d.doc_id = s.doc_id),
+      |b AS (
+      |  SELECT doc_id, source, tok,
+      |    CAST(SUM(tok) OVER (PARTITION BY source
+      |      ORDER BY CAST('0x' || substring(md5('cur:' || doc_id::VARCHAR), 1, 15) AS BIGINT),
+      |        doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM sd)
+      |SELECT doc_id, source, tok, cum FROM b WHERE cum <= 1500
+      |ORDER BY source, cum""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_curate_e2e" -> QueryDef(corpusCurateE2e, Some(corpusCurateE2eSql)),
     "corpus_token_budget" -> QueryDef(corpusTokenBudget, Some(corpusTokenBudgetSql)),
     "events_zscore" -> QueryDef(eventsZscore, Some(eventsZscoreSql)),
     "q_grouping_id" -> QueryDef(qGroupingId, Some(qGroupingIdSql)),

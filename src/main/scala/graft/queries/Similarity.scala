@@ -215,10 +215,87 @@ object Similarity {
        |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  /** PQ asymmetric-distance search (Jégou et al. 2011 ADC): queries
+    * build a tiny per-subspace lookup table against the codebook
+    * (10×8×4 ints, broadcast), candidates are ranked by the sum of
+    * table entries over their stored codes — compressed-domain math
+    * only, no candidate vector is touched — then the top-20 shortlist
+    * is re-ranked by exact cosine. At 100 TB the scan side reads 8-byte
+    * codes instead of 256-byte vectors (32× less IO) and the LUT join
+    * is a broadcast; only the 20-row shortlist costs full-width reads. */
+  private def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = Pipeline.pqCodes(s, dir)
+      .select($"vec_id".as("cand_id"), $"sub".as("c_sub"), $"code")
+    val lut = Pipeline.pqLut(s, dir) // (query_id, sub, cid, d2q)
+    val adc = codes
+      .join(broadcast(lut), $"c_sub" === $"sub" && $"code" === $"cid")
+      .filter($"cand_id" =!= $"query_id")
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"d2q").as("adc"))
+    val w20 = Window.partitionBy($"query_id").orderBy($"adc", $"cand_id")
+    val shortlist = adc.withColumn("crk", row_number().over(w20)).filter($"crk" <= 20)
+    val emb = Tables.embeddings(s, dir)
+    val exact = shortlist
+      .join(emb.select($"vec_id", $"embedding".as("qe")), $"query_id" === $"vec_id")
+      .drop("vec_id")
+      .join(emb.select($"vec_id", $"embedding"), $"cand_id" === $"vec_id")
+      .select($"query_id", $"cand_id".as("neighbor_id"),
+        round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+    val w5 = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    exact.withColumn("rk", row_number().over(w5)).filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id", $"rk", $"cos_sim")
+      .orderBy($"query_id", $"rk")
+  }
+
+  private val annPqAdcSql =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT c.vec_id AS cid, c.qv AS cv, s.sub
+       |  FROM q c, (SELECT unnest(range(0, 8)) AS sub) s
+       |  WHERE c.vec_id < 4),
+       |dists AS (
+       |  SELECT q.vec_id, cb.sub, cb.cid,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> (qv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)])
+       |         * (qv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)]))) AS d2
+       |  FROM q CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id AS cand_id, sub AS c_sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+       |    FROM dists) x WHERE rk = 1),
+       |lut AS (SELECT vec_id AS query_id, sub, cid, d2 AS d2q
+       |        FROM dists WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT query_id, cand_id, SUM(d2q) AS adc
+       |  FROM codes JOIN lut ON c_sub = sub AND code = cid
+       |  WHERE cand_id <> query_id
+       |  GROUP BY query_id, cand_id),
+       |shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS crk
+       |    FROM adc) x WHERE crk <= 20),
+       |exact AS (
+       |  SELECT s.query_id, s.cand_id AS neighbor_id,
+       |    ROUND(${cosSql("eq.embedding", "ec.embedding")}, 9) AS cos_sim
+       |  FROM shortlist s
+       |  JOIN embeddings eq ON eq.vec_id = s.query_id
+       |  JOIN embeddings ec ON ec.vec_id = s.cand_id)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM exact) x WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ann_bruteforce" -> QueryDef(annBruteforce, Some(annBruteforceSql), bench = true),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
-    "ann_recall" -> QueryDef(annRecall, Some(annRecallSql))
+    "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
+    "ann_pq_adc" -> QueryDef(annPqAdc, Some(annPqAdcSql))
   )
 }
