@@ -479,5 +479,10 @@ object Fns {
       case Seq(c, n) => LshBucket(c, intArg(n, "numPlanes"))
       case es => throw new IllegalArgumentException(s"lsh_bucket takes 1-2 args, got ${es.length}")
     })
+    registerFunction(spark, "bounded_levenshtein", {
+      case Seq(a, b, k) => BoundedLevenshtein(a, b, intArg(k, "maxDist"))
+      case es => throw new IllegalArgumentException(
+        s"bounded_levenshtein takes 3 args (a, b, maxDist), got ${es.length}")
+    })
   }
 }

@@ -11,11 +11,15 @@ class FnsSqlSpec extends AnyFunSuite {
       """SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c,
         |       simhash64('a b c') AS sh,
         |       rolling_hash('abc') AS rh,
-        |       size(minhash_sig('w1 w2 w3 w4')) AS sig_len""".stripMargin).collect()(0)
+        |       size(minhash_sig('w1 w2 w3 w4')) AS sig_len,
+        |       bounded_levenshtein('kitten', 'sitting', 10) AS bl,
+        |       bounded_levenshtein('kitten', 'sitting', 2) AS bl_capped""".stripMargin).collect()(0)
     assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
     assert(r.getAs[Long]("sh") == graft.functions.Kernels.simhash64(UTF8String.fromString("a b c")))
     assert(r.getAs[Long]("rh") == graft.functions.Kernels.rollingHash(UTF8String.fromString("abc")))
     assert(r.getAs[Int]("sig_len") == 128)
+    assert(r.getAs[Int]("bl") == 3)
+    assert(r.getAs[Int]("bl_capped") == 3) // sentinel = maxDist + 1
   }
 
   test("cosine_sim handles float arrays, double arrays, and mixes") {
