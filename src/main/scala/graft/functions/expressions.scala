@@ -215,25 +215,45 @@ object Kernels {
     * O(n·m), with an early exit when a whole band row exceeds the
     * bound. For dedup verification (dist ≤ 20 over ~300-char docs)
     * that is ~15× less DP work than the full matrix. */
+  // code POINTS, not UTF-16 units — Spark's levenshtein and DuckDB's
+  // both count code points, and the oracle compare needs parity for
+  // non-BMP characters. ASCII/BMP strings take the allocation-light
+  // charAt copy; only surrogate-bearing strings pay the stream path.
+  private def codePointsOf(str: String): Array[Int] = {
+    var i = 0
+    var bmp = true
+    while (bmp && i < str.length) {
+      if (Character.isSurrogate(str.charAt(i))) bmp = false
+      i += 1
+    }
+    if (bmp) {
+      val out = new Array[Int](str.length)
+      var j = 0
+      while (j < str.length) { out(j) = str.charAt(j); j += 1 }
+      out
+    } else str.codePoints().toArray
+  }
+
   def boundedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Int = {
-    // code POINTS, not UTF-16 units — Spark's levenshtein and DuckDB's
-    // both count code points, and the oracle compare needs parity for
-    // non-BMP characters (emoji etc.)
-    val s = a.toString.codePoints().toArray
-    val t = b.toString.codePoints().toArray
+    val s = codePointsOf(a.toString)
+    val t = codePointsOf(b.toString)
     val n = s.length; val m = t.length
-    val inf = maxDist + 1
-    if (Math.abs(n - m) > maxDist) return inf
-    if (n == 0) return m // |m-0| <= maxDist here
+    // distance never exceeds max(n, m): clamping the bound there (and
+    // at 0 below) keeps `inf`/band arithmetic overflow-free for any
+    // SQL-supplied maxDist, without changing results
+    val k = Math.min(Math.max(maxDist, 0), Math.max(n, m))
+    val inf = k + 1
+    if (Math.abs(n - m) > k) return inf
+    if (n == 0) return m // |m-0| <= k here
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
     var j = 0
-    while (j <= m) { prev(j) = if (j <= maxDist) j else inf; j += 1 }
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
     var i = 1
     while (i <= n) {
-      val lo = Math.max(1, i - maxDist)
-      val hi = Math.min(m, i + maxDist)
-      cur(0) = if (i <= maxDist) i else inf
+      val lo = Math.max(1, i - k)
+      val hi = Math.min(m, i + k)
+      cur(0) = if (i <= k) i else inf
       if (lo > 1) cur(lo - 1) = inf // left band border
       var rowMin = cur(0)
       j = lo

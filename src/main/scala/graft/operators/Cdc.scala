@@ -26,12 +26,12 @@ object Cdc {
     // would misread such an old-side row as an insert. NULL-key rows
     // surface as one delete + one insert — the honest answer, since
     // no equality can pair them.
-    val a = oldSnap.withColumn("_a_present", lit(true)).as("a")
-    val b = newSnap.withColumn("_b_present", lit(true)).as("b")
+    val a = oldSnap.withColumn("__graft_a_present", lit(true)).as("a")
+    val b = newSnap.withColumn("__graft_b_present", lit(true)).as("b")
     a.join(b, col(s"a.$key") === col(s"b.$key"), "full_outer")
       .withColumn("change_type",
-        when(col("_a_present").isNull, lit("insert"))
-          .when(col("_b_present").isNull, lit("delete"))
+        when(col("__graft_a_present").isNull, lit("insert"))
+          .when(col("__graft_b_present").isNull, lit("delete"))
           .when(pack("a") =!= pack("b"), lit("update"))
           .otherwise(lit("same")))
       .filter(col("change_type") =!= "same")

@@ -510,23 +510,23 @@ object Pipeline {
       |ORDER BY source, cum""".stripMargin
 
   /** Exact-arithmetic 3σ outlier flags: the z-score test cross-
-    * multiplied — (n·v − Σv)² > 9(nΣv² − (Σv)²) — with the squared
-    * terms in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): both exact to
-    * 10³⁸, so the engines agree bit-for-bit (no sqrt, no float
-    * variance) and the headroom holds far past sf1000 (every term
-    * ≤ ~10²¹ there). Moments broadcast back; the flag is in-scan. */
+    * multiplied — (n·v − Σv)² > 9(nΣv² − (Σv)²) — computed end-to-end
+    * in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), INCLUDING the moment
+    * sums themselves: both exact to 10³⁸, so the engines agree
+    * bit-for-bit (no sqrt, no float variance, no silent int64 wrap in
+    * the Σv² aggregation at large n). Moments broadcast back; the flag
+    * is evaluated in-scan. */
   private def eventsZscore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.queries.QueryDef.cents
     import org.apache.spark.sql.types.DecimalType
+    val big = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
     val ev = Tables.events(s, dir).select($"event_id", $"event_type", cents($"value").as("v_c"))
     val m = ev.groupBy($"event_type".as("et"))
-      .agg(count(lit(1)).as("n"), sum($"v_c").as("s1"), sum($"v_c" * $"v_c").as("s2"))
-    val big = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-    val dev = big($"n" * $"v_c" - $"s1")
+      .agg(count(lit(1)).as("n"), sum(big($"v_c")).as("s1"), sum(big($"v_c") * big($"v_c")).as("s2"))
+    val dev = big($"n") * big($"v_c") - $"s1"
     ev.join(broadcast(m), $"event_type" === $"et")
-      .filter(($"n" * $"v_c" - $"s1") > 0 &&
-        dev * dev > big(lit(9L)) * (big($"n") * big($"s2") - big($"s1") * big($"s1")))
+      .filter(dev > 0 && dev * dev > big(lit(9L)) * (big($"n") * $"s2" - $"s1" * $"s1"))
       .select($"event_id", $"event_type", ($"v_c".cast("double") / 100.0).as("value"))
       .orderBy($"event_id")
   }

@@ -126,6 +126,13 @@ object EventStream {
             Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
           .filter(col("_rk") === 1).drop("_rk")
         val tgtPath = java.nio.file.Paths.get(targetDir)
+        val trashPath = java.nio.file.Paths.get(targetDir + "_old")
+        // crash recovery: a failure between the two swap renames leaves
+        // the only live snapshot in the trash dir — restore it before
+        // merging, or this batch would silently rebuild from itself
+        if (!java.nio.file.Files.exists(tgtPath) &&
+            java.nio.file.Files.exists(trashPath))
+          java.nio.file.Files.move(trashPath, tgtPath)
         val merged =
           if (java.nio.file.Files.exists(tgtPath))
             graft.sources.Sinks.upsert(
