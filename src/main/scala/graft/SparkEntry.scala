@@ -19,6 +19,7 @@ object SparkEntry {
     Dedup.defs,
     Similarity.defs,
     TextAnalysis.defs,
+    Retrieval.defs,
     Multimodal.defs
   )
 

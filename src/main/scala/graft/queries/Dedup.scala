@@ -50,8 +50,11 @@ object Dedup {
       .orderBy($"doc_id", $"perm")
   }
 
-  private val dedupMinhashSql =
-    """WITH coefs AS (
+  /** Shared oracle fragment: the md5-family MinHash signature table
+    * (doc_id × perm → minhash). Single-sourced so dedup_minhash and
+    * dedup_minhash_pairs can't diverge. */
+  private val minhashSigCtes =
+    """coefs AS (
       |  SELECT j AS perm,
       |    CAST('0x' || substring(md5('a:' || j::VARCHAR), 1, 8) AS BIGINT) % 1073741824 AS a,
       |    CAST('0x' || substring(md5('b:' || j::VARCHAR), 1, 8) AS BIGINT) % 1073741824 AS b
@@ -65,11 +68,16 @@ object Dedup {
       |  FROM tok),
       |hs AS (
       |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
-      |  FROM shg)
-      |SELECT doc_id, perm,
-      |  MIN((a * (h >> 30) + b * (h & 1073741823)) % 2147483647) AS minhash
-      |FROM hs CROSS JOIN coefs
-      |GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin
+      |  FROM shg),
+      |sig AS (
+      |  SELECT doc_id, perm,
+      |    MIN((a * (h >> 30) + b * (h & 1073741823)) % 2147483647) AS minhash
+      |  FROM hs CROSS JOIN coefs
+      |  GROUP BY doc_id, perm)""".stripMargin
+
+  private val dedupMinhashSql =
+    s"""WITH $minhashSigCtes
+      |SELECT doc_id, perm, minhash FROM sig ORDER BY doc_id, perm""".stripMargin
 
   /** SimHash signatures, hash-verified: the query uses the 60-bit
     * md5-token variant (portable hash → the oracle recomputes the exact
@@ -249,7 +257,55 @@ object Dedup {
        |SELECT drop_id, MIN(keep_id) AS kept_by, CAST(COUNT(*) AS BIGINT) AS n_dups
        |FROM pairs GROUP BY drop_id ORDER BY drop_id""".stripMargin
 
+  /** LSH candidate pairs from the MinHash signature, high-recall
+    * banding (b = 32 bands × r = 1 row: candidate iff ANY permutation
+    * collides — the right operating point for this corpus's low
+    * pairwise similarity; production thresholds use r = 4 via
+    * DedupOps.minhashIndex, spec-tested). For each candidate the
+    * signature-agreement fraction estimates Jaccard; top-50 emitted.
+    *
+    * Scale shape: the pair join keys on (perm, minhash) — fixed-width
+    * ints, never text — so the shuffle is O(docs × perms) rows;
+    * per-bucket blow-up is bounded because a (perm, value) bucket only
+    * pairs docs agreeing on that permutation. The signature table is
+    * localCheckpoint'd: it feeds both join sides, and self-join
+    * aliasing would otherwise defeat exchange reuse and recompute the
+    * CPU-heavy signatures twice. */
+  private def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = Tables.documents(s, dir)
+      .repartition($"doc_id")
+      .select($"doc_id",
+        graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
+      .filter(size($"sig") > 0)
+      .select($"doc_id", posexplode($"sig").as(Seq("perm", "minhash")))
+      .localCheckpoint()
+    sig.alias("a")
+      .join(sig.alias("b"),
+        col("a.perm") === col("b.perm") &&
+          col("a.minhash") === col("b.minhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("matches"))
+      .select($"doc_a", $"doc_b", $"matches",
+        round($"matches" / lit(32.0), 9).as("est_jaccard"))
+      .orderBy($"matches".desc, $"doc_a", $"doc_b")
+      .limit(50)
+  }
+
+  private val dedupMinhashPairsSql =
+    s"""WITH $minhashSigCtes,
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS matches
+      |  FROM sig a JOIN sig b
+      |    ON a.perm = b.perm AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(matches AS BIGINT) AS matches,
+      |  ROUND(matches / 32.0, 9) AS est_jaccard
+      |FROM cand ORDER BY matches DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_curation" -> QueryDef(dedupCuration, Some(dedupCurationSql)),

@@ -25,19 +25,38 @@ object Graph {
 
   private val Iters = 10
 
-  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** Nation→nation trade edges (customer nation → supplier nation per
+    * purchased line), shared by pagerank and graph_bfs. ≤ N² rows after
+    * distinct; localCheckpoint truncates the 4-table lineage so
+    * iterative consumers re-read a materialized edge list. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val l = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
     val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
     val c = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
     val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
-    val edges = l.join(o, $"l_orderkey" === $"o_orderkey")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
       .filter($"c_nationkey" =!= $"s_nationkey")
       .select($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
       .distinct()
-      .localCheckpoint() // ≤ N² rows; truncates the 4-table lineage
+      .localCheckpoint()
+  }
+
+  /** Shared oracle fragment for the trade-edge list. */
+  private val edgesCte =
+    """edges AS MATERIALIZED (
+      |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey)""".stripMargin
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
     val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
     val n = nodes.count() // bounded scalar (dimension cardinality), not data-sized
     val init = 1000000000L / n
@@ -66,13 +85,7 @@ object Graph {
     // CTEs — without the hint DuckDB may re-inline the 4-table join
     // per reference (OOM at sf0.1).
     val head =
-      """WITH edges AS MATERIALIZED (
-        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  WHERE c_nationkey <> s_nationkey),
+      s"""WITH $edgesCte,
         |outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
         |nodes AS (SELECT n_nationkey AS id FROM nation),
         |cnt AS (SELECT COUNT(*) AS n FROM nodes),
@@ -93,7 +106,65 @@ object Graph {
        |ORDER BY pr_score DESC, nation""".stripMargin
   }
 
+  private val BfsIters = 4
+
+  /** Multi-iteration BFS: hop distance from nation 0 over the directed
+    * trade graph (the iterative-frontier pattern — label propagation /
+    * reachability — as chained relational steps). All-integer state, so
+    * every engine reproduces the distances bit-exactly; unreachable
+    * nodes report -1.
+    *
+    * Scale shape: each iteration is one join edges⋈dist re-keyed by dst
+    * + a min-aggregate (the MapReduce BFS formulation); dist is
+    * node-sized (tiny next to edges) so at scale Spark broadcasts it
+    * into the edge scan, and localCheckpoint truncates per-iteration
+    * lineage exactly as in pagerank. The iteration count is fixed
+    * (diameter bound), not data-dependent. */
+  private def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
+    val Inf = 1000000L
+    var dist = nodes.select($"id",
+      when($"id" === 0, 0L).otherwise(Inf).as("d"))
+    for (_ <- 1 to BfsIters) {
+      val relaxed = edges
+        .join(dist.select($"id".as("src"), $"d"), "src")
+        .groupBy($"dst").agg(min($"d" + 1L).as("dr"))
+      dist = dist.join(relaxed, $"id" === $"dst", "left")
+        .select($"id", least($"d", coalesce($"dr", lit(Inf))).as("d"))
+        .localCheckpoint()
+    }
+    dist.join(broadcast(Tables.nation(s, dir)), $"id" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        when($"d" >= Inf, -1L).otherwise($"d").as("hops"))
+      .orderBy($"hops", $"nation")
+  }
+
+  private val graphBfsSql: String = {
+    val head =
+      s"""WITH $edgesCte,
+         |nodes AS (SELECT n_nationkey AS id FROM nation),
+         |d0 AS (SELECT id, CASE WHEN id = 0 THEN 0 ELSE 1000000 END AS d FROM nodes)""".stripMargin
+    val iters = (1 to BfsIters).map { i =>
+      s"""d$i AS (
+         |  SELECT n.id AS id, LEAST(p.d, COALESCE(r.dr, 1000000)) AS d
+         |  FROM nodes n JOIN d${i - 1} p ON n.id = p.id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS did, MIN(p.d + 1) AS dr
+         |    FROM edges e JOIN d${i - 1} p ON e.src = p.id
+         |    GROUP BY e.dst) r ON n.id = r.did)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT n_name AS nation,
+       |  CAST(CASE WHEN d >= 1000000 THEN -1 ELSE d END AS BIGINT) AS hops
+       |FROM d$BfsIters JOIN nation ON id = n_nationkey
+       |ORDER BY hops, nation""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    "pagerank" -> QueryDef(pagerank, Some(pagerankSql))
+    "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
+    "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql))
   )
 }

@@ -70,7 +70,35 @@ object Multimodal {
       |FROM f WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Binary-content dedup: group assets by md5 of the BLOB (not the
+    * decoded text — the path real image/audio dedup takes), keep the
+    * min doc_id. The oracle hashes the same bytes (ASCII corpus ⇒
+    * md5(text) == md5 of its UTF-8 bytes). At 100 TB the digest is
+    * computed in-scan and only the 16-byte key + doc_id shuffle —
+    * blobs never move. */
+  private def mmHashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+      .select($"doc_id", md5($"blob").as("blob_md5"),
+        octet_length($"blob").cast("long").as("n_bytes"))
+      .groupBy($"blob_md5", $"n_bytes")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .select($"blob_md5", $"n_bytes", $"keep_id", $"copies")
+      .orderBy($"keep_id")
+  }
+
+  private val mmHashDedupSql =
+    """SELECT md5(text) AS blob_md5,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      |FROM documents
+      |GROUP BY md5(text), octet_length(encode(text))
+      |ORDER BY keep_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),
     "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql)),
     "mm_manifest" -> QueryDef(mmManifest, Some(mmManifestSql)),
     "mm_frame_sample" -> QueryDef(mmFrameSample, Some(mmFrameSampleSql))

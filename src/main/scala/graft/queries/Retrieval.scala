@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY.md §2-E (round 5 additions): retrieval + LM-statistics
+  * operators over `documents` — BM25 ranked retrieval, bigram-LM
+  * perplexity scoring, count-min-sketch frequency estimation, and
+  * benchmark decontamination.
+  *
+  * Determinism pattern shared by all four: any float that is SUMMED
+  * across rows is first quantized to integer nano-units in the column
+  * plane (`round(x*1e9)` as long, identical in Spark and DuckDB), so
+  * aggregation order can never change the result; transcendental
+  * outputs (LN) are only ever used via that quantization.
+  */
+object Retrieval {
+
+  /** 60-bit md5 prefix as a long — portable across engines. */
+  private def md5_60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------
+  // text_bm25 — BM25 ranked retrieval (k1 = 1.2, b = 0.75)
+  // ---------------------------------------------------------------
+
+  /** The fixed query workload: 3 multi-term queries over the corpus
+    * vocabulary. Broadcast-joined against the token stream. */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash", 1 -> "join",
+    2 -> "window", 2 -> "agg",
+    3 -> "vector", 3 -> "scan")
+
+  /** BM25 top-10 docs per query (Lucene idf form:
+    * ln(1 + (N - df + 0.5)/(df + 0.5))).
+    *
+    * Scale shape: the token stream is filtered to query terms INSIDE
+    * the scan stage (an `isin` over a literal set — predicate on the
+    * exploded stream, never a full-vocabulary aggregation), so shuffle
+    * volume is O(matching tokens), not O(corpus tokens). Corpus stats
+    * (N, Σdl) and per-term df are single scalar / |terms|-row
+    * aggregates, broadcast to the scorer. Per-term partial scores are
+    * quantized to nano-units before the per-(query,doc) sum, so the
+    * float sum order of a 1000-executor shuffle cannot flip ranks. */
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val terms = Bm25Queries.map(_._2).distinct
+    val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+    // doc length in whitespace tokens (split keeps trailing empties —
+    // same in DuckDB)
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split($"text", " ")).cast("long")).as("sum_dl"))
+    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(terms: _*))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), "term")
+      .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("nrm", lit(0.25) + lit(0.75) * ($"dl".cast("double") / ($"sum_dl".cast("double") / $"n_docs")))
+      .withColumn("tfn", ($"tf" * lit(2.2)) / ($"tf" + lit(1.2) * $"nrm"))
+      .withColumn("nano", round($"idf" * $"tfn" * lit(1e9)).cast("long"))
+    val perDoc = scored.groupBy($"query_id", $"doc_id")
+      .agg(sum($"nano").as("nano_sum"))
+    val w = Window.partitionBy($"query_id").orderBy($"nano_sum".desc, $"doc_id")
+    perDoc.withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select($"query_id", $"doc_id", $"rk",
+        ($"nano_sum".cast("double") / lit(1e9)).as("bm25"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  private val textBm25Sql = {
+    val vals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $vals) v(query_id, term)),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_dl FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT q.query_id AS query_id, tf.doc_id AS doc_id,
+       |    ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+       |      * 1e9) AS nano
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  JOIN q ON tf.term = q.term),
+       |perdoc AS (
+       |  SELECT query_id, doc_id, CAST(SUM(nano) AS BIGINT) AS nano_sum
+       |  FROM scored GROUP BY query_id, doc_id),
+       |r AS (
+       |  SELECT query_id, doc_id, nano_sum,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY nano_sum DESC, doc_id) AS rk
+       |  FROM perdoc)
+       |SELECT query_id, doc_id, rk, CAST(nano_sum AS DOUBLE) / 1e9 AS bm25
+       |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // text_perplexity — add-one-smoothed bigram LM self-scoring
+  // ---------------------------------------------------------------
+
+  /** Per-document mean bigram log-probability under an add-one-smoothed
+    * bigram LM trained on the corpus itself (the classic
+    * quality-filter signal: low avg_logp ⇒ atypical text).
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
+    *
+    * Scale shape: the model is two aggregates over one exploded token
+    * stream (bigram + unigram counts, both map-side combinable); the
+    * scoring join is broadcast when the vocabulary is bounded (here:
+    * 31 terms) and a plain shuffled join otherwise. Per-bigram LN is
+    * nano-quantized before the per-doc mean. */
+  private def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bg = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val tokens = docs.select(explode(split($"text", " ")).as("w"))
+    val c1 = tokens.groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vocab = tokens.agg(countDistinct($"w").as("v"))
+    val scoredBg = bg
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), bg("w1") === c1("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nano",
+        round(log(($"c2" + lit(1.0)) / ($"c1" + $"v")) * lit(1e9)).cast("long"))
+    scoredBg.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"nano").as("nano_sum"))
+      .select($"doc_id", $"n_bigrams",
+        round($"nano_sum".cast("double") / ($"n_bigrams" * lit(1e9)), 9).as("avg_logp"))
+      .orderBy($"doc_id")
+  }
+
+  private val textPerplexitySql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM tok WHERE len(ws) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |alltok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |c1 AS (SELECT w, COUNT(*) AS c1 FROM alltok GROUP BY w),
+      |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM alltok),
+      |sc AS (
+      |  SELECT doc_id,
+      |    ROUND(LN((c2 + 1.0) / (c1 + v)) * 1e9) AS nano
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w CROSS JOIN vocab)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(nano) AS DOUBLE) / (COUNT(*) * 1e9), 9) AS avg_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // text_cms_topk — count-min sketch estimates vs exact counts
+  // ---------------------------------------------------------------
+
+  /** Count-min sketch (d = 4 rows × w = 8 buckets, md5 hash family)
+    * next to exact counts for the top-20 tokens. `w` is deliberately
+    * tiny so collisions are guaranteed and the one-sided error
+    * (cms_est ≥ exact, reported as `err`) is visible.
+    *
+    * Scale shape: the sketch is built FROM the per-token frequency
+    * vector (bucket assignment is a pure token function, so CMS over
+    * the stream ≡ CMS over the frequency table); at 100 TB the
+    * frequency table itself is the expensive part and is one
+    * map-side-combinable aggregation — the sketch adds d tiny
+    * re-aggregations of a |vocab|-row table. */
+  private def textCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 4
+    val w = 8
+    val counts = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+    val rows = s.createDataFrame((0 until d).map(Tuple1(_))).toDF("i")
+    // bucket_i(t) = md5_60("cms" i ":" t) mod w — portable both engines
+    val bucketed = counts.crossJoin(broadcast(rows))
+      .withColumn("bucket",
+        pmod(md5_60(concat(lit("cms"), $"i".cast("string"), lit(":"), $"token")), lit(w.toLong)))
+    val sketch = bucketed.groupBy($"i", $"bucket").agg(sum($"exact_cnt").as("cell"))
+    val est = bucketed
+      .join(sketch, Seq("i", "bucket"))
+      .groupBy($"token", $"exact_cnt")
+      .agg(min($"cell").as("cms_est"))
+    est.select($"token", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("err"))
+      .orderBy($"exact_cnt".desc, $"token")
+      .limit(20)
+  }
+
+  private val textCmsTopkSql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token),
+      |bucketed AS (
+      |  SELECT token, exact_cnt, i,
+      |    CAST('0x' || substring(md5('cms' || i::VARCHAR || ':' || token), 1, 15) AS BIGINT) % 8 AS bucket
+      |  FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS i) rows),
+      |sketch AS (SELECT i, bucket, SUM(exact_cnt) AS cell FROM bucketed GROUP BY i, bucket),
+      |est AS (
+      |  SELECT token, exact_cnt, MIN(cell) AS cms_est
+      |  FROM bucketed JOIN sketch USING (i, bucket)
+      |  GROUP BY token, exact_cnt)
+      |SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+      |  CAST(cms_est AS BIGINT) AS cms_est,
+      |  CAST(cms_est - exact_cnt AS BIGINT) AS err
+      |FROM est ORDER BY exact_cnt DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // corpus_decontam — benchmark n-gram decontamination
+  // ---------------------------------------------------------------
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 4-gram with the held-out eval set (doc_id ≡ 0 mod 41 plays the
+    * benchmark role). Output per contaminated train doc: how many
+    * distinct eval grams it hit and how many eval docs those grams
+    * span — the evidence table a filtering pass consumes.
+    *
+    * Scale shape: grams travel as 60-bit md5 hashes (fixed-width
+    * shuffle keys, never the gram text); the eval side is tiny by
+    * construction (a benchmark suite), so Catalyst broadcasts it and
+    * the train side never shuffles at all — the whole check is one
+    * broadcast-hash-join over the scan. */
+  private def corpusDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 4
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= n)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', slice(ws, i + 1, $n)))")).as("g"))
+      .select($"doc_id", md5_60($"g").as("gh"))
+      .distinct()
+    val eval_ = grams.filter($"doc_id" % 41 === 0)
+      .select($"doc_id".as("eval_doc"), $"gh")
+    val train = grams.filter($"doc_id" % 41 =!= 0)
+    train.join(broadcast(eval_), "gh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"gh").as("n_grams_hit"),
+        countDistinct($"eval_doc").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  private val corpusDecontamSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 4),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substring(md5(array_to_string(ws[i:i+3], ' ')), 1, 15) AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM tok) t),
+      |ev AS (SELECT doc_id AS eval_doc, gh FROM g WHERE doc_id % 41 = 0),
+      |tr AS (SELECT doc_id, gh FROM g WHERE doc_id % 41 != 0)
+      |SELECT tr.doc_id AS doc_id,
+      |  COUNT(DISTINCT tr.gh) AS n_grams_hit,
+      |  COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.gh = ev.gh
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql), bench = true),
+    "text_perplexity" -> QueryDef(textPerplexity, Some(textPerplexitySql)),
+    "text_cms_topk" -> QueryDef(textCmsTopk, Some(textCmsTopkSql)),
+    "corpus_decontam" -> QueryDef(corpusDecontam, Some(corpusDecontamSql))
+  )
+}
