@@ -606,7 +606,62 @@ object Pipeline {
       |SELECT doc_id, source, tok, cum FROM b WHERE cum <= 1500
       |ORDER BY source, cum""".stripMargin
 
+  /** Target-mixture rebalancing: downsample domains so the kept corpus
+    * matches target token shares (40/30/20/10 across 4 domain groups)
+    * as closely as integer arithmetic allows, without upsampling. The
+    * feasible budget base is B = min_d(tokens_d·10⁴ ÷ share_d) (the
+    * binding domain keeps everything); each domain then keeps docs in
+    * deterministic hash order while its running token sum fits
+    * share_d·B ÷ 10⁴. All-integer (positive operands ⇒ Spark `div` ==
+    * DuckDB `//`), so the cut line is engine-exact.
+    *
+    * Scale shape: domain totals are one map-side-combinable aggregate
+    * broadcast back; the cut is the corpus_token_budget running-sum
+    * window — one shuffle on the domain key, with AQE/salting the
+    * answer if one domain dominates (the window order is a hash, so a
+    * range-partitioned two-phase cumsum also applies at extreme skew). */
+  private def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val share = expr("element_at(array(40L, 30L, 20L, 10L), cast(substring(source, 4) as int) % 4 + 1)")
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source", share.as("share"),
+        size(split($"text", " ")).cast("long").as("tok"), h.as("h"))
+    val tot = d.groupBy($"source", $"share").agg(sum($"tok").as("toks"))
+    val base = tot.agg(min(expr("(toks * 10000) div share")).as("b"))
+    val budgets = tot.crossJoin(broadcast(base))
+      .select($"source", expr("(share * b) div 10000").as("budget"))
+    d.withColumn("cum", sum($"tok").over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(budgets), "source")
+      .filter($"cum" <= $"budget")
+      .select($"doc_id", $"source", $"tok", $"cum")
+      .orderBy($"source", $"cum")
+  }
+
+  private val corpusMixSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    ([40, 30, 20, 10])[CAST(substring(source, 4) AS INTEGER) % 4 + 1] AS share,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    CAST('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+      |  FROM documents),
+      |tot AS (SELECT source, share, CAST(SUM(tok) AS BIGINT) AS toks FROM d GROUP BY source, share),
+      |base AS (SELECT MIN((toks * 10000) // share) AS b FROM tot),
+      |bud AS (SELECT source, (share * b) // 10000 AS budget FROM tot CROSS JOIN base),
+      |c AS (
+      |  SELECT doc_id, source, tok,
+      |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d)
+      |SELECT doc_id, source, tok, cum
+      |FROM c JOIN bud USING (source) WHERE cum <= budget
+      |ORDER BY source, cum""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_mix" -> QueryDef(corpusMix, Some(corpusMixSql)),
     "corpus_curate_e2e" -> QueryDef(corpusCurateE2e, Some(corpusCurateE2eSql)),
     "corpus_token_budget" -> QueryDef(corpusTokenBudget, Some(corpusTokenBudgetSql)),
     "events_zscore" -> QueryDef(eventsZscore, Some(eventsZscoreSql)),

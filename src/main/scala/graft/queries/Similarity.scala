@@ -291,7 +291,93 @@ object Similarity {
        |  FROM exact) x WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  private val KmIters = 2
+  private val KmK = 8
+
+  /** Hash-verified k-means training loop (the iterative-ML showcase):
+    * KmIters Lloyd steps from the deterministic first-k init, then the
+    * final cell assignment. Components are 1e6 fixed-point longs, so
+    * every distance (Σ(q−c)², fits int64: diffs ≤ ~1e7 ⇒ squares ≤
+    * 1e14 × 64 dims) and every centroid update (round(Σq/n), exact
+    * while Σq < 2⁵³ — holds through ~10⁹ rows/cell) is bit-identical
+    * on any engine; ties break toward the lower cell id. The float
+    * `Similarity.kmeans` (cosine, avg) stays the production path,
+    * spec-tested in KmeansSpec.
+    *
+    * Scale shape: each step is one broadcast join of the k×dim
+    * centroid table into the component stream + two map-side-combinable
+    * aggregates — no collect, no driver loop over data; the component
+    * table is localCheckpoint'd once and re-read by all 2·KmIters+1
+    * passes, and per-step lineage is truncated exactly as in pagerank. */
+  private def embKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"pos",
+        round($"v".cast("double") * 1e6).cast("long").as("q"))
+      .localCheckpoint()
+    var cent = emb.orderBy($"vec_id").limit(KmK)
+      .select(row_number().over(Window.orderBy($"vec_id")).as("rn"), $"embedding")
+      .select(($"rn" - 1).cast("long").as("cell"),
+        posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"cell", $"pos", round($"v".cast("double") * 1e6).cast("long").as("cv"))
+    def assign(c: DataFrame): DataFrame = q.join(broadcast(c), "pos")
+      .groupBy($"vec_id", $"cell")
+      .agg(sum(($"q" - $"cv") * ($"q" - $"cv")).as("dist"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cell")).as("m"))
+      .select($"vec_id", $"m.cell".as("cell"), $"m.dist".as("dist"))
+    for (_ <- 1 to KmIters) {
+      val a = assign(cent)
+      cent = q.join(a.select($"vec_id", $"cell"), "vec_id")
+        .groupBy($"cell", $"pos")
+        .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cv"))
+        .localCheckpoint()
+    }
+    assign(cent).orderBy($"vec_id")
+  }
+
+  private val embKmeansSql: String = {
+    val head =
+      s"""WITH qq AS (
+         |  SELECT vec_id, i AS pos,
+         |    CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings) t),
+         |init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KmK) z),
+         |c0 AS (
+         |  SELECT cell, i AS pos,
+         |    CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0) AS BIGINT) AS cv
+         |  FROM (SELECT cell, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i FROM init) t)""".stripMargin
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM (
+         |    SELECT vec_id, cell, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT qq.vec_id AS vec_id, c.cell AS cell,
+         |            SUM((qq.q - c.cv) * (qq.q - c.cv)) AS dist
+         |          FROM qq JOIN $cents c ON qq.pos = c.pos
+         |          GROUP BY qq.vec_id, c.cell) d) r
+         |  WHERE rn = 1)""".stripMargin
+    val iters = (1 to KmIters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        s"""c$i AS (
+           |  SELECT cell, pos,
+           |    CAST(ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |  FROM qq JOIN a$i USING (vec_id) GROUP BY cell, pos)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters,
+       |${assignCte("afinal", s"c$KmIters")}
+       |SELECT vec_id, cell, dist FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "emb_kmeans" -> QueryDef(embKmeans, Some(embKmeansSql)),
     "ann_bruteforce" -> QueryDef(annBruteforce, Some(annBruteforceSql), bench = true),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
