@@ -211,8 +211,11 @@ object Dedup {
     labels.select($"id".as("doc_id"), $"cluster")
   }
 
-  /** Embedding-cosine duplicate candidates among all pairs (exact; the
-    * LSH/IVF paths in Similarity are the at-scale variants). */
+  /** Embedding-cosine duplicate candidates among ALL pairs — an O(n²)
+    * nested-loop plan, kept only as the exact recall baseline for specs
+    * and bounded inputs. No registered query runs this at corpus size:
+    * dedup_embedding routes through Similarity.cellPairs (equi-join on
+    * cell id) and the LSH/IVF paths are the at-scale variants. */
   def embeddingPairs(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
     val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))

@@ -41,10 +41,43 @@ object Multimodal {
     }
   }
 
-  /** STUB — image decode (JPEG/PNG → pixels) needs codecs absent from
+  /** REAL pure-JVM image-header decoder: parses PNG IHDR and BMP
+    * BITMAPINFOHEADER dimensions straight from the blob bytes — no
+    * codec library. Emits Features(doc_id, n_bytes, width, height)
+    * using the (head_byte, byte_sum) slots [[resizePlan]] reads as
+    * (w, h); unrecognized or truncated blobs decode to (-1, -1) so a
+    * mixed corpus flows through without task failures. Height is
+    * |height|: a negative BMP height just means top-down row order.
+    * Full pixel decode (JPEG/video) still needs codecs absent from
+    * this container — this covers the header/metadata half for real. */
+  object HeaderImageDecoder extends Decoder {
+    private val PngSig: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    private def beInt(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    /** (width, height) if the blob is a parseable PNG or BMP header. */
+    def dims(blob: Array[Byte]): Option[(Long, Long)] =
+      if (blob.length >= 24 && blob.startsWith(PngSig) &&
+          blob(12) == 'I' && blob(13) == 'H' && blob(14) == 'D' && blob(15) == 'R')
+        Some((beInt(blob, 16), beInt(blob, 20))) // IHDR: width@16, height@20, big-endian
+      else if (blob.length >= 26 && blob(0) == 'B' && blob(1) == 'M')
+        Some((leInt(blob, 18).toLong, math.abs(leInt(blob, 22)).toLong)) // BITMAPINFOHEADER, little-endian
+      else None
+    def decode(batch: Seq[Asset]): Seq[Features] = batch.map { a =>
+      val (w, h) = dims(a.blob).getOrElse((-1L, -1L))
+      Features(a.doc_id, a.blob.length.toLong, w, h)
+    }
+  }
+
+  /** STUB — full image decode (JPEG → pixels) needs codecs absent from
     * this container. Deterministic fake: derives a pseudo
     * width/height/channel feature from the blob hash so the plumbing
-    * (schema, batching, partitioning) is exercised end-to-end. */
+    * (schema, batching, partitioning) is exercised end-to-end. Use
+    * [[HeaderImageDecoder]] for real PNG/BMP dimensions. */
   object StubImageDecoder extends Decoder {
     def decode(batch: Seq[Asset]): Seq[Features] = batch.map { a =>
       val h = graft.functions.Kernels.fnv64(a.blob, 0, a.blob.length)

@@ -134,12 +134,32 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
   }
 
-  /** SemDeDup-style semantic deduplication: assign every vector to its
-    * nearest coarse cell, then drop any vector that has a smaller-id
-    * neighbor with cosine ≥ tau *inside its cell*. Candidate pairs are
-    * an equi-join on cell id — each cell is processed independently
-    * (embarrassingly parallel), so pair generation is O(Σ cell²), tuned
-    * by nCells / trained centroids, never a corpus-wide cross join.
+  /** Cell-blocked candidate pairs: assign every vector to its nearest
+    * coarse cell, emit intra-cell (vec_a < vec_b) pairs with 9dp
+    * cosine. The only corpus-sized join is an EQUI-join on cell id —
+    * each cell is processed independently (embarrassingly parallel),
+    * so pair generation is O(Σ cell²), tuned by nCells / trained
+    * centroids, never a corpus-wide nested-loop join. Size nCells
+    * ~ n/targetCellSize (and pass [[kmeans]] output) so cells stay
+    * bounded as the corpus grows. */
+  def cellPairs(spark: SparkSession, emb: DataFrame, nCells: Int = 8,
+                trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val centroids = coarseCentroids(emb, nCells, trainedCentroids)
+    // materialize the assignment once: it feeds BOTH self-join sides,
+    // and aliasing would defeat exchange reuse — without this the
+    // centroid scoring pass (the crossJoin + window) runs twice
+    val assigned = nearestCells(centroids, emb, "vec_id", "embedding", 1)
+      .localCheckpoint()
+    val a = assigned.select($"cell", $"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = assigned.select($"cell", $"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.join(b, a("cell") === b("cell") && $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", round(Fns.cosine_sim($"ea", $"eb"), 9).as("cos_sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication over [[cellPairs]]: drop any
+    * vector that has a smaller-id neighbor with cosine ≥ tau inside its
+    * cell.
     *
     * Returns the removal list: (drop_id, kept_by = min qualifying
     * smaller id, n_dups = number of qualifying smaller-id neighbors).
@@ -148,13 +168,9 @@ object Similarity {
                nCells: Int = 8,
                trainedCentroids: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val centroids = coarseCentroids(emb, nCells, trainedCentroids)
-    val assigned = nearestCells(centroids, emb, "vec_id", "embedding", 1)
-    val lo = assigned.select($"cell", $"vec_id".as("keep_id"), $"embedding".as("ke"))
-    val hi = assigned.select($"cell", $"vec_id".as("drop_id"), $"embedding".as("de"))
-    lo.join(hi, lo("cell") === hi("cell") && $"keep_id" < $"drop_id")
-      .filter(round(Fns.cosine_sim($"ke", $"de"), 9) >= tau)
-      .groupBy($"drop_id")
-      .agg(min($"keep_id").as("kept_by"), count(lit(1)).as("n_dups"))
+    cellPairs(spark, emb, nCells, trainedCentroids)
+      .filter($"cos_sim" >= tau)
+      .groupBy($"vec_b".as("drop_id"))
+      .agg(min($"vec_a").as("kept_by"), count(lit(1)).as("n_dups"))
   }
 }

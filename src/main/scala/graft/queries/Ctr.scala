@@ -127,8 +127,71 @@ object Ctr {
       |WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts)
       |ORDER BY user_id, click_id""".stripMargin
 
+  /** The streaming pipeline, driver-verified (VERDICT r5 #5): replays
+    * the events table through EventStream.streamingCtr — file-source
+    * streams → watermarked stream-stream leftOuter join → windowed
+    * aggregation → memory sink — then rolls the closed windows up to
+    * (referrer, ad_id) and hash-compares against the SAME oracle as the
+    * batch ctr_referrer. Every impression lands in exactly one window,
+    * so the rollup equals the global aggregate iff the streaming join +
+    * window semantics are right — making this the first streaming-path
+    * row in CORRECTNESS.
+    *
+    * Append-mode mechanics: a window only emits once the watermark
+    * passes it, and the watermark trails max-seen-event-time, so a
+    * far-future SENTINEL row is appended to both streams to close every
+    * real window before AvailableNow drains (the sentinel's own window
+    * stays open and is never emitted; it is filtered out regardless).
+    * The temp-dir write is replay harness, not pipeline: in production
+    * the streams arrive from a log bus and windows close as real time
+    * advances. */
+  private def ctrStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(s, dir)
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+    val imps = ev.select(
+      $"event_id".cast("string").as("impressionId"),
+      concat(lit("r"), ($"user_id" % 7).cast("string")).as("referrer"),
+      concat(lit("ad"), ($"event_id" % 13).cast("string")).as("adId"),
+      $"ts")
+      .unionByName(Seq(("__sentinel", "zz", "zz", far))
+        .toDF("impressionId", "referrer", "adId", "ts"))
+    val clks = ev.filter($"event_type" === "click")
+      .select($"event_id".cast("string").as("impressionId"), $"ts".as("click_ts"))
+      .unionByName(Seq(("__sentinel", far)).toDF("impressionId", "click_ts"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ctr-replay").toString
+    imps.write.mode("overwrite").parquet(s"$root/imps")
+    clks.write.mode("overwrite").parquet(s"$root/clicks")
+
+    val impStream = s.readStream
+      .schema(impSchema.add("ts", TimestampType)).parquet(s"$root/imps")
+    val clkStream = s.readStream
+      .schema(clkSchema.add("click_ts", TimestampType)).parquet(s"$root/clicks")
+    val qname = s"ctr_replay_${System.nanoTime()}"
+    val query = graft.streaming.EventStream.streamingCtr(impStream, clkStream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("ctr_streaming_replay: stream did not drain in 300s")
+    }
+    s.table(qname)
+      .filter($"referrer" =!= "zz")
+      .groupBy($"referrer", $"adId")
+      .agg(sum($"impressions").as("impressions"), sum($"clicks").as("clicks"))
+      .select($"referrer", $"adId".as("ad_id"), $"impressions", $"clicks",
+        ($"clicks".cast("double") / $"impressions").as("ctr"))
+      .orderBy($"referrer", $"ad_id")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ctr_referrer" -> QueryDef(ctrReferrer, Some(ctrReferrerSql), bench = true),
+    "ctr_streaming_replay" -> QueryDef(ctrStreamingReplay, Some(ctrReferrerSql)),
     "ctr_user" -> QueryDef(ctrUser, Some(ctrUserSql)),
     "ctr_attribution" -> QueryDef(ctrAttribution, Some(ctrAttributionSql), bench = true)
   )

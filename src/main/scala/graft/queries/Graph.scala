@@ -106,34 +106,46 @@ object Graph {
        |ORDER BY pr_score DESC, nation""".stripMargin
   }
 
-  private val BfsIters = 4
-
-  /** Multi-iteration BFS: hop distance from nation 0 over the directed
+  /** BFS to FIXPOINT: hop distance from nation 0 over the directed
     * trade graph (the iterative-frontier pattern — label propagation /
     * reachability — as chained relational steps). All-integer state, so
     * every engine reproduces the distances bit-exactly; unreachable
     * nodes report -1.
     *
+    * Iteration runs until an iteration changes no distance (the
+    * convergence check is a scalar count, as in Dedup.clusters /
+    * pagerank), hard-bounded by |V| — so every reachable node gets its
+    * TRUE distance, with no assumed diameter bound (an under-sized
+    * fixed bound would silently mislabel far nodes as unreachable).
+    * The oracle computes the same fixpoint with a recursive CTE
+    * (min over all path lengths, pruned at d < 999 — path lengths
+    * beyond |V|-1 can't be shortest).
+    *
     * Scale shape: each iteration is one join edges⋈dist re-keyed by dst
     * + a min-aggregate (the MapReduce BFS formulation); dist is
     * node-sized (tiny next to edges) so at scale Spark broadcasts it
     * into the edge scan, and localCheckpoint truncates per-iteration
-    * lineage exactly as in pagerank. The iteration count is fixed
-    * (diameter bound), not data-dependent. */
+    * lineage exactly as in pagerank. */
   private def graphBfs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = tradeEdges(s, dir)
     val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
+    val maxIters = nodes.count() // dim-table scalar: diameter ≤ |V| - 1
     val Inf = 1000000L
     var dist = nodes.select($"id",
-      when($"id" === 0, 0L).otherwise(Inf).as("d"))
-    for (_ <- 1 to BfsIters) {
+      when($"id" === 0, 0L).otherwise(Inf).as("d")).localCheckpoint()
+    var changed = 1L
+    var iter = 0L
+    while (changed > 0 && iter < maxIters) {
       val relaxed = edges
         .join(dist.select($"id".as("src"), $"d"), "src")
         .groupBy($"dst").agg(min($"d" + 1L).as("dr"))
-      dist = dist.join(relaxed, $"id" === $"dst", "left")
-        .select($"id", least($"d", coalesce($"dr", lit(Inf))).as("d"))
+      val next = dist.join(relaxed, $"id" === $"dst", "left")
+        .select($"id", least($"d", coalesce($"dr", lit(Inf))).as("d"), $"d".as("old"))
         .localCheckpoint()
+      changed = next.filter($"d" =!= $"old").count()
+      dist = next.select($"id", $"d")
+      iter += 1
     }
     dist.join(broadcast(Tables.nation(s, dir)), $"id" === $"n_nationkey")
       .select($"n_name".as("nation"),
@@ -141,27 +153,21 @@ object Graph {
       .orderBy($"hops", $"nation")
   }
 
-  private val graphBfsSql: String = {
-    val head =
-      s"""WITH $edgesCte,
-         |nodes AS (SELECT n_nationkey AS id FROM nation),
-         |d0 AS (SELECT id, CASE WHEN id = 0 THEN 0 ELSE 1000000 END AS d FROM nodes)""".stripMargin
-    val iters = (1 to BfsIters).map { i =>
-      s"""d$i AS (
-         |  SELECT n.id AS id, LEAST(p.d, COALESCE(r.dr, 1000000)) AS d
-         |  FROM nodes n JOIN d${i - 1} p ON n.id = p.id
-         |  LEFT JOIN (
-         |    SELECT e.dst AS did, MIN(p.d + 1) AS dr
-         |    FROM edges e JOIN d${i - 1} p ON e.src = p.id
-         |    GROUP BY e.dst) r ON n.id = r.did)""".stripMargin
-    }.mkString(",\n")
-    s"""$head,
-       |$iters
+  private val graphBfsSql: String =
+    s"""WITH RECURSIVE $edgesCte,
+       |nodes AS (SELECT n_nationkey AS id FROM nation),
+       |reach(id, d) AS (
+       |  SELECT 0, 0
+       |  UNION
+       |  SELECT e.dst, r.d + 1
+       |  FROM reach r JOIN edges e ON e.src = r.id
+       |  WHERE r.d < 999),
+       |best AS (SELECT id, MIN(d) AS d FROM reach GROUP BY id)
        |SELECT n_name AS nation,
-       |  CAST(CASE WHEN d >= 1000000 THEN -1 ELSE d END AS BIGINT) AS hops
-       |FROM d$BfsIters JOIN nation ON id = n_nationkey
+       |  CAST(COALESCE(b.d, -1) AS BIGINT) AS hops
+       |FROM nodes LEFT JOIN best b ON nodes.id = b.id
+       |JOIN nation ON nodes.id = n_nationkey
        |ORDER BY hops, nation""".stripMargin
-  }
 
   val defs: Map[String, QueryDef] = Map(
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),

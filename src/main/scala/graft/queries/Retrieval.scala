@@ -11,9 +11,13 @@ import graft.sources.Tables
   *
   * Determinism pattern shared by all four: any float that is SUMMED
   * across rows is first quantized to integer nano-units in the column
-  * plane (`round(x*1e9)` as long, identical in Spark and DuckDB), so
-  * aggregation order can never change the result; transcendental
-  * outputs (LN) are only ever used via that quantization.
+  * plane (`round(x*1e9)` as long), so aggregation ORDER can never
+  * change the result. Caveat: quantizing removes order-dependence but
+  * not cross-engine libm divergence — a 1-ulp difference between JVM
+  * Math.log and DuckDB LN could flip round(x*1e9) by ±1 and reorder a
+  * rank near an exact tie. The workloads here keep score gaps well
+  * above 1 nano; algorithms needing exact cross-engine invariance
+  * (BFS, k-means) use all-integer state instead.
   */
 object Retrieval {
 
@@ -118,10 +122,17 @@ object Retrieval {
     * p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
     *
     * Scale shape: the model is two aggregates over one exploded token
-    * stream (bigram + unigram counts, both map-side combinable); the
-    * scoring join is broadcast when the vocabulary is bounded (here:
-    * 31 terms) and a plain shuffled join otherwise. Per-bigram LN is
-    * nano-quantized before the per-doc mean. */
+    * stream (bigram + unigram counts, both map-side combinable). The
+    * scoring joins carry NO broadcast hint: the bigram/unigram count
+    * tables are vocabulary-sized (billions of rows on a 100 TB corpus),
+    * so the scale-safe plan is a shuffled join on (w1,w2)/(w1) — AQE
+    * downgrades to broadcast at runtime only when the measured model
+    * side is actually small (as it is on the test corpus). Only the
+    * 1-row vocab scalar is hint-broadcast. Per-bigram LN is
+    * nano-quantized before the per-doc mean; note the residual
+    * cross-engine libm dependence — a 1-ulp JVM-vs-DuckDB LN gap can
+    * flip the 1e-9 quantum, so ties within ±1 nano are not guaranteed
+    * stable across engines (scores here are well-separated). */
   private def textPerplexity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -136,8 +147,8 @@ object Retrieval {
     val c1 = tokens.groupBy($"w").agg(count(lit(1)).as("c1"))
     val vocab = tokens.agg(countDistinct($"w").as("v"))
     val scoredBg = bg
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), bg("w1") === c1("w"))
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, bg("w1") === c1("w"))
       .crossJoin(broadcast(vocab))
       .withColumn("nano",
         round(log(($"c2" + lit(1.0)) / ($"c1" + $"v")) * lit(1e9)).cast("long"))
@@ -233,10 +244,12 @@ object Retrieval {
     * span — the evidence table a filtering pass consumes.
     *
     * Scale shape: grams travel as 60-bit md5 hashes (fixed-width
-    * shuffle keys, never the gram text); the eval side is tiny by
-    * construction (a benchmark suite), so Catalyst broadcasts it and
-    * the train side never shuffles at all — the whole check is one
-    * broadcast-hash-join over the scan. */
+    * shuffle keys, never the gram text). The eval side carries NO
+    * broadcast hint: here it is carved out of the corpus itself
+    * (doc_id % 41) and therefore grows with the corpus, so forcing a
+    * broadcast would OOM at the 100 TB design point. AQE broadcasts at
+    * runtime when the measured eval side is small (a real benchmark
+    * suite is), and falls back to a shuffled hash join otherwise. */
   private def corpusDecontam(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 4
@@ -250,7 +263,7 @@ object Retrieval {
     val eval_ = grams.filter($"doc_id" % 41 === 0)
       .select($"doc_id".as("eval_doc"), $"gh")
     val train = grams.filter($"doc_id" % 41 =!= 0)
-    train.join(broadcast(eval_), "gh")
+    train.join(eval_, "gh")
       .groupBy($"doc_id")
       .agg(countDistinct($"gh").as("n_grams_hit"),
         countDistinct($"eval_doc").as("n_eval_docs"))

@@ -54,6 +54,64 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedup_embedding plan: pair generation is an equi-join, no corpus-sized nested loop") {
+    // VERDICT r5 #4: the registered embedding near-dup query must not
+    // carry an O(n²) BroadcastNestedLoopJoin/CartesianProduct over the
+    // corpus. The only nested-loop allowed is the bounded centroid
+    // crossJoin (a k-row broadcast into the scan).
+    val plan = SparkEntry.queries("dedup_embedding")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian product")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"only the centroid cross-join may be nested-loop, found $bnlj")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "intra-cell pairs must come from an equi-join")
+  }
+
+  test("banded LSH (r=8) bounds bucket width on a skewed corpus where r=1 blows up") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60 docs that all share one hot shingle ("aaa bbb ccc") but are
+    // otherwise unique — the hot-minhash skew case from ADVICE r5: under
+    // any permutation where the shared shingle is the min, an r=1
+    // (perm, minhash) bucket holds MANY docs; an 8-row band key requires
+    // agreement on 8 permutations at once, which unrelated docs don't have.
+    val rows = (0L until 60L).map(i =>
+      (i, s"aaa bbb ccc u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val sig = rows.toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
+      .select($"doc_id", posexplode($"sig").as(Seq("perm", "minhash")))
+    val r1MaxBucket = sig.groupBy($"perm", $"minhash").count()
+      .agg(max($"count")).head.getLong(0)
+    assert(r1MaxBucket >= 10L,
+      s"skew corpus must produce a hot r=1 bucket, got max=$r1MaxBucket")
+
+    val banded = SparkEntry.queries("dedup_minhash_banded")(spark, dir).collect()
+    assert(banded.length == 4) // 4 bands of 8 perms
+    val maxBucket = banded.map(_.getAs[Long]("max_bucket")).max
+    assert(maxBucket <= 2L,
+      s"r=8 band buckets must stay narrow on the skewed corpus, got $maxBucket")
+    assert(banded.map(_.getAs[Long]("n_docs")).forall(_ == 60L))
+  }
+
+  test("banded LSH recall: byte-identical docs collide in every band") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-banddup").toString
+    val text = "key agg row scan slow fast table value part hash merge batch"
+    Seq((1L, text), (2L, text),
+      (3L, "window spark order data column agg join small line customer query stream"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_minhash_banded")(spark, dir).collect()
+    // docs 1,2 share every band key → 1 candidate pair per band
+    assert(got.map(_.getAs[Long]("n_cand_pairs")).forall(_ == 1L))
+    assert(got.map(_.getAs[Long]("max_bucket")).forall(_ == 2L))
+  }
+
   test("minhash est_jaccard approximates true jaccard") {
     val d = docs(Seq((1L, base), (2L, nearDup)))
     val est = Dedup.minhashPairs(d, threshold = 0.0).collect()(0).getAs[Double]("est_jaccard")

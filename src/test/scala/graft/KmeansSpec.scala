@@ -18,6 +18,26 @@ class KmeansSpec extends AnyFunSuite {
     assert(c1.map(_._2).zip(c2.map(_._2)).forall { case (a, b) => a == b })
   }
 
+  test("emb_kmeans registered query: ties break toward the lower cell id") {
+    import spark.implicits._
+    // 8 basis vectors seed the 8 init cells; vector 8 = (e0+e1)/2 is
+    // EXACTLY equidistant (int64 fixed-point) from cells 0 and 1 in the
+    // first assignment — the min(struct(dist, cell)) law must give it
+    // cell 0, on any engine, every time.
+    val dim = 8
+    val rows = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1f else 0f))) :+
+      (8L, Array.tabulate(dim)(j => if (j < 2) 0.5f else 0f))
+    val dir = java.nio.file.Files.createTempDirectory("graft-km-tie").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("emb_kmeans")(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    (0 until 8).foreach(i =>
+      assert(got(i.toLong) == i.toLong, s"basis vector $i stays in its own cell"))
+    assert(got(8L) == 0L, "equidistant vector must take the LOWER cell id")
+  }
+
   test("ivf with trained centroids still finds a planted duplicate") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.sf)

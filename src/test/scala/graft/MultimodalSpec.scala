@@ -64,6 +64,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(all.map(_.frame_sum).sum == 150L * 'a')
   }
 
+  test("HeaderImageDecoder parses real PNG/BMP headers and feeds resizePlan") {
+    import spark.implicits._
+    def be(v: Int) =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def pngHeader(w: Int, h: Int): Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be(13) ++ "IHDR".getBytes("US-ASCII") ++ be(w) ++ be(h) ++
+        Array[Byte](8, 6, 0, 0, 0) // bit depth, color type, ...
+    def bmpHeader(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](54)
+      b(0) = 'B'; b(1) = 'M'
+      def le(v: Int, off: Int): Unit = {
+        b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+        b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+      }
+      le(w, 18); le(h, 22)
+      b
+    }
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/png", pngHeader(640, 480)),
+      Multimodal.Asset(2L, "image/bmp", bmpHeader(100, -50)), // top-down BMP
+      Multimodal.Asset(3L, "text/plain", "not an image".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.extractFeatures(spark, assets, Multimodal.HeaderImageDecoder)
+    val m = feats.collect().map(f => f.doc_id -> f).toMap
+    assert(m(1L).head_byte == 640L && m(1L).byte_sum == 480L, "PNG IHDR dims")
+    assert(m(2L).head_byte == 100L && m(2L).byte_sum == 50L, "BMP dims, |height|")
+    assert(m(3L).head_byte == -1L && m(3L).byte_sum == -1L, "non-image sentinel")
+    val plan = Multimodal.resizePlan(feats.toDF().filter($"head_byte" > 0), maxDim = 64L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))).toMap
+    assert(plan(1L) == (64L, 48L))
+    assert(plan(2L) == (64L, 32L))
+  }
+
   test("resizePlan: aspect-preserving integer scale, no-op below maxDim") {
     import spark.implicits._
     val feats = Seq(

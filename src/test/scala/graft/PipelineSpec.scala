@@ -71,6 +71,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("corpus_mix: per-source token budgets follow the shares with a hard cut line") {
+    import spark.implicits._
+    // src0 (share 40): 2 docs × 10 tokens = 20 toks — the BINDING source;
+    // src1 (share 30): 10 docs × 10 tokens = 100 toks.
+    // b = min(20·10⁴/40, 100·10⁴/30) = 5000 → budgets: src0 = 20, src1 = 15
+    // → all of src0 survives; exactly ONE 10-token src1 doc fits under 15.
+    val ids = Seq(0L, 5L) ++ (0 until 10).map(i => 1L + 5L * i)
+    val rows = ids.map(id => (id, (1 to 10).map(w => s"w${w}d$id").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    rows.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        concat(lit("src"), ($"doc_id" % 5).cast("string")).as("source"),
+        length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_mix")(spark, dir).collect()
+    val bySrc = got.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc == Map("src0" -> 2, "src1" -> 1),
+      s"budget cut line: src0 fully kept, src1 cut after one doc — got $bySrc")
+    assert(got.forall(_.getAs[Long]("cum") <= 20L))
+  }
+
   test("snapshotDiff classifies inserts, updates, deletes and drops unchanged rows") {
     import spark.implicits._
     val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))

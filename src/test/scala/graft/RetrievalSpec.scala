@@ -68,6 +68,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(2L).getAs[Double]("avg_logp") > got(1L).getAs[Double]("avg_logp"))
   }
 
+  test("text_perplexity/corpus_decontam: corpus-sized sides carry no broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // The LM count tables and the carved-out eval side grow with the
+    // corpus; a hard broadcast() there OOMs at scale. Only the 1-row
+    // vocab scalar may be hint-broadcast — everything else must be
+    // left to AQE.
+    val perplexHints = run("text_perplexity").queryExecution.analyzed.collect {
+      case h: ResolvedHint => h
+    }
+    assert(perplexHints.length == 1, s"expected only the vocab-scalar hint, got ${perplexHints.length}")
+    assert(perplexHints.head.child.schema.fieldNames.sameElements(Array("v")))
+    val decontamHints = run("corpus_decontam").queryExecution.analyzed.collect {
+      case h: ResolvedHint => h
+    }
+    assert(decontamHints.isEmpty, "corpus_decontam must not force-broadcast the eval side")
+  }
+
   test("text_cms_topk: count-min error is one-sided (est >= exact)") {
     val rows = run("text_cms_topk").collect()
     assert(rows.nonEmpty)
@@ -103,12 +120,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(top.getAs[Double]("est_jaccard") == 1.0)
   }
 
-  test("graph_bfs: source at distance 0, hops bounded by iteration count") {
+  test("graph_bfs: fixpoint — source at 0, reachable hop levels contiguous") {
     val rows = run("graph_bfs").collect()
     assert(rows.length == 25) // all nations reported
     val hops = rows.map(_.getAs[Long]("hops"))
     assert(hops.count(_ == 0L) == 1, "exactly the source nation at hop 0")
-    assert(hops.forall(h => h == -1L || (h >= 0L && h <= 4L)))
+    assert(hops.forall(_ >= -1L))
+    // BFS at fixpoint: every level h>0 is reached FROM level h-1, so the
+    // reachable hop values form a contiguous 0..max range — a fixed
+    // too-small iteration bound would instead leave a gap (far nodes
+    // stuck at -1). This replaces the old tautological h<=4 assertion.
+    val reached = hops.filter(_ >= 0L).toSet
+    assert(reached == (0L to reached.max).toSet,
+      s"hop levels must be contiguous, got ${reached.toSeq.sorted}")
   }
 
   test("mm_hash_dedup collapses byte-identical blobs to the min doc_id") {
