@@ -172,6 +172,68 @@ object Dedup {
         round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9).as("jaccard"))
   }
 
+  /** Exact τ-threshold Jaccard similarity join with PREFIX FILTERING
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+    * Chaudhuri et al.'s SSJoin) — the scale path for exact near-dup
+    * detection that `ngramJaccardPairs` (all co-shingle pairs) can't
+    * take: joining on EVERY shingle is quadratic in bucket population,
+    * and a 10× corpus measured 22× slower (PERFORMANCE.md, sf1 run).
+    *
+    * Order each doc's shingle set by ascending global document
+    * frequency (rarest first, hash tiebreak — the SAME total order for
+    * all docs). If j(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, which cannot fit
+    * in A's last ⌈τ·|A|⌉−1 shingles — so A and B must collide inside
+    * their first n−⌈τ·n⌉+1 ("prefix") shingles. Candidates therefore
+    * come from an equi-join on PREFIX shingles only — and rarest-first
+    * ordering makes those buckets the thinnest available — then exact
+    * Jaccard is verified per candidate with a sorted-array
+    * intersection (no second shuffle over the shingle stream). The
+    * filter is lossless: every τ-pair shares a prefix shingle, so
+    * recall is exactly 1 and the DuckDB all-pairs oracle hash-matches.
+    *
+    * Scale shape: shuffles carry 8-byte hashes; candidate count is
+    * Σ_prefix-bucket², bounded by the df of RARE shingles (at τ=0.8 a
+    * doc's prefix is ~20% of its shingles); verify is map-side per
+    * candidate. 100 TB survives because the fat (stopword-ish) shingle
+    * buckets never reach the join. */
+  def jaccardJoin(spark: SparkSession, docs: DataFrame, tau: Double,
+                  w: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(tau > 0.0 && tau <= 1.0, "prefix filtering needs tau in (0,1]")
+    val tok = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= w)
+    val sh = tok
+      .select($"doc_id", explode(
+        expr(s"transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w))))")).as("s"))
+      .distinct()
+    // one df-ascending, hash-tiebroken order shared by every doc; the
+    // per-doc sorted shingle array feeds the prefix explode AND both
+    // verify sides — localCheckpoint so it computes once
+    val byRarity = sh
+      .join(sh.groupBy($"s").agg(count(lit(1)).as("df")), "s")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"s"))).as("oss"))
+      .select($"doc_id", expr("transform(oss, x -> x.s)").as("hs"),
+        size($"oss").as("n"))
+      .localCheckpoint()
+    val pre = byRarity.select($"doc_id",
+      explode(slice($"hs", lit(1),
+        ($"n" - ceil($"n" * tau) + 1).cast("int"))).as("s"))
+    val cand = pre.as("a")
+      .join(pre.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(byRarity.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"n".as("na")), "doc_a")
+      .join(byRarity.select($"doc_id".as("doc_b"), $"hs".as("hb"), $"n".as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect($"ha", $"hb")))
+      .withColumn("jaccard",
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9))
+      .filter($"jaccard" >= tau)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
   /** Connected components over a duplicate-pair edge list: every doc
     * gets the min doc_id of its component as `cluster` — turning
     * pairwise near-dup hits into dedup groups ("keep one per cluster").

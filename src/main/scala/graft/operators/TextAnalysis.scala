@@ -97,6 +97,28 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Fixed-width token chunking with overlap — the document-splitting
+    * step of a RAG / pretraining pipeline. Chunk c covers tokens
+    * [c·stride, c·stride+width) with stride = width − overlap; the
+    * last chunk may be shorter; a doc shorter than `width` yields one
+    * chunk. Map-only: an arithmetic `sequence` explode inside the scan
+    * stage — no shuffle, no state, so at 100 TB it parallelizes purely
+    * on input splits and streams straight into the next operator. */
+  def chunk(docs: DataFrame, width: Int, overlap: Int): DataFrame = {
+    require(width > overlap && overlap >= 0, "need width > overlap >= 0")
+    val stride = width - overlap
+    docs
+      .select(col("doc_id"), whitespaceTokens(col("text")).as("_toks"))
+      .withColumn("_start",
+        explode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)), lit(stride))))
+      .select(
+        col("doc_id"),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(width))).as("chunk"),
+        least(lit(width), size(col("_toks")) - col("_start")).cast("long")
+          .as("chunk_tokens"))
+  }
+
   /** Benchmark decontamination: which corpus docs share any word
     * n-gram with the benchmark/eval set, and how many distinct grams
     * leak. The benchmark side (eval suites — tiny next to a training

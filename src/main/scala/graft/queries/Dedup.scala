@@ -108,11 +108,16 @@ object Dedup {
       |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
-  /** Exact 3-gram Jaccard, top-50 most-similar pairs — hash-verified
-    * against a full SQL re-derivation in DuckDB. */
+  /** Exact 3-gram Jaccard near-dup pairs at τ = 0.8 (top-50), via the
+    * prefix-filtered similarity join — lossless pruning, so the DuckDB
+    * oracle can stay the naive all-pairs re-derivation (quadratic is
+    * fine oracle-side at sf0.01) while the Spark plan only ever joins
+    * the thin rare-shingle prefix buckets. The τ-less all-co-shingle
+    * variant (`ngramJaccardPairs`) measured 22× on a 10× corpus
+    * (PERFORMANCE.md sf1 run); this one is the shape you'd ship. */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    DedupOps.ngramJaccardPairs(s, Tables.documents(s, dir))
+    DedupOps.jaccardJoin(s, Tables.documents(s, dir), tau = 0.8)
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(50)
   }
@@ -143,6 +148,7 @@ object Dedup {
   private val dedupNgramJaccardSql =
     s"""WITH $ngramPairCtes
        |SELECT doc_a, doc_b, jaccard FROM scored
+       |WHERE jaccard >= 0.8
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
   /** Cell count for the blocked embedding queries: n/64 target cell

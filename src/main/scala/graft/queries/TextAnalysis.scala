@@ -318,7 +318,31 @@ object TextAnalysis {
       |    ELSE 0.0 END AS dup_3gram_frac
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** corpus_chunk — 32-token chunks with 8-token overlap (stride 24).
+    * The oracle replays the same arithmetic with generate_series +
+    * list slicing; both sides 1-index the slice and truncate the tail
+    * chunk, so text and counts hash-match exactly. */
+  private def corpusChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TA.chunk(Tables.documents(s, dir), width = 32, overlap = 8)
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private val corpusChunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, toks, len(toks) AS n_tok,
+      |    unnest(generate_series(0, GREATEST(len(toks) - 1, 0), 24)) AS start
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(start // 24 AS BIGINT) AS chunk_id,
+      |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
+      |  CAST(LEAST(32, n_tok - start) AS BIGINT) AS chunk_tokens
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_chunk" -> QueryDef(corpusChunk, Some(corpusChunkSql)),
     "text_contamination" -> QueryDef(textContamination, Some(textContaminationSql)),
     "text_repetition" -> QueryDef(textRepetition, Some(textRepetitionSql)),
     "text_bigrams" -> QueryDef(textBigrams, Some(textBigramsSql)),

@@ -45,6 +45,33 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-9)
   }
 
+  test("jaccardJoin: prefix filtering is lossless vs the all-pairs baseline") {
+    // small-vocab random docs → dense shingle sharing, the adversarial
+    // regime for prefix pruning (fat buckets, high overlap everywhere)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val rows = (0L until 40L).map { i =>
+      i -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq(100L -> "x y z x y z x y", 101L -> "x y z x y z x y w") // planted near-dup
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val d = docs(rows)
+      val got = Dedup.jaccardJoin(spark, d, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Dedup.ngramJaccardPairs(spark, d)
+        .filter(s"jaccard >= $tau")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"tau=$tau: prefix join diverged from exact baseline")
+    }
+  }
+
+  test("jaccardJoin finds the planted near-dup and nothing else") {
+    // one word changed in 20 → 3 of 21 union shingles differ → j = 15/21 ≈ 0.714
+    val d = docs(Seq((1L, base), (2L, nearDup), (3L, other)))
+    val got = Dedup.jaccardJoin(spark, d, tau = 0.7).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(2) > 0.7)
+  }
+
   test("clusters: chains merge into one component, min doc_id wins") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11

@@ -42,6 +42,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("chunk: width/overlap arithmetic, short tail, short doc") {
+    // 10 tokens, width 4, overlap 1 → stride 3 → starts 0,3,6,9
+    val toks = (1 to 10).map(i => s"t$i")
+    val d = docs(Seq((1L, toks.mkString(" ")), (2L, "a b")))
+    val got = TextAnalysis.chunk(d, width = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got === Array(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L), // tail chunk truncates
+      (2L, 0L, "a b", 2L))) // doc shorter than width → one chunk
+    // overlap invariant: consecutive full chunks share `overlap` tokens
+    val c0 = got(0)._3.split(" ").takeRight(1).toSeq
+    assert(got(1)._3.split(" ").take(1).toSeq == c0)
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val a = Kernels.rollingHash(UTF8String.fromString("hello world"))
     val b = Kernels.rollingHash(UTF8String.fromString("hello world"))
