@@ -217,11 +217,25 @@ object Dedup {
       .select($"doc_id", expr("transform(oss, x -> x.s)").as("hs"),
         size($"oss").as("n"))
       .localCheckpoint()
-    val pre = byRarity.select($"doc_id",
-      explode(slice($"hs", lit(1),
-        ($"n" - ceil($"n" * tau) + 1).cast("int"))).as("s"))
+    val pre = byRarity.select($"doc_id", $"n",
+      posexplode(slice($"hs", lit(1),
+        ($"n" - ceil($"n" * tau) + 1).cast("int"))))
+      .withColumnRenamed("col", "s").withColumnRenamed("pos", "p")
+    // Candidate prunes, both lossless (ε-slack keeps float rounding
+    // from ever flipping a boundary-true pair; verify rejects extras):
+    //  - length: j ≥ τ ⇒ τ·|A| ≤ |B| ≤ |A|/τ
+    //  - positional (PPJoin): both arrays share one global order, so a
+    //    collision at positions (i, j) bounds the overlap by
+    //    min(i,j) + 1 + min(na−i−1, nb−j−1); a τ-pair needs overlap
+    //    ≥ τ/(1+τ)·(na+nb), and its FIRST common shingle always
+    //    satisfies the bound — at least one event per true pair lives.
+    val eps = 1e-9
+    val overlapUb = least($"a.p", $"b.p") + lit(1) +
+      least($"a.n" - $"a.p" - 1, $"b.n" - $"b.p" - 1)
     val cand = pre.as("a")
-      .join(pre.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .join(pre.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+        $"b.n" >= $"a.n" * tau - eps && $"a.n" >= $"b.n" * tau - eps &&
+        overlapUb.cast("double") * (1.0 + tau) >= ($"a.n" + $"b.n") * tau - eps)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     cand

@@ -354,6 +354,35 @@ object Relational {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin
 
+  /** Rolling 1-hour per-user event features via a RANGE-frame window —
+    * the time-series velocity op (fraud counts, rate limits, feature
+    * engineering). RANGE (not ROWS) so microsecond-tied peers all
+    * enter the frame and the result is set-deterministic under any
+    * executor order. Both engines window over the SAME integer (µs
+    * epoch: Spark's ts is already ns floor-divided to µs, the oracle
+    * replays epoch_ns//1000), so frame membership is bit-identical.
+    * One shuffle on user_id; money summed in integer cents. */
+  private def qRollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts", QueryDef.cents($"value").as("_cents"))
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_1h"),
+        (sum($"_cents").over(w) / 100.0).as("value_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val qRollingWindowSql =
+    """SELECT user_id, event_id,
+      | COUNT(*) OVER w AS n_1h,
+      | SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0 AS value_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Shared 30-min gap sessionization (window formulation): events with
     * an event-level `session_id` column. ONE shuffle on user_id serves
     * the windows and any downstream per-session aggregate. */
@@ -929,6 +958,7 @@ object Relational {
     "q_except" -> QueryDef(qExcept, Some(qExceptSql)),
     "q_cube" -> QueryDef(qCube, Some(qCubeSql)),
     "q_window_suite" -> QueryDef(qWindowSuite, Some(qWindowSuiteSql)),
+    "q_rolling_window" -> QueryDef(qRollingWindow, Some(qRollingWindowSql)),
     "q_scd2" -> QueryDef(qScd2, Some(qScd2Sql)),
     "q_funnel" -> QueryDef(qFunnel, Some(qFunnelSql), bench = true),
     "q_having" -> QueryDef(qHaving, Some(qHavingSql)),

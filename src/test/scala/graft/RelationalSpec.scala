@@ -26,6 +26,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("l_comment") && !plan.contains("l_tax"))
   }
 
+  test("q_rolling_window: 1-hour RANGE frame includes the boundary, drops older") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted: user 1 at t=0s, 3599s, 3600s, 7200s; user 2 at t=0s
+    val ev = Seq(
+      (1L, 10L, 0L, 1.00), (1L, 11L, 3599L, 2.00),
+      (1L, 12L, 3600L, 4.00), (1L, 13L, 7200L, 8.00),
+      (2L, 20L, 0L, 16.00))
+      .toDF("user_id", "event_id", "secs", "value")
+      .withColumn("ts", timestamp_seconds($"secs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    val got = ev.select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_1h"),
+        (sum(graft.queries.QueryDef.cents($"value")).over(w) / 100.0).as("value_1h"))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(10L) == (1L, 1.00))
+    assert(got(11L) == (2L, 3.00)) // 3599s ago: in frame
+    assert(got(12L) == (3L, 7.00)) // exactly 3600s ago: boundary included
+    assert(got(13L) == (2L, 12.00)) // 0s and 3599s dropped, 3600s+7200s in
+    assert(got(20L) == (1L, 16.00)) // partitioned per user
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no total sort)") {
     val plan = run("q_topk").queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
