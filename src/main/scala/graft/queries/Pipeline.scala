@@ -660,7 +660,93 @@ object Pipeline {
       |FROM c JOIN bud USING (source) WHERE cum <= budget
       |ORDER BY source, cum""".stripMargin
 
+  /** Second driver-verified streaming row (after ctr_streaming_replay):
+    * the events table replayed through the stateful
+    * flatMapGroupsWithState sessionizer (interval-merge semantics,
+    * event-time timeouts), hash-compared against a batch SQL
+    * re-derivation of 30-minute-gap sessions.
+    *
+    * Replay harness = THREE AvailableNow runs against ONE checkpoint
+    * and ONE parquet sink — which makes this also an exactly-once
+    * RESTART test, not just a drain test:
+    *   run 1: the real events (watermark starts at 0, so nothing can
+    *          finalize mid-run except what later batches allow);
+    *   run 2: a far-future sentinel appended to the source dir — its
+    *          batch runs with the run-1 watermark and advances it;
+    *   run 3: a second sentinel — its batch runs with the run-2
+    *          watermark (sentinel − 30 min), so every real session's
+    *          event-time timer has passed and fires. Two sentinels are
+    *          needed because a watermark computed at the END of batch
+    *          N only gates batch N+1 (same pattern as the
+    *          StreamBatchConsistencySpec memory-stream proof).
+    * Session bounds are at millisecond precision (the state kernel
+    * works on Timestamp.getTime), so the oracle chains gaps over
+    * epoch_ns // 1000000 — identical grouping arithmetic in both
+    * engines, no float, no libm. */
+  private def sessionizeStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    def sentinel(id: Long, offsetMs: Long) = Seq(
+      (id, new java.sql.Timestamp(maxTs.getTime + offsetMs), -1L, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft-sess-replay").toString
+    ev.write.mode("overwrite").parquet(s"$root/src")
+
+    def drain(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(s"$root/src")
+        .as[EventStream.Event]
+        .transform(d => EventStream.sessionize(s, d, gapMinutes = 30).toDF())
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("sessionize_streaming_replay: stream stalled")
+      }
+    }
+    drain()
+    sentinel(-1L, 30L * 24 * 3600 * 1000).write.mode("append").parquet(s"$root/src")
+    drain()
+    sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
+    drain()
+
+    s.read.parquet(s"$root/out")
+      .filter($"user_id" >= 0)
+      .select($"user_id",
+        unix_millis($"session_start").as("start_ms"),
+        unix_millis($"session_end").as("end_ms"),
+        $"n_events".cast("long").as("n_events"))
+      .orderBy($"user_id", $"start_ms")
+  }
+
+  private val sessionizeStreamingReplaySql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+      |x AS (
+      |  SELECT user_id, event_id, ms,
+      |    CASE WHEN LAG(ms) OVER w IS NULL OR ms > LAG(ms) OVER w + 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |y AS (
+      |  SELECT user_id, ms,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x)
+      |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, start_ms""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "sessionize_streaming_replay" ->
+      QueryDef(sessionizeStreamingReplay, Some(sessionizeStreamingReplaySql)),
     "corpus_mix" -> QueryDef(corpusMix, Some(corpusMixSql)),
     "corpus_curate_e2e" -> QueryDef(corpusCurateE2e, Some(corpusCurateE2eSql)),
     "corpus_token_budget" -> QueryDef(corpusTokenBudget, Some(corpusTokenBudgetSql)),
