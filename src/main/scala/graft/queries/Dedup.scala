@@ -391,7 +391,49 @@ object Dedup {
        |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n_cand_pairs
        |FROM b GROUP BY band ORDER BY band""".stripMargin
 
+  /** Streaming exact dedup, driver-verified: replays `documents` as a
+    * file-source stream through the streaming `dropDuplicates` state
+    * store (key = md5(text), 16 bytes/key) and emits the surviving
+    * hash set, compared against the batch DISTINCT oracle. Output is
+    * the KEY SET rather than first-seen rows because first-seen is an
+    * arrival-order artifact in any streaming engine — the key set is
+    * the order-free invariant both engines must agree on.
+    *
+    * Scale shape: state is keyed by a fixed-width hash (never text),
+    * partitioned by key across the cluster like any shuffle. This
+    * replay keeps state for the whole run (bounded corpus); an
+    * unbounded production stream would use dropDuplicatesWithinWatermark
+    * so state evicts once the watermark passes the ingest-time skew
+    * window. */
+  private def dedupStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{StructType, StringType}
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup-replay").toString
+    Tables.documents(s, dir).select(md5($"text").as("th"))
+      .write.mode("overwrite").parquet(s"$root/docs")
+    val stream = s.readStream
+      .schema(new StructType().add("th", StringType))
+      .parquet(s"$root/docs")
+    val qname = s"dedup_replay_${System.nanoTime()}"
+    val query = stream.dropDuplicates("th")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("dedup_streaming_replay: stream did not drain in 300s")
+    }
+    s.table(qname).select($"th").orderBy($"th")
+  }
+
+  private val dedupStreamingReplaySql =
+    "SELECT DISTINCT md5(text) AS th FROM documents ORDER BY th"
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),
     "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),

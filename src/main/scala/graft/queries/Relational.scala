@@ -941,7 +941,47 @@ object Relational {
       | TRIM(LPAD(CAST(c_custkey AS VARCHAR), 8, '0')) AS padded_key
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Wide→long melt (the inverse of q_pivot): per-returnflag measure
+    * columns unpivoted into (measure, value) rows via the native
+    * UNPIVOT operator (an Expand node — each input row emits one row
+    * per measure INSIDE the stage, no exchange added). At 100 TB the
+    * melt itself is free: the only shuffle is the feeding aggregate,
+    * and Expand widens rows after the partial/final agg has already
+    * collapsed cardinality. Money math follows the q1 convention:
+    * exact integer cents, converted to double identically on both
+    * engines. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = cents($"l_extendedprice")
+    val d = pct($"l_discount")
+    val wide = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(round($"l_quantity").cast("long")).cast("double").as("sum_qty"),
+        (sum(p).cast("double") / 100.0).as("sum_price"),
+        (sum(p * d).cast("double") / 10000.0).as("sum_disc"))
+    wide.unpivot(
+        Array($"l_returnflag"),
+        Array($"sum_qty", $"sum_price", $"sum_disc"),
+        "measure", "value")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  private val qUnpivotSql =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |   CAST(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
+      |   CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_price,
+      |   CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+      |  UNION ALL SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+      |  UNION ALL SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM a) u
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_unpivot" -> QueryDef(qUnpivot, Some(qUnpivotSql)),
     "q_seasonality" -> QueryDef(qSeasonality, Some(qSeasonalitySql)),
     "q_string_funcs" -> QueryDef(qStringFuncs, Some(qStringFuncsSql)),
     "q_grep" -> QueryDef(qGrep, Some(qGrepSql)),

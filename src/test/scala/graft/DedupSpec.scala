@@ -15,6 +15,15 @@ class DedupSpec extends AnyFunSuite {
   val nearDup = base.replace("warm", "cold") // 1-word edit
   val other = "completely different content about spark catalyst optimizer rules and physical plan strategies here now"
 
+  test("dedup_streaming_replay emits exactly the batch-distinct hash set") {
+    val got = SparkEntry.all("dedup_streaming_replay").fn(spark, TestSpark.sf)
+      .collect().map(_.getString(0))
+    val want = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .selectExpr("md5(text) AS th").distinct().orderBy("th")
+      .collect().map(_.getString(0))
+    assert(got.sameElements(want))
+  }
+
   test("exactSurvivors keeps the lowest doc_id per duplicate group") {
     val d = docs(Seq((1L, base), (2L, base), (3L, other), (7L, base)))
     val got = Dedup.exactSurvivors(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -18,6 +18,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("q_unpivot melts each wide row into exactly one row per measure") {
+    val rows = run("q_unpivot").collect()
+    val flags = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag").distinct().count()
+    assert(rows.length == 3 * flags)
+    // melt preserves values: sum_qty rows must equal the wide aggregate
+    val wideQty = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_returnflag", "CAST(ROUND(l_quantity) AS LONG) AS q")
+      .groupBy("l_returnflag").sum("q")
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble)).toMap
+    val meltQty = rows.filter(_.getAs[String]("measure") == "sum_qty")
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Double]("value"))).toMap
+    assert(meltQty == wideQty)
+    // no exchange introduced above the aggregate by the melt
+    val plan = run("q_unpivot").queryExecution.optimizedPlan.toString
+    assert(plan.contains("Expand"), s"unpivot did not plan as Expand:\n$plan")
+  }
+
   test("filter+projection are pushed into the parquet scan") {
     val plan = run("q_filter_project").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
