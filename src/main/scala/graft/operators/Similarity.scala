@@ -32,6 +32,23 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
   }
 
+  /** Radius (range) search: every corpus vector with cosine >= tau of
+    * each probe — the "all near-duplicates of X" / recall-set query
+    * that top-k can't express. One broadcast of the probe set + one
+    * corpus scan, no shuffle at all (score + filter apply in-scan);
+    * at 100 TB this is the embarrassingly-parallel exact baseline, and
+    * the LSH/IVF cell pruning used by the top-k paths composes
+    * unchanged when the probe count grows. */
+  def rangeSearch(spark: SparkSession, emb: DataFrame, probes: DataFrame, tau: Double): DataFrame = {
+    import spark.implicits._
+    val q = probes.select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    broadcast(q)
+      .join(emb, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+      .filter($"cos_sim" >= tau)
+  }
+
   /** LSH-bucketed ANN: probes only compare within their bucket. */
   def lshTopK(spark: SparkSession, emb: DataFrame, probes: DataFrame,
               k: Int, numPlanes: Int = 8): DataFrame = {

@@ -78,7 +78,37 @@ object OperatorShowcase {
       | CAST(len(regexp_extract_all(props, '[0-9]{3,}')) AS BIGINT) AS n_num
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Two-phase distributed skyline over part (minimize price, maximize
+    * size): per-partition sweep prunes to the local frontier with no
+    * shuffle, then a frontier-sized exact window resolve — the oracle
+    * is the quadratic NOT-EXISTS dominance definition, so any pruning
+    * error (dropped frontier point, surviving dominated point) fails
+    * the hash compare. Money quantized to cents so dominance is exact
+    * integer comparison on both engines. */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.part(s, dir).select(
+      $"p_partkey".as("id"),
+      cents($"p_retailprice").as("cost"),
+      $"p_size".cast("long").as("gain"))
+    graft.operators.Skyline.skyline2d(s, pts)
+      .select($"id".as("p_partkey"), $"cost", $"gain")
+      .orderBy($"p_partkey")
+  }
+
+  private val qSkylineSql =
+    """WITH t AS (
+      |  SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT) AS cost,
+      |         CAST(p_size AS BIGINT) AS gain FROM part)
+      |SELECT p_partkey, cost, gain FROM t a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM t b
+      |  WHERE b.cost <= a.cost AND b.gain >= a.gain
+      |    AND (b.cost < a.cost OR b.gain > a.gain))
+      |ORDER BY p_partkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_skyline" -> QueryDef(qSkyline, Some(qSkylineSql)),
     "q_skew_join" -> QueryDef(qSkewJoin, Some(qSkewJoinSql)),
     "q_bloom_join" -> QueryDef(qBloomJoin, Some(qBloomJoinSql)),
     "text_pii_redact" -> QueryDef(textPiiRedact, Some(textPiiRedactSql))

@@ -744,7 +744,40 @@ object Pipeline {
       |FROM y GROUP BY user_id, sid
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** Cohort retention: users bucketed by first-activity week (weeks
+    * indexed from Monday 1970-01-05 — pure integer date math, no
+    * engine-specific week-start semantics), then distinct active users
+    * per (cohort, week-offset) — the product-analytics retention
+    * triangle. Scale shape: (user, week) pairs are distinct-ed in the
+    * first shuffle (collapses event volume to user-weeks), the cohort
+    * aggregate reuses the same user_id hash partitioning for its join
+    * (no extra exchange), and the final aggregate shuffles only
+    * user-week pairs. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = floor(datediff(to_date($"ts"), to_date(lit("1970-01-05"))) / 7).cast("long")
+    val ev = Tables.events(s, dir).select($"user_id", wk.as("wk")).distinct()
+    val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    ev.join(cohort, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("wk_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"wk_offset")
+  }
+
+  private val qRetentionSql =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+      |SELECT c.cohort_wk, ev.wk - c.cohort_wk AS wk_offset,
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN c ON ev.user_id = c.user_id
+      |GROUP BY c.cohort_wk, wk_offset
+      |ORDER BY cohort_wk, wk_offset""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_retention" -> QueryDef(qRetention, Some(qRetentionSql)),
     "sessionize_streaming_replay" ->
       QueryDef(sessionizeStreamingReplay, Some(sessionizeStreamingReplaySql)),
     "corpus_mix" -> QueryDef(corpusMix, Some(corpusMixSql)),

@@ -451,7 +451,29 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Radius search: the full recall set within cosine >= 0.1 of each
+    * of 5 probes (top-k's complement — "everything near X", the query
+    * a dedup audit or contamination sweep asks). Exact scan-side
+    * filter, zero shuffles; same rounded-cosine convention as the
+    * top-k family so the threshold cut is identical on both engines. */
+  private def annRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sim.rangeSearch(s, Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 5), tau = 0.1)
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  private val annRangeSearchSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+       |SELECT query_id, e.vec_id AS neighbor_id,
+       |  ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+       |WHERE ROUND(${cosSql("qe", "e.embedding")}, 9) >= 0.1
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ann_range_search" -> QueryDef(annRangeSearch, Some(annRangeSearchSql)),
     "emb_kmeans" -> QueryDef(embKmeans, Some(embKmeansSql)),
     "ann_bruteforce" -> QueryDef(annBruteforce, Some(annBruteforceSql), bench = true),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),

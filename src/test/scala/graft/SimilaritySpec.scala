@@ -22,6 +22,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rangeSearch returns exactly the vectors at or above tau") {
+    import spark.implicits._
+    // cosines vs the probe (1,0): a=1.0, b=0.0, c=0.8
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.rangeSearch(spark, vecs, vecs.filter("vec_id = 0"), tau = 0.5)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+      .sortBy(_._1)
+    assert(got.map(_._1).sameElements(Array(1L, 3L)))
+    assert(got(0)._2 == 1.0 && math.abs(got(1)._2 - 0.8) < 1e-6)
+  }
+
   test("a planted duplicate vector is every method's top neighbor") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
