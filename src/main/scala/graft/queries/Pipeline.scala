@@ -748,17 +748,19 @@ object Pipeline {
     * indexed from Monday 1970-01-05 — pure integer date math, no
     * engine-specific week-start semantics), then distinct active users
     * per (cohort, week-offset) — the product-analytics retention
-    * triangle. Scale shape: (user, week) pairs are distinct-ed in the
-    * first shuffle (collapses event volume to user-weeks), the cohort
-    * aggregate reuses the same user_id hash partitioning for its join
-    * (no extra exchange), and the final aggregate shuffles only
-    * user-week pairs. */
+    * triangle. Scale shape: the distinct collapses raw event volume to
+    * user-weeks with map-side partial aggregation before its shuffle;
+    * the cohort comes from a min-window over user_id (one more
+    * user-keyed exchange of user-week pairs) rather than a
+    * self-aggregate + join, which would cost a third full exchange
+    * plus a user-dim-sized join; the final aggregate moves only
+    * (cohort, offset, user) triples. */
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wk = floor(datediff(to_date($"ts"), to_date(lit("1970-01-05"))) / 7).cast("long")
     val ev = Tables.events(s, dir).select($"user_id", wk.as("wk")).distinct()
-    val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
-    ev.join(cohort, "user_id")
+    val cohort = min($"wk").over(Window.partitionBy($"user_id"))
+    ev.withColumn("cohort_wk", cohort)
       .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("wk_offset"))
       .agg(countDistinct($"user_id").as("n_users"))
       .orderBy($"cohort_wk", $"wk_offset")

@@ -15,6 +15,18 @@ class PipelineSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("q_retention derives cohorts with a window, not a self-join") {
+    val df = SparkEntry.all("q_retention").fn(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"retention planned a join:\n$plan")
+    assert(plan.contains("Window"), "cohort min-window missing from plan")
+    // retention identity: every cohort's offset-0 row counts the whole cohort,
+    // and no offset can retain more users than offset 0
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = rows.filter(_._2 == 0L).map(r => (r._1, r._3)).toMap
+    assert(rows.forall { case (c, _, n) => n <= base(c) })
+  }
+
   // 12 tokens: spans of 10 tokens at positions 1..3
   private val span = "a b c d e f g h i j k l"
 
