@@ -980,7 +980,34 @@ object Relational {
       |  UNION ALL SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM a) u
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** Grouped ordered list-aggregation (LISTAGG/string_agg): per
+    * segment, the numerically-sorted csv of member keys. Sorting
+    * inside the aggregate makes the result set-deterministic (executor
+    * arrival order can never leak into the string). Scale note:
+    * list-agg output is inherently group-sized — at 100 TB you bound
+    * it (filter first, as here, or cap with slice) or the single
+    * group row becomes the straggler; the aggregation itself stays
+    * map-side partial. */
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).filter($"c_custkey" <= 100)
+      .groupBy($"c_mktsegment")
+      .agg(
+        array_join(transform(array_sort(collect_list($"c_custkey")),
+          x => x.cast("string")), ",").as("keys"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val qStringAggSql =
+    """SELECT c_mktsegment,
+      | string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS keys,
+      | COUNT(*) AS n
+      |FROM customer WHERE c_custkey <= 100
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_string_agg" -> QueryDef(qStringAgg, Some(qStringAggSql)),
     "q_unpivot" -> QueryDef(qUnpivot, Some(qUnpivotSql)),
     "q_seasonality" -> QueryDef(qSeasonality, Some(qSeasonalitySql)),
     "q_string_funcs" -> QueryDef(qStringFuncs, Some(qStringFuncsSql)),

@@ -341,7 +341,51 @@ object TextAnalysis {
       |  CAST(LEAST(32, n_tok - start) AS BIGINT) AS chunk_tokens
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Fractional-epoch upsampling — the pretraining data-recipe op
+    * ("wiki at 2.5 epochs, web at 1.0"): each doc emits its whole
+    * copies plus a deterministic hash-sampled extra copy for the
+    * fractional remainder (epochs 2.5 → copies 0,1 always; copy 2
+    * iff md5 bucket < 50). All-integer epoch percents, so the
+    * fraction cut is exact on both engines; membership is a pure
+    * function of (doc_id, copy) — stable across runs/clusters, no
+    * global pass. Scale shape: sequence-explode inside the scan,
+    * map-only, zero shuffles before the output sort. */
+  private def corpusUpsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pct = (lit(100L) +
+      (substring($"source", 4, 10).cast("long") % 4) * 75L).as("pct") // 1.0/1.75/2.5/3.25 epochs
+    val bucket = pmod(conv(substring(md5(concat(
+      lit("up:"), $"doc_id".cast("string"), lit(":"), $"copy".cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(100L))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", pct)
+      .select($"doc_id", $"source", $"pct",
+        floor($"pct" / 100).cast("long").as("full_copies"),
+        pmod($"pct", lit(100L)).as("frac_pct"))
+      .select($"doc_id", $"source", $"full_copies", $"frac_pct",
+        explode(sequence(lit(0L),
+          $"full_copies" + when($"frac_pct" > 0, 1L).otherwise(0L) - 1)).as("copy"))
+      .filter($"copy" < $"full_copies" || bucket < $"frac_pct")
+      .select($"doc_id", $"source", $"copy")
+      .orderBy($"doc_id", $"copy")
+  }
+
+  private val corpusUpsampleSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    100 + (CAST(substring(source, 4) AS BIGINT) % 4) * 75 AS pct
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, pct // 100 AS full_copies, pct % 100 AS frac_pct,
+      |    UNNEST(range(0, pct // 100 + CASE WHEN pct % 100 > 0 THEN 1 ELSE 0 END)) AS copy
+      |  FROM d)
+      |SELECT doc_id, source, copy FROM e
+      |WHERE copy < full_copies
+      |   OR CAST('0x' || substring(md5('up:' || doc_id::VARCHAR || ':' || copy::VARCHAR), 1, 8) AS BIGINT) % 100 < frac_pct
+      |ORDER BY doc_id, copy""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_upsample" -> QueryDef(corpusUpsample, Some(corpusUpsampleSql)),
     "corpus_chunk" -> QueryDef(corpusChunk, Some(corpusChunkSql)),
     "text_contamination" -> QueryDef(textContamination, Some(textContaminationSql)),
     "text_repetition" -> QueryDef(textRepetition, Some(textRepetitionSql)),

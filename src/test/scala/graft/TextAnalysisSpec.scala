@@ -13,6 +13,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("corpus_upsample: whole copies always, fractional copy hash-gated, indices contiguous") {
+    val rows = SparkEntry.all("corpus_upsample").fn(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      val idx = rs.head._2.drop(3).toLong
+      val pct = 100 + (idx % 4) * 75
+      val full = (pct / 100).toInt
+      val n = rs.length
+      assert(n == full || (pct % 100 > 0 && n == full + 1))
+      assert(rs.map(_._3).sorted.toSeq == (0L until n.toLong).toSeq)
+    }
+  }
+
   test("tokenStats counts whitespace and BPE-ish tokens") {
     val d = docs(Seq((1L, "Hello world, 42 times!")))
     val r = TextAnalysis.tokenStats(d).collect()(0)
