@@ -778,7 +778,66 @@ object Pipeline {
       |GROUP BY c.cohort_wk, wk_offset
       |ORDER BY cohort_wk, wk_offset""".stripMargin
 
+  /** Single-pass data profiling (the ANALYZE/data-quality op): per
+    * column null count, exact distinct count, min and max — computed
+    * in ONE aggregate over the table (multiple distinct aggregates
+    * plan as one Expand + partial aggs, still a single scan), then
+    * melted to a row per column. Doubles surface through the exact
+    * DECIMAL(18,2) path so the stringified min/max are bit-identical
+    * on both engines. At 100 TB this is the always-run pre-flight
+    * step; the melt is driver-free (explode of a 3-struct array on a
+    * 1-row aggregate). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.queries.QueryDef.dec
+    val a = Tables.events(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when($"user_id".isNull, 1L).otherwise(0L)).as("nn_uid"),
+      countDistinct($"user_id").as("nd_uid"),
+      min($"user_id").cast("string").as("mn_uid"),
+      max($"user_id").cast("string").as("mx_uid"),
+      sum(when($"event_type".isNull, 1L).otherwise(0L)).as("nn_et"),
+      countDistinct($"event_type").as("nd_et"),
+      min($"event_type").as("mn_et"),
+      max($"event_type").as("mx_et"),
+      sum(when($"value".isNull, 1L).otherwise(0L)).as("nn_v"),
+      countDistinct($"value").as("nd_v"),
+      dec(min($"value")).cast("string").as("mn_v"),
+      dec(max($"value")).cast("string").as("mx_v"))
+    a.select($"n_rows", explode(array(
+        struct(lit("user_id").as("col_name"), $"nn_uid".as("n_nulls"),
+          $"nd_uid".as("n_distinct"), $"mn_uid".as("min_v"), $"mx_uid".as("max_v")),
+        struct(lit("event_type").as("col_name"), $"nn_et".as("n_nulls"),
+          $"nd_et".as("n_distinct"), $"mn_et".as("min_v"), $"mx_et".as("max_v")),
+        struct(lit("value").as("col_name"), $"nn_v".as("n_nulls"),
+          $"nd_v".as("n_distinct"), $"mn_v".as("min_v"), $"mx_v".as("max_v")))).as("p"))
+      .select($"p.col_name", $"n_rows", $"p.n_nulls", $"p.n_distinct",
+        $"p.min_v", $"p.max_v")
+      .orderBy($"col_name")
+  }
+
+  private val qProfileSql =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_uid,
+      |    COUNT(DISTINCT user_id) AS nd_uid,
+      |    CAST(MIN(user_id) AS VARCHAR) AS mn_uid, CAST(MAX(user_id) AS VARCHAR) AS mx_uid,
+      |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_et,
+      |    COUNT(DISTINCT event_type) AS nd_et,
+      |    MIN(event_type) AS mn_et, MAX(event_type) AS mx_et,
+      |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_v,
+      |    COUNT(DISTINCT value) AS nd_v,
+      |    CAST(CAST(MIN(value) AS DECIMAL(18,2)) AS VARCHAR) AS mn_v,
+      |    CAST(CAST(MAX(value) AS DECIMAL(18,2)) AS VARCHAR) AS mx_v
+      |  FROM events)
+      |SELECT 'user_id' AS col_name, n_rows, nn_uid AS n_nulls, nd_uid AS n_distinct,
+      |  mn_uid AS min_v, mx_uid AS max_v FROM a
+      |UNION ALL SELECT 'event_type', n_rows, nn_et, nd_et, mn_et, mx_et FROM a
+      |UNION ALL SELECT 'value', n_rows, nn_v, nd_v, mn_v, mx_v FROM a
+      |ORDER BY col_name""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_profile" -> QueryDef(qProfile, Some(qProfileSql)),
     "q_retention" -> QueryDef(qRetention, Some(qRetentionSql)),
     "sessionize_streaming_replay" ->
       QueryDef(sessionizeStreamingReplay, Some(sessionizeStreamingReplaySql)),

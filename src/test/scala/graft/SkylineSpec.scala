@@ -19,6 +19,15 @@ class SkylineSpec extends AnyFunSuite {
     assert(got.sameElements(Array(1L, 2L, 3L, 6L, 7L)))
   }
 
+  test("the global window resolve reads the partition-pruned set, not the raw table") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toLong, i.toLong)).toDF("id", "cost", "gain")
+    val plan = Skyline.skyline2d(spark, df).queryExecution.executedPlan.toString
+    // phase 1 (mapPartitions sweep) must sit below the window exchange
+    assert(plan.contains("MapPartitions"), s"local prune missing:\n$plan")
+    assert(plan.contains("Window"), s"global resolve missing:\n$plan")
+  }
+
   test("skyline equals the quadratic dominance definition across partitions") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
