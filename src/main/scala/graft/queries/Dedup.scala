@@ -432,7 +432,35 @@ object Dedup {
   private val dedupStreamingReplaySql =
     "SELECT DISTINCT md5(text) AS th FROM documents ORDER BY th"
 
+  /** Incremental dedup — the production shape: admit only NEW-batch
+    * docs (doc_id ≡ 0 mod 5 plays today's crawl) whose content hash is
+    * absent from the standing index (the other 4/5), then collapse
+    * intra-batch duplicates to the min doc_id. Scale shape: the
+    * anti-join and group both key on a fixed-width hash (never text);
+    * in production the standing index is bucketed by hash so the daily
+    * anti-join is shuffle-free on the index side, and only the new
+    * batch — the small side — moves. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", md5($"text").as("th"))
+    val index = d.filter($"doc_id" % 5 =!= 0).select($"th").distinct()
+    d.filter($"doc_id" % 5 === 0)
+      .join(index, Seq("th"), "left_anti")
+      .groupBy($"th").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"th")
+      .orderBy($"doc_id")
+  }
+
+  private val dedupIncrementalSql =
+    """WITH d AS (SELECT doc_id, md5(text) AS th FROM documents),
+      |idx AS (SELECT DISTINCT th FROM d WHERE doc_id % 5 <> 0),
+      |nw AS (SELECT * FROM d WHERE doc_id % 5 = 0)
+      |SELECT MIN(doc_id) AS doc_id, th FROM nw
+      |WHERE th NOT IN (SELECT th FROM idx)
+      |GROUP BY th ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),
