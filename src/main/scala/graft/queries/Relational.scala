@@ -1006,7 +1006,41 @@ object Relational {
       |FROM customer WHERE c_custkey <= 100
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Time-series gap filling: generate the full hourly spine between
+    * the corpus' first and last event hour (sequence-explode of a
+    * 1-row bounds aggregate — no driver loop), left-join the hourly
+    * counts onto it, and zero-fill missing hours. The spine side is
+    * O(hours) — tiny — so at scale it broadcasts into the join and
+    * the only real cost is the hourly pre-aggregate's single shuffle.
+    * Hours surface as formatted strings (the q_hourly_stats
+    * convention) so both engines hash identical values. */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(date_format($"h", "yyyy-MM-dd HH:00:00").as("hour"),
+        coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"hour")
+  }
+
+  private val qGapFillSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY h),
+      |spine AS (
+      |  SELECT UNNEST(generate_series((SELECT MIN(h) FROM hourly),
+      |                                (SELECT MAX(h) FROM hourly),
+      |                                INTERVAL 1 HOUR)) AS h)
+      |SELECT strftime(spine.h, '%Y-%m-%d %H:00:00') AS hour,
+      |  COALESCE(hourly.n, 0) AS n
+      |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+      |ORDER BY hour""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_gap_fill" -> QueryDef(qGapFill, Some(qGapFillSql)),
     "q_string_agg" -> QueryDef(qStringAgg, Some(qStringAggSql)),
     "q_unpivot" -> QueryDef(qUnpivot, Some(qUnpivotSql)),
     "q_seasonality" -> QueryDef(qSeasonality, Some(qSeasonalitySql)),

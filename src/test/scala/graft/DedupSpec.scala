@@ -15,6 +15,13 @@ class DedupSpec extends AnyFunSuite {
   val nearDup = base.replace("warm", "cold") // 1-word edit
   val other = "completely different content about spark catalyst optimizer rules and physical plan strategies here now"
 
+  test("dedup_incremental plans a hash anti-join on the content hash, not a nested loop") {
+    val qe = SparkEntry.all("dedup_incremental").fn(spark, TestSpark.sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti-join in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
+
   test("dedup_streaming_replay emits exactly the batch-distinct hash set") {
     val got = SparkEntry.all("dedup_streaming_replay").fn(spark, TestSpark.sf)
       .collect().map(_.getString(0))

@@ -15,6 +15,14 @@ class PipelineSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("q_profile computes all column stats in one scan (multi-distinct Expand)") {
+    val qe = SparkEntry.all("q_profile").fn(spark, TestSpark.sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Expand"), s"multi-distinct did not plan as Expand:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single table scan, saw $scans:\n$plan")
+  }
+
   test("q_retention derives cohorts with a window, not a self-join") {
     val df = SparkEntry.all("q_retention").fn(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString
