@@ -20,7 +20,8 @@ object SparkEntry {
     Similarity.defs,
     TextAnalysis.defs,
     Retrieval.defs,
-    Multimodal.defs
+    Multimodal.defs,
+    Stats.defs
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Round-6 statistics batch: exact cross-engine correlation /
+  * regression stats, categorical entropy + mode, robust (median/MAD)
+  * outlier detection, and DSIR-style hashed-n-gram importance
+  * resampling (Xie et al. 2023) for domain-matched corpus selection.
+  *
+  * Cross-engine exactness strategy (same as QueryDef's money rules):
+  * quantize inputs to integers up front (cents / micro-log units),
+  * aggregate exactly (int128 / DECIMAL(38,0) sums), and run the final
+  * double arithmetic on bit-identical operands with an identical
+  * expression shape on both engines. libm calls (LN) are per-row
+  * scalars quantized to integers immediately, so aggregation order
+  * can never leak into the hash.
+  */
+object Stats {
+
+  /** 60-bit md5 word hash — same convention as operators.Dedup grams:
+    * DuckDB mirrors it as CAST('0x' || substring(md5(w),1,15) AS BIGINT). */
+  private def hash60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- q_corr
+
+  /** Pearson correlation + OLS slope of extendedprice vs quantity per
+    * returnflag, computed from EXACT integer co-moments: cents-quantized
+    * inputs, DECIMAL(38,0) sums (DuckDB: int128 SUM(BIGINT)), then one
+    * closed-form double expression over bit-identical operands. Spark's
+    * built-in `corr` is a streaming co-moment whose low bits depend on
+    * partition order — this formulation is deterministic at any
+    * parallelism, and the sums stay map-side combinable (one shuffle of
+    * 6 numbers per group). */
+  private def qCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(s, dir).select($"l_returnflag",
+      round($"l_quantity" * 100).cast("long").as("x"),
+      round($"l_extendedprice" * 100).cast("long").as("y"))
+    val a = li.groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x".cast(d38)).cast("double").as("sx"),
+      sum($"y".cast(d38)).cast("double").as("sy"),
+      sum(($"x" * $"x").cast(d38)).cast("double").as("sxx"),
+      sum(($"y" * $"y").cast(d38)).cast("double").as("syy"),
+      sum(($"x" * $"y").cast(d38)).cast("double").as("sxy"))
+    a.select($"l_returnflag",
+        $"n".cast("long").as("n_rows"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 9)
+          .as("corr_qty_price"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 9)
+          .as("beta_price_per_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qCorrSql =
+    """WITH t AS (SELECT l_returnflag,
+      |    CAST(ROUND(l_quantity*100) AS BIGINT) AS x,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y FROM lineitem),
+      |a AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+      |    CAST(SUM(x*y) AS DOUBLE) AS sxy FROM t GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  ROUND((n*sxy - sx*sy)/SQRT((n*sxx - sx*sx)*(n*syy - sy*sy)), 9) AS corr_qty_price,
+      |  ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 9) AS beta_price_per_qty
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------- q_entropy
+
+  /** Per-language source-distribution stats: Shannon entropy (bits) and
+    * the modal source. H = ln(N) - Σ c·ln(c)/N, with each per-source
+    * ln(c) nano-quantized to an integer BEFORE the sum so aggregation
+    * order cannot perturb low bits. Mode ties break lexicographically.
+    * Two tiny aggregates over a (lang, source) count table — the only
+    * full-data pass is the first groupBy. */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.documents(s, dir).groupBy("lang", "source").count()
+      .withColumn("lnc", round(log($"count".cast("double")) * 1e9).cast("long"))
+    val a = c.groupBy("lang").agg(
+      sum($"count").as("n"),
+      count(lit(1)).as("ns"),
+      sum($"count" * $"lnc").as("slc"))
+    val m = c.withColumn("rn",
+        row_number().over(Window.partitionBy($"lang").orderBy($"count".desc, $"source")))
+      .filter($"rn" === 1).select($"lang", $"source".as("mode_source"))
+    a.join(m, "lang")
+      .select($"lang", $"n".cast("long").as("n_docs"), $"ns".cast("long").as("n_sources"),
+        round((log($"n".cast("double")) - $"slc".cast("double") / 1e9 / $"n") / log(lit(2.0)), 6)
+          .as("entropy_bits"),
+        $"mode_source")
+      .orderBy("lang")
+  }
+
+  private val qEntropySql =
+    """WITH c AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+      |q AS (SELECT lang, source, cnt,
+      |    CAST(ROUND(LN(CAST(cnt AS DOUBLE))*1e9) AS BIGINT) AS lnc FROM c),
+      |a AS (SELECT lang, SUM(cnt) AS n, COUNT(*) AS ns, SUM(cnt*lnc) AS slc
+      |    FROM q GROUP BY 1),
+      |m AS (SELECT lang, source AS mode_source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rn FROM c)
+      |SELECT a.lang AS lang, CAST(n AS BIGINT) AS n_docs, CAST(ns AS BIGINT) AS n_sources,
+      |  ROUND((LN(CAST(n AS DOUBLE)) - CAST(slc AS DOUBLE)/1e9/n) / LN(2.0), 6) AS entropy_bits,
+      |  mode_source
+      |FROM a JOIN m USING (lang) WHERE rn = 1 ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------- q_mad_outliers
+
+  /** Robust outlier detection per event type: median + MAD (median
+    * absolute deviation), flagging |v - med| > 3·MAD. Values are
+    * cents-quantized so both engines' linear-interpolated medians land
+    * on an exact binary grid (halves/quarters) — bit-identical with no
+    * libm involved. Three scans of events, but every joined stat table
+    * is #event_types rows (broadcast by construction at any scale);
+    * exact medians shuffle per-group sorted values, the scale knob is
+    * swapping percentile→approx_percentile when exactness isn't required. */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("vc"))
+    val med = e.groupBy("event_type").agg(expr("percentile(vc, 0.5)").as("med"))
+    val d = e.join(broadcast(med), "event_type").withColumn("dev", abs($"vc" - $"med"))
+    val mad = d.groupBy("event_type").agg(expr("percentile(dev, 0.5)").as("mad"))
+    val o = d.join(broadcast(mad), "event_type").groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      sum(when($"dev" > lit(3) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+    o.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .select($"event_type", $"n_events",
+        ($"med" / 100.0).as("median_value"), ($"mad" / 100.0).as("mad_value"),
+        $"n_outliers",
+        ($"n_outliers".cast("double") / $"n_events").as("outlier_frac"))
+      .orderBy("event_type")
+  }
+
+  private val qMadOutliersSql =
+    """WITH e AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+      |m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med FROM e GROUP BY 1),
+      |d AS (SELECT e.event_type, vc, ABS(vc - med) AS dev FROM e JOIN m USING (event_type)),
+      |s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1),
+      |o AS (SELECT d.event_type, COUNT(*) AS n,
+      |    SUM(CASE WHEN dev > 3*mad THEN 1 ELSE 0 END) AS n_out
+      |    FROM d JOIN s USING (event_type) GROUP BY 1)
+      |SELECT o.event_type AS event_type, CAST(n AS BIGINT) AS n_events,
+      |  med/100.0 AS median_value, mad/100.0 AS mad_value,
+      |  CAST(n_out AS BIGINT) AS n_outliers,
+      |  CAST(n_out AS DOUBLE)/n AS outlier_frac
+      |FROM o JOIN m USING (event_type) JOIN s USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------- corpus_dsir
+
+  /** DSIR-style importance resampling (Data Selection via Importance
+    * Resampling): score every document by how much its hashed-unigram
+    * distribution looks like the target domain (here: the English
+    * slice), then keep the top quartile by score.
+    *
+    * wm(b) = round(1e6 · ln( ((t_b+1)/(T+B)) / ((c_b+1)/(C+B)) )) —
+    * add-1-smoothed log importance ratio per hash bucket, micro-
+    * quantized so doc scores are EXACT integer sums. B is fixed at
+    * 1024, so the weight table broadcasts by construction at any
+    * corpus size (unlike corpus-derived join sides). Selection uses a
+    * percentile threshold, not a global sort — one aggregate instead
+    * of a single-partition row_number at 100 TB. */
+  private def corpusDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select($"doc_id", ($"lang" === "en").cast("long").as("is_t"),
+        explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .withColumn("b", hash60($"w") % 1024)
+    val bk = toks.groupBy("b").agg(count(lit(1)).as("cb"), sum($"is_t").as("tb"))
+    val tot = bk.agg(sum($"cb").as("ct"), sum($"tb").as("tt"))
+    val w = bk.crossJoin(broadcast(tot)).select($"b",
+      round(log((($"tb" + 1.0) / ($"tt" + 1024.0)) / (($"cb" + 1.0) / ($"ct" + 1024.0))) * 1e6)
+        .cast("long").as("wm"))
+    val sc = toks.join(broadcast(w), "b").groupBy("doc_id").agg(sum($"wm").as("score_micro"))
+    val s2 = docs.select($"doc_id").join(sc, Seq("doc_id"), "left")
+      .withColumn("score_micro", coalesce($"score_micro", lit(0L)))
+    val thr = s2.agg(expr("percentile(score_micro, 0.75)").as("thr"))
+    s2.crossJoin(broadcast(thr))
+      .select($"doc_id", round($"score_micro" / 1e6, 6).as("score"),
+        ($"score_micro" > $"thr").as("selected"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusDsirSql =
+    """WITH t0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |toks AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+      |    CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      |    FROM t0 WHERE length(w) > 0),
+      |bk AS (SELECT b, COUNT(*) AS cb, SUM(is_t) AS tb FROM toks GROUP BY 1),
+      |tot AS (SELECT SUM(cb) AS ct, SUM(tb) AS tt FROM bk),
+      |w AS (SELECT b,
+      |    CAST(ROUND(LN(((tb + 1.0)/(tt + 1024.0))/((cb + 1.0)/(ct + 1024.0)))*1e6) AS BIGINT) AS wm
+      |    FROM bk CROSS JOIN tot),
+      |sc AS (SELECT doc_id, SUM(wm) AS score_micro FROM toks JOIN w USING (b) GROUP BY 1),
+      |s2 AS (SELECT d.doc_id, COALESCE(score_micro, 0) AS score_micro
+      |    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+      |thr AS (SELECT quantile_cont(score_micro, 0.75) AS thr FROM s2)
+      |SELECT doc_id, ROUND(score_micro/1e6, 6) AS score, score_micro > thr AS selected
+      |FROM s2 CROSS JOIN thr ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_corr" -> QueryDef(qCorr, Some(qCorrSql)),
+    "q_entropy" -> QueryDef(qEntropy, Some(qEntropySql)),
+    "q_mad_outliers" -> QueryDef(qMadOutliers, Some(qMadOutliersSql)),
+    "corpus_dsir" -> QueryDef(corpusDsir, Some(corpusDsirSql), bench = true)
+  )
+}

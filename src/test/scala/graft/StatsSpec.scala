@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-6 statistics batch: the registered queries cross-checked
+  * against independent driver-side (Scala) computations on sf0.001,
+  * plus plan-shape assertions for the scale-critical joins. */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def run(name: String) = SparkEntry.all(name).fn(spark, TestSpark.sf)
+
+  test("q_corr matches an exact driver-side co-moment computation") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select($"l_returnflag",
+        round($"l_quantity" * 100).cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      .as[(String, Long, Long)].collect()
+    val want = li.groupBy(_._1).map { case (f, rows) =>
+      val n = rows.length.toDouble
+      def s(g: ((String, Long, Long)) => BigInt) = rows.map(g).sum.toDouble
+      val (sx, sy) = (s(r => BigInt(r._2)), s(r => BigInt(r._3)))
+      val (sxx, syy, sxy) = (s(r => BigInt(r._2) * r._2), s(r => BigInt(r._3) * r._3),
+        s(r => BigInt(r._2) * r._3))
+      val corr = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      f -> BigDecimal(corr).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = run("q_corr").select($"l_returnflag", $"corr_qty_price")
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (f, c) => assert(got(f) == c, s"flag $f") }
+    // correlations are meaningful, not degenerate
+    assert(got.values.forall(c => c > -1.0 && c < 1.0))
+  }
+
+  test("q_entropy: uniform distribution hits log2(k) bits; mode ties break lexicographically") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .groupBy($"lang", $"source").count().as[(String, String, Long)].collect()
+    val want = docs.groupBy(_._1).map { case (lang, rows) =>
+      val n = rows.map(_._3).sum
+      val slc = rows.map(r => r._3 * math.round(math.log(r._3.toDouble) * 1e9)).sum
+      val h = (math.log(n.toDouble) - slc.toDouble / 1e9 / n) / math.log(2.0)
+      val mode = rows.sortBy(r => (-r._3, r._2)).head._2
+      lang -> ((BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, mode))
+    }
+    val got = run("q_entropy")
+      .select($"lang", $"entropy_bits", $"mode_source")
+      .as[(String, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want)
+    // entropy of a k-way categorical is bounded by log2(k)
+    val bounds = run("q_entropy").select($"entropy_bits", $"n_sources")
+      .as[(Double, Long)].collect()
+    assert(bounds.forall { case (h, k) => h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9 })
+  }
+
+  test("q_mad_outliers matches driver-side exact median/MAD and flags only >3*MAD") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select($"event_type", round($"value" * 100).cast("long").as("vc"))
+      .as[(String, Long)].collect()
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val p = (s.length - 1) * 0.5
+      val (lo, hi) = (s(p.toInt), s(math.ceil(p).toInt))
+      lo + (hi - lo) * (p - p.toInt)
+    }
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2.toDouble)
+      val med = medianOf(vs)
+      val dev = vs.map(v => math.abs(v - med))
+      val mad = medianOf(dev)
+      t -> ((med / 100.0, mad / 100.0, dev.count(_ > 3 * mad).toLong))
+    }
+    val got = run("q_mad_outliers")
+      .select($"event_type", $"median_value", $"mad_value", $"n_outliers")
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+  }
+
+  test("corpus_dsir: strict threshold split, quartile-size selection, target-domain lift") {
+    import spark.implicits._
+    val got = run("corpus_dsir").as[(Long, Double, Boolean)].collect()
+    val n = got.length
+    val (sel, unsel) = got.partition(_._3)
+    assert(sel.nonEmpty && sel.length <= n / 4 + 1, s"${sel.length} of $n selected")
+    // strict > threshold split: every selected score beats every unselected one
+    assert(sel.map(_._2).min > unsel.map(_._2).max)
+    // directional sanity: english (target) docs should score higher on average
+    val lang = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val (en, other) = got.partition(r => lang(r._1) == "en")
+    val avg = (xs: Array[(Long, Double, Boolean)]) => xs.map(_._2).sum / xs.length
+    assert(avg(en) > avg(other), s"en avg ${avg(en)} vs other ${avg(other)}")
+  }
+
+  test("corpus_dsir plan: the 1024-bucket weight table joins as broadcast, never shuffle") {
+    val plan = run("corpus_dsir").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$plan")
+  }
+
+  test("q_mad_outliers plan: per-group stat tables broadcast, events never shuffled for a join") {
+    val plan = run("q_mad_outliers").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stat join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"events side got shuffled for a join:\n$plan")
+  }
+}
