@@ -107,7 +107,71 @@ object OperatorShowcase {
       |    AND (b.cost < a.cost OR b.gain > a.gain))
       |ORDER BY p_partkey""".stripMargin
 
+  /** Z-order layout audit: orders on the Morton curve of
+    * (o_custkey, order-day), cut into 64 equal-width curve segments
+    * (NO global sort — segment = z·64 div (zmax+1)), then per-segment
+    * min/max of both dimensions. The span fractions are the file-skip
+    * story: each segment covers a small window of BOTH columns, which
+    * is exactly what parquet footer min/max pruning needs. Integer
+    * bit-interleave math is reproduced verbatim by the oracle. */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Layout
+    val o = Tables.orders(s, dir).select($"o_custkey",
+      floor(unix_timestamp($"o_orderdate").cast("double") / 86400).cast("long").as("day"))
+    val bounds = o.agg(min($"o_custkey").as("ck_lo"), max($"o_custkey").as("ck_hi"),
+      min($"day").as("d_lo"), max($"day").as("d_hi"))
+    val z = o.crossJoin(broadcast(bounds)).withColumn("z",
+      Layout.zValue($"o_custkey", $"ck_lo", $"ck_hi", $"day", $"d_lo", $"d_hi"))
+    val zm = z.agg(max($"z").as("zmax"))
+    z.crossJoin(broadcast(zm))
+      .withColumn("bucket", floor($"z".cast("double") * 64 / ($"zmax" + 1)).cast("long"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_rows"),
+        min($"o_custkey").as("ck_min"), max($"o_custkey").as("ck_max"),
+        min($"day").as("day_min"), max($"day").as("day_max"))
+      .crossJoin(broadcast(bounds))
+      .select($"bucket", $"n_rows", $"ck_min", $"ck_max", $"day_min", $"day_max",
+        round(($"ck_max" - $"ck_min").cast("double") / ($"ck_hi" - $"ck_lo"), 9)
+          .as("ck_span_frac"),
+        round(($"day_max" - $"day_min").cast("double") / ($"d_hi" - $"d_lo"), 9)
+          .as("day_span_frac"))
+      .orderBy("bucket")
+  }
+
+  private val qZorderSql =
+    """WITH o AS (SELECT o_custkey AS ck,
+      |    CAST(FLOOR(CAST(epoch(o_orderdate) AS DOUBLE)/86400) AS BIGINT) AS day FROM orders),
+      |b AS (SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+      |    MIN(day) AS d_lo, MAX(day) AS d_hi FROM o),
+      |n AS (SELECT ck, day,
+      |    CASE WHEN ck_hi = ck_lo THEN 0
+      |      ELSE CAST(FLOOR(CAST((ck - ck_lo)*65535 AS DOUBLE)/(ck_hi - ck_lo)) AS BIGINT)
+      |    END AS na,
+      |    CASE WHEN d_hi = d_lo THEN 0
+      |      ELSE CAST(FLOOR(CAST((day - d_lo)*65535 AS DOUBLE)/(d_hi - d_lo)) AS BIGINT)
+      |    END AS nb
+      |    FROM o CROSS JOIN b),
+      |s1 AS (SELECT ck, day, ((na | (na << 8)) & 16711935) AS a1,
+      |    ((nb | (nb << 8)) & 16711935) AS b1 FROM n),
+      |s2 AS (SELECT ck, day, ((a1 | (a1 << 4)) & 252645135) AS a2,
+      |    ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+      |s3 AS (SELECT ck, day, ((a2 | (a2 << 2)) & 858993459) AS a3,
+      |    ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+      |s4 AS (SELECT ck, day, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+      |    ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+      |zt AS (SELECT ck, day, (a4 | (b4 << 1)) AS z FROM s4),
+      |zm AS (SELECT MAX(z) AS zmax FROM zt),
+      |g AS (SELECT CAST(FLOOR(CAST(z AS DOUBLE)*64/(zmax + 1)) AS BIGINT) AS bucket, ck, day
+      |    FROM zt CROSS JOIN zm)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(ck) AS ck_min, MAX(ck) AS ck_max, MIN(day) AS day_min, MAX(day) AS day_max,
+      |  ROUND(CAST(MAX(ck) - MIN(ck) AS DOUBLE)/(SELECT ck_hi - ck_lo FROM b), 9) AS ck_span_frac,
+      |  ROUND(CAST(MAX(day) - MIN(day) AS DOUBLE)/(SELECT d_hi - d_lo FROM b), 9) AS day_span_frac
+      |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_zorder" -> QueryDef(qZorder, Some(qZorderSql)),
     "q_skyline" -> QueryDef(qSkyline, Some(qSkylineSql)),
     "q_skew_join" -> QueryDef(qSkewJoin, Some(qSkewJoinSql)),
     "q_bloom_join" -> QueryDef(qBloomJoin, Some(qBloomJoinSql)),

@@ -172,17 +172,25 @@ object Stats {
   private def corpusDsir(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val toks = docs
+    // Pre-aggregate once to per-(doc, bucket) token counts — ≤1024 rows
+    // per doc vs one row per token — and materialize; both the bucket
+    // totals and the scoring join read this table, so the corpus is
+    // tokenized exactly once. At cluster scale the same table would be
+    // persisted/checkpointed to executor-local storage.
+    val dt = docs
       .select($"doc_id", ($"lang" === "en").cast("long").as("is_t"),
         explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .withColumn("b", hash60($"w") % 1024)
-    val bk = toks.groupBy("b").agg(count(lit(1)).as("cb"), sum($"is_t").as("tb"))
+      .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bk = dt.groupBy("b").agg(sum($"c").as("cb"), sum($"is_t" * $"c").as("tb"))
     val tot = bk.agg(sum($"cb").as("ct"), sum($"tb").as("tt"))
     val w = bk.crossJoin(broadcast(tot)).select($"b",
       round(log((($"tb" + 1.0) / ($"tt" + 1024.0)) / (($"cb" + 1.0) / ($"ct" + 1024.0))) * 1e6)
         .cast("long").as("wm"))
-    val sc = toks.join(broadcast(w), "b").groupBy("doc_id").agg(sum($"wm").as("score_micro"))
+    val sc = dt.join(broadcast(w), "b").groupBy("doc_id")
+      .agg(sum($"wm" * $"c").as("score_micro"))
     val s2 = docs.select($"doc_id").join(sc, Seq("doc_id"), "left")
       .withColumn("score_micro", coalesce($"score_micro", lit(0L)))
     val thr = s2.agg(expr("percentile(score_micro, 0.75)").as("thr"))
