@@ -217,7 +217,76 @@ object Stats {
       |SELECT doc_id, ROUND(score_micro/1e6, 6) AS score, score_micro > thr AS selected
       |FROM s2 CROSS JOIN thr ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_equidepth
+
+  /** Exact equi-depth (equal-count) histogram of extendedprice: decile
+    * edges from ONE exact-percentile aggregate, then a map-side bucket
+    * classification against the broadcast 9-edge array — no ntile, no
+    * global sort (the classic equi-depth formulation needs a full sort;
+    * this is two scans and a 1-row broadcast). Cents grid keeps the
+    * interpolated edges on exact binary fractions in both engines. */
+  private def qEquidepth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.lineitem(s, dir)
+      .select(round($"l_extendedprice" * 100).cast("long").as("v"))
+    val ed = e.agg(
+      expr("percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("edges"))
+    e.crossJoin(broadcast(ed))
+      .withColumn("bucket",
+        expr("aggregate(edges, 0, (acc, x) -> acc + IF(v > round(x, 6), 1, 0))").cast("long"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_rows"),
+        (min($"v") / 100.0).as("min_value"),
+        (max($"v") / 100.0).as("max_value"))
+      .orderBy("bucket")
+  }
+
+  private val qEquidepthSql =
+    """WITH e AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v FROM lineitem),
+      |ed AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM e),
+      |b AS (SELECT v, CAST(len(list_filter(edges, x -> v > ROUND(x, 6))) AS BIGINT) AS bucket
+      |    FROM e CROSS JOIN ed)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(v)/100.0 AS min_value, MAX(v)/100.0 AS max_value
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------- corpus_weighted_sample
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): per-doc uniform u derived from a 60-bit md5 hash
+    * of the doc id, rank key ln(u)/w (monotone in u^(1/w)), keep docs
+    * above the 0.8 key quantile — longer documents (w = n_chars) are
+    * proportionally likelier to survive, yet the sample is exactly
+    * reproducible on both engines. Keys are micro-quantized AFTER the
+    * single per-row ln, and selection is a percentile threshold, not a
+    * global top-k sort. */
+  private def corpusWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"n_chars",
+      ((hash60($"doc_id".cast("string")) + 1).cast("double") /
+        lit(math.pow(2, 60))).as("u"))
+    val k = d.withColumn("key_micro",
+      round(log($"u") / $"n_chars".cast("double") * 1e6).cast("long"))
+    val thr = k.agg(expr("percentile(key_micro, 0.8)").as("thr"))
+    k.crossJoin(broadcast(thr))
+      .select($"doc_id", $"n_chars", $"key_micro", ($"key_micro" > $"thr").as("sampled"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusWeightedSampleSql =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+      |      / 1152921504606846976 AS u
+      |    FROM documents),
+      |k AS (SELECT doc_id, n_chars,
+      |    CAST(ROUND(LN(u) / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key_micro FROM d),
+      |t AS (SELECT quantile_cont(key_micro, 0.8) AS thr FROM k)
+      |SELECT doc_id, n_chars, key_micro, key_micro > thr AS sampled
+      |FROM k CROSS JOIN t ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_equidepth" -> QueryDef(qEquidepth, Some(qEquidepthSql)),
+    "corpus_weighted_sample" -> QueryDef(corpusWeightedSample, Some(corpusWeightedSampleSql)),
     "q_corr" -> QueryDef(qCorr, Some(qCorrSql)),
     "q_entropy" -> QueryDef(qEntropy, Some(qEntropySql)),
     "q_mad_outliers" -> QueryDef(qMadOutliers, Some(qMadOutliersSql)),

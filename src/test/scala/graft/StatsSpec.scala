@@ -96,6 +96,31 @@ class StatsSpec extends AnyFunSuite {
     assert(avg(en) > avg(other), s"en avg ${avg(en)} vs other ${avg(other)}")
   }
 
+  test("q_equidepth: ten buckets, ~equal depth, monotone non-overlapping value ranges") {
+    import spark.implicits._
+    val got = run("q_equidepth").as[(Long, Long, Double, Double)].collect()
+    assert(got.map(_._1).sameElements(0L until 10L))
+    val total = got.map(_._2).sum
+    // equal-count within 25% of ideal depth (duplicate cent values can shift ties)
+    got.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 10.0) < total * 0.025, s"bucket $b depth $n of $total") }
+    got.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._4 <= w(1)._3, s"ranges overlap at bucket ${w(1)._1}") }
+  }
+
+  test("corpus_weighted_sample: ~20% kept, longer docs proportionally favored, reproducible") {
+    import spark.implicits._
+    val got = run("corpus_weighted_sample")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val (in, out) = got.partition(_._4)
+    assert(in.nonEmpty && math.abs(in.length - got.length * 0.2) <= got.length * 0.05)
+    val mean = (xs: Array[(Long, Long, Long, Boolean)]) => xs.map(_._2).sum.toDouble / xs.length
+    assert(mean(in) > mean(out), s"sampled mean ${mean(in)} !> unsampled ${mean(out)}")
+    // exact determinism: a second evaluation selects the identical set
+    val again = run("corpus_weighted_sample").as[(Long, Long, Long, Boolean)].collect()
+    assert(got.sameElements(again))
+  }
+
   test("corpus_dsir plan: the 1024-bucket weight table joins as broadcast, never shuffle") {
     val plan = run("corpus_dsir").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$plan")
