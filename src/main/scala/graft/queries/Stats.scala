@@ -284,7 +284,70 @@ object Stats {
       |SELECT doc_id, n_chars, key_micro, key_micro > thr AS sampled
       |FROM k CROSS JOIN t ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- text_bpe_pairs
+
+  /** Tokenizer induction, step one of BPE: corpus-frequency of every
+    * adjacent character pair inside words (the argmax is the first BPE
+    * merge). Map-only explode → one count shuffle on 2-char keys →
+    * TakeOrdered top-50 (per-partition heads, no global sort). */
+  private def textBpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair").limit(50)
+  }
+
+  private val textBpePairsSql =
+    """WITH w AS (SELECT w FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |    WHERE length(w) >= 2),
+      |i AS (SELECT w, unnest(generate_series(1, length(w)-1)) AS i FROM w),
+      |p AS (SELECT substring(w, i, 2) AS pair FROM i)
+      |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q_kanon
+
+  /** k-anonymity audit (k=5) over the quasi-identifier tuple
+    * (event_type, hour-of-day, user bucket): per event type, how many
+    * QI groups are small enough to identify members and how many rows
+    * a suppression pass would drop. Two aggregations, keys only —
+    * the standard privacy gate before exporting behavioral data. */
+  private def qKanon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.events(s, dir)
+      .groupBy($"event_type", hour($"ts").as("hod"), ($"user_id" % 50).as("ub"))
+      .agg(count(lit(1)).as("c"))
+    g.groupBy("event_type").agg(
+        count(lit(1)).as("n_groups"),
+        sum(when($"c" < 5, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when($"c" < 5, $"c").otherwise(0L)).as("n_suppressed"),
+        sum($"c").as("n_rows"))
+      .select($"event_type", $"n_groups", $"n_small_groups", $"n_suppressed", $"n_rows",
+        ($"n_suppressed".cast("double") / $"n_rows").as("suppressed_frac"))
+      .orderBy("event_type")
+  }
+
+  private val qKanonSql =
+    """WITH g AS (SELECT event_type, hour(ts) AS hod, user_id % 50 AS ub, COUNT(*) AS c
+      |    FROM events GROUP BY 1, 2, 3),
+      |a AS (SELECT event_type, COUNT(*) AS n_groups,
+      |    SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS n_small_groups,
+      |    SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS n_suppressed,
+      |    SUM(c) AS n_rows FROM g GROUP BY 1)
+      |SELECT event_type, CAST(n_groups AS BIGINT) AS n_groups,
+      |  CAST(n_small_groups AS BIGINT) AS n_small_groups,
+      |  CAST(n_suppressed AS BIGINT) AS n_suppressed, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_suppressed AS DOUBLE)/n_rows AS suppressed_frac
+      |FROM a ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_bpe_pairs" -> QueryDef(textBpePairs, Some(textBpePairsSql)),
+    "q_kanon" -> QueryDef(qKanon, Some(qKanonSql)),
     "q_equidepth" -> QueryDef(qEquidepth, Some(qEquidepthSql)),
     "corpus_weighted_sample" -> QueryDef(corpusWeightedSample, Some(corpusWeightedSampleSql)),
     "q_corr" -> QueryDef(qCorr, Some(qCorrSql)),

@@ -121,6 +121,37 @@ class StatsSpec extends AnyFunSuite {
     assert(got.sameElements(again))
   }
 
+  test("text_bpe_pairs matches a driver-side recount and is a valid BPE merge candidate list") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.length >= 2).foreach { w =>
+      w.sliding(2).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1)
+    })
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = run("text_bpe_pairs").as[(String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q_kanon: suppressed rows are exactly the members of sub-k groups") {
+    import spark.implicits._
+    val got = run("q_kanon")
+      .select($"event_type", $"n_small_groups", $"n_suppressed", $"n_rows")
+      .as[(String, Long, Long, Long)].collect()
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select($"event_type", hour($"ts"), $"user_id" % 50)
+      .as[(String, Int, Long)].collect()
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val gs = rows.groupBy(identity).values.map(_.length.toLong).toSeq
+      t -> ((gs.count(_ < 5).toLong, gs.filter(_ < 5).sum, gs.sum))
+    }
+    got.foreach { case (t, small, sup, n) => assert(want(t) == ((small, sup, n)), t) }
+    // every small group contributes 1..4 rows
+    got.foreach { case (t, small, sup, _) =>
+      assert(sup >= small && sup <= small * 4, s"$t: $sup vs $small") }
+  }
+
   test("corpus_dsir plan: the 1024-bucket weight table joins as broadcast, never shuffle") {
     val plan = run("corpus_dsir").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$plan")
