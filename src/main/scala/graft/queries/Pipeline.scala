@@ -683,6 +683,60 @@ object Pipeline {
     * works on Timestamp.getTime), so the oracle chains gaps over
     * epoch_ns // 1000000 — identical grouping arithmetic in both
     * engines, no float, no libm. */
+  /** Watermark LATE-DATA semantics driver-verified: run 1 streams the
+    * on-time slice (event_id % 5 != 0) plus a far-future sentinel that
+    * drags the watermark past every real window; run 2 (same
+    * checkpoint — the watermark survives restart) streams ONLY the
+    * held-back slice, now entirely behind the watermark, which append
+    * mode must DROP while flushing the closed windows exactly once.
+    * The oracle is the plain batch aggregate over the on-time slice —
+    * the hash matches iff (a) every closed window emitted exactly
+    * once and (b) not one late row leaked into a count. sum_value is
+    * deliberately not emitted (per-window double sums are partition-
+    * order dependent; counts are exact). */
+  private def hourlyLateReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val ev = Tables.events(s, dir).select($"event_id", $"ts", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+    val onTime = ev.filter($"event_id" % 5 =!= 0).select($"ts", $"event_type", $"value")
+      .unionByName(Seq((far, "zz", 0.0)).toDF("ts", "event_type", "value"))
+    val late = ev.filter($"event_id" % 5 === 0).select($"ts", $"event_type", $"value")
+    val root = java.nio.file.Files.createTempDirectory("graft-late-replay").toString
+    onTime.write.mode("overwrite").parquet(s"$root/src")
+
+    def drain(): Unit = {
+      val q = EventStream.windowedCounts(
+          s.readStream.schema(onTime.schema).parquet(s"$root/src"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:00:00").as("hour"),
+          $"event_type", $"n")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("hourly_late_replay: stream stalled")
+      }
+    }
+    drain()
+    late.write.mode("append").parquet(s"$root/src")
+    drain()
+
+    s.read.parquet(s"$root/out")
+      .filter($"event_type" =!= "zz")
+      .orderBy($"hour", $"event_type")
+  }
+
+  private val hourlyLateReplaySql =
+    """SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type, COUNT(*) AS n
+      |FROM events WHERE event_id % 5 <> 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def sessionizeStreamingReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.Trigger
@@ -841,6 +895,7 @@ object Pipeline {
     "q_retention" -> QueryDef(qRetention, Some(qRetentionSql)),
     "sessionize_streaming_replay" ->
       QueryDef(sessionizeStreamingReplay, Some(sessionizeStreamingReplaySql)),
+    "hourly_late_replay" -> QueryDef(hourlyLateReplay, Some(hourlyLateReplaySql)),
     "corpus_mix" -> QueryDef(corpusMix, Some(corpusMixSql)),
     "corpus_curate_e2e" -> QueryDef(corpusCurateE2e, Some(corpusCurateE2eSql)),
     "corpus_token_budget" -> QueryDef(corpusTokenBudget, Some(corpusTokenBudgetSql)),
