@@ -459,7 +459,78 @@ object Dedup {
       |WHERE th NOT IN (SELECT th FROM idx)
       |GROUP BY th ORDER BY doc_id""".stripMargin
 
+  /** LSH quality evaluation — the ann_recall analog for MinHash: how
+    * much of the EXACT near-dup pair set does the production banding
+    * (4 bands × r = 8) catch, bucketed by true Jaccard? The classic
+    * S-curve, measured: low-similarity pairs must be (nearly) all
+    * missed, 0.9+ pairs (the dedup targets) nearly all caught.
+    * Ground truth comes from the prefix-filtered exact join at a low
+    * τ — affordable here; a 100 TB run computes it on a sample, while
+    * the banding side scales as-is (bucket equi-join). */
+  private def dedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val exact = DedupOps.jaccardJoin(s, docs, tau = 0.05)
+    val sig = docs.repartition($"doc_id")
+      .select($"doc_id", graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
+      .filter(size($"sig") > 0)
+    val banded = sig
+      .select($"doc_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
+      .select($"doc_id", $"band",
+        conv(substring(md5(concat_ws(":",
+          expr("transform(slice(sig, band * 8 + 1, 8), x -> cast(x as string))"))), 1, 15), 16, 10)
+          .cast("long").as("bkey"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    exact
+      .join(cand.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .withColumn("hit", coalesce($"hit", lit(0L)))
+      .groupBy(least(floor($"jaccard" * 10), lit(9)).cast("long").as("sim_decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"hit").as("n_caught"))
+      .withColumn("recall", $"n_caught".cast("double") / $"n_pairs")
+      .orderBy("sim_decile")
+  }
+
+  private val dedupMinhashRecallSql =
+    s"""WITH $minhashSigCtes,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+       |    FROM tok) u),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pair AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard
+       |  FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+       |bk AS (
+       |  SELECT doc_id, perm // 8 AS band,
+       |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
+       |  FROM sig GROUP BY doc_id, perm // 8),
+       |cp AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT s.doc_a, s.doc_b, s.jaccard,
+       |    CASE WHEN cp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM scored s LEFT JOIN cp
+       |    ON s.doc_a = cp.doc_a AND s.doc_b = cp.doc_b
+       |  WHERE s.jaccard >= 0.05)
+       |SELECT LEAST(CAST(FLOOR(jaccard * 10) AS BIGINT), 9) AS sim_decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(hit) AS BIGINT) AS n_caught,
+       |  CAST(SUM(hit) AS DOUBLE)/COUNT(*) AS recall
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_minhash_recall" -> QueryDef(dedupMinhashRecall, Some(dedupMinhashRecallSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),

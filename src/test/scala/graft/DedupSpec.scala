@@ -155,6 +155,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("max_bucket")).forall(_ == 2L))
   }
 
+  test("dedup_minhash_recall: planted near-dups caught, low-sim pairs missed (the S-curve)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mh-recall").toString
+    // 3 near-dup pairs (1-word edits, jaccard ~0.9) + a low-sim pair
+    // sharing exactly one 3-shingle run
+    val lowA = "alpha beta gamma " + (1 to 20).map(i => s"ax$i").mkString(" ")
+    val lowB = "alpha beta gamma " + (1 to 20).map(i => s"bx$i").mkString(" ")
+    Seq(
+      (1L, base), (2L, nearDup),
+      (3L, base.replace("quick", "swift")), (4L, base.replace("quick", "rapid")),
+      (5L, lowA), (6L, lowB), (7L, other))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_minhash_recall")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // high-similarity deciles (>=0.8): every pair caught by r=8 banding
+    val hi = got.filter(_._1 >= 8).values
+    assert(hi.nonEmpty && hi.forall { case (n, c) => c == n }, s"high-sim missed: $got")
+    // mid/low-sim pairs (cross-pairs of different edits, j<=0.75) exist
+    // and sit below the banding S-curve knee: none caught
+    val lo = got.filter(_._1 <= 7).values
+    assert(lo.nonEmpty && lo.forall { case (_, c) => c == 0 }, s"low-sim caught: $got")
+  }
+
   test("minhash est_jaccard approximates true jaccard") {
     val d = docs(Seq((1L, base), (2L, nearDup)))
     val est = Dedup.minhashPairs(d, threshold = 0.0).collect()(0).getAs[Double]("est_jaccard")
