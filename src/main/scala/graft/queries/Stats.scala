@@ -345,7 +345,58 @@ object Stats {
       |  CAST(n_suppressed AS DOUBLE)/n_rows AS suppressed_frac
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------ q_basket_lift
+
+  /** Market-basket association rules over co-purchased parts: support,
+    * confidence and lift for part pairs appearing in the same order.
+    * No order sampling needed (unlike q_triangles' 3-way join): the
+    * pair explosion is C(k,2) per basket — bounded by basket width,
+    * linear in orders. All metrics are single double divisions of
+    * exact integer counts; the pair join is the standard key-sorted
+    * self-join (pa < pb), one shuffle on the order key. */
+  private def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val tot = li.select($"l_orderkey").distinct().agg(count(lit(1)).as("n"))
+    val item = li.groupBy($"l_partkey").agg(count(lit(1)).as("ni"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("nab"))
+      .filter($"nab" >= 3)
+    pairs
+      .join(item.select($"l_partkey".as("pa"), $"ni".as("na")), "pa")
+      .join(item.select($"l_partkey".as("pb"), $"ni".as("nb")), "pb")
+      .crossJoin(broadcast(tot))
+      .select($"pa", $"pb", $"nab",
+        ($"nab".cast("double") / $"n").as("support"),
+        ($"nab".cast("double") / $"na").as("confidence"),
+        (($"nab" * $"n").cast("double") / ($"na" * $"nb")).as("lift"))
+      .orderBy($"lift".desc, $"pa", $"pb").limit(20)
+  }
+
+  private val qBasketLiftSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+      |item AS (SELECT l_partkey, COUNT(*) AS ni FROM li GROUP BY 1),
+      |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS nab
+      |    FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |    GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT pa, pb, CAST(nab AS BIGINT) AS nab,
+      |  CAST(nab AS DOUBLE)/n AS support,
+      |  CAST(nab AS DOUBLE)/na.ni AS confidence,
+      |  CAST(nab*n AS DOUBLE)/(na.ni*nb.ni) AS lift
+      |FROM pairs
+      |JOIN item na ON na.l_partkey = pa
+      |JOIN item nb ON nb.l_partkey = pb
+      |CROSS JOIN tot
+      |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_basket_lift" -> QueryDef(qBasketLift, Some(qBasketLiftSql)),
     "text_bpe_pairs" -> QueryDef(textBpePairs, Some(textBpePairsSql)),
     "q_kanon" -> QueryDef(qKanon, Some(qKanonSql)),
     "q_equidepth" -> QueryDef(qEquidepth, Some(qEquidepthSql)),

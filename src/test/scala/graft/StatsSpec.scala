@@ -152,6 +152,22 @@ class StatsSpec extends AnyFunSuite {
       assert(sup >= small && sup <= small * 4, s"$t: $sup vs $small") }
   }
 
+  test("q_basket_lift: metrics satisfy their definitional identities") {
+    import spark.implicits._
+    val got = run("q_basket_lift")
+      .select($"nab", $"support", $"confidence", $"lift")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (nab, sup, conf, lift) =>
+      assert(nab >= 3 && sup > 0 && sup <= 1 && conf >= sup && conf <= 1)
+      // lift = confidence / P(b): with positive association it exceeds 1 here
+      assert(lift > 1.0, s"lift $lift")
+    }
+    // descending lift order
+    val lifts = got.map(_._4)
+    assert(lifts.sameElements(lifts.sortBy(-_)))
+  }
+
   test("corpus_dsir plan: the 1024-bucket weight table joins as broadcast, never shuffle") {
     val plan = run("corpus_dsir").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$plan")
