@@ -395,7 +395,95 @@ object Stats {
       |CROSS JOIN tot
       |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q_markov
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current), from lag-1 windows
+    * ordered by (ts, event_id) — the deterministic total order both
+    * engines share. Counts are exact; probabilities are single double
+    * divisions. One window shuffle on user_id, one count shuffle on
+    * the 25-cell transition key. */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.events(s, dir)
+      .withColumn("prev", lag($"event_type", 1).over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("from_type").agg(sum($"n").as("nf"))
+    t.join(broadcast(tot), "from_type")
+      .select($"from_type", $"to_type", $"n",
+        ($"n".cast("double") / $"nf").as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val qMarkovSql =
+    """WITH s AS (SELECT user_id, event_type, ts, event_id,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM events),
+      |t AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+      |    FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, SUM(n) AS nf FROM t GROUP BY 1)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE)/nf AS p
+      |FROM t JOIN f USING (from_type) ORDER BY from_type, to_type""".stripMargin
+
+  // ------------------------------------------------------------- q_autocorr
+
+  /** Lag-k autocorrelation (k = 1..7) of the daily revenue series —
+    * order seasonality detection. Daily totals are exact integer
+    * cents; per-lag Pearson runs on exact DECIMAL(38,0) co-moments
+    * (the q_corr machinery), so the correlogram is deterministic at
+    * any parallelism. The series table is day-keyed (tiny); the lag
+    * join is a self-join on day arithmetic. */
+  private def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val rev = Tables.orders(s, dir)
+      .groupBy(floor(unix_timestamp($"o_orderdate").cast("double") / 86400)
+        .cast("long").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+      .localCheckpoint()
+    val ks = s.range(1, 8).select($"id".as("k"))
+    val lagged = rev.as("a")
+      .crossJoin(broadcast(ks))
+      .join(rev.as("b"), col("b.day") === col("a.day") - col("k"))
+      .select($"k", col("a.v").as("x"), col("b.v").as("y"))
+    // products in DECIMAL (not long*long): daily-total cents squared
+    // would overflow int64 somewhere past sf1
+    val m = lagged.groupBy("k").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x".cast(d38)).cast("double").as("sx"),
+      sum($"y".cast(d38)).cast("double").as("sy"),
+      sum($"x".cast(d38) * $"x".cast(d38)).cast("double").as("sxx"),
+      sum($"y".cast(d38) * $"y".cast(d38)).cast("double").as("syy"),
+      sum($"x".cast(d38) * $"y".cast(d38)).cast("double").as("sxy"))
+    m.select($"k".cast("long").as("lag_days"), $"n".cast("long").as("n_pairs"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 9)
+          .as("autocorr"))
+      .orderBy("lag_days")
+  }
+
+  private val qAutocorrSql =
+    """WITH rev AS (SELECT CAST(FLOOR(CAST(epoch(o_orderdate) AS DOUBLE)/86400) AS BIGINT) AS day,
+      |    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS v
+      |    FROM orders GROUP BY 1),
+      |lg AS (SELECT k, a.v AS x, b.v AS y
+      |    FROM rev a CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) ks
+      |    JOIN rev b ON b.day = a.day - k),
+      |m AS (SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+      |    CAST(SUM(x*y) AS DOUBLE) AS sxy FROM lg GROUP BY 1)
+      |SELECT CAST(k AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+      |  ROUND((n*sxy - sx*sy)/SQRT((n*sxx - sx*sx)*(n*syy - sy*sy)), 9) AS autocorr
+      |FROM m ORDER BY lag_days""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_markov" -> QueryDef(qMarkov, Some(qMarkovSql)),
+    "q_autocorr" -> QueryDef(qAutocorr, Some(qAutocorrSql)),
     "q_basket_lift" -> QueryDef(qBasketLift, Some(qBasketLiftSql)),
     "text_bpe_pairs" -> QueryDef(textBpePairs, Some(textBpePairsSql)),
     "q_kanon" -> QueryDef(qKanon, Some(qKanonSql)),

@@ -152,6 +152,24 @@ class StatsSpec extends AnyFunSuite {
       assert(sup >= small && sup <= small * 4, s"$t: $sup vs $small") }
   }
 
+  test("q_markov: each row of the transition matrix sums to 1") {
+    import spark.implicits._
+    val got = run("q_markov").select($"from_type", $"p").as[(String, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      val s = rows.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$f sums to $s") }
+  }
+
+  test("q_autocorr: valid correlation range, pair counts shrink with lag") {
+    import spark.implicits._
+    val got = run("q_autocorr").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).sameElements(1L to 7L))
+    assert(got.forall { case (_, _, r) => r >= -1.0 && r <= 1.0 })
+    got.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._2 >= w(1)._2) }
+  }
+
   test("q_basket_lift: metrics satisfy their definitional identities") {
     import spark.implicits._
     val got = run("q_basket_lift")
