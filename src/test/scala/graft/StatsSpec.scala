@@ -161,13 +161,15 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-9, s"$f sums to $s") }
   }
 
-  test("q_autocorr: valid correlation range, pair counts shrink with lag") {
+  test("q_autocorr: full lag set, valid correlation range, plausible pair mass") {
     import spark.implicits._
     val got = run("q_autocorr").as[(Long, Long, Double)].collect()
     assert(got.map(_._1).sameElements(1L to 7L))
     assert(got.forall { case (_, _, r) => r >= -1.0 && r <= 1.0 })
-    got.sliding(2).foreach { w =>
-      if (w.length == 2) assert(w(0)._2 >= w(1)._2) }
+    // day coverage is gappy at tiny sf, so counts aren't monotone in
+    // lag — but every lag must find a decent share of the day pairs
+    val maxPairs = got.map(_._2).max
+    assert(got.forall { case (_, n, _) => n > maxPairs / 2 }, got.mkString(","))
   }
 
   test("q_basket_lift: metrics satisfy their definitional identities") {
