@@ -41,15 +41,17 @@ object Multimodal {
     }
   }
 
-  /** REAL pure-JVM image-header decoder: parses PNG IHDR and BMP
-    * BITMAPINFOHEADER dimensions straight from the blob bytes — no
-    * codec library. Emits Features(doc_id, n_bytes, width, height)
-    * using the (head_byte, byte_sum) slots [[resizePlan]] reads as
-    * (w, h); unrecognized or truncated blobs decode to (-1, -1) so a
-    * mixed corpus flows through without task failures. Height is
-    * |height|: a negative BMP height just means top-down row order.
-    * Full pixel decode (JPEG/video) still needs codecs absent from
-    * this container — this covers the header/metadata half for real. */
+  /** REAL pure-JVM image-header decoder: parses PNG IHDR, BMP
+    * BITMAPINFOHEADER, GIF logical-screen and JPEG SOF dimensions
+    * straight from the blob bytes — no codec library. Emits
+    * Features(doc_id, n_bytes, width, height) using the (head_byte,
+    * byte_sum) slots [[resizePlan]] reads as (w, h); unrecognized or
+    * truncated blobs decode to (-1, -1) so a mixed corpus flows
+    * through without task failures. Height is |height|: a negative
+    * BMP height just means top-down row order. Full pixel decode
+    * still needs codecs absent from this container — this covers the
+    * header/metadata half for real, across the four dominant web
+    * image containers. */
   object HeaderImageDecoder extends Decoder {
     private val PngSig: Array[Byte] =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -59,13 +61,45 @@ object Multimodal {
     private def leInt(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    /** (width, height) if the blob is a parseable PNG or BMP header. */
+    private def leShort(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8))
+    private def beShort(b: Array[Byte], off: Int): Long =
+      (((b(off) & 0xffL) << 8) | (b(off + 1) & 0xffL))
+    /** JPEG: walk the marker segments to the first SOFn frame header
+      * (0xC0-0xCF minus the non-frame C4/C8/CC), which carries
+      * height@+5 (BE16) then width@+7. Segment lengths include their
+      * own 2 length bytes, so a zero-payload length would loop — bail
+      * on any length < 2 (malformed). */
+    private def jpegDims(b: Array[Byte]): Option[(Long, Long)] = {
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        val marker = b(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some((beShort(b, i + 7), beShort(b, i + 5)))
+        if (marker == 0xff) i += 1 // fill byte padding
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else {
+          val len = beShort(b, i + 2).toInt
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      None
+    }
+    /** (width, height) if the blob is a parseable PNG/BMP/GIF/JPEG header. */
     def dims(blob: Array[Byte]): Option[(Long, Long)] =
       if (blob.length >= 24 && blob.startsWith(PngSig) &&
           blob(12) == 'I' && blob(13) == 'H' && blob(14) == 'D' && blob(15) == 'R')
         Some((beInt(blob, 16), beInt(blob, 20))) // IHDR: width@16, height@20, big-endian
       else if (blob.length >= 26 && blob(0) == 'B' && blob(1) == 'M')
         Some((leInt(blob, 18).toLong, math.abs(leInt(blob, 22)).toLong)) // BITMAPINFOHEADER, little-endian
+      else if (blob.length >= 10 && blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F' &&
+          blob(3) == '8' && (blob(4) == '7' || blob(4) == '9') && blob(5) == 'a')
+        Some((leShort(blob, 6), leShort(blob, 8))) // logical screen, little-endian 16-bit
+      else if (blob.length >= 4 && (blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8)
+        jpegDims(blob)
       else None
     def decode(batch: Seq[Asset]): Seq[Features] = batch.map { a =>
       val (w, h) = dims(a.blob).getOrElse((-1L, -1L))

@@ -99,6 +99,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan(2L) == (64L, 32L))
   }
 
+  test("HeaderImageDecoder parses GIF logical screens and JPEG SOF frames") {
+    import spark.implicits._
+    def gifHeader(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array(w.toByte, (w >>> 8).toByte, h.toByte, (h >>> 8).toByte, 0, 0, 0).map(_.toByte)
+    // SOI, APP0 (JFIF, 16 bytes), DQT (dummy), then SOF0 with h/w
+    def jpegHeader(w: Int, h: Int): Array[Byte] = {
+      def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+        Array(0xff.toByte, marker.toByte,
+          ((payload.length + 2) >>> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+      Array(0xff.toByte, 0xd8.toByte) ++
+        seg(0xe0, "JFIF".getBytes("US-ASCII") ++ new Array[Byte](10)) ++
+        seg(0xdb, new Array[Byte](65)) ++
+        seg(0xc0, Array[Byte](8,
+          (h >>> 8).toByte, h.toByte, (w >>> 8).toByte, w.toByte, 3))
+    }
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/gif", gifHeader(320, 200)),
+      Multimodal.Asset(2L, "image/jpeg", jpegHeader(1024, 768)),
+      Multimodal.Asset(3L, "image/jpeg", Array(0xff, 0xd8, 0xff).map(_.toByte)) // truncated
+    ).toDS()
+    val m = Multimodal.extractFeatures(spark, assets, Multimodal.HeaderImageDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(m(1L).head_byte == 320L && m(1L).byte_sum == 200L, "GIF dims")
+    assert(m(2L).head_byte == 1024L && m(2L).byte_sum == 768L, "JPEG SOF dims")
+    assert(m(3L).head_byte == -1L && m(3L).byte_sum == -1L, "truncated JPEG sentinel")
+  }
+
   test("resizePlan: aspect-preserving integer scale, no-op below maxDim") {
     import spark.implicits._
     val feats = Seq(
