@@ -472,7 +472,47 @@ object Similarity {
        |WHERE ROUND(${cosSql("qe", "e.embedding")}, 9) >= 0.1
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** Label-noise detection à la Confident Learning: flag vectors whose
+    * label disagrees with the majority of their 5 nearest neighbors —
+    * the curation pass that catches mislabeled training examples.
+    * Anchors are a deterministic 20% slice; the k-NN leg is the exact
+    * broadcast brute force (the LSH/IVF tiers compose unchanged when
+    * the anchor set is the whole corpus). The synthetic corpus has
+    * label-independent embeddings, so every anchor flags here — the
+    * planted-cluster discrimination proof lives in SimilaritySpec. */
+  private def embLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val nn = Sim.bruteForce(s, emb, emb.filter($"vec_id" % 5 === 0), k = 5)
+    val lbl = emb.select($"vec_id", $"label".cast("long").as("label"))
+    nn.join(lbl.select($"vec_id".as("query_id"), $"label".as("own")), "query_id")
+      .join(lbl.select($"vec_id".as("neighbor_id"), $"label".as("nl")), "neighbor_id")
+      .groupBy($"query_id", $"own")
+      .agg(sum(when($"nl" === $"own", 1L).otherwise(0L)).as("n_agree"))
+      .select($"query_id".as("vec_id"), $"own".as("label"), $"n_agree",
+        ($"n_agree" * 2 < 5).as("flagged"))
+      .orderBy("vec_id")
+  }
+
+  private val embLabelNoiseSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, CAST(label AS BIGINT) AS own
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |sc AS (
+       |  SELECT query_id, own, e.vec_id AS nid, CAST(e.label AS BIGINT) AS nl,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, own, nl,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nid) AS rk
+       |  FROM sc)
+       |SELECT query_id AS vec_id, own AS label,
+       |  CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  SUM(CASE WHEN nl = own THEN 1 ELSE 0 END)*2 < 5 AS flagged
+       |FROM r WHERE rk <= 5 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "emb_label_noise" -> QueryDef(embLabelNoise, Some(embLabelNoiseSql)),
     "ann_range_search" -> QueryDef(annRangeSearch, Some(annRangeSearchSql)),
     "emb_kmeans" -> QueryDef(embKmeans, Some(embKmeansSql)),
     "ann_bruteforce" -> QueryDef(annBruteforce, Some(annBruteforceSql), bench = true),

@@ -481,7 +481,44 @@ object Stats {
       |  ROUND((n*sxy - sx*sy)/SQRT((n*sxx - sx*sx)*(n*syy - sy*sy)), 9) AS autocorr
       |FROM m ORDER BY lag_days""".stripMargin
 
+  // ------------------------------------------------------------ q_skew_audit
+
+  /** Join-key skew diagnostics for lineitem.partkey — the audit a
+    * 100 TB job reads before picking salt counts / AQE settings.
+    * HHI (key concentration) is Σc²/N² — an exact integer sum and ONE
+    * division, no per-key double accumulation; top-10 share uses
+    * TakeOrdered over the counts table (never the data). Single-row
+    * output: rows, keys, max key, skew ratio (max/avg), HHI, top-10
+    * share. */
+  private def qSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val c = Tables.lineitem(s, dir).groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val top = c.orderBy($"c".desc, $"l_partkey").limit(10).agg(sum($"c").as("t10"))
+    c.agg(sum($"c").as("n"), count(lit(1)).as("k"), max($"c").as("mx"),
+        sum(($"c" * $"c").cast(d38)).cast("double").as("sc2"))
+      .crossJoin(broadcast(top))
+      .select($"n", $"k", $"mx",
+        (($"mx" * $"k").cast("double") / $"n").as("skew_ratio"),
+        ($"sc2" / ($"n" * $"n").cast("double")).as("hhi"),
+        ($"t10".cast("double") / $"n").as("top10_share"))
+      .orderBy($"n")
+  }
+
+  private val qSkewAuditSql =
+    """WITH c AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(c) AS t10 FROM
+      |    (SELECT c FROM c ORDER BY c DESC, l_partkey LIMIT 10) x),
+      |a AS (SELECT SUM(c) AS n, COUNT(*) AS k, MAX(c) AS mx, SUM(c*c) AS sc2 FROM c)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, CAST(mx AS BIGINT) AS mx,
+      |  CAST(mx*k AS DOUBLE)/n AS skew_ratio,
+      |  CAST(sc2 AS DOUBLE)/CAST(n*n AS DOUBLE) AS hhi,
+      |  CAST(t10 AS DOUBLE)/n AS top10_share
+      |FROM a CROSS JOIN t ORDER BY n""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_skew_audit" -> QueryDef(qSkewAudit, Some(qSkewAuditSql)),
     "q_markov" -> QueryDef(qMarkov, Some(qMarkovSql)),
     "q_autocorr" -> QueryDef(qAutocorr, Some(qAutocorrSql)),
     "q_basket_lift" -> QueryDef(qBasketLift, Some(qBasketLiftSql)),

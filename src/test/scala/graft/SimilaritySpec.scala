@@ -55,6 +55,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("emb_label_noise flags exactly the planted mislabeled vector in clustered data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("label-noise").toString
+    // 3 tight clusters of 5 vectors; all ids are multiples of 5 so every
+    // vector is an anchor. One vector (id 10) carries the WRONG label.
+    def v(axis: Int, jitter: Float) = {
+      val a = Array.fill(4)(0.01f); a(axis) = 1.0f + jitter; a
+    }
+    val rows = (0 until 15).map { i =>
+      val cluster = i / 5
+      val label = if (i == 2) (cluster + 1) % 3 else cluster // id 10 flipped
+      (i * 5L, v(cluster, 0.01f * (i % 5)), label)
+    }
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("emb_label_noise")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("flagged")).toMap
+    assert(got.size == 15)
+    assert(got(10L), "mislabeled vector not flagged")
+    assert(got.count(_._2) == 1, s"false flags: ${got.filter(_._2).keys}")
+  }
+
   test("lsh candidates are a subset of brute-force scores (same cosine)") {
     val brute = Similarity.bruteForce(spark, emb, probes, k = 500).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim"))
