@@ -517,7 +517,81 @@ object Stats {
       |  CAST(t10 AS DOUBLE)/n AS top10_share
       |FROM a CROSS JOIN t ORDER BY n""".stripMargin
 
+  // -------------------------------------------------------- corpus_interleave
+
+  /** Deterministic training-order interleave: shuffle WITHIN each
+    * source by a hash key, then place source s's i-th doc at global
+    * position i·S + rank(s) — a strict round-robin over sources with
+    * no global sort (each window partitions by source; the position is
+    * arithmetic). The property a trainer wants: any prefix of the
+    * order has near-proportional source representation. */
+  private def corpusInterleave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val srcs = docs.select($"source").distinct()
+      .withColumn("srank",
+        row_number().over(Window.orderBy($"source")).cast("long") - 1)
+    val nSrc = srcs.agg(count(lit(1)).as("ns"))
+    docs.select($"doc_id", $"source",
+        hash60(concat(lit("il:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("i",
+        row_number().over(Window.partitionBy($"source").orderBy($"h", $"doc_id"))
+          .cast("long") - 1)
+      .join(broadcast(srcs), "source")
+      .crossJoin(broadcast(nSrc))
+      .select($"doc_id", $"source", ($"i" * $"ns" + $"srank").as("position"))
+      .orderBy("position")
+  }
+
+  private val corpusInterleaveSql =
+    """WITH srcs AS (SELECT source,
+      |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS srank
+      |    FROM (SELECT DISTINCT source FROM documents) t),
+      |ns AS (SELECT COUNT(*) AS ns FROM srcs),
+      |d AS (SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+      |      CAST('0x' || substring(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+      |      doc_id) - 1 AS i
+      |    FROM documents)
+      |SELECT doc_id, d.source AS source, CAST(i * ns + srank AS BIGINT) AS position
+      |FROM d JOIN srcs ON d.source = srcs.source CROSS JOIN ns
+      |ORDER BY position""".stripMargin
+
+  // ------------------------------------------------------- text_vocab_growth
+
+  /** Vocabulary statistics per source: total tokens, distinct types,
+    * type-token ratio, and hapax share (words seen once) — the Heaps'-
+    * law corpus diagnostics. One token explode, two key-only
+    * aggregations. */
+  private def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    w.groupBy($"source").agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"source", $"n_tokens", $"n_types",
+        ($"n_types".cast("double") / $"n_tokens").as("ttr"),
+        ($"n_hapax".cast("double") / $"n_types").as("hapax_share"))
+      .orderBy("source")
+  }
+
+  private val textVocabGrowthSql =
+    """WITH w AS (SELECT source, w, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |    WHERE length(w) > 0 GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(COUNT(*) AS DOUBLE)/SUM(c) AS ttr,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS hapax_share
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_interleave" -> QueryDef(corpusInterleave, Some(corpusInterleaveSql)),
+    "text_vocab_growth" -> QueryDef(textVocabGrowth, Some(textVocabGrowthSql)),
     "q_skew_audit" -> QueryDef(qSkewAudit, Some(qSkewAuditSql)),
     "q_markov" -> QueryDef(qMarkov, Some(qMarkovSql)),
     "q_autocorr" -> QueryDef(qAutocorr, Some(qAutocorrSql)),

@@ -152,6 +152,30 @@ class StatsSpec extends AnyFunSuite {
       assert(sup >= small && sup <= small * 4, s"$t: $sup vs $small") }
   }
 
+  test("corpus_interleave: positions are unique and prefixes stay source-proportional") {
+    import spark.implicits._
+    val got = run("corpus_interleave")
+      .select($"source", $"position").as[(String, Long)].collect()
+    assert(got.map(_._2).distinct.length == got.length, "positions collide")
+    // any prefix of 3*S docs contains every source at least twice
+    val srcs = got.map(_._1).distinct
+    val prefix = got.sortBy(_._2).take(3 * srcs.length).map(_._1)
+    srcs.foreach { s =>
+      assert(prefix.count(_ == s) >= 2, s"source $s underrepresented in prefix") }
+  }
+
+  test("text_vocab_growth: identities hold (types <= tokens, hapax <= types)") {
+    import spark.implicits._
+    val got = run("text_vocab_growth")
+      .select($"n_tokens", $"n_types", $"ttr", $"hapax_share")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (tok, typ, ttr, hs) =>
+      assert(typ <= tok && ttr > 0 && ttr <= 1 && hs >= 0 && hs <= 1)
+      assert(math.abs(ttr - typ.toDouble / tok) < 1e-12)
+    }
+  }
+
   test("q_markov: each row of the transition matrix sums to 1") {
     import spark.implicits._
     val got = run("q_markov").select($"from_type", $"p").as[(String, Double)].collect()
