@@ -57,10 +57,15 @@ object Layout {
     * stats. */
   def zorderWrite(df: DataFrame, colA: String, colB: String,
                   path: String, numFiles: Int): Unit = {
-    import org.apache.spark.sql.Row
-    val Row(aLo: Long, aHi: Long, bLo: Long, bHi: Long) = df.agg(
+    val bounds = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    if (bounds.isNullAt(0)) { // empty input: write the empty table as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val (aLo, aHi, bLo, bHi) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
     val z = df.withColumn("_z",
       zValue(col(colA).cast("long"), lit(aLo), lit(aHi),
              col(colB).cast("long"), lit(bLo), lit(bHi)))

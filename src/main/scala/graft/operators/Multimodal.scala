@@ -72,7 +72,7 @@ object Multimodal {
       * on any length < 2 (malformed). */
     private def jpegDims(b: Array[Byte]): Option[(Long, Long)] = {
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 9 <= b.length) {
         if ((b(i) & 0xff) != 0xff) return None
         val marker = b(i + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf &&

@@ -262,9 +262,11 @@ object Stats {
     * global top-k sort. */
   private def corpusWeightedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables.documents(s, dir).select($"doc_id", $"n_chars",
-      ((hash60($"doc_id".cast("string")) + 1).cast("double") /
-        lit(math.pow(2, 60))).as("u"))
+    val d = Tables.documents(s, dir)
+      .filter($"n_chars" > 0) // ln(u)/0 would be -Inf -> ANSI cast error
+      .select($"doc_id", $"n_chars",
+        ((hash60($"doc_id".cast("string")) + 1).cast("double") /
+          lit(math.pow(2, 60))).as("u"))
     val k = d.withColumn("key_micro",
       round(log($"u") / $"n_chars".cast("double") * 1e6).cast("long"))
     val thr = k.agg(expr("percentile(key_micro, 0.8)").as("thr"))
@@ -277,7 +279,7 @@ object Stats {
     """WITH d AS (SELECT doc_id, n_chars,
       |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
       |      / 1152921504606846976 AS u
-      |    FROM documents),
+      |    FROM documents WHERE n_chars > 0),
       |k AS (SELECT doc_id, n_chars,
       |    CAST(ROUND(LN(u) / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key_micro FROM d),
       |t AS (SELECT quantile_cont(key_micro, 0.8) AS thr FROM k)
@@ -475,8 +477,9 @@ object Stats {
       |    JOIN rev b ON b.day = a.day - k),
       |m AS (SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-      |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
-      |    CAST(SUM(x*y) AS DOUBLE) AS sxy FROM lg GROUP BY 1)
+      |    CAST(SUM(CAST(x AS HUGEINT)*x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y AS HUGEINT)*y) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x AS HUGEINT)*y) AS DOUBLE) AS sxy FROM lg GROUP BY 1)
       |SELECT CAST(k AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
       |  ROUND((n*sxy - sx*sy)/SQRT((n*sxx - sx*sx)*(n*syy - sy*sy)), 9) AS autocorr
       |FROM m ORDER BY lag_days""".stripMargin
