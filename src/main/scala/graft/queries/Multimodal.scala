@@ -5,12 +5,10 @@ import graft.sources.Tables
 import graft.operators.{Multimodal => MM}
 
 /** SURVEY.md §2-F: the multimodal decode path, hash-verified at the
-  * byte level (n_bytes / head_byte / byte_sum are recomputed by the
-  * oracle from the source text). NOTE: the oracle sums CODE POINTS
-  * (DuckDB can't iterate blob bytes) while the decoder sums UTF-8
-  * BYTES — equal only on ASCII corpora, which this test corpus is at
-  * every sf. The decoder (byte-level) is the semantically correct
-  * side for real binary assets. */
+  * byte level. The oracles iterate the UTF-8 BYTES of the encoded
+  * blob (via hex-pair extraction — DuckDB can't index blobs
+  * directly), so they agree with the byte-level decoder on ANY
+  * corpus, ASCII or not — the r5 code-point/byte caveat is gone. */
 object Multimodal {
 
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -20,11 +18,14 @@ object Multimodal {
   }
 
   private val mmFeaturesSql =
-    """SELECT doc_id,
-      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      | CAST(ord(substr(text, 1, 1)) AS BIGINT) AS head_byte,
-      | CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS BIGINT) AS byte_sum
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN n > 0 THEN CAST('0x' || substring(hx, 1, 2) AS INT)
+      |    ELSE -1 END AS BIGINT) AS head_byte,
+      |  CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+      |    i -> CAST('0x' || substring(hx, 2*i - 1, 2) AS INT))), 0) AS BIGINT) AS byte_sum
+      |FROM h ORDER BY doc_id""".stripMargin
 
   /** Typed asset manifest: blob + metadata struct, flattened for the
     * oracle. At scale this is the modality-partitioned table every
@@ -50,8 +51,8 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Frame sampling (64-byte frames, every 2nd kept): the 1→N video
-    * expansion path, hash-verified at the byte level (same ASCII
-    * equivalence note as mm_features). */
+    * expansion path, hash-verified byte-exactly (hex-pair oracle, like
+    * mm_features). */
   private def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assets = MM.manifest(s, Tables.documents(s, dir))
@@ -60,20 +61,23 @@ object Multimodal {
   }
 
   private val mmFrameSampleSql =
-    """WITH f AS (
-      |  SELECT doc_id, string_split(text, '') AS cs,
-      |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx
-      |  FROM documents WHERE length(text) > 0)
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |f AS (SELECT doc_id, hx, n,
+      |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS frame_idx FROM h)
       |SELECT doc_id, frame_idx, frame_idx * 64 AS frame_off,
-      |  CAST(list_sum(list_transform(cs[frame_idx*64 + 1 : frame_idx*64 + 64],
-      |    c -> ord(c))) AS BIGINT) AS frame_sum
+      |  CAST(list_sum(list_transform(
+      |    range(frame_idx*64 + 1, LEAST(frame_idx*64 + 64, n) + 1),
+      |    i -> CAST('0x' || substring(hx, 2*i - 1, 2) AS INT))) AS BIGINT) AS frame_sum
       |FROM f WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Binary-content dedup: group assets by md5 of the BLOB (not the
     * decoded text — the path real image/audio dedup takes), keep the
-    * min doc_id. The oracle hashes the same bytes (ASCII corpus ⇒
-    * md5(text) == md5 of its UTF-8 bytes). At 100 TB the digest is
+    * min doc_id. The oracle hashes the same bytes (DuckDB md5 of a
+    * VARCHAR digests its UTF-8 encoding — byte-identical to the
+    * blob-side md5 on any corpus). At 100 TB the digest is
     * computed in-scan and only the 16-byte key + doc_id shuffle —
     * blobs never move. */
   private def mmHashDedup(s: SparkSession, dir: String): DataFrame = {
