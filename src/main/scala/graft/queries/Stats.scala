@@ -592,7 +592,145 @@ object Stats {
       |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS hapax_share
       |FROM w GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q_cusum
+
+  /** CUSUM change-point detection over the hourly revenue series per
+    * event type — ALL-INTEGER: the classic C_i = Σ_{j<=i}(x_j - mean)
+    * is scaled by n (C_i·n = n·Σx_j - i·S), removing the division, so
+    * the argmax hour is exact cross-engine with no float anywhere
+    * until the final report columns. One windowed running sum
+    * partitioned per event type (never a global window). */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy($"event_type",
+        (floor(unix_millis($"ts").cast("double") / 3600000)).cast("long").as("hr"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"hr")
+    val tot = hourly.groupBy("event_type")
+      .agg(sum($"x").as("stot"), count(lit(1)).as("n"))
+    val c = hourly.join(broadcast(tot), "event_type")
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("run", sum($"x").over(w))
+      .withColumn("cn", $"n" * $"run" - $"i" * $"stot") // CUSUM * n, exact
+    c.withColumn("rk", row_number().over(Window.partitionBy($"event_type")
+        .orderBy(abs($"cn").desc, $"hr")))
+      .filter($"rk" === 1)
+      .select($"event_type", $"hr".as("peak_hr"),
+        ($"cn".cast("double") / $"n" / 100.0).as("peak_cusum"),
+        $"n".as("n_hours"))
+      .orderBy("event_type")
+  }
+
+  private val qCusumSql =
+    """WITH h AS (SELECT event_type,
+      |    CAST(FLOOR(CAST(epoch_ns(ts)//1000000 AS DOUBLE)/3600000) AS BIGINT) AS hr,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+      |    FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(x) AS stot, COUNT(*) AS n FROM h GROUP BY 1),
+      |c AS (SELECT h.event_type, hr, n,
+      |    n * SUM(x) OVER (PARTITION BY h.event_type ORDER BY hr)
+      |      - ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY hr) * stot AS cn
+      |    FROM h JOIN t ON h.event_type = t.event_type),
+      |r AS (SELECT event_type, hr, cn, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(cn) DESC, hr) AS rk
+      |    FROM c)
+      |SELECT event_type, hr AS peak_hr,
+      |  CAST(cn AS DOUBLE)/n/100.0 AS peak_cusum, CAST(n AS BIGINT) AS n_hours
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------ q_rfm
+
+  /** RFM (recency/frequency/monetary) customer segmentation WITHOUT
+    * ntile: quintile edges come from one exact-percentile aggregate
+    * and each customer classifies against the broadcast 4-edge arrays
+    * (same no-global-sort idiom as q_equidepth). Scores are 1..5;
+    * monetary/recency tie handling is deterministic because edges are
+    * exact binary-grid doubles on both engines. */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val cust = o.groupBy($"o_custkey").agg(
+      max(floor(unix_timestamp($"o_orderdate").cast("double") / 86400).cast("long")).as("rday"),
+      count(lit(1)).as("f"),
+      sum(round($"o_totalprice" * 100).cast("long")).as("m"))
+    val edges = cust.agg(
+      expr("percentile(rday, array(0.2,0.4,0.6,0.8))").as("re"),
+      expr("percentile(f, array(0.2,0.4,0.6,0.8))").as("fe"),
+      expr("percentile(m, array(0.2,0.4,0.6,0.8))").as("me"))
+    def score(v: String, e: String) =
+      expr(s"aggregate($e, 1, (acc, x) -> acc + IF($v > round(x, 6), 1, 0))").cast("long")
+    cust.crossJoin(broadcast(edges))
+      .select($"o_custkey",
+        score("rday", "re").as("r_score"),
+        score("f", "fe").as("f_score"),
+        score("m", "me").as("m_score"))
+      .withColumn("segment",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4, "champion")
+          .when($"r_score" <= 2 && $"f_score" >= 4, "at_risk_loyal")
+          .when($"r_score" >= 4 && $"f_score" <= 2, "new")
+          .otherwise("regular"))
+      .orderBy("o_custkey")
+  }
+
+  private val qRfmSql =
+    """WITH cust AS (SELECT o_custkey,
+      |    MAX(CAST(FLOOR(CAST(epoch(o_orderdate) AS DOUBLE)/86400) AS BIGINT)) AS rday,
+      |    COUNT(*) AS f,
+      |    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS m
+      |    FROM orders GROUP BY 1),
+      |e AS (SELECT quantile_cont(rday, [0.2,0.4,0.6,0.8]) AS re,
+      |    quantile_cont(f, [0.2,0.4,0.6,0.8]) AS fe,
+      |    quantile_cont(m, [0.2,0.4,0.6,0.8]) AS me FROM cust),
+      |sc AS (SELECT o_custkey,
+      |    1 + len(list_filter(re, x -> rday > ROUND(x, 6))) AS r_score,
+      |    1 + len(list_filter(fe, x -> f > ROUND(x, 6))) AS f_score,
+      |    1 + len(list_filter(me, x -> m > ROUND(x, 6))) AS m_score
+      |    FROM cust CROSS JOIN e)
+      |SELECT o_custkey, CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score, CAST(m_score AS BIGINT) AS m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+      |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+      |    ELSE 'regular' END AS segment
+      |FROM sc ORDER BY o_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q_pareto
+
+  /** Revenue concentration (the 80/20 audit): what share of total
+    * revenue comes from customers above the 90th revenue percentile.
+    * Exact cents + one percentile threshold — no customer-level sort,
+    * single-row output. */
+  private def qPareto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.orders(s, dir).groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("m"))
+    val thr = cust.agg(expr("percentile(m, 0.9)").as("thr"))
+    cust.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when($"m" > $"thr", 1L).otherwise(0L)).as("n_top"),
+        sum($"m").as("total_cents"),
+        sum(when($"m" > $"thr", $"m").otherwise(0L)).as("top_cents"))
+      .select($"n_customers", $"n_top",
+        ($"total_cents" / 100.0).as("total_revenue"),
+        ($"top_cents".cast("double") / $"total_cents").as("top_decile_share"))
+      .orderBy("n_customers")
+  }
+
+  private val qParetoSql =
+    """WITH cust AS (SELECT o_custkey, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS m
+      |    FROM orders GROUP BY 1),
+      |t AS (SELECT quantile_cont(m, 0.9) AS thr FROM cust)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CASE WHEN m > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+      |  SUM(m)/100.0 AS total_revenue,
+      |  CAST(SUM(CASE WHEN m > thr THEN m ELSE 0 END) AS DOUBLE)/SUM(m) AS top_decile_share
+      |FROM cust CROSS JOIN t ORDER BY n_customers""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cusum" -> QueryDef(qCusum, Some(qCusumSql)),
+    "q_rfm" -> QueryDef(qRfm, Some(qRfmSql)),
+    "q_pareto" -> QueryDef(qPareto, Some(qParetoSql)),
     "corpus_interleave" -> QueryDef(corpusInterleave, Some(corpusInterleaveSql)),
     "text_vocab_growth" -> QueryDef(textVocabGrowth, Some(textVocabGrowthSql)),
     "q_skew_audit" -> QueryDef(qSkewAudit, Some(qSkewAuditSql)),

@@ -152,6 +152,60 @@ class StatsSpec extends AnyFunSuite {
       assert(sup >= small && sup <= small * 4, s"$t: $sup vs $small") }
   }
 
+  test("q_cusum matches a driver-side exact scaled-CUSUM argmax") {
+    import spark.implicits._
+    val hourly = graft.sources.Tables.events(spark, TestSpark.sf)
+      .groupBy($"event_type", floor(unix_millis($"ts").cast("double") / 3600000)
+        .cast("long").as("hr"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .as[(String, Long, Long)].collect()
+    val want = hourly.groupBy(_._1).map { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.length.toLong
+      val stot = sorted.map(_._3).sum
+      var run = 0L
+      val cs = sorted.zipWithIndex.map { case ((_, hr, x), i) =>
+        run += x; (hr, n * run - (i + 1) * stot)
+      }
+      val peak = cs.maxBy { case (hr, cn) => (math.abs(cn), -hr) }
+      t -> ((peak._1, peak._2))
+    }
+    val got = run("q_cusum")
+      .select($"event_type", $"peak_hr", $"peak_cusum", $"n_hours")
+      .as[(String, Long, Double, Long)].collect()
+    got.foreach { case (t, hr, pc, n) =>
+      val (whr, wcn) = want(t)
+      assert(hr == whr, s"$t peak hour")
+      assert(math.abs(pc - wcn.toDouble / n / 100.0) < 1e-6, s"$t peak value")
+    }
+  }
+
+  test("q_rfm: scores in 1..5, ~20% per quintile band, segments consistent with rules") {
+    import spark.implicits._
+    val got = run("q_rfm")
+      .select($"r_score", $"f_score", $"m_score", $"segment")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (r, f, m, _) =>
+      Seq(r, f, m).forall(x => x >= 1 && x <= 5) })
+    // monetary is continuous -> near-exact quintiles
+    val n = got.length.toDouble
+    (1L to 5L).foreach { q =>
+      val share = got.count(_._3 == q) / n
+      assert(share > 0.15 && share < 0.25, s"m quintile $q share $share") }
+    got.filter(_._4 == "champion").foreach { case (r, f, m, _) =>
+      assert(r >= 4 && f >= 4 && m >= 4) }
+  }
+
+  test("q_pareto: top-decile share exceeds the uniform 10% floor and counts add up") {
+    import spark.implicits._
+    val Array((n, nTop, total, share)) =
+      run("q_pareto").as[(Long, Long, Double, Double)].collect()
+    assert(nTop < n / 5 && nTop > 0)
+    assert(share > 0.1 && share < 1.0, s"share $share")
+    assert(total > 0)
+  }
+
   test("corpus_interleave: positions are unique and prefixes stay source-proportional") {
     import spark.implicits._
     val got = run("corpus_interleave")
