@@ -727,7 +727,82 @@ object Stats {
       |  CAST(SUM(CASE WHEN m > thr THEN m ELSE 0 END) AS DOUBLE)/SUM(m) AS top_decile_share
       |FROM cust CROSS JOIN t ORDER BY n_customers""".stripMargin
 
+  // ------------------------------------------------------------ q_degree_dist
+
+  /** Degree distribution of the co-purchase part graph — the
+    * structural audit before any graph algorithm (pagerank, CC,
+    * triangles all scale with the degree tail). Per-order pair
+    * explosion is C(k,2)-bounded; two key-only aggregations after. */
+  private def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val deg = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("p"), col("b.l_partkey").as("q"))
+      .distinct()
+      .groupBy($"p").agg(count(lit(1)).as("degree"))
+    deg.groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  private val qDegreeDistSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |deg AS (SELECT p, COUNT(*) AS degree FROM (
+      |    SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+      |    FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey) e
+      |    GROUP BY 1)
+      |SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  // -------------------------------------------------------- q_time_to_convert
+
+  /** View→purchase conversion-delay distribution per user: each
+    * purchase pairs with the user's latest prior view (as-of
+    * semantics via one lag-style window over the merged stream), then
+    * exact delay percentiles on the shared ms grid. The product
+    * funnel-latency metric. */
+  private def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"), $"event_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delays = ev
+      .withColumn("last_view_ms",
+        last(when($"event_type" === "view", $"ms"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"last_view_ms".isNotNull)
+      .select(($"ms" - $"last_view_ms").as("delay_ms"))
+    // percentiles over INTEGER ms (exact interpolation grid); minutes
+    // only at the report edge
+    delays.agg(
+        count(lit(1)).as("n_conversions"),
+        round(expr("percentile(delay_ms, 0.5)") / 60000.0, 6).as("p50_min"),
+        round(expr("percentile(delay_ms, 0.9)") / 60000.0, 6).as("p90_min"))
+      .orderBy("n_conversions")
+  }
+
+  private val qTimeToConvertSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ms, event_id
+      |    FROM events WHERE event_type IN ('view', 'purchase')),
+      |d AS (SELECT ms - MAX(CASE WHEN event_type = 'view' THEN ms END)
+      |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS delay_ms,
+      |    event_type
+      |    FROM ev)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+      |  ROUND(quantile_cont(delay_ms, 0.5) / 60000.0, 6) AS p50_min,
+      |  ROUND(quantile_cont(delay_ms, 0.9) / 60000.0, 6) AS p90_min
+      |FROM d WHERE event_type = 'purchase' AND delay_ms IS NOT NULL
+      |ORDER BY n_conversions""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_degree_dist" -> QueryDef(qDegreeDist, Some(qDegreeDistSql)),
+    "q_time_to_convert" -> QueryDef(qTimeToConvert, Some(qTimeToConvertSql)),
     "q_cusum" -> QueryDef(qCusum, Some(qCusumSql)),
     "q_rfm" -> QueryDef(qRfm, Some(qRfmSql)),
     "q_pareto" -> QueryDef(qPareto, Some(qParetoSql)),
