@@ -231,6 +231,39 @@ object Dedup {
        |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size histogram over the same near-dup components — the
+    * dedup report a curation run publishes (how big do duplicate
+    * families get?). Two key-only aggregations past the clusters. */
+  private def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.ngramJaccardPairs(s, Tables.documents(s, dir))
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(200)
+    DedupOps.clusters(s, pairs)
+      .groupBy($"cluster").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  private val dedupClusterSizesSql =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |top AS (
+       |  SELECT doc_a, doc_b FROM scored
+       |  ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM top
+       |          UNION SELECT doc_b, doc_a FROM top),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |  WHERE e.dst != r.src),
+       |cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |cs AS (SELECT cluster, COUNT(*) AS sz FROM cl GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   /** Corpus curation: quality-filter + dedup-survivor semijoin — the
     * end-to-end "keep the good docs" pipeline, hash-verified. */
   private def dedupCuration(s: SparkSession, dir: String): DataFrame = {
@@ -537,6 +570,7 @@ object Dedup {
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),
     "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
+    "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
     "dedup_curation" -> QueryDef(dedupCuration, Some(dedupCurationSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql), bench = true),

@@ -800,7 +800,63 @@ object Stats {
       |FROM d WHERE event_type = 'purchase' AND delay_ms IS NOT NULL
       |ORDER BY n_conversions""".stripMargin
 
+  // --------------------------------------------------------------- text_zipf
+
+  /** Zipf's-law fit over the top-100 word frequencies: regress
+    * ln(freq) on ln(rank) and report the slope (a natural corpus is
+    * near −1) plus r². Ranks come from a TakeOrdered top-100 — the
+    * only window runs over those 100 rows. ln values are nano-
+    * quantized per row and the regression runs on exact DECIMAL
+    * co-moments (the q_corr machinery), so the fit is bit-stable
+    * cross-engine. */
+  private def textZipf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val top = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(100)
+    val xy = top
+      .withColumn("rk", row_number().over(Window.orderBy($"c".desc, $"w")).cast("long"))
+      .select(
+        round(log($"rk".cast("double")) * 1e9).cast("long").as("x"),
+        round(log($"c".cast("double")) * 1e9).cast("long").as("y"))
+    val m = xy.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x".cast(d38)).cast("double").as("sx"),
+      sum($"y".cast(d38)).cast("double").as("sy"),
+      sum($"x".cast(d38) * $"x".cast(d38)).cast("double").as("sxx"),
+      sum($"y".cast(d38) * $"y".cast(d38)).cast("double").as("syy"),
+      sum($"x".cast(d38) * $"y".cast(d38)).cast("double").as("sxy"))
+    m.select($"n".cast("long").as("n_words"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 6)
+          .as("zipf_slope"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy") /
+          (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6)
+          .as("zipf_r2"))
+      .orderBy("n_words")
+  }
+
+  private val textZipfSql =
+    """WITH w AS (SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |    WHERE length(w) > 0 GROUP BY w ORDER BY c DESC, w LIMIT 100),
+      |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM w),
+      |xy AS (SELECT CAST(ROUND(LN(CAST(rk AS DOUBLE))*1e9) AS BIGINT) AS x,
+      |    CAST(ROUND(LN(CAST(c AS DOUBLE))*1e9) AS BIGINT) AS y FROM r),
+      |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT)*x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y AS HUGEINT)*y) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x AS HUGEINT)*y) AS DOUBLE) AS sxy FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_words,
+      |  ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS zipf_slope,
+      |  ROUND((n*sxy - sx*sy)*(n*sxy - sx*sy)/((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS zipf_r2
+      |FROM m ORDER BY n_words""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_zipf" -> QueryDef(textZipf, Some(textZipfSql)),
     "q_degree_dist" -> QueryDef(qDegreeDist, Some(qDegreeDistSql)),
     "q_time_to_convert" -> QueryDef(qTimeToConvert, Some(qTimeToConvertSql)),
     "q_cusum" -> QueryDef(qCusum, Some(qCusumSql)),

@@ -152,6 +152,13 @@ class StatsSpec extends AnyFunSuite {
       assert(sup >= small && sup <= small * 4, s"$t: $sup vs $small") }
   }
 
+  test("text_zipf: negative slope, r2 in [0,1]") {
+    import spark.implicits._
+    val Array((n, slope, r2)) = run("text_zipf").as[(Long, Double, Double)].collect()
+    assert(n > 0 && slope < 0, s"slope $slope")
+    assert(r2 >= 0 && r2 <= 1, s"r2 $r2")
+  }
+
   test("q_cusum matches a driver-side exact scaled-CUSUM argmax") {
     import spark.implicits._
     val hourly = graft.sources.Tables.events(spark, TestSpark.sf)
