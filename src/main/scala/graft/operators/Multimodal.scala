@@ -119,6 +119,37 @@ object Multimodal {
     }
   }
 
+  /** Blockhash-style 60-bit binary fingerprint over raw blob bytes:
+    * split the blob into 60 contiguous blocks (byte i → block
+    * i·60/n, integer division), set bit k iff block k's MEAN byte
+    * value exceeds the blob mean — compared as sum_k·n > total·cnt_k,
+    * exact integer math (mean-normalized, so uneven block sizes when
+    * 60 ∤ n can't masquerade as content). The byte-level stand-in
+    * for a perceptual image hash: with a real pixel decoder the same
+    * fingerprint runs over luminance blocks; near-dup pairs come from
+    * Hamming banding exactly like SimHash. 60 bits so engine-portable
+    * SQL can rebuild it without signed-shift overflow. */
+  def blockHash60(blob: Array[Byte]): Long = {
+    val n = blob.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](60)
+    val cnts = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = blob(i) & 0xffL
+      val k = ((i.toLong * 60) / n).toInt
+      sums(k) += v
+      cnts(k) += 1
+      total += v
+      i += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 60) { if (sums(k) * n > total * cnts(k)) h |= 1L << k; k += 1 }
+    h
+  }
+
   /** Build a binary-asset manifest from the documents table: blob =
     * UTF-8 bytes of the text (a stand-in corpus; swap the projection
     * for real image/audio columns). Partitioned by modality so

@@ -101,7 +101,37 @@ object Multimodal {
       |GROUP BY md5(text), octet_length(encode(text))
       |ORDER BY keep_id""".stripMargin
 
+  /** Perceptual-style 60-bit blockhash per asset (byte-level stand-in
+    * for an image phash — see operators.Multimodal.blockHash60),
+    * hash-verified bit-for-bit by a hex-pair byte oracle. */
+  private def mmBlockhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MM.manifest(s, Tables.documents(s, dir))
+      .map(a => (a.doc_id, MM.blockHash60(a.blob), a.blob.length.toLong))
+      .toDF("doc_id", "blockhash", "n_bytes")
+      .orderBy($"doc_id")
+  }
+
+  private val mmBlockhashSql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n FROM documents),
+      |by AS (SELECT doc_id, n, hx, unnest(range(1, n + 1)) AS i FROM h WHERE n > 0),
+      |bb AS (SELECT doc_id, n, ((i - 1) * 60) // n AS blk,
+      |    CAST('0x' || substring(hx, 2*i - 1, 2) AS INT) AS v FROM by),
+      |bs AS (SELECT doc_id, blk, SUM(v) AS s, COUNT(*) AS c, MAX(n) AS n
+      |    FROM bb GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, SUM(s) AS total FROM bs GROUP BY 1),
+      |bits AS (SELECT bs.doc_id,
+      |    SUM(CASE WHEN s * n > total * c
+      |      THEN (1::BIGINT << CAST(blk AS INT)) ELSE 0 END) AS bh
+      |    FROM bs JOIN tt ON bs.doc_id = tt.doc_id GROUP BY 1)
+      |SELECT d.doc_id AS doc_id, CAST(COALESCE(bh, 0) AS BIGINT) AS blockhash,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),
     "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql)),
     "mm_manifest" -> QueryDef(mmManifest, Some(mmManifestSql)),

@@ -99,6 +99,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan(2L) == (64L, 32L))
   }
 
+  test("blockHash60: planted half-bright blob sets exactly the first-half bits") {
+    // 120 bytes: first 60 are 0xFF, rest 0x00 -> blocks 0-29 above mean
+    val blob = Array.fill(60)(0xff.toByte) ++ Array.fill(60)(0x00.toByte)
+    val h = Multimodal.blockHash60(blob)
+    assert(h == (1L << 30) - 1, f"got $h%x")
+    // empty and uniform blobs hash to 0 (no block exceeds the mean)
+    assert(Multimodal.blockHash60(Array.empty[Byte]) == 0L)
+    assert(Multimodal.blockHash60(Array.fill(100)(0x7f.toByte)) == 0L)
+    // near-dup invariance: flipping one byte moves few bits
+    val tweaked = blob.clone(); tweaked(3) = 0x00.toByte
+    val d = java.lang.Long.bitCount(h ^ Multimodal.blockHash60(tweaked))
+    assert(d <= 2, s"hamming $d after a 1-byte edit")
+  }
+
   test("HeaderImageDecoder parses GIF logical screens and JPEG SOF frames") {
     import spark.implicits._
     def gifHeader(w: Int, h: Int): Array[Byte] =
