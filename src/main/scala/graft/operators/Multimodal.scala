@@ -150,6 +150,32 @@ object Multimodal {
     h
   }
 
+  /** Near-duplicate fingerprint pairs by Hamming ≤ maxDist over a
+    * (doc_id, bh) blockhash table — the SimHash pigeonhole trick on
+    * the 60-bit fingerprint ((maxDist+1) bands: a ≤maxDist-bit
+    * difference leaves ≥1 band intact), so the only corpus-sized join
+    * is a band-key equi-join. On byte-level text blobs small edits
+    * shift every block and Hamming stays high (MultimodalSpec shows
+    * the discrimination on structured blobs); with a real pixel
+    * decoder this runs over luminance-block hashes where near-dup
+    * images land within a few bits. */
+  def blockhashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 60 / nBands
+    val mask = (1L << width) - 1
+    val banded = sigs.select(col("doc_id"), col("bh"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bits",
+        expr(s"shiftrightunsigned(bh, band * $width)").bitwiseAND(lit(mask)))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.bh").bitwiseXOR(col("b.bh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Build a binary-asset manifest from the documents table: blob =
     * UTF-8 bytes of the text (a stand-in corpus; swap the projection
     * for real image/audio columns). Partitioned by modality so

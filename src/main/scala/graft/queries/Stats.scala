@@ -855,7 +855,60 @@ object Stats {
       |  ROUND((n*sxy - sx*sy)*(n*sxy - sx*sy)/((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS zipf_r2
       |FROM m ORDER BY n_words""".stripMargin
 
+  // --------------------------------------------------------------- q_ab_test
+
+  /** Two-proportion A/B comparison (deterministic arms via
+    * user_id % 2): per-arm heavy-purchaser rates (>= 14 purchases —
+    * every user on this dense corpus purchases at least once, so the
+    * raw any-purchase rate is degenerately 1.0), lift, and the pooled
+    * two-proportion z statistic. Rates and z are single double
+    * expressions over exact integer counts; the z denominator is
+    * NULLIF-guarded so a degenerate pooled rate reads as NULL, not a
+    * crash. */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = Tables.events(s, dir).groupBy($"user_id")
+      .agg(when(sum(when($"event_type" === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+        .otherwise(0L).as("conv"))
+      .select(($"user_id" % 2).as("arm"), $"conv")
+    val a = u.groupBy($"arm").agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+    val wide = a.agg(
+      sum(when($"arm" === 0, $"n")).as("n0"), sum(when($"arm" === 0, $"c")).as("c0"),
+      sum(when($"arm" === 1, $"n")).as("n1"), sum(when($"arm" === 1, $"c")).as("c1"))
+    wide.select(
+        $"n0".as("n_control"), $"c0".as("conv_control"),
+        $"n1".as("n_treat"), $"c1".as("conv_treat"),
+        round($"c0".cast("double") / $"n0", 9).as("p_control"),
+        round($"c1".cast("double") / $"n1", 9).as("p_treat"),
+        round(($"c1".cast("double") / $"n1" - $"c0".cast("double") / $"n0") /
+          expr("""nullif(sqrt((cast(c0 + c1 as double) / (n0 + n1)) *
+            (1d - cast(c0 + c1 as double) / (n0 + n1)) *
+            (1d / n0 + 1d / n1)), 0d)"""), 6).as("z_score"))
+      .orderBy("n_control")
+  }
+
+  private val qAbTestSql =
+    """WITH u AS (SELECT user_id % 2 AS arm,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |      THEN 1 ELSE 0 END AS conv
+      |    FROM events GROUP BY user_id),
+      |a AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS c FROM u GROUP BY 1),
+      |w AS (SELECT SUM(CASE WHEN arm = 0 THEN n END) AS n0,
+      |    SUM(CASE WHEN arm = 0 THEN c END) AS c0,
+      |    SUM(CASE WHEN arm = 1 THEN n END) AS n1,
+      |    SUM(CASE WHEN arm = 1 THEN c END) AS c1 FROM a)
+      |SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+      |  CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+      |  ROUND(CAST(c0 AS DOUBLE)/n0, 9) AS p_control,
+      |  ROUND(CAST(c1 AS DOUBLE)/n1, 9) AS p_treat,
+      |  ROUND((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
+      |    NULLIF(SQRT((CAST(c0 + c1 AS DOUBLE)/(n0 + n1)) *
+      |      (1e0 - CAST(c0 + c1 AS DOUBLE)/(n0 + n1)) *
+      |      (1e0/n0 + 1e0/n1)), 0e0), 6) AS z_score
+      |FROM w ORDER BY n_control""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_ab_test" -> QueryDef(qAbTest, Some(qAbTestSql)),
     "text_zipf" -> QueryDef(textZipf, Some(textZipfSql)),
     "q_degree_dist" -> QueryDef(qDegreeDist, Some(qDegreeDistSql)),
     "q_time_to_convert" -> QueryDef(qTimeToConvert, Some(qTimeToConvertSql)),

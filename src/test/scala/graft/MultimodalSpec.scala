@@ -113,6 +113,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d <= 2, s"hamming $d after a 1-byte edit")
   }
 
+  test("blockhashPairs finds planted near-identical structured blobs, skips distinct ones") {
+    import spark.implicits._
+    // structured "images": a bright-dark gradient and a tiny perturbation
+    // of it (1 byte) vs a reversed gradient (far in Hamming space)
+    val grad = Array.tabulate(600)(i => (i * 255 / 599).toByte)
+    val tweaked = grad.clone(); tweaked(10) = 0xff.toByte
+    val reversed = grad.reverse
+    val sigs = Seq(
+      (1L, Multimodal.blockHash60(grad)),
+      (2L, Multimodal.blockHash60(tweaked)),
+      (3L, Multimodal.blockHash60(reversed)))
+      .toDF("doc_id", "bh")
+    val got = Multimodal.blockhashPairs(sigs, maxDist = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
   test("HeaderImageDecoder parses GIF logical screens and JPEG SOF frames") {
     import spark.implicits._
     def gifHeader(w: Int, h: Int): Array[Byte] =
