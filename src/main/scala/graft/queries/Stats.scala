@@ -907,7 +907,77 @@ object Stats {
       |      (1e0/n0 + 1e0/n1)), 0e0), 6) AS z_score
       |FROM w ORDER BY n_control""".stripMargin
 
+  // ---------------------------------------------------------------- q_benford
+
+  /** Benford's-law audit of order totals: observed leading-digit
+    * distribution vs log10(1+1/d), with the chi-square statistic —
+    * the classic fabricated-numbers screen. The leading digit comes
+    * from the exact cents integer's decimal string (no float
+    * formatting); expected probabilities are nano-quantized scalars,
+    * so chi-square is one double expression over exact counts. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.orders(s, dir)
+      .select(substring(round($"o_totalprice" * 100).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("obs"))
+    val tot = d.agg(sum($"obs").as("n"))
+    d.crossJoin(broadcast(tot))
+      .withColumn("p_nano",
+        round(log10(lit(1.0) + lit(1.0) / $"digit") * 1e9).cast("long"))
+      .select($"digit", $"obs",
+        round($"p_nano".cast("double") / 1e9, 9).as("p_benford"),
+        round(($"obs".cast("double") / $"n" - $"p_nano".cast("double") / 1e9), 9)
+          .as("deviation"),
+        round(($"obs".cast("double") - $"n" * ($"p_nano".cast("double") / 1e9)) *
+          ($"obs".cast("double") - $"n" * ($"p_nano".cast("double") / 1e9)) /
+          ($"n" * ($"p_nano".cast("double") / 1e9)), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  private val qBenfordSql =
+    """WITH d AS (SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    COUNT(*) AS obs FROM orders GROUP BY 1),
+      |t AS (SELECT SUM(obs) AS n FROM d),
+      |q AS (SELECT digit, obs, n,
+      |    CAST(ROUND(LOG10(1e0 + 1e0/digit)*1e9) AS BIGINT) AS p_nano
+      |    FROM d CROSS JOIN t)
+      |SELECT digit, CAST(obs AS BIGINT) AS obs,
+      |  ROUND(CAST(p_nano AS DOUBLE)/1e9, 9) AS p_benford,
+      |  ROUND(CAST(obs AS DOUBLE)/n - CAST(p_nano AS DOUBLE)/1e9, 9) AS deviation,
+      |  ROUND((CAST(obs AS DOUBLE) - n * (CAST(p_nano AS DOUBLE)/1e9)) *
+      |    (CAST(obs AS DOUBLE) - n * (CAST(p_nano AS DOUBLE)/1e9)) /
+      |    (n * (CAST(p_nano AS DOUBLE)/1e9)), 6) AS chi2_term
+      |FROM q ORDER BY digit""".stripMargin
+
+  // ---------------------------------------------------------------- q_heatmap
+
+  /** Day-of-week × hour-of-day activity matrix — the ops dashboard
+    * heatmap. Day-of-week is pure integer epoch math ((days+4) % 7,
+    * Sunday=0; 1970-01-01 was a Thursday) so neither engine's
+    * calendar/locale semantics can leak in. */
+  private def qHeatmap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select((floor(unix_millis($"ts").cast("double") / 86400000).cast("long")).as("days"),
+        (floor(unix_millis($"ts").cast("double") / 3600000).cast("long") % 24).as("hod"))
+      .groupBy((($"days" + 4) % 7).as("dow"), $"hod")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("dow", "hod")
+  }
+
+  private val qHeatmapSql =
+    """WITH e AS (SELECT
+      |    CAST(FLOOR(CAST(epoch_ns(ts)//1000000 AS DOUBLE)/86400000) AS BIGINT) AS days,
+      |    CAST(FLOOR(CAST(epoch_ns(ts)//1000000 AS DOUBLE)/3600000) AS BIGINT) % 24 AS hod
+      |    FROM events)
+      |SELECT (days + 4) % 7 AS dow, hod, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM e GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_benford" -> QueryDef(qBenford, Some(qBenfordSql)),
+    "q_heatmap" -> QueryDef(qHeatmap, Some(qHeatmapSql)),
     "q_ab_test" -> QueryDef(qAbTest, Some(qAbTestSql)),
     "text_zipf" -> QueryDef(textZipf, Some(textZipfSql)),
     "q_degree_dist" -> QueryDef(qDegreeDist, Some(qDegreeDistSql)),

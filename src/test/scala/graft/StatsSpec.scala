@@ -152,6 +152,27 @@ class StatsSpec extends AnyFunSuite {
       assert(sup >= small && sup <= small * 4, s"$t: $sup vs $small") }
   }
 
+  test("q_benford: digits 1-9, probabilities sum to 1, chi2 terms non-negative") {
+    import spark.implicits._
+    val got = run("q_benford")
+      .select($"digit", $"obs", $"p_benford", $"chi2_term")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(_._1).sameElements(1L to 9L))
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-6)
+    assert(got.forall(_._4 >= 0))
+    // synthetic uniform totals are NOT Benford -- the audit must flag them
+    assert(got.map(_._4).sum > 16.92, "chi2 should reject Benford on uniform data")
+  }
+
+  test("q_heatmap: full 7x24 grid, counts sum to the event count") {
+    import spark.implicits._
+    val got = run("q_heatmap").as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet.size == got.length)
+    assert(got.forall { case (d, h, _) => d >= 0 && d <= 6 && h >= 0 && h <= 23 })
+    val total = graft.sources.Tables.events(spark, TestSpark.sf).count()
+    assert(got.map(_._3).sum == total)
+  }
+
   test("text_zipf: negative slope, r2 in [0,1]") {
     import spark.implicits._
     val Array((n, slope, r2)) = run("text_zipf").as[(Long, Double, Double)].collect()
