@@ -975,7 +975,79 @@ object Stats {
       |SELECT (days + 4) % 7 AS dow, hod, CAST(COUNT(*) AS BIGINT) AS n
       |FROM e GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
 
+  // ------------------------------------------------------------------ q_gini
+
+  /** Gini coefficient of customer revenue — the inequality readout
+    * next to q_pareto's top-decile share. G = (2·Σ i·xᵢ)/(n·Σx) −
+    * (n+1)/n over ascending-sorted revenues; Σ i·xᵢ runs in exact
+    * DECIMAL. The rank window sorts the CUSTOMER AGGREGATE (orders of
+    * magnitude smaller than the fact table); at extreme customer
+    * counts the drop-in replacement is a percentile-bucketed Lorenz
+    * approximation. */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val cust = Tables.orders(s, dir).groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("m"))
+    val ranked = cust.withColumn("i",
+      row_number().over(Window.orderBy($"m", $"o_custkey")).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("nl"),
+        sum($"m".cast(d38)).cast("double").as("sm"),
+        sum(($"i".cast(d38) * $"m".cast(d38))).cast("double").as("sim"))
+      .select($"nl".as("n_customers"),
+        round(lit(2.0) * $"sim" / ($"nl".cast("double") * $"sm") -
+          ($"nl" + 1).cast("double") / $"nl", 9).as("gini"))
+      .orderBy("n_customers")
+  }
+
+  private val qGiniSql =
+    """WITH cust AS (SELECT o_custkey, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS m
+      |    FROM orders GROUP BY 1),
+      |r AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS i FROM cust),
+      |a AS (SELECT COUNT(*) AS nl, CAST(SUM(m) AS DOUBLE) AS sm,
+      |    CAST(SUM(CAST(i AS HUGEINT) * m) AS DOUBLE) AS sim FROM r)
+      |SELECT CAST(nl AS BIGINT) AS n_customers,
+      |  ROUND(2e0 * sim / (CAST(nl AS DOUBLE) * sm) - CAST(nl + 1 AS DOUBLE)/nl, 9) AS gini
+      |FROM a ORDER BY n_customers""".stripMargin
+
+  // ------------------------------------------------------------ q_order_gaps
+
+  /** Inter-purchase interval stats: per-customer day gaps between
+    * consecutive orders (lag window on the integer day grid), then
+    * exact median/p90 over all gaps — the repeat-purchase cadence
+    * metric behind retention planning. */
+  private def qOrderGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_custkey", $"o_orderkey",
+      floor(unix_timestamp($"o_orderdate").cast("double") / 86400).cast("long").as("day"))
+    val gaps = o.withColumn("prev",
+        lag($"day", 1).over(Window.partitionBy($"o_custkey").orderBy($"day", $"o_orderkey")))
+      .filter($"prev".isNotNull)
+      .select(($"day" - $"prev").as("gap_days"))
+    gaps.agg(
+        count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_days, 0.5)"), 6).as("p50_days"),
+        round(expr("percentile(gap_days, 0.9)"), 6).as("p90_days"),
+        max($"gap_days").as("max_days"))
+      .orderBy("n_gaps")
+  }
+
+  private val qOrderGapsSql =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    CAST(FLOOR(CAST(epoch(o_orderdate) AS DOUBLE)/86400) AS BIGINT) AS day
+      |    FROM orders),
+      |g AS (SELECT day - LAG(day, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY day, o_orderkey) AS gap_days FROM o)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  ROUND(quantile_cont(gap_days, 0.5), 6) AS p50_days,
+      |  ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_days,
+      |  CAST(MAX(gap_days) AS BIGINT) AS max_days
+      |FROM g WHERE gap_days IS NOT NULL ORDER BY n_gaps""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_gini" -> QueryDef(qGini, Some(qGiniSql)),
+    "q_order_gaps" -> QueryDef(qOrderGaps, Some(qOrderGapsSql)),
     "q_benford" -> QueryDef(qBenford, Some(qBenfordSql)),
     "q_heatmap" -> QueryDef(qHeatmap, Some(qHeatmapSql)),
     "q_ab_test" -> QueryDef(qAbTest, Some(qAbTestSql)),
