@@ -511,7 +511,73 @@ object Similarity {
        |  SUM(CASE WHEN nl = own THEN 1 ELSE 0 END)*2 < 5 AS flagged
        |FROM r WHERE rk <= 5 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
 
+  /** Embedding-quality report: per label, mean cosine to the OWN
+    * label centroid vs the best rival centroid, and the separation
+    * margin — the silhouette-style readout that tells you whether an
+    * embedding space is worth training on. Everything runs in the
+    * exploded integer-quantized plane (per-term nano rounding before
+    * every sum), so the report is exact cross-engine. Centroids are
+    * L×dim rows (broadcast); the only corpus-sized shuffles key on
+    * vec_id. */
+  private def embSeparation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val el = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("vlabel"),
+        posexplode($"embedding").as(Seq("pos0", "v0")))
+      .select($"vec_id", $"vlabel", ($"pos0" + 1).as("pos"), $"v0".cast("double").as("v"))
+    val cent = el.groupBy($"vlabel".as("clabel"), $"pos")
+      .agg((sum(round($"v" * 1e9).cast("long")).cast("double") / 1e9 / count(lit(1))).as("c"))
+    val vn = el.groupBy($"vec_id")
+      .agg((sum(round($"v" * $"v" * 1e9).cast("long")).cast("double") / 1e9).as("vn"))
+    val cn = cent.groupBy($"clabel")
+      .agg((sum(round($"c" * $"c" * 1e9).cast("long")).cast("double") / 1e9).as("cn"))
+    val dots = el.join(broadcast(cent), "pos")
+      .groupBy($"vec_id", $"vlabel", $"clabel")
+      .agg((sum(round($"v" * $"c" * 1e9).cast("long")).cast("double") / 1e9).as("dot"))
+    val cos = dots.join(vn, "vec_id").join(broadcast(cn), "clabel")
+      .select($"vlabel", $"clabel",
+        round($"dot" / (sqrt($"vn") * sqrt($"cn")) * 1e9).cast("long").as("cos_nano"))
+    val m = cos.groupBy($"vlabel", $"clabel")
+      .agg((sum($"cos_nano").cast("double") / 1e9 / count(lit(1))).as("avg_cos"))
+    m.groupBy($"vlabel".as("label")).agg(
+        round(max(when($"clabel" === $"vlabel", $"avg_cos")), 9).as("intra_cos"),
+        round(max(when($"clabel" =!= $"vlabel", $"avg_cos")), 9).as("best_inter_cos"))
+      .withColumn("margin", round($"intra_cos" - $"best_inter_cos", 9))
+      .orderBy("label")
+  }
+
+  private val embSeparationSql =
+    """WITH el AS (SELECT vec_id, CAST(label AS BIGINT) AS vlabel, pos,
+      |    CAST(v AS DOUBLE) AS v FROM (
+      |    SELECT vec_id, label, unnest(embedding) AS v,
+      |      unnest(range(1, len(embedding)+1)) AS pos FROM embeddings) t),
+      |cent AS (SELECT vlabel AS clabel, pos,
+      |    CAST(SUM(CAST(ROUND(v*1e9) AS BIGINT)) AS DOUBLE)/1e9/COUNT(*) AS c
+      |    FROM el GROUP BY 1, 2),
+      |vn AS (SELECT vec_id,
+      |    CAST(SUM(CAST(ROUND(v*v*1e9) AS BIGINT)) AS DOUBLE)/1e9 AS vn
+      |    FROM el GROUP BY 1),
+      |cn AS (SELECT clabel,
+      |    CAST(SUM(CAST(ROUND(c*c*1e9) AS BIGINT)) AS DOUBLE)/1e9 AS cn
+      |    FROM cent GROUP BY 1),
+      |dots AS (SELECT vec_id, vlabel, clabel,
+      |    CAST(SUM(CAST(ROUND(v*c*1e9) AS BIGINT)) AS DOUBLE)/1e9 AS dot
+      |    FROM el JOIN cent USING (pos) GROUP BY 1, 2, 3),
+      |cs AS (SELECT vlabel, clabel,
+      |    CAST(ROUND(dot/(SQRT(vn)*SQRT(cn))*1e9) AS BIGINT) AS cos_nano
+      |    FROM dots JOIN vn USING (vec_id) JOIN cn USING (clabel)),
+      |m AS (SELECT vlabel, clabel,
+      |    CAST(SUM(cos_nano) AS DOUBLE)/1e9/COUNT(*) AS avg_cos
+      |    FROM cs GROUP BY 1, 2)
+      |SELECT vlabel AS label,
+      |  ROUND(MAX(CASE WHEN clabel = vlabel THEN avg_cos END), 9) AS intra_cos,
+      |  ROUND(MAX(CASE WHEN clabel <> vlabel THEN avg_cos END), 9) AS best_inter_cos,
+      |  ROUND(ROUND(MAX(CASE WHEN clabel = vlabel THEN avg_cos END), 9)
+      |    - ROUND(MAX(CASE WHEN clabel <> vlabel THEN avg_cos END), 9), 9) AS margin
+      |FROM m GROUP BY vlabel ORDER BY label""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "emb_separation" -> QueryDef(embSeparation, Some(embSeparationSql)),
     "emb_label_noise" -> QueryDef(embLabelNoise, Some(embLabelNoiseSql)),
     "ann_range_search" -> QueryDef(annRangeSearch, Some(annRangeSearchSql)),
     "emb_kmeans" -> QueryDef(embKmeans, Some(embKmeansSql)),

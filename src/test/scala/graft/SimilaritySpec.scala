@@ -77,6 +77,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.count(_._2) == 1, s"false flags: ${got.filter(_._2).keys}")
   }
 
+  test("emb_separation: every label separates from its best rival centroid") {
+    import spark.implicits._
+    val got = SparkEntry.all("emb_separation").fn(spark, TestSpark.sf)
+      .select($"intra_cos", $"best_inter_cos", $"margin")
+      .as[(Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (intra, inter, margin) =>
+      assert(intra > inter, s"intra $intra <= inter $inter")
+      assert(math.abs(margin - (BigDecimal(intra) - BigDecimal(inter)).toDouble) < 1e-9)
+    }
+  }
+
   test("lsh candidates are a subset of brute-force scores (same cosine)") {
     val brute = Similarity.bruteForce(spark, emb, probes, k = 500).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim"))
