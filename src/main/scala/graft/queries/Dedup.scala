@@ -7,9 +7,11 @@ import graft.operators.{Dedup => DedupOps}
 
 /** SURVEY.md §2-C: dedup query surface over `documents`/`embeddings`.
   *
-  * The corpus has no planted near-dups, so the pair-emitting variants
-  * surface a deterministic top-K by similarity (always non-empty);
-  * planted-duplicate recall is asserted in DedupSpec.
+  * The round-6 regenerated corpus carries a small set of real
+  * near-duplicates (~25 pairs at Jaccard ≥ 0.9 at sf0.01), so the
+  * pair-emitting variants return genuine hits; they still emit a
+  * deterministic top-K so the row set stays stable as sf grows.
+  * Planted-duplicate recall is additionally asserted in DedupSpec.
   */
 object Dedup {
 
@@ -383,9 +385,10 @@ object Dedup {
     * bucket's population shrinks ~ j⁸ and hot-shingle blowup can't
     * happen. Emits the per-band bucket census (docs, buckets, widest
     * bucket, candidate pairs = Σ c·(c−1)/2) — the skew audit a 100 TB
-    * dedup run reads before launching the pair join. On this corpus
-    * (no near-dups) the candidate count is legitimately ~0, which is
-    * exactly what the audit should say; planted-duplicate recall and
+    * dedup run reads before launching the pair join. On the round-6
+    * corpus the audit reports ~20 candidate pairs per band from the
+    * real near-dup families (dedup_minhash_recall confirms those are
+    * exactly the Jaccard ≥ 0.9 pairs); planted-duplicate recall and
     * the r-vs-bucket-size law are spec-tested in DedupSpec. */
   private def dedupMinhashBanded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
