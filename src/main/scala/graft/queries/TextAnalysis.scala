@@ -63,6 +63,42 @@ object TextAnalysis {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** LangID evaluation: confusion matrix of the n-gram-profile
+    * heuristic's predictions against the gold lang column — the
+    * quality readout that decides whether the cheap classifier is
+    * good enough to gate corpus routing. On this synthetic corpus the
+    * matrix exposes exactly what an eval should: every lang label
+    * draws from the same English-like token distribution, so the
+    * classifier reads 'en' (or 'und') regardless of the label — i.e.
+    * the labels here are metadata, not linguistic signal. */
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    TA.langId(docs)
+      .join(docs.select($"doc_id", $"lang".as("actual_lang")), "doc_id")
+      .groupBy($"actual_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual_lang", "pred_lang")
+  }
+
+  private val langConfusionSql = {
+    val hits = TA.LangProfiles.map { case (lang, prof) =>
+      val set = prof.map(p => s"'$p'").mkString("[", ",", "]")
+      s"len(list_filter(string_split(text,' '), t -> list_contains($set, t))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val arms = TA.LangProfiles.map { case (lang, _) =>
+      s"WHEN hits_$lang = best THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, lang AS actual_lang,
+       |    $hits
+       |  FROM documents),
+       |b AS (SELECT *, greatest(${TA.LangProfiles.map(p => "hits_" + p._1).mkString(", ")}) AS best FROM h),
+       |p AS (SELECT actual_lang,
+       |    CASE WHEN best = 0 THEN 'und' $arms ELSE 'und' END AS pred_lang FROM b)
+       |SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY actual_lang, pred_lang""".stripMargin
+  }
+
   private def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TA.fingerprint(Tables.documents(s, dir)).orderBy($"doc_id")
@@ -399,6 +435,7 @@ object TextAnalysis {
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
     "text_quality" -> QueryDef(textQuality, Some(textQualitySql), bench = true),
     "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
+    "text_lang_confusion" -> QueryDef(langConfusion, Some(langConfusionSql)),
     "text_fingerprint" -> QueryDef(textFingerprint, Some(textFingerprintSql))
   )
 }
