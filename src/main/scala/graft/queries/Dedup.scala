@@ -266,6 +266,43 @@ object Dedup {
        |  CAST(COUNT(*) AS BIGINT) AS n_clusters
        |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
 
+  /** Single-row dedup savings report: how many documents and tokens
+    * exact dedup removes, plus the count of remaining near-dup pairs
+    * at Jaccard ≥ 0.9 — the before/after numbers a curation run
+    * publishes to justify its cost. Exact integer counts end-to-end;
+    * the near-pair leg reuses the prefix-filtered similarity join. */
+  private def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text", size(split($"text", " ")).cast("long").as("tk"))
+    val before = docs.agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"))
+    val after = docs.groupBy($"text").agg(max($"tk").as("tk"))
+      .agg(count(lit(1)).as("n_docs_dedup"), sum($"tk").as("n_tokens_dedup"))
+    val near = DedupOps.jaccardJoin(s, docs.select($"doc_id", $"text"), tau = 0.9)
+      .agg(count(lit(1)).as("n_near_pairs"))
+    before.crossJoin(broadcast(after)).crossJoin(broadcast(near))
+      .select($"n_docs", $"n_docs_dedup", $"n_tokens", $"n_tokens_dedup",
+        (lit(1.0) - $"n_tokens_dedup".cast("double") / $"n_tokens").as("token_savings_frac"),
+        $"n_near_pairs")
+      .orderBy("n_docs")
+  }
+
+  private val dedupSavingsSql =
+    s"""WITH $ngramPairCtes,
+       |d AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+       |    FROM documents),
+       |b AS (SELECT COUNT(*) AS n_docs, SUM(tk) AS n_tokens FROM d),
+       |a AS (SELECT COUNT(*) AS n_docs_dedup, SUM(tk) AS n_tokens_dedup FROM
+       |    (SELECT text, MAX(tk) AS tk FROM d GROUP BY text) g),
+       |np AS (SELECT COUNT(*) AS n_near_pairs FROM scored WHERE jaccard >= 0.9)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_docs_dedup AS BIGINT) AS n_docs_dedup,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens_dedup AS BIGINT) AS n_tokens_dedup,
+       |  1e0 - CAST(n_tokens_dedup AS DOUBLE)/n_tokens AS token_savings_frac,
+       |  CAST(n_near_pairs AS BIGINT) AS n_near_pairs
+       |FROM b CROSS JOIN a CROSS JOIN np ORDER BY n_docs""".stripMargin
+
   /** Corpus curation: quality-filter + dedup-survivor semijoin — the
     * end-to-end "keep the good docs" pipeline, hash-verified. */
   private def dedupCuration(s: SparkSession, dir: String): DataFrame = {
@@ -574,6 +611,7 @@ object Dedup {
     "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
+    "dedup_savings" -> QueryDef(dedupSavings, Some(dedupSavingsSql)),
     "dedup_curation" -> QueryDef(dedupCuration, Some(dedupCurationSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql), bench = true),
