@@ -1045,7 +1045,44 @@ object Stats {
       |  CAST(MAX(gap_days) AS BIGINT) AS max_days
       |FROM g WHERE gap_days IS NOT NULL ORDER BY n_gaps""".stripMargin
 
+  // ------------------------------------------------------------ q_stickiness
+
+  /** DAU/MAU stickiness per calendar month — the engagement ratio.
+    * Months come from integer epoch-day arithmetic only where display
+    * needs them; grouping keys are (year, month) derived from the ms
+    * grid both engines share via date_format/strftime parity (already
+    * proven by q_hourly_stats). Exact distinct counts; the ratio is
+    * one double division. */
+  private def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      date_format($"ts", "yyyy-MM").as("month"),
+      date_format($"ts", "yyyy-MM-dd").as("day"),
+      $"user_id")
+    val dau = e.groupBy($"month", $"day")
+      .agg(countDistinct($"user_id").as("dau"))
+      .groupBy($"month").agg(sum($"dau").as("dau_sum"), count(lit(1)).as("n_days"))
+    val mau = e.groupBy($"month").agg(countDistinct($"user_id").as("mau"))
+    dau.join(mau, "month")
+      .select($"month", $"n_days", $"mau",
+        round($"dau_sum".cast("double") / $"n_days", 6).as("avg_dau"),
+        round($"dau_sum".cast("double") / $"n_days" / $"mau", 6).as("stickiness"))
+      .orderBy("month")
+  }
+
+  private val qStickinessSql =
+    """WITH e AS (SELECT strftime(ts, '%Y-%m') AS month,
+      |    strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+      |d AS (SELECT month, day, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY 1, 2),
+      |ds AS (SELECT month, SUM(dau) AS dau_sum, COUNT(*) AS n_days FROM d GROUP BY 1),
+      |m AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM e GROUP BY 1)
+      |SELECT month, CAST(n_days AS BIGINT) AS n_days, CAST(mau AS BIGINT) AS mau,
+      |  ROUND(CAST(dau_sum AS DOUBLE)/n_days, 6) AS avg_dau,
+      |  ROUND(CAST(dau_sum AS DOUBLE)/n_days/mau, 6) AS stickiness
+      |FROM ds JOIN m USING (month) ORDER BY month""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_stickiness" -> QueryDef(qStickiness, Some(qStickinessSql)),
     "q_gini" -> QueryDef(qGini, Some(qGiniSql)),
     "q_order_gaps" -> QueryDef(qOrderGaps, Some(qOrderGapsSql)),
     "q_benford" -> QueryDef(qBenford, Some(qBenfordSql)),
