@@ -1081,7 +1081,119 @@ object Stats {
       |  ROUND(CAST(dau_sum AS DOUBLE)/n_days/mau, 6) AS stickiness
       |FROM ds JOIN m USING (month) ORDER BY month""".stripMargin
 
+  // ------------------------------------------------------------ q_cohort_ltv
+
+  /** Cohort LTV curve: customers grouped by first-order month, then
+    * cumulative revenue per customer by month offset — the lifetime-
+    * value triangle next to q_retention's activity triangle. Month
+    * arithmetic is integer (epoch months = year*12+month from the
+    * shared ms grid); revenue is exact cents; the running sum windows
+    * per cohort (never globally). */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_custkey",
+      (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long").as("em"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val cohort = o.groupBy($"o_custkey").agg(min($"em").as("c0"))
+    val sized = cohort.groupBy($"c0").agg(count(lit(1)).as("n_cust"))
+    val rev = o.join(cohort, "o_custkey")
+      .groupBy($"c0", ($"em" - $"c0").as("month_offset"))
+      .agg(sum($"cents").as("rev"))
+    val cum = rev.withColumn("cum_rev",
+      sum($"rev").over(Window.partitionBy($"c0").orderBy($"month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(sized), "c0")
+      .filter($"month_offset" <= 6)
+      .select($"c0".as("cohort_month"), $"month_offset", $"n_cust",
+        round($"cum_rev".cast("double") / 100.0 / $"n_cust", 6).as("ltv_per_customer"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  private val qCohortLtvSql =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS em,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+      |c AS (SELECT o_custkey, MIN(em) AS c0 FROM o GROUP BY 1),
+      |sz AS (SELECT c0, COUNT(*) AS n_cust FROM c GROUP BY 1),
+      |r AS (SELECT c0, em - c0 AS month_offset, SUM(cents) AS rev
+      |    FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+      |cm AS (SELECT c0, month_offset,
+      |    SUM(rev) OVER (PARTITION BY c0 ORDER BY month_offset
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      |    FROM r)
+      |SELECT c0 AS cohort_month, month_offset, CAST(n_cust AS BIGINT) AS n_cust,
+      |  ROUND(CAST(cum_rev AS DOUBLE)/100.0/n_cust, 6) AS ltv_per_customer
+      |FROM cm JOIN sz USING (c0) WHERE month_offset <= 6
+      |ORDER BY cohort_month, month_offset""".stripMargin
+
+  // ----------------------------------------------------------- q_power_curve
+
+  /** Power-user curve: distribution of distinct active days per user —
+    * the engagement histogram behind DAU composition analysis. Two
+    * key-only aggregations over (user, day) pairs. */
+  private def qPowerCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id",
+        floor(unix_millis($"ts").cast("double") / 86400000).cast("long").as("day"))
+      .distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("active_days"))
+      .groupBy($"active_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("active_days")
+  }
+
+  private val qPowerCurveSql =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    CAST(FLOOR(CAST(epoch_ns(ts)//1000000 AS DOUBLE)/86400000) AS BIGINT) AS day
+      |    FROM events),
+      |a AS (SELECT user_id, COUNT(*) AS active_days FROM d GROUP BY 1)
+      |SELECT CAST(active_days AS BIGINT) AS active_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM a GROUP BY active_days ORDER BY active_days""".stripMargin
+
+  // ----------------------------------------------------- corpus_source_overlap
+
+  /** Cross-source vocabulary overlap: exact Jaccard of the word sets
+    * for every source pair — the redundancy matrix that tells a data
+    * mixer which domains duplicate each other. The join keys on words
+    * (never source pairs), so work scales with shared-vocabulary mass,
+    * not #sources². Top-20 most-overlapping pairs. */
+  private def corpusSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sw = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .distinct()
+    val sz = sw.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = sw.as("a").join(sw.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select($"source".as("src_a"), $"n".as("na")), "src_a")
+      .join(sz.select($"source".as("src_b"), $"n".as("nb")), "src_b")
+      .select($"src_a", $"src_b",
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9).as("vocab_jaccard"))
+      .orderBy($"vocab_jaccard".desc, $"src_a", $"src_b").limit(20)
+  }
+
+  private val corpusSourceOverlapSql =
+    """WITH sw AS (SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |    WHERE length(w) > 0),
+      |sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY 1),
+      |i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      |    FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+      |    GROUP BY 1, 2)
+      |SELECT src_a, src_b,
+      |  ROUND(CAST(inter AS DOUBLE)/(na.n + nb.n - inter), 9) AS vocab_jaccard
+      |FROM i JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
+      |ORDER BY vocab_jaccard DESC, src_a, src_b LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cohort_ltv" -> QueryDef(qCohortLtv, Some(qCohortLtvSql)),
+    "q_power_curve" -> QueryDef(qPowerCurve, Some(qPowerCurveSql)),
+    "corpus_source_overlap" -> QueryDef(corpusSourceOverlap, Some(corpusSourceOverlapSql)),
     "q_stickiness" -> QueryDef(qStickiness, Some(qStickinessSql)),
     "q_gini" -> QueryDef(qGini, Some(qGiniSql)),
     "q_order_gaps" -> QueryDef(qOrderGaps, Some(qOrderGapsSql)),
