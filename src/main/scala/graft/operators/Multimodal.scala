@@ -160,6 +160,8 @@ object Multimodal {
     * decoder this runs over luminance-block hashes where near-dup
     * images land within a few bits. */
   def blockhashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 30,
+      "pigeonhole banding needs 0 <= maxDist < 30 (60-bit hash, bands need >= 2 bits)")
     val nBands = maxDist + 1
     val width = 60 / nBands
     val mask = (1L << width) - 1
@@ -172,8 +174,8 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.bh").bitwiseXOR(col("b.bh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist) // prune BEFORE the distinct shuffle
       .distinct()
-      .filter(col("hamming") <= maxDist)
   }
 
   /** Build a binary-asset manifest from the documents table: blob =

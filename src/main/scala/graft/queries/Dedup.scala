@@ -278,7 +278,10 @@ object Dedup {
     val before = docs.agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"))
     val after = docs.groupBy($"text").agg(max($"tk").as("tk"))
       .agg(count(lit(1)).as("n_docs_dedup"), sum($"tk").as("n_tokens_dedup"))
-    val near = DedupOps.jaccardJoin(s, docs.select($"doc_id", $"text"), tau = 0.9)
+    // "remaining" means after exact dedup: score only the survivors
+    val surv = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id", "text"))
+    val near = DedupOps.jaccardJoin(s, surv.select($"doc_id", $"text"), tau = 0.9)
       .agg(count(lit(1)).as("n_near_pairs"))
     before.crossJoin(broadcast(after)).crossJoin(broadcast(near))
       .select($"n_docs", $"n_docs_dedup", $"n_tokens", $"n_tokens_dedup",
@@ -294,7 +297,11 @@ object Dedup {
        |b AS (SELECT COUNT(*) AS n_docs, SUM(tk) AS n_tokens FROM d),
        |a AS (SELECT COUNT(*) AS n_docs_dedup, SUM(tk) AS n_tokens_dedup FROM
        |    (SELECT text, MAX(tk) AS tk FROM d GROUP BY text) g),
-       |np AS (SELECT COUNT(*) AS n_near_pairs FROM scored WHERE jaccard >= 0.9)
+       |surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |np AS (SELECT COUNT(*) AS n_near_pairs FROM scored
+       |    WHERE jaccard >= 0.9
+       |      AND doc_a IN (SELECT doc_id FROM surv)
+       |      AND doc_b IN (SELECT doc_id FROM surv))
        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
        |  CAST(n_docs_dedup AS BIGINT) AS n_docs_dedup,
        |  CAST(n_tokens AS BIGINT) AS n_tokens,

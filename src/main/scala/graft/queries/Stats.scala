@@ -735,8 +735,10 @@ object Stats {
     * explosion is C(k,2)-bounded; two key-only aggregations after. */
   private def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // aliasing defeats Catalyst's exchange reuse: checkpoint so the
+    // scan+distinct computes once for both join sides
     val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
+      .select($"l_orderkey", $"l_partkey").distinct().localCheckpoint()
     val deg = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
@@ -918,8 +920,9 @@ object Stats {
   private def qBenford(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.orders(s, dir)
-      .select(substring(round($"o_totalprice" * 100).cast("long").cast("string"), 1, 1)
-        .cast("long").as("digit"))
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+      .filter($"cents" > 0) // Benford is defined on positive magnitudes
+      .select(substring($"cents".cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("obs"))
     val tot = d.agg(sum($"obs").as("n"))
     d.crossJoin(broadcast(tot))
@@ -936,9 +939,10 @@ object Stats {
   }
 
   private val qBenfordSql =
-    """WITH d AS (SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
-      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-      |    COUNT(*) AS obs FROM orders GROUP BY 1),
+    """WITH p AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+      |    FROM orders),
+      |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    COUNT(*) AS obs FROM p WHERE cents > 0 GROUP BY 1),
       |t AS (SELECT SUM(obs) AS n FROM d),
       |q AS (SELECT digit, obs, n,
       |    CAST(ROUND(LOG10(1e0 + 1e0/digit)*1e9) AS BIGINT) AS p_nano
@@ -1160,10 +1164,11 @@ object Stats {
     * not #sources². Top-20 most-overlapping pairs. */
   private def corpusSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // one explode+distinct for all three consumers (sz + both join legs)
     val sw = Tables.documents(s, dir)
       .select($"source", explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
-      .distinct()
+      .distinct().localCheckpoint()
     val sz = sw.groupBy($"source").agg(count(lit(1)).as("n"))
     val inter = sw.as("a").join(sw.as("b"),
         col("a.w") === col("b.w") && col("a.source") < col("b.source"))
