@@ -737,6 +737,63 @@ object Pipeline {
       |FROM events WHERE event_id % 5 <> 0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Fifth driver-verified streaming path: the CUSTOM-STATE windowed
+    * top-k (flatMapGroupsWithState + event-time timeout — exact
+    * per-window counts held in state, emitted exactly once when the
+    * watermark closes the window). Replayed through a file source
+    * with the same three-drain sentinel protocol as the sessionizer
+    * (the watermark advances one batch behind the data), then
+    * hash-compared against the plain batch window/top-3 SQL. */
+  private def topkStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    def sentinel(id: Long, offsetMs: Long) = Seq(
+      (id, new java.sql.Timestamp(maxTs.getTime + offsetMs), -1L, "zz_sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft-topk-replay").toString
+    ev.write.mode("overwrite").parquet(s"$root/src")
+
+    def drain(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(s"$root/src")
+        .as[EventStream.Event]
+        .transform(d => EventStream.streamingTopK(s, d, windowMinutes = 60, k = 3).toDF())
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("topk_streaming_replay: stream stalled")
+      }
+    }
+    drain()
+    sentinel(-1L, 30L * 24 * 3600 * 1000).write.mode("append").parquet(s"$root/src")
+    drain()
+    sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
+    drain()
+
+    s.read.parquet(s"$root/out")
+      .filter($"dim" =!= "zz_sentinel")
+      .select(unix_millis($"window_start").as("wstart_ms"), $"dim",
+        $"n", $"rk".cast("long").as("rk"))
+      .orderBy($"wstart_ms", $"rk")
+  }
+
+  private val topkStreamingReplaySql =
+    """WITH c AS (SELECT (epoch_ns(ts)//1000000)//3600000*3600000 AS wstart_ms,
+      |    event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+      |r AS (SELECT wstart_ms, event_type AS dim, n,
+      |    ROW_NUMBER() OVER (PARTITION BY wstart_ms ORDER BY n DESC, event_type) AS rk
+      |    FROM c)
+      |SELECT wstart_ms, dim, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY wstart_ms, rk""".stripMargin
+
   private def sessionizeStreamingReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.Trigger
@@ -896,6 +953,7 @@ object Pipeline {
     "sessionize_streaming_replay" ->
       QueryDef(sessionizeStreamingReplay, Some(sessionizeStreamingReplaySql)),
     "hourly_late_replay" -> QueryDef(hourlyLateReplay, Some(hourlyLateReplaySql)),
+    "topk_streaming_replay" -> QueryDef(topkStreamingReplay, Some(topkStreamingReplaySql)),
     "corpus_mix" -> QueryDef(corpusMix, Some(corpusMixSql)),
     "corpus_curate_e2e" -> QueryDef(corpusCurateE2e, Some(corpusCurateE2eSql)),
     "corpus_token_budget" -> QueryDef(corpusTokenBudget, Some(corpusTokenBudgetSql)),
