@@ -1195,7 +1195,53 @@ object Stats {
       |FROM i JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
       |ORDER BY vocab_jaccard DESC, src_a, src_b LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q_disorder
+
+  /** Out-of-order arrival audit: treating event_id as arrival order,
+    * how many events arrive with an event time BEHIND the running max
+    * already seen for that user, and by how much (p50/p99/max
+    * lateness)? This is the measurement that SIZES the streaming
+    * watermark delay — EventStream's 30-minute default should cover
+    * ~p99 of observed lateness. Per-user running max windows; exact
+    * integer-ms lateness percentiles. */
+  private def qDisorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateness = e.withColumn("prior_max", max($"ms").over(w))
+      .withColumn("late_ms",
+        when($"prior_max".isNotNull && $"ms" < $"prior_max", $"prior_max" - $"ms"))
+    lateness.agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"late_ms".isNotNull, 1L).otherwise(0L)).as("n_late"),
+        (sum(when($"late_ms".isNotNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("late_frac"),
+        round(expr("percentile(late_ms, 0.5)") / 60000.0, 6).as("p50_late_min"),
+        round(expr("percentile(late_ms, 0.99)") / 60000.0, 6).as("p99_late_min"),
+        (max($"late_ms") / 60000.0).as("max_late_min"))
+      .orderBy("n_events")
+  }
+
+  private val qDisorderSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000 AS ms FROM events),
+      |l AS (SELECT ms,
+      |    MAX(ms) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+      |    FROM e),
+      |d AS (SELECT CASE WHEN prior_max IS NOT NULL AND ms < prior_max
+      |      THEN prior_max - ms END AS late_ms FROM l)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN late_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(SUM(CASE WHEN late_ms IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS late_frac,
+      |  ROUND(quantile_cont(late_ms, 0.5) / 60000.0, 6) AS p50_late_min,
+      |  ROUND(quantile_cont(late_ms, 0.99) / 60000.0, 6) AS p99_late_min,
+      |  MAX(late_ms) / 60000.0 AS max_late_min
+      |FROM d ORDER BY n_events""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_disorder" -> QueryDef(qDisorder, Some(qDisorderSql)),
     "q_cohort_ltv" -> QueryDef(qCohortLtv, Some(qCohortLtvSql)),
     "q_power_curve" -> QueryDef(qPowerCurve, Some(qPowerCurveSql)),
     "corpus_source_overlap" -> QueryDef(corpusSourceOverlap, Some(corpusSourceOverlapSql)),
