@@ -1240,7 +1240,89 @@ object Stats {
       |  MAX(late_ms) / 60000.0 AS max_late_min
       |FROM d ORDER BY n_events""".stripMargin
 
+  // ------------------------------------------------------------ q_user_growth
+
+  /** New-user and cumulative-user growth curve: first-activity day per
+    * user (one aggregate), then daily new-user counts with a running
+    * total over the tiny day spine. */
+  private def qUserGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val first = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(min(floor(unix_millis($"ts").cast("double") / 86400000).cast("long")).as("day"))
+    val daily = first.groupBy($"day").agg(count(lit(1)).as("n_new"))
+    daily.withColumn("cum_users",
+        sum($"n_new").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  private val qUserGrowthSql =
+    """WITH f AS (SELECT user_id,
+      |    MIN(CAST(FLOOR(CAST(epoch_ns(ts)//1000000 AS DOUBLE)/86400000) AS BIGINT)) AS day
+      |    FROM events GROUP BY 1),
+      |d AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1)
+      |SELECT day, CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(SUM(n_new) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------- q_funnel3
+
+  /** Strict three-step ordered funnel (view → click → purchase): the
+    * first click must follow the user's FIRST view, and the first
+    * purchase must follow that click — sequential-pattern semantics,
+    * not mere co-occurrence. One per-user aggregate computes all three
+    * stage timestamps via conditional minima (no joins, no windows on
+    * the fact table). */
+  private def qFunnel3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val stages = e.groupBy($"user_id").agg(
+      min(when($"event_type" === "view", $"ms")).as("v"))
+      .join(e.groupBy($"user_id").agg(collect_list(struct($"ms", $"event_type")).as("evs")),
+        "user_id")
+      .withColumn("c", array_min(expr(
+        "transform(filter(evs, x -> x.event_type = 'click' AND x.ms >= v), x -> x.ms)")))
+      .withColumn("p", array_min(expr(
+        "transform(filter(evs, x -> x.event_type = 'purchase' AND x.ms >= c), x -> x.ms)")))
+    stages.agg(
+        count(lit(1)).as("n_users"),
+        sum(when($"v".isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when($"c".isNotNull, 1L).otherwise(0L)).as("n_clicked_after_view"),
+        sum(when($"p".isNotNull, 1L).otherwise(0L)).as("n_purchased_after_click"))
+      .select($"n_users", $"n_viewed", $"n_clicked_after_view", $"n_purchased_after_click",
+        ($"n_clicked_after_view".cast("double") / $"n_viewed").as("view_to_click"),
+        ($"n_purchased_after_click".cast("double") / $"n_clicked_after_view")
+          .as("click_to_purchase"))
+      .orderBy("n_users")
+  }
+
+  private val qFunnel3Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ms FROM events),
+      |s AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ms END) AS v FROM e GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(ms) AS c FROM e JOIN s USING (user_id)
+      |    WHERE event_type = 'click' AND v IS NOT NULL AND ms >= v GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(ms) AS p FROM e JOIN c USING (user_id)
+      |    WHERE event_type = 'purchase' AND ms >= c.c GROUP BY 1),
+      |u AS (SELECT s.user_id, v, c.c AS c, p.p AS p FROM s
+      |    LEFT JOIN c ON s.user_id = c.user_id
+      |    LEFT JOIN p ON s.user_id = p.user_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+      |  CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+      |  CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click,
+      |  CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS view_to_click,
+      |  CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS click_to_purchase
+      |FROM u ORDER BY n_users""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_user_growth" -> QueryDef(qUserGrowth, Some(qUserGrowthSql)),
+    "q_funnel3" -> QueryDef(qFunnel3, Some(qFunnel3Sql)),
     "q_disorder" -> QueryDef(qDisorder, Some(qDisorderSql)),
     "q_cohort_ltv" -> QueryDef(qCohortLtv, Some(qCohortLtvSql)),
     "q_power_curve" -> QueryDef(qPowerCurve, Some(qPowerCurveSql)),
