@@ -170,8 +170,95 @@ object OperatorShowcase {
       |  ROUND(CAST(MAX(day) - MIN(day) AS DOUBLE)/(SELECT d_hi - d_lo FROM b), 9) AS day_span_frac
       |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The z-order claim as a measured number: under a fixed custkey
+    * range predicate (the middle 10% of the key span), what fraction
+    * of 64 equal-width buckets could footer min/max stats skip — for
+    * the Morton layout vs natural (orderkey/insertion) order? The
+    * z-layout should prune most buckets; the natural layout almost
+    * none (every arrival bucket spans the whole custkey range). Both
+    * layouts and the prune test are replayed exactly by the oracle. */
+  private def qZorderPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Layout
+    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+      floor(unix_timestamp($"o_orderdate").cast("double") / 86400).cast("long").as("day"))
+    val bounds = o.agg(
+      min($"o_custkey").as("ck_lo"), max($"o_custkey").as("ck_hi"),
+      min($"day").as("d_lo"), max($"day").as("d_hi"),
+      min($"o_orderkey").as("ok_lo"), max($"o_orderkey").as("ok_hi"))
+    val z = o.crossJoin(broadcast(bounds))
+      .withColumn("z", Layout.zValue($"o_custkey", $"ck_lo", $"ck_hi",
+        $"day", $"d_lo", $"d_hi"))
+    val zm = z.agg(max($"z").as("zmax"))
+    val b = z.crossJoin(broadcast(zm))
+      .withColumn("zb", floor($"z".cast("double") * 64 / ($"zmax" + 1)).cast("long"))
+      .withColumn("nb", floor(($"o_orderkey" - $"ok_lo").cast("double") * 64 /
+        ($"ok_hi" - $"ok_lo" + 1)).cast("long"))
+      // predicate: middle 10% of the custkey span
+      .withColumn("plo", $"ck_lo" + floor(($"ck_hi" - $"ck_lo").cast("double") * 45 / 100)
+        .cast("long"))
+      .withColumn("phi", $"ck_lo" + floor(($"ck_hi" - $"ck_lo").cast("double") * 55 / 100)
+        .cast("long"))
+    def layout(bucketCol: String, name: String) = b
+      .groupBy(col(bucketCol).as("bucket"))
+      .agg(min($"o_custkey").as("mn"), max($"o_custkey").as("mx"),
+        max($"plo").as("plo"), max($"phi").as("phi"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when($"mx" < $"plo" || $"mn" > $"phi", 1L).otherwise(0L)).as("n_prunable"))
+      .select(lit(name).as("layout"), $"n_buckets", $"n_prunable",
+        ($"n_prunable".cast("double") / $"n_buckets").as("prune_frac"))
+    layout("zb", "zorder").unionByName(layout("nb", "natural"))
+      .orderBy("layout")
+  }
+
+  private val qZorderPruningSql =
+    """WITH o AS (SELECT o_orderkey, o_custkey AS ck,
+      |    CAST(FLOOR(CAST(epoch(o_orderdate) AS DOUBLE)/86400) AS BIGINT) AS day FROM orders),
+      |b0 AS (SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+      |    MIN(day) AS d_lo, MAX(day) AS d_hi,
+      |    MIN(o_orderkey) AS ok_lo, MAX(o_orderkey) AS ok_hi FROM o),
+      |n AS (SELECT o_orderkey, ck, day, ck_lo, ck_hi, ok_lo, ok_hi,
+      |    CASE WHEN ck_hi = ck_lo THEN 0
+      |      ELSE CAST(FLOOR(CAST((ck - ck_lo)*65535 AS DOUBLE)/(ck_hi - ck_lo)) AS BIGINT)
+      |    END AS na,
+      |    CASE WHEN d_hi = d_lo THEN 0
+      |      ELSE CAST(FLOOR(CAST((day - d_lo)*65535 AS DOUBLE)/(d_hi - d_lo)) AS BIGINT)
+      |    END AS nb
+      |    FROM o CROSS JOIN b0),
+      |s1 AS (SELECT *, ((na | (na << 8)) & 16711935) AS a1,
+      |    ((nb | (nb << 8)) & 16711935) AS b1 FROM n),
+      |s2 AS (SELECT *, ((a1 | (a1 << 4)) & 252645135) AS a2,
+      |    ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+      |s3 AS (SELECT *, ((a2 | (a2 << 2)) & 858993459) AS a3,
+      |    ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+      |s4 AS (SELECT *, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+      |    ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+      |zt AS (SELECT o_orderkey, ck, ck_lo, ck_hi, ok_lo, ok_hi,
+      |    (a4 | (b4 << 1)) AS z FROM s4),
+      |zm AS (SELECT MAX(z) AS zmax FROM zt),
+      |g AS (SELECT ck,
+      |    CAST(FLOOR(CAST(z AS DOUBLE)*64/(zmax + 1)) AS BIGINT) AS zb,
+      |    CAST(FLOOR(CAST(o_orderkey - ok_lo AS DOUBLE)*64/(ok_hi - ok_lo + 1)) AS BIGINT) AS nb,
+      |    ck_lo + CAST(FLOOR(CAST(ck_hi - ck_lo AS DOUBLE)*45/100) AS BIGINT) AS plo,
+      |    ck_lo + CAST(FLOOR(CAST(ck_hi - ck_lo AS DOUBLE)*55/100) AS BIGINT) AS phi
+      |    FROM zt CROSS JOIN zm),
+      |zl AS (SELECT 'zorder' AS layout, COUNT(*) AS n_buckets,
+      |    SUM(CASE WHEN mx < plo OR mn > phi THEN 1 ELSE 0 END) AS n_prunable
+      |    FROM (SELECT zb, MIN(ck) AS mn, MAX(ck) AS mx,
+      |          MAX(plo) AS plo, MAX(phi) AS phi FROM g GROUP BY zb) t),
+      |nl AS (SELECT 'natural' AS layout, COUNT(*) AS n_buckets,
+      |    SUM(CASE WHEN mx < plo OR mn > phi THEN 1 ELSE 0 END) AS n_prunable
+      |    FROM (SELECT nb, MIN(ck) AS mn, MAX(ck) AS mx,
+      |          MAX(plo) AS plo, MAX(phi) AS phi FROM g GROUP BY nb) t)
+      |SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(n_prunable AS BIGINT) AS n_prunable,
+      |  CAST(n_prunable AS DOUBLE)/n_buckets AS prune_frac
+      |FROM (SELECT * FROM zl UNION ALL SELECT * FROM nl) u
+      |ORDER BY layout""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_zorder" -> QueryDef(qZorder, Some(qZorderSql)),
+    "q_zorder_pruning" -> QueryDef(qZorderPruning, Some(qZorderPruningSql)),
     "q_skyline" -> QueryDef(qSkyline, Some(qSkylineSql)),
     "q_skew_join" -> QueryDef(qSkewJoin, Some(qSkewJoinSql)),
     "q_bloom_join" -> QueryDef(qBloomJoin, Some(qBloomJoinSql)),

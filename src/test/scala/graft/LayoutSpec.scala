@@ -24,6 +24,13 @@ class LayoutSpec extends AnyFunSuite {
     got.foreach { case (a, b, z) => assert(z == mortonRef(a, b), s"($a,$b)") }
   }
 
+  test("q_zorder_pruning: the z layout prunes most buckets, the natural layout none") {
+    val got = SparkEntry.all("q_zorder_pruning").fn(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("prune_frac")).toMap
+    assert(got("zorder") > 0.5, s"zorder prune_frac ${got("zorder")}")
+    assert(got("natural") < 0.1, s"natural prune_frac ${got("natural")}")
+  }
+
   test("zorderWrite yields disjoint per-file z-ranges and tight per-file spans on BOTH dims") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
