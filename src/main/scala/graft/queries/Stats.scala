@@ -1320,7 +1320,75 @@ object Stats {
       |    / SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS click_to_purchase
       |FROM u ORDER BY n_users""".stripMargin
 
+  // ---------------------------------------------------- q_sessions_concurrency
+
+  /** Peak concurrent sessions per hour — the capacity-planning
+    * number. Sessions (30-min gap) become ±1 boundary events; the
+    * classic prefix-sum sweep is decomposed scale-cleanly: per-hour
+    * running sums (windows partitioned by hour, bounded rows) plus a
+    * carry-in from the tiny hour-spine running total — no global
+    * window ever touches the boundary table. Tie order (end before
+    * start at the same ms) is explicit, so back-to-back sessions
+    * never read as overlapping. */
+  private def qSessionsConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id")
+    val sid = e.withColumn("new_s",
+        when(($"ms" - lag($"ms", 1).over(
+          Window.partitionBy($"user_id").orderBy($"ms", $"event_id"))) > 1800000L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sid", sum($"new_s").over(
+        Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = sid.groupBy($"user_id", $"sid")
+      .agg(min($"ms").as("st"), max($"ms").as("en"))
+    val bnd = sess.select($"st".as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(($"en" + 1L).as("t"), lit(-1L).as("delta")))
+    val hr = bnd.withColumn("hr", floor($"t".cast("double") / 3600000).cast("long"))
+    val spine = hr.groupBy($"hr").agg(sum($"delta").as("net"))
+      .withColumn("carry_in",
+        sum($"net").over(Window.orderBy($"hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"net")
+    val peaks = hr.withColumn("run",
+        sum($"delta").over(Window.partitionBy($"hr").orderBy($"t", $"delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"hr").agg(max($"run").as("peak_in_hr"))
+    peaks.join(spine, "hr")
+      .select($"hr".as("hour_bucket"), ($"carry_in" + $"peak_in_hr").as("peak_sessions"))
+      .filter($"peak_sessions" > 0)
+      .orderBy("hour_bucket")
+  }
+
+  private val qSessionsConcurrencySql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_id FROM events),
+      |l AS (SELECT user_id, ms, event_id,
+      |    CASE WHEN ms - LAG(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |      > 1800000 THEN 1 ELSE 0 END AS new_s FROM e),
+      |sd AS (SELECT user_id, ms,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l),
+      |sess AS (SELECT user_id, sid, MIN(ms) AS st, MAX(ms) AS en
+      |    FROM sd GROUP BY 1, 2),
+      |bnd AS (SELECT st AS t, 1 AS delta FROM sess
+      |    UNION ALL SELECT en + 1, -1 FROM sess),
+      |h AS (SELECT t, delta,
+      |    CAST(FLOOR(CAST(t AS DOUBLE)/3600000) AS BIGINT) AS hr FROM bnd),
+      |sp AS (SELECT hr, net,
+      |    SUM(net) OVER (ORDER BY hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - net AS carry_in
+      |    FROM (SELECT hr, SUM(delta) AS net FROM h GROUP BY 1) x),
+      |pk AS (SELECT hr, MAX(run) AS peak_in_hr FROM (
+      |    SELECT hr, SUM(delta) OVER (PARTITION BY hr ORDER BY t, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM h) y
+      |    GROUP BY 1)
+      |SELECT hr AS hour_bucket, CAST(carry_in + peak_in_hr AS BIGINT) AS peak_sessions
+      |FROM pk JOIN sp USING (hr)
+      |WHERE carry_in + peak_in_hr > 0 ORDER BY hour_bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_sessions_concurrency" ->
+      QueryDef(qSessionsConcurrency, Some(qSessionsConcurrencySql)),
     "q_user_growth" -> QueryDef(qUserGrowth, Some(qUserGrowthSql)),
     "q_funnel3" -> QueryDef(qFunnel3, Some(qFunnel3Sql)),
     "q_disorder" -> QueryDef(qDisorder, Some(qDisorderSql)),
