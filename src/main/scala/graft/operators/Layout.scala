@@ -35,13 +35,15 @@ object Layout {
 
   /** Min/max-normalize an integer column into [0, 65535]. `lo`/`hi`
     * are the exact column bounds (pass them in — at scale they come
-    * from table stats, not an extra scan). floor((x-lo)*65535 / span)
-    * via double division — exact while (x-lo)*65535 < 2^53, i.e.
+    * from table stats, not an extra scan). floor(double(x-lo)*65535
+    * / span): (x-lo) is cast to double BEFORE the ×65535 so the
+    * product can never overflow int64 (the old int multiply wrapped
+    * for spans ≥ ~2^48). Exact while (x-lo)*65535 < 2^53, i.e.
     * spans up to ~2^37; beyond that both engines still agree (same
-    * IEEE ops), the grid just coarsens. */
+    * IEEE double ops), the grid just coarsens. */
   def norm16(x: Column, lo: Column, hi: Column): Column =
     when(hi === lo, lit(0L))
-      .otherwise(floor(((x - lo) * 65535L).cast("double") / (hi - lo)))
+      .otherwise(floor((x - lo).cast("double") * 65535L / (hi - lo)))
       .cast("long")
 
   /** The z-value column for two integer dimensions given their bounds. */

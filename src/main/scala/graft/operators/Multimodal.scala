@@ -79,7 +79,8 @@ object Multimodal {
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
           return Some((beShort(b, i + 7), beShort(b, i + 5)))
         if (marker == 0xff) i += 1 // fill byte padding
-        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else if (marker == 0xd9) return None // EOI: no frame header can follow
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
         else {
           val len = beShort(b, i + 2).toInt
           if (len < 2) return None

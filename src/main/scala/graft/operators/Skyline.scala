@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   * within its partition — phase 1 computes each partition's local
   * skyline with an in-memory sweep (`mapPartitions`, no shuffle),
   * which collapses n rows to O(frontier) candidates; phase 2 resolves
-  * the survivors exactly with two window passes. The global window
-  * sorts only the pruned candidate set (frontier-sized — for
-  * independent dimensions E|skyline| = O(log n)), so the single-task
-  * final sort that would disqualify a naive global-window plan never
-  * sees the raw table. At 100 TB the cost is one scan + a
-  * frontier-sized exchange.
+  * the survivors exactly WITHOUT a single-partition window: the
+  * candidates are range-partitioned by cost (equal costs colocate, so
+  * cross-partition costs are strictly ordered), each partition sweeps
+  * its own cost range with windows PARTITIONED by partition id, and
+  * the only cross-partition state is a broadcast prefix-max of gain
+  * over strictly-cheaper partitions — a spine bounded by the
+  * partition count, never by the frontier. Even the anti-correlated
+  * worst case (frontier ≈ n) splits the resolve across all P
+  * partitions; raise P with scale. The result is exact and
+  * independent of where the range boundaries fall.
   */
 object Skyline {
 
@@ -27,7 +31,7 @@ object Skyline {
     * Input columns must be named exactly (id, cost, gain), integral
     * cost/gain (exact comparisons — callers quantize money to cents
     * first). Output keeps the same three columns, unordered. */
-  def skyline2d(spark: SparkSession, df: DataFrame): DataFrame = {
+  def skyline2d(spark: SparkSession, df: DataFrame, resolveParts: Int = 32): DataFrame = {
     import spark.implicits._
     val pruned = df.select($"id".cast("long"), $"cost".cast("long"), $"gain".cast("long"))
       .as[(Long, Long, Long)]
@@ -35,13 +39,35 @@ object Skyline {
       .toDF("id", "cost", "gain")
     // Exact resolve over candidates: a row survives iff it has the max
     // gain among its exact-cost peers AND beats every strictly-cheaper
-    // row's gain. RANGE frame to (cost-1) = "cost strictly smaller".
-    val wCost = Window.partitionBy($"cost")
-    val wSweep = Window.orderBy($"cost").rangeBetween(Window.unboundedPreceding, -1)
-    pruned
+    // row's gain. Cost-range buckets via broadcast percentile edges
+    // (strict cost > edge): equal costs share a bucket, so
+    // cross-bucket costs are strictly ordered, and "beats every
+    // cheaper row" factors into (beats in-bucket sweep) ∧ (beats the
+    // broadcast carry = prefix-max gain of cheaper buckets).
+    // Deterministic bucket ids (pure function of the data) — unlike
+    // spark_partition_id after repartitionByRange, which could differ
+    // between the two plan branches that consume the candidates.
+    // localCheckpoint pins the frontier-sized candidate set so the
+    // base table is scanned once, not once per consumer.
+    val cand = pruned.localCheckpoint()
+    val ed = cand.agg(expr("percentile(cost, array(" +
+      (1 to resolveParts - 1).map(i => (i.toDouble / resolveParts).toString)
+        .mkString(",") + "))").as("edges"))
+    val ranged = cand.crossJoin(broadcast(ed))
+      .withColumn("pid", expr("aggregate(edges, 0, (acc, x) -> acc + IF(cost > x, 1, 0))"))
+      .drop("edges")
+    val spine = ranged.groupBy($"pid").agg(max($"gain").as("gmax"))
+      .withColumn("carry", max($"gmax").over( // ≤ resolveParts rows: constant-size spine
+        Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)))
+    val wCost = Window.partitionBy($"pid", $"cost")
+    val wSweep = Window.partitionBy($"pid").orderBy($"cost")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(spine.select($"pid", $"carry")), Seq("pid"), "left")
       .withColumn("gmax", max($"gain").over(wCost))
-      .withColumn("bstrict", max($"gain").over(wSweep))
-      .filter($"gain" === $"gmax" && ($"bstrict".isNull || $"gain" > $"bstrict"))
+      .withColumn("bstrict", greatest(
+        coalesce(max($"gain").over(wSweep), lit(Long.MinValue)),
+        coalesce($"carry", lit(Long.MinValue))))
+      .filter($"gain" === $"gmax" && $"gain" > $"bstrict")
       .select($"id", $"cost", $"gain")
   }
 

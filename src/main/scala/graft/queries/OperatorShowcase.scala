@@ -132,10 +132,15 @@ object OperatorShowcase {
         min($"day").as("day_min"), max($"day").as("day_max"))
       .crossJoin(broadcast(bounds))
       .select($"bucket", $"n_rows", $"ck_min", $"ck_max", $"day_min", $"day_max",
-        round(($"ck_max" - $"ck_min").cast("double") / ($"ck_hi" - $"ck_lo"), 9)
-          .as("ck_span_frac"),
-        round(($"day_max" - $"day_min").cast("double") / ($"d_hi" - $"d_lo"), 9)
-          .as("day_span_frac"))
+        // same degenerate-span guard as norm16: a constant dimension
+        // reports span 0, not NaN/Infinity (which hash differently
+        // across engines)
+        when($"ck_hi" === $"ck_lo", lit(0.0))
+          .otherwise(round(($"ck_max" - $"ck_min").cast("double") /
+            ($"ck_hi" - $"ck_lo"), 9)).as("ck_span_frac"),
+        when($"d_hi" === $"d_lo", lit(0.0))
+          .otherwise(round(($"day_max" - $"day_min").cast("double") /
+            ($"d_hi" - $"d_lo"), 9)).as("day_span_frac"))
       .orderBy("bucket")
   }
 
@@ -146,10 +151,10 @@ object OperatorShowcase {
       |    MIN(day) AS d_lo, MAX(day) AS d_hi FROM o),
       |n AS (SELECT ck, day,
       |    CASE WHEN ck_hi = ck_lo THEN 0
-      |      ELSE CAST(FLOOR(CAST((ck - ck_lo)*65535 AS DOUBLE)/(ck_hi - ck_lo)) AS BIGINT)
+      |      ELSE CAST(FLOOR(CAST(ck - ck_lo AS DOUBLE)*65535/(ck_hi - ck_lo)) AS BIGINT)
       |    END AS na,
       |    CASE WHEN d_hi = d_lo THEN 0
-      |      ELSE CAST(FLOOR(CAST((day - d_lo)*65535 AS DOUBLE)/(d_hi - d_lo)) AS BIGINT)
+      |      ELSE CAST(FLOOR(CAST(day - d_lo AS DOUBLE)*65535/(d_hi - d_lo)) AS BIGINT)
       |    END AS nb
       |    FROM o CROSS JOIN b),
       |s1 AS (SELECT ck, day, ((na | (na << 8)) & 16711935) AS a1,
@@ -166,8 +171,12 @@ object OperatorShowcase {
       |    FROM zt CROSS JOIN zm)
       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  MIN(ck) AS ck_min, MAX(ck) AS ck_max, MIN(day) AS day_min, MAX(day) AS day_max,
-      |  ROUND(CAST(MAX(ck) - MIN(ck) AS DOUBLE)/(SELECT ck_hi - ck_lo FROM b), 9) AS ck_span_frac,
-      |  ROUND(CAST(MAX(day) - MIN(day) AS DOUBLE)/(SELECT d_hi - d_lo FROM b), 9) AS day_span_frac
+      |  CASE WHEN (SELECT ck_hi - ck_lo FROM b) = 0 THEN 0.0
+      |    ELSE ROUND(CAST(MAX(ck) - MIN(ck) AS DOUBLE)/(SELECT ck_hi - ck_lo FROM b), 9)
+      |  END AS ck_span_frac,
+      |  CASE WHEN (SELECT d_hi - d_lo FROM b) = 0 THEN 0.0
+      |    ELSE ROUND(CAST(MAX(day) - MIN(day) AS DOUBLE)/(SELECT d_hi - d_lo FROM b), 9)
+      |  END AS day_span_frac
       |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** The z-order claim as a measured number: under a fixed custkey
@@ -219,10 +228,10 @@ object OperatorShowcase {
       |    MIN(o_orderkey) AS ok_lo, MAX(o_orderkey) AS ok_hi FROM o),
       |n AS (SELECT o_orderkey, ck, day, ck_lo, ck_hi, ok_lo, ok_hi,
       |    CASE WHEN ck_hi = ck_lo THEN 0
-      |      ELSE CAST(FLOOR(CAST((ck - ck_lo)*65535 AS DOUBLE)/(ck_hi - ck_lo)) AS BIGINT)
+      |      ELSE CAST(FLOOR(CAST(ck - ck_lo AS DOUBLE)*65535/(ck_hi - ck_lo)) AS BIGINT)
       |    END AS na,
       |    CASE WHEN d_hi = d_lo THEN 0
-      |      ELSE CAST(FLOOR(CAST((day - d_lo)*65535 AS DOUBLE)/(d_hi - d_lo)) AS BIGINT)
+      |      ELSE CAST(FLOOR(CAST(day - d_lo AS DOUBLE)*65535/(d_hi - d_lo)) AS BIGINT)
       |    END AS nb
       |    FROM o CROSS JOIN b0),
       |s1 AS (SELECT *, ((na | (na << 8)) & 16711935) AS a1,

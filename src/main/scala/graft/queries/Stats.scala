@@ -984,17 +984,33 @@ object Stats {
   /** Gini coefficient of customer revenue — the inequality readout
     * next to q_pareto's top-decile share. G = (2·Σ i·xᵢ)/(n·Σx) −
     * (n+1)/n over ascending-sorted revenues; Σ i·xᵢ runs in exact
-    * DECIMAL. The rank window sorts the CUSTOMER AGGREGATE (orders of
-    * magnitude smaller than the fact table); at extreme customer
-    * counts the drop-in replacement is a percentile-bucketed Lorenz
-    * approximation. */
+    * DECIMAL. The global rank i is EXACT but fully distributed — a
+    * two-pass range rank, never a single-partition window: (1) each
+    * customer aggregate is classified into one of 32 revenue-range
+    * buckets against broadcast percentile edges (strict m > edge, so
+    * tied revenues never straddle a bucket and the per-bucket
+    * (m, custkey) order composes into the global total order);
+    * (2) row_number PARTITIONED by bucket plus a prefix-count offset
+    * from the 32-row bucket spine (the only orderBy-without-partition
+    * window runs over that constant-size spine). The rank being a
+    * pure function of the data, Σ i·xᵢ is bit-identical to the
+    * oracle's single-node ROW_NUMBER. */
   private def qGini(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
     val cust = Tables.orders(s, dir).groupBy($"o_custkey")
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("m"))
-    val ranked = cust.withColumn("i",
-      row_number().over(Window.orderBy($"m", $"o_custkey")).cast("long"))
+    val ed = cust.agg(expr("percentile(m, array(" +
+      (1 to 31).map(i => (i / 32.0).toString).mkString(",") + "))").as("edges"))
+    val bucketed = cust.crossJoin(broadcast(ed))
+      .withColumn("b", expr("aggregate(edges, 0, (acc, x) -> acc + IF(m > x, 1, 0))"))
+      .drop("edges")
+    val offs = bucketed.groupBy($"b").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum($"cnt").over(Window.orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"cnt")
+    val ranked = bucketed.join(broadcast(offs.select($"b", $"off")), "b")
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"b").orderBy($"m", $"o_custkey")).cast("long") + $"off")
     ranked.agg(
         count(lit(1)).as("nl"),
         sum($"m".cast(d38)).cast("double").as("sm"),
@@ -1327,9 +1343,16 @@ object Stats {
     * classic prefix-sum sweep is decomposed scale-cleanly: per-hour
     * running sums (windows partitioned by hour, bounded rows) plus a
     * carry-in from the tiny hour-spine running total — no global
-    * window ever touches the boundary table. Tie order (end before
-    * start at the same ms) is explicit, so back-to-back sessions
-    * never read as overlapping. */
+    * window ever touches the boundary table (the only orderBy-hr
+    * window runs over the densified hour spine, bounded by #hours,
+    * not #events). The within-hour running max is clamped at 0:
+    * an hour whose first boundaries are session ends never reports
+    * below the concurrency already held at the hour start. The
+    * spine is densified min..max hour, so hours fully covered by
+    * long sessions (no boundary events at all) still report
+    * peak = carry_in. Tie order (end before start at the same ms)
+    * is explicit, so back-to-back sessions never read as
+    * overlapping. */
   private def qSessionsConcurrency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.events(s, dir)
@@ -1346,7 +1369,11 @@ object Stats {
     val bnd = sess.select($"st".as("t"), lit(1L).as("delta"))
       .unionByName(sess.select(($"en" + 1L).as("t"), lit(-1L).as("delta")))
     val hr = bnd.withColumn("hr", floor($"t".cast("double") / 3600000).cast("long"))
-    val spine = hr.groupBy($"hr").agg(sum($"delta").as("net"))
+    val net = hr.groupBy($"hr").agg(sum($"delta").as("net"))
+    val dense = net.agg(min($"hr").as("mn"), max($"hr").as("mx"))
+      .select(explode(sequence($"mn", $"mx")).as("hr"))
+    val spine = dense.join(net, Seq("hr"), "left")
+      .na.fill(0L, Seq("net"))
       .withColumn("carry_in",
         sum($"net").over(Window.orderBy($"hr")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"net")
@@ -1354,8 +1381,10 @@ object Stats {
         sum($"delta").over(Window.partitionBy($"hr").orderBy($"t", $"delta")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"hr").agg(max($"run").as("peak_in_hr"))
-    peaks.join(spine, "hr")
-      .select($"hr".as("hour_bucket"), ($"carry_in" + $"peak_in_hr").as("peak_sessions"))
+    spine.join(peaks, Seq("hr"), "left")
+      .select($"hr".as("hour_bucket"),
+        ($"carry_in" + greatest(coalesce($"peak_in_hr", lit(0L)), lit(0L)))
+          .as("peak_sessions"))
       .filter($"peak_sessions" > 0)
       .orderBy("hour_bucket")
   }
@@ -1374,17 +1403,24 @@ object Stats {
       |    UNION ALL SELECT en + 1, -1 FROM sess),
       |h AS (SELECT t, delta,
       |    CAST(FLOOR(CAST(t AS DOUBLE)/3600000) AS BIGINT) AS hr FROM bnd),
-      |sp AS (SELECT hr, net,
-      |    SUM(net) OVER (ORDER BY hr
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - net AS carry_in
-      |    FROM (SELECT hr, SUM(delta) AS net FROM h GROUP BY 1) x),
+      |n AS (SELECT hr, SUM(delta) AS net FROM h GROUP BY 1),
+      |d AS (SELECT UNNEST(generate_series(mn, mx)) AS hr
+      |    FROM (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM n) b),
+      |sp AS (SELECT d.hr, COALESCE(net, 0) AS net,
+      |    SUM(COALESCE(net, 0)) OVER (ORDER BY d.hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - COALESCE(net, 0)
+      |      AS carry_in
+      |    FROM d LEFT JOIN n ON d.hr = n.hr),
       |pk AS (SELECT hr, MAX(run) AS peak_in_hr FROM (
       |    SELECT hr, SUM(delta) OVER (PARTITION BY hr ORDER BY t, delta
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM h) y
       |    GROUP BY 1)
-      |SELECT hr AS hour_bucket, CAST(carry_in + peak_in_hr AS BIGINT) AS peak_sessions
-      |FROM pk JOIN sp USING (hr)
-      |WHERE carry_in + peak_in_hr > 0 ORDER BY hour_bucket""".stripMargin
+      |SELECT sp.hr AS hour_bucket,
+      |  CAST(carry_in + GREATEST(COALESCE(peak_in_hr, 0), 0) AS BIGINT)
+      |    AS peak_sessions
+      |FROM sp LEFT JOIN pk ON sp.hr = pk.hr
+      |WHERE carry_in + GREATEST(COALESCE(peak_in_hr, 0), 0) > 0
+      |ORDER BY hour_bucket""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "q_sessions_concurrency" ->
