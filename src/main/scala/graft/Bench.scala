@@ -47,12 +47,15 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    // best-of-2: steady-state throughput, not GC/compilation jitter.
+    // median-of-3 per query (plus the min, recorded separately):
+    // the median is robust to one GC/compaction hiccup in either
+    // direction, so a single noisy run can neither fake nor mask a
+    // regression — the protocol the r6 q17 ±90% swing called for.
     // A run that throws is dropped; a query with no successful run is
     // reported as the sentinel -1 and excluded from the total rather
     // than flattering the headline with a near-zero elapsed time.
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -63,11 +66,17 @@ object Bench {
             None
         }
       }
-      name -> times.minOption.getOrElse(-1.0)
+      val sorted = times.sorted
+      val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+      (name, median, sorted.headOption.getOrElse(-1.0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => Double) =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val qsMin = jmap(_._3)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"runs_per_query":3,"stat":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }

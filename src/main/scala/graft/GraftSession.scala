@@ -16,10 +16,24 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Programmatic equivalent of `new GraftExtensions` for an already-
+    * built session: graft planner strategies plus the TopKRewrite
+    * optimizer rule, so standard row_number-top-k window SQL plans as
+    * the heap exec. Idempotent. */
+  def enableExtensions(s: SparkSession): Unit = {
+    val exp = s.experimental
+    if (!exp.extraStrategies.contains(graft.plans.SessionizeStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.SessionizeStrategy
+    graft.plans.AutoTopK.enable(s)
+  }
+
   def local(cores: Int): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.Fns.registerAll(s)
+    // extensions are ON by default: the driver-contract surfaces
+    // (Verify/Bench/Smoke) exercise the optimizer rule on every query
+    enableExtensions(s)
     s
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -209,9 +210,12 @@ object Dedup {
       .distinct()
     // one df-ascending, hash-tiebroken order shared by every doc; the
     // per-doc sorted shingle array feeds the prefix explode AND both
-    // verify sides — localCheckpoint so it computes once
+    // verify sides — localCheckpoint so it computes once. df comes
+    // from a count window over the SAME shingle pass (one exchange on
+    // s), not a separate aggregate joined back — that join was pure
+    // fixed overhead at every scale.
     val byRarity = sh
-      .join(sh.groupBy($"s").agg(count(lit(1)).as("df")), "s")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
       .groupBy($"doc_id")
       .agg(array_sort(collect_list(struct($"df", $"s"))).as("oss"))
       .select($"doc_id", expr("transform(oss, x -> x.s)").as("hs"),
@@ -252,39 +256,73 @@ object Dedup {
     * gets the min doc_id of its component as `cluster` — turning
     * pairwise near-dup hits into dedup groups ("keep one per cluster").
     *
-    * Iterative min-label propagation (the standard Spark CC pattern,
-    * cf. GraphX/GraphFrames): converges in O(diameter) rounds; each
-    * round is one equi-join + aggregate. `localCheckpoint` truncates
-    * the growing lineage. The per-round convergence check is a scalar
-    * count — not a data collect. */
+    * Alternating large-star/small-star contraction (the two-phase CC
+    * of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — a public algorithm): each round attaches every
+    * neighbor larger than u to u's minimum neighbor (large-star),
+    * then points each smaller neighbor — and u itself — at the local
+    * minimum (small-star). The edge set contracts toward one star per
+    * component in O(log n) rounds, where min-label propagation needs
+    * O(diameter) — a 100-hop chain closes in a handful of rounds
+    * instead of 100, so maxIters=20 covers any realistic component
+    * instead of silently splitting long chains. Convergence is a
+    * scalar (count, hash-sum) signature per round — no data collect;
+    * `localCheckpoint` truncates the growing lineage. */
   def clusters(spark: SparkSession, pairs: DataFrame,
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 20): DataFrame =
+    clustersWithRounds(spark, pairs, maxIters)._1
+
+  /** [[clusters]] plus the number of rounds it took — the spec hook
+    * for asserting logarithmic convergence. */
+  def clustersWithRounds(spark: SparkSession, pairs: DataFrame,
+                         maxIters: Int = 20): (DataFrame, Int) = {
     import spark.implicits._
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("cluster", $"id").localCheckpoint()
+    val nodes = pairs.select($"doc_a".as("id"))
+      .union(pairs.select($"doc_b".as("id"))).distinct().localCheckpoint()
+    // edges oriented larger -> smaller endpoint, no self-loops
+    var star = pairs.select(greatest($"doc_a", $"doc_b").as("a"),
+        least($"doc_a", $"doc_b").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
-      // (convergence warning emitted below if maxIters is exhausted)
-      val neighborMin = edges
-        .join(labels.select($"id".as("dst"), $"cluster".as("nlabel")), "dst")
-        .groupBy($"src".as("id")).agg(min($"nlabel").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select($"id", least($"cluster", coalesce($"nmin", $"cluster")).as("cluster"),
-          $"cluster".as("old"))
+    var prevSig = (-1L, 0L)
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // LARGE-STAR over the symmetric closure: for each u, attach
+      // every neighbor v > u to m = min(N(u) ∪ {u})
+      val sym = star.select($"a".as("u"), $"b".as("v"))
+        .union(star.select($"b".as("u"), $"a".as("v")))
+      val lmin = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = sym.join(lmin, "u").filter($"v" > $"u")
+        .select($"v".as("a"), $"m".as("b"))
+        .filter($"a" =!= $"b").distinct()
+      // SMALL-STAR on the larger->smaller edges: point each smaller
+      // neighbor of a (and a itself) at a's minimum neighbor
+      val smin = large.groupBy($"a").agg(min($"b").as("m"))
+      val small = large.join(smin, "a").select($"b".as("v"), $"m")
+        .union(smin.select($"a".as("v"), $"m"))
+        .filter($"v" =!= $"m").distinct()
+        .select($"v".as("a"), $"m".as("b"))
         .localCheckpoint()
-      changed = next.filter($"cluster" =!= $"old").count()
-      labels = next.select($"id", $"cluster")
+      // XOR-fold, not sum: ANSI-safe (no overflow) and exact on the
+      // distinct edge rows
+      val sigRow = small.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      star = small
       iter += 1
     }
-    if (changed > 0)
-      System.err.println(s"[graft] Dedup.clusters: NOT converged after $maxIters rounds " +
-        s"($changed labels still changing) — components wider than $maxIters hops are split; " +
-        "raise maxIters")
-    labels.select($"id".as("doc_id"), $"cluster")
+    if (!converged)
+      System.err.println(s"[graft] Dedup.clusters: NOT converged after $maxIters rounds — " +
+        "components may still be contracting; raise maxIters")
+    // at the fixpoint the edge set is one star per component, rooted
+    // at the component min; roots and singletons label themselves
+    val labels = nodes
+      .join(star.select($"a".as("id"), $"b".as("cluster")), Seq("id"), "left")
+      .select($"id".as("doc_id"), coalesce($"cluster", $"id").as("cluster"))
+    (labels, iter)
   }
 
   /** Embedding-cosine duplicate candidates among ALL pairs — an O(n²)

@@ -179,6 +179,26 @@ object Multimodal {
       .distinct()
   }
 
+  /** Minimal 54-byte BMP (BITMAPFILEHEADER + BITMAPINFOHEADER) for a
+    * `w`×`h` image — deterministic synthetic assets for exercising
+    * the REAL header-decode path on a corpus with no image columns.
+    * Width little-endian at offset 18, height at 22, exactly where
+    * [[HeaderImageDecoder.dims]] reads them back. */
+  def bmpHeader(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](54)
+    def le(v: Int, off: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le(54, 2)  // file size (header-only blob)
+    le(54, 10) // pixel-array offset
+    le(40, 14) // BITMAPINFOHEADER size
+    le(w, 18)
+    le(h, 22)
+    b
+  }
+
   /** Build a binary-asset manifest from the documents table: blob =
     * UTF-8 bytes of the text (a stand-in corpus; swap the projection
     * for real image/audio columns). Partitioned by modality so

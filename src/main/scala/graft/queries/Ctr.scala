@@ -236,8 +236,60 @@ object Ctr {
       .orderBy($"referrer", $"ad_id")
   }
 
+  /** Streaming as-of attribution, driver-verified against the SAME
+    * oracle as the batch ctr_attribution: the events table replays
+    * through a file source into EventStream.streamingAttribution
+    * (flatMapGroupsWithState keyed by user — buffered views/clicks,
+    * clicks finalized exactly once when the watermark passes them),
+    * with the established three-drain sentinel protocol pushing the
+    * watermark past every real click. Hash equality here proves the
+    * stateful stream computes the identical latest-view-at-or-before
+    * match the batch AsOf join does. Sentinels are watermark carriers
+    * (event_type "zz_wm" — neither view nor click), so they leave no
+    * state and need no output filter. */
+  private def attributionStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    def sentinel(id: Long, offsetMs: Long) = Seq(
+      (id, new java.sql.Timestamp(maxTs.getTime + offsetMs), -1L, "zz_wm", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft-attr-replay").toString
+    ev.write.mode("overwrite").parquet(s"$root/src")
+
+    def drain(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(s"$root/src")
+        .as[EventStream.Event]
+        .transform(d => EventStream.streamingAttribution(s, d).toDF())
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("attribution_streaming_replay: stream stalled")
+      }
+    }
+    drain()
+    sentinel(-1L, 30L * 24 * 3600 * 1000).write.mode("append").parquet(s"$root/src")
+    drain()
+    sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
+    drain()
+
+    s.read.parquet(s"$root/out")
+      .select($"user_id", $"click_id", $"attributed_view")
+      .orderBy($"user_id", $"click_id")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ctr_referrer" -> QueryDef(ctrReferrer, Some(ctrReferrerSql), bench = true),
+    "attribution_streaming_replay" ->
+      QueryDef(attributionStreamingReplay, Some(ctrAttributionSql)),
     "ctr_streaming_replay" -> QueryDef(ctrStreamingReplay, Some(ctrReferrerSql)),
     "ctr_user" -> QueryDef(ctrUser, Some(ctrUserSql)),
     "ctr_attribution" -> QueryDef(ctrAttribution, Some(ctrAttributionSql), bench = true),

@@ -130,7 +130,42 @@ object Multimodal {
       |FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Resize planning off REAL header-decoded dimensions: a
+    * deterministic BMP header is synthesized per doc (w, h derived
+    * from doc fields), [[graft.operators.Multimodal.HeaderImageDecoder]]
+    * parses the actual bytes back, and resizePlan emits the
+    * aspect-preserving integer target (maxDim 256; w ≤ 900 so both
+    * the shrink and the no-op branches are exercised). The oracle
+    * recomputes (w, h) from the same doc fields and replays the
+    * integer CASE arithmetic — a one-byte drift in the header build
+    * or the parse walk would shift dims and break the hash. */
+  private def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir)
+      .select($"doc_id".cast("long"),
+        ($"n_chars" % 900 + 1).cast("int").as("w"),
+        ($"doc_id" * 7 % 700 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) => MM.Asset(id, "image/bmp", MM.bmpHeader(w, h)) }
+    val feats = MM.extractFeatures(s, assets, MM.HeaderImageDecoder)
+    MM.resizePlan(feats.toDF(), maxDim = 256L).orderBy($"doc_id")
+  }
+
+  private val mmResizeSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(n_chars % 900 + 1 AS BIGINT) AS w,
+      |    CAST((doc_id * 7) % 700 + 1 AS BIGINT) AS h FROM documents)
+      |SELECT doc_id, w, h,
+      |  CASE WHEN GREATEST(w, h) <= 256 THEN w
+      |    ELSE GREATEST(1, (w * 256 + GREATEST(w, h) // 2) // GREATEST(w, h))
+      |  END AS out_w,
+      |  CASE WHEN GREATEST(w, h) <= 256 THEN h
+      |    ELSE GREATEST(1, (h * 256 + GREATEST(w, h) // 2) // GREATEST(w, h))
+      |  END AS out_h
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),
     "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql)),

@@ -207,6 +207,66 @@ object EventStream {
     done.sortBy(_.start).map(toOut(userId, _)).iterator
   }
 
+  case class AttrState(views: List[(Long, Long)], clicks: List[(Long, Long)])
+
+  case class AttrOut(user_id: Long, click_id: Long, attributed_view: Option[Long])
+
+  /** Streaming as-of click attribution — the stateful form of
+    * ctr_attribution's AsOf join: each click is attributed to the
+    * user's latest view at-or-before it (ties broken by event_id,
+    * exactly the batch contract). A click is emitted EXACTLY ONCE,
+    * when the event-time watermark passes its timestamp — only then
+    * is "latest at-or-before" final, because any later-arriving view
+    * that could still win would be beyond-watermark late and dropped.
+    * State per user is bounded: pending clicks drain as the watermark
+    * advances, and views at-or-below the watermark collapse to the
+    * single newest one (the only candidate any future click can see).
+    * Event types other than view/click pass through as watermark
+    * carriers only. */
+  def streamingAttribution(spark: SparkSession, events: Dataset[Event],
+                           watermark: String = "30 minutes"): Dataset[AttrOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        attrUpdate _)
+  }
+
+  private def newerView(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    if (a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)) a else b
+
+  private def attrUpdate(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[AttrState]): Iterator[AttrOut] = {
+    val wm = state.getCurrentWatermarkMs()
+    var st = state.getOption.getOrElse(AttrState(Nil, Nil))
+    if (!state.hasTimedOut) {
+      val evs = events.toSeq
+      val v = evs.collect { case e if e.event_type == "view" => (e.ts.getTime, e.event_id) }
+      val c = evs.collect { case e if e.event_type == "click" => (e.ts.getTime, e.event_id) }
+      st = AttrState(v ++: st.views, c ++: st.clicks)
+    }
+    // finalized = the watermark passed the click: no admissible view
+    // at-or-before it can still arrive
+    val (done, pending) = st.clicks.partition(_._1 < wm)
+    val out = done.sortBy(identity).map { case (cts, cid) =>
+      val best = st.views.filter(_._1 <= cts).reduceOption(newerView)
+      AttrOut(userId, cid, best.map(_._2))
+    }
+    // views at/below the watermark can only ever serve a future click
+    // as "the latest" — keep just the newest, plus everything fresher
+    val (stable, fresh) = st.views.partition(_._1 <= wm)
+    val keep = stable.reduceOption(newerView).toList ::: fresh
+    if (pending.isEmpty && keep.isEmpty) state.remove()
+    else {
+      state.update(AttrState(keep, pending))
+      // pending clicks have cts >= wm, so this is strictly > wm
+      if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min + 1)
+    }
+    out.iterator
+  }
+
   case class TopKState(counts: Map[String, Long])
 
   case class TopKOut(window_start: Timestamp, dim: String, n: Long, rk: Int)

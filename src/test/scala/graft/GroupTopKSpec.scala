@@ -47,6 +47,25 @@ class GroupTopKSpec extends AnyFunSuite {
     assert(windowTopK.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("GraftSession.enableExtensions makes q_window_rank-shaped filters plan as the heap exec") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the default-on path Verify/Bench/Smoke run through — not the
+    // test-only AutoTopK toggle
+    graft.GraftSession.enableExtensions(spark)
+    try {
+      val q = graft.sources.Tables.orders(spark, TestSpark.sf)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")))
+        .filter($"rk" <= 3)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GroupTopK"), s"rewrite did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    } finally graft.plans.AutoTopK.disable(spark)
+  }
+
   test("TopKRewrite leaves rank()/mismatched filters alone") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -49,6 +49,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of attribution: out-of-order views, exactly-once on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def e(id: Long, user: Long, min: Long, typ: String): Event =
+      Event(id, new Timestamp(T0 + min * 60000L), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStream.streamingAttribution(spark, input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // click at t=20 arrives BEFORE the view at t=10 that should win
+      // it (out-of-order within the watermark); view at t=40 must not
+      // steal it. Click at t=5 has no earlier view -> null.
+      input.addData(e(100, 1, 20, "click"), e(101, 1, 5, "click"))
+      q.processAllAvailable()
+      assert(spark.sql("select * from attr").count() == 0,
+        "clicks must not finalize before the watermark passes them")
+      input.addData(e(102, 1, 10, "view"), e(103, 1, 40, "view"))
+      q.processAllAvailable()
+      // watermark is still 40-30=10 < click ts 20: nothing final yet
+      input.addData(e(104, 2, 120, "view")) // pushes watermark to 90
+      q.processAllAvailable()
+      val out = spark.sql("select * from attr").as[EventStream.AttrOut].collect()
+        .sortBy(_.click_id)
+      assert(out.map(_.click_id).toSeq == Seq(100L, 101L), s"got ${out.mkString(";")}")
+      assert(out(0).attributed_view.contains(102L),
+        s"late-arriving earlier view must win: ${out(0)}")
+      assert(out(1).attributed_view.isEmpty, "no view at-or-before -> null")
+      // exactly-once: advancing the watermark again re-emits nothing
+      input.addData(e(105, 2, 300, "view"))
+      q.processAllAvailable()
+      assert(spark.sql("select * from attr").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming CTR: stream-stream join with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
