@@ -89,7 +89,28 @@ object Multimodal {
       }
       None
     }
-    /** (width, height) if the blob is a parseable PNG/BMP/GIF/JPEG header. */
+    /** WebP: RIFF container ("RIFF"....."WEBP"), first chunk tag at 12
+      * picks the variant. VP8 (lossy): keyframe sync 9D 01 2A at 23,
+      * then 14-bit LE width@26 / height@28. VP8L (lossless): 0x2F
+      * signature at 20, then 14-bit width-1 and height-1 bit-packed
+      * LE from 21. VP8X (extended): 24-bit LE canvas width-1@24 /
+      * height-1@27. All per the public container spec. */
+    private def webpDims(b: Array[Byte]): Option[(Long, Long)] = {
+      def tag(off: Int, s: String) = s.indices.forall(i => b(off + i) == s(i).toByte)
+      if (b.length < 30 || !tag(0, "RIFF") || !tag(8, "WEBP")) None
+      else if (tag(12, "VP8 ") && (b(23) & 0xff) == 0x9d &&
+          (b(24) & 0xff) == 0x01 && (b(25) & 0xff) == 0x2a)
+        Some((leShort(b, 26) & 0x3fff, leShort(b, 28) & 0x3fff))
+      else if (tag(12, "VP8L") && (b(20) & 0xff) == 0x2f) {
+        val bits = leInt(b, 21).toLong & 0xffffffffL
+        Some(((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+      } else if (tag(12, "VP8X")) {
+        def le24(off: Int): Long =
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16)
+        Some((le24(24) + 1, le24(27) + 1))
+      } else None
+    }
+    /** (width, height) if the blob is a parseable PNG/BMP/GIF/JPEG/WebP header. */
     def dims(blob: Array[Byte]): Option[(Long, Long)] =
       if (blob.length >= 24 && blob.startsWith(PngSig) &&
           blob(12) == 'I' && blob(13) == 'H' && blob(14) == 'D' && blob(15) == 'R')
@@ -101,6 +122,8 @@ object Multimodal {
         Some((leShort(blob, 6), leShort(blob, 8))) // logical screen, little-endian 16-bit
       else if (blob.length >= 4 && (blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8)
         jpegDims(blob)
+      else if (blob.length >= 30 && blob(0) == 'R' && blob(1) == 'I')
+        webpDims(blob)
       else None
     def decode(batch: Seq[Asset]): Seq[Features] = batch.map { a =>
       val (w, h) = dims(a.blob).getOrElse((-1L, -1L))

@@ -46,10 +46,23 @@ object JaccardProbe {
     val rawCand = pre.as("a").join(pre.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
         $"b.n" >= $"a.n" * tau - eps && $"a.n" >= $"b.n" * tau - eps &&
         overlapUb.cast("double") * (1.0 + tau) >= ($"a.n" + $"b.n") * tau - eps)
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.p".as("pa"), $"b.p".as("pb"), $"a.n".as("na"), $"b.n".as("nb"))
     println(s"PROBE raw_candidates ${t("rawCand")(rawCand.count())}")
-    val cand = rawCand.distinct().localCheckpoint()
-    println(s"PROBE distinct_candidates ${t("cand")(cand.count())}")
+    // Aggregated positional bound over ALL of a pair's prefix
+    // collisions: any common shingle beyond the counted c has global
+    // order past the LAST collision, hence position > ma in A and
+    // > mb in B — so overlap <= c + min(na-ma-1, nb-mb-1). Lossless.
+    val agg = rawCand.groupBy($"doc_a", $"doc_b").agg(
+        count(lit(1)).as("c"), max($"pa").as("ma"), max($"pb").as("mb"),
+        first($"na").as("na"), first($"nb").as("nb"))
+      .localCheckpoint()
+    println(s"PROBE distinct_candidates ${t("agg")(agg.count())}")
+    val passBound = agg.filter(($"c" + least($"na" - $"ma", $"nb" - $"mb") - 1)
+      .cast("double") * (1.0 + tau) >= ($"na" + $"nb") * tau - eps)
+    println(s"PROBE pass_agg_bound ${t("bound")(passBound.count())}")
+    println(s"PROBE c_ge_2 ${agg.filter($"c" >= 2).count()}")
+    val cand = agg.select($"doc_a", $"doc_b")
     val verified = cand
       .join(byRarity.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"n".as("na")), "doc_a")
       .join(byRarity.select($"doc_id".as("doc_b"), $"hs".as("hb"), $"n".as("nb")), "doc_b")

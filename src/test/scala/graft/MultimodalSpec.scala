@@ -158,6 +158,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(3L).head_byte == -1L && m(3L).byte_sum == -1L, "truncated JPEG sentinel")
   }
 
+  test("HeaderImageDecoder parses all three WebP container variants") {
+    import spark.implicits._
+    def riff(chunk: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        "WEBP".getBytes("US-ASCII") ++ chunk.getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 0, 0) ++ payload
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A sync, 14-bit LE w then h
+    def vp8(w: Int, h: Int) = riff("VP8 ", Array[Byte](0, 0, 0) ++
+      Array(0x9d, 0x01, 0x2a, w, w >>> 8, h, h >>> 8).map(_.toByte))
+    // VP8L lossless: 0x2F sig, then (w-1 | (h-1)<<14) bit-packed LE
+    def vp8l(w: Int, h: Int) = {
+      val bits = (w - 1).toLong | ((h - 1).toLong << 14)
+      riff("VP8L", Array(0x2f, bits, bits >>> 8, bits >>> 16, bits >>> 24)
+        .map(_.toByte) ++ new Array[Byte](5)) // pad past the 30-byte floor
+    }
+    // VP8X extended: flags + reserved, then 24-bit LE canvas w-1 / h-1
+    def vp8x(w: Int, h: Int) = riff("VP8X", Array(0, 0, 0, 0,
+      w - 1, (w - 1) >>> 8, (w - 1) >>> 16,
+      h - 1, (h - 1) >>> 8, (h - 1) >>> 16).map(_.toByte))
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/webp", vp8(640, 360)),
+      Multimodal.Asset(2L, "image/webp", vp8l(16384, 1)), // 14-bit max width
+      Multimodal.Asset(3L, "image/webp", vp8x(70000, 2)), // >16-bit canvas
+      Multimodal.Asset(4L, "image/webp", riff("VP8 ", new Array[Byte](10))) // bad sync
+    ).toDS()
+    val m = Multimodal.extractFeatures(spark, assets, Multimodal.HeaderImageDecoder)
+      .collect().map(f => f.doc_id -> (f.head_byte, f.byte_sum)).toMap
+    assert(m(1L) == (640L, 360L), s"VP8 lossy dims: ${m(1L)}")
+    assert(m(2L) == (16384L, 1L), s"VP8L packed dims: ${m(2L)}")
+    assert(m(3L) == (70000L, 2L), s"VP8X 24-bit canvas: ${m(3L)}")
+    assert(m(4L) == (-1L, -1L), "missing keyframe sync -> sentinel")
+  }
+
   test("resizePlan: aspect-preserving integer scale, no-op below maxDim") {
     import spark.implicits._
     val feats = Seq(

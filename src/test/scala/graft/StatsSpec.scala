@@ -304,4 +304,31 @@ class StatsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"stat join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"events side got shuffled for a join:\n$plan")
   }
+
+  test("q_gini / q_skyline plans: unpartitioned windows only ever run over a bucket spine") {
+    // The r6 verdict's two scale-killers: a window with an EMPTY
+    // partitionSpec serializes its whole input through one task, so
+    // the only admissible ones are those whose child is the ≤32-row
+    // bucket aggregate (keys b / pid) — never customer- or
+    // frontier-sized data. AQE off so the full tree is walkable.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q_gini", "q_skyline").foreach { name =>
+        val plan = run(name).queryExecution.executedPlan
+        val unpart = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        assert(unpart.nonEmpty, s"$name: expected a spine window in\n$plan")
+        unpart.foreach { w =>
+          val spine = w.child.collectFirst {
+            case a: BaseAggregateExec
+                if a.groupingExpressions.nonEmpty &&
+                  a.groupingExpressions.forall(e => Set("b", "pid").contains(e.name)) => a
+          }
+          assert(spine.isDefined,
+            s"$name: single-partition window over non-spine data:\n$w")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
