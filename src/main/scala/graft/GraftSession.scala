@@ -12,16 +12,18 @@ object GraftSession {
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // AQE can only MERGE shuffle partitions, never split them (skew
-      // joins aside), so the initial number is the ceiling on shuffle
-      // parallelism AND the floor on per-partition size. Start 8×
-      // finer than the target and let AQE coalesce small shuffles
-      // back down: at 10× data the big shuffles keep 8× more, smaller
-      // partitions (the sf10 probe hit GC thrash from 32 oversized
-      // ones), while tiny shuffles still collapse to a handful of
-      // tasks. This is the knob that scales with data volume — the
-      // plans themselves don't change.
+      // joins aside), so initialPartitionNum floors per-partition
+      // size. A blanket 8× multiple was MEASURED and rejected: it
+      // fixes the one spill-heavy query at sf10 but taxes every
+      // small shuffle ~30-80% at sf0.1 (task overhead AQE coalescing
+      // does not win back). Default stays 1×; the operators whose
+      // fan-out outgrows the session default (the Jaccard pair
+      // aggregation) size their own exchanges from measured
+      // cardinality instead — see Dedup.jaccardJoin. The env knob
+      // remains for cluster-level experiments.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (shufflePartitions * 8).toString)
+        (shufflePartitions *
+          sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS_FACTOR", "1").toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

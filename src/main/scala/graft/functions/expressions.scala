@@ -326,6 +326,58 @@ object Kernels {
     // oracle uses, so doubles match bitwise.
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  // token == one of the/a/and/of/to (case-sensitive byte compare)
+  private def isStopToken(b: Array[Byte], s: Int, e: Int): Boolean = (e - s) match {
+    case 1 => b(s) == 'a'
+    case 2 => (b(s) == 'o' && b(s + 1) == 'f') || (b(s) == 't' && b(s + 1) == 'o')
+    case 3 => (b(s) == 't' && b(s + 1) == 'h' && b(s + 2) == 'e') ||
+      (b(s) == 'a' && b(s + 1) == 'n' && b(s + 2) == 'd')
+    case _ => false
+  }
+
+  /** ALL per-document text statistics in one scan of the raw UTF-8
+    * bytes, replacing the 5-expression chain (split + array filter +
+    * regexp_count + regexp_replace + length) that re-walked the text
+    * five times and allocated a token array per row:
+    *  - chars: codepoints (= Spark/DuckDB `length`; count non-0x80xx
+    *    lead bytes)
+    *  - tokens: split-on-' ' count INCLUDING empties = spaces + 1
+    *  - punct: codepoints outside [A-Za-z0-9 ] (multi-byte chars are
+    *    one codepoint — both regex engines match classes per
+    *    codepoint)
+    *  - stop_hits: tokens equal to the/a/and/of/to
+    *  - word_chars: chars minus spaces (= length(replace(text,' ','')))
+    *  - bpe_tokens: matches of [A-Za-z]+|[0-9]+|[^A-Za-z0-9 ] = letter
+    *    runs + digit runs + punct codepoints (a continuation byte
+    *    never starts or extends a run, so a multi-byte char splits
+    *    runs exactly like the regex does) */
+  def textScan(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    var i = 0
+    var chars = 0L; var spaces = 0L; var punct = 0L; var stops = 0L
+    var runs = 0L
+    var prevLetter = false; var prevDigit = false
+    var tokStart = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if ((c & 0xc0) != 0x80) chars += 1
+      val isLetter = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+      val isDigit = c >= '0' && c <= '9'
+      if (c == ' ') {
+        spaces += 1
+        if (isStopToken(b, tokStart, i)) stops += 1
+        tokStart = i + 1
+      } else if (!isLetter && !isDigit && (c & 0xc0) != 0x80) punct += 1
+      if (isLetter && !prevLetter) runs += 1
+      if (isDigit && !prevDigit) runs += 1
+      prevLetter = isLetter; prevDigit = isDigit
+      i += 1
+    }
+    if (isStopToken(b, tokStart, b.length)) stops += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](chars, spaces + 1, punct, stops, chars - spaces, runs + punct))
+  }
 }
 
 /** Cosine similarity of two float vectors as a native Catalyst
@@ -457,6 +509,33 @@ case class LshBucket(child: Expression, numPlanes: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Every per-document text statistic the quality/token queries need,
+  * as ONE native single-scan expression returning a struct — the text
+  * is walked once inside whole-stage codegen instead of five times
+  * through split/filter/regexp_count/regexp_replace/length (and the
+  * per-row token-array allocation disappears). */
+case class TextScanStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"text_scan expects a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = TextScanStats.schema
+  override def nullSafeEval(v: Any): Any = Kernels.textScan(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.textScan($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextScanStats {
+  val schema: StructType = StructType(Seq(
+    StructField("chars", LongType, nullable = false),
+    StructField("tokens", LongType, nullable = false),
+    StructField("punct", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("word_chars", LongType, nullable = false),
+    StructField("bpe_tokens", LongType, nullable = false)))
+}
+
 /** Column-API facade for the native expressions (Spark 4 classic:
   * Column ↔ catalyst Expression via ExpressionUtils). */
 object Fns {
@@ -472,6 +551,7 @@ object Fns {
   def lsh_bucket(c: Column, numPlanes: Int = 16): Column = column(LshBucket(expression(c), numPlanes))
   def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
     column(BoundedLevenshtein(expression(a), expression(b), maxDist))
+  def text_scan(c: Column): Column = column(TextScanStats(expression(c)))
 
   /** Make the native expressions available from SQL:
     * `SELECT cosine_sim(a, b), simhash64(text) ...`. */
@@ -493,6 +573,7 @@ object Fns {
       case es => throw new IllegalArgumentException(s"minhash_sig takes 1-3 args, got ${es.length}")
     })
     registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
+    registerFunction(spark, "text_scan", es => TextScanStats(es.head))
     registerFunction(spark, "simhash_md5", es => SimHashMd5(es.head))
     registerFunction(spark, "lsh_bucket", {
       case Seq(c) => LshBucket(c, 16)

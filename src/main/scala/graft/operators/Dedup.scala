@@ -249,20 +249,40 @@ object Dedup {
     // (-71%) for the same aggregation shuffle the distinct() already
     // paid; true pairs there are 25.4M, so the array-verify join now
     // runs within ~4x of the inherent output instead of 15x.
+    // Size the downstream exchanges from MEASURED candidate volume,
+    // not the session default: Σ df² over prefix buckets is the exact
+    // row count the prefix self-join emits (a ~one-second aggregate
+    // over the checkpointed prefix — 38k groups at sf10). At the
+    // session default the sf10 pair aggregation spilled 118 GB (19M
+    // wide rows per task); at ~5M candidate rows per partition it
+    // runs in memory, while small corpora keep the session default
+    // (the max() floor) so nothing changes below the cliff. A global
+    // initialPartitionNum multiple was measured and rejected — it
+    // taxes every small shuffle instead (see GraftSession).
+    val estRows = pre.groupBy($"s").agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum($"cnt" * $"cnt"), lit(0L))).head.getLong(0)
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+      math.min(4096L, estRows / 5000000L).toInt)
     val cand = pre.as("a")
       .join(pre.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
         $"b.n" >= $"a.n" * tau - eps && $"a.n" >= $"b.n" * tau - eps &&
         overlapUb.cast("double") * (1.0 + tau) >= ($"a.n" + $"b.n") * tau - eps)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.p".as("pa"), $"b.p".as("pb"), $"a.n".as("na"), $"b.n".as("nb"))
+      .repartition(parts, $"doc_a", $"doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("c"), max($"pa").as("ma"), max($"pb").as("mb"),
         max($"na").as("can"), max($"nb").as("cbn"))
       .filter(($"c" + least($"can" - $"ma", $"cbn" - $"mb") - 1).cast("double") *
         (1.0 + tau) >= ($"can" + $"cbn") * tau - eps)
       .select($"doc_a", $"doc_b")
+    // verify joins sized like the aggregation: the surviving pairs
+    // pick up a ~45-element hash array per side, so per-task sort
+    // memory is what matters, not the session default
     cand
+      .repartition(parts, $"doc_a")
       .join(byRarity.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"n".as("na")), "doc_a")
+      .repartition(parts, $"doc_b")
       .join(byRarity.select($"doc_id".as("doc_b"), $"hs".as("hb"), $"n".as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect($"ha", $"hb")))
       .withColumn("jaccard",

@@ -17,30 +17,29 @@ object TextAnalysis {
 
   def whitespaceTokens(text: Column): Column = split(text, " ")
 
-  def tokenStats(docs: DataFrame): DataFrame =
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val st = graft.functions.Fns.text_scan(col("text"))
     docs.select(
       col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(whitespaceTokens(col("text"))).cast("long").as("n_ws_tokens"),
-      regexp_count(col("text"), lit(BpeTokenPattern)).cast("long").as("n_bpe_tokens"))
+      st.getField("chars").as("n_chars"),
+      st.getField("tokens").as("n_ws_tokens"),
+      st.getField("bpe_tokens").as("n_bpe_tokens"))
+  }
 
   /** Heuristic quality signals: punctuation density, stopword ratio,
     * mean word length — the standard cheap pre-filters for LLM corpus
     * curation (cf. C4/Gopher rules). All ratios are single double
     * divisions (oracle-parity safe). */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val ws = whitespaceTokens(col("text"))
-    val nTok = size(ws).cast("double")
-    val stopHits = size(filter(ws, t => t.isin(Stopwords.map(x => x: Any): _*))).cast("double")
-    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
-    val wordChars = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val st = graft.functions.Fns.text_scan(col("text"))
+    val nTok = st.getField("tokens").cast("double")
     docs.select(
       col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(ws).cast("long").as("n_tokens"),
-      round(nPunct / length(col("text")), 9).as("punct_ratio"),
-      round(stopHits / nTok, 9).as("stopword_ratio"),
-      round(wordChars / nTok, 9).as("mean_word_len"))
+      st.getField("chars").as("n_chars"),
+      st.getField("tokens").as("n_tokens"),
+      round(st.getField("punct").cast("double") / st.getField("chars"), 9).as("punct_ratio"),
+      round(st.getField("stop_hits").cast("double") / nTok, 9).as("stopword_ratio"),
+      round(st.getField("word_chars").cast("double") / nTok, 9).as("mean_word_len"))
   }
 
   /** n-gram-profile language ID: score = stop-token hits per language
@@ -153,11 +152,16 @@ object TextAnalysis {
   def gopherFilter(docs: DataFrame): DataFrame = {
     val ws = whitespaceTokens(col("text"))
     val nTok = size(ws)
-    val stopRatio = size(filter(ws, t => t.isin(Stopwords.map(x => x: Any): _*)))
-      .cast("double") / nTok.cast("double")
-    val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok.cast("double")
-    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
-      length(col("text")).cast("double")
+    // scalar legs from the single-scan native kernel (identical
+    // values: tokens = size(split) incl. empties, counts are exact);
+    // the n-gram legs below still need the token array
+    val st = graft.functions.Fns.text_scan(col("text"))
+    val stopRatio = st.getField("stop_hits").cast("double") /
+      st.getField("tokens").cast("double")
+    val mwl = st.getField("word_chars").cast("double") /
+      st.getField("tokens").cast("double")
+    val punct = st.getField("punct").cast("double") /
+      st.getField("chars").cast("double")
     val g3 = wordNgrams(col("text"), 3)
     val dup3 = when(size(g3) > 0,
       (size(g3) - size(array_distinct(g3))).cast("double") / size(g3).cast("double"))

@@ -28,13 +28,15 @@ object ShuffleAudit {
     val targets =
       if (args.nonEmpty) graft.SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else graft.SparkEntry.benchQueries
-    println(f"${"query"}%-24s ${"input_mb"}%9s ${"shuffle_mb"}%10s ${"spill_mb"}%9s")
+    println(f"${"query"}%-24s ${"input_mb"}%9s ${"shuffle_mb"}%10s ${"spill_mb"}%9s ${"sec"}%7s")
     targets.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       shuffleWrite.set(0); spill.set(0); input.set(0)
       try {
+        val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(800) // let the listener bus drain
-        println(f"$name%-24s ${input.get / 1e6}%9.1f ${shuffleWrite.get / 1e6}%10.2f ${spill.get / 1e6}%9.1f")
+        println(f"$name%-24s ${input.get / 1e6}%9.1f ${shuffleWrite.get / 1e6}%10.2f ${spill.get / 1e6}%9.1f $sec%7.2f")
       } catch { case e: Throwable => println(s"$name FAILED ${e.getMessage}") }
     }
     spark.stop()

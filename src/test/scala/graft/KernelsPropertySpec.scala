@@ -125,4 +125,31 @@ class KernelsPropertySpec extends AnyFunSuite {
     assert(Kernels.minhashSig(u8("one two"), 128, 3).forall(_ == 0L)) // < shingle width
     assert(Kernels.shingleHashes(u8("a b c"), 3).length == 1)
   }
+
+  test("textScan matches the definitional regex/split formulas on random unicode text") {
+    val stop = Set("the", "a", "and", "of", "to")
+    val pieces = Seq("the", "a", "and", "of", "to", "word", "W9x", "42", "7",
+      "café", "über", "naïve", "世界", "x!y", "a.b,c", "", "--", "(k)")
+    (1 to 300).foreach { _ =>
+      // random spacing, incl. leading/trailing/double spaces via empty pieces
+      val s = Seq.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.size))).mkString(" ")
+      val row = Kernels.textScan(u8(s))
+      val chars = s.codePointCount(0, s.length).toLong
+      val toks = s.split(" ", -1)
+      assert(row.getLong(0) == chars, s"chars of '$s'")
+      assert(row.getLong(1) == toks.length, s"tokens of '$s'")
+      val punct = java.util.regex.Pattern.compile("[^A-Za-z0-9 ]")
+        .matcher(s).results().count()
+      assert(row.getLong(2) == punct, s"punct of '$s'")
+      assert(row.getLong(3) == toks.count(stop), s"stop hits of '$s'")
+      assert(row.getLong(4) == chars - s.count(_ == ' '), s"word chars of '$s'")
+      val bpe = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+        .matcher(s).results().count()
+      assert(row.getLong(5) == bpe, s"bpe tokens of '$s'")
+    }
+    // the empty document: one empty token, zero everything else
+    val e = Kernels.textScan(u8(""))
+    assert(e.getLong(0) == 0 && e.getLong(1) == 1 && e.getLong(2) == 0 &&
+      e.getLong(3) == 0 && e.getLong(4) == 0 && e.getLong(5) == 0)
+  }
 }
