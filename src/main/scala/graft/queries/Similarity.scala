@@ -576,7 +576,51 @@ object Similarity {
       |    - ROUND(MAX(CASE WHEN clabel <> vlabel THEN avg_cos END), 9), 9) AS margin
       |FROM m GROUP BY vlabel ORDER BY label""".stripMargin
 
+  /** Binary-quantization ANN: Hamming pre-rank over in-scan sign-bit
+    * codes (8 bytes/vector for 64 dims), exact cosine re-rank of the
+    * k·4 Hamming-nearest candidates. Training-free compressed-domain
+    * search — the tier between LSH buckets and PQ/ADC. */
+  private def annBqHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sim.bqTopK(s, Tables.embeddings(s, dir), probes(s, dir), k = 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  // The oracle packs the same sign bits; DuckDB refuses 1::BIGINT << 63
+  // (overflow-checked), so bit 63 adds long-min directly — the same
+  // two's-complement value Spark's shiftleft(1L, 63) wraps to.
+  private val annBqHammingSql =
+    s"""WITH codes AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(SUM(CASE WHEN v <= 0 THEN 0
+       |              WHEN i = 63 THEN (-9223372036854775807 - 1)
+       |              ELSE (1::BIGINT << CAST(i AS INTEGER)) END) AS BIGINT) AS code
+       |  FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
+       |               unnest(range(0, len(embedding))) AS i FROM embeddings)
+       |  GROUP BY vec_id, embedding),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, code AS qc
+       |      FROM codes WHERE vec_id < 10),
+       |h AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, qe,
+       |    CAST(bit_count(xor(qc, c.code)) AS BIGINT) AS hamming,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY bit_count(xor(qc, c.code)), c.vec_id) AS cr
+       |  FROM q JOIN codes c ON c.vec_id <> q.query_id),
+       |re AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM h JOIN embeddings e ON e.vec_id = h.neighbor_id
+       |  WHERE cr <= 20),
+       |r AS (
+       |  SELECT query_id, neighbor_id, hamming, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM re)
+       |SELECT query_id, neighbor_id, rk, cos_sim, hamming FROM r WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ann_bq_hamming" -> QueryDef(annBqHamming, Some(annBqHammingSql), bench = true),
     "emb_separation" -> QueryDef(embSeparation, Some(embSeparationSql)),
     "emb_label_noise" -> QueryDef(embLabelNoise, Some(embLabelNoiseSql)),
     "ann_range_search" -> QueryDef(annRangeSearch, Some(annRangeSearchSql)),

@@ -89,6 +89,65 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("signBitCode packs the definitional sign bits, any dimension") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 128-dim vectors (2 words) with deterministic mixed-sign values,
+    // including exact 0.0 (not a set bit) at every 7th position
+    val rows = (0L until 20L).map { id =>
+      id -> Array.tabulate(128) { i =>
+        if ((i + id) % 7 == 0) 0.0f
+        else (((i * 31 + id * 17) % 11).toFloat - 5.0f)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = df.select($"vec_id", Similarity.signBitCode("embedding").as("code"))
+      .as[(Long, Array[Long])].collect().toMap
+    rows.foreach { case (id, vec) =>
+      val want = Array.tabulate(2) { w =>
+        (0 until 64).foldLeft(0L) { (acc, i) =>
+          if (vec(w * 64 + i) > 0) acc + (1L << i) else acc
+        }
+      }
+      assert(got(id).sameElements(want), s"vec $id: ${got(id).toSeq} != ${want.toSeq}")
+    }
+    // hammingDist on the packed codes equals the definitional bit diff
+    val pairs = df.as("a").join(df.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        Similarity.hammingDist(
+          Similarity.signBitCode("a.embedding"),
+          Similarity.signBitCode("b.embedding")).as("h"))
+      .as[(Long, Long, Int)].collect()
+    val byId = rows.toMap
+    pairs.foreach { case (ia, ib, h) =>
+      val want = (0 until 128).count(i => (byId(ia)(i) > 0) != (byId(ib)(i) > 0))
+      assert(h == want, s"hamming($ia,$ib)=$h want $want")
+    }
+  }
+
+  test("bqTopK: planted duplicate is the top neighbor; cosines are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clone = emb.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))
+    val corpus = emb.unionByName(clone.select(emb.columns.map(col): _*))
+    val p = corpus.filter($"vec_id" === 9999L)
+    val top = Similarity.bqTopK(spark, corpus, p, k = 1).collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("neighbor_id") == 0L)
+    assert(top(0).getAs[Long]("hamming") == 0L)
+    assert(top(0).getAs[Double]("cos_sim") > 0.999999)
+    // every reported cosine matches the brute-force score for that pair
+    val brute = Similarity.bruteForce(spark, emb, probes, k = 500).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val bq = Similarity.bqTopK(spark, emb, probes, k = 5).collect()
+    assert(bq.length == probes.count() * 5)
+    bq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getAs[Double]("cos_sim")) < 1e-12)
+    }
+  }
+
   test("lsh candidates are a subset of brute-force scores (same cosine)") {
     val brute = Similarity.bruteForce(spark, emb, probes, k = 500).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim"))
