@@ -227,7 +227,7 @@ object Similarity {
     * set — never the corpus — is re-ranked, via two broadcast joins
     * into one more corpus scan. */
   def bqTopK(spark: SparkSession, emb: DataFrame, probes: DataFrame,
-             k: Int, mult: Int = 4): DataFrame = {
+             k: Int, mult: Int = 8): DataFrame = {
     import spark.implicits._
     val coded = emb.withColumn("code", signBitCode("embedding"))
     val q = broadcast(probes

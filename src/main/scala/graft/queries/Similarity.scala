@@ -578,7 +578,7 @@ object Similarity {
 
   /** Binary-quantization ANN: Hamming pre-rank over in-scan sign-bit
     * codes (8 bytes/vector for 64 dims), exact cosine re-rank of the
-    * k·4 Hamming-nearest candidates. Training-free compressed-domain
+    * k·8 Hamming-nearest candidates. Training-free compressed-domain
     * search — the tier between LSH buckets and PQ/ADC. */
   private def annBqHamming(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -610,7 +610,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id, hamming,
        |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
        |  FROM h JOIN embeddings e ON e.vec_id = h.neighbor_id
-       |  WHERE cr <= 20),
+       |  WHERE cr <= 40),
        |r AS (
        |  SELECT query_id, neighbor_id, hamming, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -619,8 +619,73 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, cos_sim, hamming FROM r WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Recall@5 of the BQ Hamming tier against exact brute force — the
+    * acceptance gate for the training-free index, mirroring
+    * `ann_recall`'s evaluation of the IVF path. */
+  private def annBqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bf = Sim.bruteForce(s, emb, probes(s, dir), k = 5)
+      .select($"query_id", $"neighbor_id")
+    val bq = Sim.bqTopK(s, emb, probes(s, dir), k = 5)
+      .select($"query_id".as("bq_q"), $"neighbor_id".as("bq_n"))
+    bf.join(bq, $"query_id" === $"bq_q" && $"neighbor_id" === $"bq_n", "left")
+      .groupBy($"query_id")
+      .agg(count($"bq_q").as("n_hit"))
+      .select($"query_id", $"n_hit",
+        round($"n_hit".cast("double") / 5.0, 9).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  // Brute-force top-5 CTEs joined against the BQ top-5 CTEs (the
+  // annBqHammingSql pipeline minus the projection), per-query hits.
+  private val annBqRecallSql =
+    s"""WITH q1 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc1 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q1 JOIN embeddings e ON e.vec_id <> q1.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc1) x WHERE rk <= 5),
+       |codes AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(SUM(CASE WHEN v <= 0 THEN 0
+       |              WHEN i = 63 THEN (-9223372036854775807 - 1)
+       |              ELSE (1::BIGINT << CAST(i AS INTEGER)) END) AS BIGINT) AS code
+       |  FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
+       |               unnest(range(0, len(embedding))) AS i FROM embeddings)
+       |  GROUP BY vec_id, embedding),
+       |q2 AS (SELECT vec_id AS query_id, embedding AS qe, code AS qc
+       |      FROM codes WHERE vec_id < 10),
+       |h AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, qe,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY bit_count(xor(qc, c.code)), c.vec_id) AS cr
+       |  FROM q2 JOIN codes c ON c.vec_id <> q2.query_id),
+       |re AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM h JOIN embeddings e ON e.vec_id = h.neighbor_id
+       |  WHERE cr <= 40),
+       |bq AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM re) x WHERE rk <= 5)
+       |SELECT bf.query_id, CAST(COUNT(bq.neighbor_id) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(COUNT(bq.neighbor_id) AS DOUBLE) / 5.0, 9) AS recall
+       |FROM bf LEFT JOIN bq
+       |  ON bf.query_id = bq.query_id AND bf.neighbor_id = bq.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ann_bq_hamming" -> QueryDef(annBqHamming, Some(annBqHammingSql), bench = true),
+    "ann_bq_recall" -> QueryDef(annBqRecall, Some(annBqRecallSql)),
     "emb_separation" -> QueryDef(embSeparation, Some(embSeparationSql)),
     "emb_label_noise" -> QueryDef(embLabelNoise, Some(embLabelNoiseSql)),
     "ann_range_search" -> QueryDef(annRangeSearch, Some(annRangeSearchSql)),
