@@ -99,7 +99,7 @@ object Similarity {
   /** Coarse centroid table: trained cells when given, else the
     * deterministic first-k init (must not assume 0-based contiguous
     * vec_ids — take the first k in id order and re-number). */
-  private def coarseCentroids(emb: DataFrame, nCells: Int,
+  private[graft] def coarseCentroids(emb: DataFrame, nCells: Int,
                               trained: Option[DataFrame]): DataFrame =
     trained
       .map(_.select(col("cell"), col("centroid").as("ce")))
@@ -111,7 +111,7 @@ object Similarity {
     * tiny centroid table — the corpus is never shuffled here).
     * cell_sim rounded to 9dp before ranking: the rank is then stable
     * against sub-nano float drift (and engine-reproducible). */
-  private def nearestCells(centroids: DataFrame, df: DataFrame,
+  private[graft] def nearestCells(centroids: DataFrame, df: DataFrame,
                            idCol: String, vecCol: String, keep: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("cell_sim").desc, col("cell"))
     df.crossJoin(broadcast(centroids))

@@ -683,7 +683,176 @@ object Similarity {
        |  ON bf.query_id = bq.query_id AND bf.neighbor_id = bq.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  /** IVF-PQ — the FAISS IVFADC composition (Jégou et al. 2011 §IV):
+    * coarse IVF cells restrict the candidate set (probes search their
+    * 2 nearest of 8 first-k cells), candidates inside probed cells are
+    * ranked by PQ asymmetric distance over their 8-byte codes, and the
+    * top-20 ADC shortlist is re-ranked by exact cosine. Simplification
+    * vs the paper: codes quantize raw vectors, not cell residuals —
+    * the restrict-then-ADC-then-rerank composition is identical.
+    * At 100 TB: the centroid table and the per-query (cell, LUT) rows
+    * are broadcast, so the only corpus-sized work is one scan of
+    * (cell, code) — 9 bytes/vector instead of 256 — and cell
+    * restriction happens inside that broadcast-hash-join probe; only
+    * the 20-row shortlist fetches full-width vectors. */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = Sim.coarseCentroids(emb, 8, None)
+    val assigned = Sim.nearestCells(cents, emb, "vec_id", "embedding", 1)
+      .select($"vec_id".as("cand_id"), $"cell")
+    val probeCells = Sim.nearestCells(cents,
+      emb.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding".as("qe")),
+      "query_id", "qe", 2)
+      .select($"query_id", $"cell".as("p_cell"))
+    // ≤ 10 queries × 2 cells × 32 LUT rows: broadcast by construction
+    val lutByCell = probeCells.join(Pipeline.pqLut(s, dir), "query_id")
+    val codes = Pipeline.pqCodes(s, dir)
+      .select($"vec_id".as("cand_id"), $"sub".as("c_sub"), $"code")
+      .join(assigned, "cand_id")
+    val adc = codes
+      .join(broadcast(lutByCell),
+        $"cell" === $"p_cell" && $"c_sub" === $"sub" && $"code" === $"cid")
+      .filter($"cand_id" =!= $"query_id")
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"d2q").as("adc"))
+    val w20 = Window.partitionBy($"query_id").orderBy($"adc", $"cand_id")
+    val shortlist = adc.withColumn("crk", row_number().over(w20)).filter($"crk" <= 20)
+    val exact = shortlist
+      .join(emb.select($"vec_id", $"embedding".as("qe")), $"query_id" === $"vec_id")
+      .drop("vec_id")
+      .join(emb.select($"vec_id", $"embedding"), $"cand_id" === $"vec_id")
+      .select($"query_id", $"cand_id".as("neighbor_id"),
+        round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+    val w5 = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    exact.withColumn("rk", row_number().over(w5)).filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id", $"rk", $"cos_sim")
+      .orderBy($"query_id", $"rk")
+  }
+
+  // Composes the ann_ivf coarse CTEs with the ann_pq_adc code/LUT CTEs;
+  // the adc join adds the cell-membership restriction.
+  private val annIvfPqSql =
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pc AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) x WHERE crk <= 2),
+       |q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT c.vec_id AS cid, c.qv AS cv, s.sub
+       |  FROM q c, (SELECT unnest(range(0, 8)) AS sub) s
+       |  WHERE c.vec_id < 4),
+       |dists AS (
+       |  SELECT q.vec_id, cb.sub, cb.cid,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> (qv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)])
+       |         * (qv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)]))) AS d2
+       |  FROM q CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id AS cand_id, sub AS c_sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+       |    FROM dists) x WHERE rk = 1),
+       |lut AS (SELECT vec_id AS query_id, sub, cid, d2 AS d2q
+       |        FROM dists WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT l.query_id, c.cand_id, SUM(l.d2q) AS adc
+       |  FROM codes c
+       |  JOIN asg a ON a.vec_id = c.cand_id
+       |  JOIN pc ON pc.cell = a.cell
+       |  JOIN lut l ON l.query_id = pc.query_id AND l.sub = c.c_sub AND l.cid = c.code
+       |  WHERE c.cand_id <> l.query_id
+       |  GROUP BY l.query_id, c.cand_id),
+       |shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS crk
+       |    FROM adc) x WHERE crk <= 20),
+       |exact AS (
+       |  SELECT s.query_id, s.cand_id AS neighbor_id,
+       |    ROUND(${cosSql("eq.embedding", "ec.embedding")}, 9) AS cos_sim
+       |  FROM shortlist s
+       |  JOIN embeddings eq ON eq.vec_id = s.query_id
+       |  JOIN embeddings ec ON ec.vec_id = s.cand_id)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM exact) x WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** Contrastive hard-example mining — the pair-selection step of a
+    * metric-learning / embedding-finetune pipeline: for each probe,
+    * the hard NEGATIVE is the most-similar different-label corpus
+    * vector (the one a contrastive loss most needs to push away) and
+    * the hard POSITIVE the least-similar same-label vector (the one it
+    * most needs to pull in). One broadcast of the probe set, one
+    * corpus scan, two conditional min/max aggregates — no window, no
+    * corpus shuffle; at 100 TB the scan composes with the IVF/BQ tiers
+    * above to pre-trim the candidate set. */
+  private def embHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"label".as("q_label"))
+    broadcast(q)
+      .join(emb, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"q_label", $"vec_id", $"label",
+        round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+      .groupBy($"query_id", $"q_label")
+      .agg(
+        max(when($"label" =!= $"q_label",
+          struct($"cos_sim", (-$"vec_id").as("nid")))).as("hn"),
+        min(when($"label" === $"q_label",
+          struct($"cos_sim", $"vec_id"))).as("hp"))
+      .filter($"hn".isNotNull && $"hp".isNotNull) // match the oracle's inner joins
+      .select($"query_id", $"q_label".cast("long").as("label"),
+        (-$"hn.nid").as("hard_neg_id"), $"hn.cos_sim".as("hard_neg_sim"),
+        $"hp.vec_id".as("hard_pos_id"), $"hp.cos_sim".as("hard_pos_sim"))
+      .orderBy($"query_id")
+  }
+
+  // Ties break toward the LOWER vec_id on both extremes: the struct
+  // max carries -vec_id so the Spark agg and this window agree.
+  private val embHardNegativesSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, label AS q_label
+       |  FROM embeddings WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT query_id, q_label, e.vec_id, e.label,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |hn AS (
+       |  SELECT query_id, vec_id AS hard_neg_id, cos_sim AS hard_neg_sim FROM (
+       |    SELECT query_id, vec_id, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |    FROM sc WHERE label <> q_label) x WHERE rk = 1),
+       |hp AS (
+       |  SELECT query_id, vec_id AS hard_pos_id, cos_sim AS hard_pos_sim FROM (
+       |    SELECT query_id, vec_id, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim ASC, vec_id) AS rk
+       |    FROM sc WHERE label = q_label) x WHERE rk = 1)
+       |SELECT q.query_id, CAST(q.q_label AS BIGINT) AS label,
+       |  hn.hard_neg_id, hn.hard_neg_sim, hp.hard_pos_id, hp.hard_pos_sim
+       |FROM q JOIN hn ON hn.query_id = q.query_id
+       |JOIN hp ON hp.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
+    "emb_hard_negatives" -> QueryDef(embHardNegatives, Some(embHardNegativesSql)),
     "ann_bq_hamming" -> QueryDef(annBqHamming, Some(annBqHammingSql), bench = true),
     "ann_bq_recall" -> QueryDef(annBqRecall, Some(annBqRecallSql)),
     "emb_separation" -> QueryDef(embSeparation, Some(embSeparationSql)),

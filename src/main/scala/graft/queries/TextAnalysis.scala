@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{TextAnalysis => TA}
@@ -420,7 +421,108 @@ object TextAnalysis {
       |   OR CAST('0x' || substring(md5('up:' || doc_id::VARCHAR || ':' || copy::VARCHAR), 1, 8) AS BIGINT) % 100 < frac_pct
       |ORDER BY doc_id, copy""".stripMargin
 
+  /** fastText-style hashed linear quality classifier (Joulin et al.
+    * 2016 / the DCLM-pipeline filter shape): features are unigrams +
+    * word bigrams, each feature hashes straight to a milli-weight in
+    * [-1000, 1000] (md5-derived — the stand-in for a trained,
+    * feature-hashed weight vector; a real model swaps the hash for a
+    * broadcast lookup of the same shape), a doc scores the mean
+    * feature weight through a sigmoid. Map-only over the corpus — the
+    * groupBy key is doc_id, which partial aggregation collapses
+    * in-scan, so model application adds ZERO shuffled bytes at 100 TB.
+    * Integer weight sums; the only floats are the final per-doc mean
+    * and sigmoid, rounded to 9dp. */
+  private def textClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(concat($"ws", expr(
+        """CASE WHEN size(ws) > 1
+          | THEN transform(sequence(1, size(ws) - 1),
+          |   i -> concat(element_at(ws, i), '_', element_at(ws, i + 1)))
+          | ELSE CAST(array() AS array<string>) END""".stripMargin))).as("f"))
+    feats
+      .select($"doc_id",
+        ((conv(substring(md5($"f"), 1, 15), 16, 10).cast("long") % 2001L) - 1000L).as("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feat"), sum($"w").as("w_sum"))
+      .select($"doc_id", $"n_feat",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-($"w_sum".cast("double") / (lit(1000.0) * $"n_feat")))), 9).as("score"),
+        when($"w_sum" > 0, 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private val textClassifierScoreSql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |feats AS (
+      |  SELECT doc_id, unnest(list_concat(ws,
+      |    CASE WHEN len(ws) > 1
+      |      THEN list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])
+      |      ELSE []::VARCHAR[] END)) AS f
+      |  FROM tok),
+      |w AS (SELECT doc_id,
+      |    (CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % 2001) - 1000 AS w
+      |  FROM feats),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_feat, SUM(w) AS w_sum
+      |        FROM w GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+      |  ROUND(1.0 / (1.0 + EXP(-(CAST(w_sum AS DOUBLE) / (1000.0 * n_feat)))), 9) AS score,
+      |  CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Training-shard writer manifest: a deterministic md5-order global
+    * shuffle assigns every doc a shard (h mod 8), a position, and the
+    * byte offset where its text lands in that shard's file — the
+    * planning table for packing a curated corpus into N shard files.
+    * Scale shape: position/offset are DISTRIBUTED prefix sums — the
+    * 60-bit hash is uniform, so its top 5 bits give 32 fixed range
+    * buckets per shard; per-(shard, bucket) counts/byte totals roll
+    * into a 256-row broadcast offset table and the only windows run
+    * within (shard, bucket) — 256-way parallel, no single-partition
+    * exchange (the q_gini two-pass-rank machinery, minus the
+    * percentile pass the uniform hash makes unnecessary). */
+  private def corpusShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nShards = 8
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+      .withColumn("h",
+        conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("shard", $"h" % nShards)
+      .withColumn("b", shiftright($"h", 55))
+    val wOff = Window.partitionBy($"shard").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs.groupBy($"shard", $"b")
+      .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("bytes"))
+      .withColumn("pos_off", coalesce(sum($"cnt").over(wOff), lit(0L)))
+      .withColumn("byte_off", coalesce(sum($"bytes").over(wOff), lit(0L)))
+      .select($"shard", $"b", $"pos_off", $"byte_off")
+    val w = Window.partitionBy($"shard", $"b").orderBy($"h", $"doc_id")
+    docs.join(broadcast(offs), Seq("shard", "b"))
+      .withColumn("pos", row_number().over(w).cast("long") + $"pos_off")
+      .withColumn("byte_start", $"byte_off" + coalesce(
+        sum($"n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"shard", $"pos", $"byte_start")
+      .orderBy($"shard", $"pos")
+  }
+
+  // Bucket b = h >> 55 is a prefix of h, so (b, h) order == h order:
+  // the plain per-shard window below is value-identical to the
+  // bucketed two-pass form the Spark side runs.
+  private val corpusShardManifestSql =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, h % 8 AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_start
+      |FROM h ORDER BY shard, pos""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
+    "corpus_shard_manifest" -> QueryDef(corpusShardManifest, Some(corpusShardManifestSql)),
     "corpus_upsample" -> QueryDef(corpusUpsample, Some(corpusUpsampleSql)),
     "corpus_chunk" -> QueryDef(corpusChunk, Some(corpusChunkSql)),
     "text_contamination" -> QueryDef(textContamination, Some(textContaminationSql)),
