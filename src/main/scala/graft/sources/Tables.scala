@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed access to the test corpus (TESTDATA.md): one parquet per table.
   *
@@ -14,8 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Reads a table, normalizing any TIMESTAMP_NTZ column to TIMESTAMP.
+    * The generator emits parquet timestamp[us] without a timezone, which
+    * Spark 4 surfaces as TIMESTAMP_NTZ — a type unix_millis() rejects and
+    * that collects as LocalDateTime. The session tz is pinned to UTC, so
+    * the cast is value-preserving and epoch math agrees with DuckDB's
+    * naive-timestamp epoch_ms(). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+      .foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
@@ -32,9 +41,17 @@ object Tables {
     * epoch sign. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      case TimestampNTZType =>
+        // parquet timestamp[us] without tz → Spark TIMESTAMP_NTZ, which
+        // unix_millis() rejects and which collects as LocalDateTime. The
+        // session tz is pinned to UTC, so this cast is value-preserving and
+        // epoch math agrees with DuckDB's naive-timestamp epoch_ms().
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
