@@ -153,15 +153,19 @@ object Dedup {
     // Join on the 64-bit shingle hash, not the string: the self-join
     // moves/compares 8-byte keys instead of ~25-byte UTF8 strings.
     // (Counts differ from exact only on a 64-bit collision.)
-    // localCheckpoint: the shingle set feeds three consumers (both
-    // self-join sides + per-doc sizes); aliasing defeats Catalyst's
-    // exchange reuse, so without it the explode+distinct runs thrice.
-    val sh = tok
-      .select($"doc_id", explode(
-        expr(s"transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w))))")).as("s"))
-      .distinct()
+    // Per-doc dedup is IN-ROW (array_distinct): a doc's shingles are
+    // all born in its own row, so the shingle stream never pays a
+    // (doc_id, s) exchange, and |set| is a free in-row size() — no
+    // groupBy for the per-doc sizes either.
+    // localCheckpoint: the per-doc set feeds three consumers (both
+    // self-join sides + sizes); aliasing defeats Catalyst's exchange
+    // reuse, so without it the shingle kernel runs thrice.
+    val perDoc = tok
+      .select($"doc_id", expr(
+        s"array_distinct(transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w)))))").as("ss"))
       .localCheckpoint()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sh = perDoc.select($"doc_id", explode($"ss").as("s"))
+    val sz = perDoc.select($"doc_id", size($"ss").cast("long").as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -204,10 +208,14 @@ object Dedup {
     val tok = docs
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= w)
+    // Per-doc shingle dedup happens IN-ROW (array_distinct over the
+    // transform), not via explode+distinct(): every shingle of a doc is
+    // born in the doc's own row, so a within-row dedup is exact and the
+    // raw shingle stream never pays a (doc_id, s) exchange — at any
+    // scale that was the widest shuffle in the query.
     val sh = tok
-      .select($"doc_id", explode(
-        expr(s"transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w))))")).as("s"))
-      .distinct()
+      .select($"doc_id", explode(expr(
+        s"array_distinct(transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w)))))")).as("s"))
     // one df-ascending, hash-tiebroken order shared by every doc; the
     // per-doc sorted shingle array feeds the prefix explode AND both
     // verify sides — localCheckpoint so it computes once. df comes
@@ -278,12 +286,23 @@ object Dedup {
       .select($"doc_a", $"doc_b")
     // verify joins sized like the aggregation: the surviving pairs
     // pick up a ~45-element hash array per side, so per-task sort
-    // memory is what matters, not the session default
-    cand
-      .repartition(parts, $"doc_a")
-      .join(byRarity.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"n".as("na")), "doc_a")
-      .repartition(parts, $"doc_b")
-      .join(byRarity.select($"doc_id".as("doc_b"), $"hs".as("hb"), $"n".as("nb")), "doc_b")
+    // memory is what matters, not the session default. When the doc
+    // table itself is small (measured off the checkpointed byRarity —
+    // the count is free, it just sums cached partition sizes), ship it
+    // as a broadcast instead: both verify joins then run map-side with
+    // zero exchanges, which at bench scale halves the query's tail. The
+    // cutoff (~100k docs ≈ 40 MB of hash arrays) keeps the broadcast
+    // well under executor memory; a 100 TB corpus takes the
+    // repartitioned path unconditionally.
+    val aSide = byRarity.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"n".as("na"))
+    val bSide = byRarity.select($"doc_id".as("doc_b"), $"hs".as("hb"), $"n".as("nb"))
+    val verified =
+      if (byRarity.count() <= 100000L)
+        cand.join(broadcast(aSide), "doc_a").join(broadcast(bSide), "doc_b")
+      else
+        cand.repartition(parts, $"doc_a").join(aSide, "doc_a")
+          .repartition(parts, $"doc_b").join(bSide, "doc_b")
+    verified
       .withColumn("inter", size(array_intersect($"ha", $"hb")))
       .withColumn("jaccard",
         round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9))
