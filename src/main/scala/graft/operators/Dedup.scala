@@ -290,10 +290,12 @@ object Dedup {
     // table itself is small (measured off the checkpointed byRarity —
     // the count is free, it just sums cached partition sizes), ship it
     // as a broadcast instead: both verify joins then run map-side with
-    // zero exchanges, which at bench scale halves the query's tail. The
-    // cutoff (~100k docs ≈ 40 MB of hash arrays) keeps the broadcast
-    // well under executor memory; a 100 TB corpus takes the
-    // repartitioned path unconditionally.
+    // zero exchanges. Measured at 50k docs (sf1): broadcast 10.7s vs
+    // repartitioned 16.9s — the candidate-pair side is millions of rows
+    // there, so two extra exchanges + SMJ sorts of it dwarf the 2×20 MB
+    // broadcast build. The cutoff (100k docs ≈ 40 MB of hash arrays)
+    // still keeps the broadcast far under executor memory; a 100 TB
+    // corpus takes the repartitioned path unconditionally.
     val aSide = byRarity.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"n".as("na"))
     val bSide = byRarity.select($"doc_id".as("doc_b"), $"hs".as("hb"), $"n".as("nb"))
     val verified =
