@@ -79,6 +79,43 @@ object Kernels {
     (h << 4) | ((bytes(7) & 0xf0L) >> 4)
   }
 
+  /** Sparse per-doc hashed-unigram histogram (the DSIR feature map):
+    * split on ' ', md5Hash60(token) % nBuckets per non-empty token,
+    * count occurrences, emit only the occupied buckets as (b, c)
+    * structs. One text walk replaces explode(split) + a first-level
+    * hash aggregate — the row stream a scoring join sees is bounded by
+    * min(tokens, nBuckets) per doc instead of one row per token. */
+  def dsirBuckets(s: UTF8String, nBuckets: Int): ArrayData = {
+    val counts = new Array[Long](nBuckets)
+    val str = s.toString
+    val n = str.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        if (i > start)
+          counts((md5Hash60(str.substring(start, i)) % nBuckets).toInt) += 1L
+        start = i + 1
+      }
+      i += 1
+    }
+    var nz = 0
+    var k = 0
+    while (k < nBuckets) { if (counts(k) != 0L) nz += 1; k += 1 }
+    val rows = new Array[Any](nz)
+    var j = 0
+    k = 0
+    while (k < nBuckets) {
+      if (counts(k) != 0L) {
+        rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](k.toLong, counts(k)))
+        j += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Portable MinHash signature: one md5 per 3-word shingle, then the
     * linear permutation family v_j = (a_j·hi30 + b_j·lo30) mod 2^31-1
     * with 30-bit md5-derived coefficients — every term < 2^61, so the
@@ -536,6 +573,23 @@ object TextScanStats {
     StructField("bpe_tokens", LongType, nullable = false)))
 }
 
+/** Sparse hashed-unigram histogram as a native expression: one codegen
+  * call per document, array<struct<b,c>> of occupied buckets only. */
+case class DsirBuckets(child: Expression, nBuckets: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && nBuckets > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dsir_buckets expects (string, positive bucket count), got ${child.dataType.sql}, $nBuckets")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.dsirBuckets(v.asInstanceOf[UTF8String], nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.dsirBuckets($c, $nBuckets)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API facade for the native expressions (Spark 4 classic:
   * Column ↔ catalyst Expression via ExpressionUtils). */
 object Fns {
@@ -552,6 +606,8 @@ object Fns {
   def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
     column(BoundedLevenshtein(expression(a), expression(b), maxDist))
   def text_scan(c: Column): Column = column(TextScanStats(expression(c)))
+  def dsir_buckets(c: Column, nBuckets: Int = 1024): Column =
+    column(DsirBuckets(expression(c), nBuckets))
 
   /** Make the native expressions available from SQL:
     * `SELECT cosine_sim(a, b), simhash64(text) ...`. */
@@ -574,6 +630,11 @@ object Fns {
     })
     registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
     registerFunction(spark, "text_scan", es => TextScanStats(es.head))
+    registerFunction(spark, "dsir_buckets", {
+      case Seq(c) => DsirBuckets(c, 1024)
+      case Seq(c, n) => DsirBuckets(c, intArg(n, "nBuckets"))
+      case es => throw new IllegalArgumentException(s"dsir_buckets takes 1-2 args, got ${es.length}")
+    })
     registerFunction(spark, "simhash_md5", es => SimHashMd5(es.head))
     registerFunction(spark, "lsh_bucket", {
       case Seq(c) => LshBucket(c, 16)

@@ -172,17 +172,17 @@ object Stats {
   private def corpusDsir(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    // Pre-aggregate once to per-(doc, bucket) token counts — ≤1024 rows
-    // per doc vs one row per token — and materialize; both the bucket
-    // totals and the scoring join read this table, so the corpus is
-    // tokenized exactly once. At cluster scale the same table would be
+    // Per-(doc, bucket) token counts come from ONE native text walk
+    // (Fns.dsir_buckets: tokenize + md5-bucket + count inside codegen,
+    // sparse output) — no per-token row explosion, no first-level hash
+    // aggregate; the stream is bounded by min(tokens, 1024) rows per
+    // doc. Materialized because both the bucket totals and the scoring
+    // join read it; at cluster scale the same table would be
     // persisted/checkpointed to executor-local storage.
     val dt = docs
       .select($"doc_id", ($"lang" === "en").cast("long").as("is_t"),
-        explode(split($"text", " ")).as("w"))
-      .filter(length($"w") > 0)
-      .withColumn("b", hash60($"w") % 1024)
-      .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("c"))
+        explode(graft.functions.Fns.dsir_buckets($"text", 1024)).as("bc"))
+      .select($"doc_id", $"is_t", $"bc.b".as("b"), $"bc.c".as("c"))
       .localCheckpoint()
     val bk = dt.groupBy("b").agg(sum($"c").as("cb"), sum($"is_t" * $"c").as("tb"))
     val tot = bk.agg(sum($"cb").as("ct"), sum($"tb").as("tt"))

@@ -152,4 +152,28 @@ class KernelsPropertySpec extends AnyFunSuite {
     assert(e.getLong(0) == 0 && e.getLong(1) == 1 && e.getLong(2) == 0 &&
       e.getLong(3) == 0 && e.getLong(4) == 0 && e.getLong(5) == 0)
   }
+
+  test("dsirBuckets matches the definitional split + md5Hash60 histogram") {
+    def reference(s: String, n: Int): Map[Long, Long] =
+      s.split(" ", -1).filter(_.nonEmpty)
+        .groupBy(t => Kernels.md5Hash60(t) % n).map { case (b, ts) => b -> ts.length.toLong }
+    (1 to 100).foreach { _ =>
+      val s = doc(rnd.nextInt(60))
+      val n = Seq(16, 256, 1024)(rnd.nextInt(3))
+      val arr = Kernels.dsirBuckets(u8(s), n)
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2); r.getLong(0) -> r.getLong(1)
+      }.toMap
+      assert(got == reference(s, n), s"histogram of '$s' at $n buckets")
+      // sparse contract: occupied buckets only, ascending, in range
+      val bs = (0 until arr.numElements()).map(i => arr.getStruct(i, 2).getLong(0))
+      assert(bs == bs.sorted && bs.forall(b => b >= 0 && b < n))
+      assert((0 until arr.numElements()).forall(i => arr.getStruct(i, 2).getLong(1) > 0))
+    }
+    // degenerate inputs: empty text and multi-space runs
+    assert(Kernels.dsirBuckets(u8(""), 64).numElements() == 0)
+    assert(Kernels.dsirBuckets(u8("   "), 64).numElements() == 0)
+    val one = Kernels.dsirBuckets(u8("  x  x "), 64)
+    assert(one.numElements() == 1 && one.getStruct(0, 2).getLong(1) == 2)
+  }
 }
