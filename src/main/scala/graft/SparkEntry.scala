@@ -21,7 +21,8 @@ object SparkEntry {
     TextAnalysis.defs,
     Retrieval.defs,
     Multimodal.defs,
-    Stats.defs
+    Stats.defs,
+    Quality.defs
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

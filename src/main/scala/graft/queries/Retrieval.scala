@@ -179,6 +179,83 @@ object Retrieval {
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // text_kn_perplexity — interpolated Kneser-Ney bigram LM scoring
+  // ---------------------------------------------------------------
+
+  /** Per-document mean bigram log-probability under an interpolated
+    * Kneser-Ney bigram LM (absolute discount d = 0.75) trained on the
+    * corpus itself — the standard LM quality filter, one smoothing
+    * class up from `text_perplexity`'s add-one:
+    *
+    *   p(w2|w1) = (c(w1,w2) − d)/cL(w1)
+    *            + d·N1+(w1,•)/cL(w1) · N1+(•,w2)/B
+    *
+    * where cL(w1) = Σ_w2 c(w1,w2), N1+(w1,•)/N1+(•,w2) are distinct
+    * continuation/context counts and B = distinct bigram types. Every
+    * scored bigram is observed (self-scoring), so the discounted term
+    * never clips at zero.
+    *
+    * Scale shape: ALL model statistics derive from the single bigram
+    * count table `c2` (localCheckpoint'd — it feeds the score join
+    * plus three re-aggregations; aliasing would otherwise defeat
+    * exchange reuse): left stats (cL, N1+fwd) are one groupBy(w1) over
+    * c2, context counts one groupBy(w2), B one 1-row count — nothing
+    * re-reads the corpus. Model joins carry NO broadcast hint (the
+    * count tables are vocabulary-sized at 100 TB; AQE broadcasts only
+    * when the measured side is small). Per-bigram LN nano-quantized
+    * before the mean, same caveat as text_perplexity. */
+  private def textKnPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 0.75
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val left = c2.groupBy($"w1")
+      .agg(sum($"c2").as("cl"), count(lit(1)).as("nfwd"))
+    val right = c2.groupBy($"w2").agg(count(lit(1)).as("nbwd"))
+    val btot = c2.agg(count(lit(1)).as("btot"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(btot))
+      .withColumn("nano",
+        round(log(($"c2" - lit(d)) / $"cl"
+          + (lit(d) * $"nfwd" * $"nbwd") / ($"cl".cast("double") * $"btot")) * lit(1e9))
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"nano").as("nano_sum"))
+      .select($"doc_id", $"n_bigrams",
+        round($"nano_sum".cast("double") / ($"n_bigrams" * lit(1e9)), 9).as("avg_logp"))
+      .orderBy($"doc_id")
+  }
+
+  private val textKnPerplexitySql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM tok WHERE len(ws) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |lft AS (SELECT w1, SUM(c2) AS cl, COUNT(*) AS nfwd FROM c2 GROUP BY w1),
+      |rgt AS (SELECT w2, COUNT(*) AS nbwd FROM c2 GROUP BY w2),
+      |bt AS (SELECT COUNT(*) AS btot FROM c2),
+      |sc AS (
+      |  SELECT doc_id,
+      |    ROUND(LN((c2 - 0.75) / cl
+      |      + (0.75 * nfwd * nbwd) / (CAST(cl AS DOUBLE) * btot)) * 1e9) AS nano
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN lft USING (w1) JOIN rgt USING (w2)
+      |    CROSS JOIN bt)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(nano) AS DOUBLE) / (COUNT(*) * 1e9), 9) AS avg_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // text_cms_topk — count-min sketch estimates vs exact counts
   // ---------------------------------------------------------------
 
@@ -289,6 +366,7 @@ object Retrieval {
   val defs: Map[String, QueryDef] = Map(
     "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql), bench = true),
     "text_perplexity" -> QueryDef(textPerplexity, Some(textPerplexitySql)),
+    "text_kn_perplexity" -> QueryDef(textKnPerplexity, Some(textKnPerplexitySql)),
     "text_cms_topk" -> QueryDef(textCmsTopk, Some(textCmsTopkSql)),
     "corpus_decontam" -> QueryDef(corpusDecontam, Some(corpusDecontamSql))
   )

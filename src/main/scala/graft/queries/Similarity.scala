@@ -215,6 +215,71 @@ object Similarity {
        |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  /** Recall@5 of the hyperplane-LSH tier against exact brute force —
+    * closes the acceptance-gate set (IVF has `ann_recall`, binary
+    * quantization has `ann_bq_recall`). Single-bucket LSH can return
+    * FEWER than 5 candidates for a probe, so per-query recall here
+    * also measures bucket starvation, not just ranking error. */
+  private def annRecallLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bf = Sim.bruteForce(s, Tables.embeddings(s, dir), probes(s, dir), k = 5)
+      .select($"query_id", $"neighbor_id")
+    val lsh = annLsh(s, dir).select($"query_id".as("lq"), $"neighbor_id".as("ln_"))
+    bf.join(lsh, $"query_id" === $"lq" && $"neighbor_id" === $"ln_", "left")
+      .groupBy($"query_id")
+      .agg(count($"lq").as("n_hit"))
+      .select($"query_id", $"n_hit",
+        round($"n_hit".cast("double") / 5.0, 9).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  // Composes the brute-force and LSH oracles (CTEs renamed apart).
+  private val annRecallLshSql =
+    s"""WITH q1 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc1 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q1 JOIN embeddings e ON e.vec_id <> q1.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc1) x WHERE rk <= 5),
+       |coefs AS (
+       |  SELECT p, i,
+       |    (CAST('0x' || substring(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15) AS BIGINT)
+       |      % 2000001) - 1000000 AS coef
+       |  FROM (SELECT unnest(range(0, 8)) AS p) a
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b),
+       |vecs AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |    unnest(range(0, len(embedding))) AS i FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p, SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) * coef) AS dot
+       |  FROM vecs JOIN coefs USING (i) GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |wb AS (SELECT e.vec_id, e.embedding, b.bucket
+       |       FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+       |q2 AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM wb WHERE vec_id < 10),
+       |sc2 AS (
+       |  SELECT query_id, wb.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "wb.embedding")}, 9) AS cos_sim
+       |  FROM q2 JOIN wb USING (bucket) WHERE wb.vec_id <> q2.query_id),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc2) x WHERE rk <= 5)
+       |SELECT bf.query_id, CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / 5.0, 9) AS recall
+       |FROM bf LEFT JOIN lsh
+       |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
   /** PQ asymmetric-distance search (Jégou et al. 2011 ADC): queries
     * build a tiny per-subspace lookup table against the codebook
     * (10×8×4 ints, broadcast), candidates are ranked by the sum of
@@ -864,6 +929,7 @@ object Similarity {
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
     "ann_ivf_trained" -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
     "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
+    "ann_recall_lsh" -> QueryDef(annRecallLsh, Some(annRecallLshSql)),
     "ann_pq_adc" -> QueryDef(annPqAdc, Some(annPqAdcSql))
   )
 }

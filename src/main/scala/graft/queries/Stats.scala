@@ -1422,7 +1422,46 @@ object Stats {
       |WHERE carry_in + GREATEST(COALESCE(peak_in_hr, 0), 0) > 0
       |ORDER BY hour_bucket""".stripMargin
 
+  /** Period-over-period mover detection: per-part discounted revenue
+    * before vs after a boundary date, top-20 absolute swings — the
+    * "what changed this quarter" audit. One conditional aggregate over
+    * one lineitem scan (exact integer 1e-4-dollar units, map-side
+    * combinable) + TakeOrdered on the |delta| — no window, no second
+    * pass, no global sort. */
+  private def qMovers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import QueryDef.{cents, pct}
+    val rev = cents($"l_extendedprice") * (lit(100L) - pct($"l_discount"))
+    Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(
+        sum(when($"l_shipdate" < "1998-07-01", rev).otherwise(0L)).as("rb"),
+        sum(when($"l_shipdate" >= "1998-07-01", rev).otherwise(0L)).as("ra"))
+      .orderBy(abs($"ra" - $"rb").desc, $"l_partkey")
+      .limit(20)
+      .select($"l_partkey",
+        ($"rb".cast("double") / 10000.0).as("revenue_before"),
+        ($"ra".cast("double") / 10000.0).as("revenue_after"),
+        (($"ra" - $"rb").cast("double") / 10000.0).as("delta"))
+  }
+
+  private val qMoversSql =
+    """WITH a AS (SELECT l_partkey,
+      |  SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+      |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |         * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) ELSE 0 END) AS rb,
+      |  SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+      |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |         * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) ELSE 0 END) AS ra
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey,
+      |  CAST(rb AS DOUBLE)/10000.0 AS revenue_before,
+      |  CAST(ra AS DOUBLE)/10000.0 AS revenue_after,
+      |  CAST(ra - rb AS DOUBLE)/10000.0 AS delta
+      |FROM a ORDER BY ABS(ra - rb) DESC, l_partkey LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_movers" -> QueryDef(qMovers, Some(qMoversSql)),
     "q_sessions_concurrency" ->
       QueryDef(qSessionsConcurrency, Some(qSessionsConcurrencySql)),
     "q_user_growth" -> QueryDef(qUserGrowth, Some(qUserGrowthSql)),
