@@ -161,6 +161,75 @@ object Quality {
       |FROM u ORDER BY relation""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_psi_drift — population-stability-index drift monitor
+  // ---------------------------------------------------------------
+
+  /** PSI drift monitor between a baseline and a current period — the
+    * standard "did the feature distribution move" production check
+    * (PSI > 0.2 ⇒ drifted). Two monitored features (event_type
+    * categorical, value in fixed 50-unit bins) histogrammed from ONE
+    * events scan (in-row feature array + explode), Laplace-smoothed
+    * proportions pᵢ = (cᵢ+1)/(N+K) so no bucket is ever zero.
+    *
+    * Scale shape: the only corpus-wide shuffle carries
+    * (feature, bucket) keys — bucket-cardinality rows per task after
+    * map-side combine; per-feature totals re-aggregate the tiny bucket
+    * table. Per-bucket PSI terms are nano-quantized before the sum;
+    * the drift verdict compares the EXACT integer nano sum. */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = "2024-01-16"
+    val feats = Tables.events(s, dir)
+      .select(($"ts" >= cut).as("cur"), array(
+        struct(lit("event_type").as("feature"), $"event_type".as("bucket")),
+        struct(lit("value_bin").as("feature"),
+          least(floor($"value" / 50.0).cast("long"), lit(9L))
+            .cast("string").as("bucket"))).as("fs"))
+      .select($"cur", explode($"fs").as("f"))
+      .select($"cur", $"f.feature".as("feature"), $"f.bucket".as("bucket"))
+    val counts = feats.groupBy($"feature", $"bucket")
+      .agg(sum(when(!$"cur", 1L).otherwise(0L)).as("c1"),
+        sum(when($"cur", 1L).otherwise(0L)).as("c2"))
+    val tot = counts.groupBy($"feature")
+      .agg(sum($"c1").as("n1"), sum($"c2").as("n2"), count(lit(1)).as("k"))
+    counts.join(tot, "feature")
+      .withColumn("p1", ($"c1" + lit(1.0)) / ($"n1" + $"k"))
+      .withColumn("p2", ($"c2" + lit(1.0)) / ($"n2" + $"k"))
+      .withColumn("nano",
+        round((($"p2" - $"p1") * log($"p2" / $"p1")) * lit(1e9)).cast("long"))
+      .groupBy($"feature")
+      .agg(count(lit(1)).as("n_buckets"), sum($"nano").as("nano_sum"))
+      .select($"feature", $"n_buckets",
+        round($"nano_sum".cast("double") / 1e9, 9).as("psi"),
+        ($"nano_sum" > lit(200000000L)).as("drifted"))
+      .orderBy($"feature")
+  }
+
+  private val qPsiDriftSql =
+    """WITH f AS (
+      |  SELECT ts >= TIMESTAMP '2024-01-16' AS cur,
+      |    'event_type' AS feature, event_type AS bucket FROM events
+      |  UNION ALL
+      |  SELECT ts >= TIMESTAMP '2024-01-16',
+      |    'value_bin', CAST(LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS VARCHAR)
+      |  FROM events),
+      |c AS (SELECT feature, bucket,
+      |    SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS c2
+      |  FROM f GROUP BY 1, 2),
+      |t AS (SELECT feature, SUM(c1) AS n1, SUM(c2) AS n2, COUNT(*) AS k
+      |  FROM c GROUP BY 1),
+      |sc AS (SELECT c.feature,
+      |    (c1 + 1.0) / (n1 + k) AS p1, (c2 + 1.0) / (n2 + k) AS p2
+      |  FROM c JOIN t ON c.feature = t.feature),
+      |n AS (SELECT feature, COUNT(*) AS n_buckets,
+      |    SUM(CAST(ROUND(((p2 - p1) * LN(p2 / p1)) * 1e9) AS BIGINT)) AS nano_sum
+      |  FROM sc GROUP BY 1)
+      |SELECT feature, n_buckets, ROUND(CAST(nano_sum AS DOUBLE) / 1e9, 9) AS psi,
+      |  nano_sum > 200000000 AS drifted
+      |FROM n ORDER BY feature""".stripMargin
+
+  // ---------------------------------------------------------------
   // corpus_split_leakage — n-gram leakage across the train/test split
   // ---------------------------------------------------------------
 
@@ -283,8 +352,9 @@ object Quality {
     "q_dq_rules" -> QueryDef(qDqRules, Some(qDqRulesSql)),
     "q_referential_integrity" ->
       QueryDef(qReferentialIntegrity, Some(qReferentialIntegritySql)),
+    "q_psi_drift" -> QueryDef(qPsiDrift, Some(qPsiDriftSql)),
     "corpus_split_leakage" ->
       QueryDef(corpusSplitLeakage, Some(corpusSplitLeakageSql)),
-    "emb_pca" -> QueryDef(embPca, Some(embPcaSql))
+    "emb_pca" -> QueryDef(embPca, Some(embPcaSql), bench = true)
   )
 }

@@ -366,7 +366,7 @@ object Retrieval {
   val defs: Map[String, QueryDef] = Map(
     "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql), bench = true),
     "text_perplexity" -> QueryDef(textPerplexity, Some(textPerplexitySql)),
-    "text_kn_perplexity" -> QueryDef(textKnPerplexity, Some(textKnPerplexitySql)),
+    "text_kn_perplexity" -> QueryDef(textKnPerplexity, Some(textKnPerplexitySql), bench = true),
     "text_cms_topk" -> QueryDef(textCmsTopk, Some(textCmsTopkSql)),
     "corpus_decontam" -> QueryDef(corpusDecontam, Some(corpusDecontamSql))
   )
