@@ -346,6 +346,24 @@ object Kernels {
     bucket
   }
 
+  /** Intersection size of two long arrays sorted ascending (any
+    * SHARED total order works — only consistency between the two
+    * arrays matters): one two-pointer merge walk, zero allocation.
+    * This is the Jaccard verify kernel: `array_intersect` builds an
+    * OpenHashSet PER ROW, and on a billion-pair candidate stream that
+    * allocation + rehash dominates the whole stage. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = cosine(a, b, true, true)
 
   /** aFloat/bFloat: element width of each array (float32 vs float64). */
@@ -441,6 +459,29 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.Kernels.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)});")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Intersection size of two ascending-sorted long arrays — the
+  * zero-allocation two-pointer Jaccard verify kernel (see
+  * Kernels.sortedIntersectCount). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects array<bigint> args, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.sortedIntersectCount($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -595,6 +636,8 @@ case class DsirBuckets(child: Expression, nBuckets: Int) extends UnaryExpression
 object Fns {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def cosine_sim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def minhash_sig(c: Column, numPerms: Int = 128, shingleW: Int = 3): Column =
     column(MinHashSig(expression(c), numPerms, shingleW))
@@ -621,6 +664,8 @@ object Fns {
         s"$what must be an integer literal, got $other")
     }
     registerFunction(spark, "cosine_sim", es => CosineSim(es(0), es(1)))
+    registerFunction(spark, "sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)))
     registerFunction(spark, "simhash64", es => SimHash64(es.head))
     registerFunction(spark, "minhash_sig", {
       case Seq(c) => MinHashSig(c, 128, 3)

@@ -15,6 +15,13 @@ import graft.functions.Fns
   */
 object Dedup {
 
+  /** Doc-count cutoff for the Jaccard verify-broadcast path (~40 MB of
+    * hash arrays). Above it both the verify joins AND the candidate
+    * self-join are pinned to shuffled-hash strategies — the
+    * checkpointed inputs carry inherited (often tiny) size estimates,
+    * so leaving the choice to stats can broadcast corpus-sized sides. */
+  private val BroadcastVerifyMaxDocs = 100000L
+
   /** Exact dedup: first (lowest doc_id) survivor per distinct text.
     * Pre-hashing with xxhash64 keeps the shuffle narrow; the full text
     * comparison within a hash group guards against collisions.
@@ -227,8 +234,16 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(array_sort(collect_list(struct($"df", $"s"))).as("oss"))
       .select($"doc_id", expr("transform(oss, x -> x.s)").as("hs"),
+        // numerically-sorted copy for the verify kernel: the verify
+        // intersect is a two-pointer merge (sorted_intersect_count),
+        // which needs a shared ascending order — the df order of hs
+        // serves the prefix, this one serves verify
+        expr("array_sort(transform(oss, x -> x.s))").as("hv"),
         size($"oss").as("n"))
       .localCheckpoint()
+    // free off the checkpoint (sums cached partition sizes); drives
+    // both the verify-broadcast cutoff and the join-strategy pin below
+    val nDocs = byRarity.count()
     val pre = byRarity.select($"doc_id", $"n",
       posexplode(slice($"hs", lit(1),
         ($"n" - ceil($"n" * tau) + 1).cast("int"))))
@@ -271,8 +286,19 @@ object Dedup {
       .agg(coalesce(sum($"cnt" * $"cnt"), lit(0L))).head.getLong(0)
     val parts = math.max(spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, estRows / 5000000L).toInt)
-    val cand = pre.as("a")
-      .join(pre.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+    // Past the broadcast cutoff, PIN shuffled joins. The checkpointed
+    // byRarity is a LogicalRDD whose inherited size estimate can fall
+    // under the broadcast threshold, and with no shuffle stage in
+    // front AQE never gets to re-plan — at sf10 the planner chose to
+    // BROADCAST the 5M-row prefix side and both 200 MB verify array
+    // sides, turning the 288s query into a >25-minute one. The hint
+    // makes the strategy explicit instead of stats-dependent:
+    // shuffle-hash (not merge) because the pair stream should never
+    // be sorted, and per-partition builds are small once hashed.
+    val big = nDocs > BroadcastVerifyMaxDocs
+    val preJ = if (big) pre.hint("shuffle_hash") else pre
+    val cand = preJ.as("a")
+      .join(preJ.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
         $"b.n" >= $"a.n" * tau - eps && $"a.n" >= $"b.n" * tau - eps &&
         overlapUb.cast("double") * (1.0 + tau) >= ($"a.n" + $"b.n") * tau - eps)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -296,16 +322,18 @@ object Dedup {
     // broadcast build. The cutoff (100k docs ≈ 40 MB of hash arrays)
     // still keeps the broadcast far under executor memory; a 100 TB
     // corpus takes the repartitioned path unconditionally.
-    val aSide = byRarity.select($"doc_id".as("doc_a"), $"hs".as("ha"), $"n".as("na"))
-    val bSide = byRarity.select($"doc_id".as("doc_b"), $"hs".as("hb"), $"n".as("nb"))
+    val aSide = byRarity.select($"doc_id".as("doc_a"), $"hv".as("ha"), $"n".as("na"))
+    val bSide = byRarity.select($"doc_id".as("doc_b"), $"hv".as("hb"), $"n".as("nb"))
     val verified =
-      if (byRarity.count() <= 100000L)
+      if (!big)
         cand.join(broadcast(aSide), "doc_a").join(broadcast(bSide), "doc_b")
       else
-        cand.repartition(parts, $"doc_a").join(aSide, "doc_a")
-          .repartition(parts, $"doc_b").join(bSide, "doc_b")
+        cand.repartition(parts, $"doc_a")
+          .join(aSide.hint("shuffle_hash"), "doc_a")
+          .repartition(parts, $"doc_b")
+          .join(bSide.hint("shuffle_hash"), "doc_b")
     verified
-      .withColumn("inter", size(array_intersect($"ha", $"hb")))
+      .withColumn("inter", graft.functions.Fns.sorted_intersect_count($"ha", $"hb"))
       .withColumn("jaccard",
         round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9))
       .filter($"jaccard" >= tau)

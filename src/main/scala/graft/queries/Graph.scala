@@ -169,7 +169,84 @@ object Graph {
        |JOIN nation ON nodes.id = n_nationkey
        |ORDER BY hops, nation""".stripMargin
 
+  /** k-core decomposition (k = 3) of the part co-purchase graph — the
+    * third iterative shape next to PageRank (fixed iterations) and BFS
+    * (monotone frontier growth): monotone SET SHRINKAGE peeled to
+    * fixpoint. Each round keeps vertices with ≥ k surviving neighbors;
+    * the survivor set only shrinks, so count-stability ⇒ set-stability
+    * and one bounded scalar count per round is the convergence check
+    * (graph_bfs precedent). Edges are localCheckpoint'd once and each
+    * round's survivor set is checkpointed (truncated lineage); a round
+    * is one join-degree-filter pass — one shuffle on the vertex key.
+    * The oracle replays the SAME round semantics as a recursive CTE
+    * run to the shared 60-round cap: survivors re-assert each round,
+    * so the round-60 row set IS the fixpoint whenever peeling
+    * converges earlier — Spark's early stop and the oracle's full
+    * unroll agree by construction. */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 3
+    val maxRounds = 60
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    val ed = pairs.select($"pa".as("a"), $"pb".as("b"))
+      .unionAll(pairs.select($"pb".as("a"), $"pa".as("b")))
+      .localCheckpoint()
+    var surv = ed.select($"a".as("v")).distinct().localCheckpoint()
+    var prev = surv.count()
+    var rounds = 0
+    var converged = prev == 0L
+    while (!converged && rounds < maxRounds) {
+      val next = ed
+        .join(surv.select($"v".as("va")), $"a" === $"va")
+        .join(surv.select($"v".as("vb")), $"b" === $"vb")
+        .groupBy($"a").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+        .select($"a".as("v"))
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == prev
+      prev = n
+      surv = next
+      rounds += 1
+    }
+    ed.join(surv.select($"v".as("va")), $"a" === $"va")
+      .join(surv.select($"v".as("vb")), $"b" === $"vb")
+      .groupBy($"a".as("part_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy($"part_id")
+  }
+
+  private val qKcoreSql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+      |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |ed AS (SELECT pa AS a, pb AS b FROM pairs
+      |       UNION ALL SELECT pb, pa FROM pairs),
+      |surv(r, v) AS (
+      |  SELECT 0, a FROM (SELECT DISTINCT a FROM ed) t
+      |  UNION ALL
+      |  SELECT sa.r + 1, ed.a
+      |  FROM ed JOIN surv sa ON ed.a = sa.v
+      |          JOIN surv sb ON ed.b = sb.v AND sb.r = sa.r
+      |  WHERE sa.r < 60
+      |  GROUP BY sa.r, ed.a
+      |  HAVING COUNT(*) >= 3),
+      |core AS (SELECT v FROM surv WHERE r = 60)
+      |SELECT ed.a AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+      |FROM ed JOIN core ca ON ed.a = ca.v JOIN core cb ON ed.b = cb.v
+      |GROUP BY ed.a ORDER BY part_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_kcore" -> QueryDef(qKcore, Some(qKcoreSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql))
   )

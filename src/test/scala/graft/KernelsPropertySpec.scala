@@ -23,6 +23,21 @@ class KernelsPropertySpec extends AnyFunSuite {
     sa.zip(sb).count { case (x, y) => x == y } / 128.0
   }
 
+  test("sortedIntersectCount == set intersection size on sorted distinct arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextLong() % 1000).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextLong() % 1000).distinct.sorted
+      val got = Kernels.sortedIntersectCount(
+        ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(b.toArray))
+      assert(got == a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+    // empty edges
+    assert(Kernels.sortedIntersectCount(
+      ArrayData.toArrayData(Array.empty[Long]),
+      ArrayData.toArrayData(Array(1L, 2L))) == 0)
+  }
+
   test("boundedLevenshtein == exact levenshtein when within bound, sentinel above") {
     def mutate(s: String, edits: Int): String = {
       var cs = s.toVector
