@@ -245,9 +245,89 @@ object Graph {
       |FROM ed JOIN core ca ON ed.a = ca.v JOIN core cb ON ed.b = cb.v
       |GROUP BY ed.a ORDER BY part_id""".stripMargin
 
+  /** Weighted single-source shortest paths (Bellman–Ford to fixpoint)
+    * from nation 0 over the trade graph — the fourth iterative shape:
+    * monotone VALUE relaxation (BFS is its unit-weight special case).
+    * Edge weight = MIN(l_quantity) over the lines behind the edge —
+    * small exact integers, so every engine reproduces the distances
+    * bit-identically.
+    *
+    * Iterates until a round relaxes nothing (scalar count check, the
+    * graph_bfs pattern), hard-bounded by |V|−1 — Bellman–Ford's own
+    * bound, so the fixpoint IS the true shortest distance (weights are
+    * positive; no negative cycles possible). The oracle enumerates all
+    * path sums of ≤ 24 edges with a recursive CTE (25 nations ⇒ a
+    * shortest path has ≤ 24 edges; sums ≤ 24·50 keep the recursion's
+    * distinct-(id,d,h) state bounded) and takes the per-node MIN.
+    *
+    * Scale shape: per round one join edges⋈dist keyed by src + a
+    * min-aggregate keyed by dst — dist is node-sized so at cluster
+    * scale it broadcasts into the edge scan; localCheckpoint truncates
+    * per-round lineage (pagerank/BFS precedent). */
+  private def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey", $"l_quantity")
+    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val c = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    val edges = l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(min($"l_quantity".cast("long")).as("w"))
+      .localCheckpoint()
+    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
+    val maxIters = nodes.count() - 1 // Bellman–Ford round bound: |V|−1
+    val Inf = 1000000000L
+    var dist = nodes.select($"id",
+      when($"id" === 0, 0L).otherwise(Inf).as("d")).localCheckpoint()
+    var changed = 1L
+    var iter = 0L
+    while (changed > 0 && iter < maxIters) {
+      val relaxed = edges
+        .join(dist.select($"id".as("src"), $"d"), "src")
+        .groupBy($"dst").agg(min($"d" + $"w").as("dr"))
+      val next = dist.join(relaxed, $"id" === $"dst", "left")
+        .select($"id", least($"d", coalesce($"dr", lit(Inf))).as("d"), $"d".as("old"))
+        .localCheckpoint()
+      changed = next.filter($"d" =!= $"old").count()
+      dist = next.select($"id", $"d")
+      iter += 1
+    }
+    dist.join(broadcast(Tables.nation(s, dir)), $"id" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        when($"d" >= Inf, -1L).otherwise($"d").as("dist"))
+      .orderBy($"dist", $"nation")
+  }
+
+  private val graphSsspSql: String =
+    """WITH RECURSIVE wedges AS (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst,
+      |    MIN(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT n_nationkey AS id FROM nation),
+      |reach(id, d, h) AS (
+      |  SELECT 0, CAST(0 AS BIGINT), 0
+      |  UNION
+      |  SELECT e.dst, r.d + e.w, r.h + 1
+      |  FROM reach r JOIN wedges e ON e.src = r.id
+      |  WHERE r.h < 24 AND r.d + e.w <= 1200),
+      |best AS (SELECT id, MIN(d) AS d FROM reach GROUP BY id)
+      |SELECT n_name AS nation, CAST(COALESCE(b.d, -1) AS BIGINT) AS dist
+      |FROM nodes LEFT JOIN best b ON nodes.id = b.id
+      |JOIN nation ON nodes.id = n_nationkey
+      |ORDER BY dist, nation""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_kcore" -> QueryDef(qKcore, Some(qKcoreSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
-    "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql))
+    "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql)),
+    "graph_sssp" -> QueryDef(graphSssp, Some(graphSsspSql))
   )
 }

@@ -265,7 +265,57 @@ object OperatorShowcase {
       |FROM (SELECT * FROM zl UNION ALL SELECT * FROM nl) u
       |ORDER BY layout""".stripMargin
 
+  /** KMV (bottom-k) distinct-count sketch next to the exact count —
+    * the mergeable-sketch alternative to COUNT(DISTINCT) whose shuffle
+    * is one ≤k-long array per (task, group) instead of one row per
+    * distinct value. Unlike HLL the sketch state is an exact function
+    * of the hash values, so DuckDB replays it verbatim ("the 64
+    * smallest distinct hashes per group") and the estimate — Beyer et
+    * al. 2007's (k−1)·2⁶⁰/h₍ₖ₎, integer division — hash-matches
+    * bit-for-bit. Groups under k distinct values report exactly. */
+  private def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    Tables.events(s, dir)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy($"event_type")
+      .agg(kmv($"h").as("sk"), countDistinct($"h").as("n_exact"))
+      .select($"event_type", $"n_exact",
+        when(size($"sk") < k, size($"sk").cast("long"))
+          .otherwise(expr(s"(CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            s"CAST(1152921504606846976 AS DECIMAL(38,0))) div element_at(sk, $k)"))
+          .as("n_est"))
+      .select($"event_type", $"n_exact", $"n_est",
+        round(abs($"n_est" - $"n_exact").cast("double") / $"n_exact", 9)
+          .as("rel_err"))
+      .orderBy($"event_type")
+  }
+
+  private val qKmvDistinctSql =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM h),
+      |s AS (SELECT event_type, MIN(nd) AS n_exact,
+      |    COUNT(CASE WHEN rn <= 64 THEN 1 END) AS n_kept,
+      |    MAX(CASE WHEN rn = 64 THEN h END) AS h64
+      |  FROM r GROUP BY event_type),
+      |e AS (SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+      |    CAST(CASE WHEN n_kept < 64 THEN n_kept
+      |      ELSE (63::HUGEINT * (1::HUGEINT << 60)) // h64 END AS BIGINT) AS n_est
+      |  FROM s)
+      |SELECT event_type, n_exact, n_est,
+      |  ROUND(CAST(ABS(n_est - n_exact) AS DOUBLE) / n_exact, 9) AS rel_err
+      |FROM e ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_kmv_distinct" -> QueryDef(qKmvDistinct, Some(qKmvDistinctSql)),
     "q_zorder" -> QueryDef(qZorder, Some(qZorderSql)),
     "q_zorder_pruning" -> QueryDef(qZorderPruning, Some(qZorderPruningSql)),
     "q_skyline" -> QueryDef(qSkyline, Some(qSkylineSql)),

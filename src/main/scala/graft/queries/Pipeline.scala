@@ -947,7 +947,75 @@ object Pipeline {
       |UNION ALL SELECT 'value', n_rows, nn_v, nd_v, mn_v, mx_v FROM a
       |ORDER BY col_name""".stripMargin
 
+  /** Point-in-time (leakage-safe) feature enrichment — the feature-
+    * store primitive: each purchase (label row) carries the latest
+    * at-or-before feature row per stream (views, clicks) for its user.
+    * Two chained AsOf joins — each ONE shuffle + ONE sort on user_id
+    * regardless of fan-in (`operators/AsOf.scala`), never a
+    * per-label correlated scan — then node-sized equi-joins attach the
+    * matched rows' values. Feature ages are exact millis.
+    *
+    * Oracle replays the operator's union-window trick verbatim
+    * (right side sorts before the label on ts ties ⇒ at-or-before
+    * inclusive; ties broken by largest event_id). */
+  private def qFeatureStorePit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def stream(t: String) = ev.filter($"event_type" === t)
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val labels = stream("purchase")
+    val views = stream("view")
+    val clicks = stream("click")
+    val withView = graft.operators.AsOf.join(
+        labels, views, key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightId = "event_id", matchCol = "view_eid")
+      .join(views.select($"event_id".as("view_eid"), $"ts".as("view_ts"),
+        $"value".as("view_value")), Seq("view_eid"), "left")
+    graft.operators.AsOf.join(
+        withView, clicks, key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightId = "event_id", matchCol = "click_eid")
+      .join(clicks.select($"event_id".as("click_eid"), $"ts".as("click_ts"),
+        $"value".as("click_value")), Seq("click_eid"), "left")
+      .select($"event_id", $"user_id",
+        QueryDef.dbl(QueryDef.dec($"value")).as("label_value"),
+        QueryDef.dbl(QueryDef.dec($"view_value")).as("f_view_value"),
+        (unix_millis($"ts") - unix_millis($"view_ts")).as("f_view_age_ms"),
+        QueryDef.dbl(QueryDef.dec($"click_value")).as("f_click_value"),
+        (unix_millis($"ts") - unix_millis($"click_ts")).as("f_click_age_ms"))
+      .orderBy($"event_id")
+  }
+
+  private def pitCte(t: String, p: String) =
+    s"""${p}u AS (
+       |  SELECT user_id, ts, 0 AS side, event_id AS rid, NULL::BIGINT AS label_eid
+       |  FROM events WHERE event_type = '$t'
+       |  UNION ALL
+       |  SELECT user_id, ts, 1, NULL, event_id FROM events WHERE event_type = 'purchase'),
+       |${p}m AS (
+       |  SELECT label_eid,
+       |    LAST_VALUE(rid IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY ts, side, rid ROWS UNBOUNDED PRECEDING) AS ${p}_eid
+       |  FROM ${p}u QUALIFY side = 1)""".stripMargin
+
+  private val qFeatureStorePitSql =
+    s"""WITH ${pitCte("view", "v")},
+       |${pitCte("click", "c")}
+       |SELECT l.event_id, l.user_id,
+       |  CAST(CAST(l.value AS DECIMAL(18,2)) AS DOUBLE) AS label_value,
+       |  CAST(CAST(fv.value AS DECIMAL(18,2)) AS DOUBLE) AS f_view_value,
+       |  epoch_ms(l.ts) - epoch_ms(fv.ts) AS f_view_age_ms,
+       |  CAST(CAST(fc.value AS DECIMAL(18,2)) AS DOUBLE) AS f_click_value,
+       |  epoch_ms(l.ts) - epoch_ms(fc.ts) AS f_click_age_ms
+       |FROM events l
+       |JOIN vm ON vm.label_eid = l.event_id
+       |JOIN cm ON cm.label_eid = l.event_id
+       |LEFT JOIN events fv ON fv.event_id = vm.v_eid
+       |LEFT JOIN events fc ON fc.event_id = cm.c_eid
+       |WHERE l.event_type = 'purchase'
+       |ORDER BY l.event_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_feature_store_pit" -> QueryDef(qFeatureStorePit, Some(qFeatureStorePitSql)),
     "q_profile" -> QueryDef(qProfile, Some(qProfileSql)),
     "q_retention" -> QueryDef(qRetention, Some(qRetentionSql)),
     "sessionize_streaming_replay" ->

@@ -915,7 +915,64 @@ object Similarity {
        |JOIN hp ON hp.query_id = q.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  /** Corpus→corpus k-NN graph (+ mutual-kNN flag) — the candidate
+    * primitive under semantic clustering / SemDeDup / NN-descent:
+    * every vector is its own query. Same IVF machinery as ann_ivf but
+    * with `broadcastProbes = false` — the probe side IS the corpus, so
+    * the cell join is a plain shuffle equi-join on cell id (each cell
+    * processed independently; O(Σ cell·probe) pairs, never n²). The
+    * mutual flag is one self-join of the node-sized k-NN edge list on
+    * the reversed key. */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 3
+    val emb = Tables.embeddings(s, dir)
+    val knn = Sim.ivfTopK(s, emb, emb, k = k, broadcastProbes = false)
+      .select($"query_id".as("node_id"), $"neighbor_id", $"rk", $"cos_sim")
+    val rev = knn.select($"node_id".as("rn"), $"neighbor_id".as("rq"))
+    knn.join(rev, $"node_id" === $"rq" && $"neighbor_id" === $"rn", "left")
+      .select($"node_id", $"neighbor_id", $"rk", $"cos_sim",
+        $"rq".isNotNull.as("mutual"))
+      .orderBy($"node_id", $"rk")
+  }
+
+  // The ann_ivf oracle with every vector as a probe, plus the mutual
+  // self-join. Norms precomputed once per vector (nrm) so the pair
+  // scoring is one inner product — identical operand order to Spark's
+  // cosine_sim.
+  private val knnGraphSql =
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, c.cell, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pc AS (
+       |  SELECT query_id, cell, qe FROM (
+       |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk <= 2),
+       |sc AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM pc JOIN asg a USING (cell) WHERE a.vec_id <> pc.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM sc),
+       |knn AS (SELECT query_id AS node_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 3)
+       |SELECT k.node_id, k.neighbor_id, k.rk, k.cos_sim,
+       |  m.node_id IS NOT NULL AS mutual
+       |FROM knn k LEFT JOIN knn m
+       |  ON k.node_id = m.neighbor_id AND k.neighbor_id = m.node_id
+       |ORDER BY k.node_id, k.rk""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "emb_hard_negatives" -> QueryDef(embHardNegatives, Some(embHardNegativesSql)),
     "ann_bq_hamming" -> QueryDef(annBqHamming, Some(annBqHammingSql), bench = true),

@@ -191,4 +191,25 @@ class KernelsPropertySpec extends AnyFunSuite {
     val one = Kernels.dsirBuckets(u8("  x  x "), 64)
     assert(one.numElements() == 1 && one.getStruct(0, 2).getLong(1) == 2)
   }
+
+  test("KmvSketch: any reduce/merge partitioning yields the k smallest distinct hashes") {
+    val k = 16
+    (1 to 100).foreach { _ =>
+      val agg = new graft.functions.KmvSketch(k)
+      // duplicates on purpose: sketch must dedup within AND across partitions
+      val vals = Seq.fill(rnd.nextInt(200))(math.abs(rnd.nextLong() % 50) * 7 + 1)
+      val nParts = 1 + rnd.nextInt(5)
+      val parts = vals.grouped(math.max(1, (vals.size + nParts - 1) / nParts)).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val expect = vals.distinct.sorted.take(k)
+      assert(merged.toSeq == expect, s"vals=$vals parts=$nParts")
+    }
+    // merge with empty on either side
+    val agg = new graft.functions.KmvSketch(k)
+    val s1 = Seq(5L, 3L, 9L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(s1, agg.zero).toSeq == Seq(3L, 5L, 9L))
+    assert(agg.merge(agg.zero, s1).toSeq == Seq(3L, 5L, 9L))
+  }
 }
