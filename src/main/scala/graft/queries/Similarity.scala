@@ -971,7 +971,129 @@ object Similarity {
        |  ON k.node_id = m.neighbor_id AND k.neighbor_id = m.node_id
        |ORDER BY k.node_id, k.rk""".stripMargin
 
+  /** MMR (maximal marginal relevance) diversified top-5 — the greedy
+    * submodular selection a RAG retriever runs over its candidate
+    * shortlist: step 1 takes the most relevant candidate, each later
+    * step the candidate maximizing λ·rel − (1−λ)·max-sim-to-selected
+    * (λ=0.7). The corpus-scale work is the IVF top-20 shortlist; the
+    * greedy loop runs on probe-bounded frames (10×20 rows — never
+    * corpus-sized). All scores are integer nano-units with nonneg
+    * operands before the integer division, so DuckDB's floor `//` and
+    * Spark's truncating `div` agree and the selection is bit-stable
+    * (the +1e9 relevance/penalty offsets shift every candidate's score
+    * equally — argmax is unchanged). */
+  private def embMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cand = Sim.ivfTopK(s, emb, probes(s, dir), k = 20)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .localCheckpoint()
+    val cq = cand.select($"query_id", $"neighbor_id",
+      round($"cos_sim" * 1e9).cast("long").as("sq"))
+    val ce = cand.select($"query_id", $"neighbor_id")
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id")
+    val pair = ce.as("a")
+      .join(ce.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("cand_id"), col("b.neighbor_id").as("sel_id"),
+        round(round(Fns.cosine_sim(col("a.embedding"), col("b.embedding")), 9) * 1e9)
+          .cast("long").as("sp"))
+      .localCheckpoint()
+    val w1 = Window.partitionBy($"query_id").orderBy($"sq".desc, $"neighbor_id")
+    var selected = cq.withColumn("rr", row_number().over(w1)).filter($"rr" === 1)
+      .select($"query_id", $"neighbor_id", lit(1).as("step"))
+    for (step <- 2 to 5) {
+      val ms = pair
+        .join(selected.select($"query_id", $"neighbor_id".as("sel_id")),
+          Seq("query_id", "sel_id"))
+        .groupBy($"query_id".as("mq"), $"cand_id").agg(max($"sp").as("ms"))
+      val picked = cq
+        .join(selected.select($"query_id", $"neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(ms, $"query_id" === $"mq" && $"neighbor_id" === $"cand_id")
+        .drop("mq", "cand_id")
+        .withColumn("score",
+          expr("((7*(sq+1000000000)) div 10) - ((3*(ms+1000000000)) div 10)"))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")))
+        .filter($"rr" === 1)
+        .select($"query_id", $"neighbor_id", lit(step).as("step"))
+      selected = selected.unionByName(picked)
+    }
+    selected.join(cand, Seq("query_id", "neighbor_id"))
+      .select($"query_id", $"step".cast("long").as("step"),
+        $"neighbor_id", $"cos_sim".as("relevance"))
+      .orderBy($"query_id", $"step")
+  }
+
+  // IVF top-20 shortlist CTEs (ann_ivf with rk<=20) + 4 unrolled greedy
+  // steps; identical integer scoring (nonneg operands, so // == div).
+  private val embMmrSql = {
+    val step = (i: Int) =>
+      s"""pk$i AS (SELECT query_id, neighbor_id, $i AS step FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+         |      ((7*(c.sq+1000000000)) // 10) - ((3*(m.ms+1000000000)) // 10) DESC,
+         |      c.neighbor_id) AS rr
+         |  FROM cq c
+         |  JOIN (SELECT p.query_id, p.cand_id, MAX(p.sp) AS ms FROM pair p
+         |        JOIN sel${i - 1} s ON p.query_id = s.query_id AND p.sel_id = s.neighbor_id
+         |        GROUP BY 1, 2) m
+         |    ON m.query_id = c.query_id AND m.cand_id = c.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+         |    WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id)
+         |  ) WHERE rr = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pk$i),""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, c.cell, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pc AS (
+       |  SELECT query_id, cell, qe FROM (
+       |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) x WHERE crk <= 2),
+       |sc AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM pc JOIN asg a USING (cell) WHERE a.vec_id <> pc.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cos_sim FROM (
+       |    SELECT query_id, neighbor_id, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc) t WHERE rk <= 20),
+       |cq AS (SELECT query_id, neighbor_id,
+       |    CAST(ROUND(cos_sim * 1e9) AS BIGINT) AS sq FROM cand),
+       |pair AS (
+       |  SELECT a.query_id, a.neighbor_id AS cand_id, b.neighbor_id AS sel_id,
+       |    CAST(ROUND(ROUND(${cosSql("ea.embedding", "eb.embedding")}, 9) * 1e9) AS BIGINT) AS sp
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+       |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+       |sel1 AS (SELECT query_id, neighbor_id, 1 AS step FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sq DESC, neighbor_id) AS rr
+       |  FROM cq) t WHERE rr = 1),
+       |${(2 to 5).map(step).mkString("\n")}
+       |fin AS (SELECT * FROM sel5)
+       |SELECT f.query_id, CAST(f.step AS BIGINT) AS step, f.neighbor_id,
+       |  c.cos_sim AS relevance
+       |FROM fin f JOIN cand c
+       |  ON c.query_id = f.query_id AND c.neighbor_id = f.neighbor_id
+       |ORDER BY f.query_id, f.step""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "emb_mmr" -> QueryDef(embMmr, Some(embMmrSql)),
     "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "emb_hard_negatives" -> QueryDef(embHardNegatives, Some(embHardNegativesSql)),

@@ -1460,7 +1460,78 @@ object Stats {
       |  CAST(ra - rb AS DOUBLE)/10000.0 AS delta
       |FROM a ORDER BY ABS(ra - rb) DESC, l_partkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------- q_bootstrap_ci
+
+  /** Percentile-bootstrap confidence interval for mean purchase value
+    * via the deterministic ONLINE Poisson bootstrap (Chamandy et al.
+    * 2012 — the resampling scheme that works on unbounded/streaming
+    * data): each row's multiplicity in resample r is a Poisson(1) draw
+    * read off md5(event_id, r) against EXACT integer CDF thresholds in
+    * 2⁶⁰-units, so every engine reproduces every resample bit-for-bit
+    * (no RNG state, no sequential sampling pass).
+    *
+    * Scale shape: the B×n explode is the bootstrap's inherent cost,
+    * map-side combined down to B partial sums per task — the only
+    * shuffle carries B=100 rows per task; the CI is rank-based (3rd /
+    * 98th of the 100 resample means — a bounded 100-row window), not
+    * an interpolated quantile, so there is no float interpolation to
+    * drift cross-engine. */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = 100
+    // round(P(Poisson(1) <= j) * 2^60), j = 0..4; weight 5 beyond
+    val t = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
+    val purchases = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", QueryDef.cents($"value").as("cents"))
+    val weighted = purchases
+      .select($"event_id", $"cents", explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .withColumn("h",
+        conv(substring(md5(concat($"event_id".cast("string"), lit(":"),
+          $"r".cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("w",
+        when($"h" < t(0), 0L).when($"h" < t(1), 1L).when($"h" < t(2), 2L)
+          .when($"h" < t(3), 3L).when($"h" < t(4), 4L).otherwise(5L))
+    val means = weighted.groupBy($"r")
+      .agg(sum($"w" * $"cents").as("swc"), sum($"w").as("sw"))
+      .select($"r", ($"swc".cast("double") / $"sw" / 100.0).as("m"))
+      .withColumn("rk", row_number().over(Window.orderBy($"m", $"r"))) // bounded: B=100 rows
+    val point = purchases.agg(count(lit(1)).as("n"),
+      (sum($"cents").cast("double") / count(lit(1)) / 100.0).as("mean"))
+    point.crossJoin(
+        means.filter($"rk" === 3).select($"m".as("ci_lo")))
+      .crossJoin(means.filter($"rk" === b - 2).select($"m".as("ci_hi")))
+      .select(lit("purchase_value_mean").as("metric"), $"n", $"mean",
+        $"ci_lo", $"ci_hi")
+      .orderBy($"metric")
+  }
+
+  private val qBootstrapCiSql =
+    """WITH p AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (SELECT r.r, p.cents,
+      |    CASE WHEN h < 424136118829305344 THEN 0
+      |         WHEN h < 848272237658610688 THEN 1
+      |         WHEN h < 1060340297073263360 THEN 2
+      |         WHEN h < 1131029650211480960 THEN 3
+      |         WHEN h < 1148701988496035328 THEN 4 ELSE 5 END AS w
+      |  FROM p CROSS JOIN range(0, 100) r(r),
+      |  LATERAL (SELECT CAST('0x' || substring(md5(
+      |    CAST(p.event_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)), 1, 15)
+      |    AS BIGINT) AS h) x),
+      |m AS (SELECT r, CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0 AS m
+      |  FROM w GROUP BY r),
+      |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM m),
+      |pt AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean FROM p)
+      |SELECT 'purchase_value_mean' AS metric, CAST(n AS BIGINT) AS n, mean,
+      |  (SELECT m FROM rk WHERE rk = 3) AS ci_lo,
+      |  (SELECT m FROM rk WHERE rk = 98) AS ci_hi
+      |FROM pt ORDER BY metric""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_bootstrap_ci" -> QueryDef(qBootstrapCi, Some(qBootstrapCiSql)),
     "q_movers" -> QueryDef(qMovers, Some(qMoversSql)),
     "q_sessions_concurrency" ->
       QueryDef(qSessionsConcurrency, Some(qSessionsConcurrencySql)),
