@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-size and pre-touch the heap: without -Xms the heap grows
+  // lazily, and at large -Xmx (sf1/sf10 runs at 24-48g) the early
+  // queries pay page-commit + G1 heap-resize pauses — measured 2-4x
+  // run-to-run swings (8-44s on the same sf1 query) that vanish once
+  // the heap is committed up front.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -609,7 +609,61 @@ object Dedup {
        |  CAST(SUM(hit) AS DOUBLE)/COUNT(*) AS recall
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CCNet/RefinedWeb-style boilerplate chunk removal, re-expressed on
+    * the word corpus: docs split into NON-overlapping 10-token chunks
+    * (the "line" unit), a chunk appearing in ≥2 distinct docs is
+    * boilerplate, and each doc reports how many tokens survive the
+    * strip — the per-doc retention ledger the curation step consumes.
+    * Unlike `dedup_substring` (sliding-window duplicated-SPAN stats)
+    * the tumbling chunks partition the doc, so kept-token counts are
+    * additive and the strip is directly actionable.
+    *
+    * Scale shape: chunks shuffle as (doc_id, 60-bit hash, token count)
+    * — never text; df is one hash-keyed aggregate; the re-join is an
+    * equi-join on the chunk hash. */
+  private def corpusLineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, int((size(ws)-1)/10)), i -> slice(ws, i*10+1, 10))"))
+        .as("chunk"))
+      .select($"doc_id",
+        conv(substring(md5(concat_ws(" ", $"chunk")), 1, 15), 16, 10)
+          .cast("long").as("ch"),
+        size($"chunk").cast("long").as("ctok"))
+    val df = chunks.groupBy($"ch").agg(countDistinct($"doc_id").as("df"))
+    chunks.join(df, "ch")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_boiler"),
+        sum($"ctok").as("tokens_total"),
+        sum(when($"df" < 2, $"ctok").otherwise(0L)).as("tokens_kept"))
+      .select($"doc_id", $"n_chunks", $"n_boiler", $"tokens_total", $"tokens_kept",
+        round($"tokens_kept".cast("double") / $"tokens_total", 9).as("keep_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  private val corpusLineDedupSql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ch AS (SELECT doc_id,
+      |    CAST('0x' || substring(md5(array_to_string(ws[(i*10+1):(i*10+10)], ' ')), 1, 15)
+      |      AS BIGINT) AS ch,
+      |    CAST(len(ws[(i*10+1):(i*10+10)]) AS BIGINT) AS ctok
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//10)) AS i
+      |        FROM tok) t),
+      |df AS (SELECT ch, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_boiler,
+      |  SUM(ctok) AS tokens_total,
+      |  SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) AS tokens_kept,
+      |  ROUND(CAST(SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) AS DOUBLE)
+      |    / SUM(ctok), 9) AS keep_ratio
+      |FROM ch JOIN df USING (ch)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_line_dedup" -> QueryDef(corpusLineDedup, Some(corpusLineDedupSql)),
     "dedup_minhash_recall" -> QueryDef(dedupMinhashRecall, Some(dedupMinhashRecallSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),

@@ -1092,7 +1092,55 @@ object Similarity {
        |ORDER BY f.query_id, f.step""".stripMargin
   }
 
+  /** Matryoshka truncation eval: recall@5 of a FIRST-16-DIMS cosine
+    * search against the full 64-dim exact answer — the dimension-
+    * truncation question an MRL-style embedding deployment asks before
+    * shipping the 4× cheaper index (truncated vectors = 4× less scan
+    * IO and dot-product work per probe; this key measures what that
+    * buys away). Both tiers run the same brute-force operator, so the
+    * delta is purely the truncation. */
+  private def embMatryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val trunc = emb.select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+    val full = Sim.bruteForce(s, emb, probes(s, dir), k = 5)
+      .select($"query_id", $"neighbor_id")
+    val tr = Sim.bruteForce(s, trunc, trunc.filter($"vec_id" < 10), k = 5)
+      .select($"query_id".as("tq"), $"neighbor_id".as("tn"))
+    full.join(tr, $"query_id" === $"tq" && $"neighbor_id" === $"tn", "left")
+      .groupBy($"query_id")
+      .agg(count($"tq").as("n_hit"))
+      .select($"query_id", $"n_hit",
+        round($"n_hit".cast("double") / 5.0, 9).as("recall16"))
+      .orderBy($"query_id")
+  }
+
+  private val embMatryoshkaEvalSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ROUND(${cosSql("qe", "e.embedding")}, 9) DESC, e.vec_id) AS rk
+       |    FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t WHERE rk <= 5),
+       |tq AS (
+       |  SELECT vec_id AS query_id, embedding[1:16] AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |tr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ROUND(${cosSql("qe", "e.embedding[1:16]")}, 9) DESC, e.vec_id) AS rk
+       |    FROM tq JOIN embeddings e ON e.vec_id <> tq.query_id) t WHERE rk <= 5)
+       |SELECT bf.query_id, COUNT(tr.query_id) AS n_hit,
+       |  ROUND(CAST(COUNT(tr.query_id) AS DOUBLE) / 5.0, 9) AS recall16
+       |FROM bf LEFT JOIN tr
+       |  ON bf.query_id = tr.query_id AND bf.neighbor_id = tr.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "emb_matryoshka_eval" -> QueryDef(embMatryoshkaEval, Some(embMatryoshkaEvalSql)),
     "emb_mmr" -> QueryDef(embMmr, Some(embMmrSql)),
     "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
