@@ -1014,7 +1014,74 @@ object Pipeline {
        |WHERE l.event_type = 'purchase'
        |ORDER BY l.event_id""".stripMargin
 
+  /** MATCH_RECOGNIZE-style CEP: per user, every `view` anchors a match
+    * attempt — first `click` strictly after it, first `purchase`
+    * strictly after that click, whole span ≤ 7 d, and NO `error`
+    * event strictly inside the span (the negation constraint that
+    * separates CEP from funnel counting — `q_funnel3` counts stage
+    * conversion; this emits concrete match instances). Emitted rows
+    * carry the three event ids + the span.
+    *
+    * Scale shape: one shuffle on user_id builds the per-user sorted
+    * event array (bounded by per-user activity, the same state a
+    * streaming CEP operator would key); each anchored attempt is
+    * in-row array arithmetic (array_min over filtered structs), no
+    * further shuffle. Mins are (ms, event_id)-lexicographic on both
+    * engines, so ties can never diverge. */
+  private def eventsCepMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spanMs = 604800000L // 7 days
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms"))
+    val byUser = e.groupBy($"user_id")
+      .agg(collect_list(struct($"ms", $"event_id", $"event_type")).as("evs"))
+    byUser
+      .select($"user_id", explode(expr(
+        "filter(evs, x -> x.event_type = 'view')")).as("v"), $"evs")
+      .withColumn("c", expr(
+        "array_min(transform(filter(evs, x -> x.event_type = 'click' AND x.ms > v.ms), x -> struct(x.ms, x.event_id)))"))
+      .withColumn("p", expr(
+        "array_min(transform(filter(evs, x -> x.event_type = 'purchase' AND x.ms > c.ms), x -> struct(x.ms, x.event_id)))"))
+      .filter($"p".isNotNull && ($"p.ms" - $"v.ms") <= spanMs)
+      .filter(expr(
+        "NOT exists(evs, x -> x.event_type = 'error' AND x.ms > v.ms AND x.ms < p.ms)"))
+      .select($"user_id", $"v.event_id".as("v_eid"), $"c.event_id".as("c_eid"),
+        $"p.event_id".as("p_eid"), ($"p.ms" - $"v.ms").as("span_ms"))
+      .orderBy($"user_id", $"v_eid")
+  }
+
+  private val eventsCepMatchSql =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, event_id AS v_eid, ms AS vms FROM e WHERE event_type = 'view'),
+      |c AS (SELECT v.user_id, v.v_eid, v.vms,
+      |    MIN(e.ms) AS cms
+      |  FROM v JOIN e ON e.user_id = v.user_id
+      |    AND e.event_type = 'click' AND e.ms > v.vms
+      |  GROUP BY 1, 2, 3),
+      |c2 AS (SELECT c.user_id, c.v_eid, c.vms, c.cms, MIN(e.event_id) AS c_eid
+      |  FROM c JOIN e ON e.user_id = c.user_id
+      |    AND e.event_type = 'click' AND e.ms = c.cms
+      |  GROUP BY 1, 2, 3, 4),
+      |p AS (SELECT c2.user_id, c2.v_eid, c2.vms, c2.cms, c2.c_eid,
+      |    MIN(e.ms) AS pms
+      |  FROM c2 JOIN e ON e.user_id = c2.user_id
+      |    AND e.event_type = 'purchase' AND e.ms > c2.cms
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |p2 AS (SELECT p.user_id, p.v_eid, p.vms, p.cms, p.c_eid, p.pms,
+      |    MIN(e.event_id) AS p_eid
+      |  FROM p JOIN e ON e.user_id = p.user_id
+      |    AND e.event_type = 'purchase' AND e.ms = p.pms
+      |  GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT user_id, v_eid, c_eid, p_eid, pms - vms AS span_ms
+      |FROM p2
+      |WHERE pms - vms <= 604800000
+      |  AND NOT EXISTS (SELECT 1 FROM e
+      |    WHERE e.user_id = p2.user_id AND e.event_type = 'error'
+      |      AND e.ms > p2.vms AND e.ms < p2.pms)
+      |ORDER BY user_id, v_eid""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "events_cep_match" -> QueryDef(eventsCepMatch, Some(eventsCepMatchSql)),
     "q_feature_store_pit" -> QueryDef(qFeatureStorePit, Some(qFeatureStorePitSql)),
     "q_profile" -> QueryDef(qProfile, Some(qProfileSql)),
     "q_retention" -> QueryDef(qRetention, Some(qRetentionSql)),

@@ -520,7 +520,75 @@ object TextAnalysis {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_start
       |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016), 10 merge steps —
+    * the iterative vocabulary-learning loop `text_bpe_pairs` only does
+    * one round of: words become char sequences, each step counts
+    * adjacent symbol pairs weighted by word frequency, merges the
+    * argmax pair corpus-wide (ties: lexicographic), and rewrites the
+    * sequences. Merged symbols join with '~' so later steps merge
+    * merged symbols (step 6 learns m~e~r on this corpus).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count
+    * aggregate); all 10 iterations run over the VOCABULARY-sized
+    * sequence table — exactly how production BPE trainers work — with
+    * one bounded argmax row to the driver per step and localCheckpoint
+    * truncating per-step lineage. The sequence rewrite is a literal
+    * left-to-right non-overlapping string replace, whose adjacency
+    * semantics (a consumed separator can't serve the next overlapping
+    * occurrence) match BPE's greedy merge and are identical in Spark's
+    * regexp_replace (Pattern.quote'd) and DuckDB's replace. */
+  private def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val steps = 10
+    val wc = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    var seqs = wc.select(concat_ws(" ", split($"w", "")).as("seq"), $"c")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (step <- 1 to steps) {
+      // bounded driver round-trip: ONE (pa, pb, cnt) row per step
+      val top = seqs.select(split($"seq", " ").as("ws"), $"c")
+        .filter(size($"ws") >= 2)
+        .select($"c", explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS pa, element_at(ws, i + 1) AS pb))")).as("p"))
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(sum($"c").as("cnt"))
+        .orderBy($"cnt".desc, $"pa", $"pb").limit(1).head()
+      val (pa, pb, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step.toLong, s"$pa~$pb", cnt))
+      seqs = seqs.select(
+        trim(regexp_replace(concat(lit(" "), $"seq", lit(" ")),
+          java.util.regex.Pattern.quote(s" $pa $pb "),
+          java.util.regex.Matcher.quoteReplacement(s" $pa~$pb ")), " ").as("seq"),
+        $"c").localCheckpoint()
+    }
+    s.createDataFrame(merges.toSeq).toDF("step", "pair", "cnt").orderBy($"step")
+  }
+
+  private val textBpeTrainSql = {
+    val step = (i: Int) =>
+      s"""p$i AS (SELECT ws[i] AS pa, ws[i+1] AS pb, SUM(c) AS cnt
+         |  FROM (SELECT string_split(seq, ' ') AS ws, c FROM s$i) t,
+         |       unnest(generate_series(1, len(t.ws) - 1)) u(i)
+         |  GROUP BY 1, 2),
+         |m${i + 1} AS (SELECT pa, pb, cnt FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |s${i + 1} AS (SELECT trim(replace(' '||seq||' ', ' '||pa||' '||pb||' ',
+         |    ' '||pa||'~'||pb||' ')) AS seq, c FROM s$i, m${i + 1})""".stripMargin
+    s"""WITH wc AS (SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS seq, c FROM wc),
+       |${(0 until 10).map(step).mkString(",\n")}
+       |${(1 to 10).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, pa||'~'||pb AS pair, CAST(cnt AS BIGINT) AS cnt FROM m$i")
+         .mkString("\nUNION ALL ")}
+       |ORDER BY step""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
     "corpus_shard_manifest" -> QueryDef(corpusShardManifest, Some(corpusShardManifestSql)),
     "corpus_upsample" -> QueryDef(corpusUpsample, Some(corpusUpsampleSql)),
