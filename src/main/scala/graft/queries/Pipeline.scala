@@ -1080,7 +1080,78 @@ object Pipeline {
       |      AND e.ms > p2.vms AND e.ms < p2.pms)
       |ORDER BY user_id, v_eid""".stripMargin
 
+  /** Streaming KMV distinct sketch replay: the events table replayed
+    * as a file stream through `EventStream.streamingKmvDistinct`
+    * (bottom-64 sketch per (hour window, event_type) in the state
+    * store, emitted at watermark close), with sentinel appends pushing
+    * the watermark so every window finalizes. The oracle recomputes
+    * each window's sketch FROM SCRATCH in SQL — the streaming state's
+    * incremental inserts must land on exactly the 64 smallest distinct
+    * hashes, so state-update bugs (lost inserts, merge drift) fail the
+    * hash compare, not just a row count. */
+  private def kmvStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    def sentinel(id: Long, offsetMs: Long) = Seq(
+      (id, new java.sql.Timestamp(maxTs.getTime + offsetMs), -1L, "zz_sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft-kmv-replay").toString
+    ev.write.mode("overwrite").parquet(s"$root/src")
+
+    def drain(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(s"$root/src")
+        .as[EventStream.Event]
+        .transform(d => EventStream.streamingKmvDistinct(s, d, windowMinutes = 60).toDF())
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("kmv_streaming_replay: stream stalled")
+      }
+    }
+    drain()
+    sentinel(-1L, 30L * 24 * 3600 * 1000).write.mode("append").parquet(s"$root/src")
+    drain()
+    sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
+    drain()
+
+    s.read.parquet(s"$root/out")
+      .filter($"event_type" =!= "zz_sentinel")
+      .select(unix_millis($"window_start").as("wstart_ms"), $"event_type",
+        $"n_rows", $"n_est")
+      .orderBy($"wstart_ms", $"event_type")
+  }
+
+  private val kmvStreamingReplaySql =
+    """WITH e AS (SELECT (epoch_ns(ts)//1000000)//3600000*3600000 AS wstart_ms,
+      |    event_type,
+      |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |cnt AS (SELECT wstart_ms, event_type, COUNT(*) AS n_rows FROM e GROUP BY 1, 2),
+      |d AS (SELECT DISTINCT wstart_ms, event_type, h FROM e),
+      |r AS (SELECT wstart_ms, event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY wstart_ms, event_type ORDER BY h) AS rn
+      |  FROM d),
+      |sk AS (SELECT wstart_ms, event_type,
+      |    COUNT(CASE WHEN rn <= 64 THEN 1 END) AS n_kept,
+      |    MAX(CASE WHEN rn = 64 THEN h END) AS h64
+      |  FROM r GROUP BY 1, 2)
+      |SELECT c.wstart_ms, c.event_type, CAST(c.n_rows AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN s.n_kept < 64 THEN s.n_kept
+      |    ELSE (63::HUGEINT * (1::HUGEINT << 60)) // s.h64 END AS BIGINT) AS n_est
+      |FROM cnt c JOIN sk s USING (wstart_ms, event_type)
+      |ORDER BY wstart_ms, event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "kmv_streaming_replay" -> QueryDef(kmvStreamingReplay, Some(kmvStreamingReplaySql)),
     "events_cep_match" -> QueryDef(eventsCepMatch, Some(eventsCepMatchSql)),
     "q_feature_store_pit" -> QueryDef(qFeatureStorePit, Some(qFeatureStorePitSql)),
     "q_profile" -> QueryDef(qProfile, Some(qProfileSql)),

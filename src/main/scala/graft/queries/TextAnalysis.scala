@@ -537,14 +537,18 @@ object TextAnalysis {
     * semantics (a consumed separator can't serve the next overlapping
     * occurrence) match BPE's greedy merge and are identical in Spark's
     * regexp_replace (Pattern.quote'd) and DuckDB's replace. */
-  private def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The shared BPE training chain: returns the learned merges AND the
+    * final vocabulary state (w, merged seq, c) — `text_bpe_train`
+    * reads the merges, `text_bpe_fertility` applies the final state
+    * back to the corpus. */
+  private def bpeChain(s: SparkSession, dir: String,
+                       steps: Int): (DataFrame, Seq[(Long, String, Long)]) = {
     import s.implicits._
-    val steps = 10
     val wc = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("c"))
-    var seqs = wc.select(concat_ws(" ", split($"w", "")).as("seq"), $"c")
+    var seqs = wc.select($"w", concat_ws(" ", split($"w", "")).as("seq"), $"c")
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (step <- 1 to steps) {
@@ -558,13 +562,69 @@ object TextAnalysis {
         .orderBy($"cnt".desc, $"pa", $"pb").limit(1).head()
       val (pa, pb, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((step.toLong, s"$pa~$pb", cnt))
-      seqs = seqs.select(
+      seqs = seqs.select($"w",
         trim(regexp_replace(concat(lit(" "), $"seq", lit(" ")),
           java.util.regex.Pattern.quote(s" $pa $pb "),
           java.util.regex.Matcher.quoteReplacement(s" $pa~$pb ")), " ").as("seq"),
         $"c").localCheckpoint()
     }
-    s.createDataFrame(merges.toSeq).toDF("step", "pair", "cnt").orderBy($"step")
+    (seqs, merges.toSeq)
+  }
+
+  private def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, merges) = bpeChain(s, dir, steps = 10)
+    s.createDataFrame(merges).toDF("step", "pair", "cnt").orderBy($"step")
+  }
+
+  /** Tokenizer fertility: apply the 10 learned merges back to the
+    * corpus and report per-doc symbols-before vs tokens-after — the
+    * chars-per-token compression readout that decides whether a
+    * learned vocab is worth shipping. The apply runs on the
+    * VOCABULARY (the train chain's final state), never per word
+    * instance; docs then join their words to the vocab's token counts
+    * — at 100 TB the corpus-side work is one explode + one hash join
+    * on the word, with the merged vocab state vocabulary-sized. */
+  private def textBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (vocab, _) = bpeChain(s, dir, steps = 10)
+    val tok = vocab.select($"w",
+      length($"w").cast("long").as("n_sym"),
+      size(split($"seq", " ")).cast("long").as("n_tok"))
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .join(tok, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_chars"),
+        sum($"n_tok").as("n_tokens"))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_tokens",
+        round($"n_chars".cast("double") / $"n_tokens", 9).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  private val textBpeFertilitySql = {
+    val step = (i: Int) =>
+      s"""p$i AS (SELECT ws[i] AS pa, ws[i+1] AS pb, SUM(c) AS cnt
+         |  FROM (SELECT string_split(seq, ' ') AS ws, c FROM s$i) t,
+         |       unnest(generate_series(1, len(t.ws) - 1)) u(i)
+         |  GROUP BY 1, 2),
+         |m${i + 1} AS (SELECT pa, pb FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |s${i + 1} AS (SELECT w, trim(replace(' '||seq||' ', ' '||pa||' '||pb||' ',
+         |    ' '||pa||'~'||pb||' ')) AS seq, c FROM s$i, m${i + 1})""".stripMargin
+    s"""WITH wc AS (SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS seq, c FROM wc),
+       |${(0 until 10).map(step).mkString(",\n")},
+       |tok AS (SELECT w, CAST(len(w) AS BIGINT) AS n_sym,
+       |    CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM s10),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words, SUM(n_sym) AS n_chars,
+       |  SUM(n_tok) AS n_tokens,
+       |  ROUND(CAST(SUM(n_sym) AS DOUBLE) / SUM(n_tok), 9) AS chars_per_token
+       |FROM dw JOIN tok USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private val textBpeTrainSql = {
@@ -588,6 +648,7 @@ object TextAnalysis {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "text_bpe_fertility" -> QueryDef(textBpeFertility, Some(textBpeFertilitySql)),
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
     "corpus_shard_manifest" -> QueryDef(corpusShardManifest, Some(corpusShardManifestSql)),

@@ -364,4 +364,57 @@ object EventStream {
       Iterator.empty
     }
   }
+
+  case class KmvState(sketch: Array[Long], rows: Long)
+
+  case class KmvOut(window_start: Timestamp, event_type: String,
+                    n_rows: Long, n_est: Long)
+
+  /** Per-(window, dim) distinct users via the KMV bottom-k sketch IN
+    * STREAMING STATE — the state store holds one ≤k-long sorted array
+    * per open group (vs exact distinct's one entry per user), reusing
+    * the batch [[graft.functions.KmvSketch]] aggregator's insert/merge
+    * kernels so batch and stream can never disagree on sketch
+    * contents. Emits exactly once per group when the watermark closes
+    * the window; the md5-based hash makes the final estimate exactly
+    * replayable by an external engine. */
+  def streamingKmvDistinct(spark: SparkSession, events: Dataset[Event],
+                           windowMinutes: Int, k: Int = 64,
+                           watermark: String = "30 minutes"): Dataset[KmvOut] = {
+    import spark.implicits._
+    require(windowMinutes > 0 && k > 1)
+    val windowMs = windowMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), col("user_id"))
+      .as[(Timestamp, String, Long)]
+      .groupByKey { case (ts, et, _) => (ts.getTime / windowMs * windowMs, et) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        kmvUpdate(windowMs, k) _)
+  }
+
+  private def kmvUpdate(windowMs: Long, k: Int)(
+      key: (Long, String), events: Iterator[(Timestamp, String, Long)],
+      state: GroupState[KmvState]): Iterator[KmvOut] = {
+    val agg = new graft.functions.KmvSketch(k)
+    if (state.hasTimedOut) {
+      val st = state.getOption.getOrElse(KmvState(Array.emptyLongArray, 0L))
+      state.remove()
+      val est =
+        if (st.sketch.length < k) st.sketch.length.toLong
+        else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(st.sketch(k - 1))).toLong
+      Iterator.single(KmvOut(new Timestamp(key._1), key._2, st.rows, est))
+    } else {
+      var st = state.getOption.getOrElse(KmvState(Array.emptyLongArray, 0L))
+      var sk = st.sketch
+      var n = st.rows
+      events.foreach { case (_, _, uid) =>
+        sk = agg.reduce(sk, graft.functions.Kernels.md5Hash60(uid.toString))
+        n += 1
+      }
+      state.update(KmvState(sk, n))
+      state.setTimeoutTimestamp(key._1 + windowMs) // fires when wm passes this
+      Iterator.empty
+    }
+  }
 }
