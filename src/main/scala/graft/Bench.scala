@@ -68,6 +68,14 @@ object Bench {
       }
       val sorted = times.sorted
       val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+      // Nudge ContextCleaner between queries: shuffle files are only
+      // deleted once their ShuffleDependency is GC'd, and a large
+      // (24-48g) heap may not GC for many queries — at sf10 the dead
+      // shuffle files of completed queries accumulated 62 GB and
+      // ENOSPC'd the run. One explicit GC per query bounds temp-dir
+      // growth to the live query's working set (untimed: runs outside
+      // the measured window).
+      System.gc()
       (name, median, sorted.headOption.getOrElse(-1.0))
     }
     def jmap(f: ((String, Double, Double)) => Double) =

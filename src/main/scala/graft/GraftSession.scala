@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffle files outlive their query until the ShuffleDependency
+      // is GC'd; on a large, rarely-collected heap the default 30 min
+      // periodic GC let dead shuffle dirs grow 62 GB over a 75-query
+      // sf10 run (ENOSPC). 5 min bounds the backlog at negligible GC
+      // cost for any session size.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
 
   /** Programmatic equivalent of `new GraftExtensions` for an already-

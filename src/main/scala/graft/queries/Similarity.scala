@@ -929,6 +929,7 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val knn = Sim.ivfTopK(s, emb, emb, k = k, broadcastProbes = false)
       .select($"query_id".as("node_id"), $"neighbor_id", $"rk", $"cos_sim")
+      .localCheckpoint() // node-sized; both sides of the mutual self-join read it
     val rev = knn.select($"node_id".as("rn"), $"neighbor_id".as("rq"))
     knn.join(rev, $"node_id" === $"rq" && $"neighbor_id" === $"rn", "left")
       .select($"node_id", $"neighbor_id", $"rk", $"cos_sim",

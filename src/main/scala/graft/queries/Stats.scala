@@ -1530,7 +1530,136 @@ object Stats {
       |  (SELECT m FROM rk WHERE rk = 98) AS ci_hi
       |FROM pt ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------- q_survival_km
+
+  /** Kaplan–Meier survival (right-censored time-to-event — the churn /
+    * conversion-lag model): time from a user's first signup to their
+    * first purchase at or after it, in days; users with no purchase
+    * are censored at the observation horizon. The product-limit
+    * estimator runs as an EXACT integer nano recurrence
+    * s_t = ⌊s_{t−1}·(n_t−d_t)/n_t⌋ (s_0 = 10⁹) — no libm, no float
+    * product order, a last-day zero factor lands exactly on 0 — so
+    * both engines produce identical curves by construction.
+    *
+    * Scale shape: per-user times are one shuffle on user_id; the risk
+    * table is bounded by DISTINCT EVENT DAYS (the observation horizon,
+    * not the user count), so the n_at_risk theta-join broadcasts the
+    * day table into the user scan and the recurrence runs on the
+    * driver over that bounded table (power-iteration precedent). */
+  private def qSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayMs = 86400000L
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val maxMs = e.agg(max($"ms")).head.getLong(0) // bounded scalar
+    val su = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ms").as("sms"))
+    val pu = su.as("s")
+      .join(e.filter($"event_type" === "purchase").as("p"),
+        $"p.user_id" === $"s.user_id" && $"p.ms" >= $"s.sms", "left")
+      .groupBy($"s.user_id", $"s.sms").agg(min($"p.ms").as("pms"))
+    val obs = pu.select(
+      when($"pms".isNotNull, expr(s"(pms - sms) div $dayMs"))
+        .otherwise(expr(s"($maxMs - sms) div $dayMs")).as("t"),
+      $"pms".isNotNull.as("ev"))
+    val days = obs.filter($"ev").groupBy($"t".as("d")).agg(count(lit(1)).as("dev"))
+    val risk = obs.join(broadcast(days), $"t" >= $"d")
+      .groupBy($"d", $"dev").agg(count(lit(1)).as("nrisk"))
+      .orderBy($"d")
+      .collect() // bounded: one row per distinct event day
+    var sNano = BigInt(1000000000L)
+    val rows = risk.map { r =>
+      val (d, dev, nrisk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      sNano = sNano * BigInt(nrisk - dev) / BigInt(nrisk)
+      (d, nrisk, dev, sNano.toLong)
+    }.toSeq
+    s.createDataFrame(rows).toDF("d", "n_risk", "d_events", "s_nano")
+      .select($"d", $"n_risk", $"d_events",
+        round($"s_nano".cast("double") / 1e9, 9).as("surv"))
+      .orderBy($"d")
+  }
+
+  private val qSurvivalKmSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |mx AS (SELECT MAX(ms) AS maxms FROM e),
+      |su AS (SELECT user_id, MIN(ms) AS sms FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (SELECT s.user_id, s.sms, MIN(p.ms) AS pms
+      |  FROM su s LEFT JOIN e p ON p.user_id = s.user_id
+      |    AND p.event_type = 'purchase' AND p.ms >= s.sms
+      |  GROUP BY 1, 2),
+      |obs AS (SELECT
+      |    CASE WHEN pms IS NOT NULL THEN (pms - sms) // 86400000
+      |         ELSE (maxms - sms) // 86400000 END AS t,
+      |    pms IS NOT NULL AS ev
+      |  FROM pu, mx),
+      |days AS (SELECT t AS d, COUNT(*) AS dev FROM obs WHERE ev GROUP BY 1),
+      |risk AS (SELECT d, dev,
+      |    (SELECT COUNT(*) FROM obs WHERE obs.t >= days.d) AS nrisk
+      |  FROM days),
+      |r AS (SELECT d, dev, nrisk, ROW_NUMBER() OVER (ORDER BY d) AS i FROM risk),
+      |km(i, sn) AS (
+      |  SELECT 0, CAST(1000000000 AS HUGEINT)
+      |  UNION ALL
+      |  SELECT r.i, (km.sn * (r.nrisk - r.dev)) // r.nrisk
+      |  FROM km JOIN r ON r.i = km.i + 1)
+      |SELECT r.d, CAST(r.nrisk AS BIGINT) AS n_risk, CAST(r.dev AS BIGINT) AS d_events,
+      |  ROUND(CAST(CAST(km.sn AS BIGINT) AS DOUBLE) / 1e9, 9) AS surv
+      |FROM r JOIN km ON km.i = r.i
+      |ORDER BY r.d""".stripMargin
+
+  // ------------------------------------------------------ q_stratified_neyman
+
+  /** Neyman-optimal stratified sample allocation (survey sampling /
+    * eval-set design): a budget of 1000 samples split across customer
+    * market segments ∝ Nh·Sh — big AND high-variance strata get more.
+    * Nh·Sh = √(n·Σx²−(Σx)²) with the radicand an EXACT integer
+    * (cents co-moments in DECIMAL(38,0)); IEEE sqrt is correctly
+    * rounded, so unlike ln/exp it cannot drift cross-engine. Weights
+    * are micro-quantized before the cross-strata total (integer sum —
+    * no float summation order), and the per-stratum allocation is one
+    * double division of identical operands. One scan, one
+    * stratum-keyed aggregate, bounded stratum table. */
+  private def qStratifiedNeyman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val agg = Tables.customer(s, dir)
+      .select($"c_mktsegment".as("segment"), QueryDef.cents($"c_acctbal").as("x"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_pop"),
+        sum($"x".cast(d38)).as("sx"),
+        sum(($"x".cast(d38) * $"x".cast(d38)).cast(d38)).as("sxx"))
+      .select($"segment", $"n_pop",
+        round(sqrt(($"n_pop".cast(d38) * $"sxx" - $"sx" * $"sx").cast("double")) * 1e6)
+          .cast("long").as("whq"))
+    agg
+      .withColumn("tot", sum($"whq").over(Window.partitionBy())) // bounded: one row per stratum
+      .select($"segment", $"n_pop",
+        round($"whq".cast("double") / 1e6 / 100.0, 6).as("nh_sh"),
+        round($"whq".cast("double") * 1000.0 / $"tot").cast("long").as("alloc"))
+      .orderBy($"segment")
+  }
+
+  private val qStratifiedNeymanSql =
+    """WITH c AS (SELECT c_mktsegment AS segment,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x FROM customer),
+      |a AS (SELECT segment, COUNT(*) AS n_pop,
+      |    SUM(CAST(x AS HUGEINT)) AS sx,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      |  FROM c GROUP BY 1),
+      |w AS (SELECT segment, n_pop,
+      |    CAST(ROUND(SQRT(CAST(n_pop * sxx - sx * sx AS DOUBLE)) * 1e6) AS BIGINT) AS whq
+      |  FROM a),
+      |t AS (SELECT *, SUM(whq) OVER () AS tot FROM w)
+      |SELECT segment, CAST(n_pop AS BIGINT) AS n_pop,
+      |  ROUND(CAST(whq AS DOUBLE) / 1e6 / 100.0, 6) AS nh_sh,
+      |  CAST(ROUND(CAST(whq AS DOUBLE) * 1000.0 / tot) AS BIGINT) AS alloc
+      |FROM t ORDER BY segment""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_stratified_neyman" -> QueryDef(qStratifiedNeyman, Some(qStratifiedNeymanSql)),
+    "q_survival_km" -> QueryDef(qSurvivalKm, Some(qSurvivalKmSql)),
     "q_bootstrap_ci" -> QueryDef(qBootstrapCi, Some(qBootstrapCiSql)),
     "q_movers" -> QueryDef(qMovers, Some(qMoversSql)),
     "q_sessions_concurrency" ->

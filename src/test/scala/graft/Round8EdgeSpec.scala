@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Handcrafted-input semantics for the round-8 statistical keys: the
+  * oracle hash-compare proves Spark == DuckDB, these prove both match
+  * the DEFINITION (censoring in KM, negation + first-match anchoring
+  * in CEP) on inputs small enough to verify by hand. */
+class Round8EdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def day(d: Int) = new Timestamp(d * 86400000L)
+
+  /** Write a tiny events table in the driver parquet layout. */
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): String = {
+    val dir = Files.createTempDirectory("r8edge").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_survival_km: censored users stay in the risk set, last-day zero factor lands on 0") {
+    // u1: signup d0, purchase d2 (event t=2)
+    // u2: signup d0, never purchases (censored at horizon d4 = max ts)
+    // u3: signup d0, purchase d4 (event t=4; u2's censor time equals it)
+    val dir = eventsDir(Seq(
+      (1L, day(0), 1L, "signup", 1.0, ""), (2L, day(2), 1L, "purchase", 1.0, ""),
+      (3L, day(0), 2L, "signup", 1.0, ""), (4L, day(1), 2L, "view", 1.0, ""),
+      (5L, day(0), 3L, "signup", 1.0, ""), (6L, day(4), 3L, "purchase", 1.0, "")))
+    val rows = SparkEntry.queries("q_survival_km")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day 2: all 3 at risk, 1 event -> S = 2/3; day 4: u2 (censored at 4)
+    // still at risk with u3 -> n=2, 1 event... but u3's event makes the
+    // remaining factor (2-1)/2; S = 2/3 * 1/2 = 1/3
+    assert(rows.toSeq == Seq(
+      (2L, 3L, 1L, 0.666666666), // floor(1e9*2/3)/1e9
+      (4L, 2L, 1L, 0.333333333)))
+  }
+
+  test("events_cep_match: error inside the span kills the match, outside does not") {
+    // u1: view d0 -> click d1 -> purchase d2, error at d3 (AFTER span) => match
+    // u2: view d0 -> click d1 -> purchase d2, error at d1+ (INSIDE) => no match
+    // u3: view d0 -> purchase d1 with no click => no match (pattern needs the click)
+    val dir = eventsDir(Seq(
+      (1L, day(0), 1L, "view", 1.0, ""), (2L, day(1), 1L, "click", 1.0, ""),
+      (3L, day(2), 1L, "purchase", 1.0, ""), (4L, day(3), 1L, "error", 1.0, ""),
+      (5L, day(0), 2L, "view", 1.0, ""), (6L, day(1), 2L, "click", 1.0, ""),
+      (7L, day(2), 2L, "purchase", 1.0, ""),
+      (8L, new Timestamp(90000000L), 2L, "error", 1.0, ""), // d1.04: inside u2's span
+      (9L, day(0), 3L, "view", 1.0, ""), (10L, day(1), 3L, "purchase", 1.0, "")))
+    val rows = SparkEntry.queries("events_cep_match")(spark, dir)
+      .select($"user_id", $"v_eid", $"c_eid", $"p_eid").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows == Seq((1L, 1L, 2L, 3L)))
+  }
+
+  test("q_kmv_distinct estimator: under-k groups are exact") {
+    val dir = eventsDir((1 to 40).map(i =>
+      (i.toLong, day(0), (i % 7).toLong, "view", 1.0, "")))
+    val r = SparkEntry.queries("q_kmv_distinct")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_exact") == 7L)
+    assert(r.head.getAs[Long]("n_est") == 7L) // 7 < k=64 -> exact path
+    assert(r.head.getAs[Double]("rel_err") == 0.0)
+  }
+}
