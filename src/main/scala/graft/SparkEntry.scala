@@ -22,7 +22,8 @@ object SparkEntry {
     Retrieval.defs,
     Multimodal.defs,
     Stats.defs,
-    Quality.defs
+    Quality.defs,
+    Winnow.defs
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

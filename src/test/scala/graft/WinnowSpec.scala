@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Winnow
+
+/** Winnowing fingerprint properties (Schleimer et al. 2003), k=4, w=4. */
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fp(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Winnow.fingerprintsOf(docs.toDF("doc_id", "text"))
+  }
+
+  test("shared run of >= w+k-1 tokens guarantees a shared fingerprint") {
+    // Any window of w consecutive gram hashes inside the shared run is
+    // identical in both docs, so its min is selected in both.
+    val shared = (1 to 7).map(i => s"common$i").mkString(" ") // w+k-1 = 7 tokens
+    val a = s"alpha beta gamma delta $shared epsilon zeta"
+    val b = s"one two $shared three four five six"
+    val rows = fp(Seq(1L -> a, 2L -> b)).collect()
+    val fa = rows.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+    val fb = rows.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSet
+    assert((fa & fb).nonEmpty, s"no shared fingerprint: $fa vs $fb")
+  }
+
+  test("disjoint docs share nothing; short docs yield exactly one fingerprint") {
+    val rows = fp(Seq(
+      1L -> "aa bb cc dd ee ff gg hh ii jj",
+      2L -> "kk ll mm nn oo pp qq rr ss tt",
+      3L -> "uu vv ww xx" // exactly k tokens -> 1 gram -> 1 fingerprint
+    )).collect()
+    val sets = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((sets(1L) & sets(2L)).isEmpty)
+    assert(sets(3L).size == 1)
+  }
+
+  test("selection density is ~2/(w+1) of grams on real text") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text")
+    val nGrams = docs.select((size(split($"text", " ")) - 3).as("ng"))
+      .filter($"ng" >= 1).agg(sum($"ng")).head.getLong(0)
+    val nFp = Winnow.fingerprintsOf(docs).count()
+    val density = nFp.toDouble / nGrams
+    // distinct-per-doc dedup pulls it below the positional 2/(w+1)=0.4
+    assert(density > 0.1 && density < 0.5, s"density $density")
+  }
+
+  test("fingerprints are invariant to doc concatenation order of unrelated prefixes") {
+    // position-robustness: moving a passage must preserve its fingerprints
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val r1 = fp(Seq(1L -> s"x1 x2 x3 $passage")).collect().map(_.getLong(1)).toSet
+    val r2 = fp(Seq(1L -> s"y1 y2 y3 y4 y5 $passage")).collect().map(_.getLong(1)).toSet
+    // the passage is 12 tokens -> 9 grams -> interior windows fully inside it
+    assert((r1 & r2).nonEmpty)
+  }
+}
