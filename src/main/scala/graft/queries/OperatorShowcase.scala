@@ -314,8 +314,105 @@ object OperatorShowcase {
       |  ROUND(CAST(ABS(n_est - n_exact) AS DOUBLE) / n_exact, 9) AS rel_err
       |FROM e ORDER BY event_type""".stripMargin
 
+  /** KMV sketch SET ALGEBRA (Beyer et al. 2007 §4): pairwise
+    * union/intersection/Jaccard estimates between event-type audiences
+    * computed ONLY from the bounded bottom-64 sketches — the 100 TB
+    * audience-overlap story, where re-scanning the fact table per pair
+    * is off the table. bottom-k(A ∪ B) = bottom-k(sk_A ∪ sk_B) exactly,
+    * so the union sketch (and its (k−1)·2⁶⁰/h₍ₖ₎ estimate) needs no
+    * second data pass; Jaccard is the fraction of the union sketch
+    * present in BOTH input sketches (the theta-sketch estimator), and
+    * the intersection estimate is jaccard × union in exact integer
+    * arithmetic. The exact companions (countDistinct + one
+    * distinct-hash self-join) ride along as the audit columns, same
+    * pattern as q_kmv_distinct's n_exact. All estimator inputs are
+    * exact functions of the hash values, so DuckDB replays the whole
+    * pipeline verbatim and the output hash-matches bit-for-bit. */
+  private def qKmvSetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    val h = Tables.events(s, dir)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val sk = h.groupBy($"event_type")
+      .agg(kmv($"h").as("sk"), countDistinct($"h").as("n_exact"))
+      .localCheckpoint() // #event-types rows
+    val d = h.distinct()
+    val ex = d.as("a").join(d.as("b"),
+        col("a.h") === col("b.h") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val pairs = sk.as("a").join(broadcast(sk.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"),
+        col("a.n_exact").as("n_a"), col("b.n_exact").as("n_b"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(ska, skb)), 1, $k)"))
+      .withColumn("ku", size($"u"))
+      .withColumn("union_est", when($"ku" < k, $"ku".cast("long"))
+        .otherwise(expr(s"(CAST(${k - 1} AS DECIMAL(38,0)) * " +
+          s"CAST(1152921504606846976 AS DECIMAL(38,0))) div element_at(u, $k)")))
+      .withColumn("matches", size(array_intersect(array_intersect($"u", $"ska"), $"skb")))
+    pairs.join(ex, Seq("type_a", "type_b"), "left")
+      .select($"type_a", $"type_b", $"n_a", $"n_b",
+        coalesce($"inter_exact", lit(0L)).as("inter_exact"),
+        ($"n_a" + $"n_b" - coalesce($"inter_exact", lit(0L))).as("union_exact"),
+        $"union_est",
+        expr("(CAST(union_est AS DECIMAL(38,0)) * matches) div ku").as("inter_est"),
+        round($"matches".cast("double") / $"ku", 9).as("jacc_est"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  private val qKmvSetopsSql =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |nd AS (SELECT event_type, COUNT(*) AS n FROM h GROUP BY event_type),
+      |r AS (SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+      |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+      |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM nd a JOIN nd b ON a.event_type < b.event_type),
+      |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS inter_exact
+      |  FROM h a JOIN h b ON a.h = b.h AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |uh AS (SELECT DISTINCT p.type_a, p.type_b, s.h
+      |  FROM pr p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)),
+      |um AS (SELECT type_a, type_b, h FROM (
+      |    SELECT type_a, type_b, h,
+      |      ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+      |    FROM uh) u WHERE rn <= 64),
+      |uk AS (SELECT type_a, type_b, COUNT(*) AS ku, MAX(h) AS hk
+      |  FROM um GROUP BY 1, 2),
+      |mt AS (SELECT um.type_a, um.type_b, COUNT(*) AS matches
+      |  FROM um
+      |  JOIN sk sa ON sa.event_type = um.type_a AND sa.h = um.h
+      |  JOIN sk sb ON sb.event_type = um.type_b AND sb.h = um.h
+      |  GROUP BY 1, 2),
+      |fin AS (SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+      |    COALESCE(e.inter_exact, 0) AS inter_exact,
+      |    p.n_a + p.n_b - COALESCE(e.inter_exact, 0) AS union_exact,
+      |    CASE WHEN k.ku < 64 THEN k.ku
+      |      ELSE CAST((63::HUGEINT * (1::HUGEINT << 60)) // k.hk AS BIGINT) END AS union_est,
+      |    COALESCE(m.matches, 0) AS matches, k.ku AS ku
+      |  FROM pr p JOIN uk k USING (type_a, type_b)
+      |  LEFT JOIN ex e USING (type_a, type_b)
+      |  LEFT JOIN mt m USING (type_a, type_b))
+      |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(inter_exact AS BIGINT) AS inter_exact,
+      |  CAST(union_exact AS BIGINT) AS union_exact,
+      |  CAST(union_est AS BIGINT) AS union_est,
+      |  CAST((CAST(union_est AS HUGEINT) * matches) // ku AS BIGINT) AS inter_est,
+      |  ROUND(CAST(matches AS DOUBLE) / ku, 9) AS jacc_est
+      |FROM fin ORDER BY type_a, type_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q_kmv_distinct" -> QueryDef(qKmvDistinct, Some(qKmvDistinctSql)),
+    "q_kmv_setops" -> QueryDef(qKmvSetops, Some(qKmvSetopsSql)),
     "q_zorder" -> QueryDef(qZorder, Some(qZorderSql)),
     "q_zorder_pruning" -> QueryDef(qZorderPruning, Some(qZorderPruningSql)),
     "q_skyline" -> QueryDef(qSkyline, Some(qSkylineSql)),

@@ -59,6 +59,24 @@ class Round8EdgeSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1L, 2L, 3L)))
   }
 
+  test("q_kmv_setops: under-k audiences make every estimate exact") {
+    // a: users 1..40, b: users 21..60 -> inter 20, union 60, jacc 1/3.
+    // All distinct counts < k=64, so the sketches are complete and the
+    // union/intersection/jaccard estimators must hit exactly.
+    val rows = (1 to 40).map(u => (u.toLong, day(0), u.toLong, "a", 1.0, "")) ++
+      (21 to 60).map(u => (100L + u, day(0), u.toLong, "b", 1.0, ""))
+    val dir = eventsDir(rows)
+    val r = SparkEntry.queries("q_kmv_setops")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_a") == 40L && row.getAs[Long]("n_b") == 40L)
+    assert(row.getAs[Long]("inter_exact") == 20L)
+    assert(row.getAs[Long]("union_exact") == 60L)
+    assert(row.getAs[Long]("union_est") == 60L)
+    assert(row.getAs[Long]("inter_est") == 20L)
+    assert(math.abs(row.getAs[Double]("jacc_est") - 20.0 / 60.0) < 1e-9)
+  }
+
   test("q_kmv_distinct estimator: under-k groups are exact") {
     val dir = eventsDir((1 to 40).map(i =>
       (i.toLong, day(0), (i % 7).toLong, "view", 1.0, "")))
