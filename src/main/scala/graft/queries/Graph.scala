@@ -324,7 +324,71 @@ object Graph {
       |JOIN nation ON nodes.id = n_nationkey
       |ORDER BY dist, nation""".stripMargin
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007) over the part co-purchase graph — the fourth iterative
+    * shape: per-round MAJORITY VOTE (vs PageRank's weighted sum, BFS's
+    * min, k-core's degree filter). Three synchronous rounds from
+    * self-labels; each node adopts the most frequent label among its
+    * neighbors plus itself (tie → max count, then MIN label — fully
+    * deterministic, so both engines replay the identical rounds).
+    *
+    * Scale shape: a round is votes = edges ⋈ labels re-keyed by dst
+    * (one vertex-key shuffle) + two key-only aggregations; state is
+    * node-sized (v, lbl) pairs, never edge-sized, and each round's
+    * labels are localCheckpoint'd so lineage stays one round deep.
+    * The oracle unrolls the same three rounds as chained CTEs. */
+  private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var lab = edges.select($"src".as("v")).distinct()
+      .withColumn("lbl", $"v")
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val votes = edges.join(lab.withColumnRenamed("v", "src"), "src")
+        .select($"dst".as("v"), $"lbl")
+        .unionByName(lab) // self-vote
+      lab = votes.groupBy($"v", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"v")
+        .agg(max(struct($"cnt", (-$"lbl").as("neg"))).as("m"))
+        .select($"v", (-$"m.neg").as("lbl"))
+        .localCheckpoint()
+    }
+    lab.groupBy($"lbl".as("community")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"n_nodes".desc, $"community")
+      .limit(50)
+  }
+
+  private val graphLabelPropSql = {
+    def round(prev: String, cur: String): String =
+      s"""c$cur AS (SELECT v, lbl, COUNT(*) AS cnt FROM (
+         |    SELECT e.dst AS v, l.lbl AS lbl FROM pedges e JOIN l$prev l ON l.v = e.src
+         |    UNION ALL SELECT v, lbl FROM l$prev) t
+         |  GROUP BY v, lbl),
+         |l$cur AS (SELECT v, lbl FROM (
+         |    SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$cur) r WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+       |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM pedges),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM l3 GROUP BY lbl
+       |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
     "q_kcore" -> QueryDef(qKcore, Some(qKcoreSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql)),
