@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, conv, floor, lit, md5, shiftleft, substring, when}
 import graft.sources.Tables
 import graft.operators.{Multimodal => MM}
 
@@ -164,7 +165,54 @@ object Multimodal {
       |  END AS out_h
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Perceptual-hash near-dup pair join over PLANTED signatures: the
+    * corpus has no real images, so 60-bit "phash" signatures are
+    * synthesized deterministically with known cluster structure —
+    * 5-doc clusters share an md5-derived base hash and each non-root
+    * member flips one known bit, so intra-cluster Hamming ≤ 2 and
+    * cross-cluster ≈ 30. [[graft.operators.Multimodal.blockhashPairs]]
+    * (the REAL pigeonhole-banded operator: maxDist+1 bands, a pair
+    * within distance d must agree exactly on ≥ 1 band) then recovers
+    * exactly the planted pairs. The oracle replays signature
+    * synthesis, banding, and the Hamming filter bit-for-bit.
+    *
+    * Scale shape: the operator's join is an EQUI-join on (band, bits)
+    * — 4 fixed-width rows per image shuffle, never blobs; candidate
+    * fan-out is band-bucket-bounded, the same LSH-style candidate
+    * generation as dedup_minhash_banded but in Hamming space. */
+  private def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.documents(s, dir)
+      .select($"doc_id",
+        conv(substring(md5(concat(lit("ph:"), floor($"doc_id" / 5))), 1, 15), 16, 10)
+          .cast("long").as("base"),
+        when($"doc_id" % 5 === 0, lit(0L))
+          .otherwise(org.apache.spark.sql.functions.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 13) % 60 AS INT))"))
+          .as("flip"))
+      .select($"doc_id", $"base".bitwiseXOR($"flip").as("bh"))
+    MM.blockhashPairs(sigs, maxDist = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val mmPhashPairsSql =
+    """WITH sig AS (SELECT doc_id,
+      |    xor(CAST('0x' || substring(md5('ph:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15) AS BIGINT),
+      |        CASE WHEN doc_id % 5 = 0 THEN 0
+      |             ELSE (1::BIGINT << CAST((doc_id * 13) % 60 AS INT)) END) AS bh
+      |  FROM documents),
+      |banded AS (SELECT doc_id, bh, band,
+      |    (bh >> CAST(band * 15 AS INT)) & 32767 AS bits
+      |  FROM (SELECT doc_id, bh, unnest(range(0, 4)) AS band FROM sig) t)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.bh, b.bh)) AS BIGINT) AS hamming
+      |FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.bh, b.bh)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "mm_phash_pairs" -> QueryDef(mmPhashPairs, Some(mmPhashPairsSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),

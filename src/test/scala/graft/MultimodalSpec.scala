@@ -205,4 +205,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == (20L, 10L))
     assert(out(3L) == (1L, 32L), s"zero-dim plan must clamp: ${out(3L)}")
   }
+
+  test("mm_phash_pairs recovers exactly the planted clusters (recall 1.0)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id").as[Long].collect()
+    // intra-cluster Hamming <= 2 by construction, so pigeonhole banding
+    // at maxDist=3 must find every within-cluster pair
+    val expected = docs.groupBy(_ / 5).values
+      .map(c => c.length.toLong * (c.length - 1) / 2).sum
+    val pairs = SparkEntry.queries("mm_phash_pairs")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length.toLong == expected, s"${pairs.length} vs $expected")
+    assert(pairs.forall { case (a, b, h) => a / 5 == b / 5 && h <= 2 })
+  }
 }
