@@ -1460,6 +1460,73 @@ object Stats {
       |  CAST(ra - rb AS DOUBLE)/10000.0 AS delta
       |FROM a ORDER BY ABS(ra - rb) DESC, l_partkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------- q_decile_lift
+
+  /** Propensity-model lift/gains table with a TEMPORAL holdout — the
+    * standard churn/conversion model eval: score users on the feature
+    * period (activity count before Jan 21), label them on the holdout
+    * (any purchase after), decile by score, and read lift and
+    * cumulative gains off the deciles. Leakage-safe by construction:
+    * the score touches only pre-boundary events, the label only
+    * post-boundary ones (same contract as q_feature_store_pit).
+    *
+    * Scale shape: deciles via the q_equidepth percentile-edge
+    * classification (one exact-percentile aggregate broadcast back,
+    * NO ntile / global sort over users); the cumulative window runs
+    * over the 10-row decile table. lift = (n_pos·tu)/(n_users·tp) as
+    * one double division of exact integer operands — bit-identical on
+    * both engines. */
+  private def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val feat = ev.filter($"ts" < "2024-01-21")
+      .groupBy($"user_id").agg(count(lit(1)).as("score"))
+    val lab = ev.filter($"ts" >= "2024-01-21" && $"event_type" === "purchase")
+      .select($"user_id").distinct().withColumn("p", lit(1L))
+    val scored = feat.join(lab, Seq("user_id"), "left")
+      .select($"score", coalesce($"p", lit(0L)).as("pos"))
+    val ed = scored.agg(
+      expr("percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("edges"))
+    val a = scored.crossJoin(broadcast(ed))
+      .withColumn("decile",
+        expr("aggregate(edges, 0, (acc, x) -> acc + IF(score > round(x, 6), 1, 0))").cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"pos").as("n_pos"))
+    val tot = a.agg(sum($"n_users").as("tu"), sum($"n_pos").as("tp"))
+    a.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum($"n_pos").over( // ≤ 10 decile rows
+        Window.orderBy($"decile".desc).rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"decile", $"n_users", $"n_pos",
+        ($"n_pos".cast("double") / $"n_users").as("pos_rate"),
+        (($"n_pos" * $"tu").cast("double") / ($"n_users" * $"tp")).as("lift"),
+        ($"cum_pos".cast("double") / $"tp").as("cum_gain"))
+      .orderBy($"decile".desc)
+  }
+
+  private val qDecileLiftSql =
+    """WITH f AS (SELECT user_id, COUNT(*) AS score FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-21' GROUP BY user_id),
+      |p AS (SELECT DISTINCT user_id FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-21' AND event_type = 'purchase'),
+      |sc AS (SELECT f.score, CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS pos
+      |  FROM f LEFT JOIN p ON f.user_id = p.user_id),
+      |ed AS (SELECT quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM sc),
+      |b AS (SELECT score, pos,
+      |    CAST(len(list_filter(edges, x -> score > ROUND(x, 6))) AS BIGINT) AS decile
+      |  FROM sc CROSS JOIN ed),
+      |a AS (SELECT decile, COUNT(*) AS n_users, SUM(pos) AS n_pos FROM b GROUP BY decile),
+      |t AS (SELECT SUM(n_users) AS tu, SUM(n_pos) AS tp FROM a),
+      |c AS (SELECT decile, n_users, n_pos,
+      |    SUM(n_pos) OVER (ORDER BY decile DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      |  FROM a)
+      |SELECT decile, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_pos AS DOUBLE) / n_users AS pos_rate,
+      |  CAST(n_pos * tu AS DOUBLE) / (n_users * tp) AS lift,
+      |  CAST(cum_pos AS DOUBLE) / tp AS cum_gain
+      |FROM c CROSS JOIN t ORDER BY decile DESC""".stripMargin
+
   // ---------------------------------------------------------- q_bootstrap_ci
 
   /** Percentile-bootstrap confidence interval for mean purchase value
@@ -1662,6 +1729,7 @@ object Stats {
     "q_survival_km" -> QueryDef(qSurvivalKm, Some(qSurvivalKmSql)),
     "q_bootstrap_ci" -> QueryDef(qBootstrapCi, Some(qBootstrapCiSql)),
     "q_movers" -> QueryDef(qMovers, Some(qMoversSql)),
+    "q_decile_lift" -> QueryDef(qDecileLift, Some(qDecileLiftSql)),
     "q_sessions_concurrency" ->
       QueryDef(qSessionsConcurrency, Some(qSessionsConcurrencySql)),
     "q_user_growth" -> QueryDef(qUserGrowth, Some(qUserGrowthSql)),

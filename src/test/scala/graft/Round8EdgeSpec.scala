@@ -59,6 +59,27 @@ class Round8EdgeSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1L, 2L, 3L)))
   }
 
+  test("q_decile_lift: perfectly separating score gives top-decile lift tu/tp") {
+    val pre = Timestamp.valueOf("2024-01-05 00:00:00")
+    val post = Timestamp.valueOf("2024-01-25 00:00:00")
+    // users 1..10: one pre-boundary event, no conversion;
+    // users 11..20: five pre-boundary events, all convert afterwards
+    var id = 0L
+    def ev(u: Long, ts: Timestamp, tp: String) = { id += 1; (id, ts, u, tp, 1.0, "") }
+    val rows = (1 to 10).map(u => ev(u.toLong, pre, "view")) ++
+      (11 to 20).flatMap(u => (1 to 5).map(_ => ev(u.toLong, pre, "view"))) ++
+      (11 to 20).map(u => ev(u.toLong, post, "purchase"))
+    val dir = eventsDir(rows)
+    val got = SparkEntry.queries("q_decile_lift")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // scores {1,5}: edges put score-5 users in decile 5, score-1 in 0.
+    // top decile: rate 1.0, lift = (10*20)/(10*10) = 2.0, cum_gain 1.0
+    assert(got == Seq(
+      (5L, 10L, 10L, 1.0, 2.0, 1.0),
+      (0L, 10L, 0L, 0.0, 0.0, 1.0)), got.toString)
+  }
+
   test("graph_label_prop: bridged triangles resolve to two communities") {
     // orders (keys % 10 == 0 to pass the sample filter) define cliques:
     // triangle {1,2,3}, triangle {4,5,6}, bridge edge {3,4}.
