@@ -647,7 +647,83 @@ object TextAnalysis {
        |ORDER BY step""".stripMargin
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (capped at 4 tokens), scored by
+    * Σ degree(w)/freq(w) over member words — the classic unsupervised
+    * keyphrase extractor. Corpus-level top-30 so the output is bounded.
+    *
+    * Determinism: the per-word score is micro-quantized with one
+    * integer division ((degree·10⁶) div freq) BEFORE the phrase sum,
+    * so aggregation order cannot leak into the ranking; ties break on
+    * the phrase string.
+    *
+    * Scale shape: phrase segmentation is a per-doc window (partitioned
+    * by doc_id — the sessionize shape, no global window); word stats
+    * are one key-only aggregation; the phrase-score join carries
+    * (word, score) pairs sized by vocabulary, which AQE broadcasts
+    * when small and shuffles when not. */
+  private def textRakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = TA.Stopwords
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("is_stop", $"w".isin(stop.map(x => x: Any): _*))
+    val pid = toks.withColumn("pid",
+      sum(when($"is_stop", 1L).otherwise(0L))
+        .over(Window.partitionBy($"doc_id").orderBy($"pos")))
+    val mem = pid.filter(!$"is_stop" && length($"w") > 0)
+      .select($"doc_id", $"pid", $"pos", $"w")
+      .localCheckpoint() // three consumers: lengths, word stats, phrase strings
+    val plen = mem.groupBy($"doc_id", $"pid").agg(count(lit(1)).as("len"))
+      .filter($"len" <= 4)
+    val kept = mem.join(plen, Seq("doc_id", "pid"))
+    val wsc = kept.groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("degree"))
+      .select($"w", expr("(degree * 1000000) div freq").as("smicro"))
+    val psc = kept.join(wsc, "w")
+      .groupBy($"doc_id", $"pid").agg(sum($"smicro").as("score"))
+    val pstr = kept.groupBy($"doc_id", $"pid")
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"), " ")
+        .as("phrase"))
+    pstr.join(psc, Seq("doc_id", "pid"))
+      .groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max($"score").as("sm"))
+      .orderBy($"sm".desc, $"phrase")
+      .limit(30)
+      .select($"phrase", $"n_occurrences",
+        ($"sm".cast("double") / 1000000).as("rake_score"))
+  }
+
+  private val textRakeKeywordsSql = {
+    val stops = TA.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM t0),
+       |st AS (SELECT doc_id, pos, ws[pos] AS w,
+       |    CASE WHEN ws[pos] IN ($stops) THEN 1 ELSE 0 END AS is_stop FROM tok),
+       |pidt AS (SELECT doc_id, pos, w, is_stop,
+       |    SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM st),
+       |mem AS (SELECT doc_id, pid, pos, w FROM pidt
+       |  WHERE is_stop = 0 AND len(w) > 0),
+       |plen AS (SELECT doc_id, pid, COUNT(*) AS len FROM mem
+       |  GROUP BY 1, 2 HAVING COUNT(*) <= 4),
+       |kept AS (SELECT m.doc_id, m.pid, m.pos, m.w, p.len
+       |  FROM mem m JOIN plen p ON m.doc_id = p.doc_id AND m.pid = p.pid),
+       |wsc AS (SELECT w, (SUM(len) * 1000000) // COUNT(*) AS smicro
+       |  FROM kept GROUP BY w),
+       |psc AS (SELECT k.doc_id, k.pid, SUM(smicro) AS score
+       |  FROM kept k JOIN wsc ON k.w = wsc.w GROUP BY 1, 2),
+       |pstr AS (SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase
+       |  FROM kept GROUP BY 1, 2),
+       |ph AS (SELECT pstr.phrase, psc.score FROM pstr
+       |  JOIN psc ON pstr.doc_id = psc.doc_id AND pstr.pid = psc.pid)
+       |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(MAX(score) AS DOUBLE) / 1000000 AS rake_score
+       |FROM ph GROUP BY phrase
+       |ORDER BY MAX(score) DESC, phrase LIMIT 30""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "text_rake_keywords" -> QueryDef(textRakeKeywords, Some(textRakeKeywordsSql)),
     "text_bpe_fertility" -> QueryDef(textBpeFertility, Some(textBpeFertilitySql)),
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),

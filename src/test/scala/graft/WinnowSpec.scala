@@ -48,6 +48,19 @@ class WinnowSpec extends AnyFunSuite {
     assert(density > 0.1 && density < 0.5, s"density $density")
   }
 
+  test("text_rake_keywords: hand-computed degree/freq scores on a planted doc") {
+    import spark.implicits._
+    // "deep learning of deep nets": stopword 'of' splits two phrases.
+    // freq(deep)=2 degree(deep)=4 -> 2.0; learning/nets: 2/1... no:
+    // degree(learning)=2 freq=1 -> 2.0; both phrases score 4.0.
+    val dir = java.nio.file.Files.createTempDirectory("rake").toString
+    Seq((1L, "deep learning of deep nets")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_rake_keywords")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("deep learning", 1L, 4.0), ("deep nets", 1L, 4.0)), got.toString)
+  }
+
   test("fingerprints are invariant to doc concatenation order of unrelated prefixes") {
     // position-robustness: moving a passage must preserve its fingerprints
     val passage = (1 to 12).map(i => s"p$i").mkString(" ")
