@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.ClickThru
@@ -286,7 +287,83 @@ object Ctr {
       .orderBy($"user_id", $"click_id")
   }
 
+  /** Position-based (U-shaped) MULTI-TOUCH attribution — the model
+    * the single-touch as-of join (ctr_attribution) graduates into:
+    * each purchase's credit is split 40/20/40 across ALL its
+    * journey's touches (first / evenly-among-middles / last), not
+    * granted solely to the last click. Journeys reset at each
+    * purchase (a touch belongs to exactly ONE journey — running
+    * purchase count per user), so total work is linear in events,
+    * never quadratic in touches × conversions.
+    *
+    * Determinism: credits are exact integer micro-units summing to
+    * 10⁶ per converted journey (middles get the integer quotient,
+    * the LAST touch absorbs the remainder); event order is the total
+    * (ts, event_id) key. Both engines replay identical windows.
+    *
+    * Scale shape: everything is per-user windows (the sessionize
+    * partitioning) + key-only aggregation — one user-key shuffle,
+    * no self-join of touches against conversions. */
+  private def ctrMultitouch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .withColumn("is_p", when($"event_type" === "purchase", 1L).otherwise(0L))
+      .withColumn("jid", sum($"is_p").over(w) - $"is_p") // purchases BEFORE this row
+    val journeys = ev.groupBy($"user_id", $"jid")
+      .agg(max($"is_p").as("converted"), sum(lit(1L) - $"is_p").as("n_touch"))
+      .filter($"converted" === 1L && $"n_touch" >= 1L)
+    val touches = ev.filter($"is_p" === 0L)
+      .withColumn("tpos", row_number().over(
+        Window.partitionBy($"user_id", $"jid").orderBy($"ts", $"event_id")))
+    val credited = touches.join(journeys.select($"user_id", $"jid", $"n_touch"),
+        Seq("user_id", "jid"))
+      .withColumn("credit_micro",
+        when($"n_touch" === 1L, lit(1000000L))
+          .when($"n_touch" === 2L, lit(500000L))
+          .otherwise(
+            when($"tpos" === 1L, lit(400000L))
+              .when($"tpos" === $"n_touch",
+                lit(400000L) + lit(200000L) % ($"n_touch" - 2L))
+              .otherwise(expr("200000 div (n_touch - 2)"))))
+    credited.groupBy($"event_type")
+      .agg(sum($"credit_micro").as("cm"),
+        count(lit(1)).as("n_touches"),
+        countDistinct($"user_id", $"jid").as("n_journeys"))
+      .select($"event_type", ($"cm".cast("double") / 1000000).as("credit"),
+        $"n_touches", $"n_journeys")
+      .orderBy($"event_type")
+  }
+
+  private val ctrMultitouchSql =
+    """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |j AS (SELECT *,
+      |    SUM(is_p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - is_p AS jid
+      |  FROM ev),
+      |jr AS (SELECT user_id, jid, MAX(is_p) AS converted,
+      |    SUM(1 - is_p) AS n_touch
+      |  FROM j GROUP BY 1, 2 HAVING MAX(is_p) = 1 AND SUM(1 - is_p) >= 1),
+      |tch AS (SELECT user_id, jid, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, jid ORDER BY ts, event_id) AS tpos
+      |  FROM j WHERE is_p = 0),
+      |cr AS (SELECT t.event_type, t.user_id, t.jid,
+      |    CASE WHEN jr.n_touch = 1 THEN 1000000
+      |         WHEN jr.n_touch = 2 THEN 500000
+      |         WHEN t.tpos = 1 THEN 400000
+      |         WHEN t.tpos = jr.n_touch THEN 400000 + 200000 % (jr.n_touch - 2)
+      |         ELSE 200000 // (jr.n_touch - 2) END AS credit_micro
+      |  FROM tch t JOIN jr ON t.user_id = jr.user_id AND t.jid = jr.jid)
+      |SELECT event_type, CAST(SUM(credit_micro) AS DOUBLE) / 1000000 AS credit,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(COUNT(DISTINCT (user_id, jid)) AS BIGINT) AS n_journeys
+      |FROM cr GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ctr_multitouch" -> QueryDef(ctrMultitouch, Some(ctrMultitouchSql)),
     "ctr_referrer" -> QueryDef(ctrReferrer, Some(ctrReferrerSql), bench = true),
     "attribution_streaming_replay" ->
       QueryDef(attributionStreamingReplay, Some(ctrAttributionSql)),

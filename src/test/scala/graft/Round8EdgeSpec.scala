@@ -59,6 +59,19 @@ class Round8EdgeSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1L, 2L, 3L)))
   }
 
+  test("ctr_multitouch: U-shaped credits sum to 1.0 per converted journey") {
+    def t(i: Int) = new Timestamp(i * 1000L)
+    // one user, two journeys: [view, click, view] -> purchase (40/20/40),
+    // then [view] -> purchase (solo touch gets the full credit)
+    val dir = eventsDir(Seq(
+      (1L, t(1), 1L, "view", 1.0, ""), (2L, t(2), 1L, "click", 1.0, ""),
+      (3L, t(3), 1L, "view", 1.0, ""), (4L, t(4), 1L, "purchase", 1.0, ""),
+      (5L, t(5), 1L, "view", 1.0, ""), (6L, t(6), 1L, "purchase", 1.0, "")))
+    val got = SparkEntry.queries("ctr_multitouch")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("click", 0.2, 1L, 1L), ("view", 1.8, 3L, 2L)), got.toString)
+  }
+
   test("q_decile_lift: perfectly separating score gives top-decile lift tu/tp") {
     val pre = Timestamp.valueOf("2024-01-05 00:00:00")
     val post = Timestamp.valueOf("2024-01-25 00:00:00")
