@@ -215,6 +215,70 @@ object Similarity {
        |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  /** MRR of the IVF tier: where does the TRUE nearest neighbor (exact
+    * brute-force top-1) land in the IVF top-20 shortlist? Recall@k
+    * (ann_recall) says whether the answer is present; reciprocal rank
+    * says how much re-ranking budget the tier needs — together they
+    * are the standard ANN acceptance pair. rr = (10⁶ div rank)/10⁶ —
+    * integer division then one double division, bit-identical both
+    * engines; a miss reports rank −1, rr 0. */
+  private def annMrr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val truth = Sim.bruteForce(s, emb, probes(s, dir), k = 1)
+      .select($"query_id", $"neighbor_id".as("true_nn"))
+    val ivf = Sim.ivfTopK(s, emb, probes(s, dir), k = 20)
+      .select($"query_id".as("iq"), $"neighbor_id".as("in_"), $"rk")
+    truth.join(ivf, $"query_id" === $"iq" && $"true_nn" === $"in_", "left")
+      .select($"query_id", $"true_nn",
+        coalesce($"rk".cast("long"), lit(-1L)).as("rank_in_ivf"),
+        coalesce(expr("1000000 div rk").cast("double") / 1000000, lit(0.0)).as("rr"))
+      .orderBy($"query_id")
+  }
+
+  private val annMrrSql =
+    s"""WITH q1 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc1 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q1 JOIN embeddings e ON e.vec_id <> q1.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id AS true_nn FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc1) x WHERE rk = 1),
+       |cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, c.cell, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pc AS (
+       |  SELECT query_id, cell, qe FROM (
+       |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) x WHERE crk <= 2),
+       |sc2 AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM pc JOIN asg a USING (cell) WHERE a.vec_id <> pc.query_id),
+       |iv AS (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc2) x WHERE rk <= 20)
+       |SELECT bf.query_id, bf.true_nn,
+       |  CAST(COALESCE(iv.rk, -1) AS BIGINT) AS rank_in_ivf,
+       |  COALESCE(CAST(1000000 // iv.rk AS DOUBLE) / 1000000, 0.0) AS rr
+       |FROM bf LEFT JOIN iv
+       |  ON bf.query_id = iv.query_id AND bf.true_nn = iv.neighbor_id
+       |ORDER BY bf.query_id""".stripMargin
+
   /** Recall@5 of the hyperplane-LSH tier against exact brute force —
     * closes the acceptance-gate set (IVF has `ann_recall`, binary
     * quantization has `ann_bq_recall`). Single-bucket LSH can return
@@ -1157,6 +1221,7 @@ object Similarity {
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
     "ann_ivf_trained" -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
     "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
+    "ann_mrr" -> QueryDef(annMrr, Some(annMrrSql)),
     "ann_recall_lsh" -> QueryDef(annRecallLsh, Some(annRecallLshSql)),
     "ann_pq_adc" -> QueryDef(annPqAdc, Some(annPqAdcSql))
   )

@@ -1460,6 +1460,70 @@ object Stats {
       |  CAST(ra - rb AS DOUBLE)/10000.0 AS delta
       |FROM a ORDER BY ABS(ra - rb) DESC, l_partkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------- q_causal_did
+
+  /** Difference-in-differences estimator — the workhorse quasi-
+    * experimental readout next to q_ab_test's randomized one: mean
+    * purchase value per (arm × period) cell around a boundary date,
+    * effect = (T_post − T_pre) − (C_post − C_pre). Arms are the
+    * deterministic user_id % 2 split (q_ab_test convention).
+    *
+    * ONE conditional-aggregate pass over purchases (8 exact integer
+    * cent sums/counts, map-side combinable, ~0-byte shuffle); the four
+    * cell means are single double divisions of exact integers, and the
+    * DiD is fixed-shape IEEE arithmetic on those — bit-identical on
+    * both engines at any parallelism. */
+  private def qCausalDid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import QueryDef.cents
+    val p = Tables.events(s, dir).filter($"event_type" === "purchase")
+      .select(($"user_id" % 2).as("arm"),
+        when($"ts" < "2024-01-16", 0L).otherwise(1L).as("post"),
+        cents($"value").as("v"))
+    def cell(a: Int, t: Int, c: org.apache.spark.sql.Column) =
+      sum(when($"arm" === a && $"post" === t, c).otherwise(0L))
+    val w = p.agg(
+      cell(0, 0, $"v").as("s00"), cell(0, 0, lit(1L)).as("n00"),
+      cell(0, 1, $"v").as("s01"), cell(0, 1, lit(1L)).as("n01"),
+      cell(1, 0, $"v").as("s10"), cell(1, 0, lit(1L)).as("n10"),
+      cell(1, 1, $"v").as("s11"), cell(1, 1, lit(1L)).as("n11"))
+    w.select(
+      $"n00".as("n_control_pre"), $"n01".as("n_control_post"),
+      $"n10".as("n_treat_pre"), $"n11".as("n_treat_post"),
+      ($"s00".cast("double") / $"n00" / 100).as("mean_control_pre"),
+      ($"s01".cast("double") / $"n01" / 100).as("mean_control_post"),
+      ($"s10".cast("double") / $"n10" / 100).as("mean_treat_pre"),
+      ($"s11".cast("double") / $"n11" / 100).as("mean_treat_post"),
+      (($"s11".cast("double") / $"n11" / 100 - $"s10".cast("double") / $"n10" / 100) -
+        ($"s01".cast("double") / $"n01" / 100 - $"s00".cast("double") / $"n00" / 100))
+        .as("did"))
+  }
+
+  private val qCausalDidSql =
+    """WITH p AS (SELECT user_id % 2 AS arm,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS post,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (SELECT
+      |    SUM(CASE WHEN arm = 0 AND post = 0 THEN v ELSE 0 END) AS s00,
+      |    SUM(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END) AS n00,
+      |    SUM(CASE WHEN arm = 0 AND post = 1 THEN v ELSE 0 END) AS s01,
+      |    SUM(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END) AS n01,
+      |    SUM(CASE WHEN arm = 1 AND post = 0 THEN v ELSE 0 END) AS s10,
+      |    SUM(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END) AS n10,
+      |    SUM(CASE WHEN arm = 1 AND post = 1 THEN v ELSE 0 END) AS s11,
+      |    SUM(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END) AS n11
+      |  FROM p)
+      |SELECT CAST(n00 AS BIGINT) AS n_control_pre, CAST(n01 AS BIGINT) AS n_control_post,
+      |  CAST(n10 AS BIGINT) AS n_treat_pre, CAST(n11 AS BIGINT) AS n_treat_post,
+      |  CAST(s00 AS DOUBLE) / n00 / 100 AS mean_control_pre,
+      |  CAST(s01 AS DOUBLE) / n01 / 100 AS mean_control_post,
+      |  CAST(s10 AS DOUBLE) / n10 / 100 AS mean_treat_pre,
+      |  CAST(s11 AS DOUBLE) / n11 / 100 AS mean_treat_post,
+      |  (CAST(s11 AS DOUBLE) / n11 / 100 - CAST(s10 AS DOUBLE) / n10 / 100)
+      |    - (CAST(s01 AS DOUBLE) / n01 / 100 - CAST(s00 AS DOUBLE) / n00 / 100) AS did
+      |FROM w""".stripMargin
+
   // ---------------------------------------------------------- q_decile_lift
 
   /** Propensity-model lift/gains table with a TEMPORAL holdout — the
@@ -1730,6 +1794,7 @@ object Stats {
     "q_bootstrap_ci" -> QueryDef(qBootstrapCi, Some(qBootstrapCiSql)),
     "q_movers" -> QueryDef(qMovers, Some(qMoversSql)),
     "q_decile_lift" -> QueryDef(qDecileLift, Some(qDecileLiftSql)),
+    "q_causal_did" -> QueryDef(qCausalDid, Some(qCausalDidSql)),
     "q_sessions_concurrency" ->
       QueryDef(qSessionsConcurrency, Some(qSessionsConcurrencySql)),
     "q_user_growth" -> QueryDef(qUserGrowth, Some(qUserGrowthSql)),
