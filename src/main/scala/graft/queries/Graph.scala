@@ -337,16 +337,24 @@ object Graph {
     * node-sized (v, lbl) pairs, never edge-sized, and each round's
     * labels are localCheckpoint'd so lineage stays one round deep.
     * The oracle unrolls the same three rounds as chained CTEs. */
-  private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+  /** Directed-both-ways co-purchase edge list (each undirected edge
+    * appears twice), shared by graph_label_prop and
+    * q_graph_modularity. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 10 === 0)
       .select($"l_orderkey", $"l_partkey")
-    val edges = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
       .localCheckpoint()
+  }
+
+  /** Final (v, lbl) assignment after 3 synchronous LPA rounds. */
+  private def lpaLabels(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
     var lab = edges.select($"src".as("v")).distinct()
       .withColumn("lbl", $"v")
       .localCheckpoint()
@@ -360,9 +368,77 @@ object Graph {
         .select($"v", (-$"m.neg").as("lbl"))
         .localCheckpoint()
     }
-    lab.groupBy($"lbl".as("community")).agg(count(lit(1)).as("n_nodes"))
+    lab
+  }
+
+  private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lpaLabels(coPurchaseEdges(s, dir))
+      .groupBy($"lbl".as("community")).agg(count(lit(1)).as("n_nodes"))
       .orderBy($"n_nodes".desc, $"community")
       .limit(50)
+  }
+
+  /** Newman modularity of the LPA communities — the quality readout
+    * that says whether graph_label_prop found real structure:
+    * Q = L_in/m − Σ_c d_c²/(4m²), computed on the directed-both-ways
+    * edge list as Q = (lin2·m2 − Σd_c²)/m2² in EXACT integer
+    * arithmetic (DECIMAL(38)/HUGEINT products) with one final double
+    * division — bit-identical both engines. One edge-key join pair to
+    * label endpoints + two key-only aggregations; no per-community
+    * loops. */
+  private def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = coPurchaseEdges(s, dir)
+    val lab = lpaLabels(edges).localCheckpoint() // 3 consumers below
+    val labeled = edges
+      .join(lab.select($"v".as("src"), $"lbl".as("lsrc")), "src")
+      .join(lab.select($"v".as("dst"), $"lbl".as("ldst")), "dst")
+    val ec = labeled.agg(count(lit(1)).as("m2"),
+      sum(when($"lsrc" === $"ldst", 1L).otherwise(0L)).as("lin2"))
+    val deg = edges.groupBy($"src".as("v")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(lab, "v").groupBy($"lbl").agg(sum($"deg").as("dcs"))
+    val s2 = dc.agg(count(lit(1)).as("n_communities"),
+      sum($"dcs".cast(d38) * $"dcs").as("sum_dc2"))
+    ec.crossJoin(broadcast(s2)).select(
+      $"n_communities",
+      expr("m2 div 2").as("n_edges"),
+      expr("lin2 div 2").as("l_in"),
+      (($"lin2".cast(d38) * $"m2" - $"sum_dc2").cast("double") /
+        ($"m2".cast("double") * $"m2")).as("modularity"))
+  }
+
+  private val qGraphModularitySql = {
+    def round(prev: String, cur: String): String =
+      s"""c$cur AS (SELECT v, lbl, COUNT(*) AS cnt FROM (
+         |    SELECT e.dst AS v, l.lbl AS lbl FROM pedges e JOIN l$prev l ON l.v = e.src
+         |    UNION ALL SELECT v, lbl FROM l$prev) t
+         |  GROUP BY v, lbl),
+         |l$cur AS (SELECT v, lbl FROM (
+         |    SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$cur) r WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+       |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM pedges),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")},
+       |ec AS (SELECT COUNT(*) AS m2,
+       |    SUM(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END) AS lin2
+       |  FROM pedges e JOIN l3 la ON e.src = la.v JOIN l3 lb ON e.dst = lb.v),
+       |deg AS (SELECT src AS v, COUNT(*) AS deg FROM pedges GROUP BY 1),
+       |dc AS (SELECT l.lbl, SUM(d.deg) AS dcs FROM deg d JOIN l3 l ON d.v = l.v GROUP BY 1),
+       |s2 AS (SELECT COUNT(*) AS n_communities,
+       |    SUM(CAST(dcs AS HUGEINT) * dcs) AS sum_dc2 FROM dc)
+       |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+       |  CAST(m2 // 2 AS BIGINT) AS n_edges,
+       |  CAST(lin2 // 2 AS BIGINT) AS l_in,
+       |  CAST(CAST(lin2 AS HUGEINT) * m2 - sum_dc2 AS DOUBLE)
+       |    / (CAST(m2 AS DOUBLE) * m2) AS modularity
+       |FROM ec CROSS JOIN s2""".stripMargin
   }
 
   private val graphLabelPropSql = {
@@ -389,6 +465,7 @@ object Graph {
 
   val defs: Map[String, QueryDef] = Map(
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
+    "q_graph_modularity" -> QueryDef(qGraphModularity, Some(qGraphModularitySql)),
     "q_kcore" -> QueryDef(qKcore, Some(qKcoreSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql)),

@@ -363,7 +363,120 @@ object Retrieval {
       |FROM tr JOIN ev ON tr.gh = ev.gh
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
+  /** Ranked-retrieval EVALUATION (nDCG@10, precision@10, first
+    * relevant rank) — the metric layer the BM25/TF-IDF keys feed in a
+    * real IR pipeline. Queries are carved from the corpus
+    * (doc_id % 97), each represented by its 5 RAREST terms (global df
+    * ascending — rare terms carry the signal); candidates are ranked
+    * by Σ tf·idf_micro with idf micro-quantized per term BEFORE the
+    * sum (order-proof); relevance is same-source (binary), self
+    * excluded. DCG discounts 1/log2(i+1) are micro-quantized per rank
+    * (i ≤ 10 scalars), so DCG/IDCG are exact integer sums and nDCG is
+    * one double division — both engines replay it bit-for-bit.
+    *
+    * Scale shape: query-term selection is a per-query window over the
+    * query doc's own vocabulary; scoring joins the corpus tf table to
+    * the 5·|Q| query-term table on the term key (AQE broadcasts while
+    * small); top-10 is a per-query window. No corpus×corpus work. */
+  private def textNdcgEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select($"doc_id", $"text")
+      .repartition(s.sparkContext.defaultParallelism) // past the 1-task scan cap
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter(length($"t") > 0)
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df, query terms, and scoring
+    val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    val qdocs = docs.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("qid"), $"source".as("qsrc"))
+    val qterms = tf.join(qdocs.select($"qid"), $"doc_id" === $"qid")
+      .join(df, "t")
+      .withColumn("trk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"df", $"t")))
+      .filter($"trk" <= 5)
+      .crossJoin(broadcast(stats))
+      .select($"qid", $"t",
+        round(log($"n_docs".cast("double") / $"df") * 1e6).cast("long").as("idfm"))
+    val top = tf.join(qterms, "t")
+      .filter($"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id").agg(sum($"tf" * $"idfm").as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id")))
+      .filter($"rk" <= 10)
+    val rel = top
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .join(broadcast(qdocs), "qid")
+      .withColumn("rel", when($"source" === $"qsrc", 1L).otherwise(0L))
+      .withColumn("disc", expr("CAST(round(1000000 * ln(2) / ln(rk + 1)) AS BIGINT)"))
+    val perQ = rel.groupBy($"qid").agg(
+      sum($"rel" * $"disc").as("dcgm"),
+      sum($"rel").as("n_rel10"),
+      min(when($"rel" === 1L, $"rk")).as("frank"))
+    val srcN = docs.groupBy($"source").agg(count(lit(1)).as("nsrc"))
+    val nrel = qdocs.join(broadcast(srcN), $"qsrc" === $"source")
+      .select($"qid", ($"nsrc" - 1).as("n_rel_total"))
+    perQ.join(nrel, "qid")
+      .withColumn("idcgm", expr(
+        """CASE WHEN n_rel_total >= 1 THEN
+          |  aggregate(sequence(1, CAST(least(10, n_rel_total) AS INT)), CAST(0 AS BIGINT),
+          |    (acc, i) -> acc + CAST(round(1000000 * ln(2) / ln(i + 1)) AS BIGINT))
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select($"qid".as("query_doc"), $"n_rel_total",
+        coalesce($"frank".cast("long"), lit(-1L)).as("first_rel_rank"),
+        ($"n_rel10".cast("double") / 10).as("precision10"),
+        when($"idcgm" > 0, $"dcgm".cast("double") / $"idcgm")
+          .otherwise(lit(0.0)).as("ndcg10"))
+      .orderBy($"query_doc")
+  }
+
+  private val textNdcgEvalSql =
+    """WITH tf AS (
+      |  SELECT doc_id, t, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+      |  WHERE len(t) > 0 GROUP BY doc_id, t),
+      |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      |st AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |qd AS (SELECT doc_id AS qid, source AS qsrc FROM documents WHERE doc_id % 97 = 0),
+      |qt AS (SELECT qid, t, idfm FROM (
+      |    SELECT qd.qid, tf.t,
+      |      CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT) AS idfm,
+      |      ROW_NUMBER() OVER (PARTITION BY qd.qid ORDER BY df, tf.t) AS trk
+      |    FROM tf JOIN qd ON tf.doc_id = qd.qid
+      |    JOIN dfr ON tf.t = dfr.t CROSS JOIN st) y WHERE trk <= 5),
+      |top AS (SELECT qid, doc_id, rk FROM (
+      |    SELECT s.qid, s.doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.doc_id) AS rk
+      |    FROM (SELECT qt.qid, tf.doc_id, SUM(tf.tf * qt.idfm) AS score
+      |          FROM tf JOIN qt ON tf.t = qt.t WHERE tf.doc_id <> qt.qid
+      |          GROUP BY qt.qid, tf.doc_id) s) z WHERE rk <= 10),
+      |rl AS (SELECT top.qid, top.rk,
+      |    CASE WHEN d.source = qd.qsrc THEN 1 ELSE 0 END AS rel,
+      |    CAST(ROUND(1000000 * ln(2) / ln(top.rk + 1)) AS BIGINT) AS disc
+      |  FROM top JOIN documents d ON top.doc_id = d.doc_id
+      |  JOIN qd ON top.qid = qd.qid),
+      |pq AS (SELECT qid, SUM(rel * disc) AS dcgm, SUM(rel) AS n_rel10,
+      |    MIN(CASE WHEN rel = 1 THEN rk END) AS frank
+      |  FROM rl GROUP BY qid),
+      |srcn AS (SELECT source, COUNT(*) AS nsrc FROM documents GROUP BY source),
+      |nr AS (SELECT qid, nsrc - 1 AS n_rel_total FROM qd JOIN srcn ON qd.qsrc = srcn.source),
+      |idc AS (SELECT pq.qid, dcgm, n_rel10, frank, n_rel_total,
+      |    CASE WHEN n_rel_total >= 1 THEN
+      |      COALESCE(list_sum(list_transform(range(1, CAST(LEAST(10, n_rel_total) AS BIGINT) + 1),
+      |        i -> CAST(ROUND(1000000 * ln(2) / ln(i + 1)) AS BIGINT))), 0)
+      |    ELSE 0 END AS idcgm
+      |  FROM pq JOIN nr ON pq.qid = nr.qid)
+      |SELECT qid AS query_doc, CAST(n_rel_total AS BIGINT) AS n_rel_total,
+      |  CAST(COALESCE(frank, -1) AS BIGINT) AS first_rel_rank,
+      |  CAST(n_rel10 AS DOUBLE) / 10 AS precision10,
+      |  CASE WHEN idcgm > 0 THEN CAST(dcgm AS DOUBLE) / idcgm ELSE 0.0 END AS ndcg10
+      |FROM idc ORDER BY query_doc""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_ndcg_eval" -> QueryDef(textNdcgEval, Some(textNdcgEvalSql)),
     "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql), bench = true),
     "text_perplexity" -> QueryDef(textPerplexity, Some(textPerplexitySql)),
     "text_kn_perplexity" -> QueryDef(textKnPerplexity, Some(textKnPerplexitySql), bench = true),

@@ -666,6 +666,10 @@ object TextAnalysis {
     import s.implicits._
     val stop = TA.Stopwords
     val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"text")
+      // spread the tokenize+explode body past the single-row-group
+      // scan-task cap (ctr_referrer pre-parse pattern)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .withColumn("is_stop", $"w".isin(stop.map(x => x: Any): _*))
     val pid = toks.withColumn("pid",

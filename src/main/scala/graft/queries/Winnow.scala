@@ -52,7 +52,13 @@ object Winnow {
       s"""CASE WHEN size(gh) >= $W
          |  THEN transform(sequence(1, size(gh) - ${W - 1}), j -> array_min(slice(gh, j, $W)))
          |  ELSE array(array_min(gh)) END""".stripMargin)
+    // The gram md5 walk is the CPU body; single-row-group test files
+    // cap scan parallelism at 1 task, so spread docs BEFORE hashing
+    // (the ctr_referrer pre-parse pattern — real clusters split by
+    // size, this decouples the kernel from the file layout).
     docs
+      .select(col("doc_id"), col("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= K)
       .select(col("doc_id"), gh.as("gh"))
