@@ -332,14 +332,19 @@ object OperatorShowcase {
     import s.implicits._
     val k = 64
     val kmv = udaf(new graft.functions.KmvSketch(k))
-    val h = Tables.events(s, dir)
+    // ONE distinct pass feeds sketch build, exact counts, and the
+    // exact-intersection self-join (checkpointed: three consumers).
+    // Post-distinct, n_exact is a plain count and the sketch of the
+    // distinct hashes equals the sketch of the raw stream.
+    val d = Tables.events(s, dir)
       .select($"event_type",
         conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
           .cast("long").as("h"))
-    val sk = h.groupBy($"event_type")
-      .agg(kmv($"h").as("sk"), countDistinct($"h").as("n_exact"))
+      .distinct()
+      .localCheckpoint()
+    val sk = d.groupBy($"event_type")
+      .agg(kmv($"h").as("sk"), count(lit(1)).as("n_exact"))
       .localCheckpoint() // #event-types rows
-    val d = h.distinct()
     val ex = d.as("a").join(d.as("b"),
         col("a.h") === col("b.h") && col("a.event_type") < col("b.event_type"))
       .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))

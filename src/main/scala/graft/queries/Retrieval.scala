@@ -391,7 +391,14 @@ object Retrieval {
       .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
       .localCheckpoint() // feeds df, query terms, and scoring
     val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
-    val qdocs = docs.filter($"doc_id" % 97 === 0)
+    // BOUNDED query set (≤ 100 queries at ANY corpus size) — the
+    // standard eval shape (cf. the fixed Bm25Queries / vec_id < 10 ANN
+    // probes). An unbounded carve (every 97th doc) blew up at sf10 on
+    // this tiny-vocabulary corpus: ~5k queries × near-zero term
+    // selectivity made the score join quadratic-ish and term-skewed.
+    // Bounded queries also make the query-term side provably
+    // broadcastable below.
+    val qdocs = docs.filter($"doc_id" % 97 === 0 && $"doc_id" < 9700)
       .select($"doc_id".as("qid"), $"source".as("qsrc"))
     val qterms = tf.join(qdocs.select($"qid"), $"doc_id" === $"qid")
       .join(df, "t")
@@ -401,7 +408,7 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .select($"qid", $"t",
         round(log($"n_docs".cast("double") / $"df") * 1e6).cast("long").as("idfm"))
-    val top = tf.join(qterms, "t")
+    val top = tf.join(broadcast(qterms), "t") // ≤ 500 rows by construction
       .filter($"doc_id" =!= $"qid")
       .groupBy($"qid", $"doc_id").agg(sum($"tf" * $"idfm").as("score"))
       .withColumn("rk", row_number().over(
@@ -440,7 +447,8 @@ object Retrieval {
       |  WHERE len(t) > 0 GROUP BY doc_id, t),
       |dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
       |st AS (SELECT COUNT(*) AS n_docs FROM documents),
-      |qd AS (SELECT doc_id AS qid, source AS qsrc FROM documents WHERE doc_id % 97 = 0),
+      |qd AS (SELECT doc_id AS qid, source AS qsrc FROM documents
+      |  WHERE doc_id % 97 = 0 AND doc_id < 9700),
       |qt AS (SELECT qid, t, idfm FROM (
       |    SELECT qd.qid, tf.t,
       |      CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT) AS idfm,
