@@ -116,6 +116,53 @@ object Kernels {
     new GenericArrayData(rows)
   }
 
+  /** Winnow fingerprint set of `s`: md5Hash60 over k-token grams
+    * (split on ' ', empties kept — `split(text, ' ')` semantics),
+    * min of each w-hash window (whole-doc min when fewer than w
+    * grams), deduplicated, ascending. Empty array when under k
+    * tokens. */
+  def winnowFps(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val ng = n - k + 1
+    val gh = new Array[Long](ng)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < ng) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      gh(i) = md5Hash60(sb.toString)
+      i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (ng < w) {
+      var mn = Long.MaxValue
+      var t = 0
+      while (t < ng) { if (gh(t) < mn) mn = gh(t); t += 1 }
+      set.add(mn)
+    } else {
+      var j0 = 0
+      while (j0 + w <= ng) { // w is small (4): the rescan beats a deque
+        var mn = Long.MaxValue
+        var t = j0
+        while (t < j0 + w) { if (gh(t) < mn) mn = gh(t); t += 1 }
+        set.add(mn)
+        j0 += 1
+      }
+    }
+    val out = new Array[Any](set.size)
+    var idx = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Portable MinHash signature: one md5 per 3-word shingle, then the
     * linear permutation family v_j = (a_j·hi30 + b_j·lo30) mod 2^31-1
     * with 30-bit md5-derived coefficients — every term < 2^61, so the
@@ -616,6 +663,29 @@ object TextScanStats {
 
 /** Sparse hashed-unigram histogram as a native expression: one codegen
   * call per document, array<struct<b,c>> of occupied buckets only. */
+/** Winnowing fingerprints (Schleimer et al. 2003) in ONE text walk:
+  * k-token gram md5Hash60 hashes, w-hash window minima, distinct set —
+  * the native kernel behind `text_winnow`. Replaces a split +
+  * transform(md5) + window-minima transform + array_distinct chain
+  * whose md5 lambda ran in interpreted ArrayTransform.eval; semantics
+  * pinned to that definitional formulation by KernelsPropertySpec
+  * (tokens = split(text, ' ') with empties kept, grams joined with
+  * single spaces, output = the SET of window minima, ascending). */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"winnow_fps expects a string argument, got ${child.dataType.sql}")
+    else if (k <= 0 || w <= 0)
+      TypeCheckResult.TypeCheckFailure(s"k and w must be positive, got k=$k w=$w")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.winnowFps(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowFps($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class DsirBuckets(child: Expression, nBuckets: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType && nBuckets > 0) TypeCheckResult.TypeCheckSuccess
@@ -651,6 +721,8 @@ object Fns {
   def text_scan(c: Column): Column = column(TextScanStats(expression(c)))
   def dsir_buckets(c: Column, nBuckets: Int = 1024): Column =
     column(DsirBuckets(expression(c), nBuckets))
+  def winnow_fps(c: Column, k: Int = 4, w: Int = 4): Column =
+    column(WinnowFps(expression(c), k, w))
 
   /** Make the native expressions available from SQL:
     * `SELECT cosine_sim(a, b), simhash64(text) ...`. */

@@ -43,15 +43,11 @@ object Winnow {
   private[queries] def fingerprints(s: SparkSession, dir: String): DataFrame =
     fingerprintsOf(Tables.documents(s, dir))
 
-  /** Same, over any (doc_id, text) frame — spec entry point. */
-  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
-    val gh = expr(
-      s"""transform(sequence(0, size(ws) - $K),
-         |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $K))), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
-    val wmins = expr(
-      s"""CASE WHEN size(gh) >= $W
-         |  THEN transform(sequence(1, size(gh) - ${W - 1}), j -> array_min(slice(gh, j, $W)))
-         |  ELSE array(array_min(gh)) END""".stripMargin)
+  /** Same, over any (doc_id, text) frame — spec entry point. The
+    * fingerprint set comes from the native `winnow_fps` kernel (one
+    * text walk, codegen'd); KernelsPropertySpec pins it to the
+    * definitional relational formulation below. */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame =
     // The gram md5 walk is the CPU body; single-row-group test files
     // cap scan parallelism at 1 task, so spread docs BEFORE hashing
     // (the ctr_referrer pre-parse pattern — real clusters split by
@@ -59,6 +55,20 @@ object Winnow {
     docs
       .select(col("doc_id"), col("text"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.functions.Fns.winnow_fps(col("text"), K, W)).as("f"))
+
+  /** The definitional relational formulation (split → gram md5 →
+    * window minima → distinct) the kernel must reproduce — spec-only. */
+  private[graft] def fingerprintsDefinitional(docs: DataFrame): DataFrame = {
+    val gh = expr(
+      s"""transform(sequence(0, size(ws) - $K),
+         |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i + 1, $K))), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
+    val wmins = expr(
+      s"""CASE WHEN size(gh) >= $W
+         |  THEN transform(sequence(1, size(gh) - ${W - 1}), j -> array_min(slice(gh, j, $W)))
+         |  ELSE array(array_min(gh)) END""".stripMargin)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= K)
       .select(col("doc_id"), gh.as("gh"))

@@ -48,6 +48,21 @@ class WinnowSpec extends AnyFunSuite {
     assert(density > 0.1 && density < 0.5, s"density $density")
   }
 
+  test("native winnow_fps kernel == definitional relational formulation on the corpus") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text")
+    val kern = Winnow.fingerprintsOf(docs)
+    val defn = Winnow.fingerprintsDefinitional(docs)
+    assert(kern.exceptAll(defn).count() == 0 && defn.exceptAll(kern).count() == 0)
+    // plus edge shapes the corpus may not cover: empties from double
+    // spaces, exactly-k tokens, under-w grams
+    val edge = Seq((1L, "a  b c d e"), (2L, "x y z w"), (3L, "p q r s t")).toDF("doc_id", "text")
+    val ke = Winnow.fingerprintsOf(edge)
+    val de = Winnow.fingerprintsDefinitional(edge)
+    assert(ke.exceptAll(de).count() == 0 && de.exceptAll(ke).count() == 0)
+  }
+
   test("text_rake_keywords: hand-computed degree/freq scores on a planted doc") {
     import spark.implicits._
     // "deep learning of deep nets": stopword 'of' splits two phrases.
