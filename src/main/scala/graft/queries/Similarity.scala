@@ -279,6 +279,85 @@ object Similarity {
        |  ON bf.query_id = iv.query_id AND bf.true_nn = iv.neighbor_id
        |ORDER BY bf.query_id""".stripMargin
 
+  /** SQ8 (scalar quantization) ANN tier — the remaining member of the
+    * compression family next to PQ (codebooks), BQ (sign bits) and
+    * MRL (truncation): each dimension quantized independently to
+    * 0..255 against per-dim corpus min/max (4× read reduction vs
+    * float32, no training). Shortlist = top-20 by EXACT INTEGER dot
+    * product of code vectors (deterministic — no float sum order),
+    * then exact cosine re-rank to top-5. Per-dim stats are a
+    * dim-sized broadcast; codes are built in-row; the probe side is
+    * the usual bounded vec_id < 10 set. Quantization arithmetic is
+    * one fixed-shape float expression on identical operands, so both
+    * engines produce identical codes. */
+  private def annSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val dims = emb.select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+    val st = dims.groupBy($"pos")
+      .agg(min($"v").as("mn"), max($"v").as("mx"))
+    val stArr = st.agg(
+      expr("transform(array_sort(collect_list(struct(pos, mn))), x -> CAST(x.mn AS DOUBLE))").as("mins"),
+      expr("transform(array_sort(collect_list(struct(pos, mx))), x -> CAST(x.mx AS DOUBLE))").as("maxs"))
+    val codeExpr = expr(
+      """transform(sequence(1, size(embedding)), i ->
+        |  CASE WHEN element_at(maxs, i) = element_at(mins, i) THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(greatest(0.0D, least(255.0D,
+        |    round((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mins, i)) * 255
+        |      / (element_at(maxs, i) - element_at(mins, i))))) AS BIGINT) END)""".stripMargin)
+    val coded = emb.crossJoin(broadcast(stArr))
+      .select($"vec_id", codeExpr.as("code"), $"embedding")
+    val qs = coded.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"code".as("qc"), $"embedding".as("qe"))
+    val scored = broadcast(qs).join(coded, $"vec_id" =!= $"qid")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qc, code, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    val short = scored.withColumn("srk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dot".desc, $"vec_id")))
+      .filter($"srk" <= 20)
+    short
+      .withColumn("cos_sim", round(graft.functions.Fns.cosine_sim($"qe", $"embedding"), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vec_id")))
+      .filter($"rk" <= 5)
+      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
+        $"rk", $"cos_sim", $"srk".cast("long").as("sq8_rank"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  private val annSq8Sql =
+    s"""WITH dims AS (
+       |  SELECT vec_id, i AS pos, embedding[i] AS v
+       |  FROM (SELECT vec_id, embedding,
+       |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings) t),
+       |st AS (SELECT pos, CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx
+       |  FROM dims GROUP BY pos),
+       |code AS (SELECT d.vec_id, d.pos,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |    ELSE CAST(GREATEST(0.0, LEAST(255.0,
+       |      ROUND((CAST(d.v AS DOUBLE) - s.mn) * 255 / (s.mx - s.mn)))) AS BIGINT) END AS c
+       |  FROM dims d JOIN st s ON d.pos = s.pos),
+       |q AS (SELECT vec_id AS qid, pos, c AS qc FROM code WHERE vec_id < 10),
+       |dt AS (SELECT q.qid, c.vec_id, SUM(q.qc * c.c) AS dot
+       |  FROM q JOIN code c ON q.pos = c.pos AND c.vec_id <> q.qid
+       |  GROUP BY 1, 2),
+       |short AS (SELECT qid, vec_id, srk FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS srk
+       |    FROM dt) x WHERE srk <= 20),
+       |qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |rr AS (SELECT short.qid, short.vec_id, short.srk,
+       |    ROUND(${cosSql("qe.qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM short JOIN embeddings e ON short.vec_id = e.vec_id
+       |  JOIN qe ON short.qid = qe.qid)
+       |SELECT qid AS query_id, vec_id AS neighbor_id,
+       |  CAST(rk AS BIGINT) AS rk, cos_sim, CAST(srk AS BIGINT) AS sq8_rank
+       |FROM (SELECT qid, vec_id, srk, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM rr) y WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   /** Recall@5 of the hyperplane-LSH tier against exact brute force —
     * closes the acceptance-gate set (IVF has `ann_recall`, binary
     * quantization has `ann_bq_recall`). Single-bucket LSH can return
@@ -1222,6 +1301,7 @@ object Similarity {
     "ann_ivf_trained" -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
     "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_mrr" -> QueryDef(annMrr, Some(annMrrSql)),
+    "ann_sq8" -> QueryDef(annSq8, Some(annSq8Sql)),
     "ann_recall_lsh" -> QueryDef(annRecallLsh, Some(annRecallLshSql)),
     "ann_pq_adc" -> QueryDef(annPqAdc, Some(annPqAdcSql))
   )
