@@ -379,6 +379,54 @@ object Graph {
       .limit(50)
   }
 
+  /** Common-neighbor Jaccard node similarity — the classic
+    * link-prediction score (Liben-Nowell & Kleinberg 2003): for node
+    * pairs sharing ≥ 1 neighbor, jaccard = common/(deg_a + deg_b −
+    * common). Candidates come from the wedge join (the q_triangles
+    * shape, Σdeg² bounded on the sampled graph), counts and degrees
+    * are exact integers, and the output ranking uses the integer key
+    * (common·10⁹) div union so no float ordering exists; the jaccard
+    * column itself is one double division. is_edge marks pairs
+    * already connected (link prediction scores the rest). */
+  private def graphJaccardLinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coPurchaseEdges(s, dir)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val wedges = edges.as("e1").join(edges.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .groupBy(col("e1.src").as("a"), col("e2.dst").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val isEdge = edges.select($"src".as("a"), $"dst".as("b"), lit(1L).as("ie"))
+    wedges
+      .join(deg.select($"src".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"src".as("b"), $"deg".as("db")), "b")
+      .withColumn("uni", $"da" + $"db" - $"common")
+      .join(isEdge, Seq("a", "b"), "left")
+      .orderBy(expr("(common * 1000000000) div uni").desc, $"a", $"b")
+      .limit(50)
+      .select($"a".as("node_a"), $"b".as("node_b"), $"common",
+        ($"common".cast("double") / $"uni").as("jaccard"),
+        coalesce($"ie", lit(0L)).as("is_edge"))
+  }
+
+  private val graphJaccardLinksSql =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+      |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY src),
+      |w AS (SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common
+      |  FROM pedges e1 JOIN pedges e2 ON e1.dst = e2.src AND e1.src < e2.dst
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT w.a, w.b, w.common, da.deg + db.deg - w.common AS uni
+      |  FROM w JOIN deg da ON w.a = da.src JOIN deg db ON w.b = db.src)
+      |SELECT a AS node_a, b AS node_b, CAST(common AS BIGINT) AS common,
+      |  CAST(common AS DOUBLE) / uni AS jaccard,
+      |  CAST(CASE WHEN EXISTS (SELECT 1 FROM pedges p
+      |    WHERE p.src = sc.a AND p.dst = sc.b) THEN 1 ELSE 0 END AS BIGINT) AS is_edge
+      |FROM sc
+      |ORDER BY (common * 1000000000) // uni DESC, node_a, node_b LIMIT 50""".stripMargin
+
   /** Newman modularity of the LPA communities — the quality readout
     * that says whether graph_label_prop found real structure:
     * Q = L_in/m − Σ_c d_c²/(4m²), computed on the directed-both-ways
@@ -466,6 +514,7 @@ object Graph {
   val defs: Map[String, QueryDef] = Map(
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
     "q_graph_modularity" -> QueryDef(qGraphModularity, Some(qGraphModularitySql)),
+    "graph_jaccard_links" -> QueryDef(graphJaccardLinks, Some(graphJaccardLinksSql)),
     "q_kcore" -> QueryDef(qKcore, Some(qKcoreSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql)),
