@@ -362,7 +362,53 @@ object Ctr {
       |  CAST(COUNT(DISTINCT (user_id, jid)) AS BIGINT) AS n_journeys
       |FROM cr GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Top conversion paths: the event-type sequence of each converted
+    * journey (multitouch's journey segmentation — reset at every
+    * purchase), truncated to the LAST 6 steps (the standard path-
+    * analysis cap, so path cardinality stays bounded no matter how
+    * long users wander), counted corpus-wide, top-20. Per-user
+    * windows + key-only aggregation; the (ts, event_id) struct sort
+    * inside the collect is the same total order both engines use. */
+  private def eventsFunnelPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables.events(s, dir)
+      .withColumn("is_p", when($"event_type" === "purchase", 1L).otherwise(0L))
+      .withColumn("jid", sum($"is_p").over(w) - $"is_p")
+    val conv = ev.groupBy($"user_id", $"jid")
+      .agg(max($"is_p").as("c")).filter($"c" === 1L)
+      .select($"user_id", $"jid")
+    val paths = ev.join(conv, Seq("user_id", "jid"))
+      .groupBy($"user_id", $"jid")
+      .agg(expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)").as("arr"))
+      .select(expr("CASE WHEN size(arr) > 6 THEN slice(arr, size(arr) - 5, 6) ELSE arr END").as("arr"))
+      .select(array_join($"arr", ">").as("path"))
+    paths.groupBy($"path").agg(count(lit(1)).as("n_journeys"))
+      .orderBy($"n_journeys".desc, $"path")
+      .limit(20)
+  }
+
+  private val eventsFunnelPathsSql =
+    """WITH j AS (SELECT user_id, event_id, ts, event_type,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS jid
+      |  FROM events),
+      |conv AS (SELECT user_id, jid FROM j GROUP BY 1, 2
+      |  HAVING MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1),
+      |pl AS (SELECT j.user_id, j.jid,
+      |    list(j.event_type ORDER BY j.ts, j.event_id) AS arr
+      |  FROM j JOIN conv ON j.user_id = conv.user_id AND j.jid = conv.jid
+      |  GROUP BY 1, 2),
+      |tr AS (SELECT CASE WHEN len(arr) > 6
+      |    THEN arr[len(arr)-5:len(arr)] ELSE arr END AS arr FROM pl)
+      |SELECT array_to_string(arr, '>') AS path,
+      |  CAST(COUNT(*) AS BIGINT) AS n_journeys
+      |FROM tr GROUP BY 1 ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "events_funnel_paths" -> QueryDef(eventsFunnelPaths, Some(eventsFunnelPathsSql)),
     "ctr_multitouch" -> QueryDef(ctrMultitouch, Some(ctrMultitouchSql)),
     "ctr_referrer" -> QueryDef(ctrReferrer, Some(ctrReferrerSql), bench = true),
     "attribution_streaming_replay" ->

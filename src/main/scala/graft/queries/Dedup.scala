@@ -124,6 +124,71 @@ object Dedup {
       .limit(50)
   }
 
+  /** CONTAINMENT near-dup detection (Broder's asymmetric measure:
+    * C(A→B) = |S_A ∩ S_B| / |S_A|) — catches near-SUPERSET pairs
+    * (quotes, aggregator pages, doc+boilerplate wrappers) that
+    * symmetric Jaccard misses: a small doc fully quoted inside a big
+    * one has high containment but low Jaccard. Same in-row distinct
+    * shingle sets and 8-byte hash equi-join as ngramJaccardPairs,
+    * plus a df ≤ 64 stop-shingle cap (applied identically in the
+    * oracle) so bucket width — and therefore pair fan-out — is
+    * df-bounded, not corpus-bounded. Selection and ordering use the
+    * integer key (shared·10⁹) div min(|A|,|B|): no float compare
+    * decides membership or rank. */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 3
+    val perDoc = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= w)
+      .select($"doc_id", expr(
+        s"array_distinct(transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w)))))").as("ss"))
+      .localCheckpoint()
+    val sh = perDoc.select($"doc_id", explode($"ss").as("h"))
+    val keep = sh.groupBy($"h").agg(count(lit(1)).as("df")).filter($"df" <= 64).select($"h")
+    val kept = sh.join(keep, "h")
+    val sz = perDoc.select($"doc_id", size($"ss").cast("long").as("n"))
+    kept.as("a").join(kept.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .filter(expr("(shared * 1000000000) div least(na, nb) >= 500000000"))
+      .orderBy(expr("(shared * 1000000000) div least(na, nb)").desc, $"doc_a", $"doc_b")
+      .limit(50)
+      .select($"doc_a", $"doc_b", $"shared", $"na", $"nb",
+        ($"shared".cast("double") / $"na").as("cont_a_in_b"),
+        ($"shared".cast("double") / $"nb").as("cont_b_in_a"))
+  }
+
+  private val dedupContainmentSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |    FROM tok) u),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb
+      |  FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE (shared * 1000000000) // LEAST(sa.n, sb.n) >= 500000000)
+      |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+      |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+      |  CAST(shared AS DOUBLE) / na AS cont_a_in_b,
+      |  CAST(shared AS DOUBLE) / nb AS cont_b_in_a
+      |FROM sc
+      |ORDER BY (shared * 1000000000) // LEAST(na, nb) DESC, doc_a, doc_b
+      |LIMIT 50""".stripMargin
+
   /** Shared oracle fragment: exact word-3-gram Jaccard over all shingle-
     * sharing pairs (mirrors DedupOps.ngramJaccardPairs). Used by both
     * dedup_ngram_jaccard and (as the edge source) dedup_clusters — keep
@@ -678,6 +743,7 @@ object Dedup {
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql), bench = true),
     "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql), bench = true),
+    "dedup_containment" -> QueryDef(dedupContainment, Some(dedupContainmentSql)),
     "dedup_embedding" -> QueryDef(dedupEmbedding, Some(dedupEmbeddingSql))
   )
 }
