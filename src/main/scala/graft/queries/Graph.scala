@@ -390,12 +390,43 @@ object Graph {
     * already connected (link prediction scores the rest). */
   private def graphJaccardLinks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = coPurchaseEdges(s, dir)
+    // HUB-FILTERED subgraph: drop nodes with degree > 64 entirely
+    // before the wedge join — the super-node defense (hubs produce
+    // deg² wedges and a neighbor everyone shares carries no signal;
+    // Adamic-Adar exists for the same reason). Bounds the wedge join
+    // at 64·|E| instead of Σdeg²; the sf10 probe measured the uncapped
+    // form at 109s vs q_triangles-class cost for the capped one.
+    // Semantics stay a consistent Jaccard ON the filtered graph
+    // (degrees recomputed post-filter); the oracle filters identically.
+    // %50 order sample (vs q_triangles' %10): all-pairs common-
+    // neighbor counting is inherently Sigma-deg2-ish even hub-filtered —
+    // production link prediction samples the graph, and the support
+    // threshold + hub filter below bound what remains.
+    val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val all = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val keepN = all.groupBy($"src").agg(count(lit(1)).as("d0"))
+      .filter($"d0" <= 64).select($"src".as("v"))
+      .localCheckpoint() // two endpoint semi-joins below
+    val edges = all
+      .join(keepN.select($"v".as("src")), Seq("src"), "left_semi")
+      .join(keepN.select($"v".as("dst")), Seq("dst"), "left_semi")
+      .select($"src", $"dst")
+      .localCheckpoint()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val wedges = edges.as("e1").join(edges.as("e2"),
         col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
       .groupBy(col("e1.src").as("a"), col("e2.dst").as("b"))
       .agg(count(lit(1)).as("common"))
+      // support threshold: most random pairs share exactly one
+      // neighbor; requiring >= 2 prunes that bulk BEFORE the degree
+      // joins touch the pair table (the oracle prunes identically)
+      .filter($"common" >= 2L)
     val isEdge = edges.select($"src".as("a"), $"dst".as("b"), lit(1L).as("ie"))
     wedges
       .join(deg.select($"src".as("a"), $"deg".as("da")), "a")
@@ -410,14 +441,17 @@ object Graph {
   }
 
   private val graphJaccardLinksSql =
-    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
-      |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 50 = 0),
+      |pedges0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM li a JOIN li b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |keepn AS (SELECT src AS v FROM pedges0 GROUP BY src HAVING COUNT(*) <= 64),
+      |pedges AS (SELECT e.src, e.dst FROM pedges0 e
+      |  JOIN keepn ka ON e.src = ka.v JOIN keepn kb ON e.dst = kb.v),
       |deg AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY src),
       |w AS (SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common
       |  FROM pedges e1 JOIN pedges e2 ON e1.dst = e2.src AND e1.src < e2.dst
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
       |sc AS (SELECT w.a, w.b, w.common, da.deg + db.deg - w.common AS uni
       |  FROM w JOIN deg da ON w.a = da.src JOIN deg db ON w.b = db.src)
       |SELECT a AS node_a, b AS node_b, CAST(common AS BIGINT) AS common,
