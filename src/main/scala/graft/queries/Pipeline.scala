@@ -1130,6 +1130,56 @@ object Pipeline {
       .orderBy($"wstart_ms", $"event_type")
   }
 
+  /** Streaming CEP replay — the ninth driver-verified streaming path:
+    * `events_cep_match`'s three-step pattern with negation runs as
+    * per-user flatMapGroupsWithState (7-day event tail in state, each
+    * view's match emitted EXACTLY ONCE when the watermark passes
+    * view_ts + 7 d), replayed via the file source + three-drain
+    * sentinel protocol and hash-compared against the SAME DuckDB
+    * oracle as the batch key. Hash equality proves the stateful
+    * stream computes the identical first-click/first-purchase/
+    * no-error-inside matches the batch array formulation does —
+    * state-tail eviction bugs or premature finalization change the
+    * match set and fail the compare. */
+  private def cepStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    def sentinel(id: Long, offsetMs: Long) = Seq(
+      (id, new java.sql.Timestamp(maxTs.getTime + offsetMs), -1L, "zz_sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft-cep-replay").toString
+    ev.write.mode("overwrite").parquet(s"$root/src")
+
+    def drain(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(s"$root/src")
+        .as[EventStream.Event]
+        .transform(d => EventStream.streamingCep(s, d).toDF())
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("cep_streaming_replay: stream stalled")
+      }
+    }
+    drain()
+    sentinel(-1L, 30L * 24 * 3600 * 1000).write.mode("append").parquet(s"$root/src")
+    drain()
+    sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
+    drain()
+
+    s.read.parquet(s"$root/out")
+      .select($"user_id", $"v_eid", $"c_eid", $"p_eid", $"span_ms")
+      .orderBy($"user_id", $"v_eid")
+  }
+
   private val kmvStreamingReplaySql =
     """WITH e AS (SELECT (epoch_ns(ts)//1000000)//3600000*3600000 AS wstart_ms,
       |    event_type,
@@ -1153,6 +1203,7 @@ object Pipeline {
   val defs: Map[String, QueryDef] = Map(
     "kmv_streaming_replay" -> QueryDef(kmvStreamingReplay, Some(kmvStreamingReplaySql)),
     "events_cep_match" -> QueryDef(eventsCepMatch, Some(eventsCepMatchSql)),
+    "cep_streaming_replay" -> QueryDef(cepStreamingReplay, Some(eventsCepMatchSql)),
     "q_feature_store_pit" -> QueryDef(qFeatureStorePit, Some(qFeatureStorePitSql)),
     "q_profile" -> QueryDef(qProfile, Some(qProfileSql)),
     "q_retention" -> QueryDef(qRetention, Some(qRetentionSql)),

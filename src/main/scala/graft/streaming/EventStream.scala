@@ -393,6 +393,75 @@ object EventStream {
         kmvUpdate(windowMs, k) _)
   }
 
+  case class CepState(evs: List[(Long, Long, String)]) // (ms, event_id, type)
+
+  case class CepOut(user_id: Long, v_eid: Long, c_eid: Long, p_eid: Long,
+                    span_ms: Long)
+
+  /** STREAMING CEP — the batch `events_cep_match` pattern
+    * (view → first click after it → first purchase after that, within
+    * 7 days of the view, with NO error strictly inside the span) as
+    * stateful streaming. A view's match is decidable exactly when the
+    * event-time watermark passes view_ts + 7 d: every event that can
+    * join or veto the match has ts ≤ view_ts + 7 d < wm. State per
+    * user is the 7-day event tail (evicted at wm − 7 d; an open view
+    * has v.ms ≥ wm − 7 d and only consumes events AFTER itself, so
+    * nothing evicted can matter), bounded by per-user weekly volume.
+    * Emission is exactly once per view, on watermark passage — the
+    * MATCH_RECOGNIZE one-row-per-match contract. */
+  def streamingCep(spark: SparkSession, events: Dataset[Event],
+                   spanMs: Long = 604800000L,
+                   watermark: String = "30 minutes"): Dataset[CepOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        cepUpdate(spanMs) _)
+  }
+
+  private def cepUpdate(spanMs: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[CepState]): Iterator[CepOut] = {
+    val wm = state.getCurrentWatermarkMs()
+    var evs = state.getOption.map(_.evs).getOrElse(Nil)
+    if (!state.hasTimedOut) {
+      val fresh = events.map(e => (e.ts.getTime, e.event_id, e.event_type)).toList
+      evs = fresh ::: evs
+    }
+    // finalize views whose whole 7-day span is below the watermark
+    val (closed, rest) = evs.partition {
+      case (ms, _, t) => t == "view" && ms + spanMs < wm
+    }
+    val out = closed.sorted.flatMap { case (vms, vid, _) =>
+      val c = evs.filter { case (ms, _, t) => t == "click" && ms > vms }
+        .map { case (ms, id, _) => (ms, id) }.sorted.headOption
+      c.flatMap { case (cms, cid) =>
+        val p = evs.filter { case (ms, _, t) => t == "purchase" && ms > cms }
+          .map { case (ms, id, _) => (ms, id) }.sorted.headOption
+        p.collect {
+          case (pms, pid)
+              if pms - vms <= spanMs && !evs.exists {
+                case (ms, _, t) => t == "error" && ms > vms && ms < pms
+              } =>
+            CepOut(userId, vid, cid, pid, pms - vms)
+        }
+      }
+    }
+    // 7-day tail: open views have v.ms >= wm - span and only use
+    // events strictly after themselves
+    val keep = rest.filter { case (ms, _, _) => ms > wm - spanMs }
+    if (keep.isEmpty) state.remove()
+    else {
+      state.update(CepState(keep))
+      val openViews = keep.collect { case (ms, _, "view") => ms }
+      if (openViews.nonEmpty)
+        state.setTimeoutTimestamp(openViews.min + spanMs + 1)
+      else state.setTimeoutTimestamp(wm + spanMs + 1) // pure eviction tick
+    }
+    out.iterator
+  }
+
   private def kmvUpdate(windowMs: Long, k: Int)(
       key: (Long, String), events: Iterator[(Timestamp, String, Long)],
       state: GroupState[KmvState]): Iterator[KmvOut] = {

@@ -83,6 +83,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CEP: negation veto, no-click miss, exactly-once on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def e(id: Long, user: Long, min: Long, typ: String): Event =
+      Event(id, new Timestamp(T0 + min * 60000L), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStream.streamingCep(spark, input.toDS(),
+        spanMs = 3600000L, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("cep").outputMode("append").start()
+    try {
+      // u1: clean view->click->purchase; u2: error inside the span
+      // vetoes; u3: purchase with no click -> no match
+      input.addData(
+        e(10, 1, 0, "view"), e(11, 1, 10, "click"), e(12, 1, 20, "purchase"),
+        e(20, 2, 0, "view"), e(21, 2, 10, "click"), e(22, 2, 15, "error"),
+        e(23, 2, 20, "purchase"),
+        e(30, 3, 0, "view"), e(31, 3, 10, "purchase"))
+      q.processAllAvailable()
+      assert(spark.sql("select * from cep").count() == 0,
+        "views must not finalize before the watermark passes view+span")
+      input.addData(e(99, 9, 200, "view")) // watermark -> 170 > 60
+      q.processAllAvailable()
+      val out = spark.sql("select * from cep").as[EventStream.CepOut].collect().toSeq
+      assert(out == Seq(EventStream.CepOut(1L, 10L, 11L, 12L, 1200000L)), out.toString)
+      // exactly-once: advancing the watermark further re-emits nothing
+      input.addData(e(100, 9, 400, "view"))
+      q.processAllAvailable()
+      assert(spark.sql("select * from cep").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming CTR: stream-stream join with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
