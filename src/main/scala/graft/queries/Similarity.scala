@@ -363,6 +363,44 @@ object Similarity {
     * quantization has `ann_bq_recall`). Single-bucket LSH can return
     * FEWER than 5 candidates for a probe, so per-query recall here
     * also measures bucket starvation, not just ranking error. */
+  /** Recall@5 of the SQ8 tier vs exact brute force — the acceptance
+    * gate every compression tier carries (ann_recall / ann_recall_lsh
+    * / ann_bq_recall precedent). Because SQ8 re-ranks its top-20
+    * shortlist exactly, recall < 1 here means the TRUE neighbor fell
+    * outside the integer-dot shortlist — the quantization error
+    * readout that decides 8 bits vs PQ. */
+  private def annRecallSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bf = Sim.bruteForce(s, Tables.embeddings(s, dir), probes(s, dir), k = 5)
+      .select($"query_id", $"neighbor_id")
+    val sq = annSq8(s, dir).select($"query_id".as("sq"), $"neighbor_id".as("sn_"))
+    bf.join(sq, $"query_id" === $"sq" && $"neighbor_id" === $"sn_", "left")
+      .groupBy($"query_id")
+      .agg(count($"sq").as("n_hit"))
+      .select($"query_id", $"n_hit",
+        round($"n_hit".cast("double") / 5.0, 9).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  private val annRecallSq8Sql =
+    s"""WITH q1 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc1 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q1 JOIN embeddings e ON e.vec_id <> q1.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc1) x WHERE rk <= 5),
+       |sq8 AS ($annSq8Sql)
+       |SELECT bf.query_id, CAST(COUNT(s.query_id) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(COUNT(s.query_id) AS DOUBLE) / 5.0, 9) AS recall
+       |FROM bf LEFT JOIN sq8 s
+       |  ON bf.query_id = s.query_id AND bf.neighbor_id = s.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
   private def annRecallLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bf = Sim.bruteForce(s, Tables.embeddings(s, dir), probes(s, dir), k = 5)
@@ -1302,6 +1340,7 @@ object Similarity {
     "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_mrr" -> QueryDef(annMrr, Some(annMrrSql)),
     "ann_sq8" -> QueryDef(annSq8, Some(annSq8Sql)),
+    "ann_recall_sq8" -> QueryDef(annRecallSq8, Some(annRecallSq8Sql)),
     "ann_recall_lsh" -> QueryDef(annRecallLsh, Some(annRecallLshSql)),
     "ann_pq_adc" -> QueryDef(annPqAdc, Some(annPqAdcSql))
   )
