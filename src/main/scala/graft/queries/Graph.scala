@@ -388,20 +388,14 @@ object Graph {
     * (common·10⁹) div union so no float ordering exists; the jaccard
     * column itself is one double division. is_edge marks pairs
     * already connected (link prediction scores the rest). */
-  private def graphJaccardLinks(s: SparkSession, dir: String): DataFrame = {
+  /** Sampled (%50 orders) + HUB-FILTERED (deg ≤ 64) co-purchase
+    * subgraph shared by the link-prediction keys. The hub filter is
+    * the super-node defense (deg² wedges, no signal); the sample is
+    * what production link prediction does — all-pairs common-neighbor
+    * counting is inherently Σdeg²-ish (the unsampled uncapped form
+    * measured 109s at sf10 vs the q_triangles cost class after). */
+  private def linkPredEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // HUB-FILTERED subgraph: drop nodes with degree > 64 entirely
-    // before the wedge join — the super-node defense (hubs produce
-    // deg² wedges and a neighbor everyone shares carries no signal;
-    // Adamic-Adar exists for the same reason). Bounds the wedge join
-    // at 64·|E| instead of Σdeg²; the sf10 probe measured the uncapped
-    // form at 109s vs q_triangles-class cost for the capped one.
-    // Semantics stay a consistent Jaccard ON the filtered graph
-    // (degrees recomputed post-filter); the oracle filters identically.
-    // %50 order sample (vs q_triangles' %10): all-pairs common-
-    // neighbor counting is inherently Sigma-deg2-ish even hub-filtered —
-    // production link prediction samples the graph, and the support
-    // threshold + hub filter below bound what remains.
     val li = Tables.lineitem(s, dir).filter($"l_orderkey" % 50 === 0)
       .select($"l_orderkey", $"l_partkey")
     val all = li.as("a").join(li.as("b"),
@@ -413,11 +407,27 @@ object Graph {
     val keepN = all.groupBy($"src").agg(count(lit(1)).as("d0"))
       .filter($"d0" <= 64).select($"src".as("v"))
       .localCheckpoint() // two endpoint semi-joins below
-    val edges = all
+    all
       .join(keepN.select($"v".as("src")), Seq("src"), "left_semi")
       .join(keepN.select($"v".as("dst")), Seq("dst"), "left_semi")
       .select($"src", $"dst")
       .localCheckpoint()
+  }
+
+  /** Shared oracle fragment for the sampled hub-filtered subgraph. */
+  private val linkPredEdgesCtes =
+    """li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 50 = 0),
+      |pedges0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |keepn AS (SELECT src AS v FROM pedges0 GROUP BY src HAVING COUNT(*) <= 64),
+      |pedges AS (SELECT e.src, e.dst FROM pedges0 e
+      |  JOIN keepn ka ON e.src = ka.v JOIN keepn kb ON e.dst = kb.v),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY src)""".stripMargin
+
+  private def graphJaccardLinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = linkPredEdges(s, dir)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val wedges = edges.as("e1").join(edges.as("e2"),
         col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
@@ -441,14 +451,7 @@ object Graph {
   }
 
   private val graphJaccardLinksSql =
-    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 50 = 0),
-      |pedges0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-      |  FROM li a JOIN li b
-      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-      |keepn AS (SELECT src AS v FROM pedges0 GROUP BY src HAVING COUNT(*) <= 64),
-      |pedges AS (SELECT e.src, e.dst FROM pedges0 e
-      |  JOIN keepn ka ON e.src = ka.v JOIN keepn kb ON e.dst = kb.v),
-      |deg AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY src),
+    s"""WITH $linkPredEdgesCtes,
       |w AS (SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common
       |  FROM pedges e1 JOIN pedges e2 ON e1.dst = e2.src AND e1.src < e2.dst
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
@@ -460,6 +463,51 @@ object Graph {
       |    WHERE p.src = sc.a AND p.dst = sc.b) THEN 1 ELSE 0 END AS BIGINT) AS is_edge
       |FROM sc
       |ORDER BY (common * 1000000000) // uni DESC, node_a, node_b LIMIT 50""".stripMargin
+
+  /** Adamic–Adar link prediction on the same subgraph — the
+    * hub-DISCOUNTED score: each common neighbor w contributes
+    * 1/ln(deg w) instead of 1 (rare shared neighbors are stronger
+    * evidence than popular ones). Per-center weights are
+    * micro-quantized (round(10⁶/ln deg), one scalar ln per edge row)
+    * BEFORE the pair sum, so aggregation order cannot perturb the
+    * exact-integer ranking; same wedge join, support threshold, and
+    * bounded subgraph as graph_jaccard_links. */
+  private def qGraphAdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = linkPredEdges(s, dir)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val e1w = edges.join(deg.select($"src".as("dst"), $"deg"), "dst")
+      .select($"src", $"dst",
+        expr("CAST(round(1000000 / ln(deg)) AS BIGINT)").as("wmicro"))
+    val pairs = e1w.as("e1").join(edges.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .groupBy(col("e1.src").as("a"), col("e2.dst").as("b"))
+      .agg(count(lit(1)).as("common"), sum(col("e1.wmicro")).as("aam"))
+      .filter($"common" >= 2L)
+    val isEdge = edges.select($"src".as("a"), $"dst".as("b"), lit(1L).as("ie"))
+    pairs.join(isEdge, Seq("a", "b"), "left")
+      .orderBy($"aam".desc, $"a", $"b")
+      .limit(50)
+      .select($"a".as("node_a"), $"b".as("node_b"), $"common",
+        ($"aam".cast("double") / 1000000).as("adamic_adar"),
+        coalesce($"ie", lit(0L)).as("is_edge"))
+  }
+
+  private val qGraphAdamicAdarSql =
+    s"""WITH $linkPredEdgesCtes,
+      |aw AS (SELECT e.src, e.dst,
+      |    CAST(ROUND(1000000 / ln(d.deg)) AS BIGINT) AS wmicro
+      |  FROM pedges e JOIN deg d ON e.dst = d.src),
+      |w2 AS (SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common,
+      |    SUM(e1.wmicro) AS aam
+      |  FROM aw e1 JOIN pedges e2 ON e1.dst = e2.src AND e1.src < e2.dst
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT a AS node_a, b AS node_b, CAST(common AS BIGINT) AS common,
+      |  CAST(aam AS DOUBLE) / 1000000 AS adamic_adar,
+      |  CAST(CASE WHEN EXISTS (SELECT 1 FROM pedges p
+      |    WHERE p.src = w2.a AND p.dst = w2.b) THEN 1 ELSE 0 END AS BIGINT) AS is_edge
+      |FROM w2
+      |ORDER BY aam DESC, node_a, node_b LIMIT 50""".stripMargin
 
   /** Newman modularity of the LPA communities — the quality readout
     * that says whether graph_label_prop found real structure:
@@ -549,6 +597,7 @@ object Graph {
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
     "q_graph_modularity" -> QueryDef(qGraphModularity, Some(qGraphModularitySql)),
     "graph_jaccard_links" -> QueryDef(graphJaccardLinks, Some(graphJaccardLinksSql)),
+    "q_graph_adamic_adar" -> QueryDef(qGraphAdamicAdar, Some(qGraphAdamicAdarSql)),
     "q_kcore" -> QueryDef(qKcore, Some(qKcoreSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql)),
