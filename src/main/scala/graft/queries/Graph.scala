@@ -477,6 +477,7 @@ object Graph {
     val edges = linkPredEdges(s, dir)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val e1w = edges.join(deg.select($"src".as("dst"), $"deg"), "dst")
+      .filter($"deg" >= 2) // a deg-1 center cannot form a wedge; ln(1) = 0
       .select($"src", $"dst",
         expr("CAST(round(1000000 / ln(deg)) AS BIGINT)").as("wmicro"))
     val pairs = e1w.as("e1").join(edges.as("e2"),
@@ -497,7 +498,7 @@ object Graph {
     s"""WITH $linkPredEdgesCtes,
       |aw AS (SELECT e.src, e.dst,
       |    CAST(ROUND(1000000 / ln(d.deg)) AS BIGINT) AS wmicro
-      |  FROM pedges e JOIN deg d ON e.dst = d.src),
+      |  FROM pedges e JOIN deg d ON e.dst = d.src WHERE d.deg >= 2),
       |w2 AS (SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common,
       |    SUM(e1.wmicro) AS aam
       |  FROM aw e1 JOIN pedges e2 ON e1.dst = e2.src AND e1.src < e2.dst
