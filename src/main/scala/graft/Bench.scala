@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries (QueryDef.bench) against
@@ -32,10 +33,44 @@ object Bench {
     siblings.headOption.map(_._2.toString).getOrElse(sfDir)
   }
 
+  /** Accumulates stage-level execution metrics between resets, so each
+    * bench query's shuffle/spill/task footprint lands in the JSON
+    * artifact — an anomalous wall-time (like r8's unexplained 13.8s
+    * ctr_referrer) is then diagnosable from the artifact alone: CPU
+    * blip (same bytes, more time) vs plan change (different bytes). */
+  private final class StageMetrics extends SparkListener {
+    private var stages, tasks = 0L
+    private var shufRead, shufWrite, spillMem, spillDisk, inBytes = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufRead += m.shuffleReadMetrics.totalBytesRead
+          shufWrite += m.shuffleWriteMetrics.bytesWritten
+          spillMem += m.memoryBytesSpilled
+          spillDisk += m.diskBytesSpilled
+          inBytes += m.inputMetrics.bytesRead
+        }
+        stages += 1
+        tasks += sc.stageInfo.numTasks
+      }
+    def snapshotAndReset(): Seq[(String, Long)] = synchronized {
+      val r = Seq("stages" -> stages, "tasks" -> tasks,
+        "input_bytes" -> inBytes, "shuffle_read" -> shufRead,
+        "shuffle_write" -> shufWrite, "spill_mem" -> spillMem,
+        "spill_disk" -> spillDisk)
+      stages = 0; tasks = 0; shufRead = 0; shufWrite = 0
+      spillMem = 0; spillDisk = 0; inBytes = 0
+      r
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
 
     // JVM + codegen warm-up: run every headline query once at the
     // smallest available sf (excluded from timings) so measurements
@@ -55,11 +90,17 @@ object Bench {
     // reported as the sentinel -1 and excluded from the total rather
     // than flattering the headline with a near-zero elapsed time.
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var lastStages: Seq[(String, Long)] = Seq.empty
       val times = (1 to 3).flatMap { _ =>
+        org.apache.spark.graft.ListenerBusWait.drain(spark.sparkContext)
+        metrics.snapshotAndReset() // drop events from the previous query
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.ListenerBusWait.drain(spark.sparkContext)
+          lastStages = metrics.snapshotAndReset() // steady-state (last) run
+          Some(dt)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -76,15 +117,20 @@ object Bench {
       // growth to the live query's working set (untimed: runs outside
       // the measured window).
       System.gc()
-      (name, median, sorted.headOption.getOrElse(-1.0))
+      (name, median, sorted.headOption.getOrElse(-1.0), lastStages)
     }
-    def jmap(f: ((String, Double, Double)) => Double) =
+    def jmap(f: ((String, Double, Double, Seq[(String, Long)])) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap(_._2)
     val qsMin = jmap(_._3)
+    val stageJson = results.map { r =>
+      "\"" + r._1 + "\":" +
+        r._4.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"runs_per_query":3,"stat":"median","sf":"$sfDir"}""")
+      s""""queries_min":$qsMin,"stage_metrics":$stageJson,""" +
+      s""""runs_per_query":3,"stat":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }

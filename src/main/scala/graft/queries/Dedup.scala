@@ -705,7 +705,10 @@ object Dedup {
         sum($"ctok").as("tokens_total"),
         sum(when($"df" < 2, $"ctok").otherwise(0L)).as("tokens_kept"))
       .select($"doc_id", $"n_chunks", $"n_boiler", $"tokens_total", $"tokens_kept",
-        round($"tokens_kept".cast("double") / $"tokens_total", 9).as("keep_ratio"))
+        // exact integer micro-ratio (parts-per-billion): both engines compute
+        // the same integer division, so the hash cannot drift on float ULPs
+        // the way a rounded double can across engine versions.
+        expr("(tokens_kept * 1000000000L) div tokens_total").as("keep_ratio_ppb"))
       .orderBy($"doc_id")
   }
 
@@ -722,8 +725,8 @@ object Dedup {
       |  SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_boiler,
       |  SUM(ctok) AS tokens_total,
       |  SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) AS tokens_kept,
-      |  ROUND(CAST(SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) AS DOUBLE)
-      |    / SUM(ctok), 9) AS keep_ratio
+      |  (SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) * 1000000000)
+      |    // SUM(ctok) AS keep_ratio_ppb
       |FROM ch JOIN df USING (ch)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

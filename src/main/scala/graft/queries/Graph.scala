@@ -540,7 +540,11 @@ object Graph {
         ($"m2".cast("double") * $"m2")).as("modularity"))
   }
 
-  private val qGraphModularitySql = {
+  /** Shared LPA oracle prefix: the sampled co-purchase graph (li/pedges),
+    * self-labelled l0, and three chained majority rounds ending in l3.
+    * ONE copy of the round semantics feeds both graph_label_prop and
+    * q_graph_modularity so the two oracles cannot drift apart. */
+  private val lpaOracleCtes = {
     def round(prev: String, cur: String): String =
       s"""c$cur AS (SELECT v, lbl, COUNT(*) AS cnt FROM (
          |    SELECT e.dst AS v, l.lbl AS lbl FROM pedges e JOIN l$prev l ON l.v = e.src
@@ -549,14 +553,18 @@ object Graph {
          |l$cur AS (SELECT v, lbl FROM (
          |    SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
          |    FROM c$cur) r WHERE rn = 1)""".stripMargin
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+    s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
        |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM pedges),
        |${round("0", "1")},
        |${round("1", "2")},
-       |${round("2", "3")},
+       |${round("2", "3")}""".stripMargin
+  }
+
+  private val qGraphModularitySql =
+    s"""WITH $lpaOracleCtes,
        |ec AS (SELECT COUNT(*) AS m2,
        |    SUM(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END) AS lin2
        |  FROM pedges e JOIN l3 la ON e.src = la.v JOIN l3 lb ON e.dst = lb.v),
@@ -570,29 +578,12 @@ object Graph {
        |  CAST(CAST(lin2 AS HUGEINT) * m2 - sum_dc2 AS DOUBLE)
        |    / (CAST(m2 AS DOUBLE) * m2) AS modularity
        |FROM ec CROSS JOIN s2""".stripMargin
-  }
 
-  private val graphLabelPropSql = {
-    def round(prev: String, cur: String): String =
-      s"""c$cur AS (SELECT v, lbl, COUNT(*) AS cnt FROM (
-         |    SELECT e.dst AS v, l.lbl AS lbl FROM pedges e JOIN l$prev l ON l.v = e.src
-         |    UNION ALL SELECT v, lbl FROM l$prev) t
-         |  GROUP BY v, lbl),
-         |l$cur AS (SELECT v, lbl FROM (
-         |    SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
-         |    FROM c$cur) r WHERE rn = 1)""".stripMargin
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
-       |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-       |  FROM li a JOIN li b
-       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM pedges),
-       |${round("0", "1")},
-       |${round("1", "2")},
-       |${round("2", "3")}
+  private val graphLabelPropSql =
+    s"""WITH $lpaOracleCtes
        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
        |FROM l3 GROUP BY lbl
        |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin
-  }
 
   val defs: Map[String, QueryDef] = Map(
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),

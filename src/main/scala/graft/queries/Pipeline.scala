@@ -260,6 +260,56 @@ object Pipeline {
       |   OR a.o_totalprice <> b.o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
+  /** MERGE/upsert landed as an oracle key: a deterministic CDC batch
+    * (each customer's latest order, one-fifth of keys remapped past the
+    * key space so the batch carries genuine inserts alongside updates)
+    * is MERGEd into the customer snapshot by `Sinks.upsert` — matched
+    * rows take the update row wholesale, unmatched targets survive,
+    * unmatched updates insert. The oracle replays the same MERGE as a
+    * windowed last-per-key + full-outer CASE. This turns the warehouse
+    * copy-on-write write path (spec-only until r9) into a driver-gated
+    * correctness row. Money lands as exact integer cents. */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = Tables.customer(s, dir).select(
+      $"c_custkey".as("custkey"), $"c_name".as("name"),
+      QueryDef.cents($"c_acctbal").as("bal_cents"))
+    val latest = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey").orderBy($"o_orderkey".desc)))
+      .filter($"rn" === 1)
+    val updates = latest.select(
+      when($"o_custkey" % 5 === 0, $"o_custkey" + 3000000L)
+        .otherwise($"o_custkey").cast("long").as("custkey"),
+      concat(lit("cdc-"), $"o_orderkey".cast("string")).as("name"),
+      QueryDef.cents($"o_totalprice").as("bal_cents"))
+    graft.sources.Sinks.upsert(target, updates, "custkey")
+      .orderBy($"custkey")
+  }
+
+  private val qMergeUpsertSql =
+    """WITH t AS (
+      |  SELECT c_custkey AS custkey, c_name AS name,
+      |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer),
+      |lat AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |    SELECT o_custkey, o_orderkey, o_totalprice,
+      |      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) r WHERE rn = 1),
+      |u AS (
+      |  SELECT CAST(CASE WHEN o_custkey % 5 = 0 THEN o_custkey + 3000000
+      |    ELSE o_custkey END AS BIGINT) AS custkey,
+      |    'cdc-' || CAST(o_orderkey AS VARCHAR) AS name,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS bal_cents FROM lat)
+      |SELECT COALESCE(u.custkey, t.custkey) AS custkey,
+      |  CASE WHEN u.custkey IS NOT NULL THEN u.name ELSE t.name END AS name,
+      |  CASE WHEN u.custkey IS NOT NULL THEN u.bal_cents
+      |    ELSE t.bal_cents END AS bal_cents
+      |FROM t FULL OUTER JOIN u ON t.custkey = u.custkey
+      |ORDER BY custkey""".stripMargin
+
   /** Schema evolution: legacy rows (no event_type) union current rows
     * via unionByName(allowMissingColumns) — missing columns become
     * NULL, exactly like parquet mergeSchema across old/new files. */
@@ -1223,6 +1273,7 @@ object Pipeline {
     "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "q_cdc_diff" -> QueryDef(qCdcDiff, Some(qCdcDiffSql)),
+    "q_merge_upsert" -> QueryDef(qMergeUpsert, Some(qMergeUpsertSql)),
     "q_session_window" -> QueryDef(qSessionWindow, Some(qSessionWindowSql)),
     "dedup_substring" -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
     "text_gopher_filter" -> QueryDef(textGopherFilter, Some(textGopherFilterSql)),

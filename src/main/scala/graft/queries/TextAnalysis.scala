@@ -599,7 +599,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_chars"),
         sum($"n_tok").as("n_tokens"))
       .select($"doc_id", $"n_words", $"n_chars", $"n_tokens",
-        round($"n_chars".cast("double") / $"n_tokens", 9).as("chars_per_token"))
+        // exact ppb integer ratio — immune to cross-engine double-rounding
+        // drift (the r8 driver-hash lesson; same pattern as graph_jaccard_links)
+        expr("(n_chars * 1000000000L) div n_tokens").as("chars_per_token_ppb"))
       .orderBy($"doc_id")
   }
 
@@ -622,7 +624,7 @@ object TextAnalysis {
        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
        |SELECT doc_id, COUNT(*) AS n_words, SUM(n_sym) AS n_chars,
        |  SUM(n_tok) AS n_tokens,
-       |  ROUND(CAST(SUM(n_sym) AS DOUBLE) / SUM(n_tok), 9) AS chars_per_token
+       |  (SUM(n_sym) * 1000000000) // SUM(n_tok) AS chars_per_token_ppb
        |FROM dw JOIN tok USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }

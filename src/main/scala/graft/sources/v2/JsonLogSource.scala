@@ -112,7 +112,14 @@ final class JsonLogScan(fullSchema: StructType, required: StructType,
     val fs = new Path(path).getFileSystem(new Configuration())
     val files = {
       val st = fs.getFileStatus(new Path(path))
-      if (st.isDirectory) fs.listStatus(new Path(path)).filter(_.isFile).toSeq
+      // Hadoop hidden-file convention: _SUCCESS markers and .crc
+      // checksum siblings in a written directory are metadata, not log
+      // lines — the same exclusion FileInputFormat applies.
+      if (st.isDirectory)
+        fs.listStatus(new Path(path)).filter(f => f.isFile && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }).toSeq
       else Seq(st)
     }
     files.flatMap { f =>

@@ -448,9 +448,10 @@ object EventStream {
         }
       }
     }
-    // 7-day tail: open views have v.ms >= wm - span and only use
-    // events strictly after themselves
-    val keep = rest.filter { case (ms, _, _) => ms > wm - spanMs }
+    // 7-day tail: complementary to the finalize condition above
+    // (ms + spanMs < wm), so a view with ms + spanMs == wm stays in
+    // state until the watermark passes it — never silently evicted.
+    val keep = rest.filter { case (ms, _, _) => ms >= wm - spanMs }
     if (keep.isEmpty) state.remove()
     else {
       state.update(CepState(keep))

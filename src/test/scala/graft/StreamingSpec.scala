@@ -114,6 +114,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CEP: watermark landing exactly on view_ts + span keeps the view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def e(id: Long, user: Long, min: Long, typ: String): Event =
+      Event(id, new Timestamp(T0 + min * 60000L), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStream.streamingCep(spark, input.toDS(),
+        spanMs = 3600000L, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("cepb").outputMode("append").start()
+    try {
+      input.addData(e(10, 1, 0, "view"), e(11, 1, 10, "click"), e(12, 1, 20, "purchase"))
+      q.processAllAvailable()
+      // max ts 90min - 30min delay => watermark == T0 + 60min == view_ts + span
+      // EXACTLY: the view must neither finalize (a purchase at ts == wm could
+      // still arrive) nor be evicted (the r8 off-by-one silently dropped it).
+      input.addData(e(98, 9, 90, "view"))
+      q.processAllAvailable()
+      assert(spark.sql("select * from cepb").count() == 0,
+        "view must not finalize while watermark == view_ts + span")
+      input.addData(e(99, 9, 200, "view")) // watermark 170 > 60: finalize now
+      q.processAllAvailable()
+      val out = spark.sql("select * from cepb").as[EventStream.CepOut].collect().toSeq
+      assert(out == Seq(EventStream.CepOut(1L, 10L, 11L, 12L, 1200000L)),
+        s"boundary view was lost or duplicated: $out")
+    } finally q.stop()
+  }
+
   test("streaming CTR: stream-stream join with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
