@@ -73,7 +73,8 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
       .withColumn("dup_frac",
         when(col("n_spans") === 0, lit(0.0))
-          .otherwise(round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 9)))
+          .otherwise(expr("(n_dup_spans * 1000000000L) div n_spans")
+            .cast("double") / 1e9))
   }
 
   /** Per-doc MinHash/LSH index rows: `bands` band keys per document.
@@ -181,7 +182,11 @@ object Dedup {
       .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .select($"doc_a", $"doc_b",
-        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9).as("jaccard"))
+        // exact ppb integer ratio, then ONE exact /1e9 scaling: identical
+        // bits in Spark and DuckDB regardless of either engine's
+        // ROUND(double) implementation (the r8 driver-hash lesson)
+        (expr("(inter * 1000000000L) div (na + nb - inter)")
+          .cast("double") / 1e9).as("jaccard"))
   }
 
   /** Exact τ-threshold Jaccard similarity join with PREFIX FILTERING
@@ -335,7 +340,7 @@ object Dedup {
     verified
       .withColumn("inter", graft.functions.Fns.sorted_intersect_count($"ha", $"hb"))
       .withColumn("jaccard",
-        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9))
+        expr("(inter * 1000000000L) div (na + nb - inter)").cast("double") / 1e9)
       .filter($"jaccard" >= tau)
       .select($"doc_a", $"doc_b", $"jaccard")
   }

@@ -32,14 +32,19 @@ object TextAnalysis {
     * divisions (oracle-parity safe). */
   def qualityScore(docs: DataFrame): DataFrame = {
     val st = graft.functions.Fns.text_scan(col("text"))
-    val nTok = st.getField("tokens").cast("double")
+    // ppb integer ratios (floor): numerators stay < 2^53 after the 1e9
+    // scaling and the quotient sits >= 1/den from any integer, so the
+    // double floor equals the integer division either engine computes —
+    // no dependence on ROUND(double) half-edge behavior.
+    def ppb(num: Column, den: Column): Column =
+      floor(num.cast("double") * 1e9 / den).cast("long").cast("double") / 1e9
     docs.select(
       col("doc_id"),
       st.getField("chars").as("n_chars"),
       st.getField("tokens").as("n_tokens"),
-      round(st.getField("punct").cast("double") / st.getField("chars"), 9).as("punct_ratio"),
-      round(st.getField("stop_hits").cast("double") / nTok, 9).as("stopword_ratio"),
-      round(st.getField("word_chars").cast("double") / nTok, 9).as("mean_word_len"))
+      ppb(st.getField("punct"), st.getField("chars")).as("punct_ratio"),
+      ppb(st.getField("stop_hits"), st.getField("tokens")).as("stopword_ratio"),
+      ppb(st.getField("word_chars"), st.getField("tokens")).as("mean_word_len"))
   }
 
   /** n-gram-profile language ID: score = stop-token hits per language
@@ -187,15 +192,17 @@ object TextAnalysis {
 
   def repetitionStats(docs: DataFrame): DataFrame = {
     val ws = whitespaceTokens(col("text"))
+    def ppbFrac(num: Column, den: Column): Column =
+      floor(num.cast("double") * 1e9 / den).cast("long").cast("double") / 1e9
     def dupFrac(grams: Column): Column =
       when(size(grams) > 0,
-        round((size(grams) - size(array_distinct(grams))).cast("double") / size(grams), 9))
+        ppbFrac(size(grams) - size(array_distinct(grams)), size(grams)))
         .otherwise(lit(0.0))
     val modeCount = array_max(transform(array_distinct(ws),
       x => size(filter(ws, y => y === x))))
     docs.select(
       col("doc_id"),
-      round(modeCount.cast("double") / size(ws), 9).as("top_word_frac"),
+      ppbFrac(modeCount, size(ws)).as("top_word_frac"),
       dupFrac(wordNgrams(col("text"), 2)).as("dup_2gram_frac"),
       dupFrac(wordNgrams(col("text"), 3)).as("dup_3gram_frac"))
   }

@@ -209,7 +209,7 @@ object Dedup {
       |  GROUP BY 1, 2),
       |scored AS (
       |  SELECT doc_a, doc_b,
-      |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard
+      |    CAST((inter * 1000000000) // (sa.n + sb.n - inter) AS DOUBLE)/1e9 AS jaccard
       |  FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)""".stripMargin
 
   private val dedupNgramJaccardSql =
@@ -393,11 +393,11 @@ object Dedup {
     """WITH q AS (
       |  SELECT doc_id,
       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |   ROUND(CAST(len(list_filter(string_split(text, ' '),
-      |       t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
-      |     / len(string_split(text, ' ')), 9) AS stopword_ratio,
-      |   ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-      |     / len(string_split(text, ' ')), 9) AS mean_word_len
+      |   CAST((CAST(len(list_filter(string_split(text, ' '),
+      |       t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT)
+      |     * 1000000000) // len(string_split(text, ' ')) AS DOUBLE)/1e9 AS stopword_ratio,
+      |   CAST((CAST(length(replace(text, ' ', '')) AS BIGINT)
+      |     * 1000000000) // len(string_split(text, ' ')) AS DOUBLE)/1e9 AS mean_word_len
       |  FROM documents),
       |surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
       |SELECT q.doc_id AS doc_id, n_tokens, stopword_ratio, mean_word_len
@@ -653,7 +653,7 @@ object Dedup {
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT doc_a, doc_b,
-       |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 9) AS jaccard
+       |    CAST((inter * 1000000000) // (sa.n + sb.n - inter) AS DOUBLE)/1e9 AS jaccard
        |  FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
        |bk AS (
        |  SELECT doc_id, perm // 8 AS band,

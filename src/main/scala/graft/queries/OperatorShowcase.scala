@@ -136,11 +136,11 @@ object OperatorShowcase {
         // reports span 0, not NaN/Infinity (which hash differently
         // across engines)
         when($"ck_hi" === $"ck_lo", lit(0.0))
-          .otherwise(round(($"ck_max" - $"ck_min").cast("double") /
-            ($"ck_hi" - $"ck_lo"), 9)).as("ck_span_frac"),
+          .otherwise(expr("((ck_max - ck_min) * 1000000000L) div (ck_hi - ck_lo)")
+            .cast("double") / 1e9).as("ck_span_frac"),
         when($"d_hi" === $"d_lo", lit(0.0))
-          .otherwise(round(($"day_max" - $"day_min").cast("double") /
-            ($"d_hi" - $"d_lo"), 9)).as("day_span_frac"))
+          .otherwise(expr("((day_max - day_min) * 1000000000L) div (d_hi - d_lo)")
+            .cast("double") / 1e9).as("day_span_frac"))
       .orderBy("bucket")
   }
 
@@ -172,10 +172,12 @@ object OperatorShowcase {
       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  MIN(ck) AS ck_min, MAX(ck) AS ck_max, MIN(day) AS day_min, MAX(day) AS day_max,
       |  CASE WHEN (SELECT ck_hi - ck_lo FROM b) = 0 THEN 0.0
-      |    ELSE ROUND(CAST(MAX(ck) - MIN(ck) AS DOUBLE)/(SELECT ck_hi - ck_lo FROM b), 9)
+      |    ELSE CAST(((MAX(ck) - MIN(ck)) * 1000000000)
+      |      // (SELECT ck_hi - ck_lo FROM b) AS DOUBLE)/1e9
       |  END AS ck_span_frac,
       |  CASE WHEN (SELECT d_hi - d_lo FROM b) = 0 THEN 0.0
-      |    ELSE ROUND(CAST(MAX(day) - MIN(day) AS DOUBLE)/(SELECT d_hi - d_lo FROM b), 9)
+      |    ELSE CAST(((MAX(day) - MIN(day)) * 1000000000)
+      |      // (SELECT d_hi - d_lo FROM b) AS DOUBLE)/1e9
       |  END AS day_span_frac
       |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin
 
@@ -289,8 +291,8 @@ object OperatorShowcase {
             s"CAST(1152921504606846976 AS DECIMAL(38,0))) div element_at(sk, $k)"))
           .as("n_est"))
       .select($"event_type", $"n_exact", $"n_est",
-        round(abs($"n_est" - $"n_exact").cast("double") / $"n_exact", 9)
-          .as("rel_err"))
+        (expr("(abs(n_est - n_exact) * 1000000000L) div n_exact")
+          .cast("double") / 1e9).as("rel_err"))
       .orderBy($"event_type")
   }
 
@@ -311,7 +313,7 @@ object OperatorShowcase {
       |      ELSE (63::HUGEINT * (1::HUGEINT << 60)) // h64 END AS BIGINT) AS n_est
       |  FROM s)
       |SELECT event_type, n_exact, n_est,
-      |  ROUND(CAST(ABS(n_est - n_exact) AS DOUBLE) / n_exact, 9) AS rel_err
+      |  CAST((ABS(n_est - n_exact) * 1000000000) // n_exact AS DOUBLE)/1e9 AS rel_err
       |FROM e ORDER BY event_type""".stripMargin
 
   /** KMV sketch SET ALGEBRA (Beyer et al. 2007 §4): pairwise
@@ -366,7 +368,8 @@ object OperatorShowcase {
         ($"n_a" + $"n_b" - coalesce($"inter_exact", lit(0L))).as("union_exact"),
         $"union_est",
         expr("(CAST(union_est AS DECIMAL(38,0)) * matches) div ku").as("inter_est"),
-        round($"matches".cast("double") / $"ku", 9).as("jacc_est"))
+        (expr("(CAST(matches AS BIGINT) * 1000000000L) div ku")
+          .cast("double") / 1e9).as("jacc_est"))
       .orderBy($"type_a", $"type_b")
   }
 
@@ -412,7 +415,7 @@ object OperatorShowcase {
       |  CAST(union_exact AS BIGINT) AS union_exact,
       |  CAST(union_est AS BIGINT) AS union_est,
       |  CAST((CAST(union_est AS HUGEINT) * matches) // ku AS BIGINT) AS inter_est,
-      |  ROUND(CAST(matches AS DOUBLE) / ku, 9) AS jacc_est
+      |  CAST((CAST(matches AS BIGINT) * 1000000000) // ku AS DOUBLE)/1e9 AS jacc_est
       |FROM fin ORDER BY type_a, type_b""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(

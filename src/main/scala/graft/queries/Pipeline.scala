@@ -31,8 +31,8 @@ object Pipeline {
       |  CAST(GREATEST(len(string_split(text, ' ')) - 9, 0) AS BIGINT) AS n_spans,
       |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_spans,
       |  CASE WHEN len(string_split(text, ' ')) - 9 <= 0 THEN 0.0
-      |    ELSE ROUND(CAST(COALESCE(nd, 0) AS DOUBLE)
-      |      / (len(string_split(text, ' ')) - 9), 9) END AS dup_frac
+      |    ELSE CAST((CAST(COALESCE(nd, 0) AS BIGINT) * 1000000000)
+      |      // (len(string_split(text, ' ')) - 9) AS DOUBLE)/1e9 END AS dup_frac
       |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
       |ORDER BY doc_id""".stripMargin
 

@@ -318,7 +318,8 @@ object Quality {
       .agg(count(lit(1)).as("n_vecs"), sum($"proj").as("sum_proj"))
       .select($"label".cast("int").as("label"), $"n_vecs",
         $"sum_proj".cast("long").as("sum_proj"),
-        round($"sum_proj".cast("double") / $"n_vecs" / 1e12, 9).as("mean_proj"))
+        (expr("sign(sum_proj) * (abs(sum_proj) div n_vecs)")
+          .cast("double") / 1e12).as("mean_proj"))
       .orderBy($"label")
   }
 
@@ -344,7 +345,9 @@ object Quality {
        |  FROM q t, v8 GROUP BY t.vec_id, t.label)
        |SELECT CAST(label AS INTEGER) AS label, COUNT(*) AS n_vecs,
        |  CAST(SUM(proj) AS BIGINT) AS sum_proj,
-       |  ROUND(CAST(CAST(SUM(proj) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000000000.0, 9) AS mean_proj
+       |  CAST(SIGN(CAST(SUM(proj) AS BIGINT))
+       |    * (ABS(CAST(SUM(proj) AS BIGINT)) // COUNT(*)) AS DOUBLE)
+       |    / 1000000000000.0 AS mean_proj
        |FROM p GROUP BY label ORDER BY label""".stripMargin
   }
 

@@ -155,7 +155,8 @@ object Retrieval {
     scoredBg.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"nano").as("nano_sum"))
       .select($"doc_id", $"n_bigrams",
-        round($"nano_sum".cast("double") / ($"n_bigrams" * lit(1e9)), 9).as("avg_logp"))
+        (expr("sign(nano_sum) * (abs(nano_sum) div n_bigrams)")
+          .cast("double") / 1e9).as("avg_logp"))
       .orderBy($"doc_id")
   }
 
@@ -172,10 +173,11 @@ object Retrieval {
       |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM alltok),
       |sc AS (
       |  SELECT doc_id,
-      |    ROUND(LN((c2 + 1.0) / (c1 + v)) * 1e9) AS nano
+      |    CAST(ROUND(LN((c2 + 1.0) / (c1 + v)) * 1e9) AS BIGINT) AS nano
       |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w CROSS JOIN vocab)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |  ROUND(CAST(SUM(nano) AS DOUBLE) / (COUNT(*) * 1e9), 9) AS avg_logp
+      |  CAST(SIGN(CAST(SUM(nano) AS BIGINT))
+      |    * (ABS(CAST(SUM(nano) AS BIGINT)) // COUNT(*)) AS DOUBLE) / 1e9 AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -230,7 +232,8 @@ object Retrieval {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"nano").as("nano_sum"))
       .select($"doc_id", $"n_bigrams",
-        round($"nano_sum".cast("double") / ($"n_bigrams" * lit(1e9)), 9).as("avg_logp"))
+        (expr("sign(nano_sum) * (abs(nano_sum) div n_bigrams)")
+          .cast("double") / 1e9).as("avg_logp"))
       .orderBy($"doc_id")
   }
 
@@ -247,12 +250,13 @@ object Retrieval {
       |bt AS (SELECT COUNT(*) AS btot FROM c2),
       |sc AS (
       |  SELECT doc_id,
-      |    ROUND(LN((c2 - 0.75) / cl
-      |      + (0.75 * nfwd * nbwd) / (CAST(cl AS DOUBLE) * btot)) * 1e9) AS nano
+      |    CAST(ROUND(LN((c2 - 0.75) / cl
+      |      + (0.75 * nfwd * nbwd) / (CAST(cl AS DOUBLE) * btot)) * 1e9) AS BIGINT) AS nano
       |  FROM bg JOIN c2 USING (w1, w2) JOIN lft USING (w1) JOIN rgt USING (w2)
       |    CROSS JOIN bt)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |  ROUND(CAST(SUM(nano) AS DOUBLE) / (COUNT(*) * 1e9), 9) AS avg_logp
+      |  CAST(SIGN(CAST(SUM(nano) AS BIGINT))
+      |    * (ABS(CAST(SUM(nano) AS BIGINT)) // COUNT(*)) AS DOUBLE) / 1e9 AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------

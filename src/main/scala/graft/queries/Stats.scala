@@ -880,8 +880,8 @@ object Stats {
     wide.select(
         $"n0".as("n_control"), $"c0".as("conv_control"),
         $"n1".as("n_treat"), $"c1".as("conv_treat"),
-        round($"c0".cast("double") / $"n0", 9).as("p_control"),
-        round($"c1".cast("double") / $"n1", 9).as("p_treat"),
+        (expr("(c0 * 1000000000L) div n0").cast("double") / 1e9).as("p_control"),
+        (expr("(c1 * 1000000000L) div n1").cast("double") / 1e9).as("p_treat"),
         round(($"c1".cast("double") / $"n1" - $"c0".cast("double") / $"n0") /
           expr("""nullif(sqrt((cast(c0 + c1 as double) / (n0 + n1)) *
             (1d - cast(c0 + c1 as double) / (n0 + n1)) *
@@ -901,8 +901,8 @@ object Stats {
       |    SUM(CASE WHEN arm = 1 THEN c END) AS c1 FROM a)
       |SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
       |  CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
-      |  ROUND(CAST(c0 AS DOUBLE)/n0, 9) AS p_control,
-      |  ROUND(CAST(c1 AS DOUBLE)/n1, 9) AS p_treat,
+      |  CAST((c0 * 1000000000) // n0 AS DOUBLE)/1e9 AS p_control,
+      |  CAST((c1 * 1000000000) // n1 AS DOUBLE)/1e9 AS p_treat,
       |  ROUND((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
       |    NULLIF(SQRT((CAST(c0 + c1 AS DOUBLE)/(n0 + n1)) *
       |      (1e0 - CAST(c0 + c1 AS DOUBLE)/(n0 + n1)) *
@@ -930,8 +930,8 @@ object Stats {
         round(log10(lit(1.0) + lit(1.0) / $"digit") * 1e9).cast("long"))
       .select($"digit", $"obs",
         round($"p_nano".cast("double") / 1e9, 9).as("p_benford"),
-        round(($"obs".cast("double") / $"n" - $"p_nano".cast("double") / 1e9), 9)
-          .as("deviation"),
+        ((expr("(obs * 1000000000L) div n").cast("double") -
+          $"p_nano".cast("double")) / 1e9).as("deviation"),
         round(($"obs".cast("double") - $"n" * ($"p_nano".cast("double") / 1e9)) *
           ($"obs".cast("double") - $"n" * ($"p_nano".cast("double") / 1e9)) /
           ($"n" * ($"p_nano".cast("double") / 1e9)), 6).as("chi2_term"))
@@ -949,7 +949,7 @@ object Stats {
       |    FROM d CROSS JOIN t)
       |SELECT digit, CAST(obs AS BIGINT) AS obs,
       |  ROUND(CAST(p_nano AS DOUBLE)/1e9, 9) AS p_benford,
-      |  ROUND(CAST(obs AS DOUBLE)/n - CAST(p_nano AS DOUBLE)/1e9, 9) AS deviation,
+      |  (CAST((obs * 1000000000) // n AS DOUBLE) - CAST(p_nano AS DOUBLE))/1e9 AS deviation,
       |  ROUND((CAST(obs AS DOUBLE) - n * (CAST(p_nano AS DOUBLE)/1e9)) *
       |    (CAST(obs AS DOUBLE) - n * (CAST(p_nano AS DOUBLE)/1e9)) /
       |    (n * (CAST(p_nano AS DOUBLE)/1e9)), 6) AS chi2_term
@@ -1085,8 +1085,10 @@ object Stats {
     val mau = e.groupBy($"month").agg(countDistinct($"user_id").as("mau"))
     dau.join(mau, "month")
       .select($"month", $"n_days", $"mau",
-        round($"dau_sum".cast("double") / $"n_days", 6).as("avg_dau"),
-        round($"dau_sum".cast("double") / $"n_days" / $"mau", 6).as("stickiness"))
+        (expr("(dau_sum * 1000000L) div n_days").cast("double") / 1e6)
+          .as("avg_dau"),
+        (expr("(dau_sum * 1000000L) div (n_days * mau)").cast("double") / 1e6)
+          .as("stickiness"))
       .orderBy("month")
   }
 
@@ -1097,8 +1099,8 @@ object Stats {
       |ds AS (SELECT month, SUM(dau) AS dau_sum, COUNT(*) AS n_days FROM d GROUP BY 1),
       |m AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM e GROUP BY 1)
       |SELECT month, CAST(n_days AS BIGINT) AS n_days, CAST(mau AS BIGINT) AS mau,
-      |  ROUND(CAST(dau_sum AS DOUBLE)/n_days, 6) AS avg_dau,
-      |  ROUND(CAST(dau_sum AS DOUBLE)/n_days/mau, 6) AS stickiness
+      |  CAST((dau_sum * 1000000) // n_days AS DOUBLE)/1e6 AS avg_dau,
+      |  CAST((dau_sum * 1000000) // (n_days * mau) AS DOUBLE)/1e6 AS stickiness
       |FROM ds JOIN m USING (month) ORDER BY month""".stripMargin
 
   // ------------------------------------------------------------ q_cohort_ltv
@@ -1125,7 +1127,8 @@ object Stats {
     cum.join(broadcast(sized), "c0")
       .filter($"month_offset" <= 6)
       .select($"c0".as("cohort_month"), $"month_offset", $"n_cust",
-        round($"cum_rev".cast("double") / 100.0 / $"n_cust", 6).as("ltv_per_customer"))
+        (expr("(cum_rev * 10000L) div n_cust").cast("double") / 1e6)
+          .as("ltv_per_customer"))
       .orderBy("cohort_month", "month_offset")
   }
 
@@ -1142,7 +1145,7 @@ object Stats {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
       |    FROM r)
       |SELECT c0 AS cohort_month, month_offset, CAST(n_cust AS BIGINT) AS n_cust,
-      |  ROUND(CAST(cum_rev AS DOUBLE)/100.0/n_cust, 6) AS ltv_per_customer
+      |  CAST((cum_rev * 10000) // n_cust AS DOUBLE)/1e6 AS ltv_per_customer
       |FROM cm JOIN sz USING (c0) WHERE month_offset <= 6
       |ORDER BY cohort_month, month_offset""".stripMargin
 
@@ -1194,7 +1197,8 @@ object Stats {
       .join(sz.select($"source".as("src_a"), $"n".as("na")), "src_a")
       .join(sz.select($"source".as("src_b"), $"n".as("nb")), "src_b")
       .select($"src_a", $"src_b",
-        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9).as("vocab_jaccard"))
+        (expr("(inter * 1000000000L) div (na + nb - inter)")
+          .cast("double") / 1e9).as("vocab_jaccard"))
       .orderBy($"vocab_jaccard".desc, $"src_a", $"src_b").limit(20)
   }
 
@@ -1207,7 +1211,7 @@ object Stats {
       |    FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
       |    GROUP BY 1, 2)
       |SELECT src_a, src_b,
-      |  ROUND(CAST(inter AS DOUBLE)/(na.n + nb.n - inter), 9) AS vocab_jaccard
+      |  CAST((inter * 1000000000) // (na.n + nb.n - inter) AS DOUBLE)/1e9 AS vocab_jaccard
       |FROM i JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
       |ORDER BY vocab_jaccard DESC, src_a, src_b LIMIT 20""".stripMargin
 
@@ -1767,8 +1771,8 @@ object Stats {
     agg
       .withColumn("tot", sum($"whq").over(Window.partitionBy())) // bounded: one row per stratum
       .select($"segment", $"n_pop",
-        round($"whq".cast("double") / 1e6 / 100.0, 6).as("nh_sh"),
-        round($"whq".cast("double") * 1000.0 / $"tot").cast("long").as("alloc"))
+        (expr("(whq + 50L) div 100").cast("double") / 1e6).as("nh_sh"),
+        expr("(2 * whq * 1000L + tot) div (2 * tot)").cast("long").as("alloc"))
       .orderBy($"segment")
   }
 
@@ -1784,8 +1788,8 @@ object Stats {
       |  FROM a),
       |t AS (SELECT *, SUM(whq) OVER () AS tot FROM w)
       |SELECT segment, CAST(n_pop AS BIGINT) AS n_pop,
-      |  ROUND(CAST(whq AS DOUBLE) / 1e6 / 100.0, 6) AS nh_sh,
-      |  CAST(ROUND(CAST(whq AS DOUBLE) * 1000.0 / tot) AS BIGINT) AS alloc
+      |  CAST((whq + 50) // 100 AS DOUBLE) / 1e6 AS nh_sh,
+      |  CAST((2 * whq * 1000 + tot) // (2 * tot) AS BIGINT) AS alloc
       |FROM t ORDER BY segment""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(

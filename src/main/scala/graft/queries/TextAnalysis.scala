@@ -30,13 +30,13 @@ object TextAnalysis {
     """SELECT doc_id,
       | CAST(length(text) AS BIGINT) AS n_chars,
       | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      | ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-      |   / length(text), 9) AS punct_ratio,
-      | ROUND(CAST(len(list_filter(string_split(text, ' '),
-      |     t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
-      |   / len(string_split(text, ' ')), 9) AS stopword_ratio,
-      | ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-      |   / len(string_split(text, ' ')), 9) AS mean_word_len
+      | CAST((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+      |   * 1000000000) // length(text) AS DOUBLE)/1e9 AS punct_ratio,
+      | CAST((CAST(len(list_filter(string_split(text, ' '),
+      |     t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT)
+      |   * 1000000000) // len(string_split(text, ' ')) AS DOUBLE)/1e9 AS stopword_ratio,
+      | CAST((CAST(length(replace(text, ' ', '')) AS BIGINT)
+      |   * 1000000000) // len(string_split(text, ' ')) AS DOUBLE)/1e9 AS mean_word_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   private def textLangid(s: SparkSession, dir: String): DataFrame = {
@@ -345,13 +345,16 @@ object TextAnalysis {
       |        list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) AS g3
       |      FROM t)
       |SELECT doc_id,
-      |  ROUND(CAST(list_max(list_transform(list_distinct(ws),
-      |      x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE) / len(ws), 9) AS top_word_frac,
+      |  CAST((CAST(list_max(list_transform(list_distinct(ws),
+      |      x -> len(list_filter(ws, y -> y = x)))) AS BIGINT) * 1000000000)
+      |    // len(ws) AS DOUBLE)/1e9 AS top_word_frac,
       |  CASE WHEN len(g2) > 0
-      |    THEN ROUND(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 9)
+      |    THEN CAST((CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) * 1000000000)
+      |      // len(g2) AS DOUBLE)/1e9
       |    ELSE 0.0 END AS dup_2gram_frac,
       |  CASE WHEN len(g3) > 0
-      |    THEN ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 9)
+      |    THEN CAST((CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000000000)
+      |      // len(g3) AS DOUBLE)/1e9
       |    ELSE 0.0 END AS dup_3gram_frac
       |FROM g ORDER BY doc_id""".stripMargin
 

@@ -136,7 +136,8 @@ object Winnow {
         sum($"nf").as("n_fingerprints"),
         sum($"ng").as("n_grams"))
       .select($"source", $"n_docs", $"n_fingerprints",
-        round($"n_fingerprints".cast("double") / $"n_grams", 9).as("density"))
+        (expr("(n_fingerprints * 1000000000L) div n_grams")
+          .cast("double") / 1e9).as("density"))
       .orderBy($"source")
   }
 
@@ -162,7 +163,7 @@ object Winnow {
        |       FROM documents WHERE len(string_split(text, ' ')) - ${K - 1} >= 1)
        |SELECT gr.source AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(pd.nf) AS BIGINT) AS n_fingerprints,
-       |  ROUND(CAST(SUM(pd.nf) AS DOUBLE) / SUM(gr.ng), 9) AS density
+       |  CAST((SUM(pd.nf) * 1000000000) // SUM(gr.ng) AS DOUBLE)/1e9 AS density
        |FROM gr JOIN pd ON gr.doc_id = pd.doc_id
        |GROUP BY gr.source ORDER BY source""".stripMargin
 
