@@ -137,23 +137,53 @@ object Dedup {
     * decides membership or rank. */
   private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val w = 3
-    val perDoc = Tables.documents(s, dir)
+    // r9 sf10 audit: the all-co-shingle-pair form generated a 40+ GB
+    // pair shuffle at sf10 (Σdf² with the synthetic corpus' dense
+    // shingle reuse). This is the SAME prefix-filter rescue jaccardJoin
+    // uses, adapted to asymmetric containment: for a qualifying pair,
+    // shared >= ceil(n_min/2) kept shingles, so the (full-size, id)-
+    // smaller doc must collide with the other doc inside its rarest
+    // k - ceil(n/2) + 1 KEPT shingles. Candidates come from
+    // prefix x full-index buckets only (rare shingles dominate the
+    // prefixes, so the fat buckets never reach the join); exact shared
+    // is then a per-candidate two-pointer merge. Lossless: the DuckDB
+    // all-pairs oracle is unchanged and still hash-matches.
+    val sh = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= w)
-      .select($"doc_id", expr(
-        s"array_distinct(transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w)))))").as("ss"))
+      .select($"doc_id", explode(expr(
+        s"array_distinct(transform(sequence(0, size(ws) - $w), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $w)))))")).as("h"))
+    val byRarity = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .filter($"df" <= 64) // stop-shingle cap: shared counts kept only
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"h"))).as("oss"),
+        max($"n").as("n")) // full distinct-shingle count (incl. dropped)
+      .select($"doc_id", expr("transform(oss, x -> x.h)").as("hs"),
+        expr("array_sort(transform(oss, x -> x.h))").as("hv"),
+        size($"oss").cast("long").as("k"), $"n")
       .localCheckpoint()
-    val sh = perDoc.select($"doc_id", explode($"ss").as("h"))
-    val keep = sh.groupBy($"h").agg(count(lit(1)).as("df")).filter($"df" <= 64).select($"h")
-    val kept = sh.join(keep, "h")
-    val sz = perDoc.select($"doc_id", size($"ss").cast("long").as("n"))
-    kept.as("a").join(kept.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+    // min-side prefix: only docs that can still reach shared >= ceil(n/2)
+    val pre = byRarity
+      .filter($"k" >= expr("(n + 1L) div 2L"))
+      .select($"doc_id", $"n",
+        explode(expr("slice(hs, 1, int(k - ((n + 1L) div 2L) + 1L))")).as("h"))
+    val idx = byRarity.select($"doc_id", $"n", explode($"hs").as("h"))
+    val cand = pre.as("a").join(idx.as("b"),
+        $"a.h" === $"b.h" &&
+          ($"a.n" < $"b.n" ||
+            ($"a.n" === $"b.n" && $"a.doc_id" < $"b.doc_id")))
+      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(byRarity.select($"doc_id".as("doc_a"), $"hv".as("ha"), $"n".as("na")), "doc_a")
+      .join(byRarity.select($"doc_id".as("doc_b"), $"hv".as("hb"), $"n".as("nb")), "doc_b")
+      .withColumn("shared",
+        graft.functions.Fns.sorted_intersect_count($"ha", $"hb").cast("long"))
       .filter(expr("(shared * 1000000000) div least(na, nb) >= 500000000"))
       .orderBy(expr("(shared * 1000000000) div least(na, nb)").desc, $"doc_a", $"doc_b")
       .limit(50)
@@ -690,6 +720,10 @@ object Dedup {
     import s.implicits._
     val chunks = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
+      // spread docs across tasks before the CPU-heavy chunk+md5 pass:
+      // the test parquet is a single row group (one scan task), and the
+      // r9 sf10 audit caught this stage running ~single-threaded
+      .repartition($"doc_id")
       .select($"doc_id", explode(expr(
         "transform(sequence(0, int((size(ws)-1)/10)), i -> slice(ws, i*10+1, 10))"))
         .as("chunk"))

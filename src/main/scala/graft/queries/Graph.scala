@@ -352,6 +352,37 @@ object Graph {
       .localCheckpoint()
   }
 
+  /** Weakly-connected components of the co-purchase graph as a
+    * driver-gated key: the two-phase large-star/small-star contraction
+    * (operators.Dedup.clusters — O(log n) rounds, the 100 TB CC) runs
+    * on the same %10-sampled symmetric edge list as LPA, labelling
+    * every node with its component minimum. The oracle re-derives the
+    * labels from first principles with a recursive reachability
+    * closure + MIN — a completely different algorithm arriving at the
+    * same fixpoint, which is exactly what you want a CC oracle to be. */
+  private def graphWcc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coPurchaseEdges(s, dir)
+      .select($"src".as("doc_a"), $"dst".as("doc_b"))
+    graft.operators.Dedup.clusters(s, edges)
+      .select($"doc_id".as("node"), $"cluster".as("component"))
+      .orderBy($"node")
+  }
+
+  private val graphWccSql =
+    """WITH RECURSIVE
+      |li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+      |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |nodes AS (SELECT DISTINCT src AS v FROM pedges),
+      |r AS (
+      |  SELECT v, v AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst AS v, r.lbl FROM r JOIN pedges e ON e.src = r.v)
+      |SELECT v AS node, MIN(lbl) AS component FROM r
+      |GROUP BY v ORDER BY node""".stripMargin
+
   /** Final (v, lbl) assignment after 3 synchronous LPA rounds. */
   private def lpaLabels(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
@@ -587,6 +618,7 @@ object Graph {
 
   val defs: Map[String, QueryDef] = Map(
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
+    "graph_wcc" -> QueryDef(graphWcc, Some(graphWccSql)),
     "q_graph_modularity" -> QueryDef(qGraphModularity, Some(qGraphModularitySql)),
     "graph_jaccard_links" -> QueryDef(graphJaccardLinks, Some(graphJaccardLinksSql)),
     "q_graph_adamic_adar" -> QueryDef(qGraphAdamicAdar, Some(qGraphAdamicAdarSql)),

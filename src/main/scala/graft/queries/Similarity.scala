@@ -1108,7 +1108,16 @@ object Similarity {
     import s.implicits._
     val k = 3
     val emb = Tables.embeddings(s, dir)
-    val knn = Sim.ivfTopK(s, emb, emb, k = k, broadcastProbes = false)
+    // cells MUST scale with the corpus when every vector probes: the
+    // fixed 8-cell layout made pair volume n*2*(n/8) = quadratic — the
+    // r9 sf10 audit measured a 46 GB shuffle before this sizing. The
+    // sizedCells law (~64 vectors/cell, clamped [8, 65536]) keeps pair
+    // volume ~128*n at any corpus size; the oracle computes the same
+    // cell count from COUNT(*).
+    val n = emb.count()
+    val cells = math.max(8L, math.min(65536L, (n + 63L) / 64L)).toInt
+    val knn = Sim.ivfTopK(s, emb, emb, k = k, nCells = cells,
+      broadcastProbes = false)
       .select($"query_id".as("node_id"), $"neighbor_id", $"rk", $"cos_sim")
       .localCheckpoint() // node-sized; both sides of the mutual self-join read it
     val rev = knn.select($"node_id".as("rn"), $"neighbor_id".as("rq"))
@@ -1125,7 +1134,9 @@ object Similarity {
   private val knnGraphSql =
     s"""WITH cents AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+       |    LIMIT (SELECT GREATEST(8, LEAST(65536,
+       |      CAST(CEIL(COUNT(*) / 64.0) AS BIGINT))) FROM embeddings)) t),
        |asg AS (
        |  SELECT vec_id, cell, embedding FROM (
        |    SELECT e.vec_id, c.cell, e.embedding,

@@ -574,6 +574,49 @@ object TextAnalysis {
     (seqs, merges.toSeq)
   }
 
+  /** Tokenizer-vocabulary coverage on a HELD-OUT split: the word
+    * vocabulary is built from the training split (doc_id % 10 != 0)
+    * and every held-out doc reports its out-of-vocabulary word count
+    * and exact ppb OOV rate — the eval that catches a vocab trained on
+    * the wrong mix before it ships. Corpus-side work is one explode +
+    * one hash join against the (bounded, distinct-word) vocabulary;
+    * at 100 TB AQE picks broadcast vs shuffle as the vocab grows. */
+  private def textOovRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocab = docs.filter($"doc_id" % 10 =!= 0)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .distinct()
+      .withColumn("iv", lit(1L))
+    docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .join(vocab, Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when($"iv".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_words", $"n_oov",
+        expr("(n_oov * 1000000000L) div n_words").as("oov_ppb"))
+      .orderBy($"doc_id")
+  }
+
+  private val textOovRateSql =
+    """WITH v AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |    WHERE doc_id % 10 <> 0) t WHERE length(w) > 0),
+      |hw AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |    WHERE doc_id % 10 = 0) t WHERE length(w) > 0)
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |  SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+      |  (SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000000)
+      |    // COUNT(*) AS oov_ppb
+      |FROM hw LEFT JOIN v ON hw.w = v.w
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, merges) = bpeChain(s, dir, steps = 10)
@@ -735,6 +778,7 @@ object TextAnalysis {
     "text_rake_keywords" -> QueryDef(textRakeKeywords, Some(textRakeKeywordsSql)),
     "text_bpe_fertility" -> QueryDef(textBpeFertility, Some(textBpeFertilitySql)),
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
+    "text_oov_rate" -> QueryDef(textOovRate, Some(textOovRateSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
     "corpus_shard_manifest" -> QueryDef(corpusShardManifest, Some(corpusShardManifestSql)),
     "corpus_upsample" -> QueryDef(corpusUpsample, Some(corpusUpsampleSql)),

@@ -1,0 +1,71 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+/** Streaming analog of ShuffleAudit (r8 VERDICT next #7): drive the
+  * sessionize stateful stream over the real events table in MANY
+  * micro-batches (one file per trigger) and record, per batch, the
+  * trigger duration and the state store's row/byte footprint — the
+  * numbers that say whether a 7-day-state stream survives at 100 TB
+  * (state must track live keys, not history; batch time must not grow
+  * with total input).
+  *
+  *   SPARK_GRAFT_SF_DIR=benchdata/sf1 sbt "runMain graft.tools.StreamAudit"
+  */
+object StreamAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "16").toInt
+    val spark = graft.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val root = Files.createTempDirectory("graft-stream-audit").toString
+    // one batch per file: the replay sees `chunks` triggers instead of
+    // one giant batch, so state growth and batch cadence are visible
+    ev.repartition(chunks).write.mode("overwrite").parquet(s"$root/src")
+
+    @volatile var peakStateRows = 0L
+    @volatile var peakStateBytes = 0L
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val dur = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L)
+        val st = p.stateOperators.headOption
+        val rows = st.map(_.numRowsTotal).getOrElse(0L)
+        val bytes = st.map(_.memoryUsedBytes).getOrElse(0L)
+        peakStateRows = math.max(peakStateRows, rows)
+        peakStateBytes = math.max(peakStateBytes, bytes)
+        println(f"STREAMAUDIT batch=${p.batchId}%3d in_rows=${p.numInputRows}%9d " +
+          f"state_rows=$rows%9d state_mb=${bytes / 1e6}%8.2f trigger_ms=$dur%7d")
+      }
+    }
+    spark.streams.addListener(listener)
+
+    val t0 = System.nanoTime()
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/src")
+      .as[graft.streaming.EventStream.Event]
+      .transform(d => graft.streaming.EventStream.sessionize(spark, d, gapMinutes = 30).toDF())
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(600000)) { q.stop(); sys.error("stream stalled") }
+    // listener events are async: give the bus a moment before summarizing
+    Thread.sleep(1500)
+    println(f"STREAMAUDIT_SUMMARY sf=$dir chunks=$chunks " +
+      f"wall_s=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      f"peak_state_rows=$peakStateRows peak_state_mb=${peakStateBytes / 1e6}%.2f")
+    spark.stop()
+  }
+}
