@@ -352,6 +352,63 @@ object Graph {
       .localCheckpoint()
   }
 
+  /** Local clustering coefficient (Watts–Strogatz) per node of the
+    * co-purchase graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) —
+    * the "how clique-like is this node's neighborhood" readout that
+    * complements the global triangle count (q_triangles counts per
+    * anchor vertex only; this attributes every triangle to all three
+    * corners). Triangles enumerate once over the ORDERED edge list
+    * (a<b<c — each triangle exactly one row) via the same wedge join
+    * + existence check as q_triangles, then fan out 3 corner rows;
+    * degree comes from the symmetric edge list. The coefficient ships
+    * as an exact integer ppb ((2·tri·10⁹) div (deg·(deg−1))) so both
+    * engines hash identically. Scale: wedge volume is Σdeg² of the
+    * sampled subgraph — the same bound q_triangles already carries. */
+  private def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sym = coPurchaseEdges(s, dir)
+    val ord = sym.filter($"src" < $"dst")
+      .select($"src".as("pa"), $"dst".as("pb"))
+      .localCheckpoint()
+    val tris = ord.as("e1")
+      .join(ord.as("e2"), col("e1.pb") === col("e2.pa"))
+      .join(ord.as("e3"),
+        col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"), "left_semi")
+      .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+    val perNode = tris
+      .select(explode(array($"a", $"b", $"c")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+    val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node", $"deg",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        expr("(coalesce(n_tri, 0L) * 2000000000L) div (deg * (deg - 1L))")
+          .as("lcc_ppb"))
+      .filter($"deg" >= 2)
+      .orderBy($"node")
+  }
+
+  private val graphClusteringCoeffSql =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+      |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |ord AS (SELECT src AS pa, dst AS pb FROM pedges WHERE src < dst),
+      |tris AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      |  FROM ord e1 JOIN ord e2 ON e1.pb = e2.pa
+      |  WHERE EXISTS (SELECT 1 FROM ord e3
+      |                WHERE e3.pa = e1.pa AND e3.pb = e2.pb)),
+      |corners AS (SELECT a AS node FROM tris UNION ALL
+      |  SELECT b FROM tris UNION ALL SELECT c FROM tris),
+      |pt AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node),
+      |deg AS (SELECT src AS node, COUNT(*) AS deg FROM pedges GROUP BY src)
+      |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+      |  CAST(COALESCE(pt.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST((COALESCE(pt.n_tri, 0) * 2000000000)
+      |    // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppb
+      |FROM deg d LEFT JOIN pt ON d.node = pt.node
+      |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin
+
   /** Weakly-connected components of the co-purchase graph as a
     * driver-gated key: the two-phase large-star/small-star contraction
     * (operators.Dedup.clusters — O(log n) rounds, the 100 TB CC) runs
@@ -619,6 +676,7 @@ object Graph {
   val defs: Map[String, QueryDef] = Map(
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
     "graph_wcc" -> QueryDef(graphWcc, Some(graphWccSql)),
+    "graph_clustering_coeff" -> QueryDef(graphClusteringCoeff, Some(graphClusteringCoeffSql)),
     "q_graph_modularity" -> QueryDef(qGraphModularity, Some(qGraphModularitySql)),
     "graph_jaccard_links" -> QueryDef(graphJaccardLinks, Some(graphJaccardLinksSql)),
     "q_graph_adamic_adar" -> QueryDef(qGraphAdamicAdar, Some(qGraphAdamicAdarSql)),

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Handcrafted-input semantics for the round-9 keys: the oracle
+  * hash-compare proves Spark == DuckDB; these prove both match the
+  * DEFINITION (component minima in WCC, per-corner triangle
+  * attribution in the clustering coefficient, train/held-out vocab
+  * split in OOV) on inputs small enough to verify by hand. */
+class Round9EdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def liDir(rows: Seq[(Long, Long)]): String = {
+    val dir = Files.createTempDirectory("r9edge").toString
+    rows.toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("graph_wcc: two chains label every node with its component minimum") {
+    // orders (% 10 == 0 to pass the sample filter) define cliques:
+    // edge {1,2} and path {3,4},{4,5} -> components {1,2} and {3,4,5}
+    val dir = liDir(Seq((10L, 1L), (10L, 2L),
+      (20L, 3L), (20L, 4L), (30L, 4L), (30L, 5L)))
+    val got = SparkEntry.queries("graph_wcc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L)), got.toString)
+  }
+
+  test("graph_clustering_coeff: every triangle corner is credited, deg-1 nodes drop") {
+    // triangle {1,2,3} (order 10) + pendant edge {3,4} (order 20):
+    // lcc(1)=lcc(2)=1 (their whole neighborhood is closed),
+    // lcc(3)=2*1/(3*2)=1/3, node 4 has deg 1 -> excluded.
+    val dir = liDir(Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L)))
+    val got = SparkEntry.queries("graph_clustering_coeff")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1000000000L),
+      (2L, 2L, 1L, 1000000000L),
+      (3L, 3L, 1L, 333333333L)), got.toString)
+  }
+
+  test("text_oov_rate: vocab comes from the train split only, rate is exact ppb") {
+    val dir = Files.createTempDirectory("r9oov").toString
+    Seq(
+      (1L, "a b c", "en", "s1", 5L),   // train: contributes {a,b,c}
+      (2L, "b d", "en", "s1", 3L),     // train: contributes {b,d}
+      (10L, "a x b y", "en", "s1", 7L), // held out: x,y OOV -> 2/4
+      (20L, "c d", "en", "s1", 3L))    // held out: fully covered -> 0/2
+      .toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_oov_rate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((10L, 4L, 2L, 500000000L), (20L, 2L, 0L, 0L)), got.toString)
+  }
+}
