@@ -26,9 +26,16 @@ object StreamAudit {
     val ev = graft.sources.Tables.events(spark, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
     val root = Files.createTempDirectory("graft-stream-audit").toString
-    // one batch per file: the replay sees `chunks` triggers instead of
-    // one giant batch, so state growth and batch cadence are visible
-    ev.repartition(chunks).write.mode("overwrite").parquet(s"$root/src")
+    // one batch per file, CHRONOLOGICAL: range-partition by ts so
+    // part-00000 holds the earliest span and FileStreamSource (which
+    // orders same-mtime files by path) replays time in order — the
+    // watermark then advances monotonically and state_rows reads as
+    // "concurrent open sessions inside the gap window", the number a
+    // 7-day production stream actually holds. A round-robin
+    // repartition instead lets batch 0 advance the watermark to the
+    // end of time and late-drops the remaining batches.
+    ev.repartitionByRange(chunks, $"ts").sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(s"$root/src")
 
     @volatile var peakStateRows = 0L
     @volatile var peakStateBytes = 0L
