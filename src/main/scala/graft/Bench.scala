@@ -68,6 +68,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // SPARK_GRAFT_BENCH_KEYS=k1,k2 benches an explicit key list (any
+    // registered query, not just the headline set) — the targeted
+    // scale sweeps (sf10/sf100) measure the newest operators without
+    // re-running the whole headline suite at that scale.
+    val benched: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_BENCH_KEYS") match {
+        case Some(ks) =>
+          val want = ks.split(",").map(_.trim).filter(_.nonEmpty)
+          want.map(k => k -> SparkEntry.queries.getOrElse(k,
+            sys.error(s"unknown bench key: $k"))).toMap
+        case None => SparkEntry.benchQueries
+      }
     val spark = GraftSession.local(cpus)
     val metrics = new StageMetrics
     spark.sparkContext.addSparkListener(metrics)
@@ -77,7 +89,7 @@ object Bench {
     // reflect steady-state executor throughput, not Janino compile time.
     val warm = warmupDir(sfDir)
     System.err.println(s"[bench] warm-up dir: $warm")
-    SparkEntry.benchQueries.foreach { case (_, fn) =>
+    benched.foreach { case (_, fn) =>
       try fn(spark, warm).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
@@ -89,7 +101,7 @@ object Bench {
     // A run that throws is dropped; a query with no successful run is
     // reported as the sentinel -1 and excluded from the total rather
     // than flattering the headline with a near-zero elapsed time.
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
       var lastStages: Seq[(String, Long)] = Seq.empty
       val times = (1 to 3).flatMap { _ =>
         org.apache.spark.graft.ListenerBusWait.drain(spark.sparkContext)

@@ -108,13 +108,24 @@ object Similarity {
           col("embedding").as("ce")))
 
   /** The `keep` nearest cells for each row of `df` (broadcast of the
-    * tiny centroid table — the corpus is never shuffled here).
-    * cell_sim rounded to 9dp before ranking: the rank is then stable
-    * against sub-nano float drift (and engine-reproducible). */
+    * tiny centroid table). cell_sim rounded to 9dp before ranking: the
+    * rank is then stable against sub-nano float drift (and
+    * engine-reproducible).
+    *
+    * The corpus is round-robin spread to cluster width FIRST: this
+    * stage is CPU-bound (rows × nCells cosines), and parquet's
+    * columnar compression packs hundreds of thousands of vectors into
+    * one split — left to scan-split parallelism, a 200k×3125-cell
+    * assignment ran on ONE core (the r9 sf10 sweep stall). The
+    * row-level shuffle is a single pass over the vectors, orders of
+    * magnitude cheaper than the scoring it parallelizes; skipped when
+    * the scan already has enough splits. */
   private[graft] def nearestCells(centroids: DataFrame, df: DataFrame,
                            idCol: String, vecCol: String, keep: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
     val w = Window.partitionBy(col(idCol)).orderBy(col("cell_sim").desc, col("cell"))
-    df.crossJoin(broadcast(centroids))
+    spread.crossJoin(broadcast(centroids))
       .withColumn("cell_sim", round(Fns.cosine_sim(col(vecCol), col("ce")), 9))
       .withColumn("cell_rk", row_number().over(w))
       .filter(col("cell_rk") <= keep)

@@ -409,6 +409,63 @@ object Graph {
       |FROM deg d LEFT JOIN pt ON d.node = pt.node
       |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin
 
+  /** Degree assortativity (Newman 2002) of the co-purchase graph: the
+    * Pearson correlation of endpoint degrees over all edges — positive
+    * means hubs link to hubs (social-network shape), negative means
+    * hubs link to leaves (star/hub-and-spoke shape). Over the symmetric
+    * edge list the j and k marginals coincide, so
+    * r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) with M = 2m edge rows.
+    * Every sum is a 128-bit exact integer (DECIMAL(38)/HUGEINT — the
+    * q_graph_modularity pattern); both engines cast the two exact
+    * differences to double and do ONE division, so the hash cannot
+    * drift on float summation order. Scale: one degree aggregation +
+    * two vertex-key joins + one global agg — no wedge blow-up; the
+    * joins shuffle on the vertex key and AQE broadcasts the degree
+    * side only when it measures small. */
+  private def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = coPurchaseEdges(s, dir)
+    val deg = edges.groupBy($"src".as("v")).agg(count(lit(1)).as("deg"))
+    val jk = edges
+      .join(deg.select($"v".as("src"), $"deg".as("dj")), "src")
+      .join(deg.select($"v".as("dst"), $"deg".as("dk")), "dst")
+    jk.agg(
+        count(lit(1)).as("m2"),
+        sum($"dj".cast(d38) * $"dk").as("sum_jk"),
+        sum($"dj".cast(d38)).as("sum_j"),
+        sum($"dj".cast(d38) * $"dj").as("sum_j2"))
+      .select(
+        expr("m2 div 2").cast("long").as("n_edges"),
+        $"sum_jk".cast("long").as("sum_jk"),
+        $"sum_j".cast("long").as("sum_deg2"),
+        $"sum_j2".cast("long").as("sum_j2"),
+        (($"m2".cast(d38) * $"sum_jk" - $"sum_j" * $"sum_j").cast("double") /
+          ($"m2".cast(d38) * $"sum_j2" - $"sum_j" * $"sum_j").cast("double"))
+          .as("assortativity"))
+  }
+
+  private val graphAssortativitySql =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+      |pedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT src AS v, COUNT(*) AS deg FROM pedges GROUP BY src),
+      |jk AS (SELECT dj.deg AS j, dk.deg AS k FROM pedges e
+      |  JOIN deg dj ON e.src = dj.v JOIN deg dk ON e.dst = dk.v),
+      |s AS (SELECT COUNT(*) AS m2,
+      |    SUM(CAST(j AS HUGEINT) * k) AS sum_jk,
+      |    SUM(CAST(j AS HUGEINT)) AS sum_j,
+      |    SUM(CAST(j AS HUGEINT) * j) AS sum_j2
+      |  FROM jk)
+      |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+      |  CAST(sum_jk AS BIGINT) AS sum_jk,
+      |  CAST(sum_j AS BIGINT) AS sum_deg2,
+      |  CAST(sum_j2 AS BIGINT) AS sum_j2,
+      |  CAST(m2 * sum_jk - sum_j * sum_j AS DOUBLE)
+      |    / CAST(m2 * sum_j2 - sum_j * sum_j AS DOUBLE) AS assortativity
+      |FROM s""".stripMargin
+
   /** Weakly-connected components of the co-purchase graph as a
     * driver-gated key: the two-phase large-star/small-star contraction
     * (operators.Dedup.clusters — O(log n) rounds, the 100 TB CC) runs
@@ -677,6 +734,7 @@ object Graph {
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
     "graph_wcc" -> QueryDef(graphWcc, Some(graphWccSql)),
     "graph_clustering_coeff" -> QueryDef(graphClusteringCoeff, Some(graphClusteringCoeffSql)),
+    "graph_assortativity" -> QueryDef(graphAssortativity, Some(graphAssortativitySql)),
     "q_graph_modularity" -> QueryDef(qGraphModularity, Some(qGraphModularitySql)),
     "graph_jaccard_links" -> QueryDef(graphJaccardLinks, Some(graphJaccardLinksSql)),
     "q_graph_adamic_adar" -> QueryDef(qGraphAdamicAdar, Some(qGraphAdamicAdarSql)),

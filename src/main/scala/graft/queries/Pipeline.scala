@@ -710,6 +710,98 @@ object Pipeline {
       |FROM c JOIN bud USING (source) WHERE cum <= budget
       |ORDER BY source, cum""".stripMargin
 
+  /** CCNet-style corpus partition (Wenzek et al. 2020): split each
+    * language's documents into head/middle/tail thirds by a language-
+    * model-style fluency score, the standard pretraining-mix lever
+    * (keep head+middle, drop or downweight tail). The score is an
+    * EXACT-integer stand-in for LM perplexity: per-doc mean inverse
+    * word frequency, score_micro = floor(1e6·Σ_w(N div c(w)) / n_words)
+    * — common-word docs score low (head), rare-word docs high (tail) —
+    * computed with the split-division identity
+    * (q div d)·1e6 + ((q mod d)·1e6) div d so every step stays in
+    * BIGINT (exact for corpora ≤ ~9e12 tokens; beyond that the sums
+    * move to DECIMAL(38), same plan). No libm anywhere, so the tertile
+    * boundaries cannot drift a doc across buckets between engines
+    * (the text_perplexity ±1-nano caveat does not apply here).
+    *
+    * Tertile cuts are VALUE thresholds, not row ranks: the per-lang
+    * score histogram (one map-combinable agg, model-sized) gets a
+    * cumulative count, t1/t2 = min score reaching n/3 and 2n/3, and
+    * docs bucket by comparing to the broadcast thresholds — no
+    * per-language total ordering of the corpus, which is what makes
+    * this NTILE-free formulation survive a 100 TB language. Ties stay
+    * in one bucket by construction (deterministic both engines). */
+  private def corpusPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+    val c1 = tok.groupBy($"w").agg(count(lit(1)).as("c1"))
+    val ntok = tok.agg(count(lit(1)).as("n_tok"))
+    val perDoc = tok.join(c1, "w").crossJoin(broadcast(ntok))
+      .withColumn("rar", expr("n_tok div c1"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"rar").as("rsum"))
+      .withColumn("score_micro", expr(
+        "(rsum div n_words) * 1000000L + ((rsum % n_words) * 1000000L) div n_words"))
+    val cum = perDoc.groupBy($"lang", $"score_micro").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"lang").orderBy($"score_micro")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nl", sum($"cnt").over(Window.partitionBy($"lang")))
+    val th = cum.groupBy($"lang").agg(
+      min(when($"cum" * 3 >= $"nl", $"score_micro")).as("t1"),
+      min(when($"cum" * 3 >= $"nl" * 2, $"score_micro")).as("t2"))
+    perDoc.join(broadcast(th), "lang")
+      .withColumn("bucket_id",
+        when($"score_micro" <= $"t1", 1L)
+          .when($"score_micro" <= $"t2", 2L).otherwise(3L))
+      .groupBy($"lang", $"bucket_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_words"),
+        min($"score_micro").as("min_score_micro"),
+        max($"score_micro").as("max_score_micro"))
+      .withColumn("bucket",
+        expr("element_at(array('head','middle','tail'), cast(bucket_id as int))"))
+      .select($"lang", $"bucket_id", $"bucket", $"n_docs", $"n_words",
+        $"min_score_micro", $"max_score_micro")
+      .orderBy($"lang", $"bucket_id")
+  }
+
+  private val corpusPplBucketsSql =
+    """WITH tok AS (SELECT doc_id, lang, w FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) t WHERE length(w) > 0),
+      |c1 AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n_tok FROM tok),
+      |pd0 AS (SELECT doc_id, lang, COUNT(*) AS n_words,
+      |    CAST(SUM(n_tok // c1) AS BIGINT) AS rsum
+      |  FROM tok JOIN c1 USING (w) CROSS JOIN n
+      |  GROUP BY doc_id, lang),
+      |pd AS (SELECT doc_id, lang, n_words,
+      |    (rsum // n_words) * 1000000
+      |      + ((rsum % n_words) * 1000000) // n_words AS score_micro
+      |  FROM pd0),
+      |cum AS (SELECT lang, score_micro,
+      |    SUM(cnt) OVER (PARTITION BY lang ORDER BY score_micro
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY lang) AS nl
+      |  FROM (SELECT lang, score_micro, COUNT(*) AS cnt
+      |        FROM pd GROUP BY 1, 2) h),
+      |th AS (SELECT lang,
+      |    MIN(CASE WHEN cum * 3 >= nl THEN score_micro END) AS t1,
+      |    MIN(CASE WHEN cum * 3 >= 2 * nl THEN score_micro END) AS t2
+      |  FROM cum GROUP BY lang)
+      |SELECT p.lang,
+      |  CAST(CASE WHEN score_micro <= t1 THEN 1
+      |    WHEN score_micro <= t2 THEN 2 ELSE 3 END AS BIGINT) AS bucket_id,
+      |  CASE WHEN score_micro <= t1 THEN 'head'
+      |    WHEN score_micro <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_words,
+      |  MIN(score_micro) AS min_score_micro,
+      |  MAX(score_micro) AS max_score_micro
+      |FROM pd p JOIN th ON p.lang = th.lang
+      |GROUP BY 1, 2, 3 ORDER BY p.lang, bucket_id""".stripMargin
+
   /** Second driver-verified streaming row (after ctr_streaming_replay):
     * the events table replayed through the stateful
     * flatMapGroupsWithState sessionizer (interval-merge semantics,
@@ -1262,6 +1354,7 @@ object Pipeline {
     "hourly_late_replay" -> QueryDef(hourlyLateReplay, Some(hourlyLateReplaySql)),
     "topk_streaming_replay" -> QueryDef(topkStreamingReplay, Some(topkStreamingReplaySql)),
     "corpus_mix" -> QueryDef(corpusMix, Some(corpusMixSql)),
+    "corpus_ppl_buckets" -> QueryDef(corpusPplBuckets, Some(corpusPplBucketsSql)),
     "corpus_curate_e2e" -> QueryDef(corpusCurateE2e, Some(corpusCurateE2eSql)),
     "corpus_token_budget" -> QueryDef(corpusTokenBudget, Some(corpusTokenBudgetSql)),
     "events_zscore" -> QueryDef(eventsZscore, Some(eventsZscoreSql)),

@@ -53,6 +53,21 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  /** Floor a scan's parallelism at cluster width. Scan splits are
+    * sized by BYTES (maxPartitionBytes), but text and vector columns
+    * compress so hard that one 12 MB split can hold 200k documents —
+    * and every downstream tokenize/explode/cosine then runs on one
+    * core (the r9 sf10 sweep measured exactly that). The row-pass
+    * shuffle is negligible next to the CPU work it parallelizes, and
+    * on a real 100 TB table the scan already has thousands of splits,
+    * making this a no-op. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(apply(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(apply(spark, dir, "embeddings"))
 }

@@ -43,6 +43,37 @@ class Round9EdgeSpec extends AnyFunSuite {
       (3L, 3L, 1L, 333333333L)), got.toString)
   }
 
+  test("graph_assortativity: hub-to-leaf pendant drives r negative") {
+    // triangle {1,2,3} + pendant {3,4}: degrees 2,2,3,1 over 8 edge
+    // rows -> Σjk=38, Σj=18, Σj²=44, r = (8·38−18²)/(8·44−18²) = −20/28
+    val dir = liDir(Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L)))
+    val got = SparkEntry.queries("graph_assortativity")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 38L, 18L, 44L)), r.toString)
+    assert(math.abs(r.getDouble(4) - (-20.0 / 28.0)) < 1e-15, r.toString)
+  }
+
+  test("corpus_ppl_buckets: value-threshold tertiles split head/middle/tail") {
+    // c(a)=4, others 1, N=7 -> rarities a:1, b/x/y:7; scores
+    // d1("a a a")=1e6, d2("a b")=4e6, d3("x y")=7e6 -> one doc per bucket
+    val dir = Files.createTempDirectory("r9ppl").toString
+    Seq(
+      (1L, "a a a", "en", "s1", 5L),
+      (2L, "a b", "en", "s1", 3L),
+      (3L, "x y", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_ppl_buckets")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("en", 1L, "head", 1L, 3L, 1000000L, 1000000L),
+      ("en", 2L, "middle", 1L, 2L, 4000000L, 4000000L),
+      ("en", 3L, "tail", 1L, 2L, 7000000L, 7000000L)), got.toString)
+  }
+
   test("text_oov_rate: vocab comes from the train split only, rate is exact ppb") {
     val dir = Files.createTempDirectory("r9oov").toString
     Seq(
