@@ -124,12 +124,23 @@ object Similarity {
                            idCol: String, vecCol: String, keep: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cell_sim").desc, col("cell"))
-    spread.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim", round(Fns.cosine_sim(col(vecCol), col("ce")), 9))
-      .withColumn("cell_rk", row_number().over(w))
-      .filter(col("cell_rk") <= keep)
-      .drop("ce", "cell_sim", "cell_rk")
+    // top-`keep` INSIDE the row, not via crossJoin+window: the row_number
+    // formulation exploded every vector into nCells candidate rows —
+    // each carrying the full embedding — and shuffled them all for the
+    // per-vector window (measured ~180 GB at 200k vectors × 3125 cells;
+    // the r9 sf10 ENOSPC). Here the broadcast centroid table rides in
+    // as ONE array column, each vector scores+sorts its cells in-place,
+    // and the assignment needs no exchange at all. Ordering is
+    // bit-identical to the old window (9dp-rounded sim desc, cell asc):
+    // array_sort on (negsim, cell) structs compares fields in order.
+    val centArr = centroids.agg(collect_list(struct(col("cell"), col("ce"))).as("cents"))
+    spread.crossJoin(broadcast(centArr))
+      .withColumn("topcells", slice(array_sort(transform(col("cents"), c =>
+        struct(
+          (-round(Fns.cosine_sim(col(vecCol), c.getField("ce")), 9)).as("negsim"),
+          c.getField("cell").as("cell")))), 1, keep))
+      .withColumn("cell", explode(col("topcells").getField("cell")))
+      .drop("cents", "topcells")
   }
 
   /** IVF-style ANN. Coarse centroids default to a deterministic
