@@ -248,19 +248,25 @@ object Dedup {
        |WHERE jaccard >= 0.8
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
-  /** Cell count for the blocked embedding queries: n/64 target cell
-    * size, floored at 8 (useful blocking needs a few cells) and capped
-    * at 64k (a centroid table must stay broadcastable — real deployments
-    * re-train a deeper coarse quantizer past that point). Computing the
-    * corpus count driver-side is index-build statistics collection, not
-    * a data collect. The oracle re-derives the identical value. */
+  /** Cell count for the blocked embedding queries: √n cells (≈√n
+    * vectors per cell), floored at 8 (useful blocking needs a few
+    * cells) and capped at 64k (a centroid table must stay
+    * broadcastable — real deployments re-train a deeper coarse
+    * quantizer past that point). √n balances the two corpus-sized
+    * costs — assignment is n·cells cosines, intra-cell pairing is
+    * n·cellSize — at Θ(n^1.5) total; the earlier fixed-64 cell size
+    * made assignment n²/64 (quadratic again, just hidden one stage
+    * earlier). Computing the corpus count driver-side is index-build
+    * statistics collection, not a data collect. The oracle re-derives
+    * the identical value (SQRT is correctly-rounded IEEE in both
+    * engines). */
   private def sizedCells(s: SparkSession, dir: String): Int = {
     val n = Tables.embeddings(s, dir).count()
-    math.max(8L, math.min(65536L, (n + 63L) / 64L)).toInt
+    math.max(8L, math.min(65536L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
   }
 
   private val sizedCellsSql =
-    "(SELECT GREATEST(8, LEAST(65536, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT))) FROM embeddings)"
+    "(SELECT GREATEST(8, LEAST(65536, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings)"
 
   /** Oracle fragment: first-nCells coarse centroids + nearest-cell
     * assignment (replays Similarity.coarseCentroids/nearestCells with

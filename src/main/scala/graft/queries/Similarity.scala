@@ -1110,12 +1110,18 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     // cells MUST scale with the corpus when every vector probes: the
     // fixed 8-cell layout made pair volume n*2*(n/8) = quadratic — the
-    // r9 sf10 audit measured a 46 GB shuffle before this sizing. The
-    // sizedCells law (~64 vectors/cell, clamped [8, 65536]) keeps pair
-    // volume ~128*n at any corpus size; the oracle computes the same
-    // cell count from COUNT(*).
+    // r9 sf10 audit measured a 46 GB shuffle before this sizing. But a
+    // FIXED cell size (n/64 cells) just moves the quadratic into the
+    // assignment pass (n·cells = n²/64 cosines — 305 s at 200k
+    // vectors). Assignment costs n·C, probing costs n·nProbe·(n/C);
+    // they balance at C = √(2n), making TOTAL work Θ(n^1.5) — the
+    // classic IVF coarse-quantizer sizing. 200k vectors: 633 cells,
+    // ~316 vectors/cell, ~1.3e8 cosines each side. The oracle computes
+    // the identical count from COUNT(*) (SQRT is correctly-rounded
+    // IEEE in both engines, CEIL makes it integral).
     val n = emb.count()
-    val cells = math.max(8L, math.min(65536L, (n + 63L) / 64L)).toInt
+    val cells = math.max(8L,
+      math.min(65536L, math.ceil(math.sqrt(2.0 * n)).toLong)).toInt
     val knn = Sim.ivfTopK(s, emb, emb, k = k, nCells = cells,
       broadcastProbes = false)
       .select($"query_id".as("node_id"), $"neighbor_id", $"rk", $"cos_sim")
@@ -1136,7 +1142,7 @@ object Similarity {
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
        |    LIMIT (SELECT GREATEST(8, LEAST(65536,
-       |      CAST(CEIL(COUNT(*) / 64.0) AS BIGINT))) FROM embeddings)) t),
+       |      CAST(CEIL(SQRT(2 * COUNT(*))) AS BIGINT))) FROM embeddings)) t),
        |asg AS (
        |  SELECT vec_id, cell, embedding FROM (
        |    SELECT e.vec_id, c.cell, e.embedding,
