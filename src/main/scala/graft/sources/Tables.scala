@@ -60,14 +60,32 @@ object Tables {
     * core (the r9 sf10 sweep measured exactly that). The row-pass
     * shuffle is negligible next to the CPU work it parallelizes, and
     * on a real 100 TB table the scan already has thousands of splits,
-    * making this a no-op. */
-  private def spread(df: DataFrame): DataFrame = {
+    * making this a no-op.
+    *
+    * Row-gated: below ~50k rows a single task finishes in tens of ms
+    * and the exchange would COST more than it saves (the r9 sf0.1
+    * headline bench measured a ~2.5 s total tax from an unconditional
+    * spread — text_tfidf alone 0.88→1.9 s). Rows, not bytes: float
+    * vectors compress ~15× harder than text, so any byte cutoff that
+    * spreads 200k documents (12 MB) skips 200k embeddings (3.5 MB).
+    * The row count is parquet-footer metadata — the gate job reads no
+    * data — and is cached per path for the session. */
+  private[graft] val SpreadMinRows: Long = 50000L
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def spread(df: DataFrame, path: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    if (df.rdd.getNumPartitions >= par) df
+    else {
+      val n = rowCountCache.computeIfAbsent(path, _ => df.count()).longValue()
+      if (n < SpreadMinRows) df else df.repartition(par)
+    }
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(apply(spark, dir, "documents"))
+    spread(apply(spark, dir, "documents"), s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(apply(spark, dir, "embeddings"))
+    spread(apply(spark, dir, "embeddings"), s"$dir/embeddings.parquet")
 }
