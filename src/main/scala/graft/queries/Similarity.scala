@@ -1137,8 +1137,12 @@ object Similarity {
   // self-join. Norms precomputed once per vector (nrm) so the pair
   // scoring is one inner product — identical operand order to Spark's
   // cosine_sim.
-  private val knnGraphSql =
-    s"""WITH cents AS (
+  /** Shared oracle prefix: √(2n)-sized first-k cells, nearest-cell
+    * assignment, 2-probe scoring, top-3 per node — ONE copy of the
+    * self-kNN semantics feeds both knn_graph and knn_graph_recall so
+    * the two oracles cannot drift apart (the lpaOracleCtes pattern). */
+  private val knnOracleCtes =
+    s"""cents AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
        |    LIMIT (SELECT GREATEST(8, LEAST(65536,
@@ -1163,12 +1167,57 @@ object Similarity {
        |  SELECT query_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
        |  FROM sc),
-       |knn AS (SELECT query_id AS node_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 3)
+       |knn AS (SELECT query_id AS node_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 3)""".stripMargin
+
+  private val knnGraphSql =
+    s"""WITH $knnOracleCtes
        |SELECT k.node_id, k.neighbor_id, k.rk, k.cos_sim,
        |  m.node_id IS NOT NULL AS mutual
        |FROM knn k LEFT JOIN knn m
        |  ON k.node_id = m.neighbor_id AND k.neighbor_id = m.node_id
        |ORDER BY k.node_id, k.rk""".stripMargin
+
+  /** Recall@3 of the kNN graph against the exact brute-force answer on
+    * the first-10 node sample — the acceptance gate that makes the
+    * √(2n) cell-sizing's quality↔cost tradeoff VISIBLE: resize the
+    * coarse quantizer and this key reports exactly what it bought or
+    * cost in neighbor fidelity (the same eval loop ann_recall runs for
+    * the probe-set IVF). Brute force is 10×n cosines — sample-bounded,
+    * never n². Exact ppb recall ((hits·10⁹) div 3). */
+  private def knnGraphRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bf = Sim.bruteForce(s, emb, probes(s, dir), k = 3)
+      .select($"query_id".as("node_id"), $"neighbor_id")
+    val knn = knnGraph(s, dir)
+      .filter($"node_id" < 10)
+      .select($"node_id".as("kn"), $"neighbor_id".as("kb"))
+    bf.join(knn, $"node_id" === $"kn" && $"neighbor_id" === $"kb", "left")
+      .groupBy($"node_id")
+      .agg(count($"kn").as("n_hit"))
+      .select($"node_id", $"n_hit",
+        expr("(n_hit * 1000000000L) div 3").as("recall_ppb"))
+      .orderBy($"node_id")
+  }
+
+  private val knnGraphRecallSql =
+    s"""WITH $knnOracleCtes,
+       |q1 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc1 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q1 JOIN embeddings e ON e.vec_id <> q1.query_id),
+       |bf AS (
+       |  SELECT query_id AS node_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc1) x WHERE rk <= 3)
+       |SELECT bf.node_id, COUNT(k.node_id) AS n_hit,
+       |  (COUNT(k.node_id) * 1000000000) // 3 AS recall_ppb
+       |FROM bf LEFT JOIN knn k
+       |  ON bf.node_id = k.node_id AND bf.neighbor_id = k.neighbor_id
+       |GROUP BY bf.node_id ORDER BY bf.node_id""".stripMargin
 
   /** MMR (maximal marginal relevance) diversified top-5 — the greedy
     * submodular selection a RAG retriever runs over its candidate
@@ -1342,6 +1391,7 @@ object Similarity {
     "emb_matryoshka_eval" -> QueryDef(embMatryoshkaEval, Some(embMatryoshkaEvalSql)),
     "emb_mmr" -> QueryDef(embMmr, Some(embMmrSql)),
     "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
+    "knn_graph_recall" -> QueryDef(knnGraphRecall, Some(knnGraphRecallSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "emb_hard_negatives" -> QueryDef(embHardNegatives, Some(embHardNegativesSql)),
     "ann_bq_hamming" -> QueryDef(annBqHamming, Some(annBqHammingSql), bench = true),
