@@ -701,6 +701,105 @@ case class DsirBuckets(child: Expression, nBuckets: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused coarse-quantizer assignment: the `keep` nearest centroid ids
+  * for one vector, scored and selected in ONE tight loop over a
+  * driver-collected centroid table (bounded: ≤65536 × dim floats —
+  * index-build metadata, the same thing a FAISS coarse quantizer holds
+  * in RAM). Replaces the interpreted higher-order-function chain
+  * (transform → per-element CosineSim eval → struct alloc →
+  * array_sort), whose per-element plumbing dominated the sf10 profile.
+  *
+  * Ordering is EXACTLY `round(cosine_sim(vec, ce), 9) DESC, cell ASC`:
+  *  - the cosine replicates Kernels.cosine's accumulation order
+  *    bit-for-bit (same interleaved dot/na accumulation; float widens
+  *    to double exactly; sqrt(na)·sqrt(nb) operand order preserved);
+  *  - HALF_UP decimal rounding decides the final order, but is only
+  *    COMPUTED for candidates within 2e-9 of the keep-th best
+  *    unrounded score — rounding displaces a double by ≤5e-10, so no
+  *    cell outside that band can enter the rounded top-k. BigDecimal
+  *    cost drops from nCells/row to ~keep/row. */
+case class TopCells(
+    child: Expression,
+    cells: Array[Long],
+    cents: Array[Array[Double]],
+    keep: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_cells expects array<float|double>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val childIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  // sqrt of each centroid's self-dot, precomputed once per executor
+  private lazy val centSqrtNorm: Array[Double] = cents.map { c =>
+    var nb = 0.0; var i = 0
+    while (i < c.length) { nb += c(i) * c(i); i += 1 }
+    math.sqrt(nb)
+  }
+
+  // HALF_UP decimal rounding, with -0.0 normalized to 0.0: SQL engines
+  // order -0.0 == 0.0 (Spark normalizes float sort keys, DuckDB uses
+  // C++ ==), but scala's tuple sort goes through Double.compare which
+  // puts -0.0 < 0.0 — a near-zero cosine must not flip rank on sign.
+  private def round9(x: Double): Double = {
+    val r = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (r == 0.0) 0.0 else r
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val nA = a.numElements()
+    val x = new Array[Double](nA)
+    var i = 0
+    while (i < nA) {
+      x(i) = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val n = cells.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val sims = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val ce = cents(c)
+      val len = math.min(nA, ce.length)
+      // interleaved dot/na accumulation — Kernels.cosine's exact order
+      var dot = 0.0; var na = 0.0; var j = 0
+      while (j < len) { val xv = x(j); dot += xv * ce(j); na += xv * xv; j += 1 }
+      sims(c) = dot / (math.sqrt(na) * centSqrtNorm(c))
+      c += 1
+    }
+    // keep-th best UNROUNDED score (ties irrelevant for the margin)
+    val kk = math.min(keep, n)
+    val best = Array.fill(kk)(Double.NegativeInfinity)
+    c = 0
+    while (c < n) {
+      val s = sims(c)
+      if (s > best(kk - 1)) {
+        var p = kk - 1
+        while (p > 0 && best(p - 1) < s) { best(p) = best(p - 1); p -= 1 }
+        best(p) = s
+        }
+      c += 1
+    }
+    val margin = best(kk - 1) - 2e-9
+    val cand = collection.mutable.ArrayBuffer.empty[Int]
+    c = 0
+    while (c < n) { if (sims(c) >= margin) cand += c; c += 1 }
+    val ranked = cand.toArray.sortBy(i => (-round9(sims(i)), cells(i)))
+    new GenericArrayData(ranked.take(kk).map(cells(_)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API facade for the native expressions (Spark 4 classic:
   * Column ↔ catalyst Expression via ExpressionUtils). */
 object Fns {
@@ -723,6 +822,9 @@ object Fns {
     column(DsirBuckets(expression(c), nBuckets))
   def winnow_fps(c: Column, k: Int = 4, w: Int = 4): Column =
     column(WinnowFps(expression(c), k, w))
+  def top_cells(vec: Column, cells: Array[Long],
+                cents: Array[Array[Double]], keep: Int): Column =
+    column(TopCells(expression(vec), cells, cents, keep))
 
   /** Make the native expressions available from SQL:
     * `SELECT cosine_sim(a, b), simhash64(text) ...`. */

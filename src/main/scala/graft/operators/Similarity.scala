@@ -128,19 +128,17 @@ object Similarity {
     // formulation exploded every vector into nCells candidate rows —
     // each carrying the full embedding — and shuffled them all for the
     // per-vector window (measured ~180 GB at 200k vectors × 3125 cells;
-    // the r9 sf10 ENOSPC). Here the broadcast centroid table rides in
-    // as ONE array column, each vector scores+sorts its cells in-place,
-    // and the assignment needs no exchange at all. Ordering is
-    // bit-identical to the old window (9dp-rounded sim desc, cell asc):
-    // array_sort on (negsim, cell) structs compares fields in order.
-    val centArr = centroids.agg(collect_list(struct(col("cell"), col("ce"))).as("cents"))
-    spread.crossJoin(broadcast(centArr))
-      .withColumn("topcells", slice(array_sort(transform(col("cents"), c =>
-        struct(
-          (-round(Fns.cosine_sim(col(vecCol), c.getField("ce")), 9)).as("negsim"),
-          c.getField("cell").as("cell")))), 1, keep))
-      .withColumn("cell", explode(col("topcells").getField("cell")))
-      .drop("cents", "topcells")
+    // the r9 sf10 ENOSPC). The centroid table is collected driver-side
+    // (index-build metadata, ≤65536 × dim floats — what a FAISS coarse
+    // quantizer holds in RAM) and rides into the fused TopCells kernel
+    // with the task closure: one tight scoring loop per vector, no
+    // exchange, no per-centroid expression plumbing. Ordering stays
+    // `round(cos, 9) DESC, cell ASC` — see TopCells's exactness notes.
+    val centRows = centroids.select(col("cell").cast("long"), col("ce")).collect()
+    val cellIds = centRows.map(_.getLong(0))
+    val cvecs = centRows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    spread.withColumn("cell",
+      explode(Fns.top_cells(col(vecCol), cellIds, cvecs, keep)))
   }
 
   /** IVF-style ANN. Coarse centroids default to a deterministic

@@ -38,7 +38,16 @@ case class GroupTopKPlan(
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopKPlan(child, groups, order, k, rankAttr) =>
-      GroupTopKExec(groups, order, k, rankAttr, planLater(child)) :: Nil
+      // two-phase, the partial-aggregation pattern: a map-side pass
+      // bounds each partition's contribution to k rows per group
+      // BEFORE the exchange (top-k of a union == top-k of the union
+      // of per-partition top-ks), so the shuffle carries ≤ #groups·k
+      // rows per map task instead of the full candidate stream — the
+      // knn_graph cell join emits ~630 candidates per query at sf10
+      // and the partial pass ships 3.
+      val partial = GroupTopKExec(groups, order, k, rankAttr,
+        planLater(child), partial = true)
+      GroupTopKExec(groups, order, k, rankAttr, partial) :: Nil
     case _ => Nil
   }
 }
@@ -48,12 +57,17 @@ case class GroupTopKExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
-    child: SparkPlan)
+    child: SparkPlan,
+    partial: Boolean = false)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(rankAttr)
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groups) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groups) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = {
@@ -83,14 +97,20 @@ case class GroupTopKExec(
             }
         }
       }
-      val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      val joined = new JoinedRow
-      val rankRow = new SpecificInternalRow(Seq(IntegerType))
-      heaps.iterator.flatMap { case (_, h) =>
-        val best: Seq[UnsafeRow] = h.dequeueAll.reverse
-        best.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.setInt(0, i + 1)
-          proj(joined(row, rankRow))
+      if (partial) {
+        // map-side phase: no rank yet (the final pass re-ranks the
+        // merged survivors); emission order within a group is free
+        heaps.iterator.flatMap { case (_, h) => h.iterator }
+      } else {
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val rankRow = new SpecificInternalRow(Seq(IntegerType))
+        heaps.iterator.flatMap { case (_, h) =>
+          val best: Seq[UnsafeRow] = h.dequeueAll.reverse
+          best.iterator.zipWithIndex.map { case (row, i) =>
+            rankRow.setInt(0, i + 1)
+            proj(joined(row, rankRow))
+          }
         }
       }
     }, preservesPartitioning = true)
