@@ -105,6 +105,13 @@ object Bench {
       var lastStages: Seq[(String, Long)] = Seq.empty
       val times = (1 to 3).flatMap { _ =>
         org.apache.spark.graft.ListenerBusWait.drain(spark.sparkContext)
+        // GC before EVERY run, not just every query: checkpoint blocks
+        // from an iterative query's previous run are only released
+        // after the ContextCleaner sees their RDDs collected, and three
+        // un-GC'd generations of LPA label/edge checkpoints at sf10
+        // squeezed execution memory into spilling, then OOM'd run 3 of
+        // q_graph_modularity. Untimed (outside the measured window).
+        System.gc()
         metrics.snapshotAndReset() // drop events from the previous query
         val t0 = System.nanoTime()
         try {

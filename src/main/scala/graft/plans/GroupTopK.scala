@@ -76,32 +76,77 @@ case class GroupTopKExec(
     val orderExprs = order
     val childOutput = child.output
     val outAttrs = output
+    val isPartial = partial
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ord = GenerateOrdering.generate(orderExprs, childOutput)
       // max-heap by sort order: head = current worst of the best-k
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      it.foreach { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case None =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](ord.asInstanceOf[Ordering[InternalRow]]
-              .asInstanceOf[Ordering[UnsafeRow]])
-            h.enqueue(row.asInstanceOf[UnsafeRow].copy())
-            heaps.put(key.copy(), h)
-          case Some(h) =>
-            if (h.size < kk) h.enqueue(row.asInstanceOf[UnsafeRow].copy())
-            else if (ord.compare(row, h.head) < 0) {
-              h.dequeue()
-              h.enqueue(row.asInstanceOf[UnsafeRow].copy())
+      if (isPartial) {
+        // Map-side phase: bound memory like partial hash aggregation.
+        // A map task sees an arbitrary subset of groups, so the heap
+        // map is capped; rows of groups beyond the cap STREAM THROUGH
+        // unpruned (always safe — the final pass past the exchange
+        // does the real top-k), instead of growing a heap per group
+        // without bound on high-cardinality keys. No rank yet; the
+        // final pass re-ranks the merged survivors.
+        new Iterator[InternalRow] {
+          private var pending: UnsafeRow = null
+          private var drain: Iterator[UnsafeRow] = Iterator.empty
+          private var inputDone = false
+          private def advance(): Unit = {
+            while (pending == null && !inputDone) {
+              if (!it.hasNext) {
+                inputDone = true
+                drain = heaps.iterator.flatMap { case (_, h) => h.iterator }
+              } else {
+                val row = it.next().asInstanceOf[UnsafeRow]
+                val key = keyProj(row)
+                heaps.get(key) match {
+                  case None =>
+                    if (heaps.size < GroupTopKExec.MaxPartialGroups) {
+                      val h = mutable.PriorityQueue.empty[UnsafeRow](
+                        ord.asInstanceOf[Ordering[InternalRow]].asInstanceOf[Ordering[UnsafeRow]])
+                      h.enqueue(row.copy())
+                      heaps.put(key.copy(), h)
+                    } else pending = row // overflow group: pass through
+                  case Some(h) =>
+                    if (h.size < kk) h.enqueue(row.copy())
+                    else if (ord.compare(row, h.head) < 0) {
+                      h.dequeue()
+                      h.enqueue(row.copy())
+                    }
+                }
+              }
             }
+          }
+          override def hasNext: Boolean = {
+            if (pending == null) advance()
+            pending != null || drain.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            if (pending != null) { val r = pending; pending = null; r }
+            else drain.next()
+          }
         }
-      }
-      if (partial) {
-        // map-side phase: no rank yet (the final pass re-ranks the
-        // merged survivors); emission order within a group is free
-        heaps.iterator.flatMap { case (_, h) => h.iterator }
       } else {
+        it.foreach { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case None =>
+              val h = mutable.PriorityQueue.empty[UnsafeRow](ord.asInstanceOf[Ordering[InternalRow]]
+                .asInstanceOf[Ordering[UnsafeRow]])
+              h.enqueue(row.asInstanceOf[UnsafeRow].copy())
+              heaps.put(key.copy(), h)
+            case Some(h) =>
+              if (h.size < kk) h.enqueue(row.asInstanceOf[UnsafeRow].copy())
+              else if (ord.compare(row, h.head) < 0) {
+                h.dequeue()
+                h.enqueue(row.asInstanceOf[UnsafeRow].copy())
+              }
+          }
+        }
         val proj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
         val rankRow = new SpecificInternalRow(Seq(IntegerType))
@@ -117,6 +162,16 @@ case class GroupTopKExec(
   }
 
   override protected def withNewChildInternal(c: SparkPlan): GroupTopKExec = copy(child = c)
+}
+
+object GroupTopKExec {
+  /** Map-side heap-map cap: ~128k groups × k rows (tens of MB at
+    * k=10) — beyond it the partial pass degrades gracefully to
+    * pass-through, exactly like partial hash aggregation's fallback,
+    * instead of holding a heap for every group a task happens to see.
+    * Mutable only as a test seam (GroupTopKSpec forces the overflow
+    * path with a cap of 1). */
+  @volatile var MaxPartialGroups: Int = 1 << 17
 }
 
 object GroupTopK {

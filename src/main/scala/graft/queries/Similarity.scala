@@ -1387,7 +1387,84 @@ object Similarity {
        |  ON bf.query_id = tr.query_id AND bf.neighbor_id = tr.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  /** kNN label classification through the IVF index — the
+    * embedding-classifier filtering primitive (a FineWeb-edu-style
+    * quality gate scores documents by the labels of their nearest
+    * labeled neighbors): each held-out probe is assigned the MAJORITY
+    * label of its 10 approximate nearest neighbors, ties to the
+    * smallest label (votes DESC, label ASC — the deterministic-mode
+    * rule, expressed as an exact-integer struct argmax).
+    *
+    * Scale shape: identical to ann_ivf — the only corpus-sized work is
+    * the broadcast-probe × cell equi-join; the vote/argmax aggregations
+    * run over ≤ probes×k rows. At 100 TB the labeled seed set rides the
+    * index and every unlabeled document is a probe: candidate
+    * generation stays equi-join-shaped, the per-document vote is a
+    * bounded k-row aggregation. */
+  private def embKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val nn = Sim.ivfTopK(s, emb, probes(s, dir), k = 10)
+      .select($"query_id", $"neighbor_id")
+    val votes = nn
+      .join(emb.select($"vec_id".as("neighbor_id"), $"label".cast("long").as("nlbl")),
+        "neighbor_id")
+      .groupBy($"query_id", $"nlbl").agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy($"query_id")
+      .agg(max(struct($"votes", (-$"nlbl").as("neg"))).as("m"))
+      .select($"query_id", (-$"m.neg").as("pred_label"), $"m.votes".as("votes"))
+    pred
+      .join(emb.select($"vec_id".as("query_id"), $"label".cast("long").as("label")),
+        "query_id")
+      .select($"query_id", $"label", $"pred_label", $"votes",
+        ($"label" === $"pred_label").cast("long").as("is_correct"))
+      .orderBy($"query_id")
+  }
+
+  // The ann_ivf CTE pipeline at k=10, then vote/argmax over the
+  // neighbor labels (ties: votes DESC, label ASC — row_number picks
+  // exactly the struct-argmax winner).
+  private val embKnnClassifySql =
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, c.cell, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pc AS (
+       |  SELECT query_id, cell, qe FROM (
+       |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) x WHERE crk <= 2),
+       |sc AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM pc JOIN asg a USING (cell) WHERE a.vec_id <> pc.query_id),
+       |nn AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc) t WHERE rk <= 10),
+       |votes AS (
+       |  SELECT query_id, CAST(e.label AS BIGINT) AS nlbl, COUNT(*) AS votes
+       |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, nlbl AS pred_label, votes FROM (
+       |    SELECT query_id, nlbl, votes,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, nlbl) AS vr
+       |    FROM votes) t WHERE vr = 1)
+       |SELECT p.query_id, CAST(e.label AS BIGINT) AS label, p.pred_label, p.votes,
+       |  CAST(CAST(e.label AS BIGINT) = p.pred_label AS BIGINT) AS is_correct
+       |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+       |ORDER BY p.query_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "emb_knn_classify" -> QueryDef(embKnnClassify, Some(embKnnClassifySql)),
     "emb_matryoshka_eval" -> QueryDef(embMatryoshkaEval, Some(embMatryoshkaEvalSql)),
     "emb_mmr" -> QueryDef(embMmr, Some(embMmrSql)),
     "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),

@@ -98,4 +98,30 @@ class GroupTopKSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
     assert(got.toSeq == Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1)))
   }
+
+  test("partial-pass overflow: a cap of 1 group still yields the exact top-k") {
+    import spark.implicits._
+    // 500 groups x 10 rows spread over 8 partitions: with the map-side
+    // heap map capped at ONE group, almost every row takes the
+    // pass-through branch — the final pass must still produce exactly
+    // the window answer.
+    val df = spark.range(5000).repartition(8)
+      .select(($"id" % 500).as("g"), $"id", ($"id" % 7).cast("double").as("v"))
+    def reference = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy($"g").orderBy($"v".desc, $"id")))
+        .filter($"rk" <= 3).collect().toSet
+    }
+    val expected = reference
+    val saved = graft.plans.GroupTopKExec.MaxPartialGroups
+    try {
+      graft.plans.GroupTopKExec.MaxPartialGroups = 1
+      val got = GroupTopK.topK(df, Seq("g"),
+        Seq(GroupTopK.Sort("v", desc = true), GroupTopK.Sort("id")), 3)
+        .select($"g", $"id", $"v", $"rk").collect().toSet
+      assert(got == expected)
+    } finally graft.plans.GroupTopKExec.MaxPartialGroups = saved
+  }
 }

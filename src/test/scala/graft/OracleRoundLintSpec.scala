@@ -70,7 +70,8 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "dedup_embedding" -> cosine, "dedup_semantic" -> cosine,
       "emb_hard_negatives" -> cosine, "emb_label_noise" -> cosine,
       "emb_matryoshka_eval" -> cosine, "emb_mmr" -> cosine,
-      "knn_graph" -> cosine
+      "knn_graph" -> cosine, "knn_graph_recall" -> cosine,
+      "emb_knn_classify" -> cosine
     )
   }
 

@@ -87,4 +87,29 @@ class Round9EdgeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((10L, 4L, 2L, 500000000L), (20L, 2L, 0L, 0L)), got.toString)
   }
+
+  test("emb_knn_classify: majority vote over the 10-NN, ties to the smallest label") {
+    // 11 IDENTICAL vectors: every cosine is 1.0, so all 8 first-k
+    // centroids coincide, everyone lands in cell 1, and each probe's
+    // top-10 is exactly the 10 other vectors — IVF degrades to a
+    // hand-checkable full vote (and exercises the TopCells tie path).
+    // Labels: vec0=0 (unique), vecs1-5=1, vecs6-10=2.
+    //  probe 0 sees five 1s vs five 2s -> TIE -> pred 1 (smallest);
+    //  probes 1-5 (label 1) see 4x1 vs 5x2 -> pred 2;
+    //  probes 6-9 (label 2) see 5x1 vs 4x2 -> pred 1. Nobody correct.
+    val dir = Files.createTempDirectory("r9knncls").toString
+    (0L to 10L).map(i =>
+      (i, Array(1.0f, 0.0f), if (i == 0) 0 else if (i <= 5) 1 else 2))
+      .toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("emb_knn_classify")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = (0L to 9L).map { q =>
+      val lbl = if (q == 0) 0L else if (q <= 5) 1L else 2L
+      val pred = if (q == 0) 1L else if (q <= 5) 2L else 1L
+      (q, lbl, pred, 5L, 0L)
+    }
+    assert(got == want, got.toString)
+  }
 }
