@@ -23,7 +23,8 @@ object SparkEntry {
     Multimodal.defs,
     Stats.defs,
     Quality.defs,
-    Winnow.defs
+    Winnow.defs,
+    Hypothesis.defs
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

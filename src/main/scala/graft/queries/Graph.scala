@@ -730,8 +730,90 @@ object Graph {
        |FROM l3 GROUP BY lbl
        |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin
 
+  // ----------------------------------------------------------- graph_hits
+
+  private val HitsIters = 8
+
+  /** HITS (Kleinberg hubs & authorities) over the directed
+    * nation-trade graph, $HitsIters power iterations with exact
+    * integer L1 normalization.
+    *
+    * Cross-engine exactness: instead of the textbook L2 norm (a sqrt
+    * whose low bits would have to survive 8 iterations of feedback),
+    * each half-step rescales scores to nano units by the repo's
+    * integer pattern `score·10^9 div Σscores` — iteration state stays
+    * in BIGINT, so both engines walk bit-identical trajectories (the
+    * pagerank `rank_n div deg` precedent, applied to a global sum).
+    * Overflow headroom: scores sum to ~10^9 after each rescale, so
+    * raw·10^9 ≤ ~1.0e18 < 2^63 regardless of graph size.
+    *
+    * Scale shape: the data-sized work is the one shared `tradeEdges`
+    * derivation (bounded ≤N² output); each iteration then joins the
+    * ≤N²-row edge list against an N-row score table — broadcast-sized
+    * at any corpus scale where the dimension stays a dimension. */
+  private def graphHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
+    var h = nodes.select($"id", lit(1000000000L).as("hn"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val ar = edges.join(h.select($"id".as("src"), $"hn"), "src")
+        .groupBy($"dst").agg(sum($"hn").as("raw"))
+      val asum = ar.agg(sum($"raw").as("s"))
+      a = nodes.join(ar, $"id" === $"dst", "left").crossJoin(broadcast(asum))
+        .select($"id",
+          coalesce(expr("(raw * 1000000000L) div s"), lit(0L)).as("an"))
+        .localCheckpoint()
+      val hr = edges.join(a.select($"id".as("dst2"), $"an"), $"dst" === $"dst2")
+        .groupBy($"src").agg(sum($"an").as("raw"))
+      val hsum = hr.agg(sum($"raw").as("s"))
+      h = nodes.join(hr, $"id" === $"src", "left").crossJoin(broadcast(hsum))
+        .select($"id",
+          coalesce(expr("(raw * 1000000000L) div s"), lit(0L)).as("hn"))
+        .localCheckpoint()
+    }
+    h.join(a.select($"id".as("id2"), $"an"), $"id" === $"id2")
+      .join(broadcast(Tables.nation(s, dir)), $"id" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        $"hn".as("hub_nano"), $"an".as("auth_nano"),
+        ($"hn".cast("double") / 1e9).as("hub_score"),
+        ($"an".cast("double") / 1e9).as("auth_score"))
+      .orderBy($"nation")
+  }
+
+  private val graphHitsSql: String = {
+    val head =
+      s"""WITH $edgesCte,
+         |nodes AS (SELECT n_nationkey AS id FROM nation),
+         |h0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS hn FROM nodes)""".stripMargin
+    val iters = (1 to HitsIters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS id, SUM(h.hn) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+         |asum$i AS (SELECT SUM(raw) AS s FROM ar$i),
+         |a$i AS (SELECT nd.id,
+         |    COALESCE(CAST((ar.raw * 1000000000) // t.s AS BIGINT), 0) AS an
+         |  FROM nodes nd CROSS JOIN asum$i t LEFT JOIN ar$i ar ON ar.id = nd.id),
+         |hr$i AS (SELECT e.src AS id, SUM(a.an) AS raw
+         |  FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+         |hsum$i AS (SELECT SUM(raw) AS s FROM hr$i),
+         |h$i AS (SELECT nd.id,
+         |    COALESCE(CAST((hr.raw * 1000000000) // t.s AS BIGINT), 0) AS hn
+         |  FROM nodes nd CROSS JOIN hsum$i t LEFT JOIN hr$i hr ON hr.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT n_name AS nation, h.hn AS hub_nano, a.an AS auth_nano,
+       |  CAST(h.hn AS DOUBLE)/1e9 AS hub_score,
+       |  CAST(a.an AS DOUBLE)/1e9 AS auth_score
+       |FROM h$HitsIters h JOIN a$HitsIters a ON a.id = h.id
+       |JOIN nation ON h.id = n_nationkey
+       |ORDER BY nation""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
+    "graph_hits" -> QueryDef(graphHits, Some(graphHitsSql)),
     "graph_wcc" -> QueryDef(graphWcc, Some(graphWccSql)),
     "graph_clustering_coeff" -> QueryDef(graphClusteringCoeff, Some(graphClusteringCoeffSql)),
     "graph_assortativity" -> QueryDef(graphAssortativity, Some(graphAssortativitySql)),

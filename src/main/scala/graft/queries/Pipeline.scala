@@ -1342,7 +1342,57 @@ object Pipeline {
       |FROM cnt c JOIN sk s USING (wstart_ms, event_type)
       |ORDER BY wstart_ms, event_type""".stripMargin
 
+  // ------------------------------------------------------ events_seq_pairs
+
+  /** Sequential co-occurrence mining: for every ordered event-type pair
+    * (a → b), the number of users who performed a followed by b within
+    * one hour (support), plus nano support ratio over all active users.
+    * The gapped generalization of q_markov's adjacent-transition matrix
+    * — "eventually follows within a window", not "immediately follows".
+    *
+    * Scale shape: the oracle's naive form is a per-user event×event
+    * self-join (quadratic in events per user). The Spark plan instead
+    * runs a keyed range window (`RANGE BETWEEN 3.6e6 PRECEDING AND 1
+    * PRECEDING` per user) carrying a collect_set of the ≤|event types|
+    * distinct prior types — linear pass, window state bounded by the
+    * type alphabet, one shuffle keyed by user_id. Same-ms pairs are
+    * excluded on both sides (strict `b.ms − a.ms ≥ 1`), so the result
+    * never depends on an intra-millisecond tiebreak. */
+  private def eventsSeqPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val w = Window.partitionBy($"user_id").orderBy($"ms")
+      .rangeBetween(-3600000L, -1L)
+    val pairs = ev
+      .withColumn("prior", collect_set($"event_type").over(w))
+      .select($"user_id", explode($"prior").as("type_a"),
+        $"event_type".as("type_b"))
+      .distinct()
+    val tot = ev.agg(countDistinct($"user_id").as("nu"))
+    pairs.groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select($"type_a", $"type_b", $"n_users",
+        expr("(n_users * 1000000000L) div nu").as("support_nano"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  private val eventsSeqPairsSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |pairs AS (
+      |  SELECT DISTINCT a.user_id, a.event_type AS type_a, b.event_type AS type_b
+      |  FROM e a JOIN e b ON a.user_id = b.user_id
+      |    AND b.ms - a.ms BETWEEN 1 AND 3600000),
+      |tot AS (SELECT COUNT(DISTINCT user_id) AS nu FROM e)
+      |SELECT type_a, type_b, COUNT(*) AS n_users,
+      |  CAST((COUNT(*) * 1000000000) // nu AS BIGINT) AS support_nano
+      |FROM pairs CROSS JOIN tot
+      |GROUP BY type_a, type_b, nu
+      |ORDER BY type_a, type_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "events_seq_pairs" -> QueryDef(eventsSeqPairs, Some(eventsSeqPairsSql)),
     "kmv_streaming_replay" -> QueryDef(kmvStreamingReplay, Some(kmvStreamingReplaySql)),
     "events_cep_match" -> QueryDef(eventsCepMatch, Some(eventsCepMatchSql)),
     "cep_streaming_replay" -> QueryDef(cepStreamingReplay, Some(eventsCepMatchSql)),
