@@ -755,7 +755,10 @@ object Graph {
     import s.implicits._
     val edges = tradeEdges(s, dir)
     val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
-    var h = nodes.select($"id", lit(1000000000L).as("hn"))
+    // init pre-normalized (1e9 div |V|, the pagerank pattern): scores
+    // then SUM to ≤1e9 after every rescale, so raw·10^9 stays < 2^63
+    val n = nodes.count() // bounded scalar (dimension cardinality)
+    var h = nodes.select($"id", lit(1000000000L / n).as("hn"))
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
       val ar = edges.join(h.select($"id".as("src"), $"hn"), "src")
@@ -783,21 +786,28 @@ object Graph {
   }
 
   private val graphHitsSql: String = {
+    // MATERIALIZED everywhere: ar_i/hr_i are each referenced twice (by
+    // their sum CTE and the rescale CTE) — without the hint DuckDB may
+    // re-inline, doubling the plan per half-step (2^16 scans of the
+    // 4-table edge join → "too many open files" before it even OOMs).
     val head =
       s"""WITH $edgesCte,
-         |nodes AS (SELECT n_nationkey AS id FROM nation),
-         |h0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS hn FROM nodes)""".stripMargin
+         |nodes AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
+         |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+         |h0 AS MATERIALIZED (
+         |  SELECT id, CAST(1000000000 // n AS BIGINT) AS hn
+         |  FROM nodes CROSS JOIN cnt)""".stripMargin
     val iters = (1 to HitsIters).map { i =>
-      s"""ar$i AS (SELECT e.dst AS id, SUM(h.hn) AS raw
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hn) AS raw
          |  FROM edges e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
          |asum$i AS (SELECT SUM(raw) AS s FROM ar$i),
-         |a$i AS (SELECT nd.id,
+         |a$i AS MATERIALIZED (SELECT nd.id,
          |    COALESCE(CAST((ar.raw * 1000000000) // t.s AS BIGINT), 0) AS an
          |  FROM nodes nd CROSS JOIN asum$i t LEFT JOIN ar$i ar ON ar.id = nd.id),
-         |hr$i AS (SELECT e.src AS id, SUM(a.an) AS raw
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, SUM(a.an) AS raw
          |  FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
          |hsum$i AS (SELECT SUM(raw) AS s FROM hr$i),
-         |h$i AS (SELECT nd.id,
+         |h$i AS MATERIALIZED (SELECT nd.id,
          |    COALESCE(CAST((hr.raw * 1000000000) // t.s AS BIGINT), 0) AS hn
          |  FROM nodes nd CROSS JOIN hsum$i t LEFT JOIN hr$i hr ON hr.id = nd.id)""".stripMargin
     }.mkString(",\n")
