@@ -271,6 +271,38 @@ object Multimodal {
     }
   }
 
+  case class FrameEnergy(doc_id: Long, frame_idx: Long, energy: Long)
+
+  /** Per-frame signal energy: the sum of squared deviations of each
+    * byte from the unsigned-8-bit midpoint (128) — the energy measure
+    * a PCM voice-activity detector thresholds on. Like frameSample,
+    * runs inside the scan stage: blobs never shuffle; only fixed-width
+    * (doc_id, frame_idx, energy) triples leave. Energy per frame is
+    * ≤ frameSize·128² (< 2^21 at 64-byte frames), so downstream
+    * integer threshold math (energy·n_frames vs Σenergy) stays in
+    * BIGINT for any per-document asset size under ~2^41 bytes. */
+  def frameEnergy(spark: SparkSession, assets: Dataset[Asset],
+                  frameSize: Int): Dataset[FrameEnergy] = {
+    require(frameSize > 0)
+    import spark.implicits._
+    assets.flatMap { a =>
+      val n = a.blob.length
+      val frames = (n + frameSize - 1) / frameSize
+      (0 until frames).iterator.map { f =>
+        val off = f * frameSize
+        val end = math.min(off + frameSize, n)
+        var sum = 0L
+        var i = off
+        while (i < end) {
+          val d = (a.blob(i) & 0xff) - 128
+          sum += d.toLong * d
+          i += 1
+        }
+        FrameEnergy(a.doc_id, f.toLong, sum)
+      }
+    }
+  }
+
   /** Aspect-preserving resize planning over decoded dimensions: the
     * metadata half of a resize stage (the pixel work is the stubbed
     * codec's job). Integer math only (rounded integer division via

@@ -211,7 +211,78 @@ object Multimodal {
       |WHERE bit_count(xor(a.bh, b.bh)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------ mm_vad_segments
+
+  /** Energy-threshold activity segmentation (the VAD shape: detect
+    * active spans in a PCM stream, emit one row per contiguous span).
+    * The blob's bytes stand in for 8-bit PCM samples; a real audio
+    * pipeline would swap the byte-energy kernel for decoded samples —
+    * the Spark-side plumbing (in-scan framing, per-doc keyed windows,
+    * islands-and-gaps merge) is the real thing.
+    *
+    * A frame is active iff its energy ≥ the document mean, tested as
+    * the exact integer cross-multiplication energy·n_frames ≥ Σenergy
+    * (no division anywhere). Consecutive active frames merge via the
+    * frame_idx − row_number islands trick. Every window is keyed by
+    * doc_id, so parallelism follows the corpus. */
+  private def mmVadSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, max, min, row_number, sum}
+    val fe = MM.frameEnergy(s, MM.manifest(s, Tables.documents(s, dir)),
+      frameSize = 64).toDF()
+    val docW = Window.partitionBy(col("doc_id"))
+    val seq = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val active = fe
+      .withColumn("nf", count(lit(1)).over(docW))
+      .withColumn("tot", sum(col("energy")).over(docW))
+      .filter(col("energy") * col("nf") >= col("tot"))
+    active
+      .withColumn("grp", col("frame_idx") - row_number().over(seq))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("energy_sum"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("energy_sum"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  private val mmVadSegmentsSql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |f AS (SELECT doc_id, hx, n,
+      |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS frame_idx FROM h),
+      |fe AS (SELECT doc_id, frame_idx,
+      |  CAST(list_sum(list_transform(
+      |    range(frame_idx*64 + 1, LEAST(frame_idx*64 + 64, n) + 1),
+      |    i -> (CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT) - 128)
+      |       * (CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT) - 128)))
+      |    AS BIGINT) AS energy
+      |  FROM f),
+      |act AS (SELECT doc_id, frame_idx, energy,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS nf,
+      |    SUM(energy) OVER (PARTITION BY doc_id) AS tot
+      |  FROM fe),
+      |g AS (SELECT doc_id, frame_idx, energy,
+      |    frame_idx - ROW_NUMBER() OVER
+      |      (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+      |  FROM act WHERE energy * nf >= tot),
+      |segs AS (SELECT doc_id, MIN(frame_idx) AS start_frame,
+      |    MAX(frame_idx) AS end_frame, COUNT(*) AS n_frames,
+      |    CAST(SUM(energy) AS BIGINT) AS energy_sum
+      |  FROM g GROUP BY doc_id, grp)
+      |SELECT doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) AS seg_idx,
+      |  start_frame, end_frame, n_frames, energy_sum
+      |FROM segs
+      |ORDER BY doc_id, seg_idx""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "mm_vad_segments" -> QueryDef(mmVadSegments, Some(mmVadSegmentsSql)),
     "mm_phash_pairs" -> QueryDef(mmPhashPairs, Some(mmPhashPairsSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),

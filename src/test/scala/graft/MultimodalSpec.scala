@@ -219,4 +219,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.length.toLong == expected, s"${pairs.length} vs $expected")
     assert(pairs.forall { case (a, b, h) => a / 5 == b / 5 && h <= 2 })
   }
+
+  test("frameEnergy: squared deviation from the 128 midpoint, per 64-byte frame") {
+    import spark.implicits._
+    val docs = Seq((1L, "AB")).toDF("doc_id", "text")
+    val fe = Multimodal.frameEnergy(spark, Multimodal.manifest(spark, docs), 64).collect()
+    // 'A'=65 → (−63)²=3969, 'B'=66 → (−62)²=3844
+    assert(fe.toSeq == Seq(Multimodal.FrameEnergy(1L, 0L, 3969L + 3844L)), fe.mkString)
+  }
+
+  test("mm_vad_segments: above-mean frames merge into contiguous spans") {
+    import spark.implicits._
+    // loud = ' ' (d²=9216/byte), quiet = '|' (d²=16/byte):
+    // frames [loud, quiet, loud, 10-byte quiet tail] → energies
+    // 589824, 1024, 589824, 160; mean 295208 → actives f0 and f2,
+    // NON-adjacent, so two single-frame segments.
+    val dir = java.nio.file.Files.createTempDirectory("vadspec").toString
+    Seq((7L, " " * 64 + "|" * 64 + " " * 64 + "|" * 10))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("mm_vad_segments")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (7L, 1L, 0L, 0L, 1L, 589824L),
+      (7L, 2L, 2L, 2L, 1L, 589824L)), got.toString)
+  }
 }
