@@ -304,6 +304,61 @@ object TextAnalysis {
       |  WHERE len(ws) >= 2) u
       |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------ text_pmi_bigrams
+
+  /** Collocation mining: top bigrams by PMI-style LIFT — how much more
+    * often the pair co-occurs than its unigram frequencies predict,
+    * lift = c_xy·N / (c_x·c_y) — over bigrams with support ≥ 5 (the
+    * support floor kills the hapax pairs whose lift is pure noise).
+    * text_bigrams ranks by raw count; this ranks by association.
+    *
+    * Exactness: the true PMI takes a log, so the lift is kept as the
+    * exact integer nano-ratio (c_xy·N·10^9) div (c_x·c_y) in
+    * DECIMAL(38,0)/HUGEINT — monotone in PMI, hence identical ranking,
+    * zero float ambiguity. Scale: two combinable groupBys (unigrams,
+    * bigrams) + two joins of the supported-bigram table against the
+    * vocabulary on the join key — AQE picks broadcast-vs-shuffle as
+    * the vocabulary grows; the scalar N rides a broadcast crossJoin. */
+  private def textPmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = Tables.documents(s, dir).select(split($"text", " ").as("ws"))
+    val uni = toks.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum($"c").as("n"))
+    val bg = toks.filter(size($"ws") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("bg"))
+      .groupBy($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter($"cxy" >= 5)
+    bg.join(uni.select($"w".as("w1"), $"c".as("c1")), "w1")
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select($"w1", $"w2", $"cxy",
+        expr("(CAST(cxy AS DECIMAL(38,0)) * n * 1000000000) div (CAST(c1 AS DECIMAL(38,0)) * c2)")
+          .cast("long").as("lift_nano"))
+      .orderBy($"lift_nano".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  private val textPmiBigramsSql =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+      |tot AS (SELECT SUM(c) AS n FROM uni),
+      |bg AS (
+      |  SELECT b['w1'] AS w1, b['w2'] AS w2, COUNT(*) AS cxy FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)),
+      |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+      |    FROM t WHERE len(ws) >= 2) u
+      |  GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+      |SELECT w1, w2, cxy,
+      |  CAST((CAST(cxy AS HUGEINT) * n * 1000000000) // (CAST(u1.c AS HUGEINT) * u2.c)
+      |    AS BIGINT) AS lift_nano
+      |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+      |CROSS JOIN tot
+      |ORDER BY lift_nano DESC, w1, w2 LIMIT 50""".stripMargin
+
   /** Benchmark decontamination: docs sharing any word 3-gram with the
     * "benchmark" slice (doc_id % 97 == 0 stands in for an eval suite).
     * Real decontamination uses longer grams (8–13) — the synthetic
@@ -786,6 +841,7 @@ object TextAnalysis {
     "text_contamination" -> QueryDef(textContamination, Some(textContaminationSql)),
     "text_repetition" -> QueryDef(textRepetition, Some(textRepetitionSql)),
     "text_bigrams" -> QueryDef(textBigrams, Some(textBigramsSql)),
+    "text_pmi_bigrams" -> QueryDef(textPmiBigrams, Some(textPmiBigramsSql)),
     "text_heavy_hitters" -> QueryDef(textHeavyHitters, Some(textHeavyHittersSql)),
     "corpus_splits" -> QueryDef(corpusSplits, Some(corpusSplitsSql)),
     "corpus_sample" -> QueryDef(corpusSample, Some(corpusSampleSql)),

@@ -59,4 +59,19 @@ class Round9bEdgeSpec extends AnyFunSuite {
       ("a", "b", 1L, 500000000L),
       ("b", "a", 1L, 500000000L)), got.toString)
   }
+
+  test("text_pmi_bigrams: lift is cxy*N/(cx*cy), support floor at 5, desc order") {
+    // doc1 "x y"×5 interleaved -> (x,y)=5, (y,x)=4 (below support);
+    // doc2 "z"×6 -> (z,z)=5. Unigrams x:5 y:5 z:6, N=16.
+    // lift(x,y) = 5·16·1e9/25 = 3200000000; lift(z,z) = 80e9//36 = 2222222222.
+    val dir = Files.createTempDirectory("r9bpmi").toString
+    Seq((1L, "x y x y x y x y x y"), (2L, "z z z z z z"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_pmi_bigrams")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("x", "y", 5L, 3200000000L),
+      ("z", "z", 5L, 2222222222L)), got.toString)
+  }
 }
