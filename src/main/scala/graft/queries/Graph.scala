@@ -245,6 +245,108 @@ object Graph {
       |FROM ed JOIN core ca ON ed.a = ca.v JOIN core cb ON ed.b = cb.v
       |GROUP BY ed.a ORDER BY part_id""".stripMargin
 
+  // ------------------------------------------------------------- q_ktruss
+
+  /** 4-truss decomposition of the sampled co-purchase graph: peel
+    * edges whose triangle SUPPORT (triangles through the edge, counted
+    * among surviving edges) falls below k−2 = 2, to fixpoint — the
+    * edge-level analogue of q_kcore's vertex peel, and the standard
+    * cohesive-subgraph primitive one level up from triangle counting.
+    *
+    * State is the CANONICAL (a<b) edge list and every triangle x<y<z
+    * is enumerated exactly ONCE per round (the q_triangles wedge shape:
+    * (x,y)⋈(y,z) + semi-join closure (x,z)), then fanned out to its
+    * three member edges for the support count — 6× less wedge work
+    * than counting per directed edge, and every join stays an
+    * equi-join. Convergence = scalar edge-count stability (monotone
+    * shrink ⇒ count-stable is set-stable, the q_kcore argument), and
+    * the round cap equals the oracle's recursive depth, so even an
+    * unconverged cap state matches BY CONSTRUCTION — survivors
+    * re-assert each round on both engines.
+    *
+    * Scale: one wedge equi-join + one closure semi-join + an edge-key
+    * count per round, all shuffled on edge/vertex keys; the input is
+    * the C(parts-per-order,2)-bounded co-purchase sample. At 100 TB
+    * the wedge join gets the linkPred hub filter (deg cap) first —
+    * here the sampled graph is already bounded. */
+  private def qKtruss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val minSupport = 2 // k = 4
+    val maxRounds = 20
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    def supportOf(ed: DataFrame): DataFrame =
+      ed.as("e1")
+        .join(ed.as("e2"), col("e1.b") === col("e2.a"))
+        .join(ed.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"),
+          "left_semi")
+        .select(explode(array(
+          struct(col("e1.a").as("a"), col("e1.b").as("b")),
+          struct(col("e1.b").as("a"), col("e2.b").as("b")),
+          struct(col("e1.a").as("a"), col("e2.b").as("b")))).as("e"))
+        .groupBy($"e.a".as("a"), $"e.b".as("b"))
+        .agg(count(lit(1)).as("support"))
+    var ed = pairs.select($"pa".as("a"), $"pb".as("b")).localCheckpoint()
+    var prev = ed.count()
+    var converged = prev == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = supportOf(ed)
+        .filter($"support" >= minSupport)
+        .select($"a", $"b")
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == prev
+      prev = n
+      ed = next
+      rounds += 1
+    }
+    supportOf(ed)
+      .select($"a".as("src"), $"b".as("dst"), $"support")
+      .orderBy($"src", $"dst")
+  }
+
+  private val qKtrussSql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+      |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |trs(r, a, b) AS (
+      |  SELECT 0, pa, pb FROM pairs
+      |  UNION ALL
+      |  SELECT r + 1, edge['a'] AS a, edge['b'] AS b FROM (
+      |    SELECT e1.r AS r, unnest([
+      |        {'a': e1.a, 'b': e1.b},
+      |        {'a': e1.b, 'b': e2.b},
+      |        {'a': e1.a, 'b': e2.b}]) AS edge
+      |    FROM trs e1
+      |    JOIN trs e2 ON e2.r = e1.r AND e1.b = e2.a
+      |    JOIN trs e3 ON e3.r = e1.r AND e3.a = e1.a AND e3.b = e2.b
+      |    WHERE e1.r < 20) t
+      |  GROUP BY r, edge['a'], edge['b']
+      |  HAVING COUNT(*) >= 2),
+      |fix AS (SELECT a, b FROM trs WHERE r = 20)
+      |SELECT edge['a'] AS src, edge['b'] AS dst,
+      |  CAST(COUNT(*) AS BIGINT) AS support
+      |FROM (
+      |  SELECT unnest([
+      |      {'a': e1.a, 'b': e1.b},
+      |      {'a': e1.b, 'b': e2.b},
+      |      {'a': e1.a, 'b': e2.b}]) AS edge
+      |  FROM fix e1
+      |  JOIN fix e2 ON e1.b = e2.a
+      |  JOIN fix e3 ON e3.a = e1.a AND e3.b = e2.b) t
+      |GROUP BY edge['a'], edge['b']
+      |ORDER BY src, dst""".stripMargin
+
   /** Weighted single-source shortest paths (Bellman–Ford to fixpoint)
     * from nation 0 over the trade graph — the fourth iterative shape:
     * monotone VALUE relaxation (BFS is its unit-weight special case).
@@ -831,6 +933,7 @@ object Graph {
     "graph_jaccard_links" -> QueryDef(graphJaccardLinks, Some(graphJaccardLinksSql)),
     "q_graph_adamic_adar" -> QueryDef(qGraphAdamicAdar, Some(qGraphAdamicAdarSql)),
     "q_kcore" -> QueryDef(qKcore, Some(qKcoreSql)),
+    "q_ktruss" -> QueryDef(qKtruss, Some(qKtrussSql)),
     "pagerank" -> QueryDef(pagerank, Some(pagerankSql)),
     "graph_bfs" -> QueryDef(graphBfs, Some(graphBfsSql)),
     "graph_sssp" -> QueryDef(graphSssp, Some(graphSsspSql))

@@ -74,4 +74,20 @@ class Round9bEdgeSpec extends AnyFunSuite {
       ("x", "y", 5L, 3200000000L),
       ("z", "z", 5L, 2222222222L)), got.toString)
   }
+
+  test("q_ktruss: pendant triangle peels away, K4 survives with support 2") {
+    // order 10 -> K4 on {1,2,3,4}; order 20 -> triangle {4,5,6}.
+    // Triangle edges have support 1 (< 2) and peel in round 1; every
+    // K4 edge sits in exactly 2 triangles and is stable.
+    val dir = Files.createTempDirectory("r9btruss").toString
+    (Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L),
+      (20L, 4L), (20L, 5L), (20L, 6L)))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q_ktruss")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), got.toString)
+  }
 }
