@@ -923,7 +923,152 @@ object Graph {
        |ORDER BY nation""".stripMargin
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003 / Haveliwala 2002) from
+    * seed nation 0 over the directed trade graph — the ranking behind
+    * related-item and who-to-follow features, where the teleport mass
+    * returns to the SEED instead of spreading uniformly.
+    *
+    * Determinism: the pagerank integer pattern verbatim — nano-unit
+    * ranks, `rank_n div deg` contributions, `(85·s) div 100` damping —
+    * with the restart term `150000000` credited only to the seed row,
+    * so ten iterations are bit-identical BIGINT on both engines.
+    *
+    * Scale shape: identical to pagerank (one contribution shuffle per
+    * iteration over the shared checkpointed edge list; rank state is
+    * node-sized). Personalization changes WHERE teleport mass lands,
+    * not the plan. */
+  private def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seed = 0L
+    val edges = tradeEdges(s, dir)
+    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select($"id",
+      when($"id" === seed, 1000000000L).otherwise(0L).as("rank_n"))
+    for (_ <- 1 to Iters) {
+      val contribs = edges
+        .join(outdeg, "src")
+        .join(ranks.select($"id".as("src"), $"rank_n"), "src")
+        .select($"dst", expr("rank_n div deg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("s"))
+      ranks = nodes.join(contribs, $"id" === $"dst", "left")
+        .select($"id",
+          (when($"id" === seed, 150000000L).otherwise(0L) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank_n"))
+        .localCheckpoint()
+    }
+    ranks.join(broadcast(Tables.nation(s, dir)), $"id" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"rank_n".as("ppr_nano"),
+        ($"rank_n".cast("double") / 1000000000.0).as("ppr_score"))
+      .orderBy($"ppr_score".desc, $"nation")
+  }
+
+  private val graphPprSql: String = {
+    val head =
+      s"""WITH $edgesCte,
+        |outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT n_nationkey AS id FROM nation),
+        |pr0 AS (SELECT id, CASE WHEN id = 0 THEN 1000000000 ELSE 0 END AS rank_n FROM nodes)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.id AS id,
+         |    (CASE WHEN nd.id = 0 THEN 150000000 ELSE 0 END)
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS rank_n
+         |  FROM nodes nd
+         |  LEFT JOIN (
+         |    SELECT e.dst AS did, SUM(p.rank_n // o.deg) AS s
+         |    FROM edges e JOIN outdeg o ON e.src = o.src JOIN pr${i - 1} p ON p.id = e.src
+         |    GROUP BY e.dst) c ON nd.id = c.did)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT n_name AS nation, CAST(rank_n AS BIGINT) AS ppr_nano,
+       |  CAST(rank_n AS DOUBLE)/1000000000.0 AS ppr_score
+       |FROM pr$Iters JOIN nation ON id = n_nationkey
+       |ORDER BY ppr_score DESC, nation""".stripMargin
+  }
+
+  /** Closeness centrality + eccentricity from a bounded PIVOT set
+    * (here every nation — the full dimension graph; at corpus scale
+    * the same operator runs from a sampled landmark set, the standard
+    * pivot approximation for closeness on large graphs).
+    *
+    * Multi-source BFS: distance state keyed (root, id) — |pivots|·|V|
+    * rows — relaxed to fixpoint exactly like graph_bfs (monotone min,
+    * scalar convergence count, |V|-bounded). Directed reachability.
+    *
+    * Closeness is the Wasserman–Faust normalized form, emitted as an
+    * exact integer ppb — ((r−1)²·10⁹) div ((n−1)·Σd) where r = nodes
+    * reached and Σd their hop sum — so the ranking carries no float;
+    * eccentricity is the max finite hop (−1 for isolated roots). */
+  private def graphCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
+    val maxIters = nodes.count() // dim-table scalar: diameter ≤ |V| - 1
+    val Inf = 1000000L
+    // pivot set = all nodes here (bounded dimension); state (root, id, d)
+    var dist = nodes.select($"id".as("root")).crossJoin(nodes)
+      .select($"root", $"id",
+        when($"root" === $"id", 0L).otherwise(Inf).as("d"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0L
+    while (changed > 0 && iter < maxIters) {
+      val relaxed = dist.filter($"d" < Inf)
+        .join(edges, dist("id") === edges("src"))
+        .groupBy($"root", $"dst").agg(min($"d" + 1L).as("dr"))
+        .select($"root".as("rroot"), $"dst", $"dr")
+      val next = dist.join(relaxed,
+          $"root" === $"rroot" && $"id" === $"dst", "left")
+        .select($"root", $"id",
+          least($"d", coalesce($"dr", lit(Inf))).as("d"), $"d".as("old"))
+        .localCheckpoint()
+      changed = next.filter($"d" =!= $"old").count()
+      dist = next.select($"root", $"id", $"d")
+      iter += 1
+    }
+    dist.groupBy($"root")
+      .agg(sum(when($"d" < Inf, 1L).otherwise(0L)).as("reached"),
+        sum(when($"d" < Inf, $"d").otherwise(0L)).as("sum_hops"),
+        max(when(($"d" < Inf) && ($"d" > 0L), $"d").otherwise(0L)).as("maxfin"))
+      .join(broadcast(Tables.nation(s, dir)), $"root" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"reached", $"sum_hops",
+        when($"sum_hops" > 0L,
+          expr(s"((reached - 1) * (reached - 1) * 1000000000L) div (${maxIters - 1}L * sum_hops)"))
+          .otherwise(0L).as("closeness_ppb"),
+        when($"reached" > 1L, $"maxfin").otherwise(-1L).as("eccentricity"))
+      .orderBy($"closeness_ppb".desc, $"nation")
+  }
+
+  private val graphClosenessSql: String =
+    s"""WITH RECURSIVE $edgesCte,
+       |nodes AS (SELECT n_nationkey AS id FROM nation),
+       |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+       |reach(root, id, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT r.root, e.dst, r.d + 1
+       |  FROM reach r JOIN edges e ON e.src = r.id
+       |  WHERE r.d < 999),
+       |best AS (SELECT root, id, MIN(d) AS d FROM reach GROUP BY root, id),
+       |agg AS (
+       |  SELECT root, COUNT(*) AS reached, SUM(d) AS sum_hops,
+       |    MAX(CASE WHEN d > 0 THEN d ELSE 0 END) AS maxfin
+       |  FROM best GROUP BY root)
+       |SELECT n_name AS nation,
+       |  CAST(reached AS BIGINT) AS reached,
+       |  CAST(sum_hops AS BIGINT) AS sum_hops,
+       |  CAST(CASE WHEN sum_hops > 0
+       |    THEN ((reached - 1) * (reached - 1) * 1000000000) // ((cnt.n - 1) * sum_hops)
+       |    ELSE 0 END AS BIGINT) AS closeness_ppb,
+       |  CAST(CASE WHEN reached > 1 THEN maxfin ELSE -1 END AS BIGINT) AS eccentricity
+       |FROM agg CROSS JOIN cnt JOIN nation ON root = n_nationkey
+       |ORDER BY closeness_ppb DESC, nation""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "graph_ppr" -> QueryDef(graphPpr, Some(graphPprSql)),
+    "graph_closeness" -> QueryDef(graphCloseness, Some(graphClosenessSql)),
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),
     "graph_hits" -> QueryDef(graphHits, Some(graphHitsSql)),
     "graph_wcc" -> QueryDef(graphWcc, Some(graphWccSql)),
