@@ -24,7 +24,8 @@ object SparkEntry {
     Stats.defs,
     Quality.defs,
     Winnow.defs,
-    Hypothesis.defs
+    Hypothesis.defs,
+    Monitoring.defs
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Pipeline observability + governance keys (round 10): EWMA anomaly
+  * control chart, curation attrition funnel, differentially-private
+  * release counts. All exact-integer-core — the cross-engine float
+  * class of bug cannot occur. */
+object Monitoring {
+
+  // --------------------------------------------------------- q_ewma_anomaly
+
+  /** EWMA control chart over daily revenue (the metric-monitoring
+    * primitive behind data-volume / revenue anomaly alerts): exponential
+    * smoothing s_t = 0.2·x_t + 0.8·s_{t−1} run as the exact integer
+    * recurrence s_t = (2·x_t + 8·s_{t−1}) div 10 over the day spine,
+    * flagging days that deviate ±30% from the prior smoothed level
+    * (10·x_t > 13·s_{t−1} or 10·x_t < 7·s_{t−1} — integer cross-multiply,
+    * no division).
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combinable
+    * daily aggregate; the recurrence runs on the driver over the
+    * DATE-DIMENSION-bounded day table (q_survival_km precedent — a day
+    * spine is a few thousand rows at any corpus scale). BigInt state so
+    * daily totals can't overflow the fold. */
+  private def qEwmaAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .groupBy(floor(unix_timestamp($"o_orderdate").cast("double") / 86400)
+        .cast("long").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+      .orderBy($"day")
+      .collect() // bounded: one row per distinct order day (date dimension)
+    var sPrev: BigInt = null
+    val rows = rev.map { r =>
+      val (day, v) = (r.getLong(0), BigInt(r.getLong(1)))
+      val anom = sPrev != null &&
+        (10 * v > 13 * sPrev || 10 * v < 7 * sPrev)
+      val sCur = if (sPrev == null) v else (2 * v + 8 * sPrev) / 10
+      sPrev = sCur
+      (day, v.toLong, sCur.toLong, anom)
+    }.toSeq
+    s.createDataFrame(rows).toDF("day", "rev_cents", "ewma_cents", "is_anomaly")
+      .orderBy($"day")
+  }
+
+  private val qEwmaAnomalySql =
+    """WITH RECURSIVE rev AS (
+      |  SELECT CAST(FLOOR(CAST(epoch(o_orderdate) AS DOUBLE)/86400) AS BIGINT) AS day,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS i FROM rev),
+      |ew(i, sn) AS (
+      |  SELECT 1, CAST(v AS HUGEINT) FROM r WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.i, (2 * r.v + 8 * ew.sn) // 10
+      |  FROM ew JOIN r ON r.i = ew.i + 1)
+      |SELECT r.day, r.v AS rev_cents, CAST(ew.sn AS BIGINT) AS ewma_cents,
+      |  CASE WHEN prev.sn IS NULL THEN FALSE
+      |       WHEN 10 * r.v > 13 * prev.sn OR 10 * r.v < 7 * prev.sn THEN TRUE
+      |       ELSE FALSE END AS is_anomaly
+      |FROM r JOIN ew ON ew.i = r.i
+      |LEFT JOIN ew prev ON prev.i = r.i - 1
+      |ORDER BY r.day""".stripMargin
+
+  // ----------------------------------------------------- corpus_filter_funnel
+
+  /** Curation attrition funnel — the observability report every
+    * filtering pipeline ships: how many docs survive each sequential
+    * gate (non-empty → ≥5 words → word-shape band → exact dedup), with
+    * exact-ppm retention per stage. The corpus-sized work is ONE scan
+    * computing all gate flags (conditional counts map-side combine) plus
+    * one count-distinct for the dedup survivor count; the funnel itself
+    * is a 4-row pivot of that single aggregate row.
+    *
+    * Word-shape gate: mean word length in [2,12] as the integer
+    * cross-multiply 2·words ≤ chars ≤ 12·words (chars = non-space
+    * length), the repo's no-division rule. */
+  private def corpusFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flags = Tables.documents(s, dir).select(
+      $"text",
+      (length(trim($"text")) > 0).as("g1"),
+      (size(split($"text", " ")) >= 5).as("g2"),
+      (length(regexp_replace($"text", " ", "")) >= size(split($"text", " ")) * 2 &&
+        length(regexp_replace($"text", " ", "")) <= size(split($"text", " ")) * 12).as("g3"))
+    val agg = flags.agg(
+      count(lit(1)).as("c0"),
+      sum(when($"g1", 1L).otherwise(0L)).as("c1"),
+      sum(when($"g1" && $"g2", 1L).otherwise(0L)).as("c2"),
+      sum(when($"g1" && $"g2" && $"g3", 1L).otherwise(0L)).as("c3"),
+      countDistinct(when($"g1" && $"g2" && $"g3", $"text")).as("c4"))
+    val stages = Seq(
+      (1L, "nonempty", "c0", "c1"), (2L, "min_words", "c1", "c2"),
+      (3L, "word_shape", "c2", "c3"), (4L, "exact_dedup", "c3", "c4"))
+    stages.map { case (i, nm, in, kept) =>
+      agg.select(lit(i).as("stage_idx"), lit(nm).as("stage"),
+        col(in).as("docs_in"), col(kept).as("docs_kept"),
+        when(col(in) > 0L, expr(s"($kept * 1000000L) div $in"))
+          .otherwise(0L).as("kept_ppm"))
+    }.reduce(_ unionAll _).orderBy($"stage_idx")
+  }
+
+  private val corpusFilterFunnelSql =
+    """WITH flags AS (
+      |  SELECT text,
+      |    len(trim(text)) > 0 AS g1,
+      |    len(string_split(text, ' ')) >= 5 AS g2,
+      |    len(replace(text, ' ', '')) >= len(string_split(text, ' ')) * 2
+      |      AND len(replace(text, ' ', '')) <= len(string_split(text, ' ')) * 12 AS g3
+      |  FROM documents),
+      |agg AS (
+      |  SELECT COUNT(*) AS c0,
+      |    SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS c2,
+      |    SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS c3,
+      |    COUNT(DISTINCT CASE WHEN g1 AND g2 AND g3 THEN text END) AS c4
+      |  FROM flags)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'nonempty' AS stage,
+      |    CAST(c0 AS BIGINT) AS docs_in, CAST(c1 AS BIGINT) AS docs_kept,
+      |    CAST(CASE WHEN c0 > 0 THEN (c1 * 1000000) // c0 ELSE 0 END AS BIGINT) AS kept_ppm FROM agg
+      |  UNION ALL
+      |  SELECT 2, 'min_words', CAST(c1 AS BIGINT), CAST(c2 AS BIGINT),
+      |    CAST(CASE WHEN c1 > 0 THEN (c2 * 1000000) // c1 ELSE 0 END AS BIGINT) FROM agg
+      |  UNION ALL
+      |  SELECT 3, 'word_shape', CAST(c2 AS BIGINT), CAST(c3 AS BIGINT),
+      |    CAST(CASE WHEN c2 > 0 THEN (c3 * 1000000) // c2 ELSE 0 END AS BIGINT) FROM agg
+      |  UNION ALL
+      |  SELECT 4, 'exact_dedup', CAST(c3 AS BIGINT), CAST(c4 AS BIGINT),
+      |    CAST(CASE WHEN c3 > 0 THEN (c4 * 1000000) // c3 ELSE 0 END AS BIGINT) FROM agg)
+      |ORDER BY stage_idx""".stripMargin
+
+  // ------------------------------------------------------------- q_dp_counts
+
+  /** ε-differentially-private release counts (ε=1 two-sided geometric /
+    * discrete-Laplace mechanism — the integer-valued DP noise used for
+    * count releases): per-event-type counts plus noise drawn by INVERSE
+    * CDF over a precomputed exact integer threshold table (2⁶⁰-scaled
+    * CDF of p(k) ∝ e^−|k|, k ∈ [−8,8], tail mass closed into ±8), with
+    * the uniform read off the repo's 60-bit md5 convention — fully
+    * deterministic, bit-identical in both engines (q_bootstrap_ci's
+    * CDF-threshold pattern). Emits the true count beside the noisy one
+    * as the UTILITY AUDIT; an actual release drops the true column.
+    *
+    * Scale shape: one map-side-combinable count aggregate; the noise
+    * join is group-cardinality rows × a broadcast 17-row CDF table. */
+  private val dpCdf: Seq[(Long, Long)] = Seq(
+    (-8L, 178729391883036L), (-7L, 664566250050231L), (-6L, 1985207753201750L),
+    (-5L, 5575083553127363L), (-4L, 15333377706490036L), (-3L, 41859171380333936L),
+    (-2L, 113963754309397696L), (-1L, 309964331834089984L), (0L, 842749140086939392L),
+    (1L, 1038749717611631616L), (2L, 1110854300540695424L), (3L, 1137380094214539264L),
+    (4L, 1147138388367901952L), (5L, 1150728264167827584L), (6L, 1152048905670979072L),
+    (7L, 1152534742529146240L), (8L, 1152921504606846976L))
+
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("true_count"))
+      .select($"event_type", $"true_count",
+        conv(substring(md5(concat(lit("dp:"), $"event_type")), 1, 15), 16, 10)
+          .cast("long").as("u60"))
+    val cdf = dpCdf.toDF("k", "thr")
+    counts.join(broadcast(cdf), $"u60" < $"thr")
+      .groupBy($"event_type", $"true_count").agg(min($"k").as("noise"))
+      .select($"event_type", $"true_count", $"noise",
+        greatest($"true_count" + $"noise", lit(0L)).as("noisy_count"))
+      .orderBy($"event_type")
+  }
+
+  private val qDpCountsSql = {
+    val cdfRows = dpCdf.map { case (k, t) => s"($k, $t)" }.mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT event_type, COUNT(*) AS true_count,
+       |    CAST('0x' || substring(md5('dp:' || event_type), 1, 15) AS BIGINT) AS u60
+       |  FROM events GROUP BY 1),
+       |cdf(k, thr) AS (VALUES $cdfRows)
+       |SELECT event_type, true_count, CAST(MIN(k) AS BIGINT) AS noise,
+       |  CAST(GREATEST(true_count + MIN(k), 0) AS BIGINT) AS noisy_count
+       |FROM counts JOIN cdf ON u60 < thr
+       |GROUP BY event_type, true_count
+       |ORDER BY event_type""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_ewma_anomaly" -> QueryDef(qEwmaAnomaly, Some(qEwmaAnomalySql)),
+    "corpus_filter_funnel" -> QueryDef(corpusFilterFunnel, Some(corpusFilterFunnelSql)),
+    "q_dp_counts" -> QueryDef(qDpCounts, Some(qDpCountsSql))
+  )
+}

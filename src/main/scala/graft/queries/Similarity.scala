@@ -1104,9 +1104,10 @@ object Similarity {
     * processed independently; O(Σ cell·probe) pairs, never n²). The
     * mutual flag is one self-join of the node-sized k-NN edge list on
     * the reversed key. */
-  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** The self-kNN edge list (node_id, neighbor_id, rk, cos_sim),
+    * checkpointed — shared by knn_graph and knn_graph_refine. */
+  private def selfKnnEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 3
     val emb = Tables.embeddings(s, dir)
     // cells MUST scale with the corpus when every vector probes: the
     // fixed 8-cell layout made pair volume n*2*(n/8) = quadratic — the
@@ -1122,10 +1123,15 @@ object Similarity {
     val n = emb.count()
     val cells = math.max(8L,
       math.min(65536L, math.ceil(math.sqrt(2.0 * n)).toLong)).toInt
-    val knn = Sim.ivfTopK(s, emb, emb, k = k, nCells = cells,
+    Sim.ivfTopK(s, emb, emb, k = 3, nCells = cells,
       broadcastProbes = false)
       .select($"query_id".as("node_id"), $"neighbor_id", $"rk", $"cos_sim")
-      .localCheckpoint() // node-sized; both sides of the mutual self-join read it
+      .localCheckpoint() // node-sized; every downstream self-join reads it
+  }
+
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val knn = selfKnnEdges(s, dir)
     val rev = knn.select($"node_id".as("rn"), $"neighbor_id".as("rq"))
     knn.join(rev, $"node_id" === $"rq" && $"neighbor_id" === $"rn", "left")
       .select($"node_id", $"neighbor_id", $"rk", $"cos_sim",
@@ -1176,6 +1182,76 @@ object Similarity {
        |FROM knn k LEFT JOIN knn m
        |  ON k.node_id = m.neighbor_id AND k.neighbor_id = m.node_id
        |ORDER BY k.node_id, k.rk""".stripMargin
+
+  /** One NN-descent refinement round (Dong et al. 2011) over the IVF
+    * kNN graph: a node's improved neighbor candidates are its current
+    * neighbors' neighbors — "a neighbor of a neighbor is likely a
+    * neighbor". Candidates = symmetrized edges ∪ their 2-hop closure
+    * (n·k² rows, LINEAR in n — the join never touches cells or the
+    * full corpus again), exact-cosine scored, top-3 per node kept;
+    * `was_knn` marks edges the IVF graph already had, so
+    * count(!was_knn) IS the measured improvement the round bought.
+    * This is how production kNN-graph builders (NN-descent/NGT) escape
+    * quantizer cell boundaries without any global recompute.
+    *
+    * Scale shape: two hash joins to fetch endpoint vectors for the
+    * candidate list (each shuffles candidate-count rows), one
+    * node-keyed window over ≤k² candidates per node. */
+  private def knnGraphRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val knn = selfKnnEdges(s, dir)
+    val und = knn.select($"node_id".as("a"), $"neighbor_id".as("b"))
+      .union(knn.select($"neighbor_id".as("a"), $"node_id".as("b")))
+      .distinct()
+    val twoHop = und.as("u1").join(und.as("u2"), col("u1.b") === col("u2.a"))
+      .select(col("u1.a").as("node_id"), col("u2.b").as("cand_id"))
+      .filter($"node_id" =!= $"cand_id")
+    val cand = twoHop
+      .union(und.select($"a".as("node_id"), $"b".as("cand_id")))
+      .distinct()
+    val scored = cand
+      .join(emb.select($"vec_id".as("node_id"), $"embedding".as("qe")), "node_id")
+      .join(emb.select($"vec_id".as("cand_id"), $"embedding".as("ce")), "cand_id")
+      .select($"node_id", $"cand_id".as("neighbor_id"),
+        round(Fns.cosine_sim($"qe", $"ce"), 9).as("cos_sim"))
+    val w = Window.partitionBy($"node_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val refined = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+    val orig = knn.select($"node_id".as("on"), $"neighbor_id".as("ob"))
+    refined.join(orig, $"node_id" === $"on" && $"neighbor_id" === $"ob", "left")
+      .select($"node_id", $"neighbor_id", $"rk", $"cos_sim",
+        $"on".isNotNull.as("was_knn"))
+      .orderBy($"node_id", $"rk")
+  }
+
+  private val knnGraphRefineSql =
+    s"""WITH $knnOracleCtes,
+       |und AS (
+       |  SELECT node_id AS a, neighbor_id AS b FROM knn
+       |  UNION
+       |  SELECT neighbor_id, node_id FROM knn),
+       |cand AS (
+       |  SELECT u1.a AS node_id, u2.b AS cand_id
+       |  FROM und u1 JOIN und u2 ON u1.b = u2.a
+       |  WHERE u1.a <> u2.b
+       |  UNION
+       |  SELECT a, b FROM und),
+       |sc2 AS (
+       |  SELECT c.node_id, c.cand_id AS neighbor_id,
+       |    ROUND(${cosSql("qe.embedding", "ce.embedding")}, 9) AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.node_id
+       |  JOIN embeddings ce ON ce.vec_id = c.cand_id),
+       |rr AS (
+       |  SELECT node_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM sc2)
+       |SELECT r.node_id, r.neighbor_id, r.rk, r.cos_sim,
+       |  k.node_id IS NOT NULL AS was_knn
+       |FROM rr r LEFT JOIN knn k
+       |  ON k.node_id = r.node_id AND k.neighbor_id = r.neighbor_id
+       |WHERE r.rk <= 3
+       |ORDER BY r.node_id, r.rk""".stripMargin
 
   /** Recall@3 of the kNN graph against the exact brute-force answer on
     * the first-10 node sample — the acceptance gate that makes the
@@ -1468,6 +1544,7 @@ object Similarity {
     "emb_matryoshka_eval" -> QueryDef(embMatryoshkaEval, Some(embMatryoshkaEvalSql)),
     "emb_mmr" -> QueryDef(embMmr, Some(embMmrSql)),
     "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
+    "knn_graph_refine" -> QueryDef(knnGraphRefine, Some(knnGraphRefineSql)),
     "knn_graph_recall" -> QueryDef(knnGraphRecall, Some(knnGraphRecallSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "emb_hard_negatives" -> QueryDef(embHardNegatives, Some(embHardNegativesSql)),
