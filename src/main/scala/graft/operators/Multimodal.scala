@@ -303,6 +303,44 @@ object Multimodal {
     }
   }
 
+  case class FrameBands(doc_id: Long, frame_idx: Long, bands: Array[Long])
+
+  /** Per-frame BAND energies — the spectral-band stand-in a
+    * constellation fingerprinter (Wang 2003 / Shazam shape) peaks over:
+    * each frame is cut into `nBands` equal byte slices and each slice
+    * reports its squared-deviation-from-midpoint energy. A real audio
+    * pipeline would swap the byte slices for FFT bins; the framing,
+    * in-scan evaluation (blobs never shuffle — only fixed-width
+    * (doc, frame, bands[]) rows leave the scan), and downstream peak /
+    * pair logic are the production shape. Bands past the blob end are
+    * energy 0 (matching the oracle's COALESCE over an empty range). */
+  def frameBandEnergy(spark: SparkSession, assets: Dataset[Asset],
+                      frameSize: Int, nBands: Int): Dataset[FrameBands] = {
+    require(frameSize > 0 && nBands > 0 && frameSize % nBands == 0)
+    import spark.implicits._
+    val bandSize = frameSize / nBands
+    assets.flatMap { a =>
+      val n = a.blob.length
+      val frames = (n + frameSize - 1) / frameSize
+      (0 until frames).iterator.map { f =>
+        val off = f * frameSize
+        val bands = Array.tabulate(nBands) { b =>
+          val lo = off + b * bandSize
+          val end = math.min(lo + bandSize, n)
+          var sum = 0L
+          var i = lo
+          while (i < end) {
+            val d = (a.blob(i) & 0xff) - 128
+            sum += d.toLong * d
+            i += 1
+          }
+          sum
+        }
+        FrameBands(a.doc_id, f.toLong, bands)
+      }
+    }
+  }
+
   /** Aspect-preserving resize planning over decoded dimensions: the
     * metadata half of a resize stage (the pixel work is the stubbed
     * codec's job). Integer math only (rounded integer division via

@@ -281,7 +281,145 @@ object Multimodal {
       |FROM segs
       |ORDER BY doc_id, seg_idx""".stripMargin
 
+  // ------------------------------------------------- mm_audio_peaks / match
+
+  /** Shared constellation-fingerprint derivation (Wang 2003 / the
+    * Shazam shape on byte blobs): 64-byte frames → 8 band energies
+    * (in-scan, blobs never shuffle) → per-frame peak band p (argmax,
+    * tie → lower band) + peak-strength quantum q = (maxv·15) div
+    * (tot+1) ∈ [0,15] → anchor-pair hashes over Δ ∈ {1,2} frames,
+    * hash = ((p·16+q)·8+p_Δ)·2+(Δ−1) — a 4096-value space. Distinct
+    * (doc, hash) rows; every downstream consumer is keyed on the
+    * fixed-width hash, exactly like the winnowing fingerprints. */
+  private def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{array_max, expr, lead}
+    val fb = MM.frameBandEnergy(s, MM.manifest(s, Tables.documents(s, dir)),
+      frameSize = 64, nBands = 8).toDF()
+    val pk = fb.select($"doc_id", $"frame_idx",
+        array_max($"bands").as("maxv"),
+        (expr("array_position(bands, array_max(bands))") - 1L).cast("long").as("p"),
+        expr("aggregate(bands, 0L, (acc, x) -> acc + x)").as("tot"))
+      .select($"doc_id", $"frame_idx", $"p",
+        expr("(maxv * 15) div (tot + 1)").as("q"))
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+    val withLead = pk
+      .withColumn("p1", lead($"p", 1).over(w))
+      .withColumn("p2", lead($"p", 2).over(w))
+    val h1 = withLead.filter($"p1".isNotNull)
+      .select($"doc_id", ((($"p" * 16 + $"q") * 8 + $"p1") * 2).as("hash"))
+    val h2 = withLead.filter($"p2".isNotNull)
+      .select($"doc_id", ((($"p" * 16 + $"q") * 8 + $"p2") * 2 + 1).as("hash"))
+    h1.union(h2).distinct()
+  }
+
+  /** Shared oracle fragment: frames → band lists → peaks → pair
+    * hashes, byte-exact via hex-pair extraction (one copy feeds both
+    * audio keys so the semantics cannot drift). */
+  private val audioFpCtes =
+    """h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |f AS (SELECT doc_id, hx, n,
+      |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS frame_idx FROM h),
+      |fb AS (SELECT doc_id, frame_idx,
+      |    list_transform(range(0, 8), b ->
+      |      CAST(COALESCE(list_sum(list_transform(
+      |        range(frame_idx*64 + b*8 + 1, LEAST(frame_idx*64 + b*8 + 8, n) + 1),
+      |        i -> (CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT) - 128)
+      |           * (CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT) - 128))), 0) AS BIGINT))
+      |      AS bands
+      |  FROM f),
+      |pk AS (SELECT doc_id, frame_idx,
+      |    CAST(list_position(bands, list_aggregate(bands, 'max')) - 1 AS BIGINT) AS p,
+      |    (list_aggregate(bands, 'max') * 15)
+      |      // (list_aggregate(bands, 'sum') + 1) AS q
+      |  FROM fb),
+      |ld AS (SELECT doc_id, frame_idx, p, q,
+      |    LEAD(p, 1) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p1,
+      |    LEAD(p, 2) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p2
+      |  FROM pk),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, hash FROM (
+      |    SELECT doc_id, ((p*16 + q)*8 + p1)*2 AS hash FROM ld WHERE p1 IS NOT NULL
+      |    UNION ALL
+      |    SELECT doc_id, ((p*16 + q)*8 + p2)*2 + 1 AS hash FROM ld WHERE p2 IS NOT NULL) u)""".stripMargin
+
+  /** Per-asset constellation fingerprint summary: hash count, smallest
+    * hash, and a 60-bit digest of the ordered hash set (the "track id"
+    * a lookup index stores). Assets too short to pair (≤1 frame) report
+    * 0/-1/-1 — they are present, not silently dropped. */
+  private def mmAudioPeaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val fb = MM.frameBandEnergy(s, MM.manifest(s, Tables.documents(s, dir)),
+      frameSize = 64, nBands = 8).toDF()
+    val nframes = fb.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+    val agg = audioFingerprints(s, dir)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hashes"), min($"hash").as("min_hash"),
+        sort_array(collect_list($"hash")).as("hs"))
+      .select($"doc_id".as("fd"), $"n_hashes", $"min_hash",
+        conv(substring(md5(expr(
+          "concat_ws(',', transform(hs, x -> cast(x as string)))")), 1, 15), 16, 10)
+          .cast("long").as("fp60"))
+    nframes.join(agg, $"doc_id" === $"fd", "left")
+      .select($"doc_id", $"n_frames",
+        coalesce($"n_hashes", lit(0L)).as("n_hashes"),
+        coalesce($"min_hash", lit(-1L)).as("min_hash"),
+        coalesce($"fp60", lit(-1L)).as("fp60"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmAudioPeaksSql =
+    s"""WITH $audioFpCtes,
+       |nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM f GROUP BY doc_id),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_hashes, MIN(hash) AS min_hash,
+       |    CAST('0x' || substring(md5(
+       |      string_agg(CAST(hash AS VARCHAR), ',' ORDER BY hash)), 1, 15) AS BIGINT) AS fp60
+       |  FROM fp GROUP BY doc_id)
+       |SELECT nf.doc_id, CAST(nf.n_frames AS BIGINT) AS n_frames,
+       |  CAST(COALESCE(agg.n_hashes, 0) AS BIGINT) AS n_hashes,
+       |  CAST(COALESCE(agg.min_hash, -1) AS BIGINT) AS min_hash,
+       |  CAST(COALESCE(agg.fp60, -1) AS BIGINT) AS fp60
+       |FROM nf LEFT JOIN agg ON agg.doc_id = nf.doc_id
+       |ORDER BY nf.doc_id""".stripMargin
+
+  /** Constellation MATCH join — shared-fingerprint audio pairs: a
+    * df≤64 stop-hash cap (the winnow/containment guard — hashes every
+    * asset emits carry no signal and would square the join), equi-join
+    * on the 8-byte hash, pairs sharing ≥2 hashes survive. The 100 TB
+    * shape: candidate generation is equi-join-shaped on fixed-width
+    * keys; blobs never shuffle; the df cap bounds bucket width. */
+  private def mmAudioMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val fp = audioFingerprints(s, dir).localCheckpoint()
+    val df = fp.groupBy($"hash").agg(count(lit(1)).as("df"))
+    val kept = fp.join(broadcast(df.filter($"df" <= 64)).select($"hash"), "hash")
+    val a = kept.select($"hash", $"doc_id".as("doc_a"))
+    val b = kept.select($"hash", $"doc_id".as("doc_b"))
+    a.join(b, Seq("hash")).filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared_hashes"))
+      .filter($"shared_hashes" >= 2)
+      .orderBy($"shared_hashes".desc, $"doc_a", $"doc_b")
+  }
+
+  private val mmAudioMatchSql =
+    s"""WITH $audioFpCtes,
+       |df AS (SELECT hash FROM fp GROUP BY hash HAVING COUNT(*) <= 64),
+       |kept AS (SELECT fp.doc_id, fp.hash FROM fp JOIN df USING (hash))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS shared_hashes
+       |FROM kept a JOIN kept b ON a.hash = b.hash AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY shared_hashes DESC, doc_a, doc_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "mm_audio_peaks" -> QueryDef(mmAudioPeaks, Some(mmAudioPeaksSql)),
+    "mm_audio_match" -> QueryDef(mmAudioMatch, Some(mmAudioMatchSql)),
     "mm_vad_segments" -> QueryDef(mmVadSegments, Some(mmVadSegmentsSql)),
     "mm_phash_pairs" -> QueryDef(mmPhashPairs, Some(mmPhashPairsSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),

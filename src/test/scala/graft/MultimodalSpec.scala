@@ -245,4 +245,36 @@ class MultimodalSpec extends AnyFunSuite {
       (7L, 1L, 0L, 0L, 1L, 589824L),
       (7L, 2L, 2L, 2L, 1L, 589824L)), got.toString)
   }
+
+  test("mm_audio_peaks: planted loud bands give the hand-computed constellation hash") {
+    import spark.implicits._
+    // frame 1: 8 spaces in band 3 (' ' d²=9216 → 73728), rest 'a'
+    // (961·8=7688): peak p=3, tot=127544, q=73728·15÷127545=8.
+    // frame 2: loud band 5 → p=5, q=8. One Δ=1 pair:
+    // hash = ((3·16+8)·8+5)·2 = 906.
+    val f1 = "a" * 24 + " " * 8 + "a" * 32
+    val f2 = "a" * 40 + " " * 8 + "a" * 16
+    val dir = java.nio.file.Files.createTempDirectory("peaksspec").toString
+    Seq((1L, f1 + f2)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("mm_audio_peaks")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 1L, 906L)), got.toString)
+  }
+
+  test("mm_audio_match: duplicate assets share their whole constellation; others none") {
+    import spark.implicits._
+    // docs 1,2 = same 5-frame signal alternating loud bands 1/2
+    // (4 distinct hashes: 388, 642, 387, 645); doc 3 = uniform bytes
+    // (peak band 0, hashes {16,17}) — no overlap with 1/2.
+    def frame(band: Int) = "a" * (band * 8) + " " * 8 + "a" * (64 - band * 8 - 8)
+    val sig = frame(1) + frame(2) + frame(1) + frame(2) + frame(1)
+    val dir = java.nio.file.Files.createTempDirectory("matchspec").toString
+    Seq((1L, sig), (2L, sig), (3L, "b" * 320))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("mm_audio_match")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 4L)), got.toString)
+  }
 }
