@@ -1001,13 +1001,15 @@ object Graph {
     * exact integer ppb — ((r−1)²·10⁹) div ((n−1)·Σd) where r = nodes
     * reached and Σd their hop sum — so the ranking carries no float;
     * eccentricity is the max finite hop (−1 for isolated roots). */
-  private def graphCloseness(s: SparkSession, dir: String): DataFrame = {
+  private val BfsInf = 1000000L
+
+  /** Multi-source BFS from every node (the shared pivot-distance
+    * engine under graph_closeness and graph_betweenness): (root, id, d)
+    * with d = BfsInf for unreachable, relaxed to fixpoint. */
+  private def pivotDistances(s: SparkSession, edges: DataFrame,
+                             nodes: DataFrame, maxIters: Long): DataFrame = {
     import s.implicits._
-    val edges = tradeEdges(s, dir)
-    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
-    val maxIters = nodes.count() // dim-table scalar: diameter ≤ |V| - 1
-    val Inf = 1000000L
-    // pivot set = all nodes here (bounded dimension); state (root, id, d)
+    val Inf = BfsInf
     var dist = nodes.select($"id".as("root")).crossJoin(nodes)
       .select($"root", $"id",
         when($"root" === $"id", 0L).otherwise(Inf).as("d"))
@@ -1028,6 +1030,16 @@ object Graph {
       dist = next.select($"root", $"id", $"d")
       iter += 1
     }
+    dist
+  }
+
+  private def graphCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
+    val maxIters = nodes.count() // dim-table scalar: diameter ≤ |V| - 1
+    val Inf = BfsInf
+    val dist = pivotDistances(s, edges, nodes, maxIters)
     dist.groupBy($"root")
       .agg(sum(when($"d" < Inf, 1L).otherwise(0L)).as("reached"),
         sum(when($"d" < Inf, $"d").otherwise(0L)).as("sum_hops"),
@@ -1066,7 +1078,107 @@ object Graph {
        |FROM agg CROSS JOIN cnt JOIN nation ON root = n_nationkey
        |ORDER BY closeness_ppb DESC, nation""".stripMargin
 
+  /** Betweenness centrality (Brandes 2001 semantics, pair-sum form)
+    * over the directed trade graph: bc(v) = Σ_{s≠v≠t} σ_sv·σ_vt/σ_st
+    * over shortest-path counts σ. Instead of Brandes' depth-descending
+    * dependency accumulation (awkward relationally), σ is built
+    * level-synchronously — σ_t(v) = Σ_{u→v, d(u)=t−1} σ_{t−1}(u) — and
+    * bc comes from ONE three-way join of the (pivot, node) σ table
+    * with the shortest-path composition test d_sv + d_vt = d_st.
+    *
+    * Exactness: σ are exact integer path counts; each (s,t) term is
+    * micro-quantized ((σ_sv·σ_vt·10⁶) div σ_st in DECIMAL(38)) before
+    * the sum, so the ranking is order-proof on both engines.
+    *
+    * Scale shape: state is |pivots|·|V| rows; each σ level is one
+    * edge⋈frontier join (the BFS shuffle), the bc join is pivot²·|V|
+    * bounded. On a data-sized graph the pivot set is sampled (as in
+    * closeness) — the standard betweenness approximation (Brandes &
+    * Pich 2007). */
+  private def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val nodes = Tables.nation(s, dir).select($"n_nationkey".as("id"))
+    val maxIters = nodes.count()
+    val fin = pivotDistances(s, edges, nodes, maxIters)
+      .filter($"d" < BfsInf).localCheckpoint()
+    val maxd = fin.agg(max($"d")).head.getLong(0) // bounded scalar
+    var level = fin.filter($"d" === 0L)
+      .select($"root", $"id", lit(1L).as("sigma"))
+    var sigAll = level
+    for (t <- 1L to maxd) {
+      val next = level.join(edges, level("id") === edges("src"))
+        .select($"root", $"dst".as("nid"), $"sigma")
+        .join(fin.filter($"d" === t)
+          .select($"root".as("fr"), $"id".as("fid")),
+          $"root" === $"fr" && $"nid" === $"fid")
+        .groupBy($"root", $"nid").agg(sum($"sigma").as("sigma"))
+        .select($"root", $"nid".as("id"), $"sigma")
+        .localCheckpoint()
+      sigAll = sigAll.unionByName(next)
+      level = next
+    }
+    val sig = sigAll.join(fin, Seq("root", "id")).localCheckpoint()
+    val sv = sig.select($"root".as("s"), $"id".as("v"),
+      $"sigma".as("ssv"), $"d".as("dsv"))
+    val vt = sig.select($"root".as("v2"), $"id".as("t"),
+      $"sigma".as("svt"), $"d".as("dvt"))
+    val st = sig.select($"root".as("s3"), $"id".as("t3"),
+      $"sigma".as("sst"), $"d".as("dst"))
+    val terms = sv.join(vt, $"v" === $"v2")
+      .join(st, $"s" === $"s3" && $"t" === $"t3" &&
+        ($"dsv" + $"dvt") === $"dst")
+      .filter($"s" =!= $"v" && $"t" =!= $"v" && $"s" =!= $"t")
+      .select($"v", expr(
+        """CAST((CAST(ssv AS DECIMAL(38,0)) * CAST(svt AS DECIMAL(38,0))
+          |  * 1000000) div CAST(sst AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+        .as("term"))
+    nodes.join(terms.groupBy($"v").agg(sum($"term").as("bcm")),
+        $"id" === $"v", "left")
+      .join(broadcast(Tables.nation(s, dir)), $"id" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        coalesce($"bcm", lit(0L)).as("bc_micro"),
+        (coalesce($"bcm", lit(0L)).cast("double") / 1e6).as("bc"))
+      .orderBy($"bc".desc, $"nation")
+  }
+
+  private val graphBetweennessSql: String =
+    s"""WITH RECURSIVE $edgesCte,
+       |nodes AS (SELECT n_nationkey AS id FROM nation),
+       |reach(root, id, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT r.root, e.dst, r.d + 1
+       |  FROM reach r JOIN edges e ON e.src = r.id
+       |  WHERE r.d < 999),
+       |best AS (SELECT root, id, MIN(d) AS d FROM reach GROUP BY root, id),
+       |paths(root, id, d, cnt) AS (
+       |  SELECT id, id, 0, 1 FROM nodes
+       |  UNION ALL
+       |  SELECT p.root, e.dst, p.d + 1, p.cnt
+       |  FROM paths p
+       |  JOIN edges e ON e.src = p.id
+       |  JOIN best b ON b.root = p.root AND b.id = e.dst AND b.d = p.d + 1),
+       |sig AS (SELECT root, id, d, SUM(cnt) AS sigma
+       |  FROM paths GROUP BY root, id, d),
+       |terms AS (
+       |  SELECT sv.id AS v,
+       |    ((sv.sigma::HUGEINT * vt.sigma * 1000000) // st.sigma) AS term
+       |  FROM sig sv
+       |  JOIN sig vt ON vt.root = sv.id
+       |  JOIN sig st ON st.root = sv.root AND st.id = vt.id
+       |    AND st.d = sv.d + vt.d
+       |  WHERE sv.root <> sv.id AND vt.root <> vt.id AND sv.root <> vt.id),
+       |agg AS (SELECT v, SUM(term) AS bcm FROM terms GROUP BY v)
+       |SELECT n_name AS nation,
+       |  CAST(COALESCE(bcm, 0) AS BIGINT) AS bc_micro,
+       |  CAST(COALESCE(bcm, 0) AS DOUBLE) / 1e6 AS bc
+       |FROM nodes LEFT JOIN agg ON nodes.id = agg.v
+       |JOIN nation ON nodes.id = n_nationkey
+       |ORDER BY bc DESC, nation""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "graph_betweenness" -> QueryDef(graphBetweenness, Some(graphBetweennessSql)),
     "graph_ppr" -> QueryDef(graphPpr, Some(graphPprSql)),
     "graph_closeness" -> QueryDef(graphCloseness, Some(graphClosenessSql)),
     "graph_label_prop" -> QueryDef(graphLabelProp, Some(graphLabelPropSql)),

@@ -66,4 +66,15 @@ class Round10EdgeSpec extends AnyFunSuite {
       ("BRAZIL", 2L, 1L, 500000000L, 1L),
       ("CANADA", 1L, 0L, 0L, -1L)), got.toString)
   }
+
+  test("graph_betweenness: the middle of a directed path carries the only s→t pair") {
+    // 0→1→2: the sole (s,t) pair with an intermediary is (0,2) through
+    // node 1 (σ01·σ12/σ02 = 1 → 1e6 micro); endpoints carry nothing.
+    val got = SparkEntry.queries("graph_betweenness")(spark, pathDir())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      ("BRAZIL", 1000000L),
+      ("ALGERIA", 0L),
+      ("CANADA", 0L)), got.toString)
+  }
 }
