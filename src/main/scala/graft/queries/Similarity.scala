@@ -1197,10 +1197,13 @@ object Similarity {
     * Scale shape: two hash joins to fetch endpoint vectors for the
     * candidate list (each shuffles candidate-count rows), one
     * node-keyed window over ≤k² candidates per node. */
-  private def knnGraphRefine(s: SparkSession, dir: String): DataFrame = {
+  /** NN-descent candidate scoring shared by knn_graph_refine and
+    * ann_vamana_prune: symmetrize, close over 2 hops, exact-cosine
+    * score, rank per node. */
+  private def refineScored(s: SparkSession, dir: String,
+                           knn: DataFrame): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val knn = selfKnnEdges(s, dir)
     val und = knn.select($"node_id".as("a"), $"neighbor_id".as("b"))
       .union(knn.select($"neighbor_id".as("a"), $"node_id".as("b")))
       .distinct()
@@ -1216,7 +1219,13 @@ object Similarity {
       .select($"node_id", $"cand_id".as("neighbor_id"),
         round(Fns.cosine_sim($"qe", $"ce"), 9).as("cos_sim"))
     val w = Window.partitionBy($"node_id").orderBy($"cos_sim".desc, $"neighbor_id")
-    val refined = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+    scored.withColumn("rk", row_number().over(w))
+  }
+
+  private def knnGraphRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val knn = selfKnnEdges(s, dir)
+    val refined = refineScored(s, dir, knn).filter($"rk" <= 3)
     val orig = knn.select($"node_id".as("on"), $"neighbor_id".as("ob"))
     refined.join(orig, $"node_id" === $"on" && $"neighbor_id" === $"ob", "left")
       .select($"node_id", $"neighbor_id", $"rk", $"cos_sim",
@@ -1224,9 +1233,11 @@ object Similarity {
       .orderBy($"node_id", $"rk")
   }
 
-  private val knnGraphRefineSql =
-    s"""WITH $knnOracleCtes,
-       |und AS (
+  /** Shared oracle fragment for the NN-descent candidate scoring
+    * (feeds knn_graph_refine and ann_vamana_prune — one copy, no
+    * drift). Produces rr(node_id, neighbor_id, cos_sim, rk). */
+  private val refineCtes =
+    s"""und AS (
        |  SELECT node_id AS a, neighbor_id AS b FROM knn
        |  UNION
        |  SELECT neighbor_id, node_id FROM knn),
@@ -1245,13 +1256,84 @@ object Similarity {
        |rr AS (
        |  SELECT node_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-       |  FROM sc2)
+       |  FROM sc2)""".stripMargin
+
+  private val knnGraphRefineSql =
+    s"""WITH $knnOracleCtes,
+       |$refineCtes
        |SELECT r.node_id, r.neighbor_id, r.rk, r.cos_sim,
        |  k.node_id IS NOT NULL AS was_knn
        |FROM rr r LEFT JOIN knn k
        |  ON k.node_id = r.node_id AND k.neighbor_id = r.neighbor_id
        |WHERE r.rk <= 3
        |ORDER BY r.node_id, r.rk""".stripMargin
+
+  /** RNG-rule occlusion pruning (the edge-selection step of graph
+    * ANN indexes — DiskANN/Vamana, HNSW level-0): from each node's
+    * candidate pool (IVF kNN ∪ one NN-descent round), DROP candidate v
+    * when some closer candidate u occludes it — cos(node,u) >
+    * cos(node,v) AND cos(u,v) > cos(node,v) — keeping diverse "spoke"
+    * edges instead of k redundant near-parallel ones (what makes graph
+    * search converge in few hops). Order-free relational form of the
+    * greedy prune: the occlusion test is a per-node candidate-pair
+    * join (≤k'² pairs per node, linear in n) + one anti-join; both
+    * cosines exact and 9dp-rounded with fixed operand order.
+    *
+    * Scale shape: candidate pairs carry only ids until the two
+    * embedding hash-joins; no corpus-sized broadcast, no window wider
+    * than a node's candidate pool. */
+  private def annVamanaPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val knn = selfKnnEdges(s, dir)
+    val cset = refineScored(s, dir, knn).filter($"rk" <= 3)
+      .select($"node_id", $"neighbor_id", $"cos_sim")
+      .union(knn.select($"node_id", $"neighbor_id", $"cos_sim"))
+      .distinct()
+      .localCheckpoint() // both sides of the occlusion pair join read it
+    val closer = cset.select($"node_id".as("n2"), $"neighbor_id".as("u"),
+      $"cos_sim".as("su"))
+    val occluded = cset
+      .join(closer, $"node_id" === $"n2" && $"su" > $"cos_sim")
+      .join(emb.select($"vec_id".as("u"), $"embedding".as("ue")), "u")
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ve")),
+        "neighbor_id")
+      .filter(round(Fns.cosine_sim($"ue", $"ve"), 9) > $"cos_sim")
+      .select($"node_id".as("on"), $"neighbor_id".as("ov"))
+      .distinct()
+    val kept = cset.join(occluded,
+      $"node_id" === $"on" && $"neighbor_id" === $"ov", "left_anti")
+    val w = Window.partitionBy($"node_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    kept.withColumn("rk", row_number().over(w))
+      .select($"node_id", $"neighbor_id", $"rk", $"cos_sim")
+      .orderBy($"node_id", $"rk")
+  }
+
+  private val annVamanaPruneSql =
+    s"""WITH $knnOracleCtes,
+       |$refineCtes,
+       |cset AS (
+       |  SELECT DISTINCT node_id, neighbor_id, cos_sim FROM (
+       |    SELECT node_id, neighbor_id, cos_sim FROM rr WHERE rk <= 3
+       |    UNION ALL
+       |    SELECT node_id, neighbor_id, cos_sim FROM knn) u),
+       |occl AS (
+       |  SELECT DISTINCT c1.node_id, c1.neighbor_id
+       |  FROM cset c1
+       |  JOIN cset c2 ON c2.node_id = c1.node_id AND c2.cos_sim > c1.cos_sim
+       |  JOIN embeddings eu ON eu.vec_id = c2.neighbor_id
+       |  JOIN embeddings ev ON ev.vec_id = c1.neighbor_id
+       |  WHERE ROUND(${cosSql("eu.embedding", "ev.embedding")}, 9) > c1.cos_sim),
+       |kept AS (
+       |  SELECT c.node_id, c.neighbor_id, c.cos_sim
+       |  FROM cset c LEFT JOIN occl o
+       |    ON o.node_id = c.node_id AND o.neighbor_id = c.neighbor_id
+       |  WHERE o.node_id IS NULL)
+       |SELECT node_id, neighbor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos_sim DESC, neighbor_id) AS rk,
+       |  cos_sim
+       |FROM kept
+       |ORDER BY node_id, rk""".stripMargin
 
   /** Recall@3 of the kNN graph against the exact brute-force answer on
     * the first-10 node sample — the acceptance gate that makes the
@@ -1545,6 +1627,7 @@ object Similarity {
     "emb_mmr" -> QueryDef(embMmr, Some(embMmrSql)),
     "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
     "knn_graph_refine" -> QueryDef(knnGraphRefine, Some(knnGraphRefineSql)),
+    "ann_vamana_prune" -> QueryDef(annVamanaPrune, Some(annVamanaPruneSql)),
     "knn_graph_recall" -> QueryDef(knnGraphRecall, Some(knnGraphRecallSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "emb_hard_negatives" -> QueryDef(embHardNegatives, Some(embHardNegativesSql)),
