@@ -642,6 +642,81 @@ object Similarity {
        |${assignCte("afinal", s"c$KmIters")}
        |SELECT vec_id, cell, dist FROM afinal ORDER BY vec_id""".stripMargin
 
+  /** Normalized mutual information between the trained k-means cells
+    * and the gold labels — the standard external clustering-quality
+    * eval (does unsupervised structure recover the labels?). All
+    * entropy/MI terms use the q_entropy discipline: ln of each DISTINCT
+    * count nano-quantized to an integer BEFORE any sum, so the three
+    * accumulations (N·I, N·H_cells, N·H_labels) are exact integer sums
+    * in any aggregation order; NMI = 2I/(Hc+Hl) is one double division
+    * of those integers. The only corpus-sized work is the k-means
+    * assignment (shared kmeansFit); everything after runs on the
+    * cell×label contingency table. */
+  private def embNmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (q, cent) = kmeansFit(s, dir)
+    val asg = kmAssign(q, cent).select($"vec_id", $"cell")
+    val lab = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"))
+    def lq(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * 1e9).cast("long")
+    val ct = asg.join(lab, "vec_id").groupBy($"cell", $"label")
+      .agg(count(lit(1)).as("nij")).localCheckpoint()
+    val ni = ct.groupBy($"cell").agg(sum($"nij").as("ni"))
+    val nj = ct.groupBy($"label").agg(sum($"nij").as("nj"))
+    val tot = ct.agg(sum($"nij").as("n"), count(lit(1)).as("n_pairs"))
+    val iq = ct.join(broadcast(ni), "cell").join(broadcast(nj), "label")
+      .crossJoin(broadcast(tot))
+      .agg(sum($"nij" * (lq($"nij") + lq($"n") - lq($"ni") - lq($"nj"))).as("i_nano"))
+    val hc = ni.crossJoin(broadcast(tot))
+      .agg(sum($"ni" * (lq($"n") - lq($"ni"))).as("hc_nano"),
+        count(lit(1)).as("n_cells"))
+    val hl = nj.crossJoin(broadcast(tot))
+      .agg(sum($"nj" * (lq($"n") - lq($"nj"))).as("hl_nano"),
+        count(lit(1)).as("n_labels"))
+    iq.crossJoin(hc).crossJoin(hl)
+      .select($"n_cells", $"n_labels",
+        $"i_nano".cast("long").as("i_nano"),
+        $"hc_nano".cast("long").as("hc_nano"),
+        $"hl_nano".cast("long").as("hl_nano"),
+        (lit(2.0) * $"i_nano" / ($"hc_nano" + $"hl_nano")).as("nmi"))
+  }
+
+  private val embNmiSql: String =
+    s"""WITH $kmeansCtes,
+       |${assignCte("afinal", s"c$KmIters")},
+       |ct AS (
+       |  SELECT a.cell, CAST(e.label AS BIGINT) AS label, COUNT(*) AS nij
+       |  FROM afinal a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY a.cell, e.label),
+       |ni AS (SELECT cell, SUM(nij) AS ni FROM ct GROUP BY cell),
+       |nj AS (SELECT label, SUM(nij) AS nj FROM ct GROUP BY label),
+       |tot AS (SELECT SUM(nij) AS n FROM ct),
+       |iq AS (
+       |  SELECT SUM(nij * (
+       |      CAST(ROUND(LN(CAST(nij AS DOUBLE))*1e9) AS BIGINT)
+       |    + CAST(ROUND(LN(CAST(n AS DOUBLE))*1e9) AS BIGINT)
+       |    - CAST(ROUND(LN(CAST(ni AS DOUBLE))*1e9) AS BIGINT)
+       |    - CAST(ROUND(LN(CAST(nj AS DOUBLE))*1e9) AS BIGINT))) AS i_nano
+       |  FROM ct JOIN ni USING (cell) JOIN nj USING (label) CROSS JOIN tot),
+       |hc AS (
+       |  SELECT SUM(ni * (CAST(ROUND(LN(CAST(n AS DOUBLE))*1e9) AS BIGINT)
+       |                 - CAST(ROUND(LN(CAST(ni AS DOUBLE))*1e9) AS BIGINT))) AS hc_nano,
+       |    COUNT(*) AS n_cells
+       |  FROM ni CROSS JOIN tot),
+       |hl AS (
+       |  SELECT SUM(nj * (CAST(ROUND(LN(CAST(n AS DOUBLE))*1e9) AS BIGINT)
+       |                 - CAST(ROUND(LN(CAST(nj AS DOUBLE))*1e9) AS BIGINT))) AS hl_nano,
+       |    COUNT(*) AS n_labels
+       |  FROM nj CROSS JOIN tot)
+       |SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       |  CAST(n_labels AS BIGINT) AS n_labels,
+       |  CAST(i_nano AS BIGINT) AS i_nano,
+       |  CAST(hc_nano AS BIGINT) AS hc_nano,
+       |  CAST(hl_nano AS BIGINT) AS hl_nano,
+       |  2.0 * CAST(i_nano AS BIGINT) / (CAST(hc_nano AS BIGINT) + CAST(hl_nano AS BIGINT)) AS nmi
+       |FROM iq CROSS JOIN hc CROSS JOIN hl""".stripMargin
+
   /** Trained coarse centroids as float vectors: the kmeansFit cell
     * table re-assembled into Array[Float] (cv/1e6, one IEEE double
     * divide + float round — bit-identical on any engine), in the shape
@@ -1637,6 +1712,7 @@ object Similarity {
     "emb_label_noise" -> QueryDef(embLabelNoise, Some(embLabelNoiseSql)),
     "ann_range_search" -> QueryDef(annRangeSearch, Some(annRangeSearchSql)),
     "emb_kmeans" -> QueryDef(embKmeans, Some(embKmeansSql)),
+    "emb_nmi" -> QueryDef(embNmi, Some(embNmiSql)),
     "ann_bruteforce" -> QueryDef(annBruteforce, Some(annBruteforceSql), bench = true),
     "ann_lsh" -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),

@@ -42,4 +42,27 @@ class VamanaSpec extends AnyFunSuite {
     val base = SparkEntry.queries("knn_graph")(spark, dir).count()
     assert(kept.length <= base * 2, "pruned graph larger than the raw candidate pool bound")
   }
+
+  test("emb_nmi: k-means that exactly recovers the labels scores NMI = 1.0") {
+    import spark.implicits._
+    // 8 well-separated one-hot clusters, 3 vectors each; vec_ids 0..7
+    // are the cluster archetypes, so the first-8 init starts one
+    // centroid per cluster and Lloyd's assignment is the label
+    // partition. Identical partitions make the integer I/Hc/Hl sums
+    // equal term-by-term -> nmi is exactly 1.0.
+    val rows = (0 until 24).map { i =>
+      val c = i % 8
+      val scale = if (i < 8) 1.0f else 0.9f
+      val v = Array.fill(8)(0.0f); v(c) = scale
+      (i.toLong, v.toSeq, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("nmispec").toString
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("emb_nmi")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 8L, r.toString)
+    assert(r.getDouble(5) == 1.0, r.toString)
+  }
 }
