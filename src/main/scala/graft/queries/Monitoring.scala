@@ -184,7 +184,92 @@ object Monitoring {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ----------------------------------------------------------- text_jsd_drift
+
+  /** Jensen–Shannon vocabulary drift per source vs the whole corpus —
+    * the text analog of q_psi_drift's numeric PSI: unigram mass over
+    * 1024 md5 hash buckets (the DSIR convention — bounded distribution
+    * state at any corpus size), JSD(P_source, Q_corpus) with M the
+    * midpoint. Exactness: p/m and q/m reduce to ratios of EXACT
+    * integers (2·c_s·N vs c_s·N + c·N_s), each ln nano-quantized per
+    * distinct operand before the per-source integer sums; the final
+    * jsd = s1/(2e9·N_s) + s2/(2e9·N) is two double divisions + one
+    * add of fixed shape. Products ride DECIMAL(38)/HUGEINT so token
+    * counts can reach 1e13 without overflow. Zero-in-source buckets
+    * contribute only the q-side term (ln 2 shape); the p-side term
+    * carries a c_s multiplier and is gated on c_s > 0. */
+  private def textJsdDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def lq(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * 1e9).cast("long")
+    val tok = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .select($"source",
+        (conv(substring(md5($"w"), 1, 15), 16, 10).cast("long") % 1024L).as("b"))
+    val cs = tok.groupBy($"source", $"b").agg(count(lit(1)).as("cs"))
+      .localCheckpoint() // bounded: sources × 1024 buckets
+    val cb = cs.groupBy($"b").agg(sum($"cs").as("c"))
+    val ns = cs.groupBy($"source").agg(sum($"cs").as("nstok"),
+      sum(when($"cs" > 0, 1L).otherwise(0L)).as("n_buckets"))
+    val ntot = cb.agg(sum($"c").as("n"))
+    val grid = ns.crossJoin(broadcast(cb)).crossJoin(broadcast(ntot))
+      .join(cs.select($"source".as("s2"), $"b".as("b2"), $"cs"),
+        $"source" === $"s2" && $"b" === $"b2", "left")
+      .select($"source", $"nstok", $"n_buckets", $"n",
+        coalesce($"cs", lit(0L)).as("csv"), $"c")
+    val terms = grid.select($"source", $"nstok", $"n_buckets", $"n",
+      when($"csv" > 0,
+        $"csv" * (lq(($"csv" * 2).cast(d38) * $"n") -
+          lq($"csv".cast(d38) * $"n" + $"c".cast(d38) * $"nstok")))
+        .otherwise(0L).as("t1"),
+      ($"c" * (lq(($"c" * 2).cast(d38) * $"nstok") -
+        lq($"csv".cast(d38) * $"n" + $"c".cast(d38) * $"nstok"))).as("t2"))
+    terms.groupBy($"source", $"nstok", $"n_buckets", $"n")
+      .agg(sum($"t1").as("s1"), sum($"t2").as("s2"))
+      .select($"source", $"nstok".as("n_tokens"), $"n_buckets",
+        $"s1".cast("long").as("s1_nano"), $"s2".cast("long").as("s2_nano"),
+        ($"s1".cast("double") / (lit(2e9) * $"nstok") +
+          $"s2".cast("double") / (lit(2e9) * $"n")).as("jsd"))
+      .orderBy($"source")
+  }
+
+  private val textJsdDriftSql =
+    """WITH tok AS (
+      |  SELECT source,
+      |    CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE len(w) > 0),
+      |cs AS (SELECT source, b, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+      |cb AS (SELECT b, SUM(cs) AS c FROM cs GROUP BY 1),
+      |ns AS (SELECT source, SUM(cs) AS nstok, COUNT(*) AS n_buckets
+      |  FROM cs GROUP BY 1),
+      |ntot AS (SELECT SUM(c) AS n FROM cb),
+      |grid AS (
+      |  SELECT ns.source, ns.nstok, ns.n_buckets, ntot.n,
+      |    COALESCE(s2.cs, 0) AS csv, cb.c
+      |  FROM ns CROSS JOIN cb CROSS JOIN ntot
+      |  LEFT JOIN cs s2 ON s2.source = ns.source AND s2.b = cb.b),
+      |terms AS (
+      |  SELECT source, nstok, n_buckets, n,
+      |    CASE WHEN csv > 0 THEN csv * (
+      |        CAST(ROUND(LN(CAST(2::HUGEINT * csv * n AS DOUBLE))*1e9) AS BIGINT)
+      |      - CAST(ROUND(LN(CAST(csv::HUGEINT * n + c::HUGEINT * nstok AS DOUBLE))*1e9) AS BIGINT))
+      |      ELSE 0 END AS t1,
+      |    c * (CAST(ROUND(LN(CAST(2::HUGEINT * c * nstok AS DOUBLE))*1e9) AS BIGINT)
+      |      - CAST(ROUND(LN(CAST(csv::HUGEINT * n + c::HUGEINT * nstok AS DOUBLE))*1e9) AS BIGINT)) AS t2
+      |  FROM grid)
+      |SELECT source, CAST(nstok AS BIGINT) AS n_tokens,
+      |  CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(SUM(t1) AS BIGINT) AS s1_nano, CAST(SUM(t2) AS BIGINT) AS s2_nano,
+      |  CAST(SUM(t1) AS DOUBLE) / (2e9 * nstok)
+      |    + CAST(SUM(t2) AS DOUBLE) / (2e9 * MAX(n)) AS jsd
+      |FROM terms GROUP BY source, nstok, n_buckets
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_jsd_drift" -> QueryDef(textJsdDrift, Some(textJsdDriftSql)),
     "q_ewma_anomaly" -> QueryDef(qEwmaAnomaly, Some(qEwmaAnomalySql)),
     "corpus_filter_funnel" -> QueryDef(corpusFilterFunnel, Some(corpusFilterFunnelSql)),
     "q_dp_counts" -> QueryDef(qDpCounts, Some(qDpCountsSql))

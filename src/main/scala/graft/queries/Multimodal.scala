@@ -417,7 +417,70 @@ object Multimodal {
        |HAVING COUNT(*) >= 2
        |ORDER BY shared_hashes DESC, doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------- mm_shot_boundaries
+
+  /** Shot-boundary detection (the video-curation cut detector): L1
+    * distance between consecutive frames' band-energy signatures,
+    * flagged where a frame's delta is ≥2× the document's mean delta —
+    * exact integer cross-multiply delta·n_deltas ≥ 2·Σdelta, the VAD
+    * thresholding discipline. A real decoder would swap byte-band
+    * energies for per-frame color histograms; the lag-join, in-row L1,
+    * and relative-threshold plumbing are the production shape. Frames
+    * are fixed-width rows keyed by doc — blobs never shuffle, windows
+    * never span documents. */
+  private def mmShotBoundaries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, expr, lag, sum}
+    val fb = MM.frameBandEnergy(s, MM.manifest(s, Tables.documents(s, dir)),
+      frameSize = 64, nBands = 8).toDF()
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+    val deltas = fb
+      .withColumn("prev", lag($"bands", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"doc_id", $"frame_idx",
+        expr("aggregate(zip_with(bands, prev, (x, y) -> abs(x - y)), 0L, (a, x) -> a + x)")
+          .as("delta_l1"))
+    val docW = Window.partitionBy($"doc_id")
+    deltas
+      .withColumn("nd", count(lit(1)).over(docW))
+      .withColumn("tot", sum($"delta_l1").over(docW))
+      .filter($"delta_l1" * $"nd" >= lit(2L) * $"tot" && $"tot" > 0L)
+      .select($"doc_id", $"frame_idx", $"delta_l1", $"nd".as("n_deltas"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmShotBoundariesSql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |f AS (SELECT doc_id, hx, n,
+      |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS frame_idx FROM h),
+      |fb AS (SELECT doc_id, frame_idx,
+      |    list_transform(range(0, 8), b ->
+      |      CAST(COALESCE(list_sum(list_transform(
+      |        range(frame_idx*64 + b*8 + 1, LEAST(frame_idx*64 + b*8 + 8, n) + 1),
+      |        i -> (CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT) - 128)
+      |           * (CAST('0x' || substring(hx, 2*i - 1, 2) AS BIGINT) - 128))), 0) AS BIGINT))
+      |      AS bands
+      |  FROM f),
+      |d AS (SELECT f1.doc_id, f1.frame_idx,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> ABS(f1.bands[CAST(i AS INTEGER)] - f2.bands[CAST(i AS INTEGER)]))) AS BIGINT)
+      |      AS delta_l1
+      |  FROM fb f1 JOIN fb f2
+      |    ON f1.doc_id = f2.doc_id AND f2.frame_idx = f1.frame_idx - 1),
+      |st AS (SELECT doc_id, frame_idx, delta_l1,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS nd,
+      |    SUM(delta_l1) OVER (PARTITION BY doc_id) AS tot
+      |  FROM d)
+      |SELECT doc_id, frame_idx, delta_l1, CAST(nd AS BIGINT) AS n_deltas
+      |FROM st
+      |WHERE delta_l1 * nd >= 2 * tot AND tot > 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "mm_shot_boundaries" -> QueryDef(mmShotBoundaries, Some(mmShotBoundariesSql)),
     "mm_audio_peaks" -> QueryDef(mmAudioPeaks, Some(mmAudioPeaksSql)),
     "mm_audio_match" -> QueryDef(mmAudioMatch, Some(mmAudioMatchSql)),
     "mm_vad_segments" -> QueryDef(mmVadSegments, Some(mmVadSegmentsSql)),
