@@ -1322,6 +1322,79 @@ object Pipeline {
       .orderBy($"user_id", $"v_eid")
   }
 
+  /** Streaming EWMA anomaly replay — the TENTH driver-verified
+    * streaming path: q_ewma_anomaly's exact integer recurrence runs as
+    * per-event_type state (`EventStream.streamingEwma` — open-day
+    * partials + one (lastDay, ewma) pair per key, days finalized in
+    * order as the watermark passes them), replayed via the file source
+    * + sentinel protocol and hash-compared against a per-type
+    * recursive-CTE oracle. A day emitted twice, out of order, or with
+    * a stale smoothed level changes the recurrence trajectory and
+    * fails the hash. */
+  private def ewmaStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    def sentinel(id: Long, offsetMs: Long) = Seq(
+      (id, new java.sql.Timestamp(maxTs.getTime + offsetMs), -1L, "zz_sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft-ewma-replay").toString
+    ev.write.mode("overwrite").parquet(s"$root/src")
+
+    def drain(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(s"$root/src")
+        .as[EventStream.Event]
+        .transform(d => EventStream.streamingEwma(s, d).toDF())
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("ewma_streaming_replay: stream stalled")
+      }
+    }
+    drain()
+    sentinel(-1L, 30L * 24 * 3600 * 1000).write.mode("append").parquet(s"$root/src")
+    drain()
+    sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
+    drain()
+
+    s.read.parquet(s"$root/out")
+      .filter($"event_type" =!= "zz_sentinel")
+      .select($"event_type", $"day", $"rev_cents", $"ewma_cents", $"is_anomaly")
+      .orderBy($"event_type", $"day")
+  }
+
+  private val ewmaStreamingReplaySql =
+    """WITH RECURSIVE rev AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts)//1000000)//86400000 AS day,
+      |    SUM(CAST(ROUND(value*100) AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, day, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM rev),
+      |ew(event_type, i, sn) AS (
+      |  SELECT event_type, 1, CAST(v AS HUGEINT) FROM r WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i, (2 * r.v + 8 * ew.sn) // 10
+      |  FROM ew JOIN r ON r.event_type = ew.event_type AND r.i = ew.i + 1)
+      |SELECT r.event_type, r.day, r.v AS rev_cents,
+      |  CAST(ew.sn AS BIGINT) AS ewma_cents,
+      |  CASE WHEN prev.sn IS NULL THEN FALSE
+      |       WHEN 10 * r.v > 13 * prev.sn OR 10 * r.v < 7 * prev.sn THEN TRUE
+      |       ELSE FALSE END AS is_anomaly
+      |FROM r
+      |JOIN ew ON ew.event_type = r.event_type AND ew.i = r.i
+      |LEFT JOIN ew prev ON prev.event_type = r.event_type AND prev.i = r.i - 1
+      |ORDER BY r.event_type, r.day""".stripMargin
+
   private val kmvStreamingReplaySql =
     """WITH e AS (SELECT (epoch_ns(ts)//1000000)//3600000*3600000 AS wstart_ms,
       |    event_type,
@@ -1394,6 +1467,7 @@ object Pipeline {
   val defs: Map[String, QueryDef] = Map(
     "events_seq_pairs" -> QueryDef(eventsSeqPairs, Some(eventsSeqPairsSql)),
     "kmv_streaming_replay" -> QueryDef(kmvStreamingReplay, Some(kmvStreamingReplaySql)),
+    "ewma_streaming_replay" -> QueryDef(ewmaStreamingReplay, Some(ewmaStreamingReplaySql)),
     "events_cep_match" -> QueryDef(eventsCepMatch, Some(eventsCepMatchSql)),
     "cep_streaming_replay" -> QueryDef(cepStreamingReplay, Some(eventsCepMatchSql)),
     "q_feature_store_pit" -> QueryDef(qFeatureStorePit, Some(qFeatureStorePitSql)),

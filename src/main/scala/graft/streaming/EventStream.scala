@@ -487,4 +487,72 @@ object EventStream {
       Iterator.empty
     }
   }
+
+  case class EwmaState(open: Map[Long, Long], lastDay: Long, ewma: Long)
+
+  case class EwmaOut(event_type: String, day: Long, rev_cents: Long,
+                     ewma_cents: Long, is_anomaly: Boolean)
+
+  /** STREAMING EWMA anomaly monitor — q_ewma_anomaly's recurrence as
+    * per-key state (the alerting pipeline shape): per event_type, daily
+    * cents totals accumulate in an open-days map; when the watermark
+    * passes a day's end the day finalizes IN DAY ORDER through the
+    * exact integer recurrence s = (2·x + 8·s′) div 10 with the ±30%
+    * integer cross-multiply anomaly test against the prior smoothed
+    * level. State per key = the open-day partials plus one (lastDay,
+    * ewma) pair — bounded by the watermark horizon, independent of
+    * stream length. Cents are quantized in the DataFrame (Spark ROUND,
+    * half away from zero) BEFORE the lambda so batch and stream share
+    * the quantizer; floorDiv matches the oracle's `//` on any sign. */
+  def streamingEwma(spark: SparkSession, events: Dataset[Event],
+                    watermark: String = "30 minutes"): Dataset[EwmaOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Timestamp, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        ewmaUpdate _)
+  }
+
+  private def ewmaUpdate(
+      eventType: String, rows: Iterator[(Timestamp, String, Long)],
+      state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+    val dayMs = 86400000L
+    val wm = state.getCurrentWatermarkMs()
+    var st = state.getOption.getOrElse(EwmaState(Map.empty, -1L, 0L))
+    if (!state.hasTimedOut) {
+      // a day already consumed by the recurrence never re-opens: a
+      // straggler that slipped past the watermark filter is dropped
+      // rather than emitted as a duplicate day (exactly-once contract)
+      val merged = rows.foldLeft(st.open) { case (acc, (ts, _, c)) =>
+        val d = Math.floorDiv(ts.getTime, dayMs)
+        if (d <= st.lastDay) acc
+        else acc.updated(d, acc.getOrElse(d, 0L) + c)
+      }
+      st = st.copy(open = merged)
+    }
+    // finalize days whose end the watermark has passed, in day order —
+    // the recurrence consumes closed days exactly once, oldest first
+    val (closable, stillOpen) = st.open.partition {
+      case (d, _) => (d + 1) * dayMs <= wm
+    }
+    val out = closable.toSeq.sortBy(_._1).map { case (d, cents) =>
+      val anom = st.lastDay >= 0 &&
+        (10 * cents > 13 * st.ewma || 10 * cents < 7 * st.ewma)
+      val e =
+        if (st.lastDay < 0) cents
+        else Math.floorDiv(2 * cents + 8 * st.ewma, 10L)
+      st = st.copy(lastDay = d, ewma = e)
+      EwmaOut(eventType, d, cents, e, anom)
+    }
+    st = st.copy(open = stillOpen)
+    state.update(st)
+    if (st.open.nonEmpty)
+      state.setTimeoutTimestamp((st.open.keys.min + 1) * dayMs)
+    else state.setTimeoutTimestamp(wm + dayMs) // pure tick until new data
+    out.iterator
+  }
 }
