@@ -65,6 +65,74 @@ object Monitoring {
       |LEFT JOIN ew prev ON prev.i = r.i - 1
       |ORDER BY r.day""".stripMargin
 
+  // ------------------------------------------------------------ q_holt_trend
+
+  /** Holt's double exponential smoothing (level + trend) over daily
+    * revenue — the forecasting companion to q_ewma_anomaly's control
+    * chart: l_t = (2·x_t + 8·(l′+b′)) div 10, b_t = (3·(l_t−l′) +
+    * 7·b′) div 10 (α=0.2, β=0.3 as exact integer recurrences), with
+    * the one-step-ahead forecast l′+b′ and its signed error emitted
+    * per day. Same scale shape as EWMA: one daily aggregate scan, the
+    * recurrence folds over the date-dimension-bounded day table on
+    * the driver; the oracle walks the identical trajectory in a
+    * recursive CTE. */
+  private def qHoltTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .groupBy(floor(unix_timestamp($"o_orderdate").cast("double") / 86400)
+        .cast("long").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("v"))
+      .orderBy($"day")
+      .collect() // bounded: one row per distinct order day
+    var lPrev: BigInt = null
+    var bPrev: BigInt = BigInt(0)
+    // BigInt `/` truncates toward zero — exactly DuckDB's integer `//`
+    // (measured: CAST(-7 AS HUGEINT) // 2 = -3), which matters here
+    // because trend deltas go negative
+    val rows = rev.map { r =>
+      val (day, v) = (r.getLong(0), BigInt(r.getLong(1)))
+      val (forecast, err, l, b) =
+        if (lPrev == null) (v, BigInt(0), v, BigInt(0))
+        else {
+          val f = lPrev + bPrev
+          val lc = (2 * v + 8 * f) / 10
+          val bc = (3 * (lc - lPrev) + 7 * bPrev) / 10
+          (f, v - f, lc, bc)
+        }
+      lPrev = l; bPrev = b
+      (day, v.toLong, l.toLong, b.toLong, forecast.toLong, err.toLong)
+    }.toSeq
+    s.createDataFrame(rows)
+      .toDF("day", "rev_cents", "level_cents", "trend_cents",
+        "forecast_cents", "err_cents")
+      .orderBy($"day")
+  }
+
+  private val qHoltTrendSql =
+    """WITH RECURSIVE rev AS (
+      |  SELECT CAST(FLOOR(CAST(epoch(o_orderdate) AS DOUBLE)/86400) AS BIGINT) AS day,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS i FROM rev),
+      |hw(i, l, b) AS (
+      |  SELECT 1, CAST(v AS HUGEINT), CAST(0 AS HUGEINT) FROM r WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.i,
+      |    (2 * r.v + 8 * (hw.l + hw.b)) // 10,
+      |    (3 * ((2 * r.v + 8 * (hw.l + hw.b)) // 10 - hw.l) + 7 * hw.b) // 10
+      |  FROM hw JOIN r ON r.i = hw.i + 1)
+      |SELECT r.day, r.v AS rev_cents,
+      |  CAST(hw.l AS BIGINT) AS level_cents,
+      |  CAST(hw.b AS BIGINT) AS trend_cents,
+      |  CAST(CASE WHEN prev.l IS NULL THEN r.v
+      |            ELSE prev.l + prev.b END AS BIGINT) AS forecast_cents,
+      |  CAST(CASE WHEN prev.l IS NULL THEN 0
+      |            ELSE r.v - (prev.l + prev.b) END AS BIGINT) AS err_cents
+      |FROM r
+      |JOIN hw ON hw.i = r.i
+      |LEFT JOIN hw prev ON prev.i = r.i - 1
+      |ORDER BY r.day""".stripMargin
+
   // ----------------------------------------------------- corpus_filter_funnel
 
   /** Curation attrition funnel — the observability report every
@@ -268,7 +336,74 @@ object Monitoring {
       |FROM terms GROUP BY source, nstok, n_buckets
       |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------- emb_split_drift
+
+  /** Embedding drift between deterministic hash halves — the vector
+    * analog of text_jsd_drift: per-label centroid cosine between the
+    * md5-split A/B halves (a healthy pipeline scores ≈1; ingestion or
+    * model drift pulls a label's halves apart). Components are
+    * micro-quantized once (round(v·1e6) — the emb_label_centroid
+    * convention); cosine is scale-invariant so the integer SUM vectors
+    * stand in for the means and the only doubles are one dot /
+    * (√·√) of exact DECIMAL(38) sums. One posexplode scan, one
+    * (label, split, pos) aggregate — dim-bounded state per label. */
+  private def embSplitDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val comp = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        (conv(substring(md5($"vec_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2L).as("split"),
+        posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"label", $"split", $"pos",
+        round($"v".cast("double") * 1e6).cast("long").as("q"))
+    val cent = comp.groupBy($"label", $"split", $"pos")
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+    val a = cent.filter($"split" === 0)
+      .select($"label", $"pos", $"sq".as("sa"), $"n".as("na"))
+    val b = cent.filter($"split" === 1)
+      .select($"label".as("lb"), $"pos".as("pb"), $"sq".as("sb"), $"n".as("nb"))
+    a.join(b, $"label" === $"lb" && $"pos" === $"pb")
+      .groupBy($"label")
+      .agg(
+        max($"na").cast("long").as("n_a"),
+        max($"nb").cast("long").as("n_b"),
+        sum(($"sa".cast(d38) * $"sb".cast(d38)).cast(d38)).as("dot"),
+        sum(($"sa".cast(d38) * $"sa".cast(d38)).cast(d38)).as("naa"),
+        sum(($"sb".cast(d38) * $"sb".cast(d38)).cast(d38)).as("nbb"))
+      .select($"label", $"n_a", $"n_b",
+        round($"dot".cast("double") /
+          (sqrt($"naa".cast("double")) * sqrt($"nbb".cast("double"))), 9)
+          .as("drift_cos"))
+      .orderBy($"label")
+  }
+
+  private val embSplitDriftSql =
+    """WITH comp AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS split,
+      |    i AS pos,
+      |    CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, label, embedding,
+      |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings) t),
+      |cent AS (
+      |  SELECT label, split, pos, SUM(q) AS sq, COUNT(*) AS n
+      |  FROM comp GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT a.label, a.pos, a.sq AS sa, a.n AS na, b.sq AS sb, b.n AS nb
+      |  FROM cent a JOIN cent b
+      |    ON a.label = b.label AND a.pos = b.pos AND a.split = 0 AND b.split = 1)
+      |SELECT label,
+      |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  ROUND(CAST(SUM(sa::HUGEINT * sb) AS DOUBLE)
+      |    / (SQRT(CAST(SUM(sa::HUGEINT * sa) AS DOUBLE))
+      |       * SQRT(CAST(SUM(sb::HUGEINT * sb) AS DOUBLE))), 9) AS drift_cos
+      |FROM j GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q_holt_trend" -> QueryDef(qHoltTrend, Some(qHoltTrendSql)),
+    "emb_split_drift" -> QueryDef(embSplitDrift, Some(embSplitDriftSql)),
     "text_jsd_drift" -> QueryDef(textJsdDrift, Some(textJsdDriftSql)),
     "q_ewma_anomaly" -> QueryDef(qEwmaAnomaly, Some(qEwmaAnomalySql)),
     "corpus_filter_funnel" -> QueryDef(corpusFilterFunnel, Some(corpusFilterFunnelSql)),

@@ -12,7 +12,11 @@ import org.apache.spark.sql.types.DecimalType
   *  - explicit total ORDER BY on both sides;
   *  - money math in exact DECIMAL(18,2), cast to DOUBLE only at the
   *    end — both engines then produce bit-identical doubles;
-  *  - ratio columns as a single double division of identical operands.
+  *  - ratio columns as a single double division of identical operands;
+  *  - integer division: Spark `div`, Scala Long/BigInt `/`, and
+  *    DuckDB's integer `//` ALL truncate toward zero (measured:
+  *    CAST(-7 AS HUGEINT) // 2 = -3) — never use floorDiv/floorMod on
+  *    a recurrence whose operands can go negative.
   */
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,

@@ -503,7 +503,8 @@ object EventStream {
     * ewma) pair — bounded by the watermark horizon, independent of
     * stream length. Cents are quantized in the DataFrame (Spark ROUND,
     * half away from zero) BEFORE the lambda so batch and stream share
-    * the quantizer; floorDiv matches the oracle's `//` on any sign. */
+    * the quantizer; truncating division matches the oracle's integer
+    * `//` (DuckDB truncates toward zero) on any sign. */
   def streamingEwma(spark: SparkSession, events: Dataset[Event],
                     watermark: String = "30 minutes"): Dataset[EwmaOut] = {
     import spark.implicits._
@@ -544,7 +545,8 @@ object EventStream {
         (10 * cents > 13 * st.ewma || 10 * cents < 7 * st.ewma)
       val e =
         if (st.lastDay < 0) cents
-        else Math.floorDiv(2 * cents + 8 * st.ewma, 10L)
+        // Long `/` truncates toward zero = DuckDB's integer `//`
+        else (2 * cents + 8 * st.ewma) / 10
       st = st.copy(lastDay = d, ewma = e)
       EwmaOut(eventType, d, cents, e, anom)
     }

@@ -71,7 +71,10 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "emb_hard_negatives" -> cosine, "emb_label_noise" -> cosine,
       "emb_matryoshka_eval" -> cosine, "emb_mmr" -> cosine,
       "knn_graph" -> cosine, "knn_graph_recall" -> cosine,
-      "emb_knn_classify" -> cosine
+      "emb_knn_classify" -> cosine,
+      "knn_graph_refine" -> cosine, "ann_vamana_prune" -> cosine,
+      "emb_nmi" -> "k-means centroid mean: nearest-int of micro sums (kmeansCtes)",
+      "emb_split_drift" -> "centroid cosine: dot/sqrt chain over exact DECIMAL(38) sums"
     )
   }
 

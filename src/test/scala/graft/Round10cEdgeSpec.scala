@@ -41,4 +41,38 @@ class Round10cEdgeSpec extends AnyFunSuite {
       assert(j >= -1e-9 && j <= math.log(2.0) + 1e-6, s"JSD out of range: $j")
     }
   }
+
+  test("q_holt_trend: three-day ramp walks the hand-computed level/trend trajectory") {
+    // 100, 200, 300: l1=10000 b1=0; l2=(40000+80000)/10=12000,
+    // b2=600, f2=10000, err2=10000; l3=(60000+100800)/10=16080,
+    // b3=(3*4080+4200)/10=1644, f3=12600, err3=17400.
+    val dir = Files.createTempDirectory("holtspec").toString
+    Seq(
+      (1L, java.sql.Date.valueOf("1995-01-01"), 100.0),
+      (2L, java.sql.Date.valueOf("1995-01-02"), 200.0),
+      (3L, java.sql.Date.valueOf("1995-01-03"), 300.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice").coalesce(1)
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q_holt_trend")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      (10000L, 10000L, 0L, 10000L, 0L),
+      (20000L, 12000L, 600L, 10000L, 10000L),
+      (30000L, 16080L, 1644L, 12600L, 17400L)), got.toString)
+  }
+
+  test("emb_split_drift: identical vectors in both hash halves score drift_cos 1.0") {
+    val dir = Files.createTempDirectory("driftspec").toString
+    val v = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    (0 until 20).map(i => (i.toLong, v, 0))
+      .toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("emb_split_drift")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.length == 1, got.toString)
+    val (label, na, nb, cosv) = got.head
+    assert(label == 0L && na > 0 && nb > 0 && na + nb == 20, got.toString)
+    assert(cosv == 1.0, got.toString)
+  }
 }
