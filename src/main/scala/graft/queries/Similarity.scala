@@ -1433,9 +1433,9 @@ object Similarity {
       .orderBy($"node_id")
   }
 
-  private val knnGraphRecallSql =
-    s"""WITH $knnOracleCtes,
-       |q1 AS (
+  /** Shared brute-force-truth CTE for the kNN recall gates. */
+  private val knnBfCtes =
+    s"""q1 AS (
        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
        |sc1 AS (
        |  SELECT query_id, e.vec_id AS neighbor_id,
@@ -1445,11 +1445,46 @@ object Similarity {
        |  SELECT query_id AS node_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-       |    FROM sc1) x WHERE rk <= 3)
+       |    FROM sc1) x WHERE rk <= 3)""".stripMargin
+
+  private val knnGraphRecallSql =
+    s"""WITH $knnOracleCtes,
+       |$knnBfCtes
        |SELECT bf.node_id, COUNT(k.node_id) AS n_hit,
        |  (COUNT(k.node_id) * 1000000000) // 3 AS recall_ppb
        |FROM bf LEFT JOIN knn k
        |  ON bf.node_id = k.node_id AND bf.neighbor_id = k.neighbor_id
+       |GROUP BY bf.node_id ORDER BY bf.node_id""".stripMargin
+
+  /** Recall@3 of the REFINED graph on the same node sample — the
+    * paired readout with knn_graph_recall that makes NN-descent's
+    * improvement a measured number (refined recall ≥ base recall is
+    * guaranteed by the candidate-superset dominance the spec proves;
+    * this key reports how much). */
+  private def knnRefineRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bf = Sim.bruteForce(s, emb, probes(s, dir), k = 3)
+      .select($"query_id".as("node_id"), $"neighbor_id")
+    val refined = refineScored(s, dir, selfKnnEdges(s, dir))
+      .filter($"rk" <= 3 && $"node_id" < 10)
+      .select($"node_id".as("kn"), $"neighbor_id".as("kb"))
+    bf.join(refined, $"node_id" === $"kn" && $"neighbor_id" === $"kb", "left")
+      .groupBy($"node_id")
+      .agg(count($"kn").as("n_hit"))
+      .select($"node_id", $"n_hit",
+        expr("(n_hit * 1000000000L) div 3").as("recall_ppb"))
+      .orderBy($"node_id")
+  }
+
+  private val knnRefineRecallSql =
+    s"""WITH $knnOracleCtes,
+       |$refineCtes,
+       |$knnBfCtes
+       |SELECT bf.node_id, COUNT(r.node_id) AS n_hit,
+       |  (COUNT(r.node_id) * 1000000000) // 3 AS recall_ppb
+       |FROM bf LEFT JOIN (SELECT node_id, neighbor_id FROM rr WHERE rk <= 3) r
+       |  ON bf.node_id = r.node_id AND bf.neighbor_id = r.neighbor_id
        |GROUP BY bf.node_id ORDER BY bf.node_id""".stripMargin
 
   /** MMR (maximal marginal relevance) diversified top-5 — the greedy
@@ -1704,6 +1739,7 @@ object Similarity {
     "knn_graph_refine" -> QueryDef(knnGraphRefine, Some(knnGraphRefineSql)),
     "ann_vamana_prune" -> QueryDef(annVamanaPrune, Some(annVamanaPruneSql)),
     "knn_graph_recall" -> QueryDef(knnGraphRecall, Some(knnGraphRecallSql)),
+    "knn_refine_recall" -> QueryDef(knnRefineRecall, Some(knnRefineRecallSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "emb_hard_negatives" -> QueryDef(embHardNegatives, Some(embHardNegativesSql)),
     "ann_bq_hamming" -> QueryDef(annBqHamming, Some(annBqHammingSql), bench = true),

@@ -73,6 +73,7 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "knn_graph" -> cosine, "knn_graph_recall" -> cosine,
       "emb_knn_classify" -> cosine,
       "knn_graph_refine" -> cosine, "ann_vamana_prune" -> cosine,
+      "knn_refine_recall" -> cosine,
       "emb_nmi" -> "k-means centroid mean: nearest-int of micro sums (kmeansCtes)",
       "emb_split_drift" -> "centroid cosine: dot/sqrt chain over exact DECIMAL(38) sums"
     )
