@@ -159,7 +159,11 @@ object Monitoring {
       sum(when($"g1", 1L).otherwise(0L)).as("c1"),
       sum(when($"g1" && $"g2", 1L).otherwise(0L)).as("c2"),
       sum(when($"g1" && $"g2" && $"g3", 1L).otherwise(0L)).as("c3"),
-      countDistinct(when($"g1" && $"g2" && $"g3", $"text")).as("c4"))
+      // distinct over the 60-bit md5 hash, not the text: the dedup
+      // stage's shuffle carries 8-byte keys at any corpus size
+      // (the repo's standard hash convention); computed in-scan
+      countDistinct(when($"g1" && $"g2" && $"g3",
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long"))).as("c4"))
     val stages = Seq(
       (1L, "nonempty", "c0", "c1"), (2L, "min_words", "c1", "c2"),
       (3L, "word_shape", "c2", "c3"), (4L, "exact_dedup", "c3", "c4"))
@@ -184,7 +188,8 @@ object Monitoring {
       |    SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1,
       |    SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS c2,
       |    SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS c3,
-      |    COUNT(DISTINCT CASE WHEN g1 AND g2 AND g3 THEN text END) AS c4
+      |    COUNT(DISTINCT CASE WHEN g1 AND g2 AND g3
+      |      THEN CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) END) AS c4
       |  FROM flags)
       |SELECT * FROM (
       |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'nonempty' AS stage,

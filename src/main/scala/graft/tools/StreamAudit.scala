@@ -14,9 +14,12 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   * with total input).
   *
   *   SPARK_GRAFT_SF_DIR=benchdata/sf1 sbt "runMain graft.tools.StreamAudit"
+  *   — optional arg `ewma` audits the streaming EWMA monitor instead
+  *   of the sessionizer.
   */
 object StreamAudit {
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("sessionize")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "16").toInt
     val spark = graft.GraftSession.local(32)
@@ -61,7 +64,10 @@ object StreamAudit {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/src")
       .as[graft.streaming.EventStream.Event]
-      .transform(d => graft.streaming.EventStream.sessionize(spark, d, gapMinutes = 30).toDF())
+      .transform { d =>
+        if (mode == "ewma") graft.streaming.EventStream.streamingEwma(spark, d).toDF()
+        else graft.streaming.EventStream.sessionize(spark, d, gapMinutes = 30).toDF()
+      }
       .writeStream.format("noop")
       .option("checkpointLocation", s"$root/ckpt")
       .outputMode("append")
@@ -70,7 +76,7 @@ object StreamAudit {
     if (!q.awaitTermination(600000)) { q.stop(); sys.error("stream stalled") }
     // listener events are async: give the bus a moment before summarizing
     Thread.sleep(1500)
-    println(f"STREAMAUDIT_SUMMARY sf=$dir chunks=$chunks " +
+    println(f"STREAMAUDIT_SUMMARY mode=$mode sf=$dir chunks=$chunks " +
       f"wall_s=${(System.nanoTime() - t0) / 1e9}%.1f " +
       f"peak_state_rows=$peakStateRows peak_state_mb=${peakStateBytes / 1e6}%.2f")
     spark.stop()
