@@ -829,7 +829,59 @@ object TextAnalysis {
        |ORDER BY MAX(score) DESC, phrase LIMIT 30""".stripMargin
   }
 
+  // ---------------------------------------------------------- text_burstiness
+
+  /** Term burstiness (Church & Gale 1995): variance-to-mean ratio of a
+    * term's per-document count over the WHOLE corpus (zeros included) —
+    * uniform function words sit near 1, topical terms above, and
+    * keyword-spam / boilerplate terms spike (the repetition signal
+    * doc-level dup-line stats miss). All moments are exact integers:
+    * VMR = (N·Σc² − (Σc)²)/(N·Σc) emitted as (num·10⁹) div den — the
+    * zero counts need no rows because Σ and Σ² over zeros vanish and N
+    * is the corpus doc count. One explode → (doc,term) agg → term agg;
+    * df ≥ 20 support floor; top-30 by integer VMR. */
+  private def textBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.select($"doc_id").agg(count(lit(1)).as("n"))
+    val cdt = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val stats = cdt.groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        sum($"c").as("sc"),
+        sum(($"c".cast(d38) * $"c".cast(d38)).cast(d38)).as("scc"))
+      .filter($"df" >= 20)
+    stats.crossJoin(broadcast(nDocs))
+      .select($"term", $"df", $"sc".as("n_occurrences"),
+        expr("""CAST(((CAST(n AS DECIMAL(38,0)) * scc - CAST(sc AS DECIMAL(38,0)) * sc)
+          |  * 1000000000) div (CAST(n AS DECIMAL(38,0)) * sc) AS BIGINT)""".stripMargin)
+          .as("vmr_ppb"))
+      .orderBy($"vmr_ppb".desc, $"term")
+      .limit(30)
+  }
+
+  private val textBurstinessSql =
+    """WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+      |cdt AS (
+      |  SELECT doc_id, term, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+      |  WHERE len(term) > 0 GROUP BY 1, 2),
+      |st AS (
+      |  SELECT term, COUNT(*) AS df, SUM(c) AS sc,
+      |    SUM(c::HUGEINT * c) AS scc
+      |  FROM cdt GROUP BY term HAVING COUNT(*) >= 20)
+      |SELECT term, CAST(df AS BIGINT) AS df,
+      |  CAST(sc AS BIGINT) AS n_occurrences,
+      |  CAST(((n::HUGEINT * scc - sc::HUGEINT * sc) * 1000000000)
+      |    // (n::HUGEINT * sc) AS BIGINT) AS vmr_ppb
+      |FROM st CROSS JOIN nd
+      |ORDER BY vmr_ppb DESC, term LIMIT 30""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_burstiness" -> QueryDef(textBurstiness, Some(textBurstinessSql)),
     "text_rake_keywords" -> QueryDef(textRakeKeywords, Some(textRakeKeywordsSql)),
     "text_bpe_fertility" -> QueryDef(textBpeFertility, Some(textBpeFertilitySql)),
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),

@@ -42,6 +42,21 @@ class Round10cEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("text_burstiness: a uniform term scores VMR 0, a bursty term the exact integer ratio") {
+    // "u" once in all 21 docs -> Sc=21=Scc, VMR=(21*21-441)/(21*21)=0.
+    // "s" 10x in doc 1, once in docs 2..20 -> df=20, Sc=29, Scc=119,
+    // vmr_ppb = ((21*119-841)*1e9)//(21*29) = 1658e9//609.
+    val dir = Files.createTempDirectory("burstspec").toString
+    val docs = Seq((1L, "u " + Seq.fill(10)("s").mkString(" "))) ++
+      (2L to 20L).map(i => (i, "u s")) :+ (21L, "u")
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_burstiness")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val sVmr = (BigInt(1658) * BigInt(1000000000) / BigInt(609)).toLong
+    assert(got == Seq(("s", 20L, 29L, sVmr), ("u", 21L, 21L, 0L)), got.toString)
+  }
+
   test("q_holt_trend: three-day ramp walks the hand-computed level/trend trajectory") {
     // 100, 200, 300: l1=10000 b1=0; l2=(40000+80000)/10=12000,
     // b2=600, f2=10000, err2=10000; l3=(60000+100800)/10=16080,
