@@ -430,7 +430,164 @@ object Ctr {
       |  CAST(COUNT(*) AS BIGINT) AS n_journeys
       |FROM tr GROUP BY 1 ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin
 
+  // ------------------------------------------------ events_markov_attribution
+
+  private val MarkovIters = 40
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven attribution model next to the position-based
+    * ctr_multitouch: per-user journeys (zz_start → events in (ts,
+    * event_id) order, truncated at the FIRST purchase; non-converting
+    * journeys absorb into zz_null) define a first-order transition
+    * matrix; a channel's credit is how much the corpus conversion
+    * probability DROPS when that channel is knocked out (treated as a
+    * zero absorber).
+    *
+    * Determinism: the absorption probabilities run as EXACTLY
+    * $MarkovIters integer nano iterations v(s) ← (Σ cnt(s,t)·v(t))
+    * div tot(s) — both engines walk bit-identical trajectories whether
+    * or not the chain has converged, so the hash cannot depend on a
+    * convergence threshold. The oracle unrolls the same iterations
+    * over a (scenario × state) table (pagerank/HITS precedent).
+    *
+    * Scale shape: the corpus-sized work is ONE lag-window pass over
+    * user-keyed events + a (from,to) count aggregate; the iteration
+    * state is (channels+1 scenarios) × (channels+3 states) — event-type
+    * dimension bounded, computed driver-side over the collected matrix
+    * (q_survival_km precedent). */
+  private def eventsMarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ranked = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rk", row_number().over(w))
+    val rp = ranked.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"rk").as("rp"))
+    val j = ranked.join(rp, Seq("user_id"), "left")
+      .filter($"rp".isNull || $"rk" <= $"rp")
+      .withColumn("prev", lag($"event_type", 1).over(
+        Window.partitionBy($"user_id").orderBy($"rk")))
+      .withColumn("maxrk", max($"rk").over(Window.partitionBy($"user_id")))
+      .select($"event_type", $"rk", $"rp", $"prev", $"maxrk")
+      .localCheckpoint() // three transition derivations read it; one window pass
+    val pairTrans = j.filter($"prev".isNotNull)
+      .select($"prev".as("from_type"), $"event_type".as("to_type"))
+    val startTrans = j.filter($"rk" === 1)
+      .select(lit("zz_start").as("from_type"), $"event_type".as("to_type"))
+    val nullTrans = j.filter($"rp".isNull && $"rk" === $"maxrk")
+      .select($"event_type".as("from_type"), lit("zz_null").as("to_type"))
+    val trans = pairTrans.union(startTrans).union(nullTrans)
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+      .collect() // bounded: (event types + 2)^2 — a dimension matrix
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot = trans.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+    val channels = trans.flatMap(t => Seq(t._1, t._2))
+      .filter(c => c != "purchase" && c != "zz_null" && c != "zz_start")
+      .distinct.sorted
+    def absorb(removed: Option[String]): BigInt = {
+      val transient = ("zz_start" +: channels).filterNot(removed.contains)
+      var v = Map("purchase" -> BigInt(1000000000)).withDefaultValue(BigInt(0))
+      for (_ <- 1 to MarkovIters) {
+        val nv = transient.map { st =>
+          val num = trans.filter(_._1 == st)
+            .map { case (_, to, n) => BigInt(n) * v(to) }.sum
+          st -> (if (tot.getOrElse(st, 0L) == 0L) BigInt(0)
+                 else num / BigInt(tot(st)))
+        }.toMap
+        v = (nv + ("purchase" -> BigInt(1000000000))).withDefaultValue(BigInt(0))
+      }
+      v("zz_start")
+    }
+    val base = absorb(None)
+    val rem = channels.map(c => c -> (base - absorb(Some(c))))
+    val remSum = rem.map(_._2).sum
+    val rows = rem.map { case (c, r) =>
+      (c, base.toLong, (base - r).toLong, r.toLong,
+        if (remSum == 0) 0L else (r * BigInt(1000000000) / remSum).toLong)
+    }.toSeq
+    s.createDataFrame(rows)
+      .toDF("channel", "base_conv_nano", "removed_conv_nano",
+        "removal_effect_nano", "credit_ppb")
+      .orderBy($"channel")
+  }
+
+  private val eventsMarkovAttributionSql: String = {
+    val head =
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |rp AS (SELECT user_id, MIN(rk) AS rp FROM ranked
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (
+        |  SELECT r.user_id, r.event_type, r.rk, rp.rp,
+        |    LAG(r.event_type, 1) OVER (PARTITION BY r.user_id ORDER BY r.rk) AS prev,
+        |    MAX(r.rk) OVER (PARTITION BY r.user_id) AS maxrk
+        |  FROM ranked r LEFT JOIN rp ON rp.user_id = r.user_id
+        |  WHERE rp.rp IS NULL OR r.rk <= rp.rp),
+        |trans AS MATERIALIZED (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM (
+        |    SELECT prev AS from_type, event_type AS to_type FROM j WHERE prev IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'zz_start', event_type FROM j WHERE rk = 1
+        |    UNION ALL
+        |    SELECT event_type, 'zz_null' FROM j WHERE rp IS NULL AND rk = maxrk) u
+        |  GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT from_type, SUM(n) AS tf FROM trans GROUP BY 1),
+        |channels AS MATERIALIZED (
+        |  SELECT DISTINCT c FROM (
+        |    SELECT from_type AS c FROM trans UNION SELECT to_type FROM trans) x
+        |  WHERE c NOT IN ('purchase', 'zz_null', 'zz_start')),
+        |scens AS MATERIALIZED (
+        |  SELECT 'zz_base' AS scen UNION ALL SELECT c FROM channels),
+        |states AS MATERIALIZED (
+        |  SELECT c AS state FROM channels
+        |  UNION ALL SELECT 'zz_start' UNION ALL SELECT 'purchase'
+        |  UNION ALL SELECT 'zz_null'),
+        |sx AS MATERIALIZED (SELECT scen, state FROM scens CROSS JOIN states),
+        |v0 AS MATERIALIZED (
+        |  SELECT scen, state,
+        |    CASE WHEN state = 'purchase' THEN CAST(1000000000 AS HUGEINT)
+        |         ELSE CAST(0 AS HUGEINT) END AS val
+        |  FROM sx)""".stripMargin
+    val iters = (1 to MarkovIters).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT s.scen, s.state,
+         |    CASE WHEN s.state = 'purchase' THEN CAST(1000000000 AS HUGEINT)
+         |         WHEN s.state = 'zz_null' OR s.state = s.scen THEN CAST(0 AS HUGEINT)
+         |         ELSE CAST(COALESCE(u.vv, 0) AS HUGEINT) END AS val
+         |  FROM sx s
+         |  LEFT JOIN (
+         |    SELECT p.scen, t.from_type AS state, SUM(t.n * p.val) // MAX(tt.tf) AS vv
+         |    FROM trans t
+         |    JOIN v${i - 1} p ON p.state = t.to_type
+         |    JOIN tot tt ON tt.from_type = t.from_type
+         |    GROUP BY p.scen, t.from_type) u
+         |  ON u.scen = s.scen AND u.state = s.state)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters,
+       |base AS (SELECT val AS b FROM v$MarkovIters
+       |  WHERE scen = 'zz_base' AND state = 'zz_start'),
+       |rem AS (
+       |  SELECT v.scen AS channel, base.b AS basev, v.val AS removedv,
+       |    base.b - v.val AS r
+       |  FROM v$MarkovIters v CROSS JOIN base
+       |  WHERE v.state = 'zz_start' AND v.scen <> 'zz_base'),
+       |rs AS (SELECT SUM(r) AS sr FROM rem)
+       |SELECT channel,
+       |  CAST(basev AS BIGINT) AS base_conv_nano,
+       |  CAST(removedv AS BIGINT) AS removed_conv_nano,
+       |  CAST(r AS BIGINT) AS removal_effect_nano,
+       |  CAST(CASE WHEN rs.sr = 0 THEN 0
+       |            ELSE (r * 1000000000) // rs.sr END AS BIGINT) AS credit_ppb
+       |FROM rem CROSS JOIN rs
+       |ORDER BY channel""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "events_markov_attribution" ->
+      QueryDef(eventsMarkovAttribution, Some(eventsMarkovAttributionSql)),
     "events_funnel_paths" -> QueryDef(eventsFunnelPaths, Some(eventsFunnelPathsSql)),
     "ctr_multitouch" -> QueryDef(ctrMultitouch, Some(ctrMultitouchSql)),
     "ctr_referrer" -> QueryDef(ctrReferrer, Some(ctrReferrerSql), bench = true),

@@ -42,6 +42,31 @@ class Round10cEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("events_markov_attribution: removal effects match the hand-solved chain") {
+    // u1: view->click->purchase; u2: view->error (null).
+    // Absorption: click 1.0, view 0.5, start 0.5 -> base 5e8.
+    // Remove view or click: conversion 0 (removal 5e8 each);
+    // remove error: nothing changes (error already absorbs 0).
+    def ts(msv: Long) = new java.sql.Timestamp(msv)
+    val dir = Files.createTempDirectory("markovspec").toString
+    Seq(
+      (1L, ts(1000L), 1L, "view", 0.0, ""),
+      (2L, ts(2000L), 1L, "click", 0.0, ""),
+      (3L, ts(3000L), 1L, "purchase", 0.0, ""),
+      (4L, ts(1000L), 2L, "view", 0.0, ""),
+      (5L, ts(2000L), 2L, "error", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_markov_attribution")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("click", 500000000L, 0L, 500000000L, 500000000L),
+      ("error", 500000000L, 500000000L, 0L, 0L),
+      ("view", 500000000L, 0L, 500000000L, 500000000L)), got.toString)
+  }
+
   test("text_burstiness: a uniform term scores VMR 0, a bursty term the exact integer ratio") {
     // "u" once in all 21 docs -> Sc=21=Scc, VMR=(21*21-441)/(21*21)=0.
     // "s" 10x in doc 1, once in docs 2..20 -> df=20, Sc=29, Scc=119,
