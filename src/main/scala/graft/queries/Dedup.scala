@@ -559,6 +559,63 @@ object Dedup {
       .orderBy($"band")
   }
 
+  /** Cross-source near-duplication matrix — which sources copy each
+    * other (syndication/mirror detection, the report a curation run
+    * uses to pick per-source dedup policy): banded-LSH candidate pairs
+    * at the production 4×8 operating point, DISTINCT'd across bands,
+    * rolled up to canonicalized (source_a ≤ source_b) pairs. Shares
+    * the exact band-key construction with dedup_minhash_banded, so
+    * the two views of the same index cannot drift. Shuffles carry
+    * (band, bkey) 16-byte rows and doc-id pairs — never text. */
+  private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sig = docs.repartition($"doc_id")
+      .select($"doc_id",
+        graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
+      .filter(size($"sig") > 0)
+    val banded = sig
+      .select($"doc_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
+      .select($"doc_id", $"band".cast("long").as("band"),
+        conv(substring(md5(concat_ws(":",
+          expr("transform(slice(sig, band * 8 + 1, 8), x -> cast(x as string))"))), 1, 15), 16, 10)
+          .cast("long").as("bkey"))
+      .localCheckpoint() // both sides of the bucket self-join read it
+    val pairs = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val src = docs.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("da"), $"source".as("sa")), "da")
+      .join(src.select($"doc_id".as("db"), $"source".as("sb")), "db")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"n_pairs".desc, $"source_a", $"source_b")
+  }
+
+  private val dedupSourceMatrixSql =
+    s"""WITH $minhashSigCtes,
+       |bk AS (
+       |  SELECT doc_id, perm // 8 AS band,
+       |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
+       |  FROM sig GROUP BY doc_id, perm // 8),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sp AS (
+       |  SELECT LEAST(d1.source, d2.source) AS source_a,
+       |    GREATEST(d1.source, d2.source) AS source_b
+       |  FROM p
+       |  JOIN documents d1 ON d1.doc_id = p.da
+       |  JOIN documents d2 ON d2.doc_id = p.db)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs
+       |FROM sp GROUP BY 1, 2
+       |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin
+
   private val dedupMinhashBandedSql =
     s"""WITH $minhashSigCtes,
        |bk AS (
@@ -777,6 +834,7 @@ object Dedup {
     "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),
+    "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),
     "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
