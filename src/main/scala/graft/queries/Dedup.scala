@@ -490,7 +490,16 @@ object Dedup {
     * law spec-tested on a skewed corpus in DedupSpec). The signature
     * table is localCheckpoint'd: it feeds both join sides, and
     * self-join aliasing would otherwise defeat exchange reuse and
-    * recompute the CPU-heavy signatures twice. */
+    * recompute the CPU-heavy signatures twice.
+    *
+    * Bucket-width cap (r10 VERDICT #4, the repo-wide df≤64
+    * discipline): a (perm, minhash) bucket wider than 64 docs is a
+    * hot-shingle artifact — identical boilerplate minima across
+    * millions of web docs in the 100 TB case — whose self-join is
+    * O(W²). Buckets wider than the cap are excluded from candidate
+    * generation on BOTH engines; true near-dup families still collide
+    * on their many non-hot permutations, so recall on real pairs is
+    * unaffected (planted mega-bucket spec in DedupSpec). */
   private def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sig = Tables.documents(s, dir)
@@ -500,8 +509,13 @@ object Dedup {
       .filter(size($"sig") > 0)
       .select($"doc_id", posexplode($"sig").as(Seq("perm", "minhash")))
       .localCheckpoint()
-    sig.alias("a")
-      .join(sig.alias("b"),
+    val narrow = sig.join(
+      sig.groupBy($"perm", $"minhash").agg(count(lit(1)).as("bw"))
+        .filter($"bw" <= 64).select($"perm", $"minhash"),
+      Seq("perm", "minhash"))
+      .localCheckpoint() // feeds both sides of the pair self-join
+    narrow.alias("a")
+      .join(narrow.alias("b"),
         col("a.perm") === col("b.perm") &&
           col("a.minhash") === col("b.minhash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -515,9 +529,14 @@ object Dedup {
 
   private val dedupMinhashPairsSql =
     s"""WITH $minhashSigCtes,
+      |bw AS (
+      |  SELECT perm, minhash FROM (
+      |    SELECT perm, minhash, COUNT(*) AS c FROM sig GROUP BY 1, 2) t
+      |  WHERE c <= 64),
+      |ns AS (SELECT sig.* FROM sig JOIN bw USING (perm, minhash)),
       |cand AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS matches
-      |  FROM sig a JOIN sig b
+      |  FROM ns a JOIN ns b
       |    ON a.perm = b.perm AND a.minhash = b.minhash AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, CAST(matches AS BIGINT) AS matches,
@@ -566,7 +585,15 @@ object Dedup {
     * rolled up to canonicalized (source_a ≤ source_b) pairs. Shares
     * the exact band-key construction with dedup_minhash_banded, so
     * the two views of the same index cannot drift. Shuffles carry
-    * (band, bkey) 16-byte rows and doc-id pairs — never text. */
+    * (band, bkey) 16-byte rows and doc-id pairs — never text.
+    *
+    * Bucket-width cap (r10 VERDICT #4): even at the 4×8 operating
+    * point one degenerate bucket — millions of docs sharing identical
+    * boilerplate, the normal web-crawl case — makes the bucket
+    * self-join O(W²). Buckets wider than 64 are excluded on BOTH
+    * engines (the containment df≤64 stop-shingle template); a family
+    * that wide is exact-duplicate territory handled by dedup_exact /
+    * dedup_clusters, not a pairwise syndication signal. */
   private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -580,8 +607,12 @@ object Dedup {
         conv(substring(md5(concat_ws(":",
           expr("transform(slice(sig, band * 8 + 1, 8), x -> cast(x as string))"))), 1, 15), 16, 10)
           .cast("long").as("bkey"))
-      .localCheckpoint() // both sides of the bucket self-join read it
-    val pairs = banded.alias("a").join(banded.alias("b"),
+      .localCheckpoint() // width agg + both sides of the self-join read it
+    val narrow = banded.join(
+      banded.groupBy($"band", $"bkey").agg(count(lit(1)).as("bw"))
+        .filter($"bw" <= 64).select($"band", $"bkey"),
+      Seq("band", "bkey"))
+    val pairs = narrow.alias("a").join(narrow.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -602,9 +633,14 @@ object Dedup {
        |  SELECT doc_id, perm // 8 AS band,
        |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
        |  FROM sig GROUP BY doc_id, perm // 8),
+       |bw AS (
+       |  SELECT band, bkey FROM (
+       |    SELECT band, bkey, COUNT(*) AS c FROM bk GROUP BY 1, 2) t
+       |  WHERE c <= 64),
+       |nb AS (SELECT bk.* FROM bk JOIN bw USING (band, bkey)),
        |p AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bk a JOIN bk b
+       |  FROM nb a JOIN nb b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |sp AS (
        |  SELECT LEAST(d1.source, d2.source) AS source_a,
@@ -819,11 +855,11 @@ object Dedup {
       |        FROM tok) t),
       |df AS (SELECT ch, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
       |SELECT doc_id, COUNT(*) AS n_chunks,
-      |  SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_boiler,
-      |  SUM(ctok) AS tokens_total,
-      |  SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) AS tokens_kept,
-      |  (SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) * 1000000000)
-      |    // SUM(ctok) AS keep_ratio_ppb
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(SUM(ctok) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |  CAST((SUM(CASE WHEN df < 2 THEN ctok ELSE 0 END) * 1000000000)
+      |    // SUM(ctok) AS BIGINT) AS keep_ratio_ppb
       |FROM ch JOIN df USING (ch)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -57,7 +57,7 @@ object Monitoring {
       |  UNION ALL
       |  SELECT r.i, (2 * r.v + 8 * ew.sn) // 10
       |  FROM ew JOIN r ON r.i = ew.i + 1)
-      |SELECT r.day, r.v AS rev_cents, CAST(ew.sn AS BIGINT) AS ewma_cents,
+      |SELECT r.day, CAST(r.v AS BIGINT) AS rev_cents, CAST(ew.sn AS BIGINT) AS ewma_cents,
       |  CASE WHEN prev.sn IS NULL THEN FALSE
       |       WHEN 10 * r.v > 13 * prev.sn OR 10 * r.v < 7 * prev.sn THEN TRUE
       |       ELSE FALSE END AS is_anomaly
@@ -121,7 +121,7 @@ object Monitoring {
       |    (2 * r.v + 8 * (hw.l + hw.b)) // 10,
       |    (3 * ((2 * r.v + 8 * (hw.l + hw.b)) // 10 - hw.l) + 7 * hw.b) // 10
       |  FROM hw JOIN r ON r.i = hw.i + 1)
-      |SELECT r.day, r.v AS rev_cents,
+      |SELECT r.day, CAST(r.v AS BIGINT) AS rev_cents,
       |  CAST(hw.l AS BIGINT) AS level_cents,
       |  CAST(hw.b AS BIGINT) AS trend_cents,
       |  CAST(CASE WHEN prev.l IS NULL THEN r.v
@@ -292,13 +292,17 @@ object Monitoring {
         $"source" === $"s2" && $"b" === $"b2", "left")
       .select($"source", $"nstok", $"n_buckets", $"n",
         coalesce($"cs", lit(0L)).as("csv"), $"c")
+    // t1/t2 products ride DECIMAL(38,0), not LongType: at the 1e13-token
+    // scale the docstring promises, csv·Δln·1e9 terms (~7e21) and their
+    // sums exceed Long.MaxValue — DuckDB's side already sums in HUGEINT,
+    // so a Long here would wrap silently on the Spark side only.
     val terms = grid.select($"source", $"nstok", $"n_buckets", $"n",
       when($"csv" > 0,
-        $"csv" * (lq(($"csv" * 2).cast(d38) * $"n") -
-          lq($"csv".cast(d38) * $"n" + $"c".cast(d38) * $"nstok")))
-        .otherwise(0L).as("t1"),
-      ($"c" * (lq(($"c" * 2).cast(d38) * $"nstok") -
-        lq($"csv".cast(d38) * $"n" + $"c".cast(d38) * $"nstok"))).as("t2"))
+        $"csv".cast(d38) * (lq(($"csv" * 2).cast(d38) * $"n") -
+          lq($"csv".cast(d38) * $"n" + $"c".cast(d38) * $"nstok")).cast(d38))
+        .otherwise(lit(0L).cast(d38)).as("t1"),
+      ($"c".cast(d38) * (lq(($"c" * 2).cast(d38) * $"nstok") -
+        lq($"csv".cast(d38) * $"n" + $"c".cast(d38) * $"nstok")).cast(d38)).as("t2"))
     terms.groupBy($"source", $"nstok", $"n_buckets", $"n")
       .agg(sum($"t1").as("s1"), sum($"t2").as("s2"))
       .select($"source", $"nstok".as("n_tokens"), $"n_buckets",

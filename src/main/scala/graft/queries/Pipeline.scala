@@ -1385,7 +1385,7 @@ object Pipeline {
       |  UNION ALL
       |  SELECT r.event_type, r.i, (2 * r.v + 8 * ew.sn) // 10
       |  FROM ew JOIN r ON r.event_type = ew.event_type AND r.i = ew.i + 1)
-      |SELECT r.event_type, r.day, r.v AS rev_cents,
+      |SELECT r.event_type, r.day, CAST(r.v AS BIGINT) AS rev_cents,
       |  CAST(ew.sn AS BIGINT) AS ewma_cents,
       |  CASE WHEN prev.sn IS NULL THEN FALSE
       |       WHEN 10 * r.v > 13 * prev.sn OR 10 * r.v < 7 * prev.sn THEN TRUE

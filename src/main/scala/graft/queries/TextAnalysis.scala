@@ -666,9 +666,9 @@ object TextAnalysis {
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
       |    WHERE doc_id % 10 = 0) t WHERE length(w) > 0)
       |SELECT doc_id, COUNT(*) AS n_words,
-      |  SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
-      |  (SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000000)
-      |    // COUNT(*) AS oov_ppb
+      |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST((SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000000)
+      |    // COUNT(*) AS BIGINT) AS oov_ppb
       |FROM hw LEFT JOIN v ON hw.w = v.w
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -723,9 +723,9 @@ object TextAnalysis {
        |tok AS (SELECT w, CAST(len(w) AS BIGINT) AS n_sym,
        |    CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM s10),
        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-       |SELECT doc_id, COUNT(*) AS n_words, SUM(n_sym) AS n_chars,
-       |  SUM(n_tok) AS n_tokens,
-       |  (SUM(n_sym) * 1000000000) // SUM(n_tok) AS chars_per_token_ppb
+       |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST((SUM(n_sym) * 1000000000) // SUM(n_tok) AS BIGINT) AS chars_per_token_ppb
        |FROM dw JOIN tok USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
