@@ -550,48 +550,61 @@ object Similarity {
     * `Similarity.kmeans` (cosine, avg) stays the production path,
     * spec-tested in KmeansSpec.
     *
-    * Scale shape: each step is one broadcast join of the k×dim
-    * centroid table into the component stream + two map-side-combinable
-    * aggregates — no collect, no driver loop over data; the component
+    * Scale shape: each step is one broadcast of the k×dim centroid
+    * table against the vector stream + two map-side-combinable
+    * aggregates — no collect, no driver loop over data; the vector
     * table is localCheckpoint'd once and re-read by all 2·KmIters+1
-    * passes, and per-step lineage is truncated exactly as in pagerank. */
-  /** Nearest trained cell for every component-quantized vector given a
-    * (cell, pos, cv) centroid table — min L2² in exact int64 math. */
-  private def kmAssign(q: DataFrame, c: DataFrame): DataFrame = {
+    * passes, and per-step lineage is truncated exactly as in pagerank.
+    *
+    * Representation (r10 VERDICT #7): vectors stay ARRAYS end to end —
+    * the quantization q = round(v·1e6) is computed inline per pass and
+    * distances are one codegen'd zip_with/aggregate per (vector, cell),
+    * so each Lloyd pass re-reads n float-array rows (the corpus'
+    * natural size) instead of a 3-long-per-component exploded stream,
+    * and the distance aggregate handles n·k rows instead of n·dim·k.
+    * Values are bit-identical to the exploded form: the same int64
+    * squares in a reorderable sum. */
+  private val QuantExpr = "cast(round(cast(%s as double) * 1000000.0D) as long)"
+
+  /** Nearest trained cell for every vector given a (cell, cvv) int64
+    * centroid-array table — min L2² in exact int64 math. */
+  private def kmAssign(qa: DataFrame, c: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bc}
-    q.join(bc(c), "pos")
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(sum((col("q") - col("cv")) * (col("q") - col("cv"))).as("dist"))
+    val q = QuantExpr.format("x")
+    qa.crossJoin(bc(c))
+      .select(col("vec_id"), col("cell"),
+        expr(s"aggregate(zip_with(embedding, cvv, (x, y) -> ($q - y) * ($q - y)), " +
+          "0L, (acc, d) -> acc + d)").as("dist"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cell"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"), col("m.dist").as("dist"))
   }
 
-  /** Runs the KmIters Lloyd steps; returns the quantized component
-    * stream (vec_id, pos, q) and the trained centroid table (cell, pos,
-    * cv) — shared by emb_kmeans and ann_ivf_trained so the two queries
-    * can never train different models. */
+  /** Runs the KmIters Lloyd steps; returns the checkpointed vector
+    * table (vec_id, embedding) and the trained centroid table (cell,
+    * cvv: array<long>) — shared by emb_kmeans, emb_nmi and
+    * ann_ivf_trained so the queries can never train different models. */
   private def kmeansFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val q = emb
-      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
-      .select($"vec_id", $"pos",
-        round($"v".cast("double") * 1e6).cast("long").as("q"))
-      .localCheckpoint()
+    val qa = emb.select($"vec_id", $"embedding").localCheckpoint()
     var cent = emb.orderBy($"vec_id").limit(KmK)
       .select(row_number().over(Window.orderBy($"vec_id")).as("rn"), $"embedding")
       .select(($"rn" - 1).cast("long").as("cell"),
-        posexplode($"embedding").as(Seq("pos", "v")))
-      .select($"cell", $"pos", round($"v".cast("double") * 1e6).cast("long").as("cv"))
+        expr(s"transform(embedding, v -> ${QuantExpr.format("v")})").as("cvv"))
     for (_ <- 1 to KmIters) {
-      val a = kmAssign(q, cent)
-      cent = q.join(a.select($"vec_id", $"cell"), "vec_id")
+      val a = kmAssign(qa, cent)
+      cent = qa.join(a.select($"vec_id", $"cell"), "vec_id")
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
         .groupBy($"cell", $"pos")
-        .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cv"))
+        .agg(round(sum(expr(QuantExpr.format("v"))).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("ps"))
+        .select($"cell", expr("transform(ps, p -> p.cv)").as("cvv"))
         .localCheckpoint()
     }
-    (q, cent)
+    (qa, cent)
   }
 
   private def embKmeans(s: SparkSession, dir: String): DataFrame = {
@@ -724,10 +737,8 @@ object Similarity {
   private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, cent) = kmeansFit(s, dir)
-    cent.groupBy($"cell")
-      .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("pairs"))
-      .select($"cell",
-        expr("transform(pairs, p -> cast(p.cv / 1000000.0D as float))").as("centroid"))
+    cent.select($"cell",
+      expr("transform(cvv, cv -> cast(cv / 1000000.0D as float))").as("centroid"))
   }
 
   /** IVF over TRAINED cells (VERDICT r5 #2): same ivfTopK operator,
