@@ -418,6 +418,52 @@ object Dedup {
     (labels, iter)
   }
 
+  /** Width-capped candidate edges over LSH-style hash buckets.
+    *
+    * A (bucket-key) group of width W ≤ `cap` contributes its full
+    * (doc_a < doc_b) pair set, as a plain self-equi-join. A group
+    * WIDER than the cap — the hot-shingle / boilerplate regime where a
+    * single bucket can hold millions of docs at web scale — would make
+    * that self-join O(W²); instead it contributes STAR edges from the
+    * bucket's min-doc_id representative to every other member: O(W)
+    * rows, and the family stays CONNECTED, so downstream clustering
+    * ([[clusters]]) still unifies it into one component and wide
+    * near-duplicate (non-identical) families are not silently dropped
+    * the way a plain width cutoff drops them (r11 VERDICT #1).
+    *
+    * Emits one (doc_a, doc_b) row PER bucket collision — callers that
+    * count signature agreements (dedup_minhash_pairs' `matches`) group
+    * by pair; set-semantics callers `.distinct()`. Star rows keep
+    * doc_a = rep < doc_b by construction (rep is the bucket min).
+    *
+    * `keyed` must carry `doc_id` plus the `bucketCols`. The width
+    * census is a window over the SAME bucket exchange the self-join
+    * needs (no extra aggregate-and-join pass), and the annotated frame
+    * is localCheckpoint'd because it feeds three consumers (both
+    * self-join sides + the star leg) — aliasing would defeat exchange
+    * reuse and recompute the upstream signature kernel thrice.
+    *
+    * Planted-corpus behavior (byte-identical mega-bucket AND
+    * near-identical wide family) is pinned in Round11EdgeSpec /
+    * Round12EdgeSpec, with the DuckDB oracles applying the identical
+    * cap + star rule. */
+  def cappedBucketEdges(keyed0: DataFrame, bucketCols: Seq[String],
+                        cap: Int = 64): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val keyed = keyed0
+      .withColumn("bw", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .localCheckpoint()
+    val narrow = keyed.filter(col("bw") <= cap)
+    val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    val pairs = narrow.alias("a").join(narrow.alias("b"), joinCond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val star = keyed.filter(col("bw") > cap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    pairs.unionByName(star)
+  }
+
   /** Embedding-cosine duplicate candidates among ALL pairs — an O(n²)
     * nested-loop plan, kept only as the exact recall baseline for specs
     * and bounded inputs. No registered query runs this at corpus size:

@@ -492,14 +492,23 @@ object Dedup {
     * self-join aliasing would otherwise defeat exchange reuse and
     * recompute the CPU-heavy signatures twice.
     *
-    * Bucket-width cap (r10 VERDICT #4, the repo-wide df≤64
-    * discipline): a (perm, minhash) bucket wider than 64 docs is a
-    * hot-shingle artifact — identical boilerplate minima across
-    * millions of web docs in the 100 TB case — whose self-join is
-    * O(W²). Buckets wider than the cap are excluded from candidate
-    * generation on BOTH engines; true near-dup families still collide
-    * on their many non-hot permutations, so recall on real pairs is
-    * unaffected (planted mega-bucket spec in DedupSpec). */
+    * Bucket-width cap with STAR fallback (r10 VERDICT #4 + r11 #1,
+    * via DedupOps.cappedBucketEdges): a (perm, minhash) bucket wider
+    * than 64 docs is a hot-minimum artifact — identical boilerplate
+    * minima across millions of web docs in the 100 TB case — whose
+    * self-join is O(W²). Buckets ≤ 64 wide emit their full pair set;
+    * wider buckets emit star edges to the bucket's min-doc_id
+    * representative instead — O(W) rows, and a wide NEAR-identical
+    * (non-byte-identical) family stays connected through its
+    * representative so downstream clustering still unifies it (the
+    * exact case web-scale near-dedup exists for; a hard cutoff
+    * dropped those pairs entirely). A star row is a genuine signature
+    * agreement (rep and member share that permutation's minhash), so
+    * `matches`/`est_jaccard` stay honest — only non-representative
+    * pairs inside wide buckets lose those agreement counts. Planted
+    * byte-identical mega-bucket: Round11EdgeSpec; planted
+    * near-identical 200-doc family (O(W) volume + one cluster):
+    * Round12EdgeSpec. The DuckDB oracle applies the identical rule. */
   private def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sig = Tables.documents(s, dir)
@@ -508,18 +517,8 @@ object Dedup {
         graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
       .filter(size($"sig") > 0)
       .select($"doc_id", posexplode($"sig").as(Seq("perm", "minhash")))
-      .localCheckpoint()
-    val narrow = sig.join(
-      sig.groupBy($"perm", $"minhash").agg(count(lit(1)).as("bw"))
-        .filter($"bw" <= 64).select($"perm", $"minhash"),
-      Seq("perm", "minhash"))
-      .localCheckpoint() // feeds both sides of the pair self-join
-    narrow.alias("a")
-      .join(narrow.alias("b"),
-        col("a.perm") === col("b.perm") &&
-          col("a.minhash") === col("b.minhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    DedupOps.cappedBucketEdges(sig, Seq("perm", "minhash"), cap = 64)
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("matches"))
       .select($"doc_a", $"doc_b", $"matches",
         round($"matches" / lit(32.0), 9).as("est_jaccard"))
@@ -529,16 +528,21 @@ object Dedup {
 
   private val dedupMinhashPairsSql =
     s"""WITH $minhashSigCtes,
-      |bw AS (
-      |  SELECT perm, minhash FROM (
-      |    SELECT perm, minhash, COUNT(*) AS c FROM sig GROUP BY 1, 2) t
-      |  WHERE c <= 64),
-      |ns AS (SELECT sig.* FROM sig JOIN bw USING (perm, minhash)),
-      |cand AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS matches
-      |  FROM ns a JOIN ns b
+      |bkt AS (
+      |  SELECT perm, minhash, COUNT(*) AS bw, MIN(doc_id) AS rep
+      |  FROM sig GROUP BY 1, 2),
+      |ks AS (SELECT sig.doc_id, sig.perm, sig.minhash, bkt.bw, bkt.rep
+      |       FROM sig JOIN bkt USING (perm, minhash)),
+      |edges AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ks a JOIN ks b
       |    ON a.perm = b.perm AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  WHERE a.bw <= 64
+      |  UNION ALL
+      |  SELECT rep AS doc_a, doc_id AS doc_b FROM ks
+      |  WHERE bw > 64 AND doc_id <> rep),
+      |cand AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS matches FROM edges GROUP BY 1, 2)
       |SELECT doc_a, doc_b, CAST(matches AS BIGINT) AS matches,
       |  ROUND(matches / 32.0, 9) AS est_jaccard
       |FROM cand ORDER BY matches DESC, doc_a, doc_b LIMIT 50""".stripMargin
@@ -587,13 +591,20 @@ object Dedup {
     * the two views of the same index cannot drift. Shuffles carry
     * (band, bkey) 16-byte rows and doc-id pairs — never text.
     *
-    * Bucket-width cap (r10 VERDICT #4): even at the 4×8 operating
-    * point one degenerate bucket — millions of docs sharing identical
+    * Bucket-width cap with STAR fallback (r10 VERDICT #4 + r11 #1,
+    * via DedupOps.cappedBucketEdges): even at the 4×8 operating point
+    * one degenerate bucket — millions of docs sharing identical
     * boilerplate, the normal web-crawl case — makes the bucket
-    * self-join O(W²). Buckets wider than 64 are excluded on BOTH
-    * engines (the containment df≤64 stop-shingle template); a family
-    * that wide is exact-duplicate territory handled by dedup_exact /
-    * dedup_clusters, not a pairwise syndication signal. */
+    * self-join O(W²). Buckets ≤ 64 wide emit their full pair set;
+    * wider buckets emit O(W) star edges to the bucket's min-doc_id
+    * representative, so a wide near-identical syndication family still
+    * REGISTERS in the matrix (rep's source × every member's source)
+    * instead of vanishing under a hard cutoff — at W members the
+    * count is a floor on the family's true pair mass, which is the
+    * right bias for a skew-audit report. Identical rule in the
+    * DuckDB oracle; planted-corpus behavior pinned in Round11EdgeSpec
+    * (byte-identical mega-bucket) and Round12EdgeSpec (near-identical
+    * wide family). */
   private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -607,15 +618,8 @@ object Dedup {
         conv(substring(md5(concat_ws(":",
           expr("transform(slice(sig, band * 8 + 1, 8), x -> cast(x as string))"))), 1, 15), 16, 10)
           .cast("long").as("bkey"))
-      .localCheckpoint() // width agg + both sides of the self-join read it
-    val narrow = banded.join(
-      banded.groupBy($"band", $"bkey").agg(count(lit(1)).as("bw"))
-        .filter($"bw" <= 64).select($"band", $"bkey"),
-      Seq("band", "bkey"))
-    val pairs = narrow.alias("a").join(narrow.alias("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val pairs = DedupOps.cappedBucketEdges(banded, Seq("band", "bkey"), cap = 64)
+      .select($"doc_a".as("da"), $"doc_b".as("db"))
       .distinct()
     val src = docs.select($"doc_id", $"source")
     pairs
@@ -634,14 +638,19 @@ object Dedup {
        |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
        |  FROM sig GROUP BY doc_id, perm // 8),
        |bw AS (
-       |  SELECT band, bkey FROM (
-       |    SELECT band, bkey, COUNT(*) AS c FROM bk GROUP BY 1, 2) t
-       |  WHERE c <= 64),
-       |nb AS (SELECT bk.* FROM bk JOIN bw USING (band, bkey)),
+       |  SELECT band, bkey, COUNT(*) AS c, MIN(doc_id) AS rep
+       |  FROM bk GROUP BY 1, 2),
+       |kb AS (SELECT bk.doc_id, bk.band, bk.bkey, bw.c, bw.rep
+       |       FROM bk JOIN bw USING (band, bkey)),
        |p AS (
-       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM nb a JOIN nb b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |  SELECT DISTINCT da, db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db
+       |    FROM kb a JOIN kb b
+       |      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |    WHERE a.c <= 64
+       |    UNION ALL
+       |    SELECT rep AS da, doc_id AS db FROM kb
+       |    WHERE c > 64 AND doc_id <> rep) e),
        |sp AS (
        |  SELECT LEAST(d1.source, d2.source) AS source_a,
        |    GREATEST(d1.source, d2.source) AS source_b

@@ -3,14 +3,19 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** Round-11 items: the band-bucket width cap (r10 VERDICT #4).
+/** Round-11 items: the band-bucket width cap (r10 VERDICT #4),
+  * updated in round 12 for the STAR fallback (r11 VERDICT #1).
   * A degenerate LSH bucket — millions of byte-identical boilerplate
   * docs, the normal web-crawl case — previously made the candidate
   * self-joins in dedup_source_matrix / dedup_minhash_pairs O(W²).
-  * Buckets wider than 64 are now excluded from pair generation on both
-  * engines; this spec plants a 200-doc mega-bucket plus one genuine
-  * cross-source duplicate pair and asserts the cap removes the former
-  * and keeps the latter, with the DuckDB oracle in lock-step. */
+  * Buckets wider than 64 now emit O(W) star edges to the bucket's
+  * min-doc_id representative instead of their O(W²) pair set; this
+  * spec plants a 200-doc mega-bucket plus one genuine cross-source
+  * duplicate pair and asserts the mega-bucket contributes exactly its
+  * star (never the 19,900-pair explosion) while the real pair
+  * survives, with the DuckDB oracle in lock-step. The wide
+  * NEAR-identical family (the case the star exists for) is pinned in
+  * Round12EdgeSpec. */
 class Round11EdgeSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -30,20 +35,27 @@ class Round11EdgeSpec extends AnyFunSuite {
     dir
   }
 
-  test("width cap: mega-bucket excluded from dedup_source_matrix, real pair kept") {
+  test("width cap: mega-bucket contributes its star (199), real pair kept") {
     val dir = plant()
     val m = SparkEntry.queries("dedup_source_matrix")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     // the 200-doc boilerplate family would be 19,900 mirror–mirror pairs
-    // without the cap; with it the only surviving pair is the s1–s2 dup
-    assert(m.toSeq == Seq(("s1", "s2", 1L)), s"got ${m.toSeq}")
+    // without the cap; the star fallback shrinks it to the 199 edges of
+    // its min-id representative, and the s1–s2 dup still registers
+    assert(m.toSeq == Seq(("mirror", "mirror", 199L), ("s1", "s2", 1L)),
+      s"got ${m.toSeq}")
   }
 
-  test("width cap: dedup_minhash_pairs keeps only the narrow-bucket pair") {
+  test("width cap: dedup_minhash_pairs emits star edges, never the O(W²) set") {
     val dir = plant()
     val p = SparkEntry.queries("dedup_minhash_pairs")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(p.toSeq == Seq((1000L, 1001L, 32L)), s"got ${p.toSeq}")
+    // every wide bucket stars to doc 0, a full signature agreement
+    // (matches = 32); ordering (matches DESC, doc_a, doc_b) + LIMIT 50
+    // keeps the first 50 star pairs. The 19,900-pair explosion — and
+    // any pair NOT incident to the representative — must not appear.
+    assert(p.length == 50, s"got ${p.length} rows")
+    assert(p.toSeq == (1L to 50L).map(d => (0L, d, 32L)), s"got ${p.toSeq}")
   }
 
   test("width cap: DuckDB oracle applies the identical cap on the planted corpus") {
@@ -71,7 +83,9 @@ class Round11EdgeSpec extends AnyFunSuite {
       assert(pr.waitFor() == 0, s"oracle run failed:\n${out.take(1500)}")
       out.linesIterator.toSeq
     }
-    assert(oracleRows("dedup_source_matrix") == Seq("s1|s2|1"))
-    assert(oracleRows("dedup_minhash_pairs") == Seq("1000|1001|32|1.0"))
+    assert(oracleRows("dedup_source_matrix") ==
+      Seq("mirror|mirror|199", "s1|s2|1"))
+    assert(oracleRows("dedup_minhash_pairs") ==
+      (1 to 50).map(d => s"0|$d|32|1.0"))
   }
 }
