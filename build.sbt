@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two things previously got in the way (BENCH_r11.json
+// `parsed: null`): sbt's logger prefixed the forked JVM's stdout with
+// "[info] ", and the "[success] Total time..." banner printed after
+// it. StdoutOutput passes the child's stdout through verbatim;
+// showSuccess drops the banner — the bench JSON line is then the
+// final stdout line.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another
+// setting — exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
