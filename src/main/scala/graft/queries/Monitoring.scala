@@ -294,8 +294,10 @@ object Monitoring {
         coalesce($"cs", lit(0L)).as("csv"), $"c")
     // t1/t2 products ride DECIMAL(38,0), not LongType: at the 1e13-token
     // scale the docstring promises, csv·Δln·1e9 terms (~7e21) and their
-    // sums exceed Long.MaxValue — DuckDB's side already sums in HUGEINT,
-    // so a Long here would wrap silently on the Spark side only.
+    // sums exceed Long.MaxValue. The oracle widens the same products to
+    // HUGEINT before the multiply (not just the SUM — a BIGINT*BIGINT
+    // product would raise an overflow error there), so both engines
+    // carry the full-width terms end to end.
     val terms = grid.select($"source", $"nstok", $"n_buckets", $"n",
       when($"csv" > 0,
         $"csv".cast(d38) * (lq(($"csv" * 2).cast(d38) * $"n") -
@@ -330,11 +332,14 @@ object Monitoring {
       |  LEFT JOIN cs s2 ON s2.source = ns.source AND s2.b = cb.b),
       |terms AS (
       |  SELECT source, nstok, n_buckets, n,
-      |    CASE WHEN csv > 0 THEN csv * (
+      |    -- csv/c widened to HUGEINT BEFORE the multiply: at the 1e13-token
+      |    -- scale the per-row count·Δln-nano product (~7e21) overflows a
+      |    -- BIGINT*BIGINT multiply — only the SUM was HUGEINT before
+      |    CASE WHEN csv > 0 THEN csv::HUGEINT * (
       |        CAST(ROUND(LN(CAST(2::HUGEINT * csv * n AS DOUBLE))*1e9) AS BIGINT)
       |      - CAST(ROUND(LN(CAST(csv::HUGEINT * n + c::HUGEINT * nstok AS DOUBLE))*1e9) AS BIGINT))
-      |      ELSE 0 END AS t1,
-      |    c * (CAST(ROUND(LN(CAST(2::HUGEINT * c * nstok AS DOUBLE))*1e9) AS BIGINT)
+      |      ELSE 0::HUGEINT END AS t1,
+      |    c::HUGEINT * (CAST(ROUND(LN(CAST(2::HUGEINT * c * nstok AS DOUBLE))*1e9) AS BIGINT)
       |      - CAST(ROUND(LN(CAST(csv::HUGEINT * n + c::HUGEINT * nstok AS DOUBLE))*1e9) AS BIGINT)) AS t2
       |  FROM grid)
       |SELECT source, CAST(nstok AS BIGINT) AS n_tokens,

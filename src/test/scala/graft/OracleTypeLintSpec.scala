@@ -27,6 +27,7 @@ class OracleTypeLintSpec extends AnyFunSuite {
       |import duckdb
       |sf_dir = sys.argv[1]
       |oracle = json.load(open(sys.argv[2]))
+      |out_path = sys.argv[3]
       |con = duckdb.connect()
       |for t in ["region","nation","customer","supplier","part","orders",
       |          "lineitem","events","documents","embeddings"]:
@@ -42,7 +43,8 @@ class OracleTypeLintSpec extends AnyFunSuite {
       |            bad[name] = off
       |    except Exception as e:
       |        errs[name] = str(e)[:300]
-      |print(json.dumps({"bad": bad, "errs": errs}))
+      |with open(out_path, "w") as f:
+      |    json.dump({"bad": bad, "errs": errs}, f)
       |""".stripMargin
 
   // Verify.scala's escaper: control chars would break json.load.
@@ -73,15 +75,19 @@ class OracleTypeLintSpec extends AnyFunSuite {
         .mkString("{", ",", "}"))
     Files.writeString(py, pyScript)
 
+    // the verdict rides a temp FILE, not merged stdout: stray duckdb/
+    // python chatter on the final stdout line previously failed the
+    // string-match with a confusing message instead of a lint verdict
+    val verdict = dir.resolve("verdict.json")
     val pb = new ProcessBuilder(
-      "python3", py.toString, sfDir, sqlJson.toString)
+      "python3", py.toString, sfDir, sqlJson.toString, verdict.toString)
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     val rc = p.waitFor()
     assert(rc == 0, s"lint script failed (rc=$rc):\n${out.take(2000)}")
 
-    val line = out.linesIterator.toSeq.lastOption.getOrElse("")
+    val line = Files.readString(verdict)
     // minimal parse: both maps must be empty -> {"bad": {}, "errs": {}}
     assert(line.replaceAll("\\s+", "") == """{"bad":{},"errs":{}}""",
       s"""oracle output-type lint found offenders (wrap the final SELECT
