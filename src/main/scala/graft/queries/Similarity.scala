@@ -615,7 +615,15 @@ object Similarity {
   private def kmeansFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val qa = emb.select($"vec_id", $"embedding").localCheckpoint()
+    // spread BEFORE the checkpoint: parquet packs the whole vector
+    // table into one split, and the r11 array rework moved the Lloyd
+    // distance work into a per-row zip_with/aggregate over exactly
+    // this frame — checkpointed at 1 split it ran every pass on ONE
+    // core (measured 23.8 s at sf1 vs 1.5 s spread; the r12 probe
+    // caught it). The one-time row shuffle is 5 MB at sf1.
+    val qa = emb.select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
     (qa, kmeansLoop(qa, KmK))
   }
 
