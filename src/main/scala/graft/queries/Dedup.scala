@@ -558,21 +558,58 @@ object Dedup {
     * real near-dup families (dedup_minhash_recall confirms those are
     * exactly the Jaccard ≥ 0.9 pairs); planted-duplicate recall and
     * the r-vs-bucket-size law are spec-tested in DedupSpec. */
-  private def dedupMinhashBanded(s: SparkSession, dir: String): DataFrame = {
+  /** The 4×8 banded-LSH key frame (doc_id, band, bkey) off the
+    * 32-perm md5 MinHash signature — the production operating point.
+    * Band key = 60-bit md5 of the band's 8 minhashes (':'-joined):
+    * fixed-width, engine-portable, computed in the same pass as the
+    * signature. Single-sourced for dedup_minhash_banded /
+    * dedup_source_matrix / corpus_near_dedup_e2e so the three views
+    * of one index cannot drift. */
+  private def banded48(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .repartition($"doc_id")
       .select($"doc_id",
         graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
       .filter(size($"sig") > 0)
-    // band key = 60-bit md5 of the band's 8 minhashes (':'-joined) —
-    // fixed-width, engine-portable, computed in the same pass as sig
-    val banded = sig
       .select($"doc_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
       .select($"doc_id", $"band".cast("long").as("band"),
         conv(substring(md5(concat_ws(":",
           expr("transform(slice(sig, band * 8 + 1, 8), x -> cast(x as string))"))), 1, 15), 16, 10)
           .cast("long").as("bkey"))
+  }
+
+  /** Oracle fragment: the 4×8 band keys plus the width-capped
+    * star/pair candidate set (replays [[banded48]] +
+    * DedupOps.cappedBucketEdges; assumes `sig` from minhashSigCtes is
+    * in scope). Shared by dedup_source_matrix and
+    * corpus_near_dedup_e2e. */
+  private val bandKeyCte =
+    """bk AS (
+      |  SELECT doc_id, perm // 8 AS band,
+      |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
+      |  FROM sig GROUP BY doc_id, perm // 8)""".stripMargin
+
+  private val bandedCappedPairCtes =
+    s"""$bandKeyCte,
+      |bw AS (
+      |  SELECT band, bkey, COUNT(*) AS c, MIN(doc_id) AS rep
+      |  FROM bk GROUP BY 1, 2),
+      |kb AS (SELECT bk.doc_id, bk.band, bk.bkey, bw.c, bw.rep
+      |       FROM bk JOIN bw USING (band, bkey)),
+      |p AS (
+      |  SELECT DISTINCT da, db FROM (
+      |    SELECT a.doc_id AS da, b.doc_id AS db
+      |    FROM kb a JOIN kb b
+      |      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |    WHERE a.c <= 64
+      |    UNION ALL
+      |    SELECT rep AS da, doc_id AS db FROM kb
+      |    WHERE c > 64 AND doc_id <> rep) e)""".stripMargin
+
+  private def dedupMinhashBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banded = banded48(s, dir)
     val buckets = banded.groupBy($"band", $"bkey").agg(count(lit(1)).as("c"))
     buckets.groupBy($"band")
       .agg(sum($"c").as("n_docs"),
@@ -608,16 +645,7 @@ object Dedup {
   private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val sig = docs.repartition($"doc_id")
-      .select($"doc_id",
-        graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
-      .filter(size($"sig") > 0)
-    val banded = sig
-      .select($"doc_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
-      .select($"doc_id", $"band".cast("long").as("band"),
-        conv(substring(md5(concat_ws(":",
-          expr("transform(slice(sig, band * 8 + 1, 8), x -> cast(x as string))"))), 1, 15), 16, 10)
-          .cast("long").as("bkey"))
+    val banded = banded48(s, dir)
     val pairs = DedupOps.cappedBucketEdges(banded, Seq("band", "bkey"), cap = 64)
       .select($"doc_a".as("da"), $"doc_b".as("db"))
       .distinct()
@@ -633,24 +661,7 @@ object Dedup {
 
   private val dedupSourceMatrixSql =
     s"""WITH $minhashSigCtes,
-       |bk AS (
-       |  SELECT doc_id, perm // 8 AS band,
-       |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
-       |  FROM sig GROUP BY doc_id, perm // 8),
-       |bw AS (
-       |  SELECT band, bkey, COUNT(*) AS c, MIN(doc_id) AS rep
-       |  FROM bk GROUP BY 1, 2),
-       |kb AS (SELECT bk.doc_id, bk.band, bk.bkey, bw.c, bw.rep
-       |       FROM bk JOIN bw USING (band, bkey)),
-       |p AS (
-       |  SELECT DISTINCT da, db FROM (
-       |    SELECT a.doc_id AS da, b.doc_id AS db
-       |    FROM kb a JOIN kb b
-       |      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |    WHERE a.c <= 64
-       |    UNION ALL
-       |    SELECT rep AS da, doc_id AS db FROM kb
-       |    WHERE c > 64 AND doc_id <> rep) e),
+       |$bandedCappedPairCtes,
        |sp AS (
        |  SELECT LEAST(d1.source, d2.source) AS source_a,
        |    GREATEST(d1.source, d2.source) AS source_b
@@ -661,12 +672,73 @@ object Dedup {
        |FROM sp GROUP BY 1, 2
        |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin
 
+  /** End-to-end NEAR-dedup curation in one run — the flagship DAG a
+    * 100 TB crawl-dedup job actually executes: 32-perm MinHash →
+    * 4×8 banded LSH (the production operating point) → width-capped
+    * star/pair candidates (DedupOps.cappedBucketEdges — hot
+    * boilerplate buckets cost O(W), wide near-identical families stay
+    * connected through their representative) → connected components
+    * (two-phase star contraction, O(log n) rounds) → min-doc_id
+    * survivor per family → per-source before/after docs+tokens
+    * ledger. Complements corpus_curate_e2e (whose dedup leg is
+    * EXACT-hash only): this is the near-dup removal accounting.
+    *
+    * Scale shape: text is read once (the signature pass); everything
+    * downstream shuffles fixed-width (band, bkey) keys, doc-id pairs,
+    * and labels. The report is exact integer accounting (a family's
+    * non-min members are the removals), so both engines agree
+    * hash-exactly; the oracle replays the candidate rule via the
+    * shared bandedCappedPairCtes fragment and the closure via a
+    * recursive CTE. Planted wide near-identical family behavior
+    * (family collapses to ONE survivor) pinned in Round12EdgeSpec. */
+  private def corpusNearDedupE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("tk"))
+    val pairs = DedupOps.cappedBucketEdges(banded48(s, dir),
+        Seq("band", "bkey"), cap = 64)
+      .select($"doc_a", $"doc_b").distinct()
+    val labels = DedupOps.clusters(s, pairs) // (doc_id, cluster=family min)
+    val surv = $"cluster".isNull || $"cluster" === $"doc_id"
+    docs.join(labels, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs_before"),
+        sum(when(surv, 1L).otherwise(0L)).as("docs_after"),
+        sum($"tk").as("tokens_before"),
+        sum(when(surv, $"tk").otherwise(0L)).as("tokens_after"))
+      .orderBy($"source")
+  }
+
+  private val corpusNearDedupE2eSql =
+    s"""WITH RECURSIVE $minhashSigCtes,
+       |$bandedCappedPairCtes,
+       |edges AS (SELECT da AS src, db AS dst FROM p
+       |          UNION SELECT db, da FROM p),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |  WHERE e.dst != r.src),
+       |cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+       |  FROM documents),
+       |j AS (SELECT d.doc_id, d.source, d.tk, cl.cluster
+       |  FROM d LEFT JOIN cl USING (doc_id))
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS docs_before,
+       |  CAST(SUM(CASE WHEN cluster IS NULL OR cluster = doc_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+       |  CAST(SUM(tk) AS BIGINT) AS tokens_before,
+       |  CAST(SUM(CASE WHEN cluster IS NULL OR cluster = doc_id
+       |    THEN tk ELSE 0 END) AS BIGINT) AS tokens_after
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   private val dedupMinhashBandedSql =
     s"""WITH $minhashSigCtes,
-       |bk AS (
-       |  SELECT doc_id, perm // 8 AS band,
-       |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
-       |  FROM sig GROUP BY doc_id, perm // 8),
+       |$bandKeyCte,
        |b AS (SELECT band, bkey, COUNT(*) AS c FROM bk GROUP BY band, bkey)
        |SELECT band, CAST(SUM(c) AS BIGINT) AS n_docs,
        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
@@ -880,6 +952,7 @@ object Dedup {
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),
     "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),
+    "corpus_near_dedup_e2e" -> QueryDef(corpusNearDedupE2e, Some(corpusNearDedupE2eSql)),
     "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),

@@ -102,6 +102,23 @@ class Round12EdgeSpec extends AnyFunSuite {
     assert(m.map(_._3).sum >= (W - 1).toLong, s"got ${m.toSeq}")
   }
 
+  test("corpus_near_dedup_e2e: the planted family collapses to one survivor") {
+    val dir = plant()
+    // sources m0/m1/m2 round-robin over 200 docs: 67/67/66 before;
+    // the single survivor is doc 0 (family min) in m0
+    val r = SparkEntry.queries("corpus_near_dedup_e2e")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.map(t => t._1 -> (t._2, t._3)).toMap ==
+      Map("m0" -> (67L, 1L), "m1" -> (67L, 0L), "m2" -> (66L, 0L)),
+      s"got ${r.toSeq}")
+    // exact integer token ledger: every doc is 39 tokens (38 base + tail)
+    val tok = SparkEntry.queries("corpus_near_dedup_e2e")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(3), x.getLong(4)))
+    assert(tok.toSeq.map(t => (t._1, t._2, t._3)) ==
+      Seq(("m0", 67L * 39, 39L), ("m1", 67L * 39, 0L), ("m2", 66L * 39, 0L)),
+      s"got ${tok.toSeq}")
+  }
+
   // ---- r11 VERDICT #8: real BMP pixel decode, known-pixel round trips
 
   import graft.operators.{Multimodal => MM}
