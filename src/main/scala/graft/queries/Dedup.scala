@@ -814,6 +814,48 @@ object Dedup {
       |WHERE th NOT IN (SELECT th FROM idx)
       |GROUP BY th ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dedup — the daily-crawl production shape for
+    * the banded-LSH index, complementing [[dedupIncremental]]'s
+    * exact-hash variant: today's batch (doc_id ≡ 0 mod 5) probes the
+    * STANDING 4×8 index built from the other 4/5, and a new doc is a
+    * near-dup candidate iff any of its 4 band keys hits a standing
+    * bucket. Output per flagged doc: how many bands hit and the
+    * minimum standing doc_id among the hit buckets (the attribution).
+    *
+    * Scale shape: the standing index is NOT the per-doc band table —
+    * it is the bucket SUMMARY (band, bkey) → min standing doc_id, one
+    * fixed-width row per bucket regardless of width. A boilerplate
+    * mega-bucket holding millions of standing docs is still ONE index
+    * row, so the daily probe join is skew-proof by construction (no
+    * cap needed — contrast cappedBucketEdges, which exists because
+    * pair GENERATION is quadratic in width; a probe lookup is not).
+    * In production the summary is bucketed on (band, bkey) so only
+    * the new batch's band keys — the small side — move. */
+  private def dedupIncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banded = banded48(s, dir).localCheckpoint() // feeds both legs
+    val idx = banded.filter($"doc_id" % 5 =!= 0)
+      .groupBy($"band", $"bkey").agg(min($"doc_id").as("min_standing"))
+    banded.filter($"doc_id" % 5 === 0)
+      .join(idx, Seq("band", "bkey"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"band").as("n_bands_hit"),
+        min($"min_standing").as("min_standing_doc"))
+      .orderBy($"doc_id")
+  }
+
+  private val dedupIncrementalMinhashSql =
+    s"""WITH $minhashSigCtes,
+       |$bandKeyCte,
+       |idx AS (SELECT band, bkey, MIN(doc_id) AS min_standing
+       |  FROM bk WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+       |nw AS (SELECT * FROM bk WHERE doc_id % 5 = 0)
+       |SELECT nw.doc_id,
+       |  CAST(COUNT(DISTINCT nw.band) AS BIGINT) AS n_bands_hit,
+       |  MIN(idx.min_standing) AS min_standing_doc
+       |FROM nw JOIN idx USING (band, bkey)
+       |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin
+
   /** LSH quality evaluation — the ann_recall analog for MinHash: how
     * much of the EXACT near-dup pair set does the production banding
     * (4 bands × r = 8) catch, bucketed by true Jaccard? The classic
@@ -948,6 +990,7 @@ object Dedup {
     "corpus_line_dedup" -> QueryDef(corpusLineDedup, Some(corpusLineDedupSql)),
     "dedup_minhash_recall" -> QueryDef(dedupMinhashRecall, Some(dedupMinhashRecallSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
+    "dedup_incremental_minhash" -> QueryDef(dedupIncrementalMinhash, Some(dedupIncrementalMinhashSql)),
     "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),

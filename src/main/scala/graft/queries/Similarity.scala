@@ -215,6 +215,88 @@ object Similarity {
        |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  /** The recall-vs-probe operating CURVE — the tuning readout an ANN
+    * deployment measures before committing an nProbe for a 100 TB
+    * index build (ann_recall is one point on it; this is the chart).
+    * For nProbe ∈ {1, 2, 4} over the same fixed-8-cell IVF: total
+    * top-5 hits vs the exact brute-force answer across the eval
+    * queries, as corpus-level recall@5 per operating point. The
+    * brute-force truth is computed ONCE (localCheckpoint — it feeds
+    * all three comparisons); each sweep point reuses the same corpus
+    * assignment and only widens the bounded probe-side cell list, so
+    * the sweep costs about its widest point, not the sum. */
+  private def annProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bf = Sim.bruteForce(s, emb, probes(s, dir), k = 5)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val curve = Seq(1, 2, 4).map { np =>
+      Sim.ivfTopK(s, emb, probes(s, dir), k = 5, nProbe = np)
+        .select(lit(np.toLong).as("n_probe"),
+          $"query_id".as("iq"), $"neighbor_id".as("in_"))
+    }.reduce(_ unionByName _)
+    val hits = curve.join(bf,
+        curve("iq") === bf("query_id") && curve("in_") === bf("neighbor_id"))
+      .groupBy($"n_probe").agg(count(lit(1)).as("n_hit"))
+    val nb = bf.agg(count(lit(1)).as("nb"))
+    Seq(1L, 2L, 4L).toDF("n_probe")
+      .join(hits, Seq("n_probe"), "left")
+      .crossJoin(broadcast(nb))
+      .select($"n_probe", coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)).cast("double") / $"nb", 9).as("recall"))
+      .orderBy($"n_probe")
+  }
+
+  // Composes the brute-force and IVF oracles; the probe-cell CTE is
+  // computed once to crk ≤ 4 and each sweep point filters it.
+  private val annProbeCurveSql =
+    s"""WITH q1 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc1 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q1 JOIN embeddings e ON e.vec_id <> q1.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc1) x WHERE rk <= 5),
+       |cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+       |asg AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT e.vec_id, c.cell, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c) x WHERE crk = 1),
+       |pcall AS (
+       |  SELECT query_id, cell, qe, crk FROM (
+       |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) x WHERE crk <= 4),
+       |nps AS (SELECT UNNEST([1, 2, 4]) AS n_probe),
+       |sc2 AS (
+       |  SELECT np.n_probe, p.query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("p.qe", "a.embedding")}, 9) AS cos_sim
+       |  FROM nps np JOIN pcall p ON p.crk <= np.n_probe
+       |  JOIN asg a USING (cell) WHERE a.vec_id <> p.query_id),
+       |iv AS (
+       |  SELECT n_probe, query_id, neighbor_id FROM (
+       |    SELECT n_probe, query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc2) x WHERE rk <= 5),
+       |bfc AS (SELECT COUNT(*) AS nb FROM bf),
+       |h AS (SELECT n_probe, COUNT(*) AS n_hit
+       |  FROM iv JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT CAST(np.n_probe AS BIGINT) AS n_probe,
+       |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / bfc.nb, 9) AS recall
+       |FROM nps np CROSS JOIN bfc LEFT JOIN h ON h.n_probe = np.n_probe
+       |ORDER BY n_probe""".stripMargin
+
   /** MRR of the IVF tier: where does the TRUE nearest neighbor (exact
     * brute-force top-1) land in the IVF top-20 shortlist? Recall@k
     * (ann_recall) says whether the answer is present; reciprocal rank
@@ -1865,6 +1947,7 @@ object Similarity {
     "ann_ivf" -> QueryDef(annIvf, Some(annIvfSql)),
     "ann_ivf_trained" -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
     "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
+    "ann_probe_curve" -> QueryDef(annProbeCurve, Some(annProbeCurveSql)),
     "ann_mrr" -> QueryDef(annMrr, Some(annMrrSql)),
     "ann_sq8" -> QueryDef(annSq8, Some(annSq8Sql)),
     "ann_recall_sq8" -> QueryDef(annRecallSq8, Some(annRecallSq8Sql)),

@@ -58,6 +58,19 @@ class Round11EdgeSpec extends AnyFunSuite {
     assert(p.toSeq == (1L to 50L).map(d => (0L, d, 32L)), s"got ${p.toSeq}")
   }
 
+  test("incremental minhash probe: bucket-summary index flags the planted families") {
+    val dir = plant()
+    // New batch = ids ≡ 0 mod 5 (40 boiler docs + doc 1000); standing
+    // min for the boiler family is doc 1, for the dup family doc 1001.
+    // Byte-identical texts share all 4 band keys, so every flagged doc
+    // hits 4 bands — and the 200-wide boiler bucket is ONE summary row,
+    // not 160 standing rows, by construction.
+    val r = SparkEntry.queries("dedup_incremental_minhash")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val expected = (0L until 200L by 5).map(d => (d, 4L, 1L)) :+ (1000L, 4L, 1001L)
+    assert(r.toSeq == expected, s"got ${r.take(5).toSeq}... (${r.length} rows)")
+  }
+
   test("width cap: DuckDB oracle applies the identical cap on the planted corpus") {
     val dir = plant()
     val duckOk = try {
