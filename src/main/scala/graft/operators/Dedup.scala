@@ -404,6 +404,13 @@ object Dedup {
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
       converged = sig == prevSig
       prevSig = sig
+      // `small` is materialized (eager localCheckpoint + the signature
+      // aggregate above), so the superseded round's blocks can be freed
+      // NOW — without this, a 20-round run on a big corpus parks ~20
+      // edge-list copies in storage memory and later queries in the
+      // same session thrash on eviction/recompute (measured at sf10:
+      // 19 s → 300 s run-to-run drift before the unpersist).
+      star.unpersist()
       star = small
       iter += 1
     }
