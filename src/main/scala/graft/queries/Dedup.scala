@@ -565,19 +565,30 @@ object Dedup {
     * signature. Single-sourced for dedup_minhash_banded /
     * dedup_source_matrix / corpus_near_dedup_e2e so the three views
     * of one index cannot drift. */
-  private def banded48(s: SparkSession, dir: String): DataFrame = {
+  /** The signature frame (doc_id, sig: array of 32 minhashes). */
+  private def sigArray(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .repartition($"doc_id")
       .select($"doc_id",
         graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
       .filter(size($"sig") > 0)
-      .select($"doc_id", explode(sequence(lit(0), lit(3))).as("band"), $"sig")
+  }
+
+  /** (doc_id, band, bkey) at an arbitrary (bands × rowsPerBand)
+    * slicing of the 32-perm signature. */
+  private def bandedKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    import sig.sparkSession.implicits._
+    sig
+      .select($"doc_id", explode(sequence(lit(0), lit(bands - 1))).as("band"), $"sig")
       .select($"doc_id", $"band".cast("long").as("band"),
         conv(substring(md5(concat_ws(":",
-          expr("transform(slice(sig, band * 8 + 1, 8), x -> cast(x as string))"))), 1, 15), 16, 10)
+          expr(s"transform(slice(sig, band * $rowsPerBand + 1, $rowsPerBand), x -> cast(x as string))"))), 1, 15), 16, 10)
           .cast("long").as("bkey"))
   }
+
+  private def banded48(s: SparkSession, dir: String): DataFrame =
+    bandedKeys(sigArray(s, dir), bands = 4, rowsPerBand = 8)
 
   /** Oracle fragment: the 4×8 band keys plus the width-capped
     * star/pair candidate set (replays [[banded48]] +
@@ -618,6 +629,47 @@ object Dedup {
         sum(expr("(c * (c - 1)) div 2")).as("n_cand_pairs"))
       .orderBy($"band")
   }
+
+  /** The LSH OPERATING-POINT curve — the banding analog of
+    * ann_probe_curve: the full bucket census at every (bands ×
+    * rows-per-band) slicing of the 32-perm signature, (32×1, 16×2,
+    * 8×4, 4×8), in one result. Per config: buckets, widest bucket,
+    * and the uncapped candidate-pair mass Σ c·(c−1)/2 — the numbers a
+    * 100 TB dedup run reads to pick its (b, r) before committing to
+    * the pair join (r up ⇒ buckets thin ~j^r and candidate mass
+    * collapses; the S-curve recall side of the trade is
+    * dedup_minhash_recall). The signature is computed ONCE
+    * (localCheckpoint) and re-sliced four ways — re-banding costs a
+    * vocabulary of 60-bit keys per config, never a re-scan of text. */
+  private def dedupBandingCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = sigArray(s, dir).localCheckpoint() // feeds all 4 slicings
+    Seq((32, 1), (16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+      bandedKeys(sig, b, r)
+        .groupBy($"band", $"bkey").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max($"c").as("max_bucket"),
+          sum(expr("(c * (c - 1)) div 2")).as("n_cand_pairs"))
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          $"n_buckets", $"max_bucket", $"n_cand_pairs")
+    }.reduce(_ unionByName _)
+      .orderBy($"rows_per_band")
+  }
+
+  private val dedupBandingCurveSql =
+    s"""WITH $minhashSigCtes,
+       |cfgs AS (SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8)) t(b, r)),
+       |bk AS (
+       |  SELECT cfg.b, cfg.r, doc_id, perm // cfg.r AS band,
+       |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
+       |  FROM sig CROSS JOIN cfgs cfg
+       |  GROUP BY cfg.b, cfg.r, doc_id, perm // cfg.r),
+       |bu AS (SELECT b, r, band, bkey, COUNT(*) AS c FROM bk GROUP BY 1, 2, 3, 4)
+       |SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS rows_per_band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+       |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n_cand_pairs
+       |FROM bu GROUP BY b, r ORDER BY rows_per_band""".stripMargin
 
   /** Cross-source near-duplication matrix — which sources copy each
     * other (syndication/mirror detection, the report a curation run
@@ -994,6 +1046,7 @@ object Dedup {
     "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),
+    "dedup_banding_curve" -> QueryDef(dedupBandingCurve, Some(dedupBandingCurveSql)),
     "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),
     "corpus_near_dedup_e2e" -> QueryDef(corpusNearDedupE2e, Some(corpusNearDedupE2eSql)),
     "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),

@@ -119,6 +119,20 @@ class Round12EdgeSpec extends AnyFunSuite {
       s"got ${tok.toSeq}")
   }
 
+  test("dedup_banding_curve: candidate mass collapses as rows-per-band grows") {
+    val dir = plant()
+    val rows = SparkEntry.queries("dedup_banding_curve")(spark, dir).collect()
+      .map(x => (x.getLong(1), x.getLong(3), x.getLong(4))) // (r, max_bucket, n_cand)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L), s"got ${rows.toSeq}")
+    // the law the chart exists to show: buckets thin ~j^r, so the
+    // widest bucket and the uncapped pair mass are non-increasing in r
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 && a._3 >= b._3 },
+      s"census not monotone in r: ${rows.toSeq}")
+    // at r=1 the 200-doc near-identical family saturates a shared-min
+    // bucket (the mega-bucket regime the width cap exists for)
+    assert(rows.head._2 >= 100, s"r=1 widest bucket too small: ${rows.head}")
+  }
+
   // ---- r11 VERDICT #8: real BMP pixel decode, known-pixel round trips
 
   import graft.operators.{Multimodal => MM}
