@@ -866,6 +866,59 @@ object Dedup {
       |WHERE th NOT IN (SELECT th FROM idx)
       |GROUP BY th ORDER BY doc_id""".stripMargin
 
+  /** Streaming build of the STANDING LSH index — the eleventh
+    * driver-verified replay path, closing the loop on
+    * [[dedupIncrementalMinhash]]: the bucket summary that the daily
+    * probe hits ((band, bkey) → width, min doc) is itself maintained
+    * as streaming aggregation state. The doc stream's band keys
+    * arrive as a multi-file replay (8 splits → several micro-batches)
+    * and fold into per-bucket (count, min) state; the END state is
+    * order-free — count and min are commutative — so the final table
+    * must hash-match the batch construction exactly, which is the
+    * invariant the oracle checks. Emitted: near-dup buckets only
+    * (width ≥ 2) — the index rows a probe can actually hit; state per
+    * bucket is two fixed-width values regardless of bucket width, so
+    * a boilerplate mega-bucket costs the same state as a pair.
+    * Production note: complete-mode output here is the replay
+    * harness; a production maintainer upserts update-mode deltas into
+    * the bucketed index table instead. */
+  private def dedupIndexStreamingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{StructType, LongType}
+    val root = java.nio.file.Files.createTempDirectory("graft-lshindex-replay").toString
+    banded48(s, dir).repartition(8)
+      .write.mode("overwrite").parquet(s"$root/bands")
+    val stream = s.readStream
+      .schema(new StructType()
+        .add("doc_id", LongType).add("band", LongType).add("bkey", LongType))
+      .option("maxFilesPerTrigger", 2) // several micro-batches: real state folding
+      .parquet(s"$root/bands")
+    val qname = s"lsh_index_replay_${System.nanoTime()}"
+    val query = stream.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("width"), min($"doc_id").as("min_doc"))
+      .filter($"width" >= 2)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("dedup_index_streaming_replay: stream did not drain in 300s")
+    }
+    s.table(qname).select($"band", $"bkey", $"width", $"min_doc")
+      .orderBy($"band", $"bkey")
+  }
+
+  private val dedupIndexStreamingReplaySql =
+    s"""WITH $minhashSigCtes,
+       |$bandKeyCte
+       |SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS width,
+       |  MIN(doc_id) AS min_doc
+       |FROM bk GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY band, bkey""".stripMargin
+
   /** Incremental NEAR-dedup — the daily-crawl production shape for
     * the banded-LSH index, complementing [[dedupIncremental]]'s
     * exact-hash variant: today's batch (doc_id ≡ 0 mod 5) probes the
@@ -1043,6 +1096,7 @@ object Dedup {
     "dedup_minhash_recall" -> QueryDef(dedupMinhashRecall, Some(dedupMinhashRecallSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_incremental_minhash" -> QueryDef(dedupIncrementalMinhash, Some(dedupIncrementalMinhashSql)),
+    "dedup_index_streaming_replay" -> QueryDef(dedupIndexStreamingReplay, Some(dedupIndexStreamingReplaySql)),
     "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),
