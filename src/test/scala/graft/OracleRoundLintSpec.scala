@@ -67,6 +67,8 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "ann_ivfpq" -> cosine, "ann_lsh" -> cosine, "ann_mrr" -> cosine,
       "ann_pq_adc" -> cosine, "ann_range_search" -> cosine,
       "ann_recall" -> cosine, "ann_recall_lsh" -> cosine,
+      "ann_probe_curve" -> (cosine + "; plus hit-ratio n_hit/nb — both " +
+        "sides divide the same two exact BIGINT counts"),
       "dedup_embedding" -> cosine, "dedup_semantic" -> cosine,
       "emb_hard_negatives" -> cosine, "emb_label_noise" -> cosine,
       "emb_matryoshka_eval" -> cosine, "emb_mmr" -> cosine,
