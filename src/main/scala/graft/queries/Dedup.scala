@@ -745,15 +745,24 @@ object Dedup {
     * (family collapses to ONE survivor) pinned in Round12EdgeSpec. */
   private def corpusNearDedupE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // ONE text scan computes both the signature (index leg) and the
+    // token count (ledger leg); everything downstream of this
+    // checkpoint moves fixed-width keys, id pairs, and labels only.
+    val base = Tables.documents(s, dir)
+      .repartition($"doc_id")
       .select($"doc_id", $"source",
-        size(split($"text", " ")).cast("long").as("tk"))
-    val pairs = DedupOps.cappedBucketEdges(banded48(s, dir),
-        Seq("band", "bkey"), cap = 64)
+        size(split($"text", " ")).cast("long").as("tk"),
+        graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
+      .localCheckpoint()
+    val banded = bandedKeys(
+      base.filter(size($"sig") > 0).select($"doc_id", $"sig"),
+      bands = 4, rowsPerBand = 8)
+    val pairs = DedupOps.cappedBucketEdges(banded, Seq("band", "bkey"), cap = 64)
       .select($"doc_a", $"doc_b").distinct()
     val labels = DedupOps.clusters(s, pairs) // (doc_id, cluster=family min)
     val surv = $"cluster".isNull || $"cluster" === $"doc_id"
-    docs.join(labels, Seq("doc_id"), "left")
+    base.select($"doc_id", $"source", $"tk")
+      .join(labels, Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("docs_before"),
         sum(when(surv, 1L).otherwise(0L)).as("docs_after"),
