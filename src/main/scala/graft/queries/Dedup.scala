@@ -671,6 +671,41 @@ object Dedup {
        |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n_cand_pairs
        |FROM bu GROUP BY b, r ORDER BY rows_per_band""".stripMargin
 
+  /** Hot-bucket TRIAGE — the row-level complement of the census keys
+    * (dedup_minhash_banded aggregates per band, dedup_banding_curve
+    * per config; this names the actual offenders): the 10 widest
+    * buckets of the production 4×8 index with each bucket's min-doc
+    * representative and its source — the "which boilerplate family
+    * dominates the index" readout an engineer inspects before
+    * launching a 100 TB pair join. One census aggregate, one
+    * broadcast-sized top-10, one row lookup join for attribution;
+    * ties broken deterministically (width desc, band, bkey). */
+  private def dedupHotBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = banded48(s, dir)
+      .groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("width"), min($"doc_id").as("rep_doc"))
+      .orderBy($"width".desc, $"band", $"bkey")
+      .limit(10)
+    top.join(Tables.documents(s, dir)
+        .select($"doc_id".as("rep_doc"), $"source".as("rep_source")), "rep_doc")
+      .select($"band", $"bkey", $"width", $"rep_doc", $"rep_source")
+      .orderBy($"width".desc, $"band", $"bkey")
+  }
+
+  private val dedupHotBucketsSql =
+    s"""WITH $minhashSigCtes,
+       |$bandKeyCte,
+       |bu AS (
+       |  SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS width,
+       |    MIN(doc_id) AS rep_doc
+       |  FROM bk GROUP BY 1, 2
+       |  ORDER BY width DESC, band, bkey LIMIT 10)
+       |SELECT bu.band, bu.bkey, bu.width, bu.rep_doc,
+       |  d.source AS rep_source
+       |FROM bu JOIN documents d ON d.doc_id = bu.rep_doc
+       |ORDER BY bu.width DESC, bu.band, bu.bkey""".stripMargin
+
   /** Cross-source near-duplication matrix — which sources copy each
     * other (syndication/mirror detection, the report a curation run
     * uses to pick per-source dedup policy): banded-LSH candidate pairs
@@ -1110,6 +1145,7 @@ object Dedup {
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),
     "dedup_banding_curve" -> QueryDef(dedupBandingCurve, Some(dedupBandingCurveSql)),
+    "dedup_hot_buckets" -> QueryDef(dedupHotBuckets, Some(dedupHotBucketsSql)),
     "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),
     "corpus_near_dedup_e2e" -> QueryDef(corpusNearDedupE2e, Some(corpusNearDedupE2eSql)),
     "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql)),

@@ -71,6 +71,17 @@ class Round11EdgeSpec extends AnyFunSuite {
     assert(r.toSeq == expected, s"got ${r.take(5).toSeq}... (${r.length} rows)")
   }
 
+  test("hot-bucket triage names the planted mega-family first") {
+    val dir = plant()
+    // the 200-doc byte-identical family owns all 4 of its band buckets
+    // at width 200, attributed to rep doc 0 / source "mirror"; the dup
+    // pair's 4 buckets (width 2, rep 1000 / "s1") fill the next slots
+    val r = SparkEntry.queries("dedup_hot_buckets")(spark, dir).collect()
+      .map(x => (x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(r.take(4).toSeq == Seq.fill(4)((200L, 0L, "mirror")), s"got ${r.toSeq}")
+    assert(r.drop(4).toSeq == Seq.fill(4)((2L, 1000L, "s1")), s"got ${r.toSeq}")
+  }
+
   test("width cap: DuckDB oracle applies the identical cap on the planted corpus") {
     val dir = plant()
     val duckOk = try {
