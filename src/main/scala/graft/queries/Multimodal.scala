@@ -131,6 +131,57 @@ object Multimodal {
       |FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL pixel decode at corpus scale: a known-pixel BMP is
+    * synthesized per doc (dims + a deterministic gray ramp from doc
+    * fields; gray (v,v,v) has BT.601 luma exactly v since the weights
+    * sum to 1000), the full encode → [[MM.bmpLuminance]] byte-decode
+    * round trip runs inside the scan stage (pixel-array offset, 4-byte
+    * row padding, BGR order, bottom-up rows — the actual bits), and
+    * the registered output is the exact luma sum + the 60-block
+    * perceptual hash of the DECODED samples. The oracle never touches
+    * bytes: it re-derives every pixel from the generating formula and
+    * replays the blockhash law relationally — so any drift anywhere in
+    * the encoder or decoder byte walk breaks the hash. Per-doc work is
+    * bounded (≤ 27×22 px); blobs never shuffle — only (doc_id, dims,
+    * sum, hash) rows move. */
+  private def mmBmpLuma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"),
+        ($"n_chars" % 24 + 4).cast("int").as("w"),
+        ($"doc_id" * 11 % 20 + 3).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        val img = MM.bmpImage(w, h, (x, y) => {
+          val v = ((id * 31 + y.toLong * w + x) % 256).toInt
+          (v << 16) | (v << 8) | v
+        })
+        val lum = MM.bmpLuminance(img).getOrElse(
+          throw new IllegalStateException(s"bmp round-trip failed for doc $id"))
+        (id, w.toLong, h.toLong, lum.sum, MM.blockHash60Samples(lum))
+      }
+      .toDF("doc_id", "w", "h", "luma_sum", "blockhash")
+      .orderBy($"doc_id")
+  }
+
+  private val mmBmpLumaSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(n_chars % 24 + 4 AS BIGINT) AS w,
+      |    CAST((doc_id * 11) % 20 + 3 AS BIGINT) AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      |pv AS (SELECT doc_id, w, h, i, (doc_id * 31 + i) % 256 AS v FROM px),
+      |bs AS (SELECT doc_id, (i * 60) // (w * h) AS blk,
+      |    SUM(v) AS s, COUNT(*) AS c FROM pv GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, SUM(s) AS total, SUM(c) AS n FROM bs GROUP BY 1),
+      |bits AS (SELECT bs.doc_id,
+      |    SUM(CASE WHEN s * n > total * c
+      |      THEN (1::BIGINT << CAST(blk AS INT)) ELSE 0 END) AS bh
+      |  FROM bs JOIN tt USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, d.w, d.h, CAST(tt.total AS BIGINT) AS luma_sum,
+      |  CAST(COALESCE(bits.bh, 0) AS BIGINT) AS blockhash
+      |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Resize planning off REAL header-decoded dimensions: a
     * deterministic BMP header is synthesized per doc (w, h derived
     * from doc fields), [[graft.operators.Multimodal.HeaderImageDecoder]]
@@ -486,6 +537,7 @@ object Multimodal {
     "mm_vad_segments" -> QueryDef(mmVadSegments, Some(mmVadSegmentsSql)),
     "mm_phash_pairs" -> QueryDef(mmPhashPairs, Some(mmPhashPairsSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
+    "mm_bmp_luma" -> QueryDef(mmBmpLuma, Some(mmBmpLumaSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),
     "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql)),
