@@ -77,6 +77,61 @@ object Dedup {
             .cast("double") / 1e9))
   }
 
+  /** MAXIMAL duplicated-span ledger — the real Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * substring-dedup contract, which [[duplicateSpanStats]] only
+    * approximates with per-window counts: production substring dedup
+    * REMOVES maximal repeated spans, so the deliverable is one row per
+    * (doc, maximal span) — start/end token positions of each chained
+    * duplicated region of at least `minTokens` tokens (the paper's 50,
+    * at token granularity).
+    *
+    * Pipeline: (1) one gram pass — n-token windows hashed to 8-byte
+    * keys with their positions, localCheckpoint'd: the text scan +
+    * hash kernel (the dominant cost) runs ONCE and feeds both the
+    * census and the position lookup; fixed-width (doc_id, pos, gh)
+    * rows, never text. (2) duplicated grams = hashes seen in ≥ 2
+    * distinct docs — a hash-keyed aggregate. (3) a LEFT SEMI join
+    * flags each occurrence, deliberately NOT the collect_list trick
+    * [[duplicateSpanStats]] uses: a corpus-hot boilerplate gram at
+    * 100 TB puts millions of occurrences into one aggregation buffer
+    * there, while the semi-join stays a streaming hash probe per
+    * occurrence — skew-proof. (4) per-doc islands-and-gaps chaining
+    * (the mm_vad_segments idiom) under a doc-keyed window: two
+    * duplicated windows at positions p < q cover contiguous tokens
+    * iff q ≤ p + n, so a span breaks exactly when the gap exceeds n;
+    * start = first window pos, end = last window pos + n − 1.
+    * Chaining state is bounded by tokens-per-doc, never corpus size. */
+  def duplicateSpans(docs: DataFrame, n: Int = 10, minTokens: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .repartition(col("doc_id")) // test parquet is one row group — spread the explode
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.wordNgrams(col("text"), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+      .localCheckpoint()
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val dpos = grams.join(dup, Seq("gh"), "left_semi").select("doc_id", "pos")
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dpos
+      .withColumn("prev", lag(col("pos"), 1).over(wo))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wo))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_windows"))
+  }
+
   /** Per-doc MinHash/LSH index rows: `bands` band keys per document.
     * Join this to itself on (band, band_hash) to get candidate pairs.
     */
@@ -409,8 +464,11 @@ object Dedup {
       // NOW — without this, a 20-round run on a big corpus parks ~20
       // edge-list copies in storage memory and later queries in the
       // same session thrash on eviction/recompute (measured at sf10:
-      // 19 s → 300 s run-to-run drift before the unpersist).
-      star.unpersist()
+      // 19 s → 300 s run-to-run drift). Dataset.unpersist() is a
+      // silent NO-OP on a localCheckpoint'd frame (its blocks live on
+      // the checkpointed RDD, not in the CacheManager — r12 ADVICE),
+      // so release the RDD itself through the LogicalRDD leaf.
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(star)
       star = small
       iter += 1
     }

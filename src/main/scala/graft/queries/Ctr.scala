@@ -251,13 +251,14 @@ object Ctr {
       query.stop()
       throw new IllegalStateException("ctr_streaming_replay: stream did not drain in 300s")
     }
-    s.table(qname)
-      .filter($"referrer" =!= "zz")
-      .groupBy($"referrer", $"adId")
-      .agg(sum($"impressions").as("impressions"), sum($"clicks").as("clicks"))
-      .select($"referrer", $"adId".as("ad_id"), $"impressions", $"clicks",
-        ($"clicks".cast("double") / $"impressions").as("ctr"))
-      .orderBy($"referrer", $"ad_id")
+    StreamReplay.finish(s, qname, root)(
+      s.table(qname)
+        .filter($"referrer" =!= "zz")
+        .groupBy($"referrer", $"adId")
+        .agg(sum($"impressions").as("impressions"), sum($"clicks").as("clicks"))
+        .select($"referrer", $"adId".as("ad_id"), $"impressions", $"clicks",
+          ($"clicks".cast("double") / $"impressions").as("ctr"))
+        .orderBy($"referrer", $"ad_id"))
   }
 
   /** Streaming as-of attribution, driver-verified against the SAME
@@ -305,9 +306,12 @@ object Ctr {
     sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
     drain()
 
-    s.read.parquet(s"$root/out")
-      .select($"user_id", $"click_id", $"attributed_view")
-      .orderBy($"user_id", $"click_id")
+    // file sink, no memory-sink view to drop — but the temp dir still
+    // leaks per invocation without the finish
+    StreamReplay.finish(s, qname = "", root)(
+      s.read.parquet(s"$root/out")
+        .select($"user_id", $"click_id", $"attributed_view")
+        .orderBy($"user_id", $"click_id"))
   }
 
   /** Position-based (U-shaped) MULTI-TOUCH attribution — the model

@@ -647,9 +647,13 @@ object Dedup {
     Seq((32, 1), (16, 2), (8, 4), (4, 8)).map { case (b, r) =>
       bandedKeys(sig, b, r)
         .groupBy($"band", $"bkey").agg(count(lit(1)).as("c"))
+        // coalesce: on a degenerate corpus (no doc yields a signature)
+        // the global agg still emits one row per config — keep the
+        // 4-row shape with zeros instead of NULLs so the oracle (cfgs
+        // LEFT JOIN census, same coalesce) hash-matches (r12 ADVICE)
         .agg(count(lit(1)).as("n_buckets"),
-          max($"c").as("max_bucket"),
-          sum(expr("(c * (c - 1)) div 2")).as("n_cand_pairs"))
+          coalesce(max($"c"), lit(0L)).as("max_bucket"),
+          coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L)).as("n_cand_pairs"))
         .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
           $"n_buckets", $"max_bucket", $"n_cand_pairs")
     }.reduce(_ unionByName _)
@@ -664,12 +668,18 @@ object Dedup {
        |    CAST('0x' || substring(md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY perm)), 1, 15) AS BIGINT) AS bkey
        |  FROM sig CROSS JOIN cfgs cfg
        |  GROUP BY cfg.b, cfg.r, doc_id, perm // cfg.r),
-       |bu AS (SELECT b, r, band, bkey, COUNT(*) AS c FROM bk GROUP BY 1, 2, 3, 4)
-       |SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS rows_per_band,
-       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       |  CAST(MAX(c) AS BIGINT) AS max_bucket,
-       |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n_cand_pairs
-       |FROM bu GROUP BY b, r ORDER BY rows_per_band""".stripMargin
+       |bu AS (SELECT b, r, band, bkey, COUNT(*) AS c FROM bk GROUP BY 1, 2, 3, 4),
+       |cen AS (
+       |  SELECT b, r, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |    CAST(MAX(c) AS BIGINT) AS max_bucket,
+       |    CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n_cand_pairs
+       |  FROM bu GROUP BY b, r)
+       |SELECT CAST(cfg.b AS BIGINT) AS n_bands, CAST(cfg.r AS BIGINT) AS rows_per_band,
+       |  COALESCE(cen.n_buckets, 0) AS n_buckets,
+       |  COALESCE(cen.max_bucket, 0) AS max_bucket,
+       |  COALESCE(cen.n_cand_pairs, 0) AS n_cand_pairs
+       |FROM cfgs cfg LEFT JOIN cen ON cfg.b = cen.b AND cfg.r = cen.r
+       |ORDER BY rows_per_band""".stripMargin
 
   /** Hot-bucket TRIAGE — the row-level complement of the census keys
     * (dedup_minhash_banded aggregates per band, dedup_banding_curve
@@ -877,7 +887,8 @@ object Dedup {
       query.stop()
       throw new IllegalStateException("dedup_streaming_replay: stream did not drain in 300s")
     }
-    s.table(qname).select($"th").orderBy($"th")
+    StreamReplay.finish(s, qname, root)(
+      s.table(qname).select($"th").orderBy($"th"))
   }
 
   private val dedupStreamingReplaySql =
@@ -951,8 +962,9 @@ object Dedup {
       query.stop()
       throw new IllegalStateException("dedup_index_streaming_replay: stream did not drain in 300s")
     }
-    s.table(qname).select($"band", $"bkey", $"width", $"min_doc")
-      .orderBy($"band", $"bkey")
+    StreamReplay.finish(s, qname, root)(
+      s.table(qname).select($"band", $"bkey", $"width", $"min_doc")
+        .orderBy($"band", $"bkey"))
   }
 
   private val dedupIndexStreamingReplaySql =

@@ -869,9 +869,10 @@ object Pipeline {
     late.write.mode("append").parquet(s"$root/src")
     drain()
 
-    s.read.parquet(s"$root/out")
-      .filter($"event_type" =!= "zz")
-      .orderBy($"hour", $"event_type")
+    StreamReplay.finish(s, qname = "", root)(
+      s.read.parquet(s"$root/out")
+        .filter($"event_type" =!= "zz")
+        .orderBy($"hour", $"event_type"))
   }
 
   private val hourlyLateReplaySql =
@@ -920,11 +921,12 @@ object Pipeline {
     sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
     drain()
 
-    s.read.parquet(s"$root/out")
-      .filter($"dim" =!= "zz_sentinel")
-      .select(unix_millis($"window_start").as("wstart_ms"), $"dim",
-        $"n", $"rk".cast("long").as("rk"))
-      .orderBy($"wstart_ms", $"rk")
+    StreamReplay.finish(s, qname = "", root)(
+      s.read.parquet(s"$root/out")
+        .filter($"dim" =!= "zz_sentinel")
+        .select(unix_millis($"window_start").as("wstart_ms"), $"dim",
+          $"n", $"rk".cast("long").as("rk"))
+        .orderBy($"wstart_ms", $"rk"))
   }
 
   private val topkStreamingReplaySql =
@@ -970,13 +972,14 @@ object Pipeline {
     sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
     drain()
 
-    s.read.parquet(s"$root/out")
-      .filter($"user_id" >= 0)
-      .select($"user_id",
-        unix_millis($"session_start").as("start_ms"),
-        unix_millis($"session_end").as("end_ms"),
-        $"n_events".cast("long").as("n_events"))
-      .orderBy($"user_id", $"start_ms")
+    StreamReplay.finish(s, qname = "", root)(
+      s.read.parquet(s"$root/out")
+        .filter($"user_id" >= 0)
+        .select($"user_id",
+          unix_millis($"session_start").as("start_ms"),
+          unix_millis($"session_end").as("end_ms"),
+          $"n_events".cast("long").as("n_events"))
+        .orderBy($"user_id", $"start_ms"))
   }
 
   private val sessionizeStreamingReplaySql =
@@ -1265,11 +1268,12 @@ object Pipeline {
     sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
     drain()
 
-    s.read.parquet(s"$root/out")
-      .filter($"event_type" =!= "zz_sentinel")
-      .select(unix_millis($"window_start").as("wstart_ms"), $"event_type",
-        $"n_rows", $"n_est")
-      .orderBy($"wstart_ms", $"event_type")
+    StreamReplay.finish(s, qname = "", root)(
+      s.read.parquet(s"$root/out")
+        .filter($"event_type" =!= "zz_sentinel")
+        .select(unix_millis($"window_start").as("wstart_ms"), $"event_type",
+          $"n_rows", $"n_est")
+        .orderBy($"wstart_ms", $"event_type"))
   }
 
   /** Streaming CEP replay — the ninth driver-verified streaming path:
@@ -1317,9 +1321,10 @@ object Pipeline {
     sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
     drain()
 
-    s.read.parquet(s"$root/out")
-      .select($"user_id", $"v_eid", $"c_eid", $"p_eid", $"span_ms")
-      .orderBy($"user_id", $"v_eid")
+    StreamReplay.finish(s, qname = "", root)(
+      s.read.parquet(s"$root/out")
+        .select($"user_id", $"v_eid", $"c_eid", $"p_eid", $"span_ms")
+        .orderBy($"user_id", $"v_eid"))
   }
 
   /** Streaming EWMA anomaly replay — the TENTH driver-verified
@@ -1365,10 +1370,11 @@ object Pipeline {
     sentinel(-2L, 30L * 24 * 3600 * 1000 + 60000).write.mode("append").parquet(s"$root/src")
     drain()
 
-    s.read.parquet(s"$root/out")
-      .filter($"event_type" =!= "zz_sentinel")
-      .select($"event_type", $"day", $"rev_cents", $"ewma_cents", $"is_anomaly")
-      .orderBy($"event_type", $"day")
+    StreamReplay.finish(s, qname = "", root)(
+      s.read.parquet(s"$root/out")
+        .filter($"event_type" =!= "zz_sentinel")
+        .select($"event_type", $"day", $"rev_cents", $"ewma_cents", $"is_anomaly")
+        .orderBy($"event_type", $"day"))
   }
 
   private val ewmaStreamingReplaySql =
