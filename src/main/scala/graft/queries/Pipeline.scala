@@ -36,6 +36,43 @@ object Pipeline {
       |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** The real Lee-et-al substring-dedup deliverable (r12 VERDICT #3):
+    * [[dedupSubstring]] counts duplicated 10-token windows; this key
+    * CHAINS adjacent duplicated windows per doc into MAXIMAL repeated
+    * spans ≥ 50 tokens and emits the span removal ledger — the rows a
+    * production pass feeds to the text cutter. Maximality is pinned by
+    * a planted shared-passage spec (SubstringSpanSpec): one span per
+    * doc, exactly the passage boundaries, never split or extended. */
+  private def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupOps.duplicateSpans(Tables.documents(s, dir), n = 10, minTokens = 50)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  private val dedupSubstringSpansSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-9)) AS i FROM toks),
+      |grams AS (SELECT doc_id, i AS pos,
+      |  CAST('0x' || substring(md5(array_to_string(ws[i:i+9], ' ')), 1, 15) AS BIGINT) AS gh
+      |  FROM pos),
+      |dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
+      |lagged AS (SELECT doc_id, pos,
+      |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dpos),
+      |isl AS (SELECT doc_id, pos,
+      |    SUM(CASE WHEN prev IS NULL OR pos > prev + 10 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM lagged),
+      |sp AS (SELECT doc_id, island,
+      |    CAST(MIN(pos) AS BIGINT) AS span_start,
+      |    CAST(MAX(pos) + 9 AS BIGINT) AS span_end,
+      |    CAST(COUNT(*) AS BIGINT) AS n_windows
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT doc_id, span_start, span_end,
+      |  span_end - span_start + 1 AS span_tokens, n_windows
+      |FROM sp WHERE span_end - span_start + 1 >= 50
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** Gopher composite keep/drop with per-rule fail bitmask. */
   private def textGopherFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1499,6 +1536,7 @@ object Pipeline {
     "q_merge_upsert" -> QueryDef(qMergeUpsert, Some(qMergeUpsertSql)),
     "q_session_window" -> QueryDef(qSessionWindow, Some(qSessionWindowSql)),
     "dedup_substring" -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
+    "dedup_substring_spans" -> QueryDef(dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     "text_gopher_filter" -> QueryDef(textGopherFilter, Some(textGopherFilterSql)),
     "emb_gram" -> QueryDef(embGram, Some(embGramSql)),
     "q_triangles" -> QueryDef(qTriangles, Some(qTrianglesSql)),
