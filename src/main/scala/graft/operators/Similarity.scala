@@ -149,14 +149,29 @@ object Similarity {
     *        the corpus un-shuffled; pass false for probe sets too big
     *        to broadcast (e.g. corpus-vs-corpus self-ANN) and the
     *        planner falls back to a shuffle join. */
+  /** @param corpusFilter predicate applied to the corpus DURING cell
+    *        probing (i.e. on the posting lists, after assignment but
+    *        before scoring) — filtered ANN for predicate+vector
+    *        retrieval. The index (centroids, assignment) is built on
+    *        the FULL corpus — one index serves every predicate — but
+    *        every scored candidate already satisfies the predicate, so
+    *        the top-k is k MATCHING results. Contrast post-filtering
+    *        (filter the unfiltered top-k afterwards), which at
+    *        selectivity s returns ~s·k rows and starves recall —
+    *        measured by ann_filtered_recall. At scale the filter is a
+    *        column predicate on the fixed-width assignment table:
+    *        Catalyst pushes it below the probe join, so candidate
+    *        volume shrinks by s instead of growing nProbe. */
   def ivfTopK(spark: SparkSession, emb: DataFrame, probes: DataFrame,
               k: Int, nCells: Int = 8, nProbe: Int = 2,
               trainedCentroids: Option[DataFrame] = None,
-              broadcastProbes: Boolean = true): DataFrame = {
+              broadcastProbes: Boolean = true,
+              corpusFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val centroids = coarseCentroids(emb, nCells, trainedCentroids)
 
-    val assigned = nearestCells(centroids, emb, "vec_id", "embedding", 1) // corpus: 1 cell each
+    val assigned0 = nearestCells(centroids, emb, "vec_id", "embedding", 1) // corpus: 1 cell each
+    val assigned = corpusFilter.fold(assigned0)(assigned0.filter)
     val probeCells = nearestCells(centroids,
       probes.select($"vec_id".as("query_id"), $"embedding".as("qe")),
       "query_id", "qe", nProbe) // probes: nProbe cells
