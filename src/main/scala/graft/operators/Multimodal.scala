@@ -504,6 +504,119 @@ object Multimodal {
     Some(out)
   }
 
+  // ---------------------------------------------------------------
+  // WAV: real pure-JVM PCM16 decode (r12 VERDICT #6) — the audio twin
+  // of the BMP/PNG milestones. RIFF is a plain chunk container and
+  // PCM16 needs no codec, so header+sample parse IS the full decode.
+  // ---------------------------------------------------------------
+
+  /** Real RIFF/WAVE file: canonical "fmt " (PCM, 16-bit) + "data"
+    * chunks, channels interleaved little-endian. `junkChunk` inserts a
+    * LIST chunk (with odd length, exercising RIFF word-alignment)
+    * between fmt and data, so decoders that assume data follows fmt
+    * directly — instead of walking chunks — break on the fixtures. */
+  def wavPcm16(sampleRate: Int, channels: Int, samples: Array[Short],
+               junkChunk: Boolean = false): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0)
+    val junk = if (junkChunk) Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0) // 5-byte payload + pad to even
+    else Array.empty[Byte]
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + junk.length + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + junk.length + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    b.put(junk)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => b.putShort(s))
+    b.array()
+  }
+
+  /** REAL pure-JVM WAV decode: RIFF chunk walk (word-aligned — odd
+    * chunk sizes pad one byte), "fmt " parse, PCM16 sample read, and
+    * an exact integer mono mixdown (channel sum / channel count,
+    * truncating toward zero — the division both engines agree on).
+    * Returns (sampleRate, channels, monoSamples). None — never a
+    * throw — for non-RIFF/WAVE bytes, compressed or non-16-bit
+    * formats, a missing fmt/data chunk, zero/absurd channel counts,
+    * or a data chunk that overruns the file: mixed corpora degrade to
+    * byte-level features instead of failing the task. */
+  def wavSamples(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 44) return None
+    def tag(off: Int, s: String) =
+      s.indices.forall(i => b(off + i) == s(i).toByte)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    def leInt(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def leShort(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    var off = 12
+    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+    while (off + 8 <= b.length) {
+      val size = leInt(off + 4)
+      if (size < 0 || off + 8L + size > b.length) return None // overrun
+      if (tag(off, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = leShort(off + 8)
+        val channels = leShort(off + 10)
+        val rate = leInt(off + 12)
+        val bits = leShort(off + 22)
+        if (audioFormat != 1 || bits != 16 ||
+          channels < 1 || channels > 8 || rate <= 0) return None
+        fmt = Some((channels, rate))
+      } else if (tag(off, "data")) {
+        if (fmt.isEmpty) return None // fmt must precede data
+        val (channels, rate) = fmt.get
+        val frames = size / (2 * channels)
+        val out = new Array[Int](frames)
+        var f = 0
+        while (f < frames) {
+          var sum = 0
+          var c = 0
+          while (c < channels) {
+            val o = off + 8 + (f * channels + c) * 2
+            sum += leShort(o).toShort.toInt // sign-extend LE int16
+            c += 1
+          }
+          out(f) = sum / channels // truncates toward zero, both engines
+          f += 1
+        }
+        return Some((rate, channels, out))
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** [[frameBandEnergy]] over DECODED PCM samples instead of raw
+    * bytes: frames of `frameSize` samples, `nBands` equal slices,
+    * energy = Σ s² of the signed 16-bit samples (fits a long:
+    * 32768² × frame ≪ 2⁶³). Short final frames keep their real
+    * residue; bands past the end are 0. */
+  def sampleBandEnergy(samples: Array[Int], frameSize: Int,
+                       nBands: Int): Array[Array[Long]] = {
+    require(frameSize > 0 && nBands > 0 && frameSize % nBands == 0)
+    val bandSize = frameSize / nBands
+    val frames = (samples.length + frameSize - 1) / frameSize
+    Array.tabulate(frames) { f =>
+      Array.tabulate(nBands) { band =>
+        val lo = f * frameSize + band * bandSize
+        val end = math.min(lo + bandSize, samples.length)
+        var sum = 0L
+        var i = lo
+        while (i < end) { sum += samples(i).toLong * samples(i); i += 1 }
+        sum
+      }
+    }
+  }
+
   /** [[blockHash60]] generalized to any integer sample sequence —
     * blocks over samples instead of raw bytes, identical bit rule
     * (block mean > global mean, exact cross-multiplied integers). */

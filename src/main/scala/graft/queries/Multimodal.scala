@@ -233,6 +233,82 @@ object Multimodal {
       |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-scale validation of the REAL WAV/PCM16 decoder (r12
+    * VERDICT #6) — the audio twin of [[mmBmpLuma]]/[[mmPngLuma]]: per
+    * doc a known square wave (half-period, amplitude, length, sample
+    * rate all doc-derived) is rendered to a REAL RIFF/WAVE file — odd
+    * docs stereo (ch2 = ch1/2, so the mono mixdown is a nontrivial
+    * exact integer), every third doc carrying an odd-length LIST chunk
+    * between fmt and data (word-aligned chunk walking, not offset
+    * arithmetic) — decoded back via the full header+sample parse, and
+    * fed through the [[graft.operators.Multimodal.sampleBandEnergy]]
+    * framing (64-sample frames, 8 bands). Emitted per frame: peak
+    * band, its energy, and the frame total. The oracle re-derives
+    * every sample from the generating formula — it never sees the
+    * RIFF bytes — so one wrong byte anywhere in encode→walk→sample
+    * parse→mixdown→energy breaks the hash. */
+  private def mmWavPeaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val p = (id % 13 + 4).toInt          // half-period in samples
+        val amp = (200 + nChars % 800).toInt // peak amplitude
+        val n = (64 * (id % 6 + 2)).toInt    // whole frames only
+        val rate = (8000 + (id % 5) * 1000).toInt
+        val mono = Array.tabulate(n)(i => if ((i / p) % 2 == 0) amp else -amp)
+        val stereo = id % 2 == 1
+        val pcm: Array[Short] =
+          if (stereo) Array.tabulate(2 * n) { j =>
+            val v = mono(j / 2); (if (j % 2 == 0) v else v / 2).toShort
+          } else mono.map(_.toShort)
+        val wav = MM.wavPcm16(rate, if (stereo) 2 else 1, pcm,
+          junkChunk = id % 3 == 0)
+        val (gotRate, gotCh, samples) = MM.wavSamples(wav).getOrElse(
+          throw new IllegalStateException(s"wav round-trip failed for doc $id"))
+        require(gotCh == (if (stereo) 2 else 1))
+        MM.sampleBandEnergy(samples, frameSize = 64, nBands = 8)
+          .iterator.zipWithIndex.map { case (bands, f) =>
+            val peak = bands.zipWithIndex.maxBy { case (e, b) => (e, -b) }
+            (id, gotRate.toLong, f.toLong, peak._2.toLong, peak._1, bands.sum)
+          }
+      }
+      .toDF("doc_id", "sample_rate", "frame_idx", "peak_band", "max_energy",
+        "tot_energy")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmWavPeaksSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(doc_id % 13 + 4 AS BIGINT) AS p,
+      |    CAST(200 + n_chars % 800 AS BIGINT) AS amp,
+      |    CAST(64 * (doc_id % 6 + 2) AS BIGINT) AS n,
+      |    CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS rate
+      |  FROM documents),
+      |sm AS (SELECT doc_id, rate, unnest(range(0, n)) AS i, p, amp FROM d),
+      |mono AS (SELECT doc_id, rate, i,
+      |    CASE WHEN (i // p) % 2 = 0 THEN amp ELSE -amp END AS s0
+      |  FROM sm),
+      |mix AS (SELECT doc_id, rate, i,
+      |    CASE WHEN doc_id % 2 = 1 THEN (s0 + (s0 // 2)) // 2 ELSE s0 END AS s
+      |  FROM mono),
+      |be AS (SELECT doc_id, rate, i // 64 AS frame_idx, (i % 64) // 8 AS band,
+      |    SUM(s * s) AS energy
+      |  FROM mix GROUP BY 1, 2, 3, 4),
+      |pk AS (SELECT doc_id, rate, frame_idx, band, energy,
+      |    SUM(energy) OVER (PARTITION BY doc_id, frame_idx) AS tot,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, frame_idx
+      |      ORDER BY energy DESC, band) AS rk
+      |  FROM be)
+      |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(band AS BIGINT) AS peak_band,
+      |  CAST(energy AS BIGINT) AS max_energy,
+      |  CAST(tot AS BIGINT) AS tot_energy
+      |FROM pk WHERE rk = 1
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Resize planning off REAL header-decoded dimensions: a
     * deterministic BMP header is synthesized per doc (w, h derived
     * from doc fields), [[graft.operators.Multimodal.HeaderImageDecoder]]
@@ -590,6 +666,7 @@ object Multimodal {
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_bmp_luma" -> QueryDef(mmBmpLuma, Some(mmBmpLumaSql)),
     "mm_png_luma" -> QueryDef(mmPngLuma, Some(mmPngLumaSql)),
+    "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),
     "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql)),
