@@ -9,6 +9,107 @@ import graft.plans.{GroupTopK, Sessionize}
 class PlanEdgeCaseSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // -----------------------------------------------------------------
+  // Round-13 (r12 VERDICT #5): the 1-split-parallelism class of bug
+  // recurred three times (r8 text_winnow, r9 doc/emb tables, r12
+  // kmeans checkpoint) — a single-row-group parquet file caps scan
+  // parallelism at one task and every downstream per-row kernel runs
+  // on one core. These tests fail when any spread/repartition guard is
+  // removed: the corpus-CPU pipelines must plan at least
+  // min(defaultParallelism, rows/1000) tasks for their heavy stage.
+  // -----------------------------------------------------------------
+
+  /** 55k-row SINGLE-FILE documents + embeddings tables (past the
+    * Tables.SpreadMinRows=50k gate), planted once per suite. */
+  private lazy val bigDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-planguard").toString
+    spark.range(55000L).toDF("doc_id")
+      .selectExpr("doc_id",
+        "concat_ws(' ', transform(sequence(0, 14), j -> concat('w', (doc_id * 7 + j * 13) % 997))) AS text",
+        "'en' AS lang", "concat('s', doc_id % 5) AS source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(55000L).toDF("vec_id")
+      .selectExpr("vec_id",
+        "transform(sequence(0, 63), j -> cast(((vec_id * 31 + j * 17) % 1000) / 1000.0 AS float)) AS embedding",
+        "cast(vec_id % 10 AS int) AS label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def minTasks(rows: Long): Int =
+    math.min(spark.sparkContext.defaultParallelism.toLong, rows / 1000L).toInt
+
+  test("Tables spread guard: 50k+ single-file tables plan a parallel scan body") {
+    val d = graft.sources.Tables.documents(spark, bigDir)
+    assert(d.rdd.getNumPartitions >= minTasks(55000),
+      s"documents planned ${d.rdd.getNumPartitions} partitions")
+    val e = graft.sources.Tables.embeddings(spark, bigDir)
+    assert(e.rdd.getNumPartitions >= minTasks(55000),
+      s"embeddings planned ${e.rdd.getNumPartitions} partitions")
+    // the cost gate: small corpora must NOT pay the spread exchange
+    val small = graft.sources.Tables.documents(spark, TestSpark.sf)
+    assert(small.rdd.getNumPartitions == 1,
+      "sub-50k corpus was spread — the r9 bench tax is back")
+  }
+
+  test("Winnow fingerprint walk spreads past a single-partition frame") {
+    import spark.implicits._
+    val docs = (0L until 5000L)
+      .map(i => (i, (0 until 12).map(j => s"t${(i + j * 7) % 503}").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+    val fp = graft.queries.Winnow.fingerprintsOf(docs)
+    assert(fp.rdd.getNumPartitions >= minTasks(5000),
+      s"winnow planned ${fp.rdd.getNumPartitions} partitions for the gram walk")
+  }
+
+  test("IVF cell assignment spreads past a single-partition frame") {
+    import spark.implicits._
+    val emb = (0L until 5000L)
+      .map(i => (i, Array.tabulate(16)(j => ((i * 13 + j) % 100) / 100f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val cents = (1L to 4L)
+      .map(c => (c, Array.tabulate(16)(j => ((c * 29 + j) % 100) / 100.0f)))
+      .toDF("cell", "ce")
+    val assigned = graft.operators.Similarity.nearestCells(
+      cents, emb, "vec_id", "embedding", 1)
+    assert(assigned.rdd.getNumPartitions >= minTasks(5000),
+      s"assignment planned ${assigned.rdd.getNumPartitions} partitions")
+  }
+
+  test("signature and kmeans pipelines: the DOMINANT stage is never single-task") {
+    // End-to-end guard: run each corpus-CPU query on the 55k
+    // single-file corpus and assert the stage carrying the most
+    // executor run time planned >= min(par, rows/1k) tasks. Removing
+    // the query-level repartition guards (dedup sigArray's doc_id
+    // spread, kmeansFit's pre-checkpoint spread) collapses the kernel
+    // into the 1-task scan stage, which then dominates — and fails.
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      val stages = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        synchronized {
+          val rt = Option(sc.stageInfo.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+          stages += ((sc.stageInfo.numTasks, rt))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (key <- Seq("dedup_minhash", "emb_kmeans")) {
+        listener.synchronized(listener.stages.clear())
+        SparkEntry.queries(key)(spark, bigDir).write.format("noop")
+          .mode("overwrite").save()
+        org.apache.spark.graft.ListenerBusWait.drain(spark.sparkContext)
+        val snap = listener.synchronized(listener.stages.toVector)
+        assert(snap.nonEmpty, s"$key: no stages observed")
+        val (tasks, rt) = snap.maxBy(_._2)
+        assert(tasks >= minTasks(55000),
+          s"$key: dominant stage (${rt}ms executor time) ran $tasks task(s)")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("custom plans handle empty input") {
     import spark.implicits._
     val emptyOrders = Seq.empty[(Long, Long, Double)].toDF("g", "id", "v")
