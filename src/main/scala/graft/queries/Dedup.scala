@@ -587,7 +587,7 @@ object Dedup {
           .cast("long").as("bkey"))
   }
 
-  private def banded48(s: SparkSession, dir: String): DataFrame =
+  private[graft] def banded48(s: SparkSession, dir: String): DataFrame =
     bandedKeys(sigArray(s, dir), bands = 4, rowsPerBand = 8)
 
   /** Oracle fragment: the 4×8 band keys plus the width-capped
@@ -975,6 +975,93 @@ object Dedup {
        |FROM bk GROUP BY 1, 2 HAVING COUNT(*) >= 2
        |ORDER BY band, bkey""".stripMargin
 
+  /** The TTL'd form of the standing index (r12 VERDICT #7): the
+    * bucket summary is flatMapGroupsWithState state with watermark-
+    * driven EVICTION — a bucket idle longer than the 120-minute
+    * horizon is removed from the store, so state tracks the crawl's
+    * live working set, not its full history (the replay key above
+    * deliberately keeps every bucket forever; this is what a
+    * never-ending production crawl runs instead). Docs arrive in
+    * event-time order (ts = one minute per doc_id, range-ordered
+    * files), resets are event-defined (see
+    * [[graft.streaming.EventStream.streamingLshIndex]]), and the
+    * emitted final summaries over the RETAINED horizon hash-match a
+    * batch oracle that sessionizes each bucket's occurrences (gap >
+    * 120 doc-minutes starts a new run) and keeps the last run of
+    * buckets still alive at stream end. State-curve numbers (with vs
+    * without TTL) are recorded by `tools.StreamAudit lshindex` in
+    * PERFORMANCE.md. */
+  private def dedupIndexStreamingTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{StructType, LongType, TimestampType}
+    import graft.streaming.EventStream
+    val epochMs = 1767225600000L // 2026-01-01T00:00:00Z
+    val horizonMin = 120L
+    val root = java.nio.file.Files.createTempDirectory("graft-lshttl-replay").toString
+    // chronological replay: range-partition by ts so the file source
+    // (same-mtime files ordered by path) advances the watermark
+    // monotonically — the StreamAudit discipline
+    banded48(s, dir)
+      .withColumn("ts", expr(s"timestamp_millis(${epochMs}L + doc_id * 60000L)"))
+      .repartitionByRange(8, $"ts").sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(s"$root/bands")
+    StreamReplay.stampChronological(s"$root/bands")
+    val stream = s.readStream
+      .schema(new StructType()
+        .add("doc_id", LongType).add("band", LongType).add("bkey", LongType)
+        .add("ts", TimestampType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/bands")
+      .as[EventStream.BandRow]
+    val qname = s"lsh_index_ttl_${System.nanoTime()}"
+    val query = EventStream.streamingLshIndex(s, stream, horizonMin * 60000L)
+      .toDF()
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("dedup_index_streaming_ttl: stream did not drain in 300s")
+    }
+    val maxDoc = Tables.documents(s, dir).agg(max($"doc_id")).head.getLong(0)
+    val aliveMs = epochMs + (maxDoc - horizonMin) * 60000L
+    StreamReplay.finish(s, qname, root)(
+      s.table(qname)
+        // latest emission per bucket = its final summary (last_seen
+        // strictly increases per emission)
+        .groupBy($"band", $"bkey")
+        .agg(max(struct($"last_seen_ms", $"width", $"min_doc")).as("m"))
+        .select($"band", $"bkey", $"m.width".as("width"),
+          $"m.min_doc".as("min_doc"), $"m.last_seen_ms".as("last_seen_ms"))
+        .filter($"width" >= 2 && $"last_seen_ms" >= aliveMs)
+        .select($"band", $"bkey", $"width", $"min_doc")
+        .orderBy($"band", $"bkey"))
+  }
+
+  private val dedupIndexStreamingTtlSql =
+    s"""WITH $minhashSigCtes,
+       |$bandKeyCte,
+       |occ AS (SELECT band, bkey, doc_id,
+       |    LAG(doc_id) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS prev
+       |  FROM bk),
+       |isl AS (SELECT band, bkey, doc_id,
+       |    SUM(CASE WHEN prev IS NULL OR doc_id - prev > 120 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY band, bkey ORDER BY doc_id) AS run
+       |  FROM occ),
+       |lastrun AS (SELECT band, bkey, MAX(run) AS mr FROM isl GROUP BY 1, 2),
+       |fin AS (SELECT i.band, i.bkey, CAST(COUNT(*) AS BIGINT) AS width,
+       |    MIN(i.doc_id) AS min_doc, MAX(i.doc_id) AS last_doc
+       |  FROM isl i JOIN lastrun l
+       |    ON i.band = l.band AND i.bkey = l.bkey AND i.run = l.mr
+       |  GROUP BY 1, 2),
+       |mx AS (SELECT MAX(doc_id) AS md FROM documents)
+       |SELECT band, bkey, width, min_doc
+       |FROM fin, mx WHERE width >= 2 AND last_doc >= md - 120
+       |ORDER BY band, bkey""".stripMargin
+
   /** Incremental NEAR-dedup — the daily-crawl production shape for
     * the banded-LSH index, complementing [[dedupIncremental]]'s
     * exact-hash variant: today's batch (doc_id ≡ 0 mod 5) probes the
@@ -1153,6 +1240,7 @@ object Dedup {
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_incremental_minhash" -> QueryDef(dedupIncrementalMinhash, Some(dedupIncrementalMinhashSql)),
     "dedup_index_streaming_replay" -> QueryDef(dedupIndexStreamingReplay, Some(dedupIndexStreamingReplaySql)),
+    "dedup_index_streaming_ttl" -> QueryDef(dedupIndexStreamingTtl, Some(dedupIndexStreamingTtlSql)),
     "dedup_streaming_replay" -> QueryDef(dedupStreamingReplay, Some(dedupStreamingReplaySql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhashPairs, Some(dedupMinhashPairsSql)),
     "dedup_minhash_banded" -> QueryDef(dedupMinhashBanded, Some(dedupMinhashBandedSql)),

@@ -61,4 +61,22 @@ object StreamReplay {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
   }
+
+  /** Force a range-partitioned replay dir to ACTUALLY stream in range
+    * order: FileStreamSource picks files oldest-modification-first, and
+    * the parallel tasks of one parquet write finish in random order —
+    * so part-00007 can carry an earlier mtime than part-00000, the
+    * watermark jumps to the end of event time on an early batch, and
+    * every earlier-range file is silently LATE-DROPPED (found in r13:
+    * the TTL'd LSH index lost 10 of 14 buckets this way). Stamping
+    * strictly ascending mtimes in part-file path order makes the
+    * chronological replay deterministic. */
+  def stampChronological(dirPath: String): Unit = {
+    val parts = Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = (System.currentTimeMillis() / 1000L - parts.length) * 1000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L): Unit
+    }
+  }
 }

@@ -557,4 +557,66 @@ object EventStream {
     else state.setTimeoutTimestamp(wm + dayMs) // pure tick until new data
     out.iterator
   }
+
+  case class BandRow(doc_id: Long, band: Long, bkey: Long, ts: Timestamp)
+  case class BucketState(width: Long, minDoc: Long, lastSeenMs: Long)
+  case class BucketOut(band: Long, bkey: Long, width: Long, min_doc: Long,
+                       last_seen_ms: Long)
+
+  /** Streaming LSH bucket-index maintainer WITH state TTL (r12 VERDICT
+    * #7): the standing (band, bkey) → (width, min doc) summary behind
+    * dedup_incremental_minhash, kept as flatMapGroupsWithState state —
+    * and, unlike the plain streaming-aggregation replay
+    * (dedup_index_streaming_replay, whose state holds every bucket
+    * ever seen, forever), EVICTED once a bucket has been idle past
+    * `horizonMs`: the timeout removes the state row, so state tracks
+    * the crawl's LIVE bucket working set, not its history — the
+    * property that lets a 100 TB never-ending crawl keep a bounded
+    * index.
+    *
+    * Eviction semantics are EVENT-defined, not batch-defined: a bucket
+    * re-seen after an idle gap > horizon restarts its summary in the
+    * update handler itself (same arithmetic whether or not the timeout
+    * happened to fire between the two arrivals), so the emitted
+    * summaries are deterministic for an in-event-time-order replay
+    * regardless of micro-batch boundaries — which is what lets a plain
+    * batch oracle (sessionize occurrences per bucket, keep the last
+    * run) hash-match the stream. One emission per (bucket, batch) with
+    * the running summary; the latest emission per bucket is the
+    * bucket's final state. */
+  def streamingLshIndex(spark: SparkSession, rows: Dataset[BandRow],
+                        horizonMs: Long): Dataset[BucketOut] = {
+    import spark.implicits._
+    rows
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateBucket(horizonMs) _)
+  }
+
+  private def updateBucket(horizonMs: Long)(
+      key: (Long, Long), rows: Iterator[BandRow],
+      state: GroupState[BucketState]): Iterator[BucketOut] = {
+    if (state.hasTimedOut) {
+      state.remove() // idle past the horizon: evict, emit nothing
+      Iterator.empty
+    } else {
+      val evs = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+      var st = state.getOption.getOrElse(BucketState(0L, Long.MaxValue, Long.MinValue))
+      for (r <- evs) {
+        val t = r.ts.getTime
+        if (st.width > 0L && t - st.lastSeenMs > horizonMs)
+          st = BucketState(0L, Long.MaxValue, Long.MinValue) // event-defined reset
+        st = BucketState(st.width + 1L, math.min(st.minDoc, r.doc_id),
+          math.max(st.lastSeenMs, t))
+      }
+      state.update(st)
+      // must be strictly beyond the watermark or Spark throws; a
+      // lastSeen already at/behind the watermark means the bucket is
+      // due for eviction at the next possible tick
+      state.setTimeoutTimestamp(
+        math.max(st.lastSeenMs + horizonMs, state.getCurrentWatermarkMs() + 1L))
+      Iterator.single(BucketOut(key._1, key._2, st.width, st.minDoc, st.lastSeenMs))
+    }
+  }
 }

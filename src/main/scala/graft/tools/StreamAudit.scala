@@ -37,8 +37,14 @@ object StreamAudit {
     // 7-day production stream actually holds. A round-robin
     // repartition instead lets batch 0 advance the watermark to the
     // end of time and late-drops the remaining batches.
-    ev.repartitionByRange(chunks, $"ts").sortWithinPartitions($"ts")
-      .write.mode("overwrite").parquet(s"$root/src")
+    if (!mode.startsWith("lshindex")) {
+      ev.repartitionByRange(chunks, $"ts").sortWithinPartitions($"ts")
+        .write.mode("overwrite").parquet(s"$root/src")
+      // the write's parallel tasks finish in random order, so the
+      // range files must be re-stamped or the file source replays them
+      // out of chronological order and late-drops whole ranges
+      graft.queries.StreamReplay.stampChronological(s"$root/src")
+    }
 
     @volatile var peakStateRows = 0L
     @volatile var peakStateBytes = 0L
@@ -59,15 +65,47 @@ object StreamAudit {
     }
     spark.streams.addListener(listener)
 
+    // lshindex / lshindex_nottl: audit the streaming LSH bucket index
+    // (r12 VERDICT #7) — same chronological-replay discipline, but the
+    // source is the banded signature table with one doc-minute per
+    // doc_id. The _nottl variant runs the identical stream with an
+    // effectively-infinite horizon: the state_rows curves of the two
+    // runs are the with/without-TTL comparison PERFORMANCE.md records.
+    val lshMode = mode.startsWith("lshindex")
+    if (lshMode) {
+      import org.apache.spark.sql.types.{StructType, LongType, TimestampType}
+      val epochMs = 1767225600000L
+      val horizonMs =
+        if (mode == "lshindex_nottl") Long.MaxValue / 4 else 120L * 60000L
+      graft.queries.Dedup.banded48(spark, dir)
+        .withColumn("ts", expr(s"timestamp_millis(${epochMs}L + doc_id * 60000L)"))
+        .repartitionByRange(chunks, $"ts").sortWithinPartitions($"ts")
+        .write.mode("overwrite").parquet(s"$root/src")
+      graft.queries.StreamReplay.stampChronological(s"$root/src")
+    }
+    val bandSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("band", org.apache.spark.sql.types.LongType)
+      .add("bkey", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+
     val t0 = System.nanoTime()
-    val q = spark.readStream.schema(ev.schema)
+    val src = spark.readStream
+      .schema(if (lshMode) bandSchema else ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$root/src")
-      .as[graft.streaming.EventStream.Event]
-      .transform { d =>
-        if (mode == "ewma") graft.streaming.EventStream.streamingEwma(spark, d).toDF()
-        else graft.streaming.EventStream.sessionize(spark, d, gapMinutes = 30).toDF()
-      }
+    val q = {
+      if (lshMode) {
+        val horizonMs =
+          if (mode == "lshindex_nottl") Long.MaxValue / 4 else 120L * 60000L
+        graft.streaming.EventStream.streamingLshIndex(spark,
+          src.as[graft.streaming.EventStream.BandRow], horizonMs).toDF()
+      } else src.as[graft.streaming.EventStream.Event]
+        .transform { d =>
+          if (mode == "ewma") graft.streaming.EventStream.streamingEwma(spark, d).toDF()
+          else graft.streaming.EventStream.sessionize(spark, d, gapMinutes = 30).toDF()
+        }
+    }
       .writeStream.format("noop")
       .option("checkpointLocation", s"$root/ckpt")
       .outputMode("append")
