@@ -64,6 +64,9 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "q_time_to_convert" -> "quantile_cont interpolation / 60000.0 minutes",
       "ann_bruteforce" -> cosine, "ann_bq_hamming" -> cosine,
       "ann_bq_recall" -> cosine, "ann_ivf" -> cosine,
+      "ann_filtered" -> cosine,
+      "ann_filtered_recall" -> (cosine + "; plus recall n_hit/5.0 — one " +
+        "exact BIGINT count over a constant k on both sides"),
       "ann_ivfpq" -> cosine, "ann_lsh" -> cosine, "ann_mrr" -> cosine,
       "ann_pq_adc" -> cosine, "ann_range_search" -> cosine,
       "ann_recall" -> cosine, "ann_recall_lsh" -> cosine,
