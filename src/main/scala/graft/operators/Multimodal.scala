@@ -640,17 +640,300 @@ object Multimodal {
     h
   }
 
+  // ---------------------------------------------------------------
+  // GIF: real pure-JVM pixel decode — LZW is the entire codec and it
+  // is plain bit-twiddling, so like PNG (JDK zlib) and WAV (no codec)
+  // there is nothing to stub for the third classic web container.
+  // Reference behavior: GIF89a spec §§18-23 (logical screen, color
+  // table, image descriptor incl. 4-pass interlace, variable-width
+  // LZW with CLEAR/EOI).
+  // ---------------------------------------------------------------
+
+  /** GIF87a/89a 4-pass interlace row order for an `h`-row image: the
+    * order rows are STORED in the stream (pass 1 = every 8th from row
+    * 0, pass 2 = every 8th from row 4, pass 3 = every 4th from row 2,
+    * pass 4 = every 2nd from row 1). */
+  private def gifInterlaceRows(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var n = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+      out(n) = y; n += 1
+    }
+    out
+  }
+
+  /** Real variable-width GIF LZW compression of a stream of 8-bit
+    * palette indices (min code size 8: CLEAR=256, EOI=257, first
+    * dynamic code 258, widths 9→12, CLEAR emitted when the table
+    * fills). Returns the raw code bytes (LSB-first bit packing per
+    * the GIF spec), NOT yet sliced into sub-blocks. */
+  private def gifLzwEncode(indices: Array[Byte]): Array[Byte] = {
+    val ClearCode = 256; val EoiCode = 257
+    val out = new java.io.ByteArrayOutputStream(indices.length / 2 + 16)
+    var bitBuf = 0L; var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    // dict over (prefixCode << 8 | nextByte) — prefix fits 12 bits
+    var dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = 258
+    emit(ClearCode)
+    var cur = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          // decoder bumps width when ITS next slot reaches 1<<width;
+          // its slot counter trails the encoder's by one code, so the
+          // encoder bumps after assigning code value (1<<width) — the
+          // classic off-by-one both sides must agree on.
+          if (next == (1 << width) + 1 && width < 12) width += 1
+        } else {
+          emit(ClearCode)
+          dict = new java.util.HashMap[Integer, Integer](8192)
+          next = 258
+          width = 9
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(EoiCode)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Full valid GIF89a for a `w`×`h` image whose pixels index a
+    * 256-entry grayscale global color table via `idx(x, y)` (0-255;
+    * palette entry v = (v,v,v), so BT.601 luma == v exactly). The LZW
+    * stream is REAL variable-width compression ([[gifLzwEncode]]),
+    * sliced into ≤255-byte data sub-blocks. `interlaced` stores rows
+    * in the 4-pass order (decoders must de-interlace); `comment`
+    * inserts an 89a comment-extension block before the image
+    * (decoders must skip extensions by walking sub-blocks).
+    * Deterministic: no timestamps, fixed palette. */
+  def gifImage(w: Int, h: Int, idx: (Int, Int) => Int,
+               interlaced: Boolean = false, comment: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 65536 && h < 65536)
+    val out = new java.io.ByteArrayOutputStream(64 + 768 + w * h / 2)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xF7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // no aspect ratio
+    for (v <- 0 until 256) { out.write(v); out.write(v); out.write(v) } // gray GCT
+    if (comment) {
+      out.write(0x21); out.write(0xFE) // comment extension
+      val msg = "graft synthetic fixture".getBytes("US-ASCII")
+      out.write(msg.length); out.write(msg)
+      out.write(0) // block terminator
+    }
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00) // no LCT; interlace bit
+    val rows = if (interlaced) gifInterlaceRows(h) else Array.range(0, h)
+    val indices = new Array[Byte](w * h)
+    var n = 0
+    for (y <- rows; x <- 0 until w) { indices(n) = (idx(x, y) & 0xff).toByte; n += 1 }
+    out.write(8) // LZW minimum code size
+    val lzw = gifLzwEncode(indices)
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      out.write(len); out.write(lzw, off, len)
+      off += len
+    }
+    out.write(0)    // data terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** REAL pure-JVM GIF pixel decode of the FIRST image frame: returns
+    * per-pixel integer luminance (exact BT.601, same rule as
+    * [[bmpLuminance]] / [[pngLuminance]]) in row-major TOP-DOWN
+    * order — 4-pass interlace de-interlaced, extensions skipped by
+    * sub-block walking, global OR local color table, and the full
+    * variable-width LZW decode (CLEAR resets, EOI, the deferred
+    * 4096-table-full state, width growth at slot 2^w). None — never a
+    * throw — for a bad signature, no usable color table, image bounds
+    * outside the logical screen, a truncated stream, or LZW codes out
+    * of range: mixed corpora degrade to byte-level features instead of
+    * failing the task. */
+  def gifLuminance(b: Array[Byte]): Option[Array[Long]] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    val screenW = le16(6); val screenH = le16(8)
+    val packed = b(10) & 0xff
+    var off = 13
+    def colorTable(at: Int, size: Int): Option[Array[Int]] = {
+      if (at + 3 * size > b.length) return None
+      Some(Array.tabulate(size) { i =>
+        ((b(at + 3 * i) & 0xff) << 16) | ((b(at + 3 * i + 1) & 0xff) << 8) |
+          (b(at + 3 * i + 2) & 0xff)
+      })
+    }
+    val global: Option[Array[Int]] = if ((packed & 0x80) != 0) {
+      val size = 2 << (packed & 7)
+      val t = colorTable(off, size)
+      if (t.isEmpty) return None
+      off += 3 * size
+      t
+    } else None
+    // walk blocks to the first image descriptor, skipping extensions
+    while (true) {
+      if (off >= b.length) return None
+      (b(off) & 0xff) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label byte then sub-blocks
+          off += 2
+          while ({
+            if (off >= b.length) return None
+            val len = b(off) & 0xff
+            off += 1 + len
+            len != 0
+          }) ()
+        case 0x2C =>
+          if (off + 10 > b.length) return None
+          val left = le16(off + 1); val top = le16(off + 3)
+          val w = le16(off + 5); val h = le16(off + 7)
+          val flags = b(off + 9) & 0xff
+          off += 10
+          val palette: Array[Int] =
+            if ((flags & 0x80) != 0) { // local color table overrides
+              val size = 2 << (flags & 7)
+              val t = colorTable(off, size).getOrElse(return None)
+              off += 3 * size
+              t
+            } else global.getOrElse(return None) // no usable color table
+          val interlaced = (flags & 0x40) != 0
+          if (w <= 0 || h <= 0 || left + w > screenW || top + h > screenH)
+            return None
+          if (w.toLong * h > (1L << 28)) return None // 256M-pixel sanity bound
+          if (off >= b.length) return None
+          val minCode = b(off) & 0xff
+          off += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate data sub-blocks
+          val data = new java.io.ByteArrayOutputStream(w * h / 2 + 16)
+          var done = false
+          while (!done) {
+            if (off >= b.length) return None
+            val len = b(off) & 0xff
+            if (len == 0) done = true
+            else {
+              if (off + 1 + len > b.length) return None
+              data.write(b, off + 1, len)
+            }
+            off += 1 + len
+          }
+          val lzw = data.toByteArray
+          val indices = gifLzwDecode(lzw, minCode, w * h).getOrElse(return None)
+          val rows = if (interlaced) gifInterlaceRows(h) else Array.range(0, h)
+          val out = new Array[Long](w * h)
+          var n = 0
+          var r = 0
+          while (r < h) {
+            val y = rows(r)
+            var x = 0
+            while (x < w) {
+              val pi = indices(n) & 0xff
+              if (pi >= palette.length) return None
+              val c = palette(pi)
+              out(y * w + x) = (299L * ((c >>> 16) & 0xff) +
+                587L * ((c >>> 8) & 0xff) + 114L * (c & 0xff)) / 1000L
+              n += 1; x += 1
+            }
+            r += 1
+          }
+          return Some(out)
+        case _ => return None // unknown block type
+      }
+    }
+    None // unreachable
+  }
+
+  /** Variable-width GIF LZW decode of `expected` indices from raw code
+    * bytes (LSB-first). Handles CLEAR resets, EOI, deferred-clear when
+    * the table fills, and width growth when the next slot reaches
+    * 2^width. None on out-of-range codes or a stream that ends short. */
+  private def gifLzwDecode(lzw: Array[Byte], minCode: Int,
+                           expected: Int): Option[Array[Byte]] = {
+    val clearCode = 1 << minCode
+    val eoiCode = clearCode + 1
+    val out = new Array[Byte](expected)
+    var got = 0
+    // dictionary as (prefix, suffix) arrays; entries < clearCode are roots
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = eoiCode + 1
+    var width = minCode + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var prev = -1
+    val stack = new Array[Byte](4096)
+    def readCode(): Int = {
+      while (bitCnt < width) {
+        if (pos >= lzw.length) return -1
+        bitBuf |= (lzw(pos) & 0xffL) << bitCnt
+        bitCnt += 8; pos += 1
+      }
+      val c = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      c
+    }
+    while (got < expected) {
+      val code = readCode()
+      if (code < 0 || code == eoiCode) return None // short stream
+      if (code == clearCode) {
+        next = eoiCode + 1; width = minCode + 1; prev = -1
+      } else {
+        if (code >= next && !(code == next && prev >= 0)) return None
+        var sp = 0
+        var c = if (code == next) prev else code // KwKwK case starts from prev
+        while (c >= clearCode + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clearCode) return None // dangling dynamic code
+        val first = c.toByte
+        if (got < expected) { out(got) = first; got += 1 }
+        while (sp > 0 && got < expected) { sp -= 1; out(got) = stack(sp); got += 1 }
+        if (code == next && got < expected) { out(got) = first; got += 1 }
+        // a stream encoding MORE pixels than w*h just stops at w*h,
+        // like every tolerant decoder — the fixtures never hit this
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
   /** Perceptual blockhash over REAL decoded luminance when the blob is
-    * a decodable BMP ([[bmpLuminance]]) or PNG ([[pngLuminance]]),
-    * byte-level [[blockHash60]] otherwise: a mixed corpus flows, and
-    * decodable assets hash actual pixel content (uniform-color images
-    * of different byte layouts collide; a brightness gradient sets
-    * exactly the bright half's bits — spec-pinned in Round12EdgeSpec
-    * on synthesized known-pixel BMPs). Both decoders share the exact
-    * BT.601 integer luma, so the SAME image stored as BMP and as PNG
-    * produces the SAME hash — the cross-container dedup property. */
+    * a decodable BMP ([[bmpLuminance]]), PNG ([[pngLuminance]]) or GIF
+    * ([[gifLuminance]]), byte-level [[blockHash60]] otherwise: a mixed
+    * corpus flows, and decodable assets hash actual pixel content
+    * (uniform-color images of different byte layouts collide; a
+    * brightness gradient sets exactly the bright half's bits —
+    * spec-pinned in Round12EdgeSpec on synthesized known-pixel BMPs).
+    * All three decoders share the exact BT.601 integer luma, so the
+    * SAME image stored as BMP, PNG or GIF produces the SAME hash — the
+    * cross-container dedup property. */
   def perceptualHash60(blob: Array[Byte]): Long =
-    bmpLuminance(blob).orElse(pngLuminance(blob))
+    bmpLuminance(blob).orElse(pngLuminance(blob)).orElse(gifLuminance(blob))
       .map(blockHash60Samples).getOrElse(blockHash60(blob))
 
   /** Build a binary-asset manifest from the documents table: blob =

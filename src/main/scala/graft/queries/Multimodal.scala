@@ -309,6 +309,57 @@ object Multimodal {
       |FROM pk WHERE rk = 1
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Corpus-scale validation of the REAL GIF pixel decoder — the third
+    * image container after [[mmBmpLuma]]/[[mmPngLuma]], and the first
+    * with an actual compression codec implemented from scratch
+    * (variable-width LZW; PNG leans on JDK zlib). Per doc a known
+    * grayscale image is rendered to a REAL GIF89a — odd docs
+    * interlaced (the decoder must reorder the 4-pass rows), every
+    * third doc carrying a comment extension (the decoder must walk
+    * sub-blocks, not assume the image follows the screen descriptor) —
+    * then decoded back through the full chunk walk + LZW + palette +
+    * BT.601 luma path in the scan stage. The oracle re-derives every
+    * pixel from the generating formula and never sees the GIF bytes,
+    * so one wrong bit anywhere in LZW pack→unpack, interlace order or
+    * palette lookup breaks the hash. Scale shape: per-doc CPU inside
+    * one scan, no shuffle until the final tiny projection. */
+  private def mmGifLuma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"),
+        ($"n_chars" % 21 + 4).cast("int").as("w"),
+        ($"doc_id" * 11 % 17 + 3).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        val img = MM.gifImage(w, h,
+          (x, y) => ((id * 53 + y.toLong * w + x) % 256).toInt,
+          interlaced = id % 2 == 1, comment = id % 3 == 0)
+        val lum = MM.gifLuminance(img).getOrElse(
+          throw new IllegalStateException(s"gif round-trip failed for doc $id"))
+        (id, w.toLong, h.toLong, lum.sum, MM.blockHash60Samples(lum))
+      }
+      .toDF("doc_id", "w", "h", "luma_sum", "blockhash")
+      .orderBy($"doc_id")
+  }
+
+  private val mmGifLumaSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(n_chars % 21 + 4 AS BIGINT) AS w,
+      |    CAST((doc_id * 11) % 17 + 3 AS BIGINT) AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      |pv AS (SELECT doc_id, w, h, i, (doc_id * 53 + i) % 256 AS v FROM px),
+      |bs AS (SELECT doc_id, (i * 60) // (w * h) AS blk,
+      |    SUM(v) AS s, COUNT(*) AS c FROM pv GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, SUM(s) AS total, SUM(c) AS n FROM bs GROUP BY 1),
+      |bits AS (SELECT bs.doc_id,
+      |    SUM(CASE WHEN s * n > total * c
+      |      THEN (1::BIGINT << CAST(blk AS INT)) ELSE 0 END) AS bh
+      |  FROM bs JOIN tt USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, d.w, d.h, CAST(tt.total AS BIGINT) AS luma_sum,
+      |  CAST(COALESCE(bits.bh, 0) AS BIGINT) AS blockhash
+      |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Resize planning off REAL header-decoded dimensions: a
     * deterministic BMP header is synthesized per doc (w, h derived
     * from doc fields), [[graft.operators.Multimodal.HeaderImageDecoder]]
@@ -666,6 +717,7 @@ object Multimodal {
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_bmp_luma" -> QueryDef(mmBmpLuma, Some(mmBmpLumaSql)),
     "mm_png_luma" -> QueryDef(mmPngLuma, Some(mmPngLumaSql)),
+    "mm_gif_luma" -> QueryDef(mmGifLuma, Some(mmGifLumaSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),
