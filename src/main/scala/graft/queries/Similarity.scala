@@ -1815,15 +1815,13 @@ object Similarity {
   private val BeamB = sys.env.getOrElse("SPARK_GRAFT_BEAM_B", "32").toInt
   private val BeamPoolK = sys.env.getOrElse("SPARK_GRAFT_BEAM_POOLK", "3").toInt
 
-  private def beamSearchFinal(s: SparkSession, dir: String): DataFrame = {
+  /** The search state after T best-first rounds at beam width `b`,
+    * over a pre-built symmetrized edge table: every visited node with
+    * its exact score. Shared by the search, recall and curve keys. */
+  private def beamVisited(s: SparkSession, dir: String, edges: DataFrame,
+                          b: Int, t: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val kept = vamanaKept(s, dir, BeamPoolK).select($"node_id", $"neighbor_id")
-    val edges = kept
-      .union(kept.select($"neighbor_id".as("node_id"), $"node_id".as("neighbor_id")))
-      .distinct()
-      .withColumnRenamed("node_id", "a").withColumnRenamed("neighbor_id", "b")
-      .localCheckpoint() // all T traversal rounds re-read it
     val q = probes(s, dir).select($"vec_id".as("query_id"), $"embedding".as("qe"))
     def score(cand: DataFrame): DataFrame = cand
       .join(emb.select($"vec_id".as("node_id"), $"embedding".as("ne")), "node_id")
@@ -1841,9 +1839,9 @@ object Similarity {
     var visited = score(q.select($"query_id",
       when($"query_id" === 0L, 1L).otherwise(0L).as("node_id"))).localCheckpoint()
     var expanded = visited.select($"query_id", $"node_id").limit(0).localCheckpoint()
-    for (_ <- 1 to BeamT) {
+    for (_ <- 1 to t) {
       val beam = visited.withColumn("rk", row_number().over(w))
-        .filter($"rk" <= BeamB).select($"query_id", $"node_id")
+        .filter($"rk" <= b).select($"query_id", $"node_id")
       val frontier = beam.join(expanded, Seq("query_id", "node_id"), "left_anti")
       val fresh = frontier.join(edges, $"node_id" === $"a")
         .select($"query_id", $"b".as("node_id")).distinct()
@@ -1852,47 +1850,71 @@ object Similarity {
       visited = visited.union(score(fresh)).localCheckpoint()
       expanded = expanded.union(frontier).localCheckpoint()
     }
-    visited.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+    visited
+  }
+
+  /** Symmetrized occlusion-pruned edge table (HNSW keeps reverse links
+    * for reachability), checkpointed once for all traversal rounds. */
+  private def beamEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = vamanaKept(s, dir, BeamPoolK).select($"node_id", $"neighbor_id")
+    kept
+      .union(kept.select($"neighbor_id".as("node_id"), $"node_id".as("neighbor_id")))
+      .distinct()
+      .withColumnRenamed("node_id", "a").withColumnRenamed("neighbor_id", "b")
+      .localCheckpoint()
+  }
+
+  private def beamSearchFinal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"node_id")
+    beamVisited(s, dir, beamEdges(s, dir), BeamB, BeamT)
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
       .select($"query_id", $"node_id".as("neighbor_id"), $"rk", $"cos_sim")
       .orderBy($"query_id", $"rk")
   }
 
-  /** One unrolled best-first round for the oracle: beam = top-B of
+  /** One unrolled best-first round for the oracle: beam = top-`b` of
     * visited, frontier = beam \ expanded, score the frontier's unseen
-    * out-neighbors into visited, fold the frontier into expanded. */
-  private def beamRoundSql(i: Int): String = {
-    val p = i - 1
-    s"""f$i AS MATERIALIZED (
+    * out-neighbors into visited, fold the frontier into expanded.
+    * MATERIALIZED is load-bearing: plain CTEs inline per reference and
+    * the 3-per-round self-reference makes the inlined plan ~3^T wide
+    * (first manifested as fd exhaustion on the embeddings parquet).
+    * `pfx` namespaces a chain so the curve key can run several widths
+    * off the shared entry state (v0/x0). */
+  private def beamRoundSql(pfx: String, b: Int, i: Int): String = {
+    val pv = if (i == 1) "v0" else s"${pfx}v${i - 1}"
+    val px = if (i == 1) "x0" else s"${pfx}x${i - 1}"
+    s"""${pfx}f$i AS MATERIALIZED (
        |  SELECT b.query_id, b.node_id FROM (
        |    SELECT query_id, node_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node_id) AS rk
-       |    FROM v$p) b
-       |  LEFT JOIN x$p x ON x.query_id = b.query_id AND x.node_id = b.node_id
-       |  WHERE b.rk <= $BeamB AND x.node_id IS NULL),
-       |v$i AS MATERIALIZED (
-       |  SELECT query_id, node_id, cos_sim FROM v$p
+       |    FROM $pv) b
+       |  LEFT JOIN $px x ON x.query_id = b.query_id AND x.node_id = b.node_id
+       |  WHERE b.rk <= $b AND x.node_id IS NULL),
+       |${pfx}v$i AS MATERIALIZED (
+       |  SELECT query_id, node_id, cos_sim FROM $pv
        |  UNION ALL
        |  SELECT n.query_id, n.node_id,
        |    ROUND(${cosSql("p.qe", "ne.embedding")}, 9) AS cos_sim
        |  FROM (
        |    SELECT DISTINCT f.query_id, e.b AS node_id
-       |    FROM f$i f JOIN edges e ON e.a = f.node_id
-       |    WHERE NOT EXISTS (SELECT 1 FROM v$p v
+       |    FROM ${pfx}f$i f JOIN edges e ON e.a = f.node_id
+       |    WHERE NOT EXISTS (SELECT 1 FROM $pv v
        |      WHERE v.query_id = f.query_id AND v.node_id = e.b)) n
        |  JOIN bp p ON p.query_id = n.query_id
        |  JOIN ev ne ON ne.vec_id = n.node_id
        |  WHERE n.node_id <> n.query_id),
-       |x$i AS MATERIALIZED (
-       |  SELECT query_id, node_id FROM x$p
+       |${pfx}x$i AS MATERIALIZED (
+       |  SELECT query_id, node_id FROM $px
        |  UNION ALL
-       |  SELECT query_id, node_id FROM f$i)""".stripMargin
+       |  SELECT query_id, node_id FROM ${pfx}f$i)""".stripMargin
   }
 
-  /** Shared beam-search CTE chain (entry → T best-first rounds → vT).
-    * Requires $knnOracleCtes, $refineCtes, ${"$"}{vamanaCtes(BeamPoolK)}
-    * before it. */
-  private val beamCtes = {
-    val rounds = (1 to BeamT).map(beamRoundSql).mkString(",\n")
+  /** Entry state shared by every beam chain: edge table, probe set,
+    * v0 (scored entry) and x0 (nothing expanded). Requires
+    * $knnOracleCtes, $refineCtes, vamanaCtes(BeamPoolK) before it. */
+  private val beamBaseCtes =
     s"""edges AS MATERIALIZED (
        |  SELECT node_id AS a, neighbor_id AS b FROM kept
        |  UNION
@@ -1908,9 +1930,13 @@ object Similarity {
        |  FROM bp p JOIN ev ne
        |    ON ne.vec_id = CASE WHEN p.query_id = 0 THEN 1 ELSE 0 END),
        |x0 AS MATERIALIZED (
-       |  SELECT query_id, node_id FROM v0 WHERE FALSE),
-       |$rounds""".stripMargin
-  }
+       |  SELECT query_id, node_id FROM v0 WHERE FALSE)""".stripMargin
+
+  /** Beam-search CTE chain: entry state + T best-first rounds at the
+    * default width (ends at v$BeamT). */
+  private val beamCtes =
+    s"""$beamBaseCtes,
+       |${(1 to BeamT).map(beamRoundSql("", BeamB, _)).mkString(",\n")}""".stripMargin
 
   private def annBeamSearch(s: SparkSession, dir: String): DataFrame =
     beamSearchFinal(s, dir)
@@ -1928,7 +1954,75 @@ object Similarity {
        |  FROM v$BeamT) z
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
-  /** Recall@5 of the 3-round beam search against the exact brute
+  /** The beam-width operating curve as a COMMITTED number (the
+    * ann_probe_curve / dedup_banding_curve pattern): for B ∈ {8,16,32}
+    * at T=$BeamT, total recall@5 hits against brute force AND the
+    * total visited-node count — quality and cost of each operating
+    * point in one gated row, all off ONE shared edge table and entry
+    * state. The curve IS the tuning argument: B=32 buys 36/50 vs
+    * 20/50 at B=16 for ~1.8× the visits on this corpus. */
+  private def annBeamCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = beamEdges(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val bf = Sim.bruteForce(s, emb, probes(s, dir), k = 5)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"node_id")
+    Seq(8, 16, 32).map { b =>
+      val vis = beamVisited(s, dir, edges, b, BeamT)
+      val top5 = vis.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"query_id".as("bq"), $"node_id".as("bn"))
+      val hits = bf.join(top5,
+        $"query_id" === $"bq" && $"neighbor_id" === $"bn", "left")
+        .agg(count($"bq").as("n_hit"))
+      val nvis = vis.agg(count(lit(1)).as("n_visited"))
+      hits.crossJoin(nvis).select(lit(b.toLong).as("beam_b"), $"n_hit",
+        expr("(n_hit * 1000000000L) div 50").as("recall_ppb"), $"n_visited")
+    }.reduce(_ union _).orderBy($"beam_b")
+  }
+
+  private val annBeamCurveSql = {
+    def chain(b: Int) =
+      (1 to BeamT).map(beamRoundSql(s"c${b}_", b, _)).mkString(",\n")
+    def leg(b: Int) =
+      s"""SELECT CAST($b AS BIGINT) AS beam_b,
+         |  CAST((SELECT COUNT(*) FROM bf5 f JOIN t$b b
+         |    ON b.query_id = f.query_id AND b.node_id = f.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(((SELECT COUNT(*) FROM bf5 f JOIN t$b b
+         |    ON b.query_id = f.query_id AND b.node_id = f.neighbor_id) * 1000000000) // 50 AS BIGINT) AS recall_ppb,
+         |  CAST((SELECT COUNT(*) FROM c${b}_v$BeamT) AS BIGINT) AS n_visited""".stripMargin
+    def top5(b: Int) =
+      s"""t$b AS MATERIALIZED (
+         |  SELECT query_id, node_id FROM (
+         |    SELECT query_id, node_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node_id) AS rk
+         |    FROM c${b}_v$BeamT) z WHERE rk <= 5)""".stripMargin
+    s"""WITH $knnOracleCtes,
+       |$refineCtes,
+       |${vamanaCtes(BeamPoolK)},
+       |$beamBaseCtes,
+       |${chain(8)},
+       |${chain(16)},
+       |${chain(32)},
+       |${top5(8)}, ${top5(16)}, ${top5(32)},
+       |sc5 AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("qe", "e.embedding")}, 9) AS cos_sim
+       |  FROM bp JOIN ev e ON e.vec_id <> bp.query_id),
+       |bf5 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM sc5) z WHERE rk <= 5)
+       |${leg(8)}
+       |UNION ALL
+       |${leg(16)}
+       |UNION ALL
+       |${leg(32)}
+       |ORDER BY beam_b""".stripMargin
+  }
+
+  /** Recall@5 of the best-first beam search against the exact brute
     * force — the acceptance gate for the whole graph tier (build →
     * refine → prune → SEARCH): a navigability regression anywhere in
     * the chain shows up here as lost neighbors, priced in exact ppb. */
@@ -2308,6 +2402,7 @@ object Similarity {
     "ann_vamana_prune" -> QueryDef(annVamanaPrune, Some(annVamanaPruneSql)),
     "ann_beam_search" -> QueryDef(annBeamSearch, Some(annBeamSearchSql)),
     "ann_beam_recall" -> QueryDef(annBeamRecall, Some(annBeamRecallSql)),
+    "ann_beam_curve" -> QueryDef(annBeamCurve, Some(annBeamCurveSql)),
     "knn_graph_recall" -> QueryDef(knnGraphRecall, Some(knnGraphRecallSql)),
     "knn_refine_recall" -> QueryDef(knnRefineRecall, Some(knnRefineRecallSql)),
     "ann_ivfpq" -> QueryDef(annIvfPq, Some(annIvfPqSql)),

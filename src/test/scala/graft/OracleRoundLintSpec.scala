@@ -68,6 +68,8 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "ann_beam_search" -> cosine,
       "ann_beam_recall" -> (cosine + "; plus recall n_hit/5 — exact " +
         "BIGINT count over the constant k on both sides"),
+      "ann_beam_curve" -> (cosine + "; plus recall n_hit/50 — exact " +
+        "BIGINT count over the constant probe-total on both sides"),
       "retrieval_hybrid_rrf" -> ("BM25 ln-idf nano units (lexical leg) + " +
         cosine + " (vector leg); the FUSED score is exact integer div"),
       "ann_filtered_recall" -> (cosine + "; plus recall n_hit/5.0 — one " +
