@@ -922,6 +922,166 @@ object Multimodal {
     Some(out)
   }
 
+  // ---------------------------------------------------------------
+  // AVI: real pure-JVM VIDEO container decode — RIFF LISTs
+  // (hdrl/strl/movi) wrapping raw 24-bpp DIB frames. Reuses WAV's
+  // word-aligned chunk-walk discipline and BMP's raster rules
+  // (bottom-up BGR rows, 4-byte stride padding); uncompressed 'DIB '
+  // video needs no codec, so header+frame parse IS the full decode.
+  // ---------------------------------------------------------------
+
+  /** Real RIFF/AVI file with one uncompressed 24-bpp 'vids' stream:
+    * LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ' + strf
+    * BITMAPINFOHEADER)), an optional odd-length JUNK chunk between
+    * hdrl and movi (word-aligned walking, not offset arithmetic),
+    * LIST movi with one '00db' raw-DIB chunk per frame (bottom-up BGR
+    * rows padded to 4 bytes — the BMP pixel-array layout), and a
+    * trailing idx1 index. `pix(f, x, y)` is packed 0xRRGGBB with row 0
+    * = TOP row. Deterministic: no timestamps. */
+  def aviRawVideo(w: Int, h: Int, frames: Int, pix: (Int, Int, Int) => Int,
+                  junk: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0)
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameBytes = rowBytes * h
+    val out = new java.io.ByteArrayOutputStream(512 + frames * (8 + frameBytes))
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    // sizes, computed inside-out
+    val strhSize = 56; val strfSize = 40
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val avihSize = 56
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val junkPayload = if (junk) 7 else 0 // odd on purpose
+    val moviSize = 4 + frames * (8 + frameBytes)
+    val idx1Size = frames * 16
+    val riffSize = 4 + (8 + hdrlSize) +
+      (if (junk) 8 + junkPayload + 1 else 0) + (8 + moviSize) + (8 + idx1Size)
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(avihSize)
+    le32(40000)            // dwMicroSecPerFrame (25 fps)
+    le32(frameBytes * 25)  // dwMaxBytesPerSec
+    le32(0); le32(0x10)    // padding, AVIF_HASINDEX
+    le32(frames); le32(0)  // dwTotalFrames, dwInitialFrames
+    le32(1)                // dwStreams
+    le32(frameBytes)       // dwSuggestedBufferSize
+    le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    tag("LIST"); le32(strlSize); tag("strl")
+    tag("strh"); le32(strhSize)
+    tag("vids"); tag("DIB ")
+    le32(0); le16(0); le16(0) // flags, priority, language
+    le32(0)                   // initial frames
+    le32(1); le32(25)         // scale, rate (25 fps)
+    le32(0); le32(frames)     // start, length
+    le32(frameBytes); le32(-1) // bufSize, quality
+    le32(0)                   // sample size
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    tag("strf"); le32(strfSize)
+    le32(40); le32(w); le32(h)
+    le16(1); le16(24)          // planes, bpp
+    le32(0)                    // BI_RGB
+    le32(frameBytes)
+    le32(0); le32(0); le32(0); le32(0)
+    if (junk) {
+      tag("JUNK"); le32(junkPayload)
+      out.write(Array.fill[Byte](junkPayload)('j'), 0, junkPayload)
+      out.write(0) // word-align pad
+    }
+    tag("LIST"); le32(moviSize); tag("movi")
+    for (f <- 0 until frames) {
+      tag("00db"); le32(frameBytes)
+      val fr = new Array[Byte](frameBytes)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = pix(f, x, y)
+        val off = (h - 1 - y) * rowBytes + x * 3 // bottom-up, BGR
+        fr(off) = (c & 0xff).toByte
+        fr(off + 1) = ((c >>> 8) & 0xff).toByte
+        fr(off + 2) = ((c >>> 16) & 0xff).toByte
+      }
+      out.write(fr, 0, frameBytes)
+    }
+    tag("idx1"); le32(idx1Size)
+    var moviOff = 4 // offsets within movi LIST, from its 'movi' tag
+    for (_ <- 0 until frames) {
+      tag("00db"); le32(0x10) // AVIIF_KEYFRAME
+      le32(moviOff); le32(frameBytes)
+      moviOff += 8 + frameBytes
+    }
+    out.toByteArray
+  }
+
+  /** REAL pure-JVM AVI decode: walks the RIFF tree (word-aligned),
+    * parses avih for dimensions, verifies the first stream is
+    * uncompressed 24-bpp 'vids' via strf, then decodes every raw-DIB
+    * '00db' movi chunk into per-pixel BT.601 luminance (top-down
+    * row-major — the same exact rule as the BMP/PNG/GIF decoders).
+    * Returns (w, h, one luma array per frame). None — never a throw —
+    * for a bad signature, compressed or non-24-bpp streams, missing
+    * hdrl/avih/strf/movi, a frame chunk of the wrong size, or any
+    * truncation: mixed corpora degrade to byte-level features. */
+  def aviFrameLuma(b: Array[Byte]): Option[(Int, Int, Array[Array[Long]])] = {
+    if (b.length < 12) return None
+    def tagAt(off: Int, s: String) =
+      off + s.length <= b.length && s.indices.forall(i => b(off + i) == s(i).toByte)
+    def le32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    if (!tagAt(0, "RIFF") || !tagAt(8, "AVI ")) return None
+    var w = -1; var h = -1; var bpp = -1; var compression = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    // walk a chunk range [from, to); recurse into LISTs
+    def walk(from: Int, to: Int): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val size = le32(off + 4)
+        if (size < 0 || off + 8L + size > to) return false // overrun
+        if (tagAt(off, "LIST")) {
+          if (size < 4) return false
+          if (!walk(off + 12, off + 8 + size)) return false
+        } else if (tagAt(off, "avih")) {
+          if (size < 40) return false
+          w = le32(off + 8 + 32); h = le32(off + 8 + 36)
+        } else if (tagAt(off, "strf")) {
+          if (size < 20) return false
+          bpp = le16(off + 8 + 14); compression = le32(off + 8 + 16)
+        } else if (tagAt(off, "00db")) {
+          frames += ((off + 8, size))
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      true
+    }
+    if (!walk(12, math.min(b.length, 8L + le32(4)).toInt)) return None
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0 || frames.isEmpty)
+      return None
+    if (w.toLong * h > (1L << 26)) return None // 64M-pixel frame bound
+    val rowBytes = (w * 3 + 3) & ~3
+    if (frames.exists(_._2 != rowBytes * h)) return None // wrong frame size
+    val out = frames.map { case (fOff, _) =>
+      val lum = new Array[Long](w * h)
+      var y = 0
+      while (y < h) {
+        val rowOff = fOff + (h - 1 - y) * rowBytes // bottom-up rows
+        var x = 0
+        while (x < w) {
+          val o = rowOff + x * 3 // BGR order
+          lum(y * w + x) = (299L * (b(o + 2) & 0xffL) +
+            587L * (b(o + 1) & 0xffL) + 114L * (b(o) & 0xffL)) / 1000L
+          x += 1
+        }
+        y += 1
+      }
+      lum
+    }.toArray
+    Some((w, h, out))
+  }
+
   /** Perceptual blockhash over REAL decoded luminance when the blob is
     * a decodable BMP ([[bmpLuminance]]), PNG ([[pngLuminance]]) or GIF
     * ([[gifLuminance]]), byte-level [[blockHash60]] otherwise: a mixed

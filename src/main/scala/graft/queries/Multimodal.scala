@@ -360,6 +360,77 @@ object Multimodal {
       |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Shot-boundary detection over a REAL VIDEO CONTAINER decode — the
+    * video milestone after images (BMP/PNG/GIF) and audio (WAV): per
+    * doc a known grayscale clip with ONE planted cut (brightness +128
+    * from frame c on) is rendered to a real RIFF/AVI file — LIST
+    * hdrl/strl/movi tree, raw 24-bpp DIB frames in BMP raster layout,
+    * every third doc carrying an odd-length JUNK chunk (word-aligned
+    * tree walking) — decoded back through the full container walk +
+    * per-frame raster decode in the scan stage, then per-frame luma
+    * sum and pixel-level L1 delta against the previous frame, with
+    * `is_cut` = delta above the 64·w·h threshold (within-shot deltas
+    * ≈ 2·w·h from the +1 phase drift, cut deltas ≈ 129·w·h — the
+    * margins are exact integer arithmetic, spec-pinned). The oracle
+    * re-derives every pixel of every frame from the generating
+    * formula and never sees the AVI bytes. Scale shape: per-doc CPU
+    * inside one scan; blobs never shuffle. */
+  private def mmAviShots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val w = (nChars % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+        val n = (id % 5 + 6).toInt; val c = (2 + (id * 7) % (n - 3)).toInt
+        def gray(v: Int) = (v << 16) | (v << 8) | v
+        val avi = MM.aviRawVideo(w, h, n, (f, x, y) => {
+          val base = ((id * 31 + f + y.toLong * w + x) % 120).toInt
+          gray(if (f < c) base else 128 + base)
+        }, junk = id % 3 == 0)
+        val (gw, gh, frames) = MM.aviFrameLuma(avi).getOrElse(
+          throw new IllegalStateException(s"avi round-trip failed for doc $id"))
+        require(gw == w && gh == h && frames.length == n)
+        (1 until n).iterator.map { f =>
+          val cur = frames(f); val prev = frames(f - 1)
+          var delta = 0L; var sum = 0L; var i = 0
+          while (i < cur.length) {
+            delta += math.abs(cur(i) - prev(i)); sum += cur(i); i += 1
+          }
+          (id, f.toLong, sum, delta, delta > 64L * w * h)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "luma_sum", "delta_l1", "is_cut")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmAviShotsSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(n_chars % 9 + 4 AS BIGINT) AS w,
+      |    CAST(doc_id % 7 + 3 AS BIGINT) AS h,
+      |    CAST(doc_id % 5 + 6 AS BIGINT) AS n,
+      |    CAST(2 + (doc_id * 7) % (doc_id % 5 + 3) AS BIGINT) AS c
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, n, c, unnest(range(0, w * h)) AS i FROM d),
+      |fr AS (SELECT doc_id, w, h, c, i, unnest(range(0, n)) AS f FROM px),
+      |pv AS (SELECT doc_id, w, h, f, i,
+      |    CASE WHEN f < c THEN (doc_id * 31 + f + i) % 120
+      |         ELSE 128 + (doc_id * 31 + f + i) % 120 END AS v
+      |  FROM fr),
+      |agg AS (SELECT doc_id, w, h, f, SUM(v) AS luma_sum
+      |  FROM pv GROUP BY 1, 2, 3, 4),
+      |dl AS (SELECT cur.doc_id, cur.f AS frame_idx,
+      |    SUM(ABS(cur.v - prv.v)) AS delta
+      |  FROM pv cur JOIN pv prv
+      |    ON prv.doc_id = cur.doc_id AND prv.i = cur.i AND prv.f = cur.f - 1
+      |  GROUP BY 1, 2)
+      |SELECT g.doc_id, CAST(dl.frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(g.luma_sum AS BIGINT) AS luma_sum,
+      |  CAST(dl.delta AS BIGINT) AS delta_l1,
+      |  dl.delta > 64 * g.w * g.h AS is_cut
+      |FROM dl JOIN agg g ON g.doc_id = dl.doc_id AND g.f = dl.frame_idx
+      |ORDER BY g.doc_id, frame_idx""".stripMargin
+
   /** Resize planning off REAL header-decoded dimensions: a
     * deterministic BMP header is synthesized per doc (w, h derived
     * from doc fields), [[graft.operators.Multimodal.HeaderImageDecoder]]
@@ -718,6 +789,7 @@ object Multimodal {
     "mm_bmp_luma" -> QueryDef(mmBmpLuma, Some(mmBmpLumaSql)),
     "mm_png_luma" -> QueryDef(mmPngLuma, Some(mmPngLumaSql)),
     "mm_gif_luma" -> QueryDef(mmGifLuma, Some(mmGifLumaSql)),
+    "mm_avi_shots" -> QueryDef(mmAviShots, Some(mmAviShotsSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Round-13: REAL AVI video-container decode — the video milestone
+  * after images (BMP/PNG/GIF) and audio (WAV). The RIFF tree walk
+  * (nested LISTs, word alignment) and the raw-DIB frame raster
+  * (bottom-up BGR, 4-byte stride padding) must round-trip synthesized
+  * known-pixel clips exactly and degrade to None on malformed input.
+  * Frame rasters share the BMP layout, so a single frame written as a
+  * BMP must decode to the identical luma — the cross-container check
+  * that pins the raster rules to an already-ImageIO-validated path. */
+class AviDecodeSpec extends AnyFunSuite {
+
+  private def gray(v: Int) = (v << 16) | (v << 8) | v
+
+  test("round-trips a known multi-frame clip, with and without a JUNK chunk") {
+    val pix = (f: Int, x: Int, y: Int) => gray((f * 41 + x * 7 + y * 13) % 256)
+    for (junk <- Seq(false, true); (w, h, n) <- Seq((5, 3, 4), (8, 6, 7), (13, 9, 2))) {
+      val avi = Multimodal.aviRawVideo(w, h, n, pix, junk = junk)
+      val got = Multimodal.aviFrameLuma(avi)
+      assert(got.isDefined, s"decode failed (junk=$junk $w x $h x $n)")
+      val (gw, gh, frames) = got.get
+      assert(gw == w && gh == h && frames.length == n)
+      for (f <- 0 until n; i <- 0 until w * h)
+        assert(frames(f)(i) == (pix(f, i % w, i / w) & 0xff).toLong,
+          s"frame $f pixel $i (junk=$junk)")
+    }
+  }
+
+  test("an AVI frame and the same image as BMP decode to identical luma") {
+    val rgb = (x: Int, y: Int) => ((x * 19 + 3) % 256) << 16 |
+      ((y * 31 + 7) % 256) << 8 | ((x + y) % 256)
+    val avi = Multimodal.aviRawVideo(11, 7, 1, (_, x, y) => rgb(x, y))
+    val bmp = Multimodal.bmpImage(11, 7, rgb)
+    val aviLuma = Multimodal.aviFrameLuma(avi).get._3.head.toSeq
+    val bmpLuma = Multimodal.bmpLuminance(bmp).get.toSeq
+    assert(aviLuma == bmpLuma, "raster rules diverged between AVI frames and BMP")
+  }
+
+  test("truncated streams degrade to None, never throw") {
+    val avi = Multimodal.aviRawVideo(9, 5, 3, (f, x, y) => gray((f + x + y) % 256))
+    // mid-signature, mid-hdrl, mid-strf, mid-movi, mid-frame, mid-idx1
+    for (cut <- Seq(3, 11, 40, 120, 200, avi.length / 2, avi.length - 20))
+      assert(Multimodal.aviFrameLuma(avi.take(cut)).isEmpty, s"cut=$cut")
+  }
+
+  test("malformed variants degrade to None: bad signature, compressed stream, wrong bpp, frame-size lie") {
+    val avi = Multimodal.aviRawVideo(9, 5, 3, (f, x, y) => gray((f * x * y) % 256))
+    def mut(off: Int, v: Byte): Array[Byte] = { val b = avi.clone(); b(off) = v; b }
+    assert(Multimodal.aviFrameLuma(mut(8, 'X'.toByte)).isEmpty, "bad AVI tag")
+    // strf layout: ...LIST strl: strh(8+56) then 'strf' size(4) then BITMAPINFOHEADER;
+    // find it by scanning for the tag
+    def find(tag: String, from: Int): Int = {
+      var i = from
+      while (!(0 until 4).forall(k => avi(i + k) == tag(k).toByte)) i += 1
+      i
+    }
+    val strf = find("strf", 12)
+    assert(Multimodal.aviFrameLuma(mut(strf + 8 + 14, 8.toByte)).isEmpty, "8-bpp stream")
+    assert(Multimodal.aviFrameLuma(mut(strf + 8 + 16, 1.toByte)).isEmpty, "BI_RLE8 compression")
+    // lie about the first frame chunk's size: decoder must reject, not misparse
+    val movi = find("movi", strf)
+    val bad = avi.clone(); bad(movi + 4 + 4) = 1 // first 00db size low byte
+    assert(Multimodal.aviFrameLuma(bad).isEmpty, "frame-size lie")
+    assert(Multimodal.aviFrameLuma(Array[Byte](1, 2, 3)).isEmpty, "garbage")
+    assert(Multimodal.aviFrameLuma("not an avi".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("planted-cut margins are exact: within-shot vs cut deltas never overlap") {
+    // replicate mm_avi_shots' formula at its smallest frame (w=4,h=3)
+    // and check the 64*w*h threshold splits the two regimes with room
+    val w = 4; val h = 3; val n = 10; val c = 5; val id = 77L
+    val avi = Multimodal.aviRawVideo(w, h, n, (f, x, y) => {
+      val base = ((id * 31 + f + y.toLong * w + x) % 120).toInt
+      gray(if (f < c) base else 128 + base)
+    })
+    val frames = Multimodal.aviFrameLuma(avi).get._3
+    val deltas = (1 until n).map { f =>
+      (0 until w * h).map(i => math.abs(frames(f)(i) - frames(f - 1)(i))).sum
+    }
+    val thresh = 64L * w * h
+    deltas.zipWithIndex.foreach { case (d, f0) =>
+      val isCutFrame = (f0 + 1) == c
+      assert((d > thresh) == isCutFrame,
+        s"frame ${f0 + 1}: delta $d vs thresh $thresh (cut at $c)")
+    }
+  }
+}
