@@ -13,6 +13,49 @@ import graft.operators.{Dedup => DedupOps, TextAnalysis => TA}
   */
 object Pipeline {
 
+  /** Manifest-committed sink round-trip — the table-format commit
+    * protocol (Delta/Iceberg core) proven end-to-end: the English
+    * corpus is appended in TWO separate commits through
+    * [[graft.sources.ManifestTable]], a CRASHED-WRITER orphan (a real
+    * parquet file in data/ that no manifest names) is planted, and the
+    * table is read back via the latest manifest. The per-source
+    * aggregate equals the oracle's direct aggregate over `documents`
+    * IFF (a) both commits landed (append lost nothing), and (b) the
+    * orphan stayed invisible (readers plan manifest-listed files, not
+    * directory listings). Time travel and conflict sequencing are
+    * spec-pinned (ManifestSinkSpec). Result rows are checkpointed and
+    * the temp table deleted — the StreamReplay teardown discipline.
+    *
+    * Scale shape: commits are O(live files) metadata, row-count
+    * independent; readers never LIST the data directory (the
+    * object-store eventual-consistency trap). */
+  private def sinkManifestRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-rt").toFile.getPath
+    val en = Tables.documents(s, dir)
+      .filter($"lang" === "en")
+      .select($"doc_id", $"source", $"n_chars")
+    ManifestTable.append(s, en.filter($"doc_id" % 2 === 0), root)
+    ManifestTable.append(s, en.filter($"doc_id" % 2 =!= 0), root)
+    // crashed writer: real data file on disk, named by NO manifest
+    Tables.documents(s, dir).filter($"lang" =!= "en")
+      .select($"doc_id", $"source", $"n_chars")
+      .write.parquet(s"$root/data/txn-orphan-crashed")
+    val result = ManifestTable.read(s, root)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+    StreamReplay.finish(s, "unused_no_view", root)(result)
+  }
+
+  private val sinkManifestRoundtripSql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Lee-et-al-style duplicated-span statistics over 10-token windows. */
   private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1529,6 +1572,7 @@ object Pipeline {
     "q_lateral" -> QueryDef(qLateral, Some(qLateralSql)),
     "q_cogroup" -> QueryDef(qCogroup, Some(qCogroupSql)),
     "q_schema_evolution" -> QueryDef(qSchemaEvolution, Some(qSchemaEvolutionSql)),
+    "sink_manifest_roundtrip" -> QueryDef(sinkManifestRoundtrip, Some(sinkManifestRoundtripSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
     "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),

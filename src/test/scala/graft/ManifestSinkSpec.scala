@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestTable
+import java.nio.file.Files
+
+/** Round-13 engine layer: the manifest-committed parquet table — the
+  * Delta/Iceberg commit protocol reduced to its core. Pins the four
+  * properties the protocol exists for: atomic exactly-one-winner
+  * version commits, append losing nothing across conflicts, orphan
+  * (crashed-writer) file invisibility, and time travel. */
+class ManifestSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-mt-spec").toFile.getPath
+
+  test("append + read round-trips across multiple commits") {
+    val dir = freshDir()
+    val v1 = ManifestTable.append(spark, (0 until 10).map(i => (i, s"a$i")).toDF("id", "v"), dir)
+    val v2 = ManifestTable.append(spark, (10 until 25).map(i => (i, s"b$i")).toDF("id", "v"), dir)
+    assert(v1 == 0 && v2 == 1)
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 25)
+    assert(back.agg(sum($"id")).as[Long].head() == (0 until 25).sum)
+  }
+
+  test("orphan data files from a crashed writer are invisible to readers") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 5).map(i => (i, "live")).toDF("id", "v"), dir)
+    // a real parquet directory inside data/ that no manifest names
+    (100 until 200).map(i => (i, "orphan")).toDF("id", "v")
+      .write.parquet(s"$dir/data/txn-orphan")
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 5)
+    assert(back.filter($"v" === "orphan").count() == 0)
+  }
+
+  test("time travel: old versions stay readable and exact") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "x")).toDF("id", "v"), dir)
+    ManifestTable.append(spark, Seq((2, "y"), (3, "z")).toDF("id", "v"), dir)
+    assert(ManifestTable.read(spark, dir, Some(0L)).count() == 1)
+    assert(ManifestTable.read(spark, dir, Some(1L)).count() == 3)
+    assert(ManifestTable.latestVersion(dir).contains(1L))
+  }
+
+  test("version conflict has exactly one winner; the loser re-sequences without losing data") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((0, "base")).toDF("id", "v"), dir)
+    // simulate two committers racing for v1: pre-create v1 by hand (the
+    // "other" writer won), then append — our commit must land at v2
+    // with both the base and its own rows live
+    val mdir = new java.io.File(dir, "_manifest")
+    val stolen = new java.io.File(mdir, "v1.manifest")
+    val v0Files = ManifestTable.snapshotFiles(dir, Some(0L))
+    Files.write(stolen.toPath,
+      (s"version=1" +: v0Files).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got = ManifestTable.append(spark, Seq((9, "mine")).toDF("id", "v"), dir)
+    assert(got == 2L, s"loser should re-sequence to v2, got v$got")
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 2)
+    assert(back.filter($"v" === "mine").count() == 1)
+  }
+
+  test("concurrent appends from many threads: every row survives, versions are dense") {
+    val dir = freshDir()
+    val threads = (0 until 6).map { t =>
+      new Thread(() => {
+        ManifestTable.append(spark,
+          (0 until 10).map(i => (t * 100 + i, s"t$t")).toDF("id", "v"), dir): Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 60, "a conflicting append lost rows")
+    assert(back.select($"id").distinct().count() == 60)
+    assert(ManifestTable.latestVersion(dir).contains(5L), "versions not dense 0..5")
+  }
+}
