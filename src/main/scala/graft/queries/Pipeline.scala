@@ -56,6 +56,58 @@ object Pipeline {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Exactly-once STREAMING append into the manifest table — the 13th
+    * driver-verified streaming path, and the one that proves the SINK
+    * side: the events stream drains through foreachBatch into
+    * [[graft.sources.ManifestTable.appendIdempotent]] (the Delta `txn`
+    * appId/version pattern), and every batch is deliberately delivered
+    * TWICE — the retry a foreachBatch sink must survive, since Spark
+    * re-runs a batch whose commit landed just before a crash. The txn
+    * marker makes the duplicate a no-op; the read-back aggregate
+    * hash-matches the plain batch oracle IFF no batch was lost AND no
+    * batch was double-counted. maxFilesPerTrigger=2 over a 8-file
+    * source forces a genuinely multi-batch replay. */
+  private def sinkManifestStreaming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ManifestTable
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"event_type", QueryDef.cents($"value").as("value_cents"))
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-stream").toString
+    ev.repartition(8).write.mode("overwrite").parquet(s"$root/src")
+    val table = s"$root/table"
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val first = ManifestTable.appendIdempotent(s, batch.toDF(), table, "ev", batchId)
+        require(first.isDefined, s"batch $batchId skipped on first delivery")
+        // the post-commit-crash retry: same batch, same id, again
+        val dup = ManifestTable.appendIdempotent(s, batch.toDF(), table, "ev", batchId)
+        require(dup.isEmpty, s"duplicate batch $batchId committed twice")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("sink_manifest_streaming: stream stalled")
+    }
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, table)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"value_cents").as("sum_cents"))
+        .orderBy($"event_type"))
+  }
+
+  private val sinkManifestStreamingSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Lee-et-al-style duplicated-span statistics over 10-token windows. */
   private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1573,6 +1625,7 @@ object Pipeline {
     "q_cogroup" -> QueryDef(qCogroup, Some(qCogroupSql)),
     "q_schema_evolution" -> QueryDef(qSchemaEvolution, Some(qSchemaEvolutionSql)),
     "sink_manifest_roundtrip" -> QueryDef(sinkManifestRoundtrip, Some(sinkManifestRoundtripSql)),
+    "sink_manifest_streaming" -> QueryDef(sinkManifestStreaming, Some(sinkManifestStreamingSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
     "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),

@@ -48,8 +48,9 @@ object ManifestTable {
     fs.flatMap(versionOf).sorted.lastOption
   }
 
-  /** Live file list of a snapshot (latest unless `version` given). */
-  def snapshotFiles(dir: String, version: Option[Long] = None): Seq[String] = {
+  /** All manifest body lines of a snapshot: data-relative file paths
+    * plus `txn=<writer>:<batch>` idempotence markers. */
+  private def snapshotLines(dir: String, version: Option[Long]): Seq[String] = {
     val v = version.orElse(latestVersion(dir)).getOrElse(
       throw new IllegalStateException(s"no committed version in $dir"))
     val mf = new File(manifestDir(dir), s"v$v.manifest")
@@ -58,6 +59,19 @@ object ManifestTable {
       s"corrupt manifest ${mf.getPath}")
     (1 until lines.size).map(lines.get(_))
   }
+
+  /** Live file list of a snapshot (latest unless `version` given). */
+  def snapshotFiles(dir: String, version: Option[Long] = None): Seq[String] =
+    snapshotLines(dir, version).filterNot(_.startsWith("txn="))
+
+  /** Batch ids a writer has already committed (latest snapshot). */
+  def committedBatches(dir: String, writer: String): Set[Long] =
+    latestVersion(dir) match {
+      case None => Set.empty
+      case Some(v) => snapshotLines(dir, Some(v))
+        .filter(_.startsWith(s"txn=$writer:"))
+        .map(_.stripPrefix(s"txn=$writer:").toLong).toSet
+    }
 
   /** Read a snapshot: exactly the manifest-listed files, nothing else. */
   def read(spark: SparkSession, dir: String,
@@ -77,20 +91,47 @@ object ManifestTable {
     val mine = Option(stage.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .map(f => s"$txn/${f.getName}").toSeq.sorted
-    commit(dir, mine)
+    commit(dir, mine, Nil).get // no skip condition: always commits
   }
 
-  /** Commit `newFiles` (data-relative) on top of the current snapshot,
-    * retrying past concurrent committers. */
-  private def commit(dir: String, newFiles: Seq[String]): Long = {
+  /** Exactly-once streaming append (the Delta `txn` appId/version
+    * pattern): commit `df` tagged `txn=<writer>:<batchId>`; if the
+    * latest snapshot already carries that marker — a foreachBatch
+    * RETRY of a batch whose commit landed before the failure — skip,
+    * leaving the table unchanged. The check re-runs inside the commit
+    * retry loop, so a concurrent duplicate of the same batch cannot
+    * slip past a version conflict. Returns the version, None if
+    * skipped as already-committed. */
+  def appendIdempotent(spark: SparkSession, df: DataFrame, dir: String,
+                       writer: String, batchId: Long): Option[Long] = {
+    if (committedBatches(dir, writer).contains(batchId)) return None
+    val txn = s"txn-${UUID.randomUUID()}"
+    val stage = new File(dataDir(dir), txn)
+    df.write.parquet(stage.getPath)
+    val mine = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => s"$txn/${f.getName}").toSeq.sorted
+    commit(dir, mine, Seq(s"txn=$writer:$batchId"),
+      skipIfTxn = Some((writer, batchId)))
+  }
+
+  /** Commit `newFiles` (data-relative) + `newTxns` markers on top of
+    * the current snapshot, retrying past concurrent committers. */
+  private def commit(dir: String, newFiles: Seq[String], newTxns: Seq[String],
+                     skipIfTxn: Option[(String, Long)] = None): Option[Long] = {
     manifestDir(dir).mkdirs()
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
+      // re-check idempotence EVERY attempt: the committer we just lost
+      // a version race to may have been a duplicate of this very batch
+      skipIfTxn.foreach { case (wtr, b) =>
+        if (committedBatches(dir, wtr).contains(b)) return None
+      }
       val base = latestVersion(dir)
-      val prior = base.map(v => snapshotFiles(dir, Some(v))).getOrElse(Nil)
+      val prior = base.map(v => snapshotLines(dir, Some(v))).getOrElse(Nil)
       val next = base.getOrElse(-1L) + 1L
-      val body = (s"version=$next" +: (prior ++ newFiles)).mkString("\n") + "\n"
+      val body = (s"version=$next" +: (prior ++ newFiles ++ newTxns)).mkString("\n") + "\n"
       val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
       Files.write(tmp, body.getBytes("UTF-8"))
       val target = Paths.get(manifestDir(dir).getPath, s"v$next.manifest")
@@ -104,7 +145,7 @@ object ManifestTable {
         // this maps to a conditional PUT (If-None-Match: *).
         Files.createLink(target, tmp)
         Files.deleteIfExists(tmp)
-        return next
+        return Some(next)
       } catch {
         case _: FileAlreadyExistsException =>
           Files.deleteIfExists(tmp) // lost the race: re-read, retry at N+1

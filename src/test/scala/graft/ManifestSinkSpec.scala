@@ -66,6 +66,22 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(back.filter($"v" === "mine").count() == 1)
   }
 
+  test("idempotent batch append: a retried batch is a no-op, even after a conflict") {
+    val dir = freshDir()
+    val b0 = Seq((1, "b0")).toDF("id", "v")
+    assert(ManifestTable.appendIdempotent(spark, b0, dir, "w", 0L).contains(0L))
+    // post-commit-crash retry: same writer+batch → skipped, table unchanged
+    assert(ManifestTable.appendIdempotent(spark, b0, dir, "w", 0L).isEmpty)
+    assert(ManifestTable.read(spark, dir).count() == 1)
+    // a DIFFERENT writer's batch 0 is independent
+    assert(ManifestTable.appendIdempotent(spark, b0, dir, "w2", 0L).contains(1L))
+    assert(ManifestTable.read(spark, dir).count() == 2)
+    // markers survive unrelated commits: w's batch 0 still skipped
+    ManifestTable.append(spark, Seq((9, "plain")).toDF("id", "v"), dir)
+    assert(ManifestTable.appendIdempotent(spark, b0, dir, "w", 0L).isEmpty)
+    assert(ManifestTable.committedBatches(dir, "w") == Set(0L))
+  }
+
   test("concurrent appends from many threads: every row survives, versions are dense") {
     val dir = freshDir()
     val threads = (0 until 6).map { t =>
