@@ -610,7 +610,7 @@ object Retrieval {
   val defs: Map[String, QueryDef] = Map(
     "text_ndcg_eval" -> QueryDef(textNdcgEval, Some(textNdcgEvalSql)),
     "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql), bench = true),
-    "retrieval_hybrid_rrf" -> QueryDef(retrievalHybridRrf, Some(retrievalHybridRrfSql)),
+    "retrieval_hybrid_rrf" -> QueryDef(retrievalHybridRrf, Some(retrievalHybridRrfSql), bench = true),
     "text_perplexity" -> QueryDef(textPerplexity, Some(textPerplexitySql)),
     "text_kn_perplexity" -> QueryDef(textKnPerplexity, Some(textKnPerplexitySql), bench = true),
     "text_cms_topk" -> QueryDef(textCmsTopk, Some(textCmsTopkSql)),
