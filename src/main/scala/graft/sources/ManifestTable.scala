@@ -27,8 +27,16 @@ import java.util.UUID
   * object store the atomic-create primitive would be a conditional PUT
   * (If-None-Match) — the protocol is unchanged.
   *
+  * Maintenance completes the protocol: [[compact]] rewrites the
+  * snapshot as a REPLACING commit pinned to the version it read
+  * (a concurrent append aborts and restarts the rewrite — it is never
+  * erased), and [[vacuum]] bounds time travel and deletes every data
+  * file no surviving manifest names (compacted-away files and
+  * crashed-writer orphans alike).
+  *
   * Manifest format (line-oriented, no parser dependencies):
-  * line 1 `version=<N>`, then one data-relative file path per line.
+  * line 1 `version=<N>`, then one data-relative file path or
+  * `txn=<writer>:<batch>` idempotence marker per line.
   */
 object ManifestTable {
 
@@ -113,6 +121,90 @@ object ManifestTable {
       .map(f => s"$txn/${f.getName}").toSeq.sorted
     commit(dir, mine, Seq(s"txn=$writer:$batchId"),
       skipIfTxn = Some((writer, batchId)))
+  }
+
+  /** Rewrite the current snapshot into `targetFiles` files and commit
+    * a REPLACING manifest — the compaction half of the protocol. The
+    * replace must not erase a concurrent append, so the commit is
+    * pinned to the exact version that was read: if any other commit
+    * lands first, the attempt aborts and the whole rewrite restarts
+    * from the new latest (optimistic concurrency, the same rule Delta
+    * applies to full-table rewrites). Older versions keep their file
+    * lists — time travel is intact until [[vacuum]] — and txn
+    * idempotence markers are carried forward, so a streaming writer's
+    * retried batch stays a no-op across compactions. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Long = {
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val parent = latestVersion(dir).getOrElse(
+        throw new IllegalStateException(s"nothing to compact in $dir"))
+      val txns = snapshotLines(dir, Some(parent)).filter(_.startsWith("txn="))
+      val txn = s"txn-${UUID.randomUUID()}"
+      val stage = new File(dataDir(dir), txn)
+      read(spark, dir, Some(parent)).repartition(targetFiles)
+        .write.parquet(stage.getPath)
+      val mine = Option(stage.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(f => s"$txn/${f.getName}").toSeq.sorted
+      val next = parent + 1L
+      val body = (s"version=$next" +: (mine ++ txns)).mkString("\n") + "\n"
+      val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, body.getBytes("UTF-8"))
+      val target = Paths.get(manifestDir(dir).getPath, s"v$next.manifest")
+      try {
+        Files.createLink(target, tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          // someone committed on top of `parent` — replacing now would
+          // erase their rows; drop the stale rewrite, restart from the
+          // new latest
+          Files.deleteIfExists(tmp)
+          deleteRec(stage)
+      }
+    }
+    throw new IllegalStateException(s"gave up compacting $dir after 20 conflicts")
+  }
+
+  /** Garbage-collect unreferenced data files. Keeps the newest
+    * `keepVersions` manifests (≥1): older manifests are deleted first
+    * (bounding time travel), then every data file referenced by NO
+    * surviving manifest goes — which covers both compacted-away files
+    * and crashed-writer orphans that never made a manifest. Returns
+    * (files deleted, manifests deleted). Safe against the read path:
+    * readers only ever open files their manifest names, and surviving
+    * manifests' files are never touched. */
+  def vacuum(dir: String, keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val versions = Option(manifestDir(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => versionOf(f).map(_ -> f)).sortBy(_._1)
+    if (versions.isEmpty) return (0, 0)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
+    drop.foreach { case (_, f) => f.delete(): Unit }
+    val live: Set[String] = keep.flatMap { case (v, _) =>
+      snapshotFiles(dir, Some(v))
+    }.toSet
+    var removed = 0
+    for {
+      txnDir <- Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
+      if txnDir.isDirectory
+      f <- Option(txnDir.listFiles()).getOrElse(Array.empty)
+    } {
+      val rel = s"${txnDir.getName}/${f.getName}"
+      if (!live.contains(rel)) { if (f.delete()) removed += 1 }
+    }
+    // drop now-empty txn dirs
+    Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
+      .foreach(_.delete(): Unit)
+    (removed, drop.length)
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
   }
 
   /** Commit `newFiles` (data-relative) + `newTxns` markers on top of

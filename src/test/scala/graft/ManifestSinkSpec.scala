@@ -82,6 +82,67 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestTable.committedBatches(dir, "w") == Set(0L))
   }
 
+  test("compact rewrites the snapshot, keeps time travel, and carries txn markers") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 10).map(i => (i, "a")).toDF("id", "v"), dir)
+    ManifestTable.append(spark, (10 until 20).map(i => (i, "b")).toDF("id", "v"), dir)
+    assert(ManifestTable.appendIdempotent(spark,
+      Seq((20, "s")).toDF("id", "v"), dir, "w", 7L).isDefined)
+    val preFiles = ManifestTable.snapshotFiles(dir).size
+    val cv = ManifestTable.compact(spark, dir, targetFiles = 1)
+    assert(cv == 3L)
+    assert(ManifestTable.snapshotFiles(dir).size < preFiles)
+    assert(ManifestTable.read(spark, dir).count() == 21)
+    // time travel to the pre-compaction version still works
+    assert(ManifestTable.read(spark, dir, Some(1L)).count() == 20)
+    // a streaming writer's retried batch is STILL a no-op post-compaction
+    assert(ManifestTable.appendIdempotent(spark,
+      Seq((20, "s")).toDF("id", "v"), dir, "w", 7L).isEmpty)
+    assert(ManifestTable.read(spark, dir).count() == 21)
+  }
+
+  test("compact aborted by a concurrent append never erases the appended rows") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 8).map(i => (i, "a")).toDF("id", "v"), dir)
+    // steal the version the compactor will want: simulate a concurrent
+    // append landing between its read and its commit by pre-creating
+    // v1 that adds a file (hand-built from a real staged write)
+    val stagedDir = new java.io.File(dir, "data/txn-racer")
+    Seq((99, "racer")).toDF("id", "v").write.parquet(stagedDir.getPath)
+    val racerFiles = stagedDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => s"txn-racer/${f.getName}").sorted
+    val v0 = ManifestTable.snapshotFiles(dir, Some(0L))
+    Files.write(new java.io.File(dir, "_manifest/v1.manifest").toPath,
+      ("version=1" +: (v0 ++ racerFiles)).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val cv = ManifestTable.compact(spark, dir)
+    assert(cv == 2L, "compactor should restart from the racer's version")
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 9, "concurrent append erased by compaction")
+    assert(back.filter($"v" === "racer").count() == 1)
+  }
+
+  test("vacuum deletes compacted-away files and orphans but never live ones") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 10).map(i => (i, "a")).toDF("id", "v"), dir)
+    ManifestTable.append(spark, (10 until 20).map(i => (i, "b")).toDF("id", "v"), dir)
+    (100 until 110).map(i => (i, "orphan")).toDF("id", "v")
+      .write.parquet(s"$dir/data/txn-crashed")
+    ManifestTable.compact(spark, dir)
+    val (files, manifests) = ManifestTable.vacuum(dir, keepVersions = 1)
+    assert(manifests == 2, s"expected v0,v1 dropped, got $manifests")
+    assert(files > 0, "nothing vacuumed")
+    // the live snapshot is intact and orphans are gone from disk
+    assert(ManifestTable.read(spark, dir).count() == 20)
+    val onDisk = Option(new java.io.File(dir, "data").listFiles()).get
+      .filter(_.isDirectory).flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .count(_.getName.endsWith(".parquet"))
+    assert(onDisk == ManifestTable.snapshotFiles(dir).size,
+      "disk carries files the manifest does not name")
+    // time travel to vacuumed versions is gone — by design
+    intercept[Exception](ManifestTable.read(spark, dir, Some(0L)).count())
+  }
+
   test("concurrent appends from many threads: every row survives, versions are dense") {
     val dir = freshDir()
     val threads = (0 until 6).map { t =>
