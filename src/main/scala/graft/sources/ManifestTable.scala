@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption, FileAlreadyExistsException}
+import java.nio.file.{Files, Paths, FileAlreadyExistsException}
 import java.util.UUID
 
 /** Minimal manifest-committed parquet table — the commit protocol
