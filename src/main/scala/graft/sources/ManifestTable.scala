@@ -6,79 +6,123 @@ import java.nio.file.{Files, Paths, FileAlreadyExistsException}
 import java.util.UUID
 
 /** Minimal manifest-committed parquet table — the commit protocol
-  * behind Delta/Iceberg, reduced to its load-bearing core:
+  * behind Delta/Iceberg, reduced to its load-bearing core, with the
+  * DELTA-LOG structure that makes it hold at warehouse scale:
   *
   *  - WRITERS stage part files into `data/txn-<uuid>/` (never visible
   *    by path), then COMMIT by atomically creating
-  *    `_manifest/v<N>.manifest` listing every live file. The manifest
-  *    create is rename-based (no REPLACE_EXISTING), so two writers
+  *    `_manifest/v<N>.manifest` carrying ONLY that commit's actions
+  *    (`add=` lines, `txn=` idempotence markers, or a `reset` for a
+  *    replacing rewrite) — commit metadata is **O(this batch)**, not
+  *    O(table). A full-snapshot rewrite per commit would make the
+  *    millionth-file table pay its whole history on every append;
+  *    that is the design this replaces.
+  *  - The manifest create is link-based (no overwrite), so two writers
   *    racing to the same version see exactly one winner — the loser
   *    gets FileAlreadyExistsException, re-reads the new latest, and
   *    retries at N+1 with ITS OWN files still staged (append never
   *    loses data to a conflict, it just re-sequences).
-  *  - READERS list `_manifest/`, take the highest version (or a
-  *    requested one — time travel), and plan EXACTLY the listed files.
-  *    Data files from crashed or in-flight writers are invisible until
-  *    a manifest names them: no half-written table states, ever.
+  *  - READERS reconstruct a snapshot by folding the log — from the
+  *    newest `v<K>.checkpoint` at or below the target version (a full
+  *    snapshot the writer drops every [[CheckpointInterval]] commits),
+  *    then each manifest up to the target. Fold cost is O(one
+  *    checkpoint + ≤interval manifests), never O(history). Data files
+  *    from crashed or in-flight writers are invisible until a manifest
+  *    names them: no half-written table states, ever.
   *
-  * Scale shape: a commit is O(live files) metadata, independent of row
-  * count; readers never LIST the data directory (the object-store
-  * eventual-consistency trap), they read the manifest. On a real
-  * object store the atomic-create primitive would be a conditional PUT
-  * (If-None-Match) — the protocol is unchanged.
+  * Scale shape: appends are O(batch) metadata; reads are O(snapshot +
+  * interval); readers never LIST the data directory (the object-store
+  * eventual-consistency trap). On a real object store the atomic
+  * create primitive maps to a conditional PUT (If-None-Match: *) —
+  * the protocol is unchanged.
   *
   * Maintenance completes the protocol: [[compact]] rewrites the
-  * snapshot as a REPLACING commit pinned to the version it read
+  * snapshot as a `reset`+adds commit pinned to the version it read
   * (a concurrent append aborts and restarts the rewrite — it is never
   * erased), and [[vacuum]] bounds time travel and deletes every data
-  * file no surviving manifest names (compacted-away files and
+  * file no surviving version references (compacted-away files and
   * crashed-writer orphans alike).
   *
-  * Manifest format (line-oriented, no parser dependencies):
-  * line 1 `version=<N>`, then one data-relative file path or
-  * `txn=<writer>:<batch>` idempotence marker per line.
+  * Log format (line-oriented, no parser dependencies): line 1
+  * `version=<N>`, then per line `add=<data-relative path>`,
+  * `txn=<writer>:<batch>`, or `reset` (clears the folded file set;
+  * txn markers always survive — a streaming writer's retried batch
+  * must stay a no-op across compactions). A `v<N>.checkpoint` holds
+  * the FOLDED state at N in the same format.
   */
 object ManifestTable {
+
+  /** Write a full checkpoint every this many commits. */
+  val CheckpointInterval = 10
 
   private def manifestDir(dir: String) = new File(dir, "_manifest")
   private def dataDir(dir: String) = new File(dir, "data")
 
-  private def versionOf(f: File): Option[Long] = {
+  private def versionOf(f: File, suffix: String): Option[Long] = {
     val n = f.getName
-    if (n.startsWith("v") && n.endsWith(".manifest"))
-      n.stripPrefix("v").stripSuffix(".manifest").toLongOption
+    if (n.startsWith("v") && n.endsWith(suffix))
+      n.stripPrefix("v").stripSuffix(suffix).toLongOption
     else None
   }
 
   /** Highest committed version, if any commit exists. */
   def latestVersion(dir: String): Option[Long] = {
     val fs = Option(manifestDir(dir).listFiles()).getOrElse(Array.empty)
-    fs.flatMap(versionOf).sorted.lastOption
+    fs.flatMap(versionOf(_, ".manifest")).sorted.lastOption
   }
 
-  /** All manifest body lines of a snapshot: data-relative file paths
-    * plus `txn=<writer>:<batch>` idempotence markers. */
-  private def snapshotLines(dir: String, version: Option[Long]): Seq[String] = {
-    val v = version.orElse(latestVersion(dir)).getOrElse(
-      throw new IllegalStateException(s"no committed version in $dir"))
-    val mf = new File(manifestDir(dir), s"v$v.manifest")
-    val lines = Files.readAllLines(mf.toPath)
-    require(!lines.isEmpty && lines.get(0) == s"version=$v",
-      s"corrupt manifest ${mf.getPath}")
+  private case class State(files: Vector[String], txns: Set[String])
+
+  private def readLog(f: File, expectVersion: Long): Seq[String] = {
+    val lines = Files.readAllLines(f.toPath)
+    require(!lines.isEmpty && lines.get(0) == s"version=$expectVersion",
+      s"corrupt log file ${f.getPath}")
     (1 until lines.size).map(lines.get(_))
   }
 
+  /** Fold the log into the snapshot state at `target`: newest
+    * checkpoint ≤ target, then each manifest up to target. Every
+    * version in (checkpoint, target] must exist — [[vacuum]] preserves
+    * this invariant by checkpointing before it drops history. */
+  private def fold(dir: String, target: Long): State = {
+    val md = manifestDir(dir)
+    val ckpt = Option(md.listFiles()).getOrElse(Array.empty)
+      .flatMap(versionOf(_, ".checkpoint")).filter(_ <= target).sorted.lastOption
+    var files = Vector.empty[String]
+    var txns = Set.empty[String]
+    def apply(lines: Seq[String]): Unit = lines.foreach {
+      case "reset" => files = Vector.empty
+      case l if l.startsWith("add=") => files :+= l.stripPrefix("add=")
+      case l if l.startsWith("txn=") => txns += l.stripPrefix("txn=")
+      case l => throw new IllegalStateException(s"unknown log action: $l")
+    }
+    ckpt.foreach { c => apply(readLog(new File(md, s"v$c.checkpoint"), c)) }
+    val from = ckpt.map(_ + 1).getOrElse(0L)
+    (from to target).foreach { v =>
+      val mf = new File(md, s"v$v.manifest")
+      if (!mf.isFile)
+        throw new IllegalStateException(
+          s"version $v missing from the log of $dir (vacuumed past it?)")
+      apply(readLog(mf, v))
+    }
+    State(files, txns)
+  }
+
+  private def resolved(dir: String, version: Option[Long]): Long =
+    version.orElse(latestVersion(dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version in $dir"))
+
   /** Live file list of a snapshot (latest unless `version` given). */
   def snapshotFiles(dir: String, version: Option[Long] = None): Seq[String] =
-    snapshotLines(dir, version).filterNot(_.startsWith("txn="))
+    fold(dir, resolved(dir, version)).files
 
   /** Batch ids a writer has already committed (latest snapshot). */
   def committedBatches(dir: String, writer: String): Set[Long] =
     latestVersion(dir) match {
       case None => Set.empty
-      case Some(v) => snapshotLines(dir, Some(v))
-        .filter(_.startsWith(s"txn=$writer:"))
-        .map(_.stripPrefix(s"txn=$writer:").toLong).toSet
+      case Some(v) => fold(dir, v).txns
+        .filter(_.startsWith(s"$writer:"))
+        .map(_.stripPrefix(s"$writer:").toLong)
     }
 
   /** Read a snapshot: exactly the manifest-listed files, nothing else. */
@@ -89,18 +133,22 @@ object ManifestTable {
     spark.read.parquet(paths: _*)
   }
 
-  /** Stage `df` as parquet and commit it appended to the latest
-    * snapshot. Returns the committed version. Retries on version
-    * conflicts; the staged files are written exactly once. */
-  def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
+  /** Stage `df` as parquet under a fresh txn dir; returns the
+    * data-relative part-file paths. */
+  private def stageFiles(df: DataFrame, dir: String): Seq[String] = {
     val txn = s"txn-${UUID.randomUUID()}"
     val stage = new File(dataDir(dir), txn)
     df.write.parquet(stage.getPath)
-    val mine = Option(stage.listFiles()).getOrElse(Array.empty)
+    Option(stage.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .map(f => s"$txn/${f.getName}").toSeq.sorted
-    commit(dir, mine, Nil).get // no skip condition: always commits
   }
+
+  /** Stage `df` as parquet and commit it appended to the latest
+    * snapshot. Returns the committed version. Retries on version
+    * conflicts; the staged files are written exactly once. */
+  def append(spark: SparkSession, df: DataFrame, dir: String): Long =
+    commit(dir, stageFiles(df, dir).map("add=" + _)).get
 
   /** Exactly-once streaming append (the Delta `txn` appId/version
     * pattern): commit `df` tagged `txn=<writer>:<batchId>`; if the
@@ -113,79 +161,69 @@ object ManifestTable {
   def appendIdempotent(spark: SparkSession, df: DataFrame, dir: String,
                        writer: String, batchId: Long): Option[Long] = {
     if (committedBatches(dir, writer).contains(batchId)) return None
-    val txn = s"txn-${UUID.randomUUID()}"
-    val stage = new File(dataDir(dir), txn)
-    df.write.parquet(stage.getPath)
-    val mine = Option(stage.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(f => s"$txn/${f.getName}").toSeq.sorted
-    commit(dir, mine, Seq(s"txn=$writer:$batchId"),
+    commit(dir, stageFiles(df, dir).map("add=" + _) :+ s"txn=$writer:$batchId",
       skipIfTxn = Some((writer, batchId)))
   }
 
   /** Rewrite the current snapshot into `targetFiles` files and commit
-    * a REPLACING manifest — the compaction half of the protocol. The
-    * replace must not erase a concurrent append, so the commit is
-    * pinned to the exact version that was read: if any other commit
-    * lands first, the attempt aborts and the whole rewrite restarts
-    * from the new latest (optimistic concurrency, the same rule Delta
-    * applies to full-table rewrites). Older versions keep their file
-    * lists — time travel is intact until [[vacuum]] — and txn
-    * idempotence markers are carried forward, so a streaming writer's
-    * retried batch stays a no-op across compactions. */
+    * a REPLACING (`reset`+adds) manifest — the compaction half of the
+    * protocol. The replace must not erase a concurrent append, so the
+    * commit is pinned to the exact version that was read: if any other
+    * commit lands first, the attempt aborts and the whole rewrite
+    * restarts from the new latest (optimistic concurrency, the same
+    * rule Delta applies to full-table rewrites). Older versions keep
+    * folding to their own file lists — time travel is intact until
+    * [[vacuum]] — and txn idempotence markers survive by construction
+    * (`reset` clears files, never markers). */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Long = {
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
       val parent = latestVersion(dir).getOrElse(
         throw new IllegalStateException(s"nothing to compact in $dir"))
-      val txns = snapshotLines(dir, Some(parent)).filter(_.startsWith("txn="))
-      val txn = s"txn-${UUID.randomUUID()}"
-      val stage = new File(dataDir(dir), txn)
+      val stage = new File(dataDir(dir), s"txn-${UUID.randomUUID()}")
       read(spark, dir, Some(parent)).repartition(targetFiles)
         .write.parquet(stage.getPath)
       val mine = Option(stage.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .map(f => s"$txn/${f.getName}").toSeq.sorted
-      val next = parent + 1L
-      val body = (s"version=$next" +: (mine ++ txns)).mkString("\n") + "\n"
-      val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
-      Files.write(tmp, body.getBytes("UTF-8"))
-      val target = Paths.get(manifestDir(dir).getPath, s"v$next.manifest")
-      try {
-        Files.createLink(target, tmp)
-        Files.deleteIfExists(tmp)
-        return next
-      } catch {
-        case _: FileAlreadyExistsException =>
+        .map(f => s"${stage.getName}/${f.getName}").toSeq.sorted
+      tryCommitAt(dir, parent + 1L, "reset" +: mine.map("add=" + _)) match {
+        case Some(v) => return v
+        case None =>
           // someone committed on top of `parent` — replacing now would
           // erase their rows; drop the stale rewrite, restart from the
           // new latest
-          Files.deleteIfExists(tmp)
           deleteRec(stage)
       }
     }
     throw new IllegalStateException(s"gave up compacting $dir after 20 conflicts")
   }
 
-  /** Garbage-collect unreferenced data files. Keeps the newest
-    * `keepVersions` manifests (≥1): older manifests are deleted first
-    * (bounding time travel), then every data file referenced by NO
-    * surviving manifest goes — which covers both compacted-away files
-    * and crashed-writer orphans that never made a manifest. Returns
-    * (files deleted, manifests deleted). Safe against the read path:
-    * readers only ever open files their manifest names, and surviving
-    * manifests' files are never touched. */
+  /** Garbage-collect history. Keeps the newest `keepVersions` versions
+    * (≥1): a checkpoint is first forced at the oldest KEPT version (so
+    * later folds never need the dropped range), older manifests and
+    * checkpoints are deleted (bounding time travel), then every data
+    * file referenced by NO surviving version goes — which covers both
+    * compacted-away files and crashed-writer orphans that never made a
+    * manifest. Returns (files deleted, manifests deleted). Safe
+    * against the read path: surviving versions' files are never
+    * touched. */
   def vacuum(dir: String, keepVersions: Int = 1): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val versions = Option(manifestDir(dir).listFiles()).getOrElse(Array.empty)
-      .flatMap(f => versionOf(f).map(_ -> f)).sortBy(_._1)
-    if (versions.isEmpty) return (0, 0)
-    val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
+    val md = manifestDir(dir)
+    val manifests = Option(md.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => versionOf(f, ".manifest").map(_ -> f)).sortBy(_._1)
+    if (manifests.isEmpty) return (0, 0)
+    val (drop, keep) = manifests.splitAt(math.max(0, manifests.length - keepVersions))
+    val oldestKept = keep.head._1
+    writeCheckpoint(dir, oldestKept) // folds BEFORE history is dropped
+    val live: Set[String] =
+      keep.flatMap { case (v, _) => fold(dir, v).files }.toSet
     drop.foreach { case (_, f) => f.delete(): Unit }
-    val live: Set[String] = keep.flatMap { case (v, _) =>
-      snapshotFiles(dir, Some(v))
-    }.toSet
+    // checkpoints strictly below the oldest kept version are useless now
+    Option(md.listFiles()).getOrElse(Array.empty)
+      .filter(f => versionOf(f, ".checkpoint").exists(_ < oldestKept))
+      .foreach(_.delete(): Unit)
     var removed = 0
     for {
       txnDir <- Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
@@ -207,11 +245,58 @@ object ManifestTable {
     f.delete(): Unit
   }
 
-  /** Commit `newFiles` (data-relative) + `newTxns` markers on top of
-    * the current snapshot, retrying past concurrent committers. */
-  private def commit(dir: String, newFiles: Seq[String], newTxns: Seq[String],
-                     skipIfTxn: Option[(String, Long)] = None): Option[Long] = {
+  /** Atomically create the log file for exactly version `next` with
+    * the given action lines. None if that version already exists. */
+  private def tryCommitAt(dir: String, next: Long,
+                          actions: Seq[String]): Option[Long] = {
     manifestDir(dir).mkdirs()
+    val body = (s"version=$next" +: actions).mkString("\n") + "\n"
+    val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    val target = Paths.get(manifestDir(dir).getPath, s"v$next.manifest")
+    try {
+      // atomic create-if-absent: hard-link the fully-written temp to
+      // the version name. NOT a rename — POSIX rename(2) silently
+      // REPLACES an existing target, which would let two committers
+      // both "win" a version; link(2) fails with EEXIST, giving
+      // exactly one winner. Readers never see a partial manifest
+      // because the link appears fully formed. On an object store
+      // this maps to a conditional PUT (If-None-Match: *).
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+      if (next > 0 && next % CheckpointInterval == 0) writeCheckpoint(dir, next)
+      Some(next)
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        None
+    }
+  }
+
+  /** Materialize the folded state at `v` as `v<v>.checkpoint`.
+    * Idempotent and derived — losing the race to another checkpointer
+    * is fine (the content is identical). */
+  private def writeCheckpoint(dir: String, v: Long): Unit = {
+    val target = Paths.get(manifestDir(dir).getPath, s"v$v.checkpoint")
+    if (Files.exists(target)) return
+    val st = fold(dir, v)
+    val body = (s"version=$v" +:
+      (st.files.map("add=" + _) ++ st.txns.toSeq.sorted.map("txn=" + _)))
+      .mkString("\n") + "\n"
+    val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: FileAlreadyExistsException => Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Commit `actions` on top of the current snapshot, retrying past
+    * concurrent committers. */
+  private def commit(dir: String, actions: Seq[String],
+                     skipIfTxn: Option[(String, Long)] = None): Option[Long] = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -220,27 +305,10 @@ object ManifestTable {
       skipIfTxn.foreach { case (wtr, b) =>
         if (committedBatches(dir, wtr).contains(b)) return None
       }
-      val base = latestVersion(dir)
-      val prior = base.map(v => snapshotLines(dir, Some(v))).getOrElse(Nil)
-      val next = base.getOrElse(-1L) + 1L
-      val body = (s"version=$next" +: (prior ++ newFiles ++ newTxns)).mkString("\n") + "\n"
-      val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
-      Files.write(tmp, body.getBytes("UTF-8"))
-      val target = Paths.get(manifestDir(dir).getPath, s"v$next.manifest")
-      try {
-        // atomic create-if-absent: hard-link the fully-written temp to
-        // the version name. NOT a rename — POSIX rename(2) silently
-        // REPLACES an existing target, which would let two committers
-        // both "win" a version; link(2) fails with EEXIST, giving
-        // exactly one winner. Readers never see a partial manifest
-        // because the link appears fully formed. On an object store
-        // this maps to a conditional PUT (If-None-Match: *).
-        Files.createLink(target, tmp)
-        Files.deleteIfExists(tmp)
-        return Some(next)
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race: re-read, retry at N+1
+      val next = latestVersion(dir).getOrElse(-1L) + 1L
+      tryCommitAt(dir, next, actions) match {
+        case some @ Some(_) => return some
+        case None => // lost the race: re-read, retry at N+1
       }
     }
     throw new IllegalStateException(s"gave up committing to $dir after 50 conflicts")

@@ -56,9 +56,9 @@ class ManifestSinkSpec extends AnyFunSuite {
     // with both the base and its own rows live
     val mdir = new java.io.File(dir, "_manifest")
     val stolen = new java.io.File(mdir, "v1.manifest")
-    val v0Files = ManifestTable.snapshotFiles(dir, Some(0L))
-    Files.write(stolen.toPath,
-      (s"version=1" +: v0Files).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the "other" writer's commit carries only its own actions (here:
+    // none — a marker-only commit is legal in the delta-log format)
+    Files.write(stolen.toPath, "version=1\n".getBytes("UTF-8"))
     val got = ManifestTable.append(spark, Seq((9, "mine")).toDF("id", "v"), dir)
     assert(got == 2L, s"loser should re-sequence to v2, got v$got")
     val back = ManifestTable.read(spark, dir)
@@ -112,9 +112,9 @@ class ManifestSinkSpec extends AnyFunSuite {
     val racerFiles = stagedDir.listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .map(f => s"txn-racer/${f.getName}").sorted
-    val v0 = ManifestTable.snapshotFiles(dir, Some(0L))
     Files.write(new java.io.File(dir, "_manifest/v1.manifest").toPath,
-      ("version=1" +: (v0 ++ racerFiles)).mkString("", "\n", "\n").getBytes("UTF-8"))
+      ("version=1" +: racerFiles.toSeq.map("add=" + _))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     val cv = ManifestTable.compact(spark, dir)
     assert(cv == 2L, "compactor should restart from the racer's version")
     val back = ManifestTable.read(spark, dir)
@@ -141,6 +141,28 @@ class ManifestSinkSpec extends AnyFunSuite {
       "disk carries files the manifest does not name")
     // time travel to vacuumed versions is gone — by design
     intercept[Exception](ManifestTable.read(spark, dir, Some(0L)).count())
+  }
+
+  test("commit metadata is O(batch), not O(table): manifests stay flat, checkpoints appear on schedule") {
+    val dir = freshDir()
+    for (i <- 0 until 25)
+      ManifestTable.append(spark, Seq((i, s"r$i")).toDF("id", "v"), dir)
+    val md = new java.io.File(dir, "_manifest")
+    val manifests = md.listFiles().filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+    assert(manifests.length == 25)
+    // every manifest carries only ITS batch (1 part file => ~1 line):
+    // growth with table size would show as later manifests dwarfing
+    // early ones. 512 bytes bounds a 1-file commit with headroom.
+    val sizes = manifests.map(_.length())
+    assert(sizes.max <= 512,
+      s"a manifest grew with table size: max ${sizes.max} bytes")
+    // checkpoints at every CheckpointInterval-th version
+    val ckpts = md.listFiles().filter(_.getName.endsWith(".checkpoint")).map(_.getName).sorted
+    assert(ckpts.contains("v10.checkpoint") && ckpts.contains("v20.checkpoint"),
+      s"missing scheduled checkpoints: ${ckpts.mkString(",")}")
+    // and the fold off the newest checkpoint reads the same table
+    assert(ManifestTable.read(spark, dir).count() == 25)
+    assert(ManifestTable.read(spark, dir, Some(12L)).count() == 13)
   }
 
   test("concurrent appends from many threads: every row survives, versions are dense") {
