@@ -206,4 +206,91 @@ object TextAnalysis {
       dupFrac(wordNgrams(col("text"), 2)).as("dup_2gram_frac"),
       dupFrac(wordNgrams(col("text"), 3)).as("dup_3gram_frac"))
   }
+
+  /** Result of [[htmlMainText]]: the extracted main text plus the
+    * structural census the curation pipeline records per page. */
+  case class HtmlExtract(text: String, nLinks: Int, nScripts: Int,
+                         droppedBlocks: Int)
+
+  /** HTML main-text extraction — step one of web-corpus curation
+    * (the trafilatura/jusText job), as a single-pass tag walker:
+    *
+    *  - `<script>`/`<style>` content is RAW-skipped to the matching
+    *    close tag (markup inside scripts never creates blocks),
+    *  - block boundaries at `<p>`/`<div>` open/close; each block
+    *    counts its words and its link words (text inside `<a>`),
+    *  - BOILERPLATE blocks are dropped by link density — more than
+    *    half the block's words inside links kills it (navs, footers,
+    *    related-links bars die; prose with incidental links lives),
+    *  - entities decoded (`&amp; &lt; &gt; &quot; &#39; &nbsp;`),
+    *    whitespace collapsed, surviving blocks joined by one space.
+    *
+    * Tolerant by construction: unclosed tags, stray `</...>`, and
+    * truncated input never throw — the walker just finalizes what it
+    * has. (Attribute values containing a raw `>` end the tag early —
+    * the classic cheap-parser tradeoff; real crawls escape these.)
+    * Per-doc CPU inside one scan stage; nothing here shuffles. */
+  def htmlMainText(html: String): HtmlExtract = {
+    val out = new StringBuilder
+    var nLinks = 0; var nScripts = 0; var dropped = 0
+    var blockWords = 0; var blockLinkWords = 0
+    val blockText = new StringBuilder
+    var inLink = false
+    def decode(s: String): String = s
+      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+    def addText(raw: String): Unit = {
+      val words = decode(raw).split("\\s+").filter(_.nonEmpty)
+      words.foreach { w =>
+        if (blockText.nonEmpty) blockText += ' '
+        blockText ++= w
+        blockWords += 1
+        if (inLink) blockLinkWords += 1
+      }
+    }
+    def closeBlock(): Unit = {
+      if (blockWords > 0) {
+        if (blockLinkWords * 2 > blockWords) dropped += 1
+        else {
+          if (out.nonEmpty) out += ' '
+          out ++= blockText
+        }
+      }
+      blockText.clear(); blockWords = 0; blockLinkWords = 0
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { addText(html.substring(i)); i = n }
+      else {
+        if (lt > i) addText(html.substring(i, lt))
+        val gt = html.indexOf('>', lt)
+        if (gt < 0) { i = n } // truncated tag: drop the tail
+        else {
+          val inner = html.substring(lt + 1, gt).trim
+          val closing = inner.startsWith("/")
+          val name = inner.stripPrefix("/").takeWhile(c => !c.isWhitespace && c != '/')
+            .toLowerCase
+          i = gt + 1
+          name match {
+            case "script" | "style" if !closing =>
+              if (name == "script") nScripts += 1
+              val end = html.toLowerCase.indexOf(s"</$name", i)
+              // skip raw content; truncated raw section eats the tail
+              i = if (end < 0) n else html.indexOf('>', end) match {
+                case -1 => n
+                case e => e + 1
+              }
+            case "a" =>
+              if (!closing) { nLinks += 1; inLink = true } else inLink = false
+            case "p" | "div" => closeBlock()
+            case _ => // inline/unknown tags are transparent
+          }
+        }
+      }
+    }
+    closeBlock()
+    HtmlExtract(out.toString, nLinks, nScripts, dropped)
+  }
 }

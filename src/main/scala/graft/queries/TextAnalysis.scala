@@ -9,6 +9,54 @@ import graft.operators.{TextAnalysis => TA}
 /** SURVEY.md §2-E: text analysis query surface over `documents`. */
 object TextAnalysis {
 
+  /** HTML main-text extraction proven end-to-end at corpus scale —
+    * step one of web curation: each doc's text is rendered into a
+    * REAL page (8-token paragraphs, a 3-link nav div, an
+    * entity-encoded paragraph, a script with decoy markup inside, a
+    * style block, and a link-heavy footer), then
+    * [[graft.operators.TextAnalysis.htmlMainText]] walks the tags,
+    * raw-skips the script/style, decodes entities, and drops the two
+    * boilerplate blocks by link density. The emitted census is exact
+    * arithmetic over the ORIGINAL doc (tok_count = tokens + 2 from
+    * the entity paragraph, char_count = n_chars + 8, links 5, scripts
+    * 1, dropped 2) — so the oracle replays it straight off `documents`
+    * without ever seeing HTML: one wrong byte in tokenize, entity
+    * decode, raw-skip, or the density rule breaks the hash. */
+  private def textHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val paras = text.split(" ").grouped(8)
+          .map(g => s"<p>${g.mkString(" ")}</p>").mkString("\n  ")
+        val html =
+          s"""<html><body>
+             |<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>
+             |<style>body { color: #000; } /* <p>not a block</p> */</style>
+             |<script type="text/javascript">if (1 < 2 && "x") { var s = "<p>decoy</p>"; }</script>
+             |  $paras
+             |<p>&amp; &lt;tag&gt;</p>
+             |<div class="footer">visit <a href="/x">partner one</a> <a href="/y">partner two</a> now</div>
+             |</body></html>""".stripMargin
+        val e = TA.htmlMainText(html)
+        (id, e.text.split(" ").count(_.nonEmpty).toLong, e.text.length.toLong,
+          e.nLinks.toLong, e.nScripts.toLong, e.droppedBlocks.toLong)
+      }
+      .toDF("doc_id", "tok_count", "char_count", "n_links", "n_scripts",
+        "dropped_blocks")
+      .orderBy($"doc_id")
+  }
+
+  private val textHtmlExtractSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) + 2 AS BIGINT) AS tok_count,
+      |  CAST(n_chars + 8 AS BIGINT) AS char_count,
+      |  CAST(5 AS BIGINT) AS n_links,
+      |  CAST(1 AS BIGINT) AS n_scripts,
+      |  CAST(2 AS BIGINT) AS dropped_blocks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def textTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TA.tokenStats(Tables.documents(s, dir)).orderBy($"doc_id")
@@ -887,6 +935,7 @@ object TextAnalysis {
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
     "text_oov_rate" -> QueryDef(textOovRate, Some(textOovRateSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
+    "text_html_extract" -> QueryDef(textHtmlExtract, Some(textHtmlExtractSql)),
     "corpus_shard_manifest" -> QueryDef(corpusShardManifest, Some(corpusShardManifestSql)),
     "corpus_upsample" -> QueryDef(corpusUpsample, Some(corpusUpsampleSql)),
     "corpus_chunk" -> QueryDef(corpusChunk, Some(corpusChunkSql)),

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** Round-13: HTML main-text extraction — the tag walk, raw script/
+  * style skipping, entity decoding, and the link-density boilerplate
+  * rule, pinned on hand fixtures including malformed input. */
+class HtmlExtractSpec extends AnyFunSuite {
+
+  private def ex(html: String) = TextAnalysis.htmlMainText(html)
+
+  test("plain paragraphs extract verbatim with whitespace collapsed") {
+    val e = ex("<html><body><p>hello   world</p>\n<p>second\tblock</p></body></html>")
+    assert(e.text == "hello world second block")
+    assert(e.nLinks == 0 && e.nScripts == 0 && e.droppedBlocks == 0)
+  }
+
+  test("script and style content is raw-skipped, even when it contains decoy markup") {
+    val e = ex("""<body><p>real</p><script>var s = "<p>decoy</p> <a href='x'>no</a>";</script>
+      |<style>p { color: red; } /* <div>also decoy</div> */</style><p>text</p></body>""".stripMargin)
+    assert(e.text == "real text")
+    assert(e.nScripts == 1)
+    assert(e.nLinks == 0, "decoy <a> inside script must not count")
+  }
+
+  test("link-density rule: navs die, prose with incidental links lives") {
+    val e = ex(
+      """<div><a href="/">Home</a> <a href="/b">About</a></div>
+        |<p>read the <a href="/doc">full manual</a> for details and background</p>""".stripMargin)
+    // nav: 2 words, 2 link words -> dropped; prose: 9 words, 2 link words -> kept
+    assert(e.text == "read the full manual for details and background")
+    assert(e.droppedBlocks == 1)
+    assert(e.nLinks == 3)
+  }
+
+  test("exactly-half link density is kept (strictly-more-than-half dies)") {
+    val e = ex("<p>go <a href='/'>here now</a> ok</p><p>x <a href='/'>y z</a></p>")
+    // block 1: 4 words, 2 linked -> kept; block 2: 3 words, 2 linked -> dropped
+    assert(e.text == "go here now ok")
+    assert(e.droppedBlocks == 1)
+  }
+
+  test("entities decode in text") {
+    val e = ex("<p>&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>")
+    assert(e.text == """& <tag> "q" 's' end""")
+  }
+
+  test("malformed input never throws: unclosed tags, stray closers, truncation") {
+    assert(ex("<p>open block never closed").text == "open block never closed")
+    assert(ex("</p></div>text<p>more").text == "text more")
+    assert(ex("<p>cut off <a hre").text == "cut off")
+    assert(ex("<script>never closed <p>gone</p>").text == "")
+    assert(ex("").text == "")
+    assert(ex("no tags at all").text == "no tags at all")
+  }
+
+  test("nested inline tags are transparent; only p/div bound blocks") {
+    val e = ex("<div><span>one <b>two</b></span> three</div><p><em>four</em></p>")
+    assert(e.text == "one two three four")
+    assert(e.droppedBlocks == 0)
+  }
+}
