@@ -293,4 +293,52 @@ object TextAnalysis {
     closeBlock()
     HtmlExtract(out.toString, nLinks, nScripts, dropped)
   }
+
+  /** URL canonicalization — the crawl-side dedup key (one page, many
+    * spellings): lowercase scheme and host, strip default ports
+    * (http:80 / https:443), drop the fragment, remove tracking
+    * parameters (utm_*, gclid, fbclid, ref), sort surviving query
+    * parameters by key-then-value, and trim one trailing slash off a
+    * non-root path. Inputs that do not parse as scheme://host...
+    * canonicalize to themselves trimmed — a crawl frontier must never
+    * throw on a weird URL. */
+  def canonicalUrl(url: String): String = {
+    val trimmed = url.trim
+    val schemeEnd = trimmed.indexOf("://")
+    if (schemeEnd <= 0) return trimmed
+    val scheme = trimmed.substring(0, schemeEnd).toLowerCase
+    val rest0 = trimmed.substring(schemeEnd + 3)
+    // fragment first: it never reaches the server
+    val rest = rest0.indexOf('#') match {
+      case -1 => rest0
+      case h => rest0.substring(0, h)
+    }
+    val (authorityAndPath, query) = rest.indexOf('?') match {
+      case -1 => (rest, "")
+      case q => (rest.substring(0, q), rest.substring(q + 1))
+    }
+    val slash = authorityAndPath.indexOf('/')
+    val (authority, path0) =
+      if (slash < 0) (authorityAndPath, "")
+      else (authorityAndPath.substring(0, slash), authorityAndPath.substring(slash))
+    val host = authority.toLowerCase match {
+      case h if scheme == "http" && h.endsWith(":80") => h.stripSuffix(":80")
+      case h if scheme == "https" && h.endsWith(":443") => h.stripSuffix(":443")
+      case h => h
+    }
+    val path = if (path0.length > 1 && path0.endsWith("/")) path0.dropRight(1)
+      else path0
+    val tracking = Set("gclid", "fbclid", "ref")
+    val params = query.split("&").filter(_.nonEmpty).toSeq
+      .map { kv => kv.indexOf('=') match {
+        case -1 => (kv, None)
+        case e => (kv.substring(0, e), Some(kv.substring(e + 1)))
+      }}
+      .filterNot { case (k, _) =>
+        k.toLowerCase.startsWith("utm_") || tracking.contains(k.toLowerCase) }
+      .sortBy { case (k, v) => (k, v.getOrElse("")) }
+      .map { case (k, v) => v.fold(k)(vv => s"$k=$vv") }
+    val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+    s"$scheme://$host$path$q"
+  }
 }

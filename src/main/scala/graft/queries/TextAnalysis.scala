@@ -57,6 +57,51 @@ object TextAnalysis {
       |  CAST(2 AS BIGINT) AS dropped_blocks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** URL canonicalization dedup at corpus scale — the crawl-frontier
+    * companion to [[textHtmlExtract]]: per doc FOUR real URL spellings
+    * are synthesized (uppercased host + utm/fragment noise; explicit
+    * default port + trailing slash; reordered query params; tracking
+    * params mixed into a real query), REALLY parsed and canonicalized
+    * by [[graft.operators.TextAnalysis.canonicalUrl]], and grouped.
+    * The four variants collapse to exactly TWO canonical URLs (the
+    * bare page, and the page with its real ?a=1&b=2 query), so the
+    * oracle re-derives both canonical strings and the group sizes from
+    * the generating formula — it never parses a URL; any wrong byte in
+    * scheme/host casing, port or fragment stripping, tracking-param
+    * removal, param sorting, or slash trimming breaks the hash.
+    * Scale shape: per-row string CPU in one scan + one groupBy on the
+    * canonical key (the dedup shuffle itself). */
+  private def textUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"))
+      .as[Long]
+      .flatMap { id =>
+        val host = s"example${id % 7}.com"
+        val path = s"/path${id % 13}/page${id % 5}"
+        val variants = Seq(
+          s"https://${host.toUpperCase}$path?utm_source=news&utm_campaign=x#sec2",
+          s"HTTPS://$host:443$path/",
+          s"https://$host$path?b=2&a=1",
+          s"https://$host$path?a=1&utm_medium=mail&b=2&gclid=zzz")
+        variants.map(u => (id, TA.canonicalUrl(u)))
+      }
+      .toDF("doc_id", "canonical_url")
+      .groupBy($"doc_id", $"canonical_url")
+      .agg(count(lit(1)).as("n_dups"))
+      .orderBy($"doc_id", $"canonical_url")
+  }
+
+  private val textUrlCanonicalSql =
+    """WITH base AS (SELECT doc_id,
+      |    'https://example' || (doc_id % 7) || '.com/path' || (doc_id % 13)
+      |      || '/page' || (doc_id % 5) AS canon FROM documents)
+      |SELECT doc_id, canonical_url, CAST(2 AS BIGINT) AS n_dups FROM (
+      |  SELECT doc_id, canon AS canonical_url FROM base
+      |  UNION ALL
+      |  SELECT doc_id, canon || '?a=1&b=2' FROM base) u
+      |ORDER BY doc_id, canonical_url""".stripMargin
+
   private def textTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TA.tokenStats(Tables.documents(s, dir)).orderBy($"doc_id")
@@ -936,6 +981,7 @@ object TextAnalysis {
     "text_oov_rate" -> QueryDef(textOovRate, Some(textOovRateSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
     "text_html_extract" -> QueryDef(textHtmlExtract, Some(textHtmlExtractSql)),
+    "text_url_canonical" -> QueryDef(textUrlCanonical, Some(textUrlCanonicalSql)),
     "corpus_shard_manifest" -> QueryDef(corpusShardManifest, Some(corpusShardManifestSql)),
     "corpus_upsample" -> QueryDef(corpusUpsample, Some(corpusUpsampleSql)),
     "corpus_chunk" -> QueryDef(corpusChunk, Some(corpusChunkSql)),

@@ -60,4 +60,31 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(e.text == "one two three four")
     assert(e.droppedBlocks == 0)
   }
+
+  // --- URL canonicalization (the crawl-dedup companion) ---
+
+  private def cu(u: String) = TextAnalysis.canonicalUrl(u)
+
+  test("url: case, default ports, fragments, trailing slash") {
+    assert(cu("HTTPS://Example.COM:443/a/b/#frag") == "https://example.com/a/b")
+    assert(cu("http://HOST.net:80/") == "http://host.net/")
+    assert(cu("http://host.net:8080/x") == "http://host.net:8080/x", "non-default port kept")
+    assert(cu("https://h.com/a//b/") == "https://h.com/a//b", "only ONE trailing slash trimmed")
+    assert(cu("https://h.com") == "https://h.com", "no path stays bare")
+  }
+
+  test("url: tracking params stripped, survivors sorted, values kept") {
+    assert(cu("https://h.com/p?utm_source=a&b=2&a=1&gclid=xyz&fbclid=q&ref=z")
+      == "https://h.com/p?a=1&b=2")
+    assert(cu("https://h.com/p?z=1&z=0&a") == "https://h.com/p?a&z=0&z=1",
+      "duplicate keys sort by value; bare keys survive")
+    assert(cu("https://h.com/p?utm_only=1") == "https://h.com/p")
+  }
+
+  test("url: non-URLs canonicalize to themselves, never throw") {
+    assert(cu("not a url") == "not a url")
+    assert(cu("  mailto:x@y.z  ") == "mailto:x@y.z")
+    assert(cu("://weird") == "://weird")
+    assert(cu("") == "")
+  }
 }
