@@ -108,6 +108,47 @@ object Pipeline {
       |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** File skipping on the manifest table proven end-to-end — the
+    * Iceberg-style data-skipping half of the table format: the corpus
+    * is appended as 8 single-file doc_id slices via
+    * [[graft.sources.ManifestTable.appendWithStats]] (per-file min/max
+    * recorded in the manifest `add=` entries), then a narrow range
+    * read plans ONLY the two overlapping files + the residual row
+    * filter. The emitted row commits both the pruning census
+    * (n_planned = 2 of 8 — wrong stats or a broken overlap test change
+    * it) and the exact range aggregate (a pruned-away live row would
+    * break it the other way). Scale shape: stats are O(batch) at
+    * append time; the range read never opens non-overlapping files —
+    * the manifest IS the index. */
+  private def sinkManifestPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-prune").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = docs.count()
+    val w = (n + 7) / 8
+    for (i <- 0L until 8L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id")
+    val lo = w + 3; val hi = 2 * w + 5 // overlaps slices 1 and 2 only
+    val planned = ManifestTable.plannedFilesForRange(root, lo, hi).size
+    val res = ManifestTable.readRange(s, root, "doc_id", lo, hi)
+      .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"))
+      .select(lit(8L).as("n_files"), lit(planned.toLong).as("n_planned"),
+        $"n_rows", $"sum_chars")
+    StreamReplay.finish(s, qname = "", root)(res)
+  }
+
+  private val sinkManifestPrunedSql =
+    """WITH w AS (SELECT (COUNT(*) + 7) // 8 AS w FROM documents)
+      |SELECT CAST(8 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_planned,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents, w
+      |WHERE doc_id >= w + 3 AND doc_id <= 2 * w + 5""".stripMargin
+
   /** Lee-et-al-style duplicated-span statistics over 10-token windows. */
   private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1626,6 +1667,7 @@ object Pipeline {
     "q_schema_evolution" -> QueryDef(qSchemaEvolution, Some(qSchemaEvolutionSql)),
     "sink_manifest_roundtrip" -> QueryDef(sinkManifestRoundtrip, Some(sinkManifestRoundtripSql)),
     "sink_manifest_streaming" -> QueryDef(sinkManifestStreaming, Some(sinkManifestStreamingSql)),
+    "sink_manifest_pruned" -> QueryDef(sinkManifestPruned, Some(sinkManifestPrunedSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
     "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),

@@ -112,9 +112,22 @@ object ManifestTable {
     version.orElse(latestVersion(dir)).getOrElse(
       throw new IllegalStateException(s"no committed version in $dir"))
 
-  /** Live file list of a snapshot (latest unless `version` given). */
+  /** Live file list of a snapshot (latest unless `version` given).
+    * Paths only — any `|min=..|max=..` stats suffix is stripped. */
   def snapshotFiles(dir: String, version: Option[Long] = None): Seq[String] =
-    fold(dir, resolved(dir, version)).files
+    fold(dir, resolved(dir, version)).files.map(_.takeWhile(_ != '|'))
+
+  /** Live files with their optional per-file (min, max) stats of the
+    * cluster column recorded at [[appendWithStats]] time. */
+  def snapshotFilesWithStats(dir: String, version: Option[Long] = None)
+      : Seq[(String, Option[(Long, Long)])] =
+    fold(dir, resolved(dir, version)).files.map { entry =>
+      entry.split('|') match {
+        case Array(f, mn, mx) if mn.startsWith("min=") && mx.startsWith("max=") =>
+          (f, Some((mn.stripPrefix("min=").toLong, mx.stripPrefix("max=").toLong)))
+        case _ => (entry.takeWhile(_ != '|'), None)
+      }
+    }
 
   /** Batch ids a writer has already committed (latest snapshot). */
   def committedBatches(dir: String, writer: String): Set[Long] =
@@ -149,6 +162,55 @@ object ManifestTable {
     * conflicts; the staged files are written exactly once. */
   def append(spark: SparkSession, df: DataFrame, dir: String): Long =
     commit(dir, stageFiles(df, dir).map("add=" + _)).get
+
+  /** [[append]] that also records per-file (min, max) of a long
+    * cluster column in the manifest — Iceberg-style data skipping:
+    * [[readRange]] plans only the files whose recorded range overlaps
+    * the predicate. Stats cost one pass over the freshly staged files
+    * (grouped by input file), O(batch) like the commit itself. */
+  def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
+                      statCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val rels = stageFiles(df, dir)
+    val byFile = spark.read.parquet(
+        rels.map(r => new File(dataDir(dir), r).getPath): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
+      .collect() // one row per staged part file — batch-bounded
+      .map(r => new File(r.getString(0)).getName -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val actions = rels.map { rel =>
+      val name = rel.split('/').last
+      byFile.get(name) match {
+        case Some((mn, mx)) => s"add=$rel|min=$mn|max=$mx"
+        case None => s"add=$rel" // empty file: no stats, never pruned out
+      }
+    }
+    commit(dir, actions).get
+  }
+
+  /** Files the latest snapshot plans for a `[lo, hi]` range predicate
+    * on the stats column: stat-carrying files whose range overlaps,
+    * plus every stats-less file (unknown ranges are never skipped). */
+  def plannedFilesForRange(dir: String, lo: Long, hi: Long): Seq[String] =
+    snapshotFilesWithStats(dir).collect {
+      case (f, None) => f
+      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+    }
+
+  /** Range read with file skipping: plan only [[plannedFilesForRange]]
+    * and apply the residual row filter (file pruning is a superset —
+    * the predicate still runs, exactly like parquet row-group skip). */
+  def readRange(spark: SparkSession, dir: String, statCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = plannedFilesForRange(dir, lo, hi)
+      .map(rel => new File(dataDir(dir), rel).getPath)
+    if (paths.isEmpty)
+      return read(spark, dir).filter(org.apache.spark.sql.functions.lit(false))
+    spark.read.parquet(paths: _*)
+      .filter(col(statCol) >= lo && col(statCol) <= hi)
+  }
 
   /** Exactly-once streaming append (the Delta `txn` appId/version
     * pattern): commit `df` tagged `txn=<writer>:<batchId>`; if the

@@ -165,6 +165,29 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir, Some(12L)).count() == 13)
   }
 
+  test("file skipping: stats prune non-overlapping files, stats-less files are never skipped") {
+    val dir = freshDir()
+    ManifestTable.appendWithStats(spark,
+      (0 until 10).map(i => (i.toLong, s"a$i")).toDF("k", "v").coalesce(1), dir, "k")
+    ManifestTable.appendWithStats(spark,
+      (100 until 110).map(i => (i.toLong, s"b$i")).toDF("k", "v").coalesce(1), dir, "k")
+    // a plain append carries no stats: unknown range, always planned
+    ManifestTable.append(spark, Seq((55L, "nostat")).toDF("k", "v"), dir)
+    assert(ManifestTable.plannedFilesForRange(dir, 0, 5).size == 2,
+      "expected the [0,9] file + the stats-less file")
+    assert(ManifestTable.plannedFilesForRange(dir, 200, 300).size == 1,
+      "only the stats-less file can overlap [200,300]")
+    val got = ManifestTable.readRange(spark, dir, "k", 3, 104)
+      .select($"k").as[Long].collect().sorted
+    assert(got.sameElements((3L to 9L) ++ Seq(55L) ++ (100L to 104L)),
+      s"residual filter wrong: ${got.mkString(",")}")
+    // compaction rewrites without stats: correct, just not prunable
+    ManifestTable.compact(spark, dir)
+    assert(ManifestTable.readRange(spark, dir, "k", 3, 4).count() == 2)
+    assert(ManifestTable.plannedFilesForRange(dir, 1000, 2000).size ==
+      ManifestTable.snapshotFiles(dir).size, "post-compaction files have unknown ranges")
+  }
+
   test("concurrent appends from many threads: every row survives, versions are dense") {
     val dir = freshDir()
     val threads = (0 until 6).map { t =>
