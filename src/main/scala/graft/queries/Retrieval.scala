@@ -142,22 +142,12 @@ object Retrieval {
     * O(|Q| × k), not O(|Q| × corpus); the fusion join touches 2·|Q|·k
     * rows. On 100 TB the vector leg swaps to the IVF tier
     * (ann_filtered's during-probe path) without touching the fusion. */
-  private def retrievalHybridRrf(s: SparkSession, dir: String): DataFrame = {
+  /** RRF fusion core shared by both hybrid retrievers: `lex`
+    * (query_id, doc_id, lex_rk) ⊕ `vec` (query_id, doc_id, vec_rk),
+    * integer-exact scoring. */
+  private def hybridFuse(s: SparkSession, lex: DataFrame, vec: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val legK = 20
-    val lex = bm25Ranked(s, dir, legK)
-      .select($"query_id".cast("long"), $"doc_id", $"rk".as("lex_rk"))
-    val emb = Tables.embeddings(s, dir)
-    val probes = emb.filter($"vec_id".isin(Bm25Queries.map(_._1).distinct.map(_.toLong): _*))
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
-    val vec = emb
-      .crossJoin(broadcast(probes))
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        round(graft.functions.Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
-      .withColumn("vec_rk", row_number().over(w)).filter($"vec_rk" <= legK)
-      .select($"query_id", $"neighbor_id".as("doc_id"), $"vec_rk")
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("lex_pts",
         when($"lex_rk".isNotNull, expr("cast(1000000000000 as bigint) div (lex_rk + 59)"))
@@ -174,32 +164,101 @@ object Retrieval {
       .orderBy($"query_id", $"rk")
   }
 
-  private val retrievalHybridRrfSql = {
+  private def lexLeg(s: SparkSession, dir: String, legK: Int): DataFrame = {
+    import s.implicits._
+    bm25Ranked(s, dir, legK)
+      .select($"query_id".cast("long"), $"doc_id", $"rk".as("lex_rk"))
+  }
+
+  private def probeIds: Seq[Long] = Bm25Queries.map(_._1).distinct.map(_.toLong)
+
+  private def retrievalHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val legK = 20
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val vec = emb
+      .crossJoin(broadcast(probes))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(graft.functions.Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+      .withColumn("vec_rk", row_number().over(w)).filter($"vec_rk" <= legK)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"vec_rk")
+    hybridFuse(s, lexLeg(s, dir, legK), vec)
+  }
+
+  /** The hybrid retriever with its vector leg on the TRAINED-IVF tier —
+    * the scale path the brute-leg key's scaladoc promises: candidates
+    * come from the probes' nProbe nearest trained cells (never the
+    * whole corpus), and the fusion is untouched — exactly the swap a
+    * production retriever makes when the corpus outgrows a scan.
+    * Self is excluded by the IVF convention; leg depth is whatever the
+    * probed cells hold (RRF fuses partial legs by design). */
+  private def retrievalHybridIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter($"vec_id".isin(probeIds: _*))
+    val vec = Similarity.ivfTrainedTopK(s, dir, probes, k = 20)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rk".as("vec_rk"))
+    hybridFuse(s, lexLeg(s, dir, 20), vec)
+  }
+
+  /** BM25 lexical CTE chain ending in lex(query_id, doc_id, lex_rk). */
+  private val bm25LexCtes = {
     val vals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-    """WITH q AS (SELECT * FROM (VALUES %VALS%) v(query_id, term)),
-      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-      |stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_dl FROM documents),
-      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-      |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-      |scored AS (
-      |  SELECT q.query_id AS query_id, tf.doc_id AS doc_id,
-      |    ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-      |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))
-      |      * 1e9) AS nano
-      |  FROM tf JOIN dfreq ON tf.term = dfreq.term
-      |  JOIN dl ON tf.doc_id = dl.doc_id
-      |  CROSS JOIN stats
-      |  JOIN q ON tf.term = q.term),
-      |perdoc AS (SELECT query_id, doc_id, CAST(SUM(nano) AS BIGINT) AS nano_sum
-      |  FROM scored GROUP BY query_id, doc_id),
-      |lex AS (
-      |  SELECT query_id, doc_id, rk AS lex_rk FROM (
-      |    SELECT query_id, doc_id,
-      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY nano_sum DESC, doc_id) AS rk
-      |    FROM perdoc) WHERE rk <= 20),
-      |probes AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    s"""q AS (SELECT * FROM (VALUES $vals) v(query_id, term)),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_dl FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT q.query_id AS query_id, tf.doc_id AS doc_id,
+       |    ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+       |      * 1e9) AS nano
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  JOIN q ON tf.term = q.term),
+       |perdoc AS (SELECT query_id, doc_id, CAST(SUM(nano) AS BIGINT) AS nano_sum
+       |  FROM scored GROUP BY query_id, doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, rk AS lex_rk FROM (
+       |    SELECT query_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY nano_sum DESC, doc_id) AS rk
+       |    FROM perdoc) WHERE rk <= 20)""".stripMargin
+  }
+
+  /** Fusion oracle shared by both hybrid keys: `vecCtes` must end in
+    * vec(query_id, doc_id, vec_rk). */
+  private def hybridFusionSql(vecCtes: String): String =
+    s"""WITH $bm25LexCtes,
+       |$vecCtes,
+       |fused AS (
+       |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+       |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       |    lex.lex_rk AS lex_rk, vec.vec_rk AS vec_rk,
+       |    CAST(COALESCE(1000000000000 // (lex.lex_rk + 59), 0)
+       |       + COALESCE(1000000000000 // (vec.vec_rk + 59), 0) AS BIGINT) AS rrf_score
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, rrf_score, lex_rk, vec_rk,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
+       |  FROM fused)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  CAST(rk AS BIGINT) AS rk, rrf_score,
+       |  CAST(COALESCE(lex_rk, 0) AS BIGINT) AS lex_rk,
+       |  CAST(COALESCE(vec_rk, 0) AS BIGINT) AS vec_rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+
+  private val retrievalHybridRrfSql = hybridFusionSql(
+    """probes AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
       |  WHERE vec_id IN (SELECT DISTINCT query_id FROM q)),
       |sc AS (
       |  SELECT probes.query_id, e.vec_id AS doc_id,
@@ -211,26 +270,15 @@ object Retrieval {
       |  SELECT query_id, doc_id, rk AS vec_rk FROM (
       |    SELECT query_id, doc_id,
       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rk
-      |    FROM sc) WHERE rk <= 20),
-      |fused AS (
-      |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
-      |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-      |    lex.lex_rk AS lex_rk, vec.vec_rk AS vec_rk,
-      |    CAST(COALESCE(1000000000000 // (lex.lex_rk + 59), 0)
-      |       + COALESCE(1000000000000 // (vec.vec_rk + 59), 0) AS BIGINT) AS rrf_score
-      |  FROM lex FULL OUTER JOIN vec
-      |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
-      |ranked AS (
-      |  SELECT query_id, doc_id, rrf_score, lex_rk, vec_rk,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
-      |  FROM fused)
-      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-      |  CAST(rk AS BIGINT) AS rk, rrf_score,
-      |  CAST(COALESCE(lex_rk, 0) AS BIGINT) AS lex_rk,
-      |  CAST(COALESCE(vec_rk, 0) AS BIGINT) AS vec_rk
-      |FROM ranked WHERE rk <= 10
-      |ORDER BY query_id, rk""".stripMargin.replace("%VALS%", vals)
-  }
+      |    FROM sc) WHERE rk <= 20)""".stripMargin)
+
+  private val retrievalHybridIvfSql = hybridFusionSql(
+    s"""${Similarity.ivfScoredCtes(s"e.vec_id IN (${probeIds.mkString(", ")})", 2)},
+       |vec AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rk AS vec_rk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM ivfsc) WHERE rk <= 20)""".stripMargin)
 
   // ---------------------------------------------------------------
   // text_perplexity — add-one-smoothed bigram LM self-scoring
@@ -611,6 +659,7 @@ object Retrieval {
     "text_ndcg_eval" -> QueryDef(textNdcgEval, Some(textNdcgEvalSql)),
     "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql), bench = true),
     "retrieval_hybrid_rrf" -> QueryDef(retrievalHybridRrf, Some(retrievalHybridRrfSql), bench = true),
+    "retrieval_hybrid_ivf" -> QueryDef(retrievalHybridIvf, Some(retrievalHybridIvfSql)),
     "text_perplexity" -> QueryDef(textPerplexity, Some(textPerplexitySql)),
     "text_kn_perplexity" -> QueryDef(textKnPerplexity, Some(textKnPerplexitySql), bench = true),
     "text_cms_topk" -> QueryDef(textCmsTopk, Some(textCmsTopkSql)),

@@ -1025,8 +1025,14 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
-  private val annIvfTrainedSql =
-    s"""WITH $kmeansCtes,
+  /** Trained-IVF scored candidates as a reusable oracle fragment
+    * (shared by ann_ivf_trained and the hybrid retriever's scale-path
+    * vector leg): carries its own k-means training CTEs and ends with
+    * `ivfsc(query_id, neighbor_id, cos_sim)` — every candidate comes
+    * from the `nProbe` nearest trained cells of probes selected by
+    * `probeWhere` (a predicate on `embeddings e`), self excluded. */
+  private[queries] def ivfScoredCtes(probeWhere: String, nProbe: Int): String =
+    s"""$kmeansCtes,
        |tc AS (
        |  SELECT cell, list(CAST(CAST(cv AS DOUBLE) / 1000000.0 AS FLOAT) ORDER BY pos) AS ce
        |  FROM c$KmIters GROUP BY cell),
@@ -1041,15 +1047,25 @@ object Similarity {
        |    SELECT e.vec_id AS query_id, c.cell, e.embedding AS qe,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 9) DESC, c.cell) AS crk
-       |    FROM embeddings e CROSS JOIN tc c WHERE e.vec_id < 10) x WHERE crk <= 2),
-       |sc AS (
+       |    FROM embeddings e CROSS JOIN tc c WHERE $probeWhere) x WHERE crk <= $nProbe),
+       |ivfsc AS (
        |  SELECT query_id, a.vec_id AS neighbor_id,
        |    ROUND(${cosSql("qe", "a.embedding")}, 9) AS cos_sim
-       |  FROM pc JOIN asg a USING (cell) WHERE a.vec_id <> pc.query_id),
+       |  FROM pc JOIN asg a USING (cell) WHERE a.vec_id <> pc.query_id)""".stripMargin
+
+  /** Trained-IVF top-k for an arbitrary probe set — the Spark twin of
+    * [[ivfScoredCtes]] (same operator ann_ivf_trained registers). */
+  private[queries] def ivfTrainedTopK(s: SparkSession, dir: String,
+                                      probeSet: DataFrame, k: Int): DataFrame =
+    Sim.ivfTopK(s, Tables.embeddings(s, dir), probeSet, k = k,
+      trainedCentroids = Some(trainedCentroids(s, dir)))
+
+  private val annIvfTrainedSql =
+    s"""WITH ${ivfScoredCtes("e.vec_id < 10", 2)},
        |r AS (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-       |  FROM sc)
+       |  FROM ivfsc)
        |SELECT query_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 

@@ -72,6 +72,9 @@ class OracleRoundLintSpec extends AnyFunSuite {
         "BIGINT count over the constant probe-total on both sides"),
       "retrieval_hybrid_rrf" -> ("BM25 ln-idf nano units (lexical leg) + " +
         cosine + " (vector leg); the FUSED score is exact integer div"),
+      "retrieval_hybrid_ivf" -> ("BM25 ln-idf nano units (lexical leg) + " +
+        cosine + " over the trained-IVF cells (vector leg); fused score " +
+        "exact integer div"),
       "ann_filtered_recall" -> (cosine + "; plus recall n_hit/5.0 — one " +
         "exact BIGINT count over a constant k on both sides"),
       "ann_ivfpq" -> cosine, "ann_lsh" -> cosine, "ann_mrr" -> cosine,
