@@ -126,7 +126,25 @@ object Bench {
     // round artifact entirely), but SPARK_GRAFT_BENCH_REQUIRE_IDLE=1
     // hard-refuses for interactive runs where a retry is cheap.
     val hostCpus = Runtime.getRuntime.availableProcessors
-    val (la1, la5, la15) = loadAvg()
+    // Bounded wait-for-idle: flag-and-continue alone guarantees the
+    // unattended driver eventually benches INTO the weather it flags
+    // (r12 and r13 both committed loaded artifacts). If the box is
+    // busy at start, re-check every 30 s for up to 10 min and proceed
+    // as soon as the 1-minute load decays under the gate; if it never
+    // does, fall through with load_flag=true — the round must not
+    // lose its artifact. SPARK_GRAFT_BENCH_MAX_WAIT_SEC overrides
+    // (0 disables the wait).
+    val maxWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "600").toInt
+    var (la1, la5, la15) = loadAvg()
+    var idleWaitSec = 0
+    while (la1 > 0.25 * hostCpus && idleWaitSec < maxWaitSec) {
+      System.err.println(f"[bench] box busy (loadavg1=$la1%.2f on $hostCpus " +
+        f"cpus); waited $idleWaitSec/$maxWaitSec s")
+      Thread.sleep(30000)
+      idleWaitSec += 30
+      val l = loadAvg(); la1 = l._1; la5 = l._2; la15 = l._3
+    }
     val loadFlag = la1 > 0.25 * hostCpus
     if (loadFlag) {
       System.err.println(
@@ -238,7 +256,8 @@ object Bench {
       f"""{"host_cpus":$hostCpus,"loadavg_start":[$la1%.2f,$la5%.2f,$la15%.2f],""" +
         f""""loadavg_end":[$lb1%.2f,$lb5%.2f,$lb15%.2f],""" +
         f""""calib_start_sec":$calibStart%.4f,"calib_end_sec":$calibEnd%.4f,""" +
-        f""""calib_nominal_sec":0.20,"load_flag":$loadFlag}"""
+        f""""calib_nominal_sec":0.20,"idle_wait_sec":$idleWaitSec,""" +
+        f""""load_flag":$loadFlag}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":3,"stat":"median","sf":"$sfDir",""" +
       s""""calibration":$calibJson}""")

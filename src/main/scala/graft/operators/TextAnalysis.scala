@@ -232,6 +232,22 @@ object TextAnalysis {
     * Per-doc CPU inside one scan stage; nothing here shuffles. */
   def htmlMainText(html: String): HtmlExtract = {
     val out = new StringBuilder
+    // Raw-section close-tag scan via regionMatches(ignoreCase): a
+    // per-tag html.toLowerCase would copy the WHOLE document per
+    // script/style block (O(doc × blocks) on real pages with dozens of
+    // scripts), and locale-sensitive case mapping either shifts
+    // offsets (U+0130 lowers to two chars) or misses '</SCRIPT' on a
+    // Turkish-locale JVM. Char-wise ignore-case matching is
+    // locale-free, allocation-free, and index-exact.
+    def indexOfIgnoreCase(needle: String, from: Int): Int = {
+      var p = from
+      val last = html.length - needle.length
+      while (p <= last) {
+        if (html.regionMatches(true, p, needle, 0, needle.length)) return p
+        p += 1
+      }
+      -1
+    }
     var nLinks = 0; var nScripts = 0; var dropped = 0
     var blockWords = 0; var blockLinkWords = 0
     val blockText = new StringBuilder
@@ -271,12 +287,12 @@ object TextAnalysis {
           val inner = html.substring(lt + 1, gt).trim
           val closing = inner.startsWith("/")
           val name = inner.stripPrefix("/").takeWhile(c => !c.isWhitespace && c != '/')
-            .toLowerCase
+            .toLowerCase(java.util.Locale.ROOT)
           i = gt + 1
           name match {
             case "script" | "style" if !closing =>
               if (name == "script") nScripts += 1
-              val end = html.toLowerCase.indexOf(s"</$name", i)
+              val end = indexOfIgnoreCase(s"</$name", i)
               // skip raw content; truncated raw section eats the tail
               i = if (end < 0) n else html.indexOf('>', end) match {
                 case -1 => n

@@ -131,23 +131,168 @@ object Pipeline {
     for (i <- 0L until 8L)
       ManifestTable.appendWithStats(s,
         docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
-        root, "doc_id")
+        root, "doc_id", "n_chars")
     val lo = w + 3; val hi = 2 * w + 5 // overlaps slices 1 and 2 only
-    val planned = ManifestTable.plannedFilesForRange(root, lo, hi).size
+    val planned = ManifestTable.plannedFilesForRange(root, "doc_id", lo, hi).size
+    // second stated column: an n_chars range census. The expected
+    // planned count is recomputed by the oracle from the same slice
+    // layout (doc_id // w), so wrong per-column bounds or a broken
+    // overlap test on EITHER column breaks the hash.
+    val (cMin, cMax) = docs.agg(min($"n_chars"), max($"n_chars"))
+      .as[(Long, Long)].head()
+    val cHi = cMin + (cMax - cMin) / 8
+    val plannedChars =
+      ManifestTable.plannedFilesForRange(root, "n_chars", cMin, cHi).size
+    val charsSum = ManifestTable.readRange(s, root, "n_chars", cMin, cHi)
+      .agg(coalesce(sum($"doc_id"), lit(0L))).as[Long].head()
     val res = ManifestTable.readRange(s, root, "doc_id", lo, hi)
       .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"))
       .select(lit(8L).as("n_files"), lit(planned.toLong).as("n_planned"),
-        $"n_rows", $"sum_chars")
+        $"n_rows", $"sum_chars",
+        lit(plannedChars.toLong).as("n_planned_chars"),
+        lit(charsSum).as("sum_ids_chars"))
     StreamReplay.finish(s, qname = "", root)(res)
   }
 
   private val sinkManifestPrunedSql =
-    """WITH w AS (SELECT (COUNT(*) + 7) // 8 AS w FROM documents)
+    """WITH w AS (SELECT (COUNT(*) + 7) // 8 AS w FROM documents),
+      |cr AS (SELECT MIN(n_chars) AS clo,
+      |  MIN(n_chars) + (MAX(n_chars) - MIN(n_chars)) // 8 AS chi FROM documents),
+      |slices AS (SELECT doc_id // (SELECT w FROM w) AS slice,
+      |  MIN(n_chars) AS smn, MAX(n_chars) AS smx FROM documents GROUP BY 1),
+      |pc AS (SELECT COUNT(*) AS n_planned_chars FROM slices, cr
+      |  WHERE smx >= clo AND smn <= chi),
+      |sic AS (SELECT COALESCE(SUM(doc_id), 0) AS sum_ids_chars
+      |  FROM documents, cr WHERE n_chars >= clo AND n_chars <= chi)
       |SELECT CAST(8 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_planned,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST((SELECT n_planned_chars FROM pc) AS BIGINT) AS n_planned_chars,
+      |  CAST((SELECT sum_ids_chars FROM sic) AS BIGINT) AS sum_ids_chars
       |FROM documents, w
       |WHERE doc_id >= w + 3 AND doc_id <= 2 * w + 5""".stripMargin
+
+  /** Row-level DELETE on the manifest table proven end-to-end — the
+    * GDPR/takedown primitive (Delta/Iceberg DELETE, copy-on-write):
+    * the corpus lands as 4 stats-carrying doc_id slices, then
+    * [[graft.sources.ManifestTable.deleteWhere]] removes the even
+    * doc_ids of the upper half — a predicate that touches slices 2–3
+    * and must leave slices 0–1's files (and their column stats)
+    * byte-untouched. The emitted rows commit BOTH sides of the
+    * contract: `post` is the read-back after the delete (a surviving
+    * row lost or a dead row kept breaks it), and `pre` is TIME TRAVEL
+    * to the pre-delete version (physical erasure is vacuum's job; the
+    * old snapshot must still fold). In-code requires pin the
+    * copy-on-write shape itself: exactly one new version, untouched
+    * files still prunable, and a delete matching nothing committing
+    * nothing. Scale shape: one predicate-pushed scan plans the
+    * affected files, the rewrite touches only their rows, commit
+    * metadata is O(live files). */
+  private def sinkManifestDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-del").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id")
+    val preV = ManifestTable.latestVersion(root).get
+    val dv = ManifestTable.deleteWhere(s, root,
+      $"doc_id" >= 2 * w && $"doc_id" % 2 === 0, statCols = Seq("doc_id"))
+    require(dv.contains(preV + 1), s"delete must commit exactly version ${preV + 1}")
+    require(ManifestTable.plannedFilesForRange(root, "doc_id", 0, 1).size == 1,
+      "delete rewrote (or dropped the stats of) a file it did not touch")
+    require(ManifestTable.deleteWhere(s, root, $"doc_id" < 0).isEmpty,
+      "a delete matching nothing must not commit a version")
+    def aggOf(df: DataFrame, phase: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .select(lit(phase).as("phase"), $"n_docs", $"sum_chars")
+    val res = aggOf(ManifestTable.read(s, root, Some(preV)), "pre")
+      .unionAll(aggOf(ManifestTable.read(s, root), "post"))
+      .orderBy($"phase")
+    StreamReplay.finish(s, qname = "", root)(res)
+  }
+
+  private val sinkManifestDeleteSql =
+    """WITH w AS (SELECT (COUNT(*) + 3) // 4 AS w FROM documents)
+      |SELECT 'pre' AS phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents
+      |UNION ALL
+      |SELECT 'post', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents, w WHERE NOT (doc_id >= 2 * w AND doc_id % 2 = 0)
+      |ORDER BY phase""".stripMargin
+
+  /** The manifest table as an incremental SOURCE — the Delta
+    * change-data-feed shape, and the 14th driver-verified streaming
+    * replay path. The events stream drains through foreachBatch into
+    * the table exactly-once (txn markers, every batch delivered twice
+    * — the proven sink side), and IN the same loop a downstream
+    * consumer polls [[graft.sources.ManifestTable.readSince]] for the
+    * rows added in (cursor, latest] and appends them to a MIRROR
+    * table — the poll-the-feed-instead-of-rereading-the-table pattern
+    * every downstream incremental pipeline runs. The emitted rollup
+    * aggregates the MIRROR: it hash-matches the plain batch oracle
+    * IFF the feed delivered every committed row exactly once — a
+    * dropped interval, a double-consumed version, or a feed that
+    * leaked the duplicate deliveries all break the hash. Feed cost is
+    * O(versions polled) manifest lines, never O(history). */
+  private def sinkManifestChangefeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ManifestTable
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"event_type", QueryDef.cents($"value").as("value_cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-cdf").toString
+    ev.repartition(8).write.mode("overwrite").parquet(s"$root/src")
+    val table = s"$root/table"
+    val mirror = s"$root/mirror"
+    var cursor = -1L
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val first = ManifestTable.appendIdempotent(s, batch.toDF(), table, "ev", batchId)
+        require(first.isDefined, s"batch $batchId skipped on first delivery")
+        // the post-commit-crash retry: a no-op upstream…
+        val dup = ManifestTable.appendIdempotent(s, batch.toDF(), table, "ev", batchId)
+        require(dup.isEmpty, s"duplicate batch $batchId committed twice")
+        // …and the consumer drains the feed up to the latest version
+        val latest = ManifestTable.latestVersion(table).get
+        if (latest > cursor) {
+          ManifestTable.append(s,
+            ManifestTable.readSince(s, table, cursor, Some(latest)), mirror)
+          cursor = latest
+        }
+        // the duplicate delivery must have added NOTHING to the feed
+        require(ManifestTable.addedFilesSince(table, cursor).isEmpty,
+          s"feed not drained after batch $batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("sink_manifest_changefeed: stream stalled")
+    }
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, mirror)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"value_cents").as("sum_cents"))
+        .orderBy($"event_type"))
+  }
+
+  private val sinkManifestChangefeedSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Lee-et-al-style duplicated-span statistics over 10-token windows. */
   private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
@@ -1668,6 +1813,9 @@ object Pipeline {
     "sink_manifest_roundtrip" -> QueryDef(sinkManifestRoundtrip, Some(sinkManifestRoundtripSql)),
     "sink_manifest_streaming" -> QueryDef(sinkManifestStreaming, Some(sinkManifestStreamingSql)),
     "sink_manifest_pruned" -> QueryDef(sinkManifestPruned, Some(sinkManifestPrunedSql)),
+    "sink_manifest_delete" -> QueryDef(sinkManifestDelete, Some(sinkManifestDeleteSql)),
+    "sink_manifest_changefeed" ->
+      QueryDef(sinkManifestChangefeed, Some(sinkManifestChangefeedSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
     "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),

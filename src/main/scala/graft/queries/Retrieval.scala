@@ -150,10 +150,10 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("lex_pts",
-        when($"lex_rk".isNotNull, expr("cast(1000000000000 as bigint) div (lex_rk + 59)"))
+        when($"lex_rk".isNotNull, expr("cast(1000000000000 as bigint) div (lex_rk + 60)"))
           .otherwise(0L))
       .withColumn("vec_pts",
-        when($"vec_rk".isNotNull, expr("cast(1000000000000 as bigint) div (vec_rk + 59)"))
+        when($"vec_rk".isNotNull, expr("cast(1000000000000 as bigint) div (vec_rk + 60)"))
           .otherwise(0L))
       .withColumn("rrf_score", $"lex_pts" + $"vec_pts")
     val wf = Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id")
@@ -242,8 +242,8 @@ object Retrieval {
        |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
        |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
        |    lex.lex_rk AS lex_rk, vec.vec_rk AS vec_rk,
-       |    CAST(COALESCE(1000000000000 // (lex.lex_rk + 59), 0)
-       |       + COALESCE(1000000000000 // (vec.vec_rk + 59), 0) AS BIGINT) AS rrf_score
+       |    CAST(COALESCE(1000000000000 // (lex.lex_rk + 60), 0)
+       |       + COALESCE(1000000000000 // (vec.vec_rk + 60), 0) AS BIGINT) AS rrf_score
        |  FROM lex FULL OUTER JOIN vec
        |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
        |ranked AS (

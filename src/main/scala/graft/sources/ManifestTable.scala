@@ -113,20 +113,27 @@ object ManifestTable {
       throw new IllegalStateException(s"no committed version in $dir"))
 
   /** Live file list of a snapshot (latest unless `version` given).
-    * Paths only — any `|min=..|max=..` stats suffix is stripped. */
+    * Paths only — any `|stat=..` stats suffix is stripped. */
   def snapshotFiles(dir: String, version: Option[Long] = None): Seq[String] =
     fold(dir, resolved(dir, version)).files.map(_.takeWhile(_ != '|'))
 
-  /** Live files with their optional per-file (min, max) stats of the
-    * cluster column recorded at [[appendWithStats]] time. */
+  /** Live files with their per-column (min, max) stats recorded at
+    * [[appendWithStats]] time (Iceberg-style per-column bounds; empty
+    * map for files committed without stats). Entry format:
+    * `<rel>` followed by zero or more `|stat=<col>:<min>:<max>`. */
   def snapshotFilesWithStats(dir: String, version: Option[Long] = None)
-      : Seq[(String, Option[(Long, Long)])] =
+      : Seq[(String, Map[String, (Long, Long)])] =
     fold(dir, resolved(dir, version)).files.map { entry =>
-      entry.split('|') match {
-        case Array(f, mn, mx) if mn.startsWith("min=") && mx.startsWith("max=") =>
-          (f, Some((mn.stripPrefix("min=").toLong, mx.stripPrefix("max=").toLong)))
-        case _ => (entry.takeWhile(_ != '|'), None)
-      }
+      val parts = entry.split('|')
+      val stats = parts.iterator.drop(1).collect {
+        case p if p.startsWith("stat=") =>
+          p.stripPrefix("stat=").split(':') match {
+            case Array(c, mn, mx) => c -> ((mn.toLong, mx.toLong))
+            case bad => throw new IllegalStateException(
+              s"corrupt stat segment '${bad.mkString(":")}' in $entry")
+          }
+      }.toMap
+      (parts(0), stats)
     }
 
   /** Batch ids a writer has already committed (latest snapshot). */
@@ -163,39 +170,57 @@ object ManifestTable {
   def append(spark: SparkSession, df: DataFrame, dir: String): Long =
     commit(dir, stageFiles(df, dir).map("add=" + _)).get
 
-  /** [[append]] that also records per-file (min, max) of a long
-    * cluster column in the manifest — Iceberg-style data skipping:
-    * [[readRange]] plans only the files whose recorded range overlaps
-    * the predicate. Stats cost one pass over the freshly staged files
-    * (grouped by input file), O(batch) like the commit itself. */
-  def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
-                      statCol: String): Long = {
+  /** Compute `add=` actions for freshly staged files, recording
+    * per-file per-column (min, max) of the given long columns —
+    * Iceberg-style multi-column bounds. One aggregation pass over the
+    * staged batch (grouped by input file), O(batch) like the commit.
+    * Zero-row part files are DROPPED from the actions: they carry no
+    * data, and a stats-less entry would never be pruned out of any
+    * future plan. */
+  private def statAddActions(spark: SparkSession, dir: String,
+                             rels: Seq[String], statCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    val rels = stageFiles(df, dir)
+    if (rels.isEmpty) return Nil
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     val byFile = spark.read.parquet(
         rels.map(r => new File(dataDir(dir), r).getPath): _*)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"))
-      .collect() // one row per staged part file — batch-bounded
-      .map(r => new File(r.getString(0)).getName -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    val actions = rels.map { rel =>
-      val name = rel.split('/').last
-      byFile.get(name) match {
-        case Some((mn, mx)) => s"add=$rel|min=$mn|max=$mx"
-        case None => s"add=$rel" // empty file: no stats, never pruned out
-      }
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per non-empty staged part file — batch-bounded
+      .map { r =>
+        val name = new File(r.getString(0)).getName
+        val stats = statCols.zipWithIndex.map { case (c, i) =>
+          s"stat=$c:${r.getLong(1 + 2 * i)}:${r.getLong(2 + 2 * i)}"
+        }
+        name -> stats.mkString("|")
+      }.toMap
+    rels.flatMap { rel =>
+      // absent from byFile ⇒ the part file holds zero rows: skip it
+      byFile.get(rel.split('/').last).map(stats => s"add=$rel|$stats")
     }
-    commit(dir, actions).get
+  }
+
+  /** [[append]] that also records per-file (min, max) of one or more
+    * long columns in the manifest — Iceberg-style data skipping:
+    * [[readRange]] plans only the files whose recorded range on the
+    * queried column overlaps the predicate. Stats cost one pass over
+    * the freshly staged batch, O(batch) like the commit itself. */
+  def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
+                      statCols: String*): Long = {
+    require(statCols.nonEmpty, "appendWithStats needs at least one stats column")
+    commit(dir, statAddActions(spark, dir, stageFiles(df, dir), statCols)).get
   }
 
   /** Files the latest snapshot plans for a `[lo, hi]` range predicate
-    * on the stats column: stat-carrying files whose range overlaps,
-    * plus every stats-less file (unknown ranges are never skipped). */
-  def plannedFilesForRange(dir: String, lo: Long, hi: Long): Seq[String] =
+    * on `statCol`: files whose recorded range on that column overlaps,
+    * plus every file with no stats FOR THAT COLUMN (unknown ranges are
+    * never skipped). */
+  def plannedFilesForRange(dir: String, statCol: String,
+                           lo: Long, hi: Long): Seq[String] =
     snapshotFilesWithStats(dir).collect {
-      case (f, None) => f
-      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+      case (f, stats) if stats.get(statCol)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi } => f
     }
 
   /** Range read with file skipping: plan only [[plannedFilesForRange]]
@@ -204,12 +229,20 @@ object ManifestTable {
   def readRange(spark: SparkSession, dir: String, statCol: String,
                 lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val paths = plannedFilesForRange(dir, lo, hi)
+    val paths = plannedFilesForRange(dir, statCol, lo, hi)
       .map(rel => new File(dataDir(dir), rel).getPath)
-    if (paths.isEmpty)
-      return read(spark, dir).filter(org.apache.spark.sql.functions.lit(false))
-    spark.read.parquet(paths: _*)
-      .filter(col(statCol) >= lo && col(statCol) <= hi)
+    if (paths.nonEmpty)
+      return spark.read.parquet(paths: _*)
+        .filter(col(statCol) >= lo && col(statCol) <= hi)
+    // every file pruned out: an empty frame in the table's schema.
+    // A zero-file snapshot has no schema to offer — fail loudly
+    // rather than let parquet throw an opaque path error.
+    val all = snapshotFiles(dir)
+    if (all.isEmpty)
+      throw new IllegalStateException(
+        s"readRange on $dir: snapshot holds no data files at all")
+    spark.read.parquet(new File(dataDir(dir), all.head).getPath)
+      .filter(org.apache.spark.sql.functions.lit(false))
   }
 
   /** Exactly-once streaming append (the Delta `txn` appId/version
@@ -261,6 +294,123 @@ object ManifestTable {
     throw new IllegalStateException(s"gave up compacting $dir after 20 conflicts")
   }
 
+  /** Row-level DELETE, copy-on-write (the Delta/Iceberg shape — the
+    * GDPR/takedown primitive a training-data warehouse cannot ship
+    * without): plan the files that hold matching rows, rewrite ONLY
+    * those files minus the matches, and commit a replacing
+    * (`reset`+adds) manifest pinned to the version that was read (the
+    * [[compact]] optimistic-concurrency rule — a concurrent append
+    * aborts and restarts the delete, never the reverse). Untouched
+    * files keep their manifest entries VERBATIM, column stats
+    * included; rewritten files get fresh stats on `statCols` so
+    * [[readRange]] pruning survives the delete. Time travel to
+    * pre-delete versions still folds to the old file list — physical
+    * erasure is [[vacuum]]'s job, exactly as in Delta.
+    *
+    * Scale shape: the affected-file scan is one pass with the
+    * predicate pushed to parquet; the rewrite touches only affected
+    * files' rows; commit metadata is O(live files). Returns the
+    * committed version, or None when nothing matched (no commit —
+    * a delete of nothing must not advance the log). */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  statCols: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.input_file_name
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val parent = resolved(dir, None)
+      val entries = fold(dir, parent).files // raw, stats suffix intact
+      val relOf = entries.map { e =>
+        val rel = e.takeWhile(_ != '|')
+        new File(dataDir(dir), rel).getCanonicalPath -> rel
+      }.toMap
+      // one predicate-pushed scan finds the files that hold matches —
+      // result is bounded by the file count, never the row count
+      val affected: Set[String] = read(spark, dir, Some(parent))
+        .filter(predicate)
+        .select(input_file_name().as("f")).distinct().collect()
+        .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
+        .map(p => relOf.getOrElse(p, throw new IllegalStateException(
+          s"matched file $p is not in the snapshot"))).toSet
+      if (affected.isEmpty) return None
+      // rewrite the affected files' survivors into fresh staged files.
+      // DELETE semantics: only predicate-IS-TRUE rows go; a NULL
+      // predicate keeps the row (so !pred alone would over-delete)
+      val survivors = spark.read.parquet(
+          affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+        .filter(!org.apache.spark.sql.functions.coalesce(
+          predicate, org.apache.spark.sql.functions.lit(false)))
+      val staged = stageFiles(survivors, dir)
+      val adds =
+        if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
+        else staged.map("add=" + _)
+      val kept = entries.filterNot(e => affected.contains(e.takeWhile(_ != '|')))
+      tryCommitAt(dir, parent + 1L, "reset" +: (kept.map("add=" + _) ++ adds)) match {
+        case Some(v) => return Some(v)
+        case None =>
+          // a commit landed on top of `parent`; replacing now would
+          // erase it — drop the stale rewrite and restart
+          staged.map(_.takeWhile(_ != '/')).distinct
+            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+      }
+    }
+    throw new IllegalStateException(s"gave up deleting from $dir after 20 conflicts")
+  }
+
+  /** The change feed (Delta CDF shape, append-only): data files ADDED
+    * by commits in `(sinceVersion, toVersion]`, stats suffixes
+    * stripped. Pure log fold over exactly the interval's manifests —
+    * O(commits polled), never O(history) — which is what a downstream
+    * incremental pipeline polls instead of re-reading the table. A
+    * REPLACING commit (`reset` from compact/deleteWhere) in the
+    * interval means the delta is not expressible as added rows; the
+    * fold throws so the consumer falls back to a full re-read. */
+  def addedFilesSince(dir: String, sinceVersion: Long,
+                      toVersion: Option[Long] = None): Seq[String] = {
+    val to = resolved(dir, toVersion)
+    require(to >= sinceVersion, s"change feed interval ($sinceVersion, $to] is negative")
+    val md = manifestDir(dir)
+    (sinceVersion + 1 to to).flatMap { v =>
+      val mf = new File(md, s"v$v.manifest")
+      if (!mf.isFile)
+        throw new IllegalStateException(
+          s"version $v missing from the log of $dir (vacuumed past it?)")
+      val lines = readLog(mf, v)
+      if (lines.contains("reset"))
+        throw new IllegalStateException(
+          s"change feed ($sinceVersion, $to] crosses a replacing commit at v$v; " +
+            "re-read the snapshot instead")
+      lines.collect { case l if l.startsWith("add=") =>
+        l.stripPrefix("add=").takeWhile(_ != '|')
+      }
+    }
+  }
+
+  /** Read the rows appended in `(sinceVersion, toVersion]` — the
+    * incremental-consumption read. Empty interval (markers-only
+    * commits, or nothing new) returns an empty frame in the table's
+    * schema. */
+  def readSince(spark: SparkSession, dir: String, sinceVersion: Long,
+                toVersion: Option[Long] = None): DataFrame = {
+    val rels = addedFilesSince(dir, sinceVersion, toVersion)
+    if (rels.nonEmpty)
+      return spark.read.parquet(
+        rels.map(rel => new File(dataDir(dir), rel).getPath): _*)
+    val all = snapshotFiles(dir, toVersion)
+    if (all.isEmpty)
+      throw new IllegalStateException(
+        s"readSince on $dir: nothing added and the snapshot holds no files")
+    spark.read.parquet(new File(dataDir(dir), all.head).getPath)
+      .filter(org.apache.spark.sql.functions.lit(false))
+  }
+
+  /** Default [[vacuum]] grace period: unreferenced files younger than
+    * this survive, protecting a concurrent writer's staged-but-not-
+    * yet-committed part files (the same race Delta's VACUUM retention
+    * window exists for — its default is 7 days). */
+  val DefaultVacuumGraceMs: Long = 24L * 60 * 60 * 1000
+
   /** Garbage-collect history. Keeps the newest `keepVersions` versions
     * (≥1): a checkpoint is first forced at the oldest KEPT version (so
     * later folds never need the dropped range), older manifests and
@@ -269,8 +419,12 @@ object ManifestTable {
     * compacted-away files and crashed-writer orphans that never made a
     * manifest. Returns (files deleted, manifests deleted). Safe
     * against the read path: surviving versions' files are never
-    * touched. */
-  def vacuum(dir: String, keepVersions: Int = 1): (Int, Int) = {
+    * touched. Safe against WRITERS via `minAgeMs`: an in-flight
+    * append's staged `txn-*` files are unreferenced until its commit
+    * lands, so the sweep spares anything younger than the grace
+    * period (mtime). Pass 0 only when no writer can be in flight. */
+  def vacuum(dir: String, keepVersions: Int = 1,
+             minAgeMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val md = manifestDir(dir)
     val manifests = Option(md.listFiles()).getOrElse(Array.empty)
@@ -279,13 +433,17 @@ object ManifestTable {
     val (drop, keep) = manifests.splitAt(math.max(0, manifests.length - keepVersions))
     val oldestKept = keep.head._1
     writeCheckpoint(dir, oldestKept) // folds BEFORE history is dropped
+    // live = surviving versions' files, stats suffix STRIPPED — the
+    // raw fold entries carry `|stat=..` for stats-commits and would
+    // never string-match an on-disk relative path
     val live: Set[String] =
-      keep.flatMap { case (v, _) => fold(dir, v).files }.toSet
+      keep.flatMap { case (v, _) => fold(dir, v).files.map(_.takeWhile(_ != '|')) }.toSet
     drop.foreach { case (_, f) => f.delete(): Unit }
     // checkpoints strictly below the oldest kept version are useless now
     Option(md.listFiles()).getOrElse(Array.empty)
       .filter(f => versionOf(f, ".checkpoint").exists(_ < oldestKept))
       .foreach(_.delete(): Unit)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0
     for {
       txnDir <- Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
@@ -293,7 +451,9 @@ object ManifestTable {
       f <- Option(txnDir.listFiles()).getOrElse(Array.empty)
     } {
       val rel = s"${txnDir.getName}/${f.getName}"
-      if (!live.contains(rel)) { if (f.delete()) removed += 1 }
+      if (!live.contains(rel) && f.lastModified() <= cutoff) {
+        if (f.delete()) removed += 1
+      }
     }
     // drop now-empty txn dirs
     Option(dataDir(dir).listFiles()).getOrElse(Array.empty)

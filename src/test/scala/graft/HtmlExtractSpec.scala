@@ -24,6 +24,20 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(e.nLinks == 0, "decoy <a> inside script must not count")
   }
 
+  test("many script blocks and mixed-case close tags all raw-skip (single-pass scan)") {
+    // A real crawled page shape: dozens of script blocks. The close-tag
+    // scan must be ignore-case (</SCRIPT>, </Script>) and must not
+    // re-copy the document per block (regionMatches scan, no toLowerCase).
+    val blocks = (1 to 40).map { i =>
+      val close = if (i % 3 == 0) "</SCRIPT>" else if (i % 3 == 1) "</Script>" else "</script>"
+      s"<script>var x$i = '<p>decoy $i</p>';$close"
+    }.mkString
+    val e = ex(s"<body><p>head</p>$blocks<STYLE>p{}</StYlE><p>tail</p></body>")
+    assert(e.text == "head tail")
+    assert(e.nScripts == 40)
+    assert(e.nLinks == 0)
+  }
+
   test("link-density rule: navs die, prose with incidental links lives") {
     val e = ex(
       """<div><a href="/">Home</a> <a href="/b">About</a></div>

@@ -129,7 +129,7 @@ class ManifestSinkSpec extends AnyFunSuite {
     (100 until 110).map(i => (i, "orphan")).toDF("id", "v")
       .write.parquet(s"$dir/data/txn-crashed")
     ManifestTable.compact(spark, dir)
-    val (files, manifests) = ManifestTable.vacuum(dir, keepVersions = 1)
+    val (files, manifests) = ManifestTable.vacuum(dir, keepVersions = 1, minAgeMs = 0)
     assert(manifests == 2, s"expected v0,v1 dropped, got $manifests")
     assert(files > 0, "nothing vacuumed")
     // the live snapshot is intact and orphans are gone from disk
@@ -173,9 +173,9 @@ class ManifestSinkSpec extends AnyFunSuite {
       (100 until 110).map(i => (i.toLong, s"b$i")).toDF("k", "v").coalesce(1), dir, "k")
     // a plain append carries no stats: unknown range, always planned
     ManifestTable.append(spark, Seq((55L, "nostat")).toDF("k", "v"), dir)
-    assert(ManifestTable.plannedFilesForRange(dir, 0, 5).size == 2,
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 0, 5).size == 2,
       "expected the [0,9] file + the stats-less file")
-    assert(ManifestTable.plannedFilesForRange(dir, 200, 300).size == 1,
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 200, 300).size == 1,
       "only the stats-less file can overlap [200,300]")
     val got = ManifestTable.readRange(spark, dir, "k", 3, 104)
       .select($"k").as[Long].collect().sorted
@@ -184,8 +184,150 @@ class ManifestSinkSpec extends AnyFunSuite {
     // compaction rewrites without stats: correct, just not prunable
     ManifestTable.compact(spark, dir)
     assert(ManifestTable.readRange(spark, dir, "k", 3, 4).count() == 2)
-    assert(ManifestTable.plannedFilesForRange(dir, 1000, 2000).size ==
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 1000, 2000).size ==
       ManifestTable.snapshotFiles(dir).size, "post-compaction files have unknown ranges")
+  }
+
+  test("vacuum never deletes the live files of a stats-carrying table") {
+    // regression: the live set must strip the |stat=.. suffix from
+    // fold entries, or every appendWithStats file looks like an orphan
+    val dir = freshDir()
+    ManifestTable.appendWithStats(spark,
+      (0 until 10).map(i => (i.toLong, s"a$i")).toDF("k", "v").coalesce(1), dir, "k")
+    ManifestTable.appendWithStats(spark,
+      (100 until 110).map(i => (i.toLong, s"b$i")).toDF("k", "v").coalesce(1), dir, "k")
+    val live = ManifestTable.snapshotFiles(dir)
+    ManifestTable.vacuum(dir, keepVersions = 1, minAgeMs = 0)
+    assert(live.forall(r => new java.io.File(dir, s"data/$r").isFile),
+      "vacuum deleted LIVE stats-carrying data files")
+    assert(ManifestTable.read(spark, dir).count() == 20)
+    // and the stats still prune
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 0, 5).size == 1)
+  }
+
+  test("vacuum grace period: young unreferenced files survive (in-flight writer race), old ones die") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 5).map(i => (i, "live")).toDF("id", "v"), dir)
+    // an in-flight writer's staged-but-uncommitted files (young mtime)
+    val staged = new java.io.File(dir, "data/txn-inflight")
+    Seq((99, "inflight")).toDF("id", "v").write.parquet(staged.getPath)
+    val stagedRels = staged.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => s"txn-inflight/${f.getName}").sorted
+    // a crashed writer's orphan from long ago (old mtime)
+    val old = new java.io.File(dir, "data/txn-ancient")
+    Seq((50, "ancient")).toDF("id", "v").write.parquet(old.getPath)
+    old.listFiles().foreach(f => assert(f.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000)))
+    val (removed, _) = ManifestTable.vacuum(dir, keepVersions = 1)
+    assert(stagedRels.forall(r => new java.io.File(dir, s"data/$r").isFile),
+      "vacuum destroyed an in-flight writer's staged files")
+    assert(!new java.io.File(dir, "data/txn-ancient").exists(),
+      s"old orphan survived (removed=$removed)")
+    // the race completes: the in-flight writer now COMMITS its staged
+    // files, and the table reads back whole
+    Files.write(new java.io.File(dir, "_manifest/v1.manifest").toPath,
+      ("version=1" +: stagedRels.toSeq.map("add=" + _))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 6, "committed-after-vacuum rows lost")
+    assert(back.filter($"v" === "inflight").count() == 1)
+  }
+
+  test("multi-column stats: each stated column prunes independently") {
+    val dir = freshDir()
+    // file A: k in [0,9], m in [1000,1009]; file B: k in [100,109], m in [0,9]
+    ManifestTable.appendWithStats(spark,
+      (0 until 10).map(i => (i.toLong, 1000L + i, "a")).toDF("k", "m", "v").coalesce(1),
+      dir, "k", "m")
+    ManifestTable.appendWithStats(spark,
+      (100 until 110).map(i => (i.toLong, i.toLong - 100, "b")).toDF("k", "m", "v").coalesce(1),
+      dir, "k", "m")
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 0, 5).size == 1)
+    assert(ManifestTable.plannedFilesForRange(dir, "m", 0, 5).size == 1)
+    assert(ManifestTable.readRange(spark, dir, "m", 1000, 1003).count() == 4)
+    // a column with no recorded stats is never skipped
+    assert(ManifestTable.plannedFilesForRange(dir, "nope", 0, 0).size == 2)
+    // zero-row slices are dropped at commit: no stats-less debris
+    ManifestTable.appendWithStats(spark,
+      (0 until 10).map(i => (i.toLong, i.toLong, "c")).toDF("k", "m", "v")
+        .filter($"k" < 0).coalesce(1), dir, "k", "m")
+    assert(ManifestTable.snapshotFiles(dir).size == 2,
+      "an empty slice committed a zero-row file")
+  }
+
+  test("deleteWhere: copy-on-write delete, time travel intact, untouched stats preserved") {
+    val dir = freshDir()
+    ManifestTable.appendWithStats(spark,
+      (0 until 10).map(i => (i.toLong, s"a$i")).toDF("k", "v").coalesce(1), dir, "k")
+    ManifestTable.appendWithStats(spark,
+      (100 until 110).map(i => (i.toLong, s"b$i")).toDF("k", "v").coalesce(1), dir, "k")
+    val dv = ManifestTable.deleteWhere(spark, dir, $"k" >= 104, Seq("k"))
+    assert(dv.contains(2L))
+    val back = ManifestTable.read(spark, dir).select($"k").as[Long].collect().sorted
+    assert(back.sameElements((0L to 9L) ++ (100L to 103L)), back.mkString(","))
+    // time travel: the pre-delete snapshot still folds whole
+    assert(ManifestTable.read(spark, dir, Some(1L)).count() == 20)
+    // the untouched file kept its stats verbatim; the rewritten file
+    // got fresh bounds covering only its survivors
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 0, 5).size == 1)
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 105, 200).isEmpty,
+      "rewritten file's stats still cover deleted rows")
+    // a delete matching nothing commits nothing
+    assert(ManifestTable.deleteWhere(spark, dir, $"k" > 9999).isEmpty)
+    assert(ManifestTable.latestVersion(dir).contains(2L))
+  }
+
+  test("deleteWhere: NULL-predicate rows survive (SQL DELETE semantics)") {
+    val dir = freshDir()
+    ManifestTable.append(spark,
+      Seq((1L, Some("x")), (2L, None), (3L, Some("kill"))).toDF("k", "v"), dir)
+    ManifestTable.deleteWhere(spark, dir, $"v" === "kill")
+    val back = ManifestTable.read(spark, dir).select($"k").as[Long].collect().sorted
+    assert(back.sameElements(Seq(1L, 2L)), s"NULL row deleted: ${back.mkString(",")}")
+  }
+
+  test("deleteWhere aborted by a concurrent append restarts and never erases the appended rows") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 8).map(i => (i, "a")).toDF("id", "v"), dir)
+    // steal v1 with a hand-committed concurrent append (the compact-race recipe)
+    val stagedDir = new java.io.File(dir, "data/txn-racer2")
+    Seq((99, "racer")).toDF("id", "v").write.parquet(stagedDir.getPath)
+    val racerFiles = stagedDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => s"txn-racer2/${f.getName}").sorted
+    Files.write(new java.io.File(dir, "_manifest/v1.manifest").toPath,
+      ("version=1" +: racerFiles.toSeq.map("add=" + _))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val dv = ManifestTable.deleteWhere(spark, dir, $"id" < 4)
+    assert(dv.contains(2L), "delete should restart on top of the racer's commit")
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 5, "concurrent append erased by delete")
+    assert(back.filter($"v" === "racer").count() == 1)
+  }
+
+  test("change feed: readSince returns exactly the interval's added rows; resets refuse") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 10).map(i => (i, "a")).toDF("id", "v"), dir)
+    ManifestTable.append(spark, (10 until 15).map(i => (i, "b")).toDF("id", "v"), dir)
+    ManifestTable.append(spark, (15 until 18).map(i => (i, "c")).toDF("id", "v"), dir)
+    // (0, 2]: versions 1 and 2 only
+    val feed = ManifestTable.readSince(spark, dir, 0L)
+      .select($"id").as[Int].collect().sorted
+    assert(feed.sameElements(10 until 18), feed.mkString(","))
+    // bounded upper end
+    assert(ManifestTable.readSince(spark, dir, 0L, Some(1L)).count() == 5)
+    // full table from the epoch
+    assert(ManifestTable.readSince(spark, dir, -1L).count() == 18)
+    // empty interval: empty frame, table schema
+    val empty = ManifestTable.readSince(spark, dir, 2L)
+    assert(empty.count() == 0 && empty.columns.sameElements(Array("id", "v")))
+    // a replacing commit is not expressible as added rows
+    ManifestTable.compact(spark, dir)
+    intercept[IllegalStateException](ManifestTable.readSince(spark, dir, 2L))
+    // …but the feed AFTER the reset works again
+    ManifestTable.append(spark, Seq((99, "d")).toDF("id", "v"), dir)
+    assert(ManifestTable.readSince(spark, dir, 3L).count() == 1)
   }
 
   test("concurrent appends from many threads: every row survives, versions are dense") {

@@ -19,7 +19,7 @@ class Round13EdgeSpec extends AnyFunSuite {
       .select($"query_id", $"doc_id", $"rk", $"rrf_score", $"lex_rk", $"vec_rk")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
-    def pts(rk: Long): Long = if (rk == 0) 0L else 1000000000000L / (rk + 59)
+    def pts(rk: Long): Long = if (rk == 0) 0L else 1000000000000L / (rk + 60)
     rows.foreach { case (q, d, _, rrf, lex, vec) =>
       assert(rrf == pts(lex) + pts(vec),
         s"q=$q d=$d: rrf=$rrf != pts($lex)+pts($vec)")
