@@ -1,0 +1,803 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+/** Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) — encoder and
+  * decoder from scratch, completing the web-image codec arc after
+  * BMP/PNG/GIF (reference kept no decoders at all — ClickThru.java is
+  * log analytics; this is the §F multimodal extension surface).
+  *
+  * Decoder scope (the dominant crawled-image shape): SOI/APPn/COM/DQT
+  * (8- and 16-bit precision)/DHT/SOF0/DRI/SOS/RSTn/EOI; 1-component
+  * grayscale and 3-component YCbCr; arbitrary sampling factors 1-2
+  * per axis (4:4:4, 4:2:2, 4:2:0); interleaved single scan; entropy
+  * byte-unstuffing; per-component DC prediction with restart-interval
+  * resets. Progressive (SOF2) and arithmetic coding are out of scope
+  * and return None — a corpus pipeline routes those to a fallback,
+  * it never crashes on them.
+  *
+  * Encoder scope: JFIF baseline, standard Annex K Huffman tables,
+  * quality-style quant tables with DC steps forced to 8 (see below),
+  * 4:4:4 or 4:2:0, grayscale or color.
+  *
+  * Exactness discipline (how a LOSSY codec gets an exact oracle): for
+  * a block that is one constant value v, the FDCT is DC-only with
+  * DC = 8·(v-128); with a DC quant step of 8 the coded coefficient
+  * is exactly v-128 and the IDCT reproduces v bit-exactly. The gated
+  * key feeds constant 8×8 cells through the FULL general pipeline
+  * (FDCT → quant → Huffman → unstuff → decode → dequant → IDCT), so
+  * the DuckDB oracle can re-derive every pixel; gradient content is
+  * cross-validated against ImageIO in JpegDecodeSpec instead (both
+  * directions, tolerance bounded by IDCT rounding).
+  *
+  * Scale shape: everything here is per-blob CPU inside one scan
+  * stage — blobs decode where they land, nothing shuffles pixels. */
+object Jpeg {
+
+  // zig-zag position k → natural (row-major) coefficient index
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.1/K.2 quantization tables (natural order built from the
+  // spec's zigzag listing), DC step overridden to 8 — any step in
+  // {1,2,4,8} makes constant-block DCs lossless; AC steps are free
+  // because a constant block has zero ACs.
+  private val LumQuant: Array[Int] = {
+    val zz = Array(
+      16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+      26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+      56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+      95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+      103, 99)
+    val nat = new Array[Int](64)
+    var k = 0; while (k < 64) { nat(Zigzag(k)) = zz(k); k += 1 }
+    nat(0) = 8
+    nat
+  }
+  private val ChromaQuant: Array[Int] = {
+    val zz = Array(
+      17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+    val nat = new Array[Int](64)
+    var k = 0; while (k < 64) { nat(Zigzag(k)) = zz(k); k += 1 }
+    nat(0) = 8
+    nat
+  }
+
+  // Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL)
+  private val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).map(_.toByte).toArray
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = (0 to 11).map(_.toByte).toArray
+  private val AcLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+  private val AcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+
+  /** Canonical Huffman codes from a (BITS, HUFFVAL) spec:
+    * symbol → (code, length). */
+  private def buildCodes(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += (vals(k) & 0xff) -> ((code, len))
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------------------
+  // encoder
+  // ----------------------------------------------------------------
+
+  private final class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1-bits per spec
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            sum += block(y * 8 + x) *
+              math.cos((2 * x + 1) * u * math.Pi / 16) *
+              math.cos((2 * y + 1) * v * math.Pi / 16)
+            y += 1
+          }
+          x += 1
+        }
+        val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+        out(v * 8 + u) = 0.25 * cu * cv * sum
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  /** Encode one 8×8 block: quantize, DC-diff, Huffman. Returns the new
+    * DC predictor. */
+  private def encodeBlock(bw: BitWriter, samples: Array[Double], quant: Array[Int],
+                          dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
+                          dcPred: Int): Int = {
+    val coef = fdct(samples)
+    val q = new Array[Int](64)
+    var i = 0
+    while (i < 64) { q(i) = math.round(coef(i) / quant(i)).toInt; i += 1 }
+    // DC
+    val diff = q(0) - dcPred
+    val cat = category(diff)
+    val (dcode, dlen) = dcCodes(cat)
+    bw.put(dcode, dlen)
+    if (cat > 0) {
+      val bits = if (diff >= 0) diff else diff + (1 << cat) - 1
+      bw.put(bits, cat)
+    }
+    // AC in zigzag order with run-length + ZRL + EOB
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = q(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { val (c, l) = acCodes(0xf0); bw.put(c, l); run -= 16 }
+        val sz = category(v)
+        val (c, l) = acCodes((run << 4) | sz)
+        bw.put(c, l)
+        val bits = if (v >= 0) v else v + (1 << sz) - 1
+        bw.put(bits, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (c, l) = acCodes(0x00); bw.put(c, l) } // EOB
+    q(0)
+  }
+
+  /** Extract the 8×8 block at (bx, by) from `plane` (pw×ph), edge-
+    * replicating beyond the boundary, level-shifted by -128. */
+  private def block(plane: Array[Int], pw: Int, ph: Int, bx: Int, by: Int): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(by * 8 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx * 8 + x, pw - 1)
+        out(y * 8 + x) = plane(sy * pw + sx) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Baseline JFIF encoder. `rgb(x, y)` returns packed 0xRRGGBB.
+    * `gray` writes a 1-component file; `subsample420` writes luma 2×2 /
+    * chroma 1×1 (chroma planes box-averaged). */
+  def encode(w: Int, h: Int, rgb: (Int, Int) => Int,
+             gray: Boolean = false, subsample420: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val out = new ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); be16(body.length + 2); out.write(body, 0, body.length)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: table 0 (luma) and, for color, table 1 (chroma); zigzag order
+    def dqtBody(id: Int, q: Array[Int]): Array[Byte] = {
+      val b = new Array[Byte](65)
+      b(0) = id.toByte
+      var k = 0; while (k < 64) { b(1 + k) = q(Zigzag(k)).toByte; k += 1 }
+      b
+    }
+    seg(0xdb, dqtBody(0, LumQuant))
+    if (!gray) seg(0xdb, dqtBody(1, ChromaQuant))
+    // SOF0
+    val nComp = if (gray) 1 else 3
+    val sof = new ByteArrayOutputStream()
+    sof.write(8); sof.write((h >>> 8) & 0xff); sof.write(h & 0xff)
+    sof.write((w >>> 8) & 0xff); sof.write(w & 0xff); sof.write(nComp)
+    val lumaSamp = if (subsample420 && !gray) 0x22 else 0x11
+    sof.write(1); sof.write(lumaSamp); sof.write(0)
+    if (!gray) {
+      sof.write(2); sof.write(0x11); sof.write(1)
+      sof.write(3); sof.write(0x11); sof.write(1)
+    }
+    seg(0xc0, sof.toByteArray)
+    // DHT
+    def dhtBody(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      b.write((cls << 4) | id)
+      bits.foreach(b.write)
+      b.write(vals, 0, vals.length)
+      b.toByteArray
+    }
+    seg(0xc4, dhtBody(0, 0, DcLumBits, DcLumVals))
+    seg(0xc4, dhtBody(1, 0, AcLumBits, AcLumVals))
+    if (!gray) {
+      seg(0xc4, dhtBody(0, 1, DcChromaBits, DcChromaVals))
+      seg(0xc4, dhtBody(1, 1, AcChromaBits, AcChromaVals))
+    }
+    // SOS
+    val sos = new ByteArrayOutputStream()
+    sos.write(nComp)
+    sos.write(1); sos.write(0x00)
+    if (!gray) { sos.write(2); sos.write(0x11); sos.write(3); sos.write(0x11) }
+    sos.write(0); sos.write(63); sos.write(0)
+    seg(0xda, sos.toByteArray)
+
+    // component planes (BT.601 full-range YCbCr)
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](w * h)
+    val crP = new Array[Int](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val p = rgb(xx, yy)
+        val r = (p >>> 16) & 0xff; val g = (p >>> 8) & 0xff; val b = p & 0xff
+        val i = yy * w + xx
+        yP(i) = clamp8(math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt)
+        cbP(i) = clamp8(math.round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b).toInt)
+        crP(i) = clamp8(math.round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b).toInt)
+        xx += 1
+      }
+      yy += 1
+    }
+    val dcLumCodes = buildCodes(DcLumBits, DcLumVals)
+    val acLumCodes = buildCodes(AcLumBits, AcLumVals)
+    val dcChrCodes = buildCodes(DcChromaBits, DcChromaVals)
+    val acChrCodes = buildCodes(AcChromaBits, AcChromaVals)
+    val bw = new BitWriter(out)
+    if (gray) {
+      val bxs = (w + 7) / 8; val bys = (h + 7) / 8
+      var dc = 0
+      var by = 0
+      while (by < bys) {
+        var bx = 0
+        while (bx < bxs) {
+          dc = encodeBlock(bw, block(yP, w, h, bx, by), LumQuant, dcLumCodes, acLumCodes, dc)
+          bx += 1
+        }
+        by += 1
+      }
+    } else if (!subsample420) {
+      // 4:4:4 interleaved: per MCU one block of each component
+      val bxs = (w + 7) / 8; val bys = (h + 7) / 8
+      var dcY = 0; var dcCb = 0; var dcCr = 0
+      var by = 0
+      while (by < bys) {
+        var bx = 0
+        while (bx < bxs) {
+          dcY = encodeBlock(bw, block(yP, w, h, bx, by), LumQuant, dcLumCodes, acLumCodes, dcY)
+          dcCb = encodeBlock(bw, block(cbP, w, h, bx, by), ChromaQuant, dcChrCodes, acChrCodes, dcCb)
+          dcCr = encodeBlock(bw, block(crP, w, h, bx, by), ChromaQuant, dcChrCodes, acChrCodes, dcCr)
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // 4:2:0: MCU = 4 luma blocks + 1 Cb + 1 Cr over a 16×16 tile;
+      // chroma planes are 2×2 box means
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val cbS = new Array[Int](cw * ch)
+      val crS = new Array[Int](cw * ch)
+      var cy = 0
+      while (cy < ch) {
+        var cx = 0
+        while (cx < cw) {
+          var sCb = 0; var sCr = 0; var n = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val sx = cx * 2 + dx; val sy = cy * 2 + dy
+              if (sx < w && sy < h) {
+                sCb += cbP(sy * w + sx); sCr += crP(sy * w + sx); n += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          cbS(cy * cw + cx) = (sCb + n / 2) / n
+          crS(cy * cw + cx) = (sCr + n / 2) / n
+          cx += 1
+        }
+        cy += 1
+      }
+      val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+      var dcY = 0; var dcCb = 0; var dcCr = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var v = 0
+          while (v < 2) {
+            var u = 0
+            while (u < 2) {
+              dcY = encodeBlock(bw, block(yP, w, h, mx * 2 + u, my * 2 + v),
+                LumQuant, dcLumCodes, acLumCodes, dcY)
+              u += 1
+            }
+            v += 1
+          }
+          dcCb = encodeBlock(bw, block(cbS, cw, ch, mx, my), ChromaQuant, dcChrCodes, acChrCodes, dcCb)
+          dcCr = encodeBlock(bw, block(crS, cw, ch, mx, my), ChromaQuant, dcChrCodes, acChrCodes, dcCr)
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ----------------------------------------------------------------
+  // decoder
+  // ----------------------------------------------------------------
+
+  /** Fast canonical-Huffman decode table: firstCode/firstIndex per
+    * length (the T.81 DECODE procedure). */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (bits(len - 1) == 0) { minCode(len) = 0; maxCode(len) = -1; valPtr(len) = 0 }
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + (code - minCode(len))) & 0xff
+  }
+
+  /** Bit reader over the entropy-coded segment: unstuffs FF00, stops
+    * at any other marker (leaving it for the caller), surfaces RSTn. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var atMarker: Int = -1 // marker byte seen (e.g. 0xD9), or -1
+
+    def dropToByte(): Unit = { acc = 0; nbits = 0 }
+
+    private def fill(): Boolean = {
+      if (atMarker >= 0) return false
+      if (pos >= b.length) return false
+      val v = b(pos) & 0xff
+      if (v == 0xff) {
+        if (pos + 1 >= b.length) return false
+        val m = b(pos + 1) & 0xff
+        if (m == 0x00) { pos += 2; acc = (acc << 8) | 0xff; nbits += 8; true }
+        else { atMarker = m; false } // a real marker: stop
+      } else { pos += 1; acc = (acc << 8) | v; nbits += 8; true }
+    }
+
+    /** Next bit, or -1 at a marker/end (missing data decodes as 0 per
+      * the usual tolerant-decoder convention? No — we fail clean). */
+    def bit(): Int = {
+      if (nbits == 0 && !fill()) return -1
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+
+    def bitsValue(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val x = bit()
+        if (x < 0) throw new DecodeFail
+        v = (v << 1) | x
+        i += 1
+      }
+      v
+    }
+
+    def decodeHuff(t: HuffTable): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        val x = bit()
+        if (x < 0) throw new DecodeFail
+        code = (code << 1) | x
+        len += 1
+        if (t.maxCode(len) >= 0 && code <= t.maxCode(len) && code >= t.minCode(len))
+          return t.value(len, code)
+      }
+      throw new DecodeFail
+    }
+
+    /** Consume an expected RST marker; returns its index 0-7 or -1. */
+    def takeRst(): Int = {
+      // any buffered bits are padding before the marker
+      dropToByte()
+      if (atMarker < 0) {
+        // marker not yet seen: scan forward (pos sits ON 0xff if so)
+        if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff) {
+          atMarker = b(pos + 1) & 0xff
+          pos += 2
+        } else return -1
+      } else {
+        pos += 2 // step past the ff xx we stopped on
+      }
+      val m = atMarker
+      if (m >= 0xd0 && m <= 0xd7) { atMarker = -1; m - 0xd0 } else -1
+    }
+  }
+
+  private final class DecodeFail extends RuntimeException
+
+  private def extend(v: Int, sz: Int): Int =
+    if (sz == 0) 0
+    else if (v < (1 << (sz - 1))) v - (1 << sz) + 1
+    else v
+
+  private def idct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+              val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+              sum += cu * cv * c *
+                math.cos((2 * x + 1) * u * math.Pi / 16) *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        out(y * 8 + x) = clamp8(math.round(0.25 * sum).toInt + 128)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private case class Comp(id: Int, hSamp: Int, vSamp: Int, quantId: Int,
+                          var dcTab: Int = 0, var acTab: Int = 0)
+
+  /** Decode a baseline JPEG to (w, h, packed 0xRRGGBB row-major).
+    * None on anything outside the supported baseline profile or any
+    * structural corruption — a curation pipeline must route bad blobs
+    * to a quarantine count, never throw. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    try decodeOrThrow(b)
+    catch { case _: DecodeFail | _: ArrayIndexOutOfBoundsException |
+                 _: NoSuchElementException | _: NegativeArraySizeException => None }
+  }
+
+  private def decodeOrThrow(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+
+    def be16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      val m = b(pos + 1) & 0xff
+      if (m == 0xd9) return None // EOI before any scan
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 } // standalone
+      else {
+        val len = be16(pos + 2)
+        if (len < 2 || pos + 2 + len > b.length) return None
+        val body = pos + 4
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var p = body
+            while (p < pos + 2 + len) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = (b(p) & 0xff) & 0x0f
+              if (tq > 3) return None
+              val t = new Array[Int](64)
+              var k = 0
+              if (pq == 0) {
+                while (k < 64) { t(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+                p += 65
+              } else {
+                while (k < 64) { t(Zigzag(k)) = be16(p + 1 + 2 * k); k += 1 }
+                p += 129
+              }
+              quant(tq) = t
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = body
+            while (p < pos + 2 + len) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = (b(p) & 0xff) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val bits = (0 until 16).map(i => b(p + 1 + i) & 0xff).toArray
+              val n = bits.sum
+              if (n > 256) return None
+              val vals = new Array[Byte](n)
+              System.arraycopy(b, p + 17, vals, 0, n)
+              val tab = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + n
+            }
+          case 0xc0 | 0xc1 => // baseline / extended sequential SOF
+            h = be16(body + 1); w = be16(body + 3)
+            val n = b(body + 5) & 0xff
+            if (w <= 0 || h <= 0 || (n != 1 && n != 3)) return None
+            comps = (0 until n).map { i =>
+              val o = body + 6 + 3 * i
+              val samp = b(o + 1) & 0xff
+              val cs = Comp(b(o) & 0xff, samp >> 4, samp & 0x0f, b(o + 2) & 0xff)
+              if (cs.hSamp < 1 || cs.hSamp > 2 || cs.vSamp < 1 || cs.vSamp > 2)
+                return None
+              cs
+            }.toArray
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return None // progressive/lossless/arithmetic: out of scope
+          case 0xdd => restartInterval = be16(body)
+          case 0xda => // SOS — decode the scan and finish
+            if (comps == null) return None
+            val ns = b(body) & 0xff
+            if (ns != comps.length) return None // non-interleaved: out of scope
+            var o = body + 1
+            var i = 0
+            while (i < ns) {
+              val cid = b(o) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcTab = (b(o + 1) & 0xff) >> 4
+              c.acTab = (b(o + 1) & 0xff) & 0x0f
+              o += 2; i += 1
+            }
+            return decodeScan(b, pos + 2 + len, w, h, comps, quant, dcTabs,
+              acTabs, restartInterval)
+          case _ => // APPn, COM, others: skip
+        }
+        pos += 2 + len
+      }
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
+                         comps: Array[Comp], quant: Array[Array[Int]],
+                         dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+                         restartInterval: Int): Option[(Int, Int, Array[Int])] = {
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component plane sized to the MCU grid
+    val planes = comps.map(c => new Array[Int](mcusX * c.hSamp * 8 * mcusY * c.vSamp * 8))
+    val planeW = comps.map(c => mcusX * c.hSamp * 8)
+    val dcPred = new Array[Int](comps.length)
+    val br = new BitReader(b, start)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (br.takeRst() < 0) return None
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = quant(c.quantId)
+        if (q == null) return None
+        val dcT = dcTabs(c.dcTab); val acT = acTabs(c.acTab)
+        if (dcT == null || acT == null) return None
+        var v = 0
+        while (v < c.vSamp) {
+          var u = 0
+          while (u < c.hSamp) {
+            val coef = new Array[Int](64)
+            val cat = br.decodeHuff(dcT)
+            val diff = extend(br.bitsValue(cat), cat)
+            dcPred(ci) += diff
+            coef(0) = dcPred(ci) * q(0)
+            var k = 1
+            while (k < 64) {
+              val rs = br.decodeHuff(acT)
+              val r = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63) throw new DecodeFail
+                coef(Zigzag(k)) = extend(br.bitsValue(sz), sz) * q(Zigzag(k))
+                k += 1
+              }
+            }
+            val px = idct(coef)
+            val bx = mx * c.hSamp + u
+            val by = my * c.vSamp + v
+            val pw = planeW(ci)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            u += 1
+          }
+          v += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // compose RGB with nearest-neighbor chroma upsampling
+    val out = new Array[Int](w * h)
+    if (comps.length == 1) {
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = planes(0)(y * pw + x)
+          out(y * w + x) = (g << 16) | (g << 8) | g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def sample(ci: Int): Int = {
+            val c = comps(ci)
+            val sx = x * c.hSamp / hMax
+            val sy = y * c.vSamp / vMax
+            planes(ci)(sy * planeW(ci) + sx)
+          }
+          val yv = sample(0)
+          val cb = sample(1) - 128
+          val cr = sample(2) - 128
+          val r = clamp8(math.round(yv + 1.402 * cr).toInt)
+          val g = clamp8(math.round(yv - 0.344136286 * cb - 0.714136286 * cr).toInt)
+          val bl = clamp8(math.round(yv + 1.772 * cb).toInt)
+          out(y * w + x) = (r << 16) | (g << 8) | bl
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some((w, h, out))
+  }
+
+  /** Per-pixel integer luma of a decoded JPEG — the [[Multimodal]]
+    * luminance convention ((299R+587G+114B)/1000). */
+  def luminance(b: Array[Byte]): Option[Array[Long]] =
+    decode(b).map { case (w, h, px) =>
+      val out = new Array[Long](w * h)
+      var i = 0
+      while (i < px.length) {
+        val r = (px(i) >>> 16) & 0xff
+        val g = (px(i) >>> 8) & 0xff
+        val bl = px(i) & 0xff
+        out(i) = (299L * r + 587L * g + 114L * bl) / 1000L
+        i += 1
+      }
+      out
+    }
+}

@@ -1,0 +1,200 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Jpeg
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** Round-14: the from-scratch baseline JPEG codec, cross-validated in
+  * BOTH directions against the JDK's independent ImageIO/libjpeg
+  * implementation (the GifDecodeSpec discipline):
+  *
+  *  - our encoder's files must decode correctly under ImageIO, and
+  *  - ImageIO-encoded files must decode correctly under our decoder,
+  *
+  * with exact equality where the math is exact (constant 8×8 cells,
+  * DC quant step 8) and an IDCT-rounding tolerance on gradient
+  * content (two correct baseline decoders may differ by ±1 per
+  * stage: IDCT rounding and color-convert rounding). */
+class JpegDecodeSpec extends AnyFunSuite {
+
+  private def cellImage(w: Int, h: Int, seed: Long): (Int, Int) => Int = {
+    val nbx = (w + 7) / 8
+    (x, y) => {
+      val v = ((seed * 41 + (y / 8).toLong * nbx + (x / 8)) % 256).toInt
+      (v << 16) | (v << 8) | v
+    }
+  }
+
+  private def imageioDecode(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(b))
+    assert(img != null, "ImageIO could not parse our JPEG")
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h)
+    val gray = img.getRaster.getNumBands == 1
+    for (y <- 0 until h; x <- 0 until w)
+      px(y * w + x) =
+        if (gray) {
+          // raster samples, NOT getRGB: a TYPE_BYTE_GRAY image lives
+          // in a linear gray color space and getRGB gamma-converts to
+          // sRGB, silently shifting every value
+          val v = img.getRaster.getSample(x, y, 0)
+          (v << 16) | (v << 8) | v
+        } else img.getRGB(x, y) & 0xffffff
+    (w, h, px)
+  }
+
+  private def maxChannelDiff(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (p, q) =>
+      Seq(16, 8, 0).map(s => math.abs(((p >> s) & 0xff) - ((q >> s) & 0xff))).max
+    }.max
+
+  test("constant-cell images round-trip EXACTLY through encode+decode in all three profiles") {
+    for ((gray, sub) <- Seq((true, false), (false, false), (false, true));
+         (w, h) <- Seq((8, 8), (20, 13), (5, 27), (16, 16))) {
+      val f = cellImage(w, h, seed = w * 31L + h + (if (gray) 1 else 0) + (if (sub) 7 else 0))
+      val enc = Jpeg.encode(w, h, f, gray = gray, subsample420 = sub)
+      val (dw, dh, px) = Jpeg.decode(enc).getOrElse(fail(s"decode failed gray=$gray sub=$sub ${w}x$h"))
+      assert((dw, dh) == ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == f(x, y),
+          s"pixel ($x,$y) gray=$gray sub=$sub: got ${px(y * w + x)}%06x want ${f(x, y)}%06x")
+    }
+  }
+
+  test("our encoder's files decode under ImageIO: constant cells exact, all profiles") {
+    for ((gray, sub) <- Seq((true, false), (false, false), (false, true))) {
+      val (w, h) = (21, 14)
+      val f = cellImage(w, h, seed = 99)
+      val enc = Jpeg.encode(w, h, f, gray = gray, subsample420 = sub)
+      val (dw, dh, px) = imageioDecode(enc)
+      assert((dw, dh) == ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == f(x, y),
+          f"ImageIO pixel ($x,$y) gray=$gray sub=$sub: ${px(y * w + x)}%06x want ${f(x, y)}%06x")
+    }
+  }
+
+  test("gradient color content: our decoder and ImageIO agree within IDCT rounding on OUR files") {
+    val (w, h) = (24, 17)
+    // smooth ramps (no mod-256 wraps: a wrap is a step edge whose DCT
+    // ringing amplifies legitimate decoder-rounding differences)
+    def smooth(x: Int, y: Int): Int = {
+      val r = math.min(255, x * 7 + y * 3)
+      val g = math.min(255, 40 + x * 3 + y * 5)
+      val b = math.min(255, 90 + x * 2 + y * 4)
+      (r << 16) | (g << 8) | b
+    }
+    // 4:4:4 — no upsampling filter in play, full color content
+    val enc = Jpeg.encode(w, h, smooth)
+    val (_, _, mine) = Jpeg.decode(enc).get
+    val (_, _, theirs) = imageioDecode(enc)
+    val d = maxChannelDiff(mine, theirs)
+    assert(d <= 2, s"4:4:4: max channel diff $d between two decoders of the same file")
+    // 4:2:0 — neutral chroma isolates the luma+MCU-interleave pipeline
+    // from the (decoder-specific) chroma upsampling filter
+    def gray(x: Int, y: Int): Int = {
+      val v = math.min(255, x * 6 + y * 4)
+      (v << 16) | (v << 8) | v
+    }
+    val enc420 = Jpeg.encode(w, h, gray, subsample420 = true)
+    val (_, _, mine420) = Jpeg.decode(enc420).get
+    val (_, _, theirs420) = imageioDecode(enc420)
+    val d420 = maxChannelDiff(mine420, theirs420)
+    assert(d420 <= 2, s"4:2:0 neutral chroma: max channel diff $d420")
+    // 4:2:0 nonzero-chroma path: one solid-color MCU (constant chroma,
+    // so the upsampling filter choice cannot matter)
+    val solid = Jpeg.encode(16, 16, (_, _) => 0xc86432, subsample420 = true)
+    val (_, _, ms) = Jpeg.decode(solid).get
+    val (_, _, ts) = imageioDecode(solid)
+    val ds = maxChannelDiff(ms, ts)
+    assert(ds <= 2, s"4:2:0 solid color: max channel diff $ds")
+  }
+
+  test("ImageIO-ENCODED grayscale decodes under our decoder, matching ImageIO's own decode") {
+    val (w, h) = (40, 25)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 9 + y * 17) % 256)
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val jpg = bos.toByteArray
+    val (dw, dh, mine) = Jpeg.decode(jpg).getOrElse(fail("our decoder rejected an ImageIO baseline file"))
+    assert((dw, dh) == ((w, h)))
+    val (_, _, theirs) = imageioDecode(jpg)
+    val d = maxChannelDiff(mine, theirs)
+    assert(d <= 2, s"max diff $d vs ImageIO's decode of its own file")
+    // and both stay near the original content (lossy, q=0.95, smooth ramp)
+    val meanErr = (0 until w * h).map(i =>
+      math.abs((mine(i) & 0xff) - img.getRaster.getSample(i % w, i / w, 0))).sum.toDouble / (w * h)
+    assert(meanErr <= 3.0, s"mean abs error $meanErr vs original")
+  }
+
+  test("ImageIO-ENCODED color (its own subsampling choice) decodes under our decoder") {
+    val (w, h) = (32, 24)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // neutral-chroma content (R=G=B): the two decoders' different
+    // chroma upsampling filters see flat chroma, so any disagreement
+    // isolates the luma pipeline
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 5 + y * 11) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val jpg = bos.toByteArray
+    val (dw, dh, mine) = Jpeg.decode(jpg).getOrElse(fail("our decoder rejected ImageIO color file"))
+    assert((dw, dh) == ((w, h)))
+    val (_, _, theirs) = imageioDecode(jpg)
+    val d = maxChannelDiff(mine, theirs)
+    assert(d <= 3, s"max channel diff $d vs ImageIO decode")
+  }
+
+  test("malformed and out-of-scope inputs return None, never throw") {
+    assert(Jpeg.decode(Array[Byte]()).isEmpty)
+    assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Jpeg.decode("not a jpeg at all".getBytes).isEmpty)
+    val good = Jpeg.encode(16, 16, cellImage(16, 16, 5))
+    // truncation at every prefix must fail clean
+    for (cut <- Seq(2, 10, good.length / 2, good.length - 3))
+      assert(Jpeg.decode(good.take(cut)).isEmpty, s"truncated at $cut")
+    // flip SOF0 to SOF2 (progressive): graceful None
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decode(prog).isEmpty, "progressive must be rejected cleanly")
+  }
+
+  test("restart markers: a DRI-interval stream decodes with DC prediction resets") {
+    // hand-exercise DRI by injecting it through the public surface:
+    // ImageIO can't easily force DRI, so build a file via our encoder
+    // and verify our general decoder handles ImageIO files (above);
+    // here pin that a DRI segment parses and a zero-interval is a no-op
+    val base = Jpeg.encode(16, 8, cellImage(16, 8, 3))
+    // splice a DRI(0) segment before SOS — decoder must accept it
+    val sosAt = base.indices.find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xda).get
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    val spliced = base.take(sosAt) ++ dri ++ base.drop(sosAt)
+    val (w, h, px) = Jpeg.decode(spliced).getOrElse(fail("DRI(0) file rejected"))
+    assert((w, h) == ((16, 8)))
+    val f = cellImage(16, 8, 3)
+    for (y <- 0 until h; x <- 0 until w) assert(px(y * w + x) == f(x, y))
+  }
+}
