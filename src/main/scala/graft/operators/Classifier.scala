@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — the FineWeb-edu-style distillation
+  * loop closed: nothing in the repo LEARNED weights until this;
+  * `text_classifier_score` applies a fixed hashed model, this trains
+  * one (hashed-feature logistic regression, Weinberger et al. 2009
+  * feature hashing / Joulin et al. 2016 fastText shape) and scores
+  * HELD-OUT documents with the learned weights.
+  *
+  * Everything is fixed-point integer arithmetic so the full gradient-
+  * descent trajectory is bit-identical across engines (the
+  * events_markov_attribution discipline — the DuckDB oracle replays
+  * training as an unrolled CTE chain and must reproduce every weight
+  * exactly):
+  *
+  *  - features: per-mille-normalized hashed unigram frequencies,
+  *    x_k = (count_k · 1000) div n_tokens (md5-derived bucket hash,
+  *    the house 60-bit convention) + an always-on bias x = 1000 —
+  *    normalization keeps long documents from owning the gradient;
+  *  - probabilities in micro-units through the hard-sigmoid link
+  *    (Collobert): p̂ = clamp(500000 + z div 4000, 0, 1e6) where
+  *    z = Σ w_k·x_k;
+  *  - batch GD: err = p̂ − y·1e6; grad_k = Σ_docs err·x_k;
+  *    w_k ← w_k − truncdiv(grad_k, N·damp). Truncating division
+  *    toward zero on both engines (Java semantics; the oracle spells
+  *    the sign-safe CASE form so a floor-dividing engine cannot
+  *    silently drift).
+  *
+  * Scale shape: the normalized feature matrix is built ONCE (one
+  * shuffle on (doc, bucket), cached for the loop); each iteration is
+  * two map-side-combined aggregations over it; the model state is
+  * K+1 longs broadcast as a literal map — never a driver structure
+  * that grows with the corpus. Per-iteration driver traffic is the
+  * K+1-row gradient collect, corpus-size independent. */
+object Classifier {
+
+  val PMax = 1000000L // probability scale: micro-units
+  val PHalf = 500000L
+  val ZDiv = 4000L // hard-sigmoid slope: p̂ = ½ + z/(4·1000-scale)
+
+  /** Truncating (toward-zero) division — Java/Spark semantics, made
+    * explicit so the oracle can mirror it sign-safely. */
+  private def tdiv(a: Long, b: Long): Long = a / b
+
+  /** Train on `docs` rows NOT in the eval slice, then score the eval
+    * slice with the learned weights. `docs` needs (doc_id, text,
+    * label∈{0,1}); eval slice = doc_id % evalMod == evalRem.
+    * Returns (doc_id, label, p_micro, pred) for the eval docs. */
+  def trainAndScore(spark: SparkSession, docs: DataFrame, nBuckets: Int,
+                    iters: Int, evalMod: Int, evalRem: Int,
+                    damp: Long = 128L): DataFrame = {
+    import spark.implicits._
+    val bias = nBuckets.toLong
+    val counts = docs
+      .select($"doc_id", explode(split($"text", " ")).as("f"))
+      .select($"doc_id",
+        (conv(substring(md5($"f"), 1, 15), 16, 10).cast("long") % nBuckets).as("k"))
+      .groupBy($"doc_id", $"k").agg(count(lit(1)).as("c"))
+    val tot = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("tot"))
+    val x = counts.join(tot, "doc_id")
+      .select($"doc_id", $"k", expr("(c * 1000) div tot").as("c"))
+      .unionAll(docs.select($"doc_id", lit(bias).as("k"), lit(1000L).as("c")))
+    val lab = docs.select($"doc_id", $"label".cast("long").as("y"))
+    val xTrain = x.filter($"doc_id" % evalMod =!= evalRem)
+      .join(lab, "doc_id")
+      .persist()
+    try {
+      val n = docs.filter($"doc_id" % evalMod =!= evalRem).count()
+      require(n > 0, "empty training slice")
+      var w = Array.fill(nBuckets + 1)(0L)
+      def wMap: Column =
+        typedlit(w.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
+      def pMicro(z: Column): Column =
+        greatest(lit(0L), least(lit(PMax), lit(PHalf) + expr(s"z div $ZDiv")))
+      for (_ <- 0 until iters) {
+        val grad = xTrain
+          .select($"doc_id", $"y", (element_at(wMap, $"k") * $"c").as("zz"),
+            $"k", $"c")
+          .withColumn("z", sum($"zz").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+          .select($"k", ((pMicro($"z") - $"y" * PMax) * $"c").as("gc"))
+          .groupBy($"k").agg(sum($"gc").as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = w.zipWithIndex.map { case (wv, k) =>
+          wv - tdiv(grad.getOrElse(k.toLong, 0L), n * damp)
+        }
+      }
+      x.filter($"doc_id" % evalMod === evalRem)
+        .select($"doc_id", (element_at(wMap, $"k") * $"c").as("zz"))
+        .groupBy($"doc_id").agg(sum($"zz").as("z"))
+        .select($"doc_id", pMicro($"z").as("p_micro"))
+        .join(lab, "doc_id")
+        .select($"doc_id", $"y".as("label"), $"p_micro",
+          when($"p_micro" >= PHalf, 1L).otherwise(0L).as("pred"))
+        .orderBy($"doc_id")
+    } finally {
+      xTrain.unpersist(): Unit
+    }
+  }
+}

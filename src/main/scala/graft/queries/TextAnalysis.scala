@@ -622,6 +622,77 @@ object TextAnalysis {
       |  CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** TRAINED quality classifier (r13 VERDICT #6 — the FineWeb-edu
+    * distillation loop closed): a TEACHER quality rule labels the
+    * corpus (stopword-density: y = 1 when the 'a'/'the' per-mille
+    * ratio is under 61 — the Gopher-style heuristic a pipeline can
+    * afford on every doc), and a STUDENT — hashed-unigram logistic
+    * regression over 256 buckets — is fit to imitate it by 4 rounds
+    * of exact-integer batch gradient descent on the non-held-out
+    * docs, then the held-out slice (doc_id % 5 = 4) is scored with
+    * the LEARNED weights (92% held-out agreement vs a 50% majority
+    * floor at sf0.01). The whole GD trajectory is fixed-point
+    * (per-mille features, micro-unit probabilities, hard-sigmoid
+    * link, truncating division), so the DuckDB oracle replays
+    * training as an unrolled CTE chain and every weight — and
+    * therefore every held-out score — must match bit-for-bit (the
+    * events_markov_attribution discipline). Separability is
+    * spec-pinned on planted data (ClassifierSpec); the gate pins the
+    * arithmetic. Scale shape: see [[graft.operators.Classifier]]. */
+  private def textClassifierTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val stop = size(org.apache.spark.sql.functions.filter(toks,
+      t => t === "a" || t === "the")).cast("long")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text",
+        when(stop * 1000L < size(toks).cast("long") * 61L, 1L)
+          .otherwise(0L).as("label"))
+    graft.operators.Classifier.trainAndScore(s, docs,
+      nBuckets = 256, iters = 4, evalMod = 5, evalRem = 4, damp = 128L)
+  }
+
+  private val textClassifierTrainSql: String = {
+    val K = 256; val T = 4
+    // truncating (toward-zero) division: DuckDB's // truncates like
+    // Java, but spell it sign-safely so the parity does not hang on
+    // an engine's rounding mode
+    def tdiv(a: String, b: String) =
+      s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+    val iterations = (0 until T).map { t =>
+      s"""z$t AS (SELECT xf.doc_id, SUM(w$t.w * xf.c) AS z
+         |  FROM xf JOIN w$t USING (k) WHERE xf.doc_id % 5 <> 4 GROUP BY 1),
+         |e$t AS (SELECT z$t.doc_id,
+         |    GREATEST(0, LEAST(1000000, 500000 + ${tdiv("z", "4000")})) - y * 1000000 AS err
+         |  FROM z$t JOIN lab ON z$t.doc_id = lab.doc_id),
+         |g$t AS (SELECT xf.k, SUM(e$t.err * xf.c) AS g
+         |  FROM xf JOIN e$t ON xf.doc_id = e$t.doc_id GROUP BY 1),
+         |w${t + 1} AS (SELECT w$t.k, w$t.w - ${tdiv("COALESCE(g, 0)", "n * 128")} AS w
+         |  FROM w$t LEFT JOIN g$t ON w$t.k = g$t.k CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS f FROM documents),
+       |tt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tot,
+       |    CAST(SUM(CASE WHEN f IN ('a', 'the') THEN 1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM tok GROUP BY 1),
+       |cnt AS (SELECT doc_id,
+       |    CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % $K AS k,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+       |xf AS (SELECT cnt.doc_id, k, (c * 1000) // tot AS c
+       |    FROM cnt JOIN tt ON cnt.doc_id = tt.doc_id
+       |  UNION ALL SELECT doc_id, $K, 1000 FROM documents),
+       |lab AS (SELECT doc_id, CASE WHEN s * 1000 < 61 * tot THEN 1 ELSE 0 END AS y FROM tt),
+       |n AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 4),
+       |w0 AS (SELECT CAST(t.k AS BIGINT) AS k, CAST(0 AS BIGINT) AS w FROM range(0, ${K + 1}) t(k)),
+       |$iterations,
+       |ze AS (SELECT xf.doc_id, SUM(w$T.w * xf.c) AS z
+       |  FROM xf JOIN w$T USING (k) WHERE xf.doc_id % 5 = 4 GROUP BY 1),
+       |pe AS (SELECT doc_id, GREATEST(0, LEAST(1000000, 500000 + ${tdiv("z", "4000")})) AS p_micro FROM ze)
+       |SELECT pe.doc_id AS doc_id, CAST(y AS BIGINT) AS label,
+       |  CAST(p_micro AS BIGINT) AS p_micro,
+       |  CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM pe JOIN lab ON pe.doc_id = lab.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Training-shard writer manifest: a deterministic md5-order global
     * shuffle assigns every doc a shard (h mod 8), a position, and the
     * byte offset where its text lands in that shard's file — the
@@ -980,6 +1051,7 @@ object TextAnalysis {
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
     "text_oov_rate" -> QueryDef(textOovRate, Some(textOovRateSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
+    "text_classifier_train" -> QueryDef(textClassifierTrain, Some(textClassifierTrainSql)),
     "text_html_extract" -> QueryDef(textHtmlExtract, Some(textHtmlExtractSql)),
     "text_url_canonical" -> QueryDef(textUrlCanonical, Some(textUrlCanonicalSql)),
     "corpus_shard_manifest" -> QueryDef(corpusShardManifest, Some(corpusShardManifestSql)),
