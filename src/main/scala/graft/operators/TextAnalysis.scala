@@ -75,6 +75,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred_lang"), col("best_hits").cast("long").as("score"))
   }
 
+  /** Char-trigram language profiles — the langid.py / CLD character-
+    * n-gram shape reduced to deterministic hardcoded profiles (public
+    * linguistic heuristics). Unlike [[LangProfiles]]' whitespace-token
+    * stopword sets, character trigrams need no tokenizer, see inside
+    * words (morphology: -ing/-ado/-cht), and survive concatenated or
+    * lightly-mangled crawl text. Profiles stay ASCII so the substring
+    * parity between engines is byte-trivial. */
+  val CharProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and", " of", "ed "),
+    "es" -> Seq("os ", " la", "la ", "que", " qu", "ado", "cio"),
+    "de" -> Seq("der", "sch", "ich", "ein", "und", " ge", "cht"),
+    "fr" -> Seq(" le", "les", "une", " un", "ait", "eur", "ent"))
+
+  /** Char-trigram language ID: score = profile-trigram occurrences in
+    * the lowercased text, deterministic argmax with first-profile-wins
+    * tie-break and 'und' when nothing fires. Map-only in-scan work —
+    * the trigram array never leaves the projection, no explode, no
+    * shuffle, so at 100 TB this is pure scan-side CPU like the
+    * quality stats. */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val withGrams = docs
+      .withColumn("t", lower(col("text")))
+      // sequence(1, n) DESCENDS when n < 1, so the short-text case
+      // must be an explicit empty array, not a degenerate sequence
+      .withColumn("gs", expr(
+        """CASE WHEN char_length(t) < 3 THEN CAST(array() AS array<string>)
+          | ELSE transform(sequence(1, char_length(t) - 2),
+          |   i -> substring(t, i, 3)) END""".stripMargin))
+    val hitCols = CharProfiles.map { case (lang, prof) =>
+      size(filter(col("gs"), g => g.isin(prof.map(x => x: Any): _*)))
+        .as(s"hits_$lang")
+    }
+    val scored = withGrams.select((col("doc_id") +: hitCols): _*)
+    val best = CharProfiles.map(_._1).foldLeft(lit(0)) { (acc, lang) =>
+      greatest(acc, col(s"hits_$lang"))
+    }
+    val pred = CharProfiles.map(_._1).foldRight(lit("und"): Column) { (lang, acc) =>
+      when(col(s"hits_$lang") === col("best_hits") && col("best_hits") > 0,
+        lit(lang)).otherwise(acc)
+    }
+    scored
+      .withColumn("best_hits", best)
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("pred_lang"),
+        col("best_hits").cast("long").as("score"))
+  }
+
   /** Rolling polynomial-hash fingerprint (native expression). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.functions.Fns.rolling_hash(col("text")).as("fingerprint"))
