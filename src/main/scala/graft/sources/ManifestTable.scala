@@ -270,19 +270,38 @@ object ManifestTable {
     * folding to their own file lists — time travel is intact until
     * [[vacuum]] — and txn idempotence markers survive by construction
     * (`reset` clears files, never markers). */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Long = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Long =
+    compactClustered(spark, dir, targetFiles, Nil)
+
+  /** [[compact]] that also CLUSTERS the rewrite and re-records column
+    * stats — the Delta OPTIMIZE ZORDER shape: rows are range-
+    * partitioned then sorted within files on `statCols`, so the
+    * rewritten files carry tight disjoint per-column bounds and
+    * [[readRange]] pruning SURVIVES (plain compaction leaves unknown
+    * ranges — correct but never skippable). Same optimistic-
+    * concurrency rule as compact. */
+  def compactClustered(spark: SparkSession, dir: String, targetFiles: Int,
+                       statCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
       val parent = latestVersion(dir).getOrElse(
         throw new IllegalStateException(s"nothing to compact in $dir"))
       val stage = new File(dataDir(dir), s"txn-${UUID.randomUUID()}")
-      read(spark, dir, Some(parent)).repartition(targetFiles)
-        .write.parquet(stage.getPath)
+      val snap = read(spark, dir, Some(parent))
+      val clustered =
+        if (statCols.isEmpty) snap.repartition(targetFiles)
+        else snap.repartitionByRange(targetFiles, statCols.map(col): _*)
+          .sortWithinPartitions(statCols.map(col): _*)
+      clustered.write.parquet(stage.getPath)
       val mine = Option(stage.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .map(f => s"${stage.getName}/${f.getName}").toSeq.sorted
-      tryCommitAt(dir, parent + 1L, "reset" +: mine.map("add=" + _)) match {
+      val adds =
+        if (statCols.isEmpty) mine.map("add=" + _)
+        else statAddActions(spark, dir, mine, statCols)
+      tryCommitAt(dir, parent + 1L, "reset" +: adds) match {
         case Some(v) => return v
         case None =>
           // someone committed on top of `parent` — replacing now would

@@ -256,6 +256,30 @@ class ManifestSinkSpec extends AnyFunSuite {
       "an empty slice committed a zero-row file")
   }
 
+  test("clustered compaction preserves prunability: tight disjoint per-file bounds") {
+    val dir = freshDir()
+    // interleaved ranges: plain compaction would leave unknown ranges
+    ManifestTable.appendWithStats(spark,
+      Seq(0L, 100L, 7L, 103L, 2L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), dir, "k")
+    ManifestTable.appendWithStats(spark,
+      Seq(5L, 108L, 1L, 101L, 9L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), dir, "k")
+    val cv = ManifestTable.compactClustered(spark, dir, targetFiles = 2, statCols = Seq("k"))
+    assert(cv == 2L)
+    assert(ManifestTable.read(spark, dir).count() == 10)
+    val stats = ManifestTable.snapshotFilesWithStats(dir)
+    assert(stats.size == 2 && stats.forall(_._2.contains("k")),
+      "clustered compaction dropped the column stats")
+    // clustering makes the two files' ranges disjoint: a low probe
+    // plans exactly one file (pre-compaction both files overlapped)
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 0, 3).size == 1,
+      s"ranges not disjoint after clustering: ${stats.map(_._2("k"))}")
+    assert(ManifestTable.readRange(spark, dir, "k", 0, 3).count() == 3)
+    // plain compact still degrades to unknown ranges (correct, unpruned)
+    ManifestTable.compact(spark, dir)
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 1000, 2000).size ==
+      ManifestTable.snapshotFiles(dir).size)
+  }
+
   test("deleteWhere: copy-on-write delete, time travel intact, untouched stats preserved") {
     val dir = freshDir()
     ManifestTable.appendWithStats(spark,
