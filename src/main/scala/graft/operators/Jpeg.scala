@@ -170,30 +170,46 @@ object Jpeg {
     }
   }
 
+  // cos((2x+1)·u·π/16) table and the C(0)=1/√2 normalizers — the DCT
+  // basis is fixed; computing cosines per coefficient per block made
+  // the encoder trig-bound (8192 cos calls/block)
+  private val CosTab: Array[Double] = {
+    val t = new Array[Double](64)
+    for (u <- 0 until 8; x <- 0 until 8)
+      t(u * 8 + x) = math.cos((2 * x + 1) * u * math.Pi / 16)
+    t
+  }
+  private val CNorm: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1 / math.sqrt(2) else 1.0)
+
+  /** Separable 2-D FDCT: rows then columns, 1024 multiply-adds per
+    * block instead of the naive 4096 (and zero trig calls). */
   private def fdct(block: Array[Double]): Array[Double] = {
-    val out = new Array[Double](64)
-    var u = 0
-    while (u < 8) {
-      var v = 0
-      while (v < 8) {
+    val tmp = new Array[Double](64) // tmp(u*8+y) = Σ_x f(x,y)·C[u][x]
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
         var sum = 0.0
         var x = 0
-        while (x < 8) {
-          var y = 0
-          while (y < 8) {
-            sum += block(y * 8 + x) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
-            y += 1
-          }
-          x += 1
-        }
-        val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
-        val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
-        out(v * 8 + u) = 0.25 * cu * cv * sum
-        v += 1
+        while (x < 8) { sum += block(y * 8 + x) * CosTab(u * 8 + x); x += 1 }
+        tmp(u * 8 + y) = sum
+        u += 1
       }
-      u += 1
+      y += 1
+    }
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0
+        var yy = 0
+        while (yy < 8) { sum += tmp(u * 8 + yy) * CosTab(v * 8 + yy); yy += 1 }
+        out(v * 8 + u) = 0.25 * CNorm(u) * CNorm(v) * sum
+        u += 1
+      }
+      v += 1
     }
     out
   }
@@ -535,31 +551,46 @@ object Jpeg {
     else if (v < (1 << (sz - 1))) v - (1 << sz) + 1
     else v
 
+  /** Separable 2-D IDCT (same cosine table as the FDCT): columns then
+    * rows, with the normalizers folded into a pre-scaled coefficient
+    * pass. DC-only blocks (the constant-cell gate) stay bit-exact:
+    * the pre-scale and both passes multiply by the same factors in
+    * the same order for every pixel. */
   private def idct(coef: Array[Int]): Array[Int] = {
+    val scaled = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        val c = coef(v * 8 + u)
+        if (c != 0) scaled(v * 8 + u) = 0.25 * CNorm(u) * CNorm(v) * c
+        u += 1
+      }
+      v += 1
+    }
+    val tmp = new Array[Double](64) // tmp(x*8+v) = Σ_u scaled(v,u)·C[u][x]
+    var x = 0
+    while (x < 8) {
+      var vv = 0
+      while (vv < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) { sum += scaled(vv * 8 + u) * CosTab(u * 8 + x); u += 1 }
+        tmp(x * 8 + vv) = sum
+        vv += 1
+      }
+      x += 1
+    }
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
-      var x = 0
-      while (x < 8) {
+      var xx = 0
+      while (xx < 8) {
         var sum = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val c = coef(v * 8 + u)
-            if (c != 0) {
-              val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
-              val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
-              sum += cu * cv * c *
-                math.cos((2 * x + 1) * u * math.Pi / 16) *
-                math.cos((2 * y + 1) * v * math.Pi / 16)
-            }
-            v += 1
-          }
-          u += 1
-        }
-        out(y * 8 + x) = clamp8(math.round(0.25 * sum).toInt + 128)
-        x += 1
+        var vv = 0
+        while (vv < 8) { sum += tmp(xx * 8 + vv) * CosTab(vv * 8 + y); vv += 1 }
+        out(y * 8 + xx) = clamp8(math.round(sum).toInt + 128)
+        xx += 1
       }
       y += 1
     }
