@@ -294,6 +294,62 @@ object Pipeline {
       |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The manifest table consumed through the REAL Structured Streaming
+    * SOURCE (15th driver-verified streaming path —
+    * [[graft.sources.v2.ManifestStreamDataSource]], the engine-layer
+    * completion of the change feed): events land in the table as five
+    * batch commits, then `readStream.format("graft-manifest")` drains
+    * it with offsets = manifest versions, admission-controlled at 2
+    * versions per trigger (≥3 genuine micro-batches), each batch
+    * mirrored into a second manifest table. The mirror's rollup
+    * hash-matches the plain batch oracle IFF the offset contract
+    * delivered every committed row exactly once — a skipped version,
+    * a replanned interval, or a dropped partition all break the hash.
+    * The in-code require pins that admission control actually split
+    * the drain. Scale shape: each micro-batch plans O(interval)
+    * manifest lines + its own files; the version watermark is the
+    * only state. */
+  private def sinkManifestStreamSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ManifestTable
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"event_type", QueryDef.cents($"value").as("value_cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-src").toString
+    val table = s"$root/table"
+    val mirror = s"$root/mirror"
+    for (i <- 0L until 5L)
+      ManifestTable.append(s, ev.filter($"event_id" % 5 === i), table)
+    var nBatches = 0
+    val q = s.readStream.format("graft-manifest")
+      .schema(ev.schema)
+      .option("maxVersionsPerTrigger", 2)
+      .load(table)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!batch.isEmpty) {
+          nBatches += 1
+          ManifestTable.append(s, batch.toDF(), mirror): Unit
+        }
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("sink_manifest_stream_source: stream stalled")
+    }
+    require(nBatches >= 3,
+      s"admission control did not split the drain: $nBatches batches")
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, mirror)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"value_cents").as("sum_cents"))
+        .orderBy($"event_type"))
+  }
+
   /** Lee-et-al-style duplicated-span statistics over 10-token windows. */
   private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1816,6 +1872,8 @@ object Pipeline {
     "sink_manifest_delete" -> QueryDef(sinkManifestDelete, Some(sinkManifestDeleteSql)),
     "sink_manifest_changefeed" ->
       QueryDef(sinkManifestChangefeed, Some(sinkManifestChangefeedSql)),
+    "sink_manifest_stream_source" ->
+      QueryDef(sinkManifestStreamSource, Some(sinkManifestChangefeedSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
     "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),

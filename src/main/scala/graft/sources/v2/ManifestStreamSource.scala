@@ -1,0 +1,199 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.example.data.Group
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ManifestTable
+
+/** The manifest table as a REAL Structured Streaming SOURCE — the
+  * engine-layer half of the change feed (Delta's streaming-source
+  * shape): `spark.readStream.format("graft-manifest").schema(s)
+  * .load(tableDir)`.
+  *
+  * Offsets ARE manifest versions: a micro-batch (start, end] plans
+  * exactly the data files that the interval's commits added
+  * ([[graft.sources.ManifestTable.addedFilesSince]] — an O(versions
+  * polled) log fold, never O(history)), one input partition per
+  * added file, read executor-side with the parquet-hadoop column
+  * reader. Exactly-once falls out of the offset contract: Spark
+  * checkpoints the version watermark, and replanning any (start, end]
+  * yields the same files.
+  *
+  *  - **Admission control**: `maxVersionsPerTrigger` bounds how many
+  *    commits a micro-batch may drain (the Delta `maxFilesPerTrigger`
+  *    analog) — a backlogged table streams in bounded batches instead
+  *    of one giant catch-up batch.
+  *  - **Trigger.AvailableNow**: the target version is pinned at
+  *    prepare time, so a drain processes everything committed before
+  *    the query started and stops — even while writers keep
+  *    committing.
+  *  - A REPLACING commit (compact/deleteWhere `reset`) inside an
+  *    unread interval fails the stream with a clear error: the delta
+  *    is not expressible as appended rows, and silently re-reading
+  *    the snapshot would double-count — the consumer must restart
+  *    from a fresh snapshot (exactly Delta's semantics without
+  *    `ignoreChanges`).
+  *
+  * Column types supported: long/int/double/boolean/string (the
+  * manifest sink's own write surface). Schema must be supplied
+  * explicitly — the log carries no self-describing schema. */
+class ManifestStreamDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-manifest"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-manifest requires an explicit .schema(...) — supply the table's schema")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ManifestStreamTable(schema, opts.get("path"),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue))
+  }
+}
+
+final class ManifestStreamTable(tableSchema: StructType, dir: String,
+                                maxVersionsPerTrigger: Long)
+    extends Table with SupportsRead {
+  require(dir != null, "graft-manifest requires a path")
+  require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
+  override def name(): String = s"graft-manifest($dir)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ManifestMicroBatchStream(tableSchema, dir, maxVersionsPerTrigger)
+      }
+    }
+}
+
+/** Offset = highest manifest version consumed (-1 = nothing yet). */
+final case class ManifestOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+final class ManifestMicroBatchStream(schema: StructType, dir: String,
+                                     maxVersionsPerTrigger: Long)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // pinned by prepareForTriggerAvailableNow: an AvailableNow drain
+  // stops here even while writers keep committing
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private def currentLatest: Long = ManifestTable.latestVersion(dir).getOrElse(-1L)
+
+  override def initialOffset(): Offset = ManifestOffset(-1L)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(currentLatest)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ManifestOffset].version
+    val target = availableNowTarget.getOrElse(currentLatest)
+    // saturating stride: from + maxVersionsPerTrigger overflows for the
+    // unbounded default, and an overflowed offset would be COMMITTED
+    val step = math.min(maxVersionsPerTrigger, math.max(0L, target - from))
+    ManifestOffset(from + step)
+  }
+
+  override def reportLatestOffset(): Offset = ManifestOffset(currentLatest)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ManifestOffset].version
+    val to = end.asInstanceOf[ManifestOffset].version
+    if (to <= from) return Array.empty
+    // throws on a replacing commit in the interval — the stream FAILS
+    // rather than silently double-reading a rewritten snapshot
+    ManifestTable.addedFilesSince(dir, from, Some(to))
+      .map(rel => ManifestFilePartition(s"$dir/data/$rel"): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema.json)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"version":(-?\d+)\}""".r
+    json match {
+      case m(v) => ManifestOffset(v.toLong)
+      case _ => throw new IllegalArgumentException(s"bad manifest offset: $json")
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class ManifestFilePartition(file: String) extends InputPartition
+
+final class ManifestReaderFactory(schemaJson: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ManifestPartitionReader(
+      partition.asInstanceOf[ManifestFilePartition].file,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+}
+
+/** Executor-side parquet read of one committed data file through the
+  * public parquet-hadoop Group API, converted to InternalRows of the
+  * declared schema. */
+final class ManifestPartitionReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(new Configuration()).build()
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      if (current.getFieldRepetitionCount(f.name) == 0) row.setNullAt(i)
+      else f.dataType match {
+        case LongType => row.setLong(i, current.getLong(f.name, 0))
+        case IntegerType => row.setInt(i, current.getInteger(f.name, 0))
+        case DoubleType => row.setDouble(i, current.getDouble(f.name, 0))
+        case BooleanType => row.setBoolean(i, current.getBoolean(f.name, 0))
+        case StringType =>
+          row.update(i, UTF8String.fromString(current.getString(f.name, 0)))
+        case dt => throw new UnsupportedOperationException(
+          s"graft-manifest streaming read does not support $dt (column ${f.name})")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.ManifestTable
+import java.nio.file.Files
+
+/** Round-14: the manifest table as a Structured Streaming SOURCE
+  * (graft-manifest DataSourceV2 MicroBatchStream). Pins the offset
+  * contract (versions), admission control, AvailableNow draining,
+  * exactly-once across multi-batch plans, null round-trips, and the
+  * replacing-commit refusal. */
+class ManifestStreamSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-ms-spec").toFile.getPath
+
+  private def drain(table: String, mirror: String,
+                    maxVersionsPerTrigger: Int): Seq[Long] = {
+    val schema = ManifestTable.read(spark, table).schema
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-manifest")
+      .schema(schema)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger)
+      .load(table)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        batches += b.count()
+        ManifestTable.append(spark, b.toDF(), mirror): Unit
+      }
+      .option("checkpointLocation", s"$mirror-ckpt-${java.util.UUID.randomUUID()}")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream stalled")
+    batches.toSeq
+  }
+
+  test("AvailableNow drain reads exactly the committed rows, in version order, multi-batch") {
+    val dir = freshDir()
+    for (i <- 0 until 5)
+      ManifestTable.append(spark,
+        (i * 10 until i * 10 + 10).map(j => (j.toLong, s"v$j")).toDF("id", "v"), dir)
+    val mirror = freshDir()
+    val batches = drain(dir, mirror, maxVersionsPerTrigger = 2)
+    // 5 versions at ≤2 per trigger: at least 3 non-trivial batches
+    assert(batches.count(_ > 0) >= 3, s"admission control ignored: $batches")
+    val got = ManifestTable.read(spark, mirror).select($"id").as[Long].collect().sorted
+    assert(got.sameElements(0L until 50L), s"lost/duplicated rows: ${got.length}")
+  }
+
+  test("a second drain from the same checkpoint re-reads NOTHING (offset contract)") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val mirror = freshDir()
+    val ckpt = s"${freshDir()}/ckpt"
+    def run(): Long = {
+      var n = 0L
+      val q = spark.readStream.format("graft-manifest")
+        .schema(ManifestTable.read(spark, dir).schema)
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) => n += b.count(); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000)); n
+    }
+    assert(run() == 1L)
+    assert(run() == 0L, "restarted stream re-read already-committed versions")
+    // new commits after the restart ARE picked up from the watermark
+    ManifestTable.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(run() == 1L)
+  }
+
+  test("nulls and all supported column types round-trip") {
+    val dir = freshDir()
+    val df = Seq(
+      (1L, Some("x"), Some(1.5), Some(7), Some(true)),
+      (2L, None: Option[String], None: Option[Double], None: Option[Int], None: Option[Boolean]))
+      .toDF("id", "s", "d", "i", "b")
+    ManifestTable.append(spark, df, dir)
+    val mirror = freshDir()
+    drain(dir, mirror, 10)
+    val back = ManifestTable.read(spark, mirror).orderBy($"id").collect()
+    assert(back.length == 2)
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "x" &&
+      back(0).getDouble(2) == 1.5 && back(0).getInt(3) == 7 && back(0).getBoolean(4))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).isNullAt(3) &&
+      back(1).isNullAt(4))
+  }
+
+  test("a replacing commit in an unread interval fails the stream with a clear error") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 10).map(i => (i, "a")).toDF("id", "v"), dir)
+    ManifestTable.compact(spark, dir) // v1 = reset commit, never consumed
+    val q = spark.readStream.format("graft-manifest")
+      .schema(ManifestTable.read(spark, dir).schema)
+      .load(dir)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"${freshDir()}/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(300000): Unit
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(failed).exists(_.contains("replacing commit")),
+      s"wrong failure: ${messages(failed).mkString(" | ")}")
+  }
+
+  test("missing schema is rejected with a clear message") {
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-manifest").load(freshDir())
+    }
+    assert(e.getMessage.contains("explicit .schema"))
+  }
+}
