@@ -1069,6 +1069,78 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, cos_sim FROM r WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Trained IVF with its candidate reads served through the
+    * STATS-PRUNED MANIFEST TABLE — the disk-backed ANN shape
+    * (DiskANN / Faiss-on-disk): the assignment table is laid out one
+    * file per coarse cell with per-file `cell` bounds recorded in the
+    * manifest, and a probe touches ONLY its nProbe cells' files via
+    * [[graft.sources.ManifestTable.readRange]] — storage-level
+    * pruning, not just join-level blocking. The emitted rows carry
+    * the planning census (files planned vs live) alongside the exact
+    * top-5, and the oracle re-derives BOTH: the ranking by replaying
+    * trained-IVF relationally and the census from the probed-cell /
+    * nonempty-cell sets — a wrong per-file bound, a pruned live cell,
+    * or an over-read all break the hash. Results are identical to
+    * `ann_ivf_trained` by construction: same centroids, same
+    * assignment, same probe cells — only the candidate STORAGE path
+    * differs, which is exactly the property a disk-backed index must
+    * prove. Scale shape: the build is one pass per cell (or one
+    * `compactClustered` rewrite); the probe reads O(nProbe) files
+    * regardless of corpus size. */
+  private def annIvfManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Sim.coarseCentroids(emb, 8, Some(trainedCentroids(s, dir)))
+    // materialize once: the assignment feeds one filtered write per cell
+    val assigned = Sim.nearestCells(centroids, emb, "vec_id", "embedding", 1)
+      .select($"cell", $"vec_id", $"embedding").localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-manifest").toFile.getPath
+    val cells = assigned.select($"cell").distinct().as[Long].collect().sorted
+    for (c <- cells) // one stats-carrying file per nonempty cell
+      ManifestTable.appendWithStats(s,
+        assigned.filter($"cell" === c).coalesce(1), root, "cell")
+    // 3 probes × 2 cells ≤ 6 of the 8 live files: the census must
+    // show genuine skipping, not a full-table read in disguise
+    val probeCells = Sim.nearestCells(centroids,
+      emb.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("qe")),
+      "query_id", "qe", 2)
+    val needed = probeCells.select($"cell").distinct().as[Long].collect().sorted
+    val planned = needed.map(c =>
+      ManifestTable.plannedFilesForRange(root, "cell", c, c).size).sum
+    val candidates = needed.map(c => ManifestTable.readRange(s, root, "cell", c, c))
+      .reduce(_ unionAll _)
+    val scored = broadcast(probeCells).join(candidates, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val res = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id", $"rk", $"cos_sim",
+        lit(planned.toLong).as("n_files_planned"),
+        lit(cells.length.toLong).as("n_files_live"))
+      .orderBy($"query_id", $"rk")
+    StreamReplay.finish(s, qname = "", root)(res)
+  }
+
+  private val annIvfManifestSql =
+    s"""WITH ${ivfScoredCtes("e.vec_id < 3", 2)},
+       |nonempty AS (SELECT DISTINCT cell FROM asg),
+       |livec AS (SELECT COUNT(*) AS n_files_live FROM nonempty),
+       |needc AS (SELECT DISTINCT cell FROM pc),
+       |planc AS (SELECT COUNT(*) AS n_files_planned
+       |  FROM needc JOIN nonempty USING (cell)),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM ivfsc)
+       |SELECT query_id, neighbor_id, rk, cos_sim,
+       |  CAST(n_files_planned AS BIGINT) AS n_files_planned,
+       |  CAST(n_files_live AS BIGINT) AS n_files_live
+       |FROM r CROSS JOIN planc CROSS JOIN livec WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   /** Radius search: the full recall set within cosine >= 0.1 of each
     * of 5 probes (top-k's complement — "everything near X", the query
     * a dedup audit or contamination sweep asks). Exact scan-side
@@ -2436,6 +2508,7 @@ object Similarity {
     "ann_filtered" -> QueryDef(annFiltered, Some(annFilteredSql)),
     "ann_filtered_recall" -> QueryDef(annFilteredRecall, Some(annFilteredRecallSql)),
     "ann_ivf_trained" -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
+    "ann_ivf_manifest" -> QueryDef(annIvfManifest, Some(annIvfManifestSql)),
     "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_probe_curve" -> QueryDef(annProbeCurve, Some(annProbeCurveSql)),
     "ann_mrr" -> QueryDef(annMrr, Some(annMrrSql)),
