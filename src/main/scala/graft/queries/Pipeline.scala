@@ -294,6 +294,131 @@ object Pipeline {
       |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incremental RE-CRAWL dedup driven by the change feed — the
+    * composition a production corpus pipeline actually runs: a
+    * staging manifest table receives four commits where every commit
+    * after the first RE-DELIVERS the previous commit's documents
+    * under fresh doc_ids (same text — the re-crawl shape), and after
+    * each commit a consumer drains [[graft.sources.ManifestTable
+    * .readSince]], keeps the first arrival per content hash within
+    * the batch, ANTI-JOINS the remainder against the curated table's
+    * hashes (a distributed join, never a collected set), and appends
+    * only the novel docs to the curated manifest table. Correct IFF
+    * the curated table ends as EXACTLY the original corpus: a broken
+    * feed interval loses fresh docs (undercount), a broken anti-join
+    * keeps re-crawled copies (overcount) — both break the hash, as
+    * does the emitted dropped-count census. Scale shape: per commit
+    * the consumer touches O(feed) rows + one hash equi-join against
+    * the curated table; nothing rescans the staging history. */
+  private def dedupChangefeedE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdf-dedup").toFile.getPath
+    val staging = s"$root/staging"
+    val curated = s"$root/curated"
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars", $"text")
+    val n = docs.count()
+    var cursor = -1L
+    for (i <- 0 until 4) {
+      val fresh = docs.filter($"doc_id" % 4 === i)
+      val batch =
+        if (i == 0) fresh
+        else fresh.unionAll(docs.filter($"doc_id" % 4 === i - 1)
+          .withColumn("doc_id", $"doc_id" + 10L * n)) // re-crawl: same text, new id
+      ManifestTable.append(s, batch, staging)
+      val latest = ManifestTable.latestVersion(staging).get
+      val feed = ManifestTable.readSince(s, staging, cursor, Some(latest))
+        .withColumn("h", md5($"text"))
+      val firstInBatch = feed
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"h").orderBy($"doc_id")))
+        .filter($"rk" === 1).drop("rk")
+      val novel =
+        if (ManifestTable.latestVersion(curated).isEmpty) firstInBatch
+        else firstInBatch.join(
+          ManifestTable.read(s, curated).select(md5($"text").as("h")).distinct(),
+          Seq("h"), "left_anti")
+      ManifestTable.append(s, novel.drop("h"), curated)
+      cursor = latest
+    }
+    val dropped = ManifestTable.read(s, staging).count() -
+      ManifestTable.read(s, curated).count()
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, curated)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .withColumn("n_dropped", lit(dropped))
+        .orderBy($"source"))
+  }
+
+  private val dedupChangefeedE2eSql =
+    """WITH drp AS (SELECT COUNT(*) AS n_dropped FROM documents
+      |  WHERE doc_id % 4 IN (0, 1, 2))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST((SELECT n_dropped FROM drp) AS BIGINT) AS n_dropped
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** GDPR erasure END-TO-END — the full right-to-be-forgotten
+    * pipeline a training-data warehouse must run, composed from the
+    * table format's own primitives and verified at the STORAGE layer:
+    * [[graft.sources.ManifestTable.deleteWhere]] (copy-on-write
+    * delete of one source's rows) → [[graft.sources.ManifestTable
+    * .vacuum]] (history bounded to the post-delete version, grace 0 —
+    * no concurrent writers here by construction) → PHYSICAL proof:
+    * every parquet file left on disk is read DIRECTLY (bypassing the
+    * manifest entirely) and must contain ZERO of the erased source's
+    * rows, and time travel to any pre-delete version must be gone.
+    * Logical deletion alone (Delta without VACUUM) does NOT satisfy
+    * erasure — the deleted bytes live on in old files; this key gates
+    * that the pipeline actually removes them. The emitted per-source
+    * aggregate is over the post-erasure table and hash-matches the
+    * oracle's filtered scan. */
+  private def sinkManifestGdprE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-gdpr").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.append(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w), root)
+    val victim = "src7"
+    require(ManifestTable.deleteWhere(s, root, $"source" === victim).isDefined,
+      "nothing deleted — victim source missing from the corpus?")
+    ManifestTable.vacuum(root, keepVersions = 1, minAgeMs = 0)
+    // physical erasure: read EVERY remaining data file directly off
+    // disk — no manifest in the path — and the victim must be gone
+    val diskFiles = Option(new java.io.File(root, "data").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    require(diskFiles.nonEmpty, "vacuum erased the whole table")
+    val raw = s.read.parquet(diskFiles.toIndexedSeq: _*)
+    require(raw.filter($"source" === victim).count() == 0,
+      s"GDPR FAILURE: $victim rows physically present after delete+vacuum")
+    // and history is bounded: the pre-delete snapshot no longer folds
+    val preGone =
+      try { ManifestTable.read(s, root, Some(3L)).count(); false }
+      catch { case _: IllegalStateException => true }
+    require(preGone, "pre-delete version still readable after vacuum")
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, root)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"source"))
+  }
+
+  private val sinkManifestGdprE2eSql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE source <> 'src7'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** The manifest table consumed through the REAL Structured Streaming
     * SOURCE (15th driver-verified streaming path —
     * [[graft.sources.v2.ManifestStreamDataSource]], the engine-layer
@@ -1874,6 +1999,10 @@ object Pipeline {
       QueryDef(sinkManifestChangefeed, Some(sinkManifestChangefeedSql)),
     "sink_manifest_stream_source" ->
       QueryDef(sinkManifestStreamSource, Some(sinkManifestChangefeedSql)),
+    "sink_manifest_gdpr_e2e" ->
+      QueryDef(sinkManifestGdprE2e, Some(sinkManifestGdprE2eSql)),
+    "dedup_changefeed_e2e" ->
+      QueryDef(dedupChangefeedE2e, Some(dedupChangefeedE2eSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
     "emb_pq_codes" -> QueryDef(embPqCodes, Some(embPqCodesSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
