@@ -279,10 +279,14 @@ object Jpeg {
 
   /** Baseline JFIF encoder. `rgb(x, y)` returns packed 0xRRGGBB.
     * `gray` writes a 1-component file; `subsample420` writes luma 2×2 /
-    * chroma 1×1 (chroma planes box-averaged). */
+    * chroma 1×1, `subsample422` luma 2×1 / chroma 1×1 (chroma planes
+    * box-averaged). `restartInterval` > 0 writes a DRI segment and
+    * RSTn markers every that many MCUs (DC prediction resets). */
   def encode(w: Int, h: Int, rgb: (Int, Int) => Int,
-             gray: Boolean = false, subsample420: Boolean = false): Array[Byte] = {
+             gray: Boolean = false, subsample420: Boolean = false,
+             subsample422: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0)
+    require(!(subsample420 && subsample422), "pick one subsampling profile")
     val out = new ByteArrayOutputStream()
     def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -305,8 +309,12 @@ object Jpeg {
     val sof = new ByteArrayOutputStream()
     sof.write(8); sof.write((h >>> 8) & 0xff); sof.write(h & 0xff)
     sof.write((w >>> 8) & 0xff); sof.write(w & 0xff); sof.write(nComp)
-    val lumaSamp = if (subsample420 && !gray) 0x22 else 0x11
-    sof.write(1); sof.write(lumaSamp); sof.write(0)
+    val (hL, vL) =
+      if (gray) (1, 1)
+      else if (subsample420) (2, 2)
+      else if (subsample422) (2, 1)
+      else (1, 1)
+    sof.write(1); sof.write((hL << 4) | vL); sof.write(0)
     if (!gray) {
       sof.write(2); sof.write(0x11); sof.write(1)
       sof.write(3); sof.write(0x11); sof.write(1)
@@ -325,6 +333,11 @@ object Jpeg {
     if (!gray) {
       seg(0xc4, dhtBody(0, 1, DcChromaBits, DcChromaVals))
       seg(0xc4, dhtBody(1, 1, AcChromaBits, AcChromaVals))
+    }
+    if (restartInterval > 0) {
+      val dri = new ByteArrayOutputStream()
+      dri.write((restartInterval >>> 8) & 0xff); dri.write(restartInterval & 0xff)
+      seg(0xdd, dri.toByteArray)
     }
     // SOS
     val sos = new ByteArrayOutputStream()
@@ -356,85 +369,72 @@ object Jpeg {
     val acLumCodes = buildCodes(AcLumBits, AcLumVals)
     val dcChrCodes = buildCodes(DcChromaBits, DcChromaVals)
     val acChrCodes = buildCodes(AcChromaBits, AcChromaVals)
-    val bw = new BitWriter(out)
-    if (gray) {
-      val bxs = (w + 7) / 8; val bys = (h + 7) / 8
-      var dc = 0
-      var by = 0
-      while (by < bys) {
-        var bx = 0
-        while (bx < bxs) {
-          dc = encodeBlock(bw, block(yP, w, h, bx, by), LumQuant, dcLumCodes, acLumCodes, dc)
-          bx += 1
-        }
-        by += 1
-      }
-    } else if (!subsample420) {
-      // 4:4:4 interleaved: per MCU one block of each component
-      val bxs = (w + 7) / 8; val bys = (h + 7) / 8
-      var dcY = 0; var dcCb = 0; var dcCr = 0
-      var by = 0
-      while (by < bys) {
-        var bx = 0
-        while (bx < bxs) {
-          dcY = encodeBlock(bw, block(yP, w, h, bx, by), LumQuant, dcLumCodes, acLumCodes, dcY)
-          dcCb = encodeBlock(bw, block(cbP, w, h, bx, by), ChromaQuant, dcChrCodes, acChrCodes, dcCb)
-          dcCr = encodeBlock(bw, block(crP, w, h, bx, by), ChromaQuant, dcChrCodes, acChrCodes, dcCr)
-          bx += 1
-        }
-        by += 1
-      }
-    } else {
-      // 4:2:0: MCU = 4 luma blocks + 1 Cb + 1 Cr over a 16×16 tile;
-      // chroma planes are 2×2 box means
-      val cw = (w + 1) / 2; val ch = (h + 1) / 2
-      val cbS = new Array[Int](cw * ch)
-      val crS = new Array[Int](cw * ch)
-      var cy = 0
-      while (cy < ch) {
-        var cx = 0
-        while (cx < cw) {
-          var sCb = 0; var sCr = 0; var n = 0
-          var dy = 0
-          while (dy < 2) {
-            var dx = 0
-            while (dx < 2) {
-              val sx = cx * 2 + dx; val sy = cy * 2 + dy
-              if (sx < w && sy < h) {
-                sCb += cbP(sy * w + sx); sCr += crP(sy * w + sx); n += 1
+    // chroma planes subsampled to the MCU grid: hL×vL box means
+    // (identity at 1×1 — the same arrays)
+    val cw = (w + hL - 1) / hL; val ch = (h + vL - 1) / vL
+    val (cbS, crS) =
+      if (hL == 1 && vL == 1) (cbP, crP)
+      else {
+        val cb = new Array[Int](cw * ch)
+        val cr = new Array[Int](cw * ch)
+        var cy = 0
+        while (cy < ch) {
+          var cx = 0
+          while (cx < cw) {
+            var sCb = 0; var sCr = 0; var cnt = 0
+            var dy = 0
+            while (dy < vL) {
+              var dx = 0
+              while (dx < hL) {
+                val sx = cx * hL + dx; val sy = cy * vL + dy
+                if (sx < w && sy < h) {
+                  sCb += cbP(sy * w + sx); sCr += crP(sy * w + sx); cnt += 1
+                }
+                dx += 1
               }
-              dx += 1
+              dy += 1
             }
-            dy += 1
+            cb(cy * cw + cx) = (sCb + cnt / 2) / cnt
+            cr(cy * cw + cx) = (sCr + cnt / 2) / cnt
+            cx += 1
           }
-          cbS(cy * cw + cx) = (sCb + n / 2) / n
-          crS(cy * cw + cx) = (sCr + n / 2) / n
-          cx += 1
+          cy += 1
         }
-        cy += 1
+        (cb, cr)
       }
-      val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
-      var dcY = 0; var dcCb = 0; var dcCr = 0
-      var my = 0
-      while (my < mcusY) {
-        var mx = 0
-        while (mx < mcusX) {
-          var v = 0
-          while (v < 2) {
-            var u = 0
-            while (u < 2) {
-              dcY = encodeBlock(bw, block(yP, w, h, mx * 2 + u, my * 2 + v),
-                LumQuant, dcLumCodes, acLumCodes, dcY)
-              u += 1
-            }
-            v += 1
-          }
-          dcCb = encodeBlock(bw, block(cbS, cw, ch, mx, my), ChromaQuant, dcChrCodes, acChrCodes, dcCb)
-          dcCr = encodeBlock(bw, block(crS, cw, ch, mx, my), ChromaQuant, dcChrCodes, acChrCodes, dcCr)
-          mx += 1
+    // one generic interleaved MCU loop: vL×hL luma blocks then (for
+    // color) one Cb + one Cr block per MCU, RSTn every restartInterval
+    val mcusX = (w + 8 * hL - 1) / (8 * hL)
+    val mcusY = (h + 8 * vL - 1) / (8 * vL)
+    val bw = new BitWriter(out)
+    val dc = Array(0, 0, 0)
+    var rst = 0
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush() // pad to byte boundary, then the marker
+        marker(0xd0 + rst); rst = (rst + 1) % 8
+        java.util.Arrays.fill(dc, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var v = 0
+      while (v < vL) {
+        var u = 0
+        while (u < hL) {
+          dc(0) = encodeBlock(bw, block(yP, w, h, mx * hL + u, my * vL + v),
+            LumQuant, dcLumCodes, acLumCodes, dc(0))
+          u += 1
         }
-        my += 1
+        v += 1
       }
+      if (!gray) {
+        dc(1) = encodeBlock(bw, block(cbS, cw, ch, mx, my),
+          ChromaQuant, dcChrCodes, acChrCodes, dc(1))
+        dc(2) = encodeBlock(bw, block(crS, cw, ch, mx, my),
+          ChromaQuant, dcChrCodes, acChrCodes, dc(2))
+      }
+      mcu += 1
     }
     bw.flush()
     marker(0xd9) // EOI

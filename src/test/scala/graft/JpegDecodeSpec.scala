@@ -50,29 +50,59 @@ class JpegDecodeSpec extends AnyFunSuite {
       Seq(16, 8, 0).map(s => math.abs(((p >> s) & 0xff) - ((q >> s) & 0xff))).max
     }.max
 
-  test("constant-cell images round-trip EXACTLY through encode+decode in all three profiles") {
-    for ((gray, sub) <- Seq((true, false), (false, false), (false, true));
+  // (gray, 4:2:0, 4:2:2) encoder profile triples for the sweep tests
+  private val Profiles = Seq(
+    (true, false, false), (false, false, false),
+    (false, true, false), (false, false, true))
+
+  test("constant-cell images round-trip EXACTLY through encode+decode in all four profiles") {
+    for ((gray, s420, s422) <- Profiles;
          (w, h) <- Seq((8, 8), (20, 13), (5, 27), (16, 16))) {
-      val f = cellImage(w, h, seed = w * 31L + h + (if (gray) 1 else 0) + (if (sub) 7 else 0))
-      val enc = Jpeg.encode(w, h, f, gray = gray, subsample420 = sub)
-      val (dw, dh, px) = Jpeg.decode(enc).getOrElse(fail(s"decode failed gray=$gray sub=$sub ${w}x$h"))
+      val f = cellImage(w, h, seed = w * 31L + h + (if (gray) 1 else 0) +
+        (if (s420) 7 else 0) + (if (s422) 11 else 0))
+      val enc = Jpeg.encode(w, h, f, gray = gray,
+        subsample420 = s420, subsample422 = s422)
+      val (dw, dh, px) = Jpeg.decode(enc).getOrElse(
+        fail(s"decode failed gray=$gray 420=$s420 422=$s422 ${w}x$h"))
       assert((dw, dh) == ((w, h)))
       for (y <- 0 until h; x <- 0 until w)
         assert(px(y * w + x) == f(x, y),
-          s"pixel ($x,$y) gray=$gray sub=$sub: got ${px(y * w + x)}%06x want ${f(x, y)}%06x")
+          s"pixel ($x,$y) gray=$gray 420=$s420 422=$s422: got ${px(y * w + x)} want ${f(x, y)}")
     }
   }
 
   test("our encoder's files decode under ImageIO: constant cells exact, all profiles") {
-    for ((gray, sub) <- Seq((true, false), (false, false), (false, true))) {
+    for ((gray, s420, s422) <- Profiles) {
       val (w, h) = (21, 14)
       val f = cellImage(w, h, seed = 99)
-      val enc = Jpeg.encode(w, h, f, gray = gray, subsample420 = sub)
+      val enc = Jpeg.encode(w, h, f, gray = gray,
+        subsample420 = s420, subsample422 = s422)
       val (dw, dh, px) = imageioDecode(enc)
       assert((dw, dh) == ((w, h)))
       for (y <- 0 until h; x <- 0 until w)
         assert(px(y * w + x) == f(x, y),
-          f"ImageIO pixel ($x,$y) gray=$gray sub=$sub: ${px(y * w + x)}%06x want ${f(x, y)}%06x")
+          f"ImageIO pixel ($x,$y) gray=$gray 420=$s420 422=$s422: ${px(y * w + x)}%06x want ${f(x, y)}%06x")
+    }
+  }
+
+  test("restart intervals: RSTn streams decode exactly under BOTH decoders, DC resets honored") {
+    for ((gray, s420, s422) <- Profiles; ri <- Seq(1, 3)) {
+      val (w, h) = (33, 18) // several MCUs in every profile
+      val f = cellImage(w, h, seed = 7 + ri)
+      val enc = Jpeg.encode(w, h, f, gray = gray, subsample420 = s420,
+        subsample422 = s422, restartInterval = ri)
+      // the stream genuinely carries restart markers
+      assert(enc.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7),
+        s"no RST marker emitted at ri=$ri")
+      val (dw, dh, mine) = Jpeg.decode(enc).getOrElse(
+        fail(s"RST decode failed gray=$gray 420=$s420 422=$s422 ri=$ri"))
+      assert((dw, dh) == ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(mine(y * w + x) == f(x, y), s"RST pixel ($x,$y) ri=$ri")
+      val (_, _, theirs) = imageioDecode(enc)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(theirs(y * w + x) == f(x, y), s"ImageIO RST pixel ($x,$y) ri=$ri")
     }
   }
 

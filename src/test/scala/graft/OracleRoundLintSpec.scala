@@ -58,6 +58,9 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "text_kn_perplexity" -> "nano quantization of KN LN terms (avg is exact)",
       "q_graph_adamic_adar" -> "micro quantization of 1/ln(deg)",
       "ann_ivf_trained" -> "k-means centroid mean: nearest-int of micro sums",
+      "ann_ivf_manifest" -> ("k-means centroid mean + cosine chain " +
+        "(ivfScoredCtes, same sites as ann_ivf_trained); the census " +
+        "columns are exact BIGINT counts"),
       "ann_sq8" -> "SQ8 quantizer: (v-mn)*255/(mx-mn) float grid",
       "ann_recall_sq8" -> "SQ8 quantizer + cosine chain",
       "q_disorder" -> "quantile_cont interpolation / 60000.0 minutes",
