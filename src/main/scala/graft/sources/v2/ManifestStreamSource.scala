@@ -62,25 +62,38 @@ class ManifestStreamDataSource extends TableProvider
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestStreamTable(schema, opts.get("path"),
-      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue))
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
+      Option(opts.get("versionAsOf")).map(_.toLong))
   }
 }
 
 final class ManifestStreamTable(tableSchema: StructType, dir: String,
-                                maxVersionsPerTrigger: Long)
+                                maxVersionsPerTrigger: Long,
+                                versionAsOf: Option[Long])
     extends Table with SupportsRead {
   require(dir != null, "graft-manifest requires a path")
   require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
   override def name(): String = s"graft-manifest($dir)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(tableSchema, dir, maxVersionsPerTrigger)
+        // batch read = the SNAPSHOT (latest, or `versionAsOf` time
+        // travel) — the same manifest fold ManifestTable.read plans,
+        // served through the same executor-side reader as the stream
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            ManifestTable.snapshotFiles(dir, versionAsOf)
+              .map(rel => ManifestFilePartition(s"$dir/data/$rel"): InputPartition)
+              .toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new ManifestReaderFactory(tableSchema.json)
+        }
       }
     }
 }

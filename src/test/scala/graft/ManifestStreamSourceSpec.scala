@@ -115,6 +115,27 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
       s"wrong failure: ${messages(failed).mkString(" | ")}")
   }
 
+  test("batch read serves the snapshot; versionAsOf time-travels; compaction transparent") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v"), dir)
+    ManifestTable.append(spark, (10 until 15).map(i => (i.toLong, s"b$i")).toDF("id", "v"), dir)
+    val schema = ManifestTable.read(spark, dir).schema
+    def batchRead(opts: Map[String, String]) = {
+      var r = spark.read.format("graft-manifest").schema(schema)
+      opts.foreach { case (k, vv) => r = r.option(k, vv) }
+      r.load(dir)
+    }
+    val full = batchRead(Map.empty).select($"id").as[Long].collect().sorted
+    assert(full.sameElements(0L until 15L))
+    val v0 = batchRead(Map("versionAsOf" -> "0")).select($"id").as[Long].collect().sorted
+    assert(v0.sameElements(0L until 10L), "versionAsOf ignored")
+    // a replacing commit changes files, not the snapshot the batch reads
+    ManifestTable.compact(spark, dir)
+    assert(batchRead(Map.empty).count() == 15)
+    // and the source composes with ordinary DataFrame ops
+    assert(batchRead(Map.empty).filter($"id" >= 10).count() == 5)
+  }
+
   test("missing schema is rejected with a clear message") {
     val e = intercept[Exception] {
       spark.readStream.format("graft-manifest").load(freshDir())
