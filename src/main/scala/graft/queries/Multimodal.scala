@@ -849,7 +849,7 @@ object Multimodal {
     "mm_bmp_luma" -> QueryDef(mmBmpLuma, Some(mmBmpLumaSql)),
     "mm_png_luma" -> QueryDef(mmPngLuma, Some(mmPngLumaSql)),
     "mm_gif_luma" -> QueryDef(mmGifLuma, Some(mmGifLumaSql)),
-    "mm_jpeg_luma" -> QueryDef(mmJpegLuma, Some(mmJpegLumaSql)),
+    "mm_jpeg_luma" -> QueryDef(mmJpegLuma, Some(mmJpegLumaSql), bench = true),
     "mm_avi_shots" -> QueryDef(mmAviShots, Some(mmAviShotsSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),

@@ -1090,7 +1090,7 @@ object TextAnalysis {
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
     "text_oov_rate" -> QueryDef(textOovRate, Some(textOovRateSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
-    "text_classifier_train" -> QueryDef(textClassifierTrain, Some(textClassifierTrainSql)),
+    "text_classifier_train" -> QueryDef(textClassifierTrain, Some(textClassifierTrainSql), bench = true),
     "text_html_extract" -> QueryDef(textHtmlExtract, Some(textHtmlExtractSql)),
     "text_url_canonical" -> QueryDef(textUrlCanonical, Some(textUrlCanonicalSql)),
     "corpus_shard_manifest" -> QueryDef(corpusShardManifest, Some(corpusShardManifestSql)),
@@ -1109,7 +1109,7 @@ object TextAnalysis {
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
     "text_quality" -> QueryDef(textQuality, Some(textQualitySql), bench = true),
     "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
-    "text_langid_ngram" -> QueryDef(textLangidNgram, Some(textLangidNgramSql)),
+    "text_langid_ngram" -> QueryDef(textLangidNgram, Some(textLangidNgramSql), bench = true),
     "text_lang_confusion" -> QueryDef(langConfusion, Some(langConfusionSql)),
     "text_fingerprint" -> QueryDef(textFingerprint, Some(textFingerprintSql))
   )
