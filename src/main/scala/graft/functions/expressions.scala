@@ -500,17 +500,23 @@ object Kernels {
       p.getBytes("US-ASCII")
     }.toArray
 
-  /** Per-language profile-trigram hit counts of the LOWERCASED text in
-    * ONE pass over the UTF-8 bytes — replaces the per-char substring
-    * array (one String allocation per character) the declarative form
-    * materializes. Byte scan ≡ char scan here: profile trigrams are
-    * pure ASCII, and in UTF-8 an ASCII byte is always a standalone
+  /** Per-language profile-trigram hit counts of the ASCII-case-folded
+    * text in ONE pass over the UTF-8 bytes — replaces the per-char
+    * substring array (one String allocation per character) the
+    * declarative form materializes. Case folding is ASCII-ONLY
+    * (A-Z → a-z on the bytes): a locale-sensitive full lowercase
+    * would reintroduce the Turkish-İ class of bug (I→ı kills 'ing'
+    * matches; U+0130 lowers to two chars in Java but one in DuckDB,
+    * shifting every later window), and the profiles are pure ASCII so
+    * non-ASCII case pairs can never produce a match anyway. Byte scan
+    * ≡ char scan here: in UTF-8 an ASCII byte is always a standalone
     * codepoint (continuation bytes are ≥ 0x80), so every byte-level
-    * match is a char-level match and vice versa — the oracle gate
-    * verifies the equivalence corpus-wide. Returns array<long> of
-    * hits in [[LangTrigramProfiles]] order. */
+    * match is a char-level match and vice versa — the oracle replays
+    * the same fold as an explicit translate() and verifies the
+    * equivalence corpus-wide. Returns array<long> of hits in
+    * [[LangTrigramProfiles]] order. */
   def langTrigramHits(s: UTF8String): ArrayData = {
-    val b = s.toLowerCase.getBytes
+    val b = s.getBytes
     val hits = new Array[Long](LangTrigramProfiles.length)
     var i = 0
     val last = b.length - 3
@@ -518,8 +524,9 @@ object Kernels {
       var p = 0
       while (p < LtpLang.length) {
         val o = p * 3
-        if (b(i) == LtpBytes(o) && b(i + 1) == LtpBytes(o + 1) &&
-            b(i + 2) == LtpBytes(o + 2)) {
+        if (asciiLower(b(i)) == LtpBytes(o) &&
+            asciiLower(b(i + 1)) == LtpBytes(o + 1) &&
+            asciiLower(b(i + 2)) == LtpBytes(o + 2)) {
           hits(LtpLang(p)) += 1
         }
         p += 1
@@ -528,6 +535,9 @@ object Kernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(hits)
   }
+
+  @inline private def asciiLower(c: Byte): Byte =
+    if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
 }
 
 /** Cosine similarity of two float vectors as a native Catalyst

@@ -74,8 +74,15 @@ object Classifier {
       var w = Array.fill(nBuckets + 1)(0L)
       def wMap: Column =
         typedlit(w.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
-      def pMicro(z: Column): Column =
-        greatest(lit(0L), least(lit(PMax), lit(PHalf) + expr(s"z div $ZDiv")))
+      // hard sigmoid over the passed logit column. Truncating division
+      // of z by ZDiv in Column algebra: z - z%d is an exact multiple
+      // (Spark % keeps the dividend's sign, so the subtraction rounds
+      // toward zero exactly like `div`), and the double division is
+      // exact because |z| < 2^53 (bounded weights × per-mille counts)
+      def pMicro(z: Column): Column = {
+        val zdiv = ((z - (z % ZDiv)) / ZDiv).cast("long")
+        greatest(lit(0L), least(lit(PMax), lit(PHalf) + zdiv))
+      }
       for (_ <- 0 until iters) {
         val grad = xTrain
           .select($"doc_id", $"y", (element_at(wMap, $"k") * $"c").as("zz"),

@@ -665,6 +665,9 @@ object Jpeg {
               p += 17 + n
             }
           case 0xc0 | 0xc1 => // baseline / extended sequential SOF
+            // 12-bit sample precision is legal in SOF1 but outside this
+            // decoder's 8-bit pipeline — None, not silently wrong pixels
+            if ((b(body) & 0xff) != 8) return None
             h = be16(body + 1); w = be16(body + 3)
             val n = b(body + 5) & 0xff
             if (w <= 0 || h <= 0 || (n != 1 && n != 3)) return None
@@ -704,9 +707,16 @@ object Jpeg {
   }
 
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
-                         comps: Array[Comp], quant: Array[Array[Int]],
+                         comps0: Array[Comp], quant: Array[Array[Int]],
                          dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
                          restartInterval: Int): Option[(Int, Int, Array[Int])] = {
+    // T.81 A.2.2: a single-component scan is NON-interleaved — one
+    // data unit per MCU over ceil(w/8) × ceil(h/8), regardless of the
+    // sampling factors the SOF declares (encoders that strip chroma
+    // legally leave 2×2 on the remaining component)
+    val comps =
+      if (comps0.length == 1) comps0.map(_.copy(hSamp = 1, vSamp = 1))
+      else comps0
     val hMax = comps.map(_.hSamp).max
     val vMax = comps.map(_.vSamp).max
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)

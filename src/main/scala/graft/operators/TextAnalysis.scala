@@ -88,12 +88,14 @@ object TextAnalysis {
 
   /** Char-trigram language ID: score = profile-trigram occurrences in
     * the lowercased text, deterministic argmax with first-profile-wins
-    * tie-break and 'und' when nothing fires. The per-language counts
+    * tie-break and 'und' when nothing fires (ASCII case fold — see the
+    * kernel's locale rationale). The per-language counts
     * come from ONE codegen'd pass over the UTF-8 bytes
     * ([[graft.functions.LangTrigramHits]]) — the declarative form
     * (materialize every char trigram, filter per language) allocates
     * a String per character and re-walks the array once per profile;
-    * the native kernel made the gated key 8× cheaper (4.4 s → 0.54 s at sf0.1). Map-only
+    * the native kernel made the gated key ~10× cheaper (4.4 s →
+    * 0.27-0.54 s at sf0.1 depending on suite warmth). Map-only
     * in-scan work: no explode, no shuffle — at 100 TB this is pure
     * scan-side CPU like the quality stats. */
   def langIdNgram(docs: DataFrame): DataFrame = {

@@ -353,13 +353,28 @@ object Pipeline {
         .orderBy($"source"))
   }
 
+  // Full delivery-ledger replay: originals arrive in batch doc_id%4,
+  // re-crawled copies (same text, id+10n) one batch later. Keep the
+  // FIRST delivery per text (batch, then id — the pipeline's in-batch
+  // row_number + cross-batch anti-join order), so intra-corpus
+  // duplicate texts (sf0.1 has 8 pairs) dedup exactly like re-crawls.
   private val dedupChangefeedE2eSql =
-    """WITH drp AS (SELECT COUNT(*) AS n_dropped FROM documents
-      |  WHERE doc_id % 4 IN (0, 1, 2))
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      |ledger AS (
+      |  SELECT doc_id AS id, doc_id % 4 AS b, source, n_chars, text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10 * n AS id, doc_id % 4 + 1 AS b, source, n_chars, text
+      |  FROM documents CROSS JOIN n WHERE doc_id % 4 < 3),
+      |kept AS (
+      |  SELECT * FROM ledger
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY b, id) = 1),
+      |drp AS (SELECT (SELECT COUNT(*) FROM ledger) -
+      |               (SELECT COUNT(*) FROM kept) AS n_dropped)
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  CAST((SELECT n_dropped FROM drp) AS BIGINT) AS n_dropped
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
   /** GDPR erasure END-TO-END — the full right-to-be-forgotten
     * pipeline a training-data warehouse must run, composed from the
@@ -388,6 +403,7 @@ object Pipeline {
       ManifestTable.append(s,
         docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w), root)
     val victim = "src7"
+    val preV = ManifestTable.latestVersion(root).get
     require(ManifestTable.deleteWhere(s, root, $"source" === victim).isDefined,
       "nothing deleted — victim source missing from the corpus?")
     ManifestTable.vacuum(root, keepVersions = 1, minAgeMs = 0)
@@ -403,7 +419,7 @@ object Pipeline {
       s"GDPR FAILURE: $victim rows physically present after delete+vacuum")
     // and history is bounded: the pre-delete snapshot no longer folds
     val preGone =
-      try { ManifestTable.read(s, root, Some(3L)).count(); false }
+      try { ManifestTable.read(s, root, Some(preV)).count(); false }
       catch { case _: IllegalStateException => true }
     require(preGone, "pre-delete version still readable after vacuum")
     StreamReplay.finish(s, qname = "", root)(

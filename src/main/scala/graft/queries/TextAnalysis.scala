@@ -180,7 +180,10 @@ object TextAnalysis {
     val arms = TA.CharProfiles.map { case (lang, _) =>
       s"WHEN hits_$lang = best THEN '$lang'"
     }.mkString(" ")
-    s"""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+    s"""WITH t0 AS (SELECT doc_id,
+       |    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+       |                    'abcdefghijklmnopqrstuvwxyz') AS t
+       |  FROM documents),
        |g AS (SELECT doc_id,
        |    CASE WHEN length(t) < 3 THEN []::VARCHAR[]
        |      ELSE list_transform(range(1, length(t) - 1),
