@@ -8,13 +8,17 @@ import java.io.ByteArrayOutputStream
   * log analytics; this is the §F multimodal extension surface).
   *
   * Decoder scope (the dominant crawled-image shape): SOI/APPn/COM/DQT
-  * (8- and 16-bit precision)/DHT/SOF0/DRI/SOS/RSTn/EOI; 1-component
+  * (8- and 16-bit precision)/DHT/SOF0-1/DRI/SOS/RSTn/EOI; 1-component
   * grayscale and 3-component YCbCr; arbitrary sampling factors 1-2
-  * per axis (4:4:4, 4:2:2, 4:2:0); interleaved single scan; entropy
-  * byte-unstuffing; per-component DC prediction with restart-interval
-  * resets. Progressive (SOF2) and arithmetic coding are out of scope
-  * and return None — a corpus pipeline routes those to a fallback,
-  * it never crashes on them.
+  * per axis (4:4:4, 4:2:2, 4:2:0); interleaved sequential scans;
+  * entropy byte-unstuffing; per-component DC prediction with
+  * restart-interval resets; and PROGRESSIVE (SOF2, T.81 Annex G
+  * Huffman): multi-scan spectral selection + successive approximation
+  * — DC first/refine, AC first with EOBn run codes, AC refinement
+  * with correction bits — accumulated in per-component coefficient
+  * memory and reconstructed at EOI. Lossless, hierarchical, and
+  * arithmetic coding are out of scope and return None — a corpus
+  * pipeline routes those to a fallback, it never crashes on them.
   *
   * Encoder scope: JFIF baseline, standard Annex K Huffman tables,
   * quality-style quant tables with DC steps forced to 8 (see below),
@@ -619,13 +623,21 @@ object Jpeg {
     var comps: Array[Comp] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
+    var stores: Array[Array[Int]] = null // per-comp coefficient memory
+    var sawScan = false
+    var skipAdvance = false
 
     def be16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-    while (pos + 4 <= b.length) {
+    while (pos + 2 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
       val m = b(pos + 1) & 0xff
-      if (m == 0xd9) return None // EOI before any scan
+      if (m == 0xd9) // EOI: a finished progressive image, or truncation
+        return if (progressive && sawScan)
+          finishProgressive(w, h, comps, quant, stores)
+        else None
+      if (pos + 4 > b.length) return None
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 } // standalone
       else {
         val len = be16(pos + 2)
@@ -664,10 +676,11 @@ object Jpeg {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               p += 17 + n
             }
-          case 0xc0 | 0xc1 => // baseline / extended sequential SOF
-            // 12-bit sample precision is legal in SOF1 but outside this
-            // decoder's 8-bit pipeline — None, not silently wrong pixels
+          case 0xc0 | 0xc1 | 0xc2 => // baseline / ext sequential / PROGRESSIVE
+            // 12-bit sample precision is legal in SOF1/2 but outside
+            // this decoder's 8-bit pipeline — None, not garbage pixels
             if ((b(body) & 0xff) != 8) return None
+            progressive = m == 0xc2
             h = be16(body + 1); w = be16(body + 3)
             val n = b(body + 5) & 0xff
             if (w <= 0 || h <= 0 || (n != 1 && n != 3)) return None
@@ -679,28 +692,52 @@ object Jpeg {
                 return None
               cs
             }.toArray
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            // a 1-component image decodes non-interleaved 1×1 whatever
+            // the SOF declares (T.81 A.2.2) — normalize once, up front
+            if (n == 1) comps = comps.map(_.copy(hSamp = 1, vSamp = 1))
+            if (progressive) {
+              val hm = comps.map(_.hSamp).max; val vm = comps.map(_.vSamp).max
+              val mx = (w + 8 * hm - 1) / (8 * hm)
+              val my = (h + 8 * vm - 1) / (8 * vm)
+              stores = comps.map(c =>
+                new Array[Int](mx * c.hSamp * my * c.vSamp * 64))
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic: out of scope
+            return None // lossless/arithmetic/hierarchical: out of scope
           case 0xdd => restartInterval = be16(body)
-          case 0xda => // SOS — decode the scan and finish
+          case 0xda => // SOS
             if (comps == null) return None
             val ns = b(body) & 0xff
-            if (ns != comps.length) return None // non-interleaved: out of scope
             var o = body + 1
+            val selected = new Array[Int](ns)
             var i = 0
             while (i < ns) {
               val cid = b(o) & 0xff
-              val c = comps.find(_.id == cid).getOrElse(return None)
-              c.dcTab = (b(o + 1) & 0xff) >> 4
-              c.acTab = (b(o + 1) & 0xff) & 0x0f
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              comps(ci).dcTab = (b(o + 1) & 0xff) >> 4
+              comps(ci).acTab = (b(o + 1) & 0xff) & 0x0f
+              selected(i) = ci
               o += 2; i += 1
             }
-            return decodeScan(b, pos + 2 + len, w, h, comps, quant, dcTabs,
-              acTabs, restartInterval)
+            if (!progressive) {
+              if (ns != comps.length) return None // non-interleaved seq: out of scope
+              return decodeScan(b, pos + 2 + len, w, h, comps, quant, dcTabs,
+                acTabs, restartInterval)
+            }
+            val ss = b(o) & 0xff
+            val se = b(o + 1) & 0xff
+            val ah = (b(o + 2) & 0xff) >> 4
+            val al = (b(o + 2) & 0xff) & 0x0f
+            pos = decodeProgressiveScan(b, pos + 2 + len, w, h, comps,
+              selected, ss, se, ah, al, restartInterval, dcTabs, acTabs, stores)
+            sawScan = true
+            skipAdvance = true
           case _ => // APPn, COM, others: skip
         }
-        pos += 2 + len
+        if (!skipAdvance) pos += 2 + len
+        skipAdvance = false
       }
     }
     None
@@ -786,7 +823,14 @@ object Jpeg {
       }
       mcu += 1
     }
-    // compose RGB with nearest-neighbor chroma upsampling
+    composeRgb(w, h, comps, planes, planeW, hMax, vMax)
+  }
+
+  /** RGB composition with nearest-neighbor chroma upsampling — shared
+    * by the sequential and progressive finish paths. */
+  private def composeRgb(w: Int, h: Int, comps: Array[Comp],
+                         planes: Array[Array[Int]], planeW: Array[Int],
+                         hMax: Int, vMax: Int): Option[(Int, Int, Array[Int])] = {
     val out = new Array[Int](w * h)
     if (comps.length == 1) {
       val pw = planeW(0)
@@ -824,6 +868,235 @@ object Jpeg {
       }
     }
     Some((w, h, out))
+  }
+
+  // ----------------------------------------------------------------
+  // progressive (SOF2) decoding — T.81 Annex G, Huffman
+  // ----------------------------------------------------------------
+
+  /** Decode one progressive scan into the per-component coefficient
+    * stores, returning the byte position of the marker that follows
+    * the entropy data. Four scan shapes (G.1.2): DC first (Ss=0,
+    * Ah=0, values shifted left Al), DC refinement (one bit per block
+    * ORed in at Al), AC first (single component, EOBn run codes), and
+    * AC refinement (correction bits on nonzero history + new ±1<<Al
+    * coefficients). Coefficients stay UN-dequantized until
+    * [[finishProgressive]]. */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int, w: Int, h: Int,
+                                    comps: Array[Comp], selected: Array[Int],
+                                    ss: Int, se: Int, ah: Int, al: Int,
+                                    restartInterval: Int,
+                                    dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+                                    stores: Array[Array[Int]]): Int = {
+    if (ss < 0 || se > 63 || ss > se || al > 13) throw new DecodeFail
+    if (ss == 0 && se != 0) throw new DecodeFail // DC scan is DC-only in progressive
+    if (ss > 0 && selected.length != 1) throw new DecodeFail // AC scans: one component
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    def storeBW(ci: Int) = mcusX * comps(ci).hSamp
+    val br = new BitReader(b, start)
+    val dcPred = new Array[Int](selected.length)
+    var eobrun = 0
+    val p1 = 1 << al
+
+    def dcUnit(si: Int, ci: Int, blockIdx: Int): Unit = {
+      val coef = stores(ci)
+      val base = blockIdx * 64
+      if (ah == 0) {
+        val t = dcTabs(comps(ci).dcTab)
+        if (t == null) throw new DecodeFail
+        val cat = br.decodeHuff(t)
+        dcPred(si) += extend(br.bitsValue(cat), cat)
+        coef(base) = dcPred(si) << al
+      } else {
+        val bit = br.bit()
+        if (bit < 0) throw new DecodeFail
+        if (bit == 1) coef(base) |= p1
+      }
+    }
+
+    def acFirstUnit(ci: Int, blockIdx: Int): Unit = {
+      val coef = stores(ci)
+      val base = blockIdx * 64
+      if (eobrun > 0) { eobrun -= 1; return }
+      val t = acTabs(comps(ci).acTab)
+      if (t == null) throw new DecodeFail
+      var k = ss
+      while (k <= se) {
+        val rs = br.decodeHuff(t)
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s != 0) {
+          k += r
+          if (k > se) throw new DecodeFail
+          coef(base + Zigzag(k)) = extend(br.bitsValue(s), s) << al
+          k += 1
+        } else if (r == 15) {
+          k += 16 // ZRL
+        } else {
+          eobrun = (1 << r) - 1
+          if (r > 0) eobrun += br.bitsValue(r)
+          k = se + 1 // EOB for this block; eobrun covers the NEXT blocks
+        }
+      }
+    }
+
+    def acRefineUnit(ci: Int, blockIdx: Int): Unit = {
+      val coef = stores(ci)
+      val base = blockIdx * 64
+      val t = acTabs(comps(ci).acTab)
+      if (t == null) throw new DecodeFail
+      def correct(z: Int): Unit = {
+        val bit = br.bit()
+        if (bit < 0) throw new DecodeFail
+        if (bit == 1 && (coef(base + z) & p1) == 0)
+          coef(base + z) += (if (coef(base + z) >= 0) p1 else -p1)
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var inEob = false
+        while (k <= se && !inEob) {
+          val rs = br.decodeHuff(t)
+          var r = rs >> 4; val s = rs & 0x0f
+          var newVal = 0
+          if (s != 0) {
+            if (s != 1) throw new DecodeFail // refinement codes only ±1
+            val bit = br.bit()
+            if (bit < 0) throw new DecodeFail
+            newVal = if (bit == 1) p1 else -p1
+          } else if (r != 15) {
+            eobrun = 1 << r
+            if (r > 0) eobrun += br.bitsValue(r)
+            inEob = true // fall through to the EOB correction sweep
+          }
+          if (!inEob) {
+            // advance over r zero-HISTORY coefficients, emitting
+            // correction bits for every nonzero one passed
+            var placed = false
+            while (k <= se && !placed) {
+              val z = Zigzag(k)
+              if (coef(base + z) != 0) correct(z)
+              else {
+                if (r == 0) {
+                  if (newVal != 0) coef(base + z) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) throw new DecodeFail // ran past Se
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) { // corrections continue through the EOB run
+          val z = Zigzag(k)
+          if (coef(base + z) != 0) correct(z)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def unit(si: Int, ci: Int, blockIdx: Int): Unit =
+      if (ss == 0) dcUnit(si, ci, blockIdx)
+      else if (ah == 0) acFirstUnit(ci, blockIdx)
+      else acRefineUnit(ci, blockIdx)
+
+    def restart(mcu: Int): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (br.takeRst() < 0) throw new DecodeFail
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+
+    if (selected.length > 1) {
+      // interleaved (DC scans only, enforced above): full MCU walk
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        restart(mcu)
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var si = 0
+        while (si < selected.length) {
+          val ci = selected(si)
+          val c = comps(ci)
+          var v = 0
+          while (v < c.vSamp) {
+            var u = 0
+            while (u < c.hSamp) {
+              unit(si, ci, (my * c.vSamp + v) * storeBW(ci) + mx * c.hSamp + u)
+              u += 1
+            }
+            v += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: one data unit per MCU over the COMPONENT's
+      // own block grid (ceil of the component dimensions), row-major
+      val ci = selected(0)
+      val c = comps(ci)
+      val compW = (w * c.hSamp + hMax - 1) / hMax
+      val compH = (h * c.vSamp + vMax - 1) / vMax
+      val nbx = (compW + 7) / 8
+      val nby = (compH + 7) / 8
+      var mcu = 0
+      val total = nbx * nby
+      while (mcu < total) {
+        restart(mcu)
+        unit(0, ci, (mcu / nbx) * storeBW(ci) + (mcu % nbx))
+        mcu += 1
+      }
+    }
+    br.dropToByte()
+    br.pos
+  }
+
+  /** Dequantize + IDCT every stored block and compose the image —
+    * runs once, at EOI, after all scans have landed. */
+  private def finishProgressive(w: Int, h: Int, comps: Array[Comp],
+                                quant: Array[Array[Int]],
+                                stores: Array[Array[Int]])
+      : Option[(Int, Int, Array[Int])] = {
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planes = comps.map(c => new Array[Int](mcusX * c.hSamp * 8 * mcusY * c.vSamp * 8))
+    val planeW = comps.map(c => mcusX * c.hSamp * 8)
+    val deq = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = quant(c.quantId)
+      if (q == null) return None
+      val bw = mcusX * c.hSamp; val bh = mcusY * c.vSamp
+      val coef = stores(ci)
+      var blk = 0
+      while (blk < bw * bh) {
+        var z = 0
+        while (z < 64) { deq(z) = coef(blk * 64 + z) * q(z); z += 1 }
+        val px = idct(deq)
+        val bx = blk % bw; val by = blk / bw
+        val pw = planeW(ci)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        blk += 1
+      }
+      ci += 1
+    }
+    composeRgb(w, h, comps, planes, planeW, hMax, vMax)
   }
 
   /** Per-pixel integer luma of a decoded JPEG — the [[Multimodal]]

@@ -203,12 +203,82 @@ class JpegDecodeSpec extends AnyFunSuite {
     // truncation at every prefix must fail clean
     for (cut <- Seq(2, 10, good.length / 2, good.length - 3))
       assert(Jpeg.decode(good.take(cut)).isEmpty, s"truncated at $cut")
-    // flip SOF0 to SOF2 (progressive): graceful None
+    // a MALFORMED progressive stream (sequential full-spectrum scan
+    // header relabeled SOF2) fails clean — Ss=0 with Se=63 is illegal
+    // for a progressive DC scan
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
-    assert(Jpeg.decode(prog).isEmpty, "progressive must be rejected cleanly")
+    assert(Jpeg.decode(prog).isEmpty, "malformed progressive must be rejected cleanly")
+    // arithmetic-coded (SOF9/SOF10) stays out of scope
+    val arith = good.clone()
+    arith(sofAt + 1) = 0xc9.toByte
+    assert(Jpeg.decode(arith).isEmpty)
+  }
+
+  private def imageioEncode(img: BufferedImage, progressive: Boolean,
+                            quality: Float): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    if (progressive) param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("PROGRESSIVE (SOF2): ImageIO-encoded multi-scan files decode, matching ImageIO's own decode") {
+    // ImageIO's progressive script exercises the full Annex-G state
+    // machine: DC first at Al=1, AC first bands, AC refinement at two
+    // successive-approximation levels, DC refinement (verified by
+    // dumping its SOS headers). Several sizes force partial MCUs.
+    for ((w, h) <- Seq((32, 24), (17, 9), (40, 25), (8, 8))) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 9 + y * 17) % 256)
+      val jpg = imageioEncode(img, progressive = true, quality = 0.9f)
+      // confirm it IS progressive (SOF2 present)
+      assert(jpg.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), s"not SOF2 at ${w}x$h")
+      val (dw, dh, mine) = Jpeg.decode(jpg).getOrElse(
+        fail(s"progressive decode failed at ${w}x$h"))
+      assert((dw, dh) == ((w, h)))
+      val (_, _, theirs) = imageioDecode(jpg)
+      val d = maxChannelDiff(mine, theirs)
+      assert(d <= 2, s"${w}x$h: max diff $d vs ImageIO's decode of its own progressive file")
+    }
+  }
+
+  test("PROGRESSIVE color (subsampled): interleaved DC scan + per-component AC scans decode") {
+    val (w, h) = (48, 33)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // neutral chroma isolates the luma pipeline from upsampling filters
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 4 + y * 6) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jpg = imageioEncode(img, progressive = true, quality = 0.9f)
+    assert(jpg.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "not SOF2")
+    val (dw, dh, mine) = Jpeg.decode(jpg).getOrElse(fail("progressive color decode failed"))
+    assert((dw, dh) == ((w, h)))
+    val (_, _, theirs) = imageioDecode(jpg)
+    val d = maxChannelDiff(mine, theirs)
+    assert(d <= 3, s"max diff $d vs ImageIO decode of its own progressive color file")
+  }
+
+  test("PROGRESSIVE truncation fails clean at every prefix") {
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, (x * 3 + y * 5) % 256)
+    val jpg = imageioEncode(img, progressive = true, quality = 0.9f)
+    for (cut <- Seq(4, jpg.length / 4, jpg.length / 2, jpg.length - 2))
+      assert(Jpeg.decode(jpg.take(cut)).isEmpty, s"truncated progressive at $cut")
   }
 
   test("restart markers: a DRI-interval stream decodes with DC prediction resets") {
