@@ -23,6 +23,40 @@ class KernelsPropertySpec extends AnyFunSuite {
     sa.zip(sb).count { case (x, y) => x == y } / 128.0
   }
 
+  test("langTrigramHits == reference per-char extraction on adversarial inputs") {
+    // reference: ASCII case-fold per CODEPOINT, then count char-window
+    // trigram matches — the semantics the DuckDB oracle replays
+    def ref(s: String): Seq[Long] = {
+      val folded = s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      val grams =
+        if (folded.length < 3) Seq.empty
+        else (0 to folded.length - 3).map(i => folded.substring(i, i + 3))
+      Kernels.LangTrigramProfiles.map { case (_, prof) =>
+        grams.count(prof.contains).toLong
+      }
+    }
+    def kernel(s: String): Seq[Long] = {
+      val a = Kernels.langTrigramHits(u8(s))
+      (0 until a.numElements()).map(a.getLong)
+    }
+    val adversarial = Seq(
+      "", "xy", "THE THE the", "singing In The Rain",
+      "Überraschung IST GROSS und SCHÖN", // non-ASCII + caps (Turkish-İ class)
+      "İstanbul the city", // U+0130: length-changing under full lowercase
+      "日本語のテキスト the quick brown fox", // CJK + ASCII mix
+      "aİtheıund", // dotted/dotless I adjacent to profile grams
+      "KKelvin the sign") // U+212A lowers to ASCII 'k' under FULL fold — ours must not
+    adversarial.foreach { s =>
+      assert(kernel(s) == ref(s), s"mismatch on '$s': ${kernel(s)} vs ${ref(s)}")
+    }
+    // randomized: mixed-case vocab + occasional multi-byte injections
+    val mixVocab = vocab ++ Seq("The", "AND", "Ingenious", "schön", "ÜBER", "que", "LES")
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(30))(mixVocab(rnd.nextInt(mixVocab.size))).mkString(" ")
+      assert(kernel(s) == ref(s), s"mismatch on '$s'")
+    }
+  }
+
   test("sortedIntersectCount == set intersection size on sorted distinct arrays") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     (1 to 200).foreach { _ =>
