@@ -224,17 +224,19 @@ object Jpeg {
     n
   }
 
-  /** Encode one 8×8 block: quantize, DC-diff, Huffman. Returns the new
-    * DC predictor. */
-  private def encodeBlock(bw: BitWriter, samples: Array[Double], quant: Array[Int],
-                          dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
-                          dcPred: Int): Int = {
+  private def quantize(samples: Array[Double], quant: Array[Int]): Array[Int] = {
     val coef = fdct(samples)
     val q = new Array[Int](64)
     var i = 0
     while (i < 64) { q(i) = math.round(coef(i) / quant(i)).toInt; i += 1 }
-    // DC
-    val diff = q(0) - dcPred
+    q
+  }
+
+  /** Emit one DC coefficient (differenced, category + bits). Returns
+    * the new predictor. */
+  private def encodeDc(bw: BitWriter, q0: Int,
+                       dcCodes: Map[Int, (Int, Int)], dcPred: Int): Int = {
+    val diff = q0 - dcPred
     val cat = category(diff)
     val (dcode, dlen) = dcCodes(cat)
     bw.put(dcode, dlen)
@@ -242,7 +244,14 @@ object Jpeg {
       val bits = if (diff >= 0) diff else diff + (1 << cat) - 1
       bw.put(bits, cat)
     }
-    // AC in zigzag order with run-length + ZRL + EOB
+    q0
+  }
+
+  /** Emit a block's AC coefficients in zigzag order with run-length +
+    * ZRL + EOB — the same code stream is a valid sequential AC segment
+    * AND a valid progressive AC-first scan unit (EOB0 = end-of-block). */
+  private def encodeAcs(bw: BitWriter, q: Array[Int],
+                        acCodes: Map[Int, (Int, Int)]): Unit = {
     var run = 0
     var k = 1
     while (k < 64) {
@@ -260,7 +269,17 @@ object Jpeg {
       k += 1
     }
     if (run > 0) { val (c, l) = acCodes(0x00); bw.put(c, l) } // EOB
-    q(0)
+  }
+
+  /** Encode one 8×8 block: quantize, DC-diff, Huffman. Returns the new
+    * DC predictor. */
+  private def encodeBlock(bw: BitWriter, samples: Array[Double], quant: Array[Int],
+                          dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
+                          dcPred: Int): Int = {
+    val q = quantize(samples, quant)
+    val pred = encodeDc(bw, q(0), dcCodes, dcPred)
+    encodeAcs(bw, q, acCodes)
+    pred
   }
 
   /** Extract the 8×8 block at (bx, by) from `plane` (pw×ph), edge-
@@ -288,9 +307,12 @@ object Jpeg {
     * RSTn markers every that many MCUs (DC prediction resets). */
   def encode(w: Int, h: Int, rgb: (Int, Int) => Int,
              gray: Boolean = false, subsample420: Boolean = false,
-             subsample422: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
+             subsample422: Boolean = false, restartInterval: Int = 0,
+             progressive: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0)
     require(!(subsample420 && subsample422), "pick one subsampling profile")
+    require(!(progressive && restartInterval > 0),
+      "progressive encoder does not emit restart markers")
     val out = new ByteArrayOutputStream()
     def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -323,7 +345,7 @@ object Jpeg {
       sof.write(2); sof.write(0x11); sof.write(1)
       sof.write(3); sof.write(0x11); sof.write(1)
     }
-    seg(0xc0, sof.toByteArray)
+    seg(if (progressive) 0xc2 else 0xc0, sof.toByteArray)
     // DHT
     def dhtBody(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Array[Byte] = {
       val b = new ByteArrayOutputStream()
@@ -343,13 +365,19 @@ object Jpeg {
       dri.write((restartInterval >>> 8) & 0xff); dri.write(restartInterval & 0xff)
       seg(0xdd, dri.toByteArray)
     }
-    // SOS
-    val sos = new ByteArrayOutputStream()
-    sos.write(nComp)
-    sos.write(1); sos.write(0x00)
-    if (!gray) { sos.write(2); sos.write(0x11); sos.write(3); sos.write(0x11) }
-    sos.write(0); sos.write(63); sos.write(0)
-    seg(0xda, sos.toByteArray)
+    // SOS header writer: component selectors + spectral params
+    def sosSeg(compIds: Seq[Int], ss: Int, se: Int, ahAl: Int): Unit = {
+      val sos = new ByteArrayOutputStream()
+      sos.write(compIds.length)
+      compIds.foreach { id =>
+        sos.write(id)
+        sos.write(if (id == 1) 0x00 else 0x11) // (dcTab<<4)|acTab
+      }
+      sos.write(ss); sos.write(se); sos.write(ahAl)
+      seg(0xda, sos.toByteArray)
+    }
+    if (!progressive)
+      sosSeg((1 to nComp), 0, 63, 0)
 
     // component planes (BT.601 full-range YCbCr)
     val yP = new Array[Int](w * h)
@@ -406,41 +434,111 @@ object Jpeg {
         }
         (cb, cr)
       }
-    // one generic interleaved MCU loop: vL×hL luma blocks then (for
-    // color) one Cb + one Cr block per MCU, RSTn every restartInterval
     val mcusX = (w + 8 * hL - 1) / (8 * hL)
     val mcusY = (h + 8 * vL - 1) / (8 * vL)
-    val bw = new BitWriter(out)
-    val dc = Array(0, 0, 0)
-    var rst = 0
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        bw.flush() // pad to byte boundary, then the marker
-        marker(0xd0 + rst); rst = (rst + 1) % 8
-        java.util.Arrays.fill(dc, 0)
-      }
-      val mx = mcu % mcusX; val my = mcu / mcusX
-      var v = 0
-      while (v < vL) {
-        var u = 0
-        while (u < hL) {
-          dc(0) = encodeBlock(bw, block(yP, w, h, mx * hL + u, my * vL + v),
-            LumQuant, dcLumCodes, acLumCodes, dc(0))
-          u += 1
+    if (!progressive) {
+      // one generic interleaved MCU loop: vL×hL luma blocks then (for
+      // color) one Cb + one Cr block per MCU, RSTn every restartInterval
+      val bw = new BitWriter(out)
+      val dc = Array(0, 0, 0)
+      var rst = 0
+      var mcu = 0
+      val totalMcus = mcusX * mcusY
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush() // pad to byte boundary, then the marker
+          marker(0xd0 + rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(dc, 0)
         }
-        v += 1
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var v = 0
+        while (v < vL) {
+          var u = 0
+          while (u < hL) {
+            dc(0) = encodeBlock(bw, block(yP, w, h, mx * hL + u, my * vL + v),
+              LumQuant, dcLumCodes, acLumCodes, dc(0))
+            u += 1
+          }
+          v += 1
+        }
+        if (!gray) {
+          dc(1) = encodeBlock(bw, block(cbS, cw, ch, mx, my),
+            ChromaQuant, dcChrCodes, acChrCodes, dc(1))
+          dc(2) = encodeBlock(bw, block(crS, cw, ch, mx, my),
+            ChromaQuant, dcChrCodes, acChrCodes, dc(2))
+        }
+        mcu += 1
       }
-      if (!gray) {
-        dc(1) = encodeBlock(bw, block(cbS, cw, ch, mx, my),
-          ChromaQuant, dcChrCodes, acChrCodes, dc(1))
-        dc(2) = encodeBlock(bw, block(crS, cw, ch, mx, my),
-          ChromaQuant, dcChrCodes, acChrCodes, dc(2))
+      bw.flush()
+    } else {
+      // PROGRESSIVE (spectral selection only, no successive
+      // approximation): one DC scan — interleaved for color, matching
+      // the decoder's MCU walk — then one full-band AC scan per
+      // component over the COMPONENT's own block grid (T.81 G.1:
+      // sequential run/size coding with EOB0 is a valid AC-first
+      // scan). The same quantized coefficients feed both scans, so
+      // the constant-cell exactness argument carries over verbatim.
+      case class Plane(px: Array[Int], pw: Int, ph: Int, quant: Array[Int],
+                       bWfull: Int, bHfull: Int, hS: Int, vS: Int)
+      val plns =
+        if (gray) Array(Plane(yP, w, h, LumQuant, mcusX, mcusY, 1, 1))
+        else Array(
+          Plane(yP, w, h, LumQuant, mcusX * hL, mcusY * vL, hL, vL),
+          Plane(cbS, cw, ch, ChromaQuant, mcusX, mcusY, 1, 1),
+          Plane(crS, cw, ch, ChromaQuant, mcusX, mcusY, 1, 1))
+      // quantize every full-grid block once
+      val qb: Array[Array[Array[Int]]] = plns.map { p =>
+        Array.tabulate(p.bWfull * p.bHfull) { i =>
+          quantize(block(p.px, p.pw, p.ph, i % p.bWfull, i / p.bWfull), p.quant)
+        }
       }
-      mcu += 1
+      // DC scan
+      sosSeg(1 to nComp, 0, 0, 0)
+      val bwDc = new BitWriter(out)
+      val dc = Array(0, 0, 0)
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < plns.length) {
+          val p = plns(ci)
+          val dcCodes = if (ci == 0) dcLumCodes else dcChrCodes
+          var v = 0
+          while (v < p.vS) {
+            var u = 0
+            while (u < p.hS) {
+              val bi = (my * p.vS + v) * p.bWfull + mx * p.hS + u
+              dc(ci) = encodeDc(bwDc, qb(ci)(bi)(0), dcCodes, dc(ci))
+              u += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      bwDc.flush()
+      // per-component AC scans (Ss=1, Se=63), non-interleaved
+      var ci = 0
+      while (ci < plns.length) {
+        val p = plns(ci)
+        sosSeg(Seq(ci + 1), 1, 63, 0)
+        val bwAc = new BitWriter(out)
+        val acCodes = if (ci == 0) acLumCodes else acChrCodes
+        val nbx = (p.pw + 7) / 8; val nby = (p.ph + 7) / 8
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            encodeAcs(bwAc, qb(ci)(by * p.bWfull + bx), acCodes)
+            bx += 1
+          }
+          by += 1
+        }
+        bwAc.flush()
+        ci += 1
+      }
     }
-    bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
   }

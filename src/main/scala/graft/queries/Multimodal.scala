@@ -293,6 +293,62 @@ object Multimodal {
       |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-scale validation of the PROGRESSIVE (SOF2) JPEG path —
+    * the web's other dominant JPEG shape, behind the same oracle
+    * discipline as [[mmJpegLuma]]: per doc the SAME constant-cell
+    * formula (different seed) is encoded PROGRESSIVELY (interleaved
+    * DC scan + per-component full-band AC scans) and decoded through
+    * the multi-scan coefficient-accumulation pipeline (T.81 Annex G:
+    * scan sequencing, EOB0 codes, non-interleaved component grids,
+    * reconstruction at EOI). Constant cells keep the round trip
+    * bit-exact (DC-only blocks, DC quant step 8), so the oracle
+    * re-derives every pixel from the formula; the successive-
+    * approximation refinement arms are cross-validated against
+    * ImageIO's progressive writer in JpegDecodeSpec (no exact oracle
+    * exists for foreign quant tables). Docs rotate all three encoder
+    * profiles, exercising the interleaved DC walk over 1-, 3- and
+    * 6-block MCUs plus the per-component AC grids. */
+  private def mmJpegProgLuma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"),
+        ($"n_chars" % 24 + 4).cast("int").as("w"),
+        ($"doc_id" * 19 % 20 + 3).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        val nbx = (w + 7) / 8
+        val img = graft.operators.Jpeg.encode(w, h, (x, y) => {
+          val v = ((id * 47 + (y / 8).toLong * nbx + (x / 8)) % 256).toInt
+          (v << 16) | (v << 8) | v
+        }, gray = id % 3 == 0, subsample420 = id % 3 == 1, progressive = true)
+        val lum = graft.operators.Jpeg.luminance(img).getOrElse(
+          throw new IllegalStateException(s"progressive jpeg round-trip failed for doc $id"))
+        (id, w.toLong, h.toLong, lum.sum, MM.blockHash60Samples(lum))
+      }
+      .toDF("doc_id", "w", "h", "luma_sum", "blockhash")
+      .orderBy($"doc_id")
+  }
+
+  private val mmJpegProgLumaSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(n_chars % 24 + 4 AS BIGINT) AS w,
+      |    CAST((doc_id * 19) % 20 + 3 AS BIGINT) AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      |pv AS (SELECT doc_id, w, h, i,
+      |    (doc_id * 47 + ((i // w) // 8) * ((w + 7) // 8) + ((i % w) // 8))
+      |      % 256 AS v FROM px),
+      |bs AS (SELECT doc_id, (i * 60) // (w * h) AS blk,
+      |    SUM(v) AS s, COUNT(*) AS c FROM pv GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, SUM(s) AS total, SUM(c) AS n FROM bs GROUP BY 1),
+      |bits AS (SELECT bs.doc_id,
+      |    SUM(CASE WHEN s * n > total * c
+      |      THEN (1::BIGINT << CAST(blk AS INT)) ELSE 0 END) AS bh
+      |  FROM bs JOIN tt USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, d.w, d.h, CAST(tt.total AS BIGINT) AS luma_sum,
+      |  CAST(COALESCE(bits.bh, 0) AS BIGINT) AS blockhash
+      |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus-scale validation of the REAL WAV/PCM16 decoder (r12
     * VERDICT #6) — the audio twin of [[mmBmpLuma]]/[[mmPngLuma]]: per
     * doc a known square wave (half-period, amplitude, length, sample
@@ -850,6 +906,7 @@ object Multimodal {
     "mm_png_luma" -> QueryDef(mmPngLuma, Some(mmPngLumaSql)),
     "mm_gif_luma" -> QueryDef(mmGifLuma, Some(mmGifLumaSql)),
     "mm_jpeg_luma" -> QueryDef(mmJpegLuma, Some(mmJpegLumaSql), bench = true),
+    "mm_jpeg_prog_luma" -> QueryDef(mmJpegProgLuma, Some(mmJpegProgLumaSql)),
     "mm_avi_shots" -> QueryDef(mmAviShots, Some(mmAviShotsSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),

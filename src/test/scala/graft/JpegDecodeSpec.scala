@@ -272,6 +272,27 @@ class JpegDecodeSpec extends AnyFunSuite {
     assert(d <= 3, s"max diff $d vs ImageIO decode of its own progressive color file")
   }
 
+  test("our PROGRESSIVE encoder: constant cells round-trip EXACTLY through both decoders, all profiles") {
+    for ((gray, s420, s422) <- Profiles) {
+      val (w, h) = (21, 14)
+      val f = cellImage(w, h, seed = 123)
+      val enc = Jpeg.encode(w, h, f, gray = gray, subsample420 = s420,
+        subsample422 = s422, progressive = true)
+      assert(enc.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "not SOF2")
+      val (dw, dh, mine) = Jpeg.decode(enc).getOrElse(
+        fail(s"our progressive decode failed gray=$gray 420=$s420 422=$s422"))
+      assert((dw, dh) == ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(mine(y * w + x) == f(x, y),
+          s"pixel ($x,$y) gray=$gray 420=$s420 422=$s422")
+      val (_, _, theirs) = imageioDecode(enc)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(theirs(y * w + x) == f(x, y),
+          s"ImageIO pixel ($x,$y) gray=$gray 420=$s420 422=$s422")
+    }
+  }
+
   test("PROGRESSIVE truncation fails clean at every prefix") {
     val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until 16; x <- 0 until 16)
