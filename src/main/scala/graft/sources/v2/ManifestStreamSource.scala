@@ -78,11 +78,20 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // physical column pruning: the pruned schema reaches the parquet
+      // reader as a projection (ReadSupport.PARQUET_READ_SCHEMA), so
+      // unrequested columns are never materialized — which also means
+      // a table holding unsupported-typed columns (embedding arrays)
+      // reads fine as long as the QUERY touches only scalars
+      private var required: StructType = tableSchema
+      override def pruneColumns(r: StructType): Unit =
+        required = StructType(tableSchema.fields.filter(f =>
+          r.fieldNames.contains(f.name)))
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(tableSchema, dir, maxVersionsPerTrigger)
+          new ManifestMicroBatchStream(required, dir, maxVersionsPerTrigger)
         // batch read = the SNAPSHOT (latest, or `versionAsOf` time
         // travel) — the same manifest fold ManifestTable.read plans,
         // served through the same executor-side reader as the stream
@@ -92,7 +101,7 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
               .map(rel => ManifestFilePartition(s"$dir/data/$rel"): InputPartition)
               .toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            new ManifestReaderFactory(tableSchema.json)
+            new ManifestReaderFactory(required.json)
         }
       }
     }
@@ -174,12 +183,32 @@ final class ManifestReaderFactory(schemaJson: String)
 
 /** Executor-side parquet read of one committed data file through the
   * public parquet-hadoop Group API, converted to InternalRows of the
-  * declared schema. */
+  * (possibly column-pruned) schema. The pruned schema is pushed into
+  * the reader as a parquet projection, so unrequested columns are
+  * skipped at the column-chunk level, never decoded. */
 final class ManifestPartitionReader(file: String, schema: StructType)
     extends PartitionReader[InternalRow] {
-  private val reader: ParquetReader[Group] =
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    // projection derived from the FILE's own footer schema (exact
+    // types and required/optional repetitions — hand-built fields
+    // would have to guess Spark's nullability encoding), filtered to
+    // the requested column names
+    val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), conf)
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
+    val fileSchema =
+      try pf.getFooter.getFileMetaData.getSchema
+      finally pf.close()
+    val wanted = schema.fieldNames.toSet
+    val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
+    fileSchema.getFields.forEach(f => if (wanted.contains(f.getName)) kept.add(f): Unit)
+    val projected = new org.apache.parquet.schema.MessageType("spark_schema", kept)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
+  }
   private var current: Group = _
 
   override def next(): Boolean = {
