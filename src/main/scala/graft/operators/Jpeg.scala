@@ -585,14 +585,16 @@ object Jpeg {
 
     private def fill(): Boolean = {
       if (atMarker >= 0) return false
-      if (pos >= b.length) return false
-      val v = b(pos) & 0xff
-      if (v == 0xff) {
+      while (pos < b.length) {
+        val v = b(pos) & 0xff
+        if (v != 0xff) { pos += 1; acc = (acc << 8) | v; nbits += 8; return true }
         if (pos + 1 >= b.length) return false
         val m = b(pos + 1) & 0xff
-        if (m == 0x00) { pos += 2; acc = (acc << 8) | 0xff; nbits += 8; true }
-        else { atMarker = m; false } // a real marker: stop
-      } else { pos += 1; acc = (acc << 8) | v; nbits += 8; true }
+        if (m == 0x00) { pos += 2; acc = (acc << 8) | 0xff; nbits += 8; return true }
+        if (m != 0xff) { atMarker = m; return false } // a real marker: stop
+        pos += 1 // 0xFF FILL byte before a marker (T.81 B.1.1.2): skip
+      }
+      false
     }
 
     /** Next bit, or -1 at a marker/end (missing data decodes as 0 per
@@ -633,7 +635,10 @@ object Jpeg {
       // any buffered bits are padding before the marker
       dropToByte()
       if (atMarker < 0) {
-        // marker not yet seen: scan forward (pos sits ON 0xff if so)
+        // marker not yet seen: scan forward (pos sits ON 0xff if so),
+        // tolerating 0xFF fill bytes before the marker code
+        while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+               (b(pos + 1) & 0xff) == 0xff) pos += 1
         if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff) {
           atMarker = b(pos + 1) & 0xff
           pos += 2
@@ -730,6 +735,11 @@ object Jpeg {
 
     while (pos + 2 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
+      // 0xFF FILL bytes are legal padding before any marker (T.81
+      // B.1.1.2): skip them rather than misparse the next 0xFF as a
+      // segment-bearing marker code
+      while (pos + 2 <= b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 2 > b.length) return None
       val m = b(pos + 1) & 0xff
       if (m == 0xd9) // EOI: a finished progressive image, or truncation
         return if (progressive && sawScan)

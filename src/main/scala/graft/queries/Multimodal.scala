@@ -252,19 +252,27 @@ object Multimodal {
     * implementation (gradient content is cross-validated against
     * ImageIO both directions in JpegDecodeSpec). Scale shape: per-doc
     * CPU inside one scan stage; pixels never shuffle. */
-  private def mmJpegLuma(s: SparkSession, dir: String): DataFrame = {
+  /** Shared builder for the two JPEG luma keys: constant-cell image
+    * (value = (id·seed + cellRow·nbx + cellCol) % 256, dims from doc
+    * fields with `hMul` varying the height law per key) encoded in the
+    * requested mode and decoded back; emits the exact luma sum +
+    * 60-block hash. One implementation, one SQL template — the two
+    * keys cannot drift apart. */
+  private def jpegLumaKey(s: SparkSession, dir: String, seed: Long,
+                          hMul: Long, progressive: Boolean): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id".cast("long"),
         ($"n_chars" % 24 + 4).cast("int").as("w"),
-        ($"doc_id" * 17 % 20 + 3).cast("int").as("h"))
+        ($"doc_id" * hMul % 20 + 3).cast("int").as("h"))
       .as[(Long, Int, Int)]
       .map { case (id, w, h) =>
         val nbx = (w + 7) / 8
         val img = graft.operators.Jpeg.encode(w, h, (x, y) => {
-          val v = ((id * 41 + (y / 8).toLong * nbx + (x / 8)) % 256).toInt
+          val v = ((id * seed + (y / 8).toLong * nbx + (x / 8)) % 256).toInt
           (v << 16) | (v << 8) | v
-        }, gray = id % 3 == 0, subsample420 = id % 3 == 1)
+        }, gray = id % 3 == 0, subsample420 = id % 3 == 1,
+          progressive = progressive)
         val lum = graft.operators.Jpeg.luminance(img).getOrElse(
           throw new IllegalStateException(s"jpeg round-trip failed for doc $id"))
         (id, w.toLong, h.toLong, lum.sum, MM.blockHash60Samples(lum))
@@ -273,25 +281,30 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  private val mmJpegLumaSql =
-    """WITH d AS (SELECT doc_id,
-      |    CAST(n_chars % 24 + 4 AS BIGINT) AS w,
-      |    CAST((doc_id * 17) % 20 + 3 AS BIGINT) AS h FROM documents),
-      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
-      |pv AS (SELECT doc_id, w, h, i,
-      |    (doc_id * 41 + ((i // w) // 8) * ((w + 7) // 8) + ((i % w) // 8))
-      |      % 256 AS v FROM px),
-      |bs AS (SELECT doc_id, (i * 60) // (w * h) AS blk,
-      |    SUM(v) AS s, COUNT(*) AS c FROM pv GROUP BY 1, 2),
-      |tt AS (SELECT doc_id, SUM(s) AS total, SUM(c) AS n FROM bs GROUP BY 1),
-      |bits AS (SELECT bs.doc_id,
-      |    SUM(CASE WHEN s * n > total * c
-      |      THEN (1::BIGINT << CAST(blk AS INT)) ELSE 0 END) AS bh
-      |  FROM bs JOIN tt USING (doc_id) GROUP BY 1)
-      |SELECT d.doc_id, d.w, d.h, CAST(tt.total AS BIGINT) AS luma_sum,
-      |  CAST(COALESCE(bits.bh, 0) AS BIGINT) AS blockhash
-      |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+  private def jpegLumaSql(seed: Long, hMul: Long): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(n_chars % 24 + 4 AS BIGINT) AS w,
+       |    CAST((doc_id * $hMul) % 20 + 3 AS BIGINT) AS h FROM documents),
+       |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+       |pv AS (SELECT doc_id, w, h, i,
+       |    (doc_id * $seed + ((i // w) // 8) * ((w + 7) // 8) + ((i % w) // 8))
+       |      % 256 AS v FROM px),
+       |bs AS (SELECT doc_id, (i * 60) // (w * h) AS blk,
+       |    SUM(v) AS s, COUNT(*) AS c FROM pv GROUP BY 1, 2),
+       |tt AS (SELECT doc_id, SUM(s) AS total, SUM(c) AS n FROM bs GROUP BY 1),
+       |bits AS (SELECT bs.doc_id,
+       |    SUM(CASE WHEN s * n > total * c
+       |      THEN (1::BIGINT << CAST(blk AS INT)) ELSE 0 END) AS bh
+       |  FROM bs JOIN tt USING (doc_id) GROUP BY 1)
+       |SELECT d.doc_id, d.w, d.h, CAST(tt.total AS BIGINT) AS luma_sum,
+       |  CAST(COALESCE(bits.bh, 0) AS BIGINT) AS blockhash
+       |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  private def mmJpegLuma(s: SparkSession, dir: String): DataFrame =
+    jpegLumaKey(s, dir, seed = 41L, hMul = 17L, progressive = false)
+
+  private val mmJpegLumaSql = jpegLumaSql(seed = 41L, hMul = 17L)
 
   /** Corpus-scale validation of the PROGRESSIVE (SOF2) JPEG path —
     * the web's other dominant JPEG shape, behind the same oracle
@@ -308,46 +321,10 @@ object Multimodal {
     * exists for foreign quant tables). Docs rotate all three encoder
     * profiles, exercising the interleaved DC walk over 1-, 3- and
     * 6-block MCUs plus the per-component AC grids. */
-  private def mmJpegProgLuma(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id".cast("long"),
-        ($"n_chars" % 24 + 4).cast("int").as("w"),
-        ($"doc_id" * 19 % 20 + 3).cast("int").as("h"))
-      .as[(Long, Int, Int)]
-      .map { case (id, w, h) =>
-        val nbx = (w + 7) / 8
-        val img = graft.operators.Jpeg.encode(w, h, (x, y) => {
-          val v = ((id * 47 + (y / 8).toLong * nbx + (x / 8)) % 256).toInt
-          (v << 16) | (v << 8) | v
-        }, gray = id % 3 == 0, subsample420 = id % 3 == 1, progressive = true)
-        val lum = graft.operators.Jpeg.luminance(img).getOrElse(
-          throw new IllegalStateException(s"progressive jpeg round-trip failed for doc $id"))
-        (id, w.toLong, h.toLong, lum.sum, MM.blockHash60Samples(lum))
-      }
-      .toDF("doc_id", "w", "h", "luma_sum", "blockhash")
-      .orderBy($"doc_id")
-  }
+  private def mmJpegProgLuma(s: SparkSession, dir: String): DataFrame =
+    jpegLumaKey(s, dir, seed = 47L, hMul = 19L, progressive = true)
 
-  private val mmJpegProgLumaSql =
-    """WITH d AS (SELECT doc_id,
-      |    CAST(n_chars % 24 + 4 AS BIGINT) AS w,
-      |    CAST((doc_id * 19) % 20 + 3 AS BIGINT) AS h FROM documents),
-      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
-      |pv AS (SELECT doc_id, w, h, i,
-      |    (doc_id * 47 + ((i // w) // 8) * ((w + 7) // 8) + ((i % w) // 8))
-      |      % 256 AS v FROM px),
-      |bs AS (SELECT doc_id, (i * 60) // (w * h) AS blk,
-      |    SUM(v) AS s, COUNT(*) AS c FROM pv GROUP BY 1, 2),
-      |tt AS (SELECT doc_id, SUM(s) AS total, SUM(c) AS n FROM bs GROUP BY 1),
-      |bits AS (SELECT bs.doc_id,
-      |    SUM(CASE WHEN s * n > total * c
-      |      THEN (1::BIGINT << CAST(blk AS INT)) ELSE 0 END) AS bh
-      |  FROM bs JOIN tt USING (doc_id) GROUP BY 1)
-      |SELECT d.doc_id, d.w, d.h, CAST(tt.total AS BIGINT) AS luma_sum,
-      |  CAST(COALESCE(bits.bh, 0) AS BIGINT) AS blockhash
-      |FROM d JOIN tt USING (doc_id) LEFT JOIN bits USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+  private val mmJpegProgLumaSql = jpegLumaSql(seed = 47L, hMul = 19L)
 
   /** Corpus-scale validation of the REAL WAV/PCM16 decoder (r12
     * VERDICT #6) — the audio twin of [[mmBmpLuma]]/[[mmPngLuma]]: per

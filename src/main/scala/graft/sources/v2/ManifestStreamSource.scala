@@ -188,27 +188,28 @@ final class ManifestReaderFactory(schemaJson: String)
   * skipped at the column-chunk level, never decoded. */
 final class ManifestPartitionReader(file: String, schema: StructType)
     extends PartitionReader[InternalRow] {
-  private val reader: ParquetReader[Group] = {
-    val conf = new Configuration()
-    // projection derived from the FILE's own footer schema (exact
-    // types and required/optional repetitions — hand-built fields
-    // would have to guess Spark's nullability encoding), filtered to
-    // the requested column names
-    val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new Path(file), conf)
-    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
-    val fileSchema =
-      try pf.getFooter.getFileMetaData.getSchema
-      finally pf.close()
-    val wanted = schema.fieldNames.toSet
-    val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
-    fileSchema.getFields.forEach(f => if (wanted.contains(f.getName)) kept.add(f): Unit)
-    val projected = new org.apache.parquet.schema.MessageType("spark_schema", kept)
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      projected.toString)
-    ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(conf).build()
+  /** GroupReadSupport that projects to the requested column names
+    * INSIDE init(), where the file schema is already in hand — the
+    * projection keeps the file's exact types and required/optional
+    * repetitions (hand-built fields would have to guess Spark's
+    * nullability encoding), and the footer is read exactly once. */
+  private final class ProjectingReadSupport(wanted: Set[String])
+      extends GroupReadSupport {
+    override def init(context: org.apache.parquet.hadoop.api.InitContext)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+      val fileSchema = context.getFileSchema
+      val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
+      fileSchema.getFields.forEach(f =>
+        if (wanted.contains(f.getName)) kept.add(f): Unit)
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+        new org.apache.parquet.schema.MessageType("spark_schema", kept))
+    }
   }
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new ProjectingReadSupport(schema.fieldNames.toSet),
+        new Path(file))
+      .withConf(new Configuration()).build()
   private var current: Group = _
 
   override def next(): Boolean = {

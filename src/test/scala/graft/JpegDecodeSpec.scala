@@ -302,6 +302,30 @@ class JpegDecodeSpec extends AnyFunSuite {
       assert(Jpeg.decode(jpg.take(cut)).isEmpty, s"truncated progressive at $cut")
   }
 
+  test("0xFF fill bytes before markers are legal padding (T.81 B.1.1.2), not corruption") {
+    val f = cellImage(16, 16, seed = 31)
+    val good = Jpeg.encode(16, 16, f)
+    // splice fill bytes before the EOI marker and before the SOS marker
+    val eoiAt = good.length - 2
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val padded = good.take(sosAt) ++ Array.fill(3)(0xff.toByte) ++
+      good.slice(sosAt, eoiAt) ++ Array.fill(2)(0xff.toByte) ++ good.drop(eoiAt)
+    val (w, h, px) = Jpeg.decode(padded).getOrElse(fail("fill-padded JPEG rejected"))
+    assert((w, h) == ((16, 16)))
+    for (y <- 0 until 16; x <- 0 until 16) assert(px(y * 16 + x) == f(x, y))
+    // and fill bytes before a RST marker inside the entropy stream
+    val rstFile = Jpeg.encode(33, 18, cellImage(33, 18, 9), restartInterval = 2)
+    val rstAt = rstFile.indices.find(i =>
+      (rstFile(i) & 0xff) == 0xff && (rstFile(i + 1) & 0xff) >= 0xd0 &&
+        (rstFile(i + 1) & 0xff) <= 0xd7).get
+    val rstPadded = rstFile.take(rstAt) ++ Array.fill(2)(0xff.toByte) ++ rstFile.drop(rstAt)
+    val g2 = cellImage(33, 18, 9)
+    val (w2, h2, px2) = Jpeg.decode(rstPadded).getOrElse(fail("fill before RST rejected"))
+    assert((w2, h2) == ((33, 18)))
+    for (y <- 0 until 18; x <- 0 until 33) assert(px2(y * 33 + x) == g2(x, y))
+  }
+
   test("restart markers: a DRI-interval stream decodes with DC prediction resets") {
     // hand-exercise DRI by injecting it through the public surface:
     // ImageIO can't easily force DRI, so build a file via our encoder
