@@ -134,8 +134,16 @@ object Bench {
     // does, fall through with load_flag=true — the round must not
     // lose its artifact. SPARK_GRAFT_BENCH_MAX_WAIT_SEC overrides
     // (0 disables the wait).
-    val maxWaitSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "600").toInt
+    val maxWaitSec = sys.env.get("SPARK_GRAFT_BENCH_MAX_WAIT_SEC") match {
+      case Some(raw) => raw.toIntOption.getOrElse {
+        // a malformed override must not kill the unattended run the
+        // wait loop exists to protect — warn and take the default
+        System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_BENCH_MAX_WAIT_SEC='$raw'; using 600")
+        600
+      }
+      case None => 600
+    }
     var (la1, la5, la15) = loadAvg()
     var idleWaitSec = 0
     while (la1 > 0.25 * hostCpus && idleWaitSec < maxWaitSec) {

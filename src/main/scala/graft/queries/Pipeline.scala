@@ -435,6 +435,80 @@ object Pipeline {
       |FROM documents WHERE source <> 'src7'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** MERGE INTO on the manifest table proven end-to-end — the upsert
+    * primitive (Delta MERGE, whole-row update-all + insert-all): the
+    * corpus lands as 4 stats-carrying doc_id slices, then one
+    * [[graft.sources.ManifestTable.mergeInto]] call applies a batch
+    * whose updates hit ONLY the upper two slices (every doc_id
+    * divisible by 3 there gets a rewritten source + n_chars) and whose
+    * inserts are entirely fresh keys. In-code requires pin the shape
+    * the key exists for: exactly ONE committed version; commit
+    * metadata O(affected) — per-file `remove=` lines for the two
+    * matched slices, never a `reset` or a live-file relist; the
+    * untouched slices' column stats surviving verbatim (still
+    * prunable); and the exactly-once streaming contract — a retried
+    * merge carrying the same txn marker is a no-op. The emitted
+    * per-source aggregate hash-matches the oracle's full-outer-join
+    * merge, so a lost survivor, a stale matched row, or a dropped
+    * insert all break the hash. Scale shape: one semi-join scan plans
+    * the affected files, the rewrite touches only their rows + the
+    * batch, commit metadata is O(affected + batch). */
+  private def sinkManifestMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-merge").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id")
+    val updates = docs.filter($"doc_id" % 3 === 0 && $"doc_id" >= 2 * w)
+      .select($"doc_id", lit("merged").as("source"), ($"n_chars" + 7L).as("n_chars"))
+    val inserts = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10L * n).as("doc_id"), lit("fresh").as("source"),
+        $"n_chars")
+    val batch = updates.unionAll(inserts)
+    val preV = ManifestTable.latestVersion(root).get
+    val mv = ManifestTable.mergeInto(s, root, batch, "doc_id",
+      statCols = Seq("doc_id"), txn = Some(("mrg", 1L)))
+    require(mv.contains(preV + 1), "merge must land as exactly one commit")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_manifest", s"v${preV + 1}.manifest"))
+    require(!lines.contains("reset"), "merge wrote a replacing commit")
+    val nRemoves = (0 until lines.size).count(i => lines.get(i).startsWith("remove="))
+    require(nRemoves == 2,
+      s"merge rewrote $nRemoves files; only the 2 upper slices hold matches")
+    require(ManifestTable.plannedFilesForRange(root, "doc_id", 0, 1).size == 1,
+      "merge rewrote (or dropped the stats of) a file it did not touch")
+    require(ManifestTable.mergeInto(s, root, batch, "doc_id",
+        statCols = Seq("doc_id"), txn = Some(("mrg", 1L))).isEmpty,
+      "retried MERGE batch applied twice")
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, root)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"source"))
+  }
+
+  private val sinkManifestMergeSql =
+    """WITH nn AS (SELECT COUNT(*) AS n, (COUNT(*) + 3) // 4 AS w FROM documents),
+      |t AS (SELECT doc_id, source, n_chars FROM documents),
+      |b AS (
+      |  SELECT doc_id, 'merged' AS source, n_chars + 7 AS n_chars
+      |  FROM documents, nn WHERE doc_id % 3 = 0 AND doc_id >= 2 * w
+      |  UNION ALL
+      |  SELECT doc_id + 10 * n, 'fresh', n_chars
+      |  FROM documents, nn WHERE doc_id % 5 = 0),
+      |m AS (
+      |  SELECT CASE WHEN b.doc_id IS NOT NULL THEN b.source ELSE t.source END AS source,
+      |    CASE WHEN b.doc_id IS NOT NULL THEN b.n_chars ELSE t.n_chars END AS n_chars
+      |  FROM t FULL OUTER JOIN b ON t.doc_id = b.doc_id)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   /** The manifest table consumed through the REAL Structured Streaming
     * SOURCE (15th driver-verified streaming path —
     * [[graft.sources.v2.ManifestStreamDataSource]], the engine-layer
@@ -2017,6 +2091,8 @@ object Pipeline {
       QueryDef(sinkManifestStreamSource, Some(sinkManifestChangefeedSql)),
     "sink_manifest_gdpr_e2e" ->
       QueryDef(sinkManifestGdprE2e, Some(sinkManifestGdprE2eSql)),
+    "sink_manifest_merge" ->
+      QueryDef(sinkManifestMerge, Some(sinkManifestMergeSql)),
     "dedup_changefeed_e2e" ->
       QueryDef(dedupChangefeedE2e, Some(dedupChangefeedE2eSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),

@@ -45,10 +45,13 @@ import java.util.UUID
   *
   * Log format (line-oriented, no parser dependencies): line 1
   * `version=<N>`, then per line `add=<data-relative path>`,
+  * `remove=<data-relative path>` (drops that file from the folded
+  * set — the O(affected) half of copy-on-write DELETE/MERGE),
   * `txn=<writer>:<batch>`, or `reset` (clears the folded file set;
   * txn markers always survive — a streaming writer's retried batch
   * must stay a no-op across compactions). A `v<N>.checkpoint` holds
-  * the FOLDED state at N in the same format.
+  * the FOLDED state at N in the same format (removes already
+  * applied), so checkpoints stay the only O(table) metadata writes.
   */
 object ManifestTable {
 
@@ -93,6 +96,10 @@ object ManifestTable {
     def apply(lines: Seq[String]): Unit = lines.foreach {
       case "reset" => files = Vector.empty
       case l if l.startsWith("add=") => files :+= l.stripPrefix("add=")
+      case l if l.startsWith("remove=") =>
+        // match on the bare path: the live entry may carry a stats suffix
+        val rel = l.stripPrefix("remove=")
+        files = files.filterNot(_.takeWhile(_ != '|') == rel)
       case l if l.startsWith("txn=") => txns += l.stripPrefix("txn=")
       case l => throw new IllegalStateException(s"unknown log action: $l")
     }
@@ -177,10 +184,32 @@ object ManifestTable {
     * Zero-row part files are DROPPED from the actions: they carry no
     * data, and a stats-less entry would never be pruned out of any
     * future plan. */
+  /** Legal stats-column names: anything else could collide with the
+    * log's own `|` / `:` delimiters and write an entry that only
+    * fails at snapshot-read time as "corrupt stat segment". */
+  private val StatColName = "[A-Za-z0-9_]+".r
+
   private def statAddActions(spark: SparkSession, dir: String,
                              rels: Seq[String], statCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     if (rels.isEmpty) return Nil
+    statCols.foreach { c =>
+      require(StatColName.matches(c),
+        s"stats column name '$c' must match [A-Za-z0-9_]+ — " +
+          "'|' or ':' would corrupt the manifest entry")
+    }
+    // validate types BEFORE staging turns into a half-committed mess:
+    // a non-long stats column would ClassCastException mid-collect
+    val schema = spark.read.parquet(
+      rels.map(r => new File(dataDir(dir), r).getPath): _*).schema
+    statCols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"stats column '$c' is not in the staged batch's schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"stats column '$c' must be LongType, found ${f.dataType.simpleString}")
+    }
     val aggs = statCols.flatMap(c =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     val byFile = spark.read.parquet(
@@ -190,14 +219,19 @@ object ManifestTable {
       .collect() // one row per non-empty staged part file — batch-bounded
       .map { r =>
         val name = new File(r.getString(0)).getName
-        val stats = statCols.zipWithIndex.map { case (c, i) =>
-          s"stat=$c:${r.getLong(1 + 2 * i)}:${r.getLong(2 + 2 * i)}"
+        // an all-NULL column in a part file has null bounds — record
+        // no stat for that (file, column); unknown ranges never prune
+        val stats = statCols.zipWithIndex.collect {
+          case (c, i) if !r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i) =>
+            s"stat=$c:${r.getLong(1 + 2 * i)}:${r.getLong(2 + 2 * i)}"
         }
         name -> stats.mkString("|")
       }.toMap
     rels.flatMap { rel =>
       // absent from byFile ⇒ the part file holds zero rows: skip it
-      byFile.get(rel.split('/').last).map(stats => s"add=$rel|$stats")
+      byFile.get(rel.split('/').last).map { stats =>
+        if (stats.isEmpty) s"add=$rel" else s"add=$rel|$stats"
+      }
     }
   }
 
@@ -313,22 +347,75 @@ object ManifestTable {
     throw new IllegalStateException(s"gave up compacting $dir after 20 conflicts")
   }
 
+  /** True iff every committed manifest in `[from, to]` holds only
+    * `add=`/`txn=` lines — the commits COMMUTE with a copy-on-write
+    * rewrite of files that predate them (they can't have touched
+    * those files), so a conflicted delete/merge may re-commit its own
+    * actions on top instead of redoing the scan+rewrite (Delta's
+    * append/delete conflict-resolution rule). */
+  private def pureAppends(dir: String, from: Long, to: Long): Boolean =
+    (from to to).forall { v =>
+      val mf = new File(manifestDir(dir), s"v$v.manifest")
+      mf.isFile && readLog(mf, v).forall(l =>
+        l.startsWith("add=") || l.startsWith("txn="))
+    }
+
+  private[graft] sealed trait RewriteResult
+  private[graft] case class RewriteCommitted(version: Long) extends RewriteResult
+  private[graft] case object RewriteSkippedTxn extends RewriteResult
+  private[graft] case object RewriteConflict extends RewriteResult
+
+  /** Commit copy-on-write rewrite actions (`remove=` + `add=`) first
+    * at `parent + 1`, then — as long as every commit that beat us is a
+    * pure append, which commutes with a rewrite of pre-`parent` files —
+    * rebased onto each new latest. `skipIfTxn` is re-checked after
+    * every lost race (the commit that beat us may be a duplicate of
+    * this very batch). Returns [[RewriteConflict]] only when a
+    * NON-commuting commit (reset/remove) intervened: the caller must
+    * re-plan from the new snapshot. Package-visible for the
+    * deterministic rebase spec. */
+  private[graft] def commitRewriteRebasing(dir: String, parent: Long,
+                                           actions: Seq[String],
+                                           skipIfTxn: Option[(String, Long)] = None)
+      : RewriteResult = {
+    var at = parent + 1L
+    while (true) {
+      tryCommitAt(dir, at, actions) match {
+        case Some(v) => return RewriteCommitted(v)
+        case None =>
+          skipIfTxn.foreach { case (w, b) =>
+            if (committedBatches(dir, w).contains(b)) return RewriteSkippedTxn
+          }
+          val latest = resolved(dir, None)
+          if (!pureAppends(dir, at, latest)) return RewriteConflict
+          at = latest + 1L
+      }
+    }
+    RewriteConflict // unreachable
+  }
+
   /** Row-level DELETE, copy-on-write (the Delta/Iceberg shape — the
     * GDPR/takedown primitive a training-data warehouse cannot ship
     * without): plan the files that hold matching rows, rewrite ONLY
-    * those files minus the matches, and commit a replacing
-    * (`reset`+adds) manifest pinned to the version that was read (the
-    * [[compact]] optimistic-concurrency rule — a concurrent append
-    * aborts and restarts the delete, never the reverse). Untouched
-    * files keep their manifest entries VERBATIM, column stats
-    * included; rewritten files get fresh stats on `statCols` so
-    * [[readRange]] pruning survives the delete. Time travel to
-    * pre-delete versions still folds to the old file list — physical
-    * erasure is [[vacuum]]'s job, exactly as in Delta.
+    * those files minus the matches, and commit per-file `remove=`
+    * actions plus the survivors' `add=`s — metadata is **O(affected
+    * files)**, never O(live files); a millionth-file table's
+    * single-file delete writes a three-line manifest. Untouched files
+    * are never mentioned, so their entries (column stats included)
+    * survive verbatim in the fold; rewritten files get fresh stats on
+    * `statCols` so [[readRange]] pruning survives the delete. Time
+    * travel to pre-delete versions still folds to the old file list —
+    * physical erasure is [[vacuum]]'s job, exactly as in Delta.
+    *
+    * Concurrency: the commit is pinned to the version that was read;
+    * a concurrent PURE APPEND commutes (it cannot reference the
+    * rewritten files) and the delete rebases on top without redoing
+    * the scan, while a concurrent reset/remove forces a full re-plan
+    * from the new snapshot — a concurrent append is never erased.
     *
     * Scale shape: the affected-file scan is one pass with the
     * predicate pushed to parquet; the rewrite touches only affected
-    * files' rows; commit metadata is O(live files). Returns the
+    * files' rows; commit metadata is O(affected). Returns the
     * committed version, or None when nothing matched (no commit —
     * a delete of nothing must not advance the log). */
   def deleteWhere(spark: SparkSession, dir: String,
@@ -364,12 +451,12 @@ object ManifestTable {
       val adds =
         if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
         else staged.map("add=" + _)
-      val kept = entries.filterNot(e => affected.contains(e.takeWhile(_ != '|')))
-      tryCommitAt(dir, parent + 1L, "reset" +: (kept.map("add=" + _) ++ adds)) match {
-        case Some(v) => return Some(v)
-        case None =>
-          // a commit landed on top of `parent`; replacing now would
-          // erase it — drop the stale rewrite and restart
+      val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds
+      commitRewriteRebasing(dir, parent, actions) match {
+        case RewriteCommitted(v) => return Some(v)
+        case _ =>
+          // a non-commuting commit landed; the rewrite may have read
+          // rows that commit removed — drop it and re-plan
           staged.map(_.takeWhile(_ != '/')).distinct
             .foreach(t => deleteRec(new File(dataDir(dir), t)))
       }
@@ -377,14 +464,110 @@ object ManifestTable {
     throw new IllegalStateException(s"gave up deleting from $dir after 20 conflicts")
   }
 
+  /** MERGE INTO (keyed upsert), copy-on-write — the Delta MERGE shape
+    * restricted to whole-row `WHEN MATCHED THEN UPDATE SET *` /
+    * `WHEN NOT MATCHED THEN INSERT *`: batch rows whose `key` matches
+    * a live row REPLACE that row wholesale; the rest are inserted.
+    * Planning reuses the delete machinery: one semi-join scan finds
+    * the files holding matched rows, ONLY those files are rewritten
+    * (their non-matched survivors), the batch lands alongside as
+    * fresh rows, and the single commit carries per-file `remove=` +
+    * `add=` actions — **O(affected + batch)** metadata, never
+    * O(table). Rewritten files get fresh stats on `statCols` so
+    * [[readRange]] pruning survives the merge.
+    *
+    * Concurrency: the [[deleteWhere]] optimistic rule — pinned to the
+    * planned version, rebased over concurrent pure appends (they
+    * commute with a rewrite of files that predate them), re-planned
+    * after a reset/remove. A `txn` (writer, batchId) marker makes a
+    * retried streaming MERGE batch a no-op (the [[appendIdempotent]]
+    * contract); it is checked before planning and after every lost
+    * race, so a concurrent duplicate cannot double-apply.
+    *
+    * Duplicate keys IN the batch are an error (MERGE's own rule —
+    * which copy would win?), raised distributedly during the staged
+    * write, before anything commits. Returns the committed version,
+    * or None when `txn` says this batch already landed. */
+  def mergeInto(spark: SparkSession, dir: String, batch: DataFrame, key: String,
+                statCols: Seq[String] = Nil,
+                txn: Option[(String, Long)] = None): Option[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, raise_error, when}
+    // the duplicate-batch-key guard rides the key column itself, so it
+    // cannot be pruned away before the staged write evaluates it
+    val guarded = batch
+      .withColumn("_m_n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .withColumn(key,
+        when(col("_m_n") > 1,
+          raise_error(lit(s"mergeInto: multiple batch rows share one $key"))
+            .cast(batch.schema(key).dataType))
+          .otherwise(col(key)))
+      .drop("_m_n")
+    val keys = batch.select(col(key)).distinct()
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      // a retried streaming batch that already landed must be a no-op
+      txn.foreach { case (w, b) =>
+        if (committedBatches(dir, w).contains(b)) return None
+      }
+      val parent = latestVersion(dir).getOrElse(-1L)
+      // files holding matched rows: one semi-join scan, file-count bounded
+      val affected: Set[String] =
+        if (parent < 0) Set.empty
+        else {
+          val entries = fold(dir, parent).files
+          val relOf = entries.map { e =>
+            val rel = e.takeWhile(_ != '|')
+            new File(dataDir(dir), rel).getCanonicalPath -> rel
+          }.toMap
+          // file name is attached BEFORE the join: input_file_name()
+          // only resolves against a single source, and the semi-join's
+          // other side may itself be file-backed
+          read(spark, dir, Some(parent))
+            .withColumn("_m_file", input_file_name())
+            .join(keys, Seq(key), "left_semi")
+            .select(col("_m_file").as("f")).distinct().collect()
+            .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
+            .map(p => relOf.getOrElse(p, throw new IllegalStateException(
+              s"matched file $p is not in the snapshot"))).toSet
+        }
+      // one staged write: affected files' NON-matched survivors, then
+      // every batch row (update and insert alike land as fresh files)
+      val rewritten =
+        if (affected.isEmpty) guarded
+        else spark.read.parquet(
+            affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+          .join(keys, Seq(key), "left_anti")
+          .unionByName(guarded)
+      val staged = stageFiles(rewritten, dir)
+      val adds =
+        if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
+        else staged.map("add=" + _)
+      val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
+        txn.map { case (w, b) => s"txn=$w:$b" }
+      commitRewriteRebasing(dir, parent, actions, skipIfTxn = txn) match {
+        case RewriteCommitted(v) => return Some(v)
+        case other =>
+          staged.map(_.takeWhile(_ != '/')).distinct
+            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+          if (other == RewriteSkippedTxn) return None
+        // RewriteConflict: a reset/remove landed — re-plan from the
+        // new snapshot
+      }
+    }
+    throw new IllegalStateException(s"gave up merging into $dir after 20 conflicts")
+  }
+
   /** The change feed (Delta CDF shape, append-only): data files ADDED
     * by commits in `(sinceVersion, toVersion]`, stats suffixes
     * stripped. Pure log fold over exactly the interval's manifests —
     * O(commits polled), never O(history) — which is what a downstream
     * incremental pipeline polls instead of re-reading the table. A
-    * REPLACING commit (`reset` from compact/deleteWhere) in the
-    * interval means the delta is not expressible as added rows; the
-    * fold throws so the consumer falls back to a full re-read. */
+    * ROW-REMOVING commit in the interval (`reset` from compact, or
+    * `remove=` from deleteWhere/mergeInto) means the delta is not
+    * expressible as added rows; the fold throws so the consumer falls
+    * back to a full re-read. */
   def addedFilesSince(dir: String, sinceVersion: Long,
                       toVersion: Option[Long] = None): Seq[String] = {
     val to = resolved(dir, toVersion)
@@ -396,9 +579,9 @@ object ManifestTable {
         throw new IllegalStateException(
           s"version $v missing from the log of $dir (vacuumed past it?)")
       val lines = readLog(mf, v)
-      if (lines.contains("reset"))
+      if (lines.contains("reset") || lines.exists(_.startsWith("remove=")))
         throw new IllegalStateException(
-          s"change feed ($sinceVersion, $to] crosses a replacing commit at v$v; " +
+          s"change feed ($sinceVersion, $to] crosses a row-removing commit at v$v; " +
             "re-read the snapshot instead")
       lines.collect { case l if l.startsWith("add=") =>
         l.stripPrefix("add=").takeWhile(_ != '|')

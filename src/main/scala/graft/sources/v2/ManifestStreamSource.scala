@@ -19,6 +19,25 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.ManifestTable
 
+/** Java-serializable carrier for the session's Hadoop configuration —
+  * the driver plans with the session conf, and the executor-side
+  * parquet readers must open files against THE SAME filesystem
+  * settings (credentials, fs.* impls, IO tunables), not a blank
+  * `new Configuration()` that silently works only on the local FS.
+  * (Spark's own SerializableConfiguration is private[spark].) */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** The manifest table as a REAL Structured Streaming SOURCE — the
   * engine-layer half of the change feed (Delta's streaming-source
   * shape): `spark.readStream.format("graft-manifest").schema(s)
@@ -79,6 +98,10 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
+      // captured driver-side where the session is in scope; shipped to
+      // executors so readers resolve paths on the session's filesystem
+      private val hadoopConf = new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
       // physical column pruning: the pruned schema reaches the parquet
       // reader as a projection (ReadSupport.PARQUET_READ_SCHEMA), so
       // unrequested columns are never materialized — which also means
@@ -91,20 +114,29 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(required, dir, maxVersionsPerTrigger)
+          new ManifestMicroBatchStream(required, dir, maxVersionsPerTrigger, hadoopConf)
         // batch read = the SNAPSHOT (latest, or `versionAsOf` time
         // travel) — the same manifest fold ManifestTable.read plans,
         // served through the same executor-side reader as the stream
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             ManifestTable.snapshotFiles(dir, versionAsOf)
-              .map(rel => ManifestFilePartition(s"$dir/data/$rel"): InputPartition)
+              .map(rel => ManifestFilePartition(
+                ManifestStreamSource.dataFilePath(dir, rel)): InputPartition)
               .toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            new ManifestReaderFactory(required.json)
+            new ManifestReaderFactory(required.json, hadoopConf)
         }
       }
     }
+}
+
+private[v2] object ManifestStreamSource {
+  /** Hadoop-Path resolution of a committed data file — not string
+    * concatenation, so scheme-qualified table dirs (s3a://, hdfs://)
+    * resolve on the filesystem the conf names. */
+  def dataFilePath(dir: String, rel: String): String =
+    new Path(new Path(dir, "data"), rel).toString
 }
 
 /** Offset = highest manifest version consumed (-1 = nothing yet). */
@@ -113,7 +145,8 @@ final case class ManifestOffset(version: Long) extends Offset {
 }
 
 final class ManifestMicroBatchStream(schema: StructType, dir: String,
-                                     maxVersionsPerTrigger: Long)
+                                     maxVersionsPerTrigger: Long,
+                                     hadoopConf: SerializableHadoopConf)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -152,12 +185,13 @@ final class ManifestMicroBatchStream(schema: StructType, dir: String,
     // throws on a replacing commit in the interval — the stream FAILS
     // rather than silently double-reading a rewritten snapshot
     ManifestTable.addedFilesSince(dir, from, Some(to))
-      .map(rel => ManifestFilePartition(s"$dir/data/$rel"): InputPartition)
+      .map(rel => ManifestFilePartition(
+        ManifestStreamSource.dataFilePath(dir, rel)): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema.json)
+    new ManifestReaderFactory(schema.json, hadoopConf)
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"version":(-?\d+)\}""".r
@@ -173,12 +207,14 @@ final class ManifestMicroBatchStream(schema: StructType, dir: String,
 
 final case class ManifestFilePartition(file: String) extends InputPartition
 
-final class ManifestReaderFactory(schemaJson: String)
+final class ManifestReaderFactory(schemaJson: String,
+                                  hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ManifestPartitionReader(
       partition.asInstanceOf[ManifestFilePartition].file,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      hadoopConf.value)
 }
 
 /** Executor-side parquet read of one committed data file through the
@@ -186,7 +222,8 @@ final class ManifestReaderFactory(schemaJson: String)
   * (possibly column-pruned) schema. The pruned schema is pushed into
   * the reader as a parquet projection, so unrequested columns are
   * skipped at the column-chunk level, never decoded. */
-final class ManifestPartitionReader(file: String, schema: StructType)
+final class ManifestPartitionReader(file: String, schema: StructType,
+                                    conf: Configuration)
     extends PartitionReader[InternalRow] {
   /** GroupReadSupport that projects to the requested column names
     * INSIDE init(), where the file schema is already in hand — the
@@ -201,6 +238,16 @@ final class ManifestPartitionReader(file: String, schema: StructType)
       val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
       fileSchema.getFields.forEach(f =>
         if (wanted.contains(f.getName)) kept.add(f): Unit)
+      // fail HERE, with names, when a requested column is absent from
+      // the file — not later with parquet's opaque InvalidRecordException
+      val have = new scala.collection.mutable.HashSet[String]
+      kept.forEach(f => have.add(f.getName): Unit)
+      val missing = wanted.diff(have)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft-manifest: columns ${missing.toSeq.sorted.mkString(", ")} " +
+            s"are not in the schema of $file — the supplied .schema(...) " +
+            "does not match the table's files")
       new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
         new org.apache.parquet.schema.MessageType("spark_schema", kept))
     }
@@ -209,7 +256,7 @@ final class ManifestPartitionReader(file: String, schema: StructType)
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new ProjectingReadSupport(schema.fieldNames.toSet),
         new Path(file))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
   private var current: Group = _
 
   override def next(): Boolean = {

@@ -354,6 +354,158 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestTable.readSince(spark, dir, 3L).count() == 1)
   }
 
+  private def manifestLines(dir: String, v: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(
+      new java.io.File(dir, s"_manifest/v$v.manifest").toPath).asScala.toSeq
+  }
+
+  test("deleteWhere commit metadata is O(affected files), not O(live files)") {
+    val dir = freshDir()
+    // 8 live single-file commits; the predicate matches rows in exactly one
+    for (s <- 0 until 8)
+      ManifestTable.appendWithStats(spark,
+        (s * 10 until s * 10 + 10).map(i => (i.toLong, s"s$s")).toDF("k", "v")
+          .coalesce(1), dir, "k")
+    val dv = ManifestTable.deleteWhere(spark, dir, $"k" >= 32 && $"k" < 35, Seq("k"))
+    assert(dv.contains(8L))
+    val lines = manifestLines(dir, 8L).drop(1) // drop version= header
+    assert(!lines.contains("reset"), "delete wrote a replacing commit")
+    assert(lines.count(_.startsWith("remove=")) == 1,
+      s"expected exactly 1 remove, got:\n${lines.mkString("\n")}")
+    // header-free line budget: 1 remove + the survivors' adds (1 staged
+    // file here) — never the 8 live files
+    assert(lines.size <= 3, s"delete commit is O(live files):\n${lines.mkString("\n")}")
+    // untouched files never re-listed, their stats still prune
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 70, 79).size == 1)
+    assert(ManifestTable.read(spark, dir).count() == 77)
+  }
+
+  test("rewrite rebase: a concurrent pure append commutes — no re-plan, no lost rows") {
+    val dir = freshDir()
+    ManifestTable.append(spark,
+      (0 until 6).map(i => (i, "a")).toDF("id", "v").coalesce(1), dir)
+    // plan a rewrite against v0: remove v0's (single) file, add a replacement
+    val victim = ManifestTable.snapshotFiles(dir).head
+    val stagedDir = new java.io.File(dir, "data/txn-rebase")
+    Seq((100, "rw")).toDF("id", "v").write.parquet(stagedDir.getPath)
+    val mine = stagedDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => s"txn-rebase/${f.getName}").toSeq.sorted
+    // a concurrent append steals v1 BEFORE the rewrite commits
+    ManifestTable.append(spark, Seq((200, "race")).toDF("id", "v"), dir)
+    val res = ManifestTable.commitRewriteRebasing(dir, parent = 0L,
+      actions = s"remove=$victim" +: mine.map("add=" + _))
+    assert(res == ManifestTable.RewriteCommitted(2L),
+      s"rewrite should rebase onto the append, got $res")
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 2, "rebased rewrite lost the concurrent append")
+    assert(back.filter($"v" === "race").count() == 1)
+    assert(back.filter($"v" === "rw").count() == 1)
+  }
+
+  test("rewrite rebase: a concurrent remove does NOT commute — caller must re-plan") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 6).map(i => (i.toLong, "a")).toDF("k", "v"), dir)
+    ManifestTable.append(spark, (10 until 16).map(i => (i.toLong, "b")).toDF("k", "v"), dir)
+    val victim = ManifestTable.snapshotFiles(dir).head
+    // a concurrent DELETE lands first (remove-carrying commit at v2)
+    assert(ManifestTable.deleteWhere(spark, dir, $"k" >= 12).isDefined)
+    val res = ManifestTable.commitRewriteRebasing(dir, parent = 1L,
+      actions = Seq(s"remove=$victim"))
+    assert(res == ManifestTable.RewriteConflict, s"got $res")
+  }
+
+  test("mergeInto: matched rows replaced, unmatched inserted, commit is O(affected)") {
+    val dir = freshDir()
+    for (s <- 0 until 4)
+      ManifestTable.appendWithStats(spark,
+        (s * 10 until s * 10 + 10).map(i => (i.toLong, s"old$i", 1L))
+          .toDF("k", "v", "gen").coalesce(1), dir, "k")
+    val preV = ManifestTable.latestVersion(dir).get
+    // batch: updates hit file 2 only (k=25..27), inserts are fresh keys
+    val batch = ((25 until 28).map(i => (i.toLong, s"new$i", 2L)) ++
+      Seq((100L, "ins100", 2L), (101L, "ins101", 2L))).toDF("k", "v", "gen")
+    val mv = ManifestTable.mergeInto(spark, dir, batch, "k", statCols = Seq("k"))
+    assert(mv.contains(preV + 1), "merge must be ONE commit")
+    val lines = manifestLines(dir, preV + 1).drop(1)
+    assert(lines.count(_.startsWith("remove=")) == 1,
+      s"expected 1 remove (one affected file):\n${lines.mkString("\n")}")
+    assert(!lines.contains("reset"))
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 42, s"40 - 3 matched + 3 updates + 2 inserts")
+    assert(back.filter($"gen" === 2L).count() == 5)
+    assert(back.filter($"k" === 26L).select($"v").as[String].head() == "new26")
+    assert(back.filter($"k" === 5L).select($"v").as[String].head() == "old5")
+    // untouched files' stats survive; time travel to pre-merge intact
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 0, 5).size == 1)
+    assert(ManifestTable.read(spark, dir, Some(preV)).count() == 40)
+    // a merge with no matches is a pure insert — still one commit
+    val mv2 = ManifestTable.mergeInto(spark, dir,
+      Seq((200L, "ins200", 3L)).toDF("k", "v", "gen"), "k")
+    assert(mv2.contains(preV + 2))
+    assert(ManifestTable.read(spark, dir).count() == 43)
+  }
+
+  test("mergeInto: txn marker makes the retried batch a no-op") {
+    val dir = freshDir()
+    ManifestTable.append(spark,
+      (0 until 10).map(i => (i.toLong, s"a$i")).toDF("k", "v"), dir)
+    val batch = Seq((3L, "upd3"), (50L, "ins50")).toDF("k", "v")
+    val first = ManifestTable.mergeInto(spark, dir, batch, "k",
+      txn = Some(("merger", 7L)))
+    assert(first.isDefined)
+    val dup = ManifestTable.mergeInto(spark, dir, batch, "k",
+      txn = Some(("merger", 7L)))
+    assert(dup.isEmpty, "retried MERGE batch applied twice")
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 11)
+    assert(back.filter($"v" === "upd3").count() == 1)
+  }
+
+  test("mergeInto: duplicate keys in the batch are an error, nothing commits") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("k", "v"), dir)
+    val bad = Seq((2L, "x"), (2L, "y")).toDF("k", "v")
+    val e = intercept[Exception](
+      ManifestTable.mergeInto(spark, dir, bad, "k"))
+    assert(e.getMessage != null)
+    assert(ManifestTable.latestVersion(dir).contains(0L),
+      "failed merge advanced the log")
+    assert(ManifestTable.read(spark, dir).count() == 1)
+  }
+
+  test("mergeInto aborted by a concurrent append rebases and never erases the appended rows") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 8).map(i => (i.toLong, "a")).toDF("k", "v"), dir)
+    // steal v1 with a hand-committed concurrent append
+    val stagedDir = new java.io.File(dir, "data/txn-mracer")
+    Seq((99L, "racer")).toDF("k", "v").write.parquet(stagedDir.getPath)
+    val racerFiles = stagedDir.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => s"txn-mracer/${f.getName}").sorted
+    Files.write(new java.io.File(dir, "_manifest/v1.manifest").toPath,
+      ("version=1" +: racerFiles.toSeq.map("add=" + _))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val mv = ManifestTable.mergeInto(spark, dir,
+      Seq((3L, "upd")).toDF("k", "v"), "k")
+    assert(mv.contains(2L))
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 9, "concurrent append erased by merge")
+    assert(back.filter($"v" === "racer").count() == 1)
+    assert(back.filter($"v" === "upd").count() == 1)
+  }
+
+  test("change feed refuses an interval crossing a remove-carrying delete commit") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (0 until 10).map(i => (i.toLong, "a")).toDF("k", "v"), dir)
+    ManifestTable.deleteWhere(spark, dir, $"k" >= 5)
+    intercept[IllegalStateException](ManifestTable.readSince(spark, dir, -1L))
+    // …but the feed after the delete works again
+    ManifestTable.append(spark, Seq((99L, "b")).toDF("k", "v"), dir)
+    assert(ManifestTable.readSince(spark, dir, 1L).count() == 1)
+  }
+
   test("concurrent appends from many threads: every row survives, versions are dense") {
     val dir = freshDir()
     val threads = (0 until 6).map { t =>

@@ -111,7 +111,7 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(failed).exists(_.contains("replacing commit")),
+    assert(messages(failed).exists(_.contains("row-removing commit")),
       s"wrong failure: ${messages(failed).mkString(" | ")}")
   }
 
