@@ -141,6 +141,41 @@ object Similarity {
       explode(Fns.top_cells(col(vecCol), cellIds, cvecs, keep)))
   }
 
+  /** One-pass disk layout for an IVF index over a manifest table:
+    * ONE shuffle places every assignment row in its cell's partition,
+    * one staged write emits exactly one file per nonempty cell, one
+    * stats-carrying commit lands the whole index — build cost is one
+    * pass over the assignment and O(1) commits REGARDLESS of cell
+    * count (the loop this replaces paid one filtered scan + one
+    * commit per cell: O(cells) passes, O(cells) log versions).
+    *
+    * Placement is a value-identity partitioner over the (tiny, dense)
+    * cell-id set — the one spot the RDD bridge is the precise tool:
+    * DataFrame range/hash repartitioning targets SIZE balance, not key
+    * identity, and may lawfully merge two small cells into one file or
+    * split a big one across two, which breaks the one-file-per-cell
+    * stats contract the probe-side census verifies (a merged file
+    * makes `readRange(cell)` over-read; a split one breaks the
+    * planned-files count). Rows are sorted by vec_id within each file
+    * for deterministic layout. Returns the committed version (always
+    * 0 — a fresh index dir). */
+  private[graft] def buildIvfManifestIndex(s: SparkSession, assigned: DataFrame,
+                                           cells: Array[Long], root: String): Long = {
+    val rank: Map[Long, Int] = cells.sorted.zipWithIndex.toMap
+    val schema = assigned.schema
+    val cellIdx = schema.fieldIndex("cell")
+    val placed = s.createDataFrame(
+      assigned.rdd.keyBy(_.getLong(cellIdx))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = rank.size
+          override def getPartition(key: Any): Int = rank(key.asInstanceOf[Long])
+        }).values, schema)
+      .sortWithinPartitions(col("vec_id"))
+    val v = graft.sources.ManifestTable.appendWithStats(s, placed, root, "cell")
+    require(v == 0L, s"IVF index build must be ONE commit; landed at v$v")
+    v
+  }
+
   /** IVF-style ANN. Coarse centroids default to a deterministic
     * first-k init; pass `trainedCentroids` (e.g. from [[kmeans]]) for
     * trained cells. */

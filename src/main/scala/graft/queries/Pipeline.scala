@@ -435,6 +435,82 @@ object Pipeline {
       |FROM documents WHERE source <> 'src7'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Manifest-table SCHEMA EVOLUTION proven end-to-end — the
+    * add-column commit (Delta mergeSchema shape): the lower half of
+    * the corpus lands under the v1 schema (doc_id, n_chars), then
+    * [[graft.sources.ManifestTable.appendEvolving]] lands the upper
+    * half under the v2 schema (+ n_tokens) in ONE commit that also
+    * records the new schema. In-code requires pin every contract the
+    * feature exists for: the latest read presents all three columns
+    * with the pre-evolution rows' n_tokens resolving to NULL (parquet
+    * schema evolution, not a rewrite — old files are byte-untouched);
+    * TIME TRAVEL to the pre-evolution version presents the OLD
+    * two-column schema; stats on the new column start at the commit
+    * that adds it (a beyond-max n_tokens range plans exactly the
+    * stat-less v1 file, never skips it); and an incompatible batch
+    * (type change on a shared column) is rejected before committing.
+    * The emitted per-generation aggregate hash-matches the oracle IFF
+    * NULL-backfill hit exactly the pre-evolution rows. Scale shape:
+    * evolution is O(batch) — no rewrite of existing files, the schema
+    * rides the log. */
+  private def sinkManifestSchemaEvo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-evo").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = docs.count()
+    val w = (n + 1) / 2
+    ManifestTable.appendEvolving(s,
+      docs.filter($"doc_id" < w).coalesce(1), root, "doc_id")
+    val preV = ManifestTable.latestVersion(root).get
+    val evolved = docs.filter($"doc_id" >= w)
+      .withColumn("n_tokens", expr("n_chars div 5")).coalesce(1)
+    val evoV = ManifestTable.appendEvolving(s, evolved, root, "doc_id", "n_tokens")
+    require(evoV == preV + 1, "evolution must be ONE commit")
+    // latest: three columns, legacy rows NULL-backfilled, nothing rewritten
+    val latest = ManifestTable.read(s, root)
+    require(latest.columns.sameElements(Array("doc_id", "n_chars", "n_tokens")),
+      s"evolved read lost columns: ${latest.columns.mkString(",")}")
+    // time travel: the pre-evolution snapshot presents the OLD schema
+    val pre = ManifestTable.read(s, root, Some(preV))
+    require(pre.columns.sameElements(Array("doc_id", "n_chars")),
+      s"time travel leaked the evolved schema: ${pre.columns.mkString(",")}")
+    // doc_id pruning still works across the evolution commit…
+    require(ManifestTable.plannedFilesForRange(root, "doc_id", 0, 1).size == 1,
+      "evolution broke file pruning on the original column")
+    // …and the new column's stats exist ONLY from the evolution commit:
+    // a beyond-max range plans exactly the stat-less pre-evolution file
+    val maxTok = evolved.agg(max($"n_tokens")).as[Long].head()
+    require(ManifestTable.plannedFilesForRange(
+        root, "n_tokens", maxTok + 1, maxTok + 100).size == 1,
+      "pre-evolution file (no n_tokens stats) must never be skipped")
+    // an incompatible evolution (type change) must fail BEFORE committing
+    val bad = try {
+      ManifestTable.appendEvolving(s,
+        docs.limit(1).withColumn("n_chars", $"n_chars".cast("string")), root)
+      false
+    } catch { case _: IllegalArgumentException => true }
+    require(bad, "type-changing evolution was accepted")
+    require(ManifestTable.latestVersion(root).contains(evoV),
+      "rejected evolution advanced the log")
+    StreamReplay.finish(s, qname = "", root)(
+      latest
+        .groupBy(when($"n_tokens".isNull, "v1").otherwise("v2").as("gen"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          sum(coalesce($"n_tokens", lit(0L))).as("sum_tokens"))
+        .orderBy($"gen"))
+  }
+
+  private val sinkManifestSchemaEvoSql =
+    """WITH w AS (SELECT (COUNT(*) + 1) // 2 AS w FROM documents)
+      |SELECT CASE WHEN doc_id >= w THEN 'v2' ELSE 'v1' END AS gen,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN doc_id >= w THEN n_chars // 5 ELSE 0 END) AS BIGINT)
+      |    AS sum_tokens
+      |FROM documents, w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** MERGE INTO on the manifest table proven end-to-end — the upsert
     * primitive (Delta MERGE, whole-row update-all + insert-all): the
     * corpus lands as 4 stats-carrying doc_id slices, then one
@@ -2093,6 +2169,8 @@ object Pipeline {
       QueryDef(sinkManifestGdprE2e, Some(sinkManifestGdprE2eSql)),
     "sink_manifest_merge" ->
       QueryDef(sinkManifestMerge, Some(sinkManifestMergeSql)),
+    "sink_manifest_schema_evo" ->
+      QueryDef(sinkManifestSchemaEvo, Some(sinkManifestSchemaEvoSql)),
     "dedup_changefeed_e2e" ->
       QueryDef(dedupChangefeedE2e, Some(dedupChangefeedE2eSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),

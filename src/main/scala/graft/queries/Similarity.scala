@@ -1084,23 +1084,27 @@ object Similarity {
     * `ann_ivf_trained` by construction: same centroids, same
     * assignment, same probe cells — only the candidate STORAGE path
     * differs, which is exactly the property a disk-backed index must
-    * prove. Scale shape: the build is one pass per cell (or one
-    * `compactClustered` rewrite); the probe reads O(nProbe) files
-    * regardless of corpus size. */
+    * prove. Scale shape: the build is ONE shuffle + ONE stats-carrying
+    * commit regardless of cell count
+    * ([[graft.operators.Similarity.buildIvfManifestIndex]]); the probe
+    * reads O(nProbe) files regardless of corpus size. */
   private def annIvfManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.ManifestTable
     val emb = Tables.embeddings(s, dir)
     val centroids = Sim.coarseCentroids(emb, 8, Some(trainedCentroids(s, dir)))
-    // materialize once: the assignment feeds one filtered write per cell
     val assigned = Sim.nearestCells(centroids, emb, "vec_id", "embedding", 1)
-      .select($"cell", $"vec_id", $"embedding").localCheckpoint()
+      .select($"cell", $"vec_id", $"embedding")
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivf-manifest").toFile.getPath
-    val cells = assigned.select($"cell").distinct().as[Long].collect().sorted
-    for (c <- cells) // one stats-carrying file per nonempty cell
-      ManifestTable.appendWithStats(s,
-        assigned.filter($"cell" === c).coalesce(1), root, "cell")
+    // the cell universe comes from the (tiny) centroid table, not a
+    // scan of the assignment: the whole build is ONE pass over the
+    // corpus — one shuffle, one file per nonempty cell, ONE commit,
+    // never a filter+write pass per cell. Empty cells stage zero-row
+    // files which the stats commit drops, so live files = nonempty cells.
+    val universe = centroids.select($"cell").as[Long].collect().sorted
+    Sim.buildIvfManifestIndex(s, assigned, universe, root)
+    val cells = ManifestTable.snapshotFiles(root)
     // 3 probes × 2 cells ≤ 6 of the 8 live files: the census must
     // show genuine skipping, not a full-table read in disguise
     val probeCells = Sim.nearestCells(centroids,

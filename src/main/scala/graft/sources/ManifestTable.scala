@@ -74,7 +74,8 @@ object ManifestTable {
     fs.flatMap(versionOf(_, ".manifest")).sorted.lastOption
   }
 
-  private case class State(files: Vector[String], txns: Set[String])
+  private case class State(files: Vector[String], txns: Set[String],
+                           schema: Option[String])
 
   private def readLog(f: File, expectVersion: Long): Seq[String] = {
     val lines = Files.readAllLines(f.toPath)
@@ -93,6 +94,7 @@ object ManifestTable {
       .flatMap(versionOf(_, ".checkpoint")).filter(_ <= target).sorted.lastOption
     var files = Vector.empty[String]
     var txns = Set.empty[String]
+    var schema = Option.empty[String]
     def apply(lines: Seq[String]): Unit = lines.foreach {
       case "reset" => files = Vector.empty
       case l if l.startsWith("add=") => files :+= l.stripPrefix("add=")
@@ -101,6 +103,7 @@ object ManifestTable {
         val rel = l.stripPrefix("remove=")
         files = files.filterNot(_.takeWhile(_ != '|') == rel)
       case l if l.startsWith("txn=") => txns += l.stripPrefix("txn=")
+      case l if l.startsWith("schema=") => schema = Some(l.stripPrefix("schema="))
       case l => throw new IllegalStateException(s"unknown log action: $l")
     }
     ckpt.foreach { c => apply(readLog(new File(md, s"v$c.checkpoint"), c)) }
@@ -112,7 +115,7 @@ object ManifestTable {
           s"version $v missing from the log of $dir (vacuumed past it?)")
       apply(readLog(mf, v))
     }
-    State(files, txns)
+    State(files, txns, schema)
   }
 
   private def resolved(dir: String, version: Option[Long]): Long =
@@ -152,12 +155,33 @@ object ManifestTable {
         .map(_.stripPrefix(s"$writer:").toLong)
     }
 
-  /** Read a snapshot: exactly the manifest-listed files, nothing else. */
+  /** The table schema RECORDED at `version` (latest if omitted) by
+    * [[appendEvolving]]'s `schema=` actions — None for tables that
+    * never evolved (their files all share one schema). Time travel
+    * resolves to the schema as of that version: reading v3 of a table
+    * that evolved at v5 presents v3's columns. */
+  def tableSchema(dir: String, version: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    fold(dir, resolved(dir, version)).schema.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Read a snapshot: exactly the manifest-listed files, nothing else.
+    * When the log records a schema ([[appendEvolving]]), the read is
+    * pinned to the schema AS OF the target version: columns a file
+    * predates resolve to NULL (parquet schema evolution), columns a
+    * later version added are absent from an older snapshot. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): DataFrame = {
-    val paths = snapshotFiles(dir, version)
-      .map(rel => new File(dataDir(dir), rel).getPath)
-    spark.read.parquet(paths: _*)
+    val st = fold(dir, resolved(dir, version))
+    val paths = st.files.map(e => new File(dataDir(dir), e.takeWhile(_ != '|')).getPath)
+    val reader = st.schema match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
+    reader.parquet(paths: _*)
   }
 
   /** Stage `df` as parquet under a fresh txn dir; returns the
@@ -233,6 +257,42 @@ object ManifestTable {
         if (stats.isEmpty) s"add=$rel" else s"add=$rel|$stats"
       }
     }
+  }
+
+  /** [[append]] that also records the batch's schema as the table's
+    * CURRENT schema (`schema=` action) — the add-column evolution
+    * commit (Delta's mergeSchema shape). Readers at or past this
+    * version resolve every file against the recorded schema: files
+    * from BEFORE the evolution read their missing columns as NULL;
+    * time travel to an older version presents the older schema.
+    * Evolution must be additive on the shared columns (same name ⇒
+    * same type) — enforced here against the previous recorded or
+    * inferred schema, so an incompatible batch fails BEFORE it
+    * commits, not at some later read. Optional `statCols` record
+    * per-file bounds exactly like [[appendWithStats]] — stats on a
+    * freshly added column start at this commit (earlier files carry
+    * no bounds for it and are never pruned by it). */
+  def appendEvolving(spark: SparkSession, df: DataFrame, dir: String,
+                     statCols: String*): Long = {
+    val prior: Option[org.apache.spark.sql.types.StructType] =
+      if (latestVersion(dir).isEmpty) None
+      else tableSchema(dir).orElse(Some(read(spark, dir).schema))
+    prior.foreach { p =>
+      p.fields.foreach { f =>
+        df.schema.find(_.name == f.name).foreach { g =>
+          require(g.dataType == f.dataType,
+            s"schema evolution must not change types: column '${f.name}' " +
+              s"is ${f.dataType.simpleString}, batch has ${g.dataType.simpleString}")
+        }
+        require(df.schema.fieldNames.contains(f.name),
+          s"schema evolution is additive: batch drops column '${f.name}'")
+      }
+    }
+    val staged = stageFiles(df, dir)
+    val adds =
+      if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
+      else staged.map("add=" + _)
+    commit(dir, adds :+ ("schema=" + df.schema.json)).get
   }
 
   /** [[append]] that also records per-file (min, max) of one or more
@@ -596,9 +656,18 @@ object ManifestTable {
   def readSince(spark: SparkSession, dir: String, sinceVersion: Long,
                 toVersion: Option[Long] = None): DataFrame = {
     val rels = addedFilesSince(dir, sinceVersion, toVersion)
-    if (rels.nonEmpty)
-      return spark.read.parquet(
+    if (rels.nonEmpty) {
+      // pin the feed to the target version's recorded schema (if the
+      // table evolved): an interval spanning the evolution commit
+      // holds files of BOTH shapes, and an unpinned read would take
+      // whichever footer parquet sampled first
+      val reader = tableSchema(dir, toVersion) match {
+        case Some(st) => spark.read.schema(st)
+        case None => spark.read
+      }
+      return reader.parquet(
         rels.map(rel => new File(dataDir(dir), rel).getPath): _*)
+    }
     val all = snapshotFiles(dir, toVersion)
     if (all.isEmpty)
       throw new IllegalStateException(
@@ -705,7 +774,8 @@ object ManifestTable {
     if (Files.exists(target)) return
     val st = fold(dir, v)
     val body = (s"version=$v" +:
-      (st.files.map("add=" + _) ++ st.txns.toSeq.sorted.map("txn=" + _)))
+      (st.schema.map("schema=" + _).toSeq ++
+        st.files.map("add=" + _) ++ st.txns.toSeq.sorted.map("txn=" + _)))
       .mkString("\n") + "\n"
     val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes("UTF-8"))

@@ -506,6 +506,31 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestTable.readSince(spark, dir, 1L).count() == 1)
   }
 
+  test("schema evolution: NULL backfill, time travel to old schema, checkpoint carries schema") {
+    val dir = freshDir()
+    ManifestTable.appendEvolving(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), dir)
+    ManifestTable.appendEvolving(spark,
+      Seq((3L, "c", 30L)).toDF("k", "v", "extra").coalesce(1), dir)
+    val latest = ManifestTable.read(spark, dir)
+    assert(latest.columns.sameElements(Array("k", "v", "extra")))
+    assert(latest.filter($"extra".isNull).count() == 2, "legacy rows not NULL-backfilled")
+    assert(latest.filter($"extra" === 30L).count() == 1)
+    // time travel presents the pre-evolution schema
+    assert(ManifestTable.read(spark, dir, Some(0L)).columns.sameElements(Array("k", "v")))
+    assert(ManifestTable.tableSchema(dir, Some(0L)).get.fieldNames.sameElements(Array("k", "v")))
+    // dropping a column is not additive
+    intercept[IllegalArgumentException](
+      ManifestTable.appendEvolving(spark, Seq((4L, 40L)).toDF("k", "extra"), dir))
+    // the recorded schema survives a checkpoint + readSince pins to it
+    for (i <- 0 until 10)
+      ManifestTable.append(spark, Seq((100L + i, s"x$i", i.toLong)).toDF("k", "v", "extra"), dir)
+    assert(new java.io.File(dir, "_manifest/v10.checkpoint").isFile)
+    assert(ManifestTable.read(spark, dir).columns.sameElements(Array("k", "v", "extra")))
+    val feed = ManifestTable.readSince(spark, dir, 0L, Some(1L))
+    assert(feed.columns.sameElements(Array("k", "v", "extra")))
+  }
+
   test("concurrent appends from many threads: every row survives, versions are dense") {
     val dir = freshDir()
     val threads = (0 until 6).map { t =>

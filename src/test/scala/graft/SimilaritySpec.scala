@@ -159,4 +159,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(brute.contains(key) && math.abs(brute(key) - r.getAs[Double]("cos_sim")) < 1e-12)
     }
   }
+
+  test("IVF manifest build: one pass, one commit, one file per nonempty cell even under skew") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    // deliberately SKEWED cells (sizes 1/1/12/2) + an empty cell (3):
+    // size-balancing partitioners would merge the small cells into one
+    // file; the identity placement must not
+    val rows = Seq.tabulate(16) { i =>
+      val cell = if (i < 1) 0L else if (i < 2) 1L else if (i < 14) 2L else 4L
+      (cell, i.toLong, Array(i.toFloat, 1.0f))
+    }
+    val assigned = rows.toDF("cell", "vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-build-spec").toFile.getPath
+    val v = Similarity.buildIvfManifestIndex(spark, assigned,
+      cells = Array(0L, 1L, 2L, 3L, 4L), root)
+    assert(v == 0L)
+    assert(ManifestTable.latestVersion(root).contains(0L),
+      "index build committed more than once")
+    val files = ManifestTable.snapshotFilesWithStats(root)
+    assert(files.size == 4, s"expected 4 nonempty-cell files, got ${files.size}")
+    // every file holds exactly one cell: tight single-value bounds
+    val bounds = files.map(_._2("cell")).sortBy(_._1)
+    assert(bounds == Seq((0L, 0L), (1L, 1L), (2L, 2L), (4L, 4L)), bounds.toString)
+    // a probe of cell 2 plans exactly one file and reads exactly its rows
+    assert(ManifestTable.plannedFilesForRange(root, "cell", 2, 2).size == 1)
+    assert(ManifestTable.readRange(spark, root, "cell", 2, 2).count() == 12)
+    // the empty cell plans nothing
+    assert(ManifestTable.plannedFilesForRange(root, "cell", 3, 3).isEmpty)
+  }
 }
