@@ -805,8 +805,8 @@ object TextAnalysis {
     * final vocabulary state (w, merged seq, c) — `text_bpe_train`
     * reads the merges, `text_bpe_fertility` applies the final state
     * back to the corpus. */
-  private def bpeChain(s: SparkSession, dir: String,
-                       steps: Int): (DataFrame, Seq[(Long, String, Long)]) = {
+  private[graft] def bpeChain(s: SparkSession, dir: String, steps: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     import s.implicits._
     val wc = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("w"))
@@ -814,7 +814,7 @@ object TextAnalysis {
       .groupBy($"w").agg(count(lit(1)).as("c"))
     var seqs = wc.select($"w", concat_ws(" ", split($"w", "")).as("seq"), $"c")
       .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (step <- 1 to steps) {
       // bounded driver round-trip: ONE (pa, pb, cnt) row per step
       val top = seqs.select(split($"seq", " ").as("ws"), $"c")
@@ -825,7 +825,7 @@ object TextAnalysis {
         .agg(sum($"c").as("cnt"))
         .orderBy($"cnt".desc, $"pa", $"pb").limit(1).head()
       val (pa, pb, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((step.toLong, s"$pa~$pb", cnt))
+      merges += ((step.toLong, pa, pb, cnt))
       seqs = seqs.select($"w",
         trim(regexp_replace(concat(lit(" "), $"seq", lit(" ")),
           java.util.regex.Pattern.quote(s" $pa $pb "),
@@ -881,7 +881,9 @@ object TextAnalysis {
   private def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, merges) = bpeChain(s, dir, steps = 10)
-    s.createDataFrame(merges).toDF("step", "pair", "cnt").orderBy($"step")
+    s.createDataFrame(merges.map { case (step, pa, pb, cnt) =>
+      (step, s"$pa~$pb", cnt)
+    }).toDF("step", "pair", "cnt").orderBy($"step")
   }
 
   /** Tokenizer fertility: apply the 10 learned merges back to the
@@ -954,6 +956,90 @@ object TextAnalysis {
           s"SELECT CAST($i AS BIGINT) AS step, pa||'~'||pb AS pair, CAST(cnt AS BIGINT) AS cnt FROM m$i")
          .mkString("\nUNION ALL ")}
        |ORDER BY step""".stripMargin
+  }
+
+  /** Per-doc BPE ENCODE — the tokenizer actually applied: the learned
+    * 10-merge vocabulary turns every document into its token-ID
+    * sequence (ids over the final symbol vocabulary, lexicographic),
+    * emitted as the id string + token count for a bounded doc set,
+    * with an ALL-corpus reconciliation against the fertility readout
+    * required in-code (a dropped word, a misordered flatten, or a
+    * broken id join all fail before anything is emitted).
+    *
+    * Scale shape: the merge table is applied ONCE, on the
+    * vocabulary-sized final state (never per word instance — greedy
+    * merges per word are bounded by word length and already paid by
+    * the training chain); docs then hash-join their words to the
+    * per-word id arrays (vocab side broadcast by AQE when small) and
+    * flatten in word order — corpus-side work is one posexplode + one
+    * join + one per-doc aggregation, no iteration. */
+  private def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (state, _) = bpeChain(s, dir, steps = 10)
+    // token-id table: distinct final symbols, ids lexicographic — a
+    // bounded (vocabulary-sized) global window, exactly how a shipped
+    // tokenizer freezes its vocab file
+    val tokIds = state.select(explode(split($"seq", " ")).as("tok")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy($"tok")).cast("long"))
+    // per-WORD id arrays (vocab-sized): each distinct word encodes once
+    val wordIds = state
+      .select($"w", posexplode(split($"seq", " ")).as(Seq("j", "tok")))
+      .join(tokIds, "tok")
+      .groupBy($"w")
+      .agg(expr("transform(array_sort(collect_list(struct(j, tid))), x -> x.tid)")
+        .as("ids"))
+    val dw = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter(length($"w") > 0)
+    val encoded = dw.join(wordIds, "w")
+      .groupBy($"doc_id")
+      .agg(flatten(
+        expr("transform(array_sort(collect_list(struct(pos, ids))), x -> x.ids)"))
+        .as("tids"))
+    // reconcile with the fertility readout over the WHOLE corpus: the
+    // flattened id count must equal the vocab-state token sum per doc
+    val expected = dw
+      .join(state.select($"w", size(split($"seq", " ")).cast("long").as("n_tok")), "w")
+      .groupBy($"doc_id").agg(sum($"n_tok").as("n_expected"))
+    val bad = encoded.join(expected, "doc_id")
+      .filter(size($"tids").cast("long") =!= $"n_expected").count()
+    require(bad == 0, s"BPE encode dropped/duplicated tokens in $bad docs")
+    encoded.filter($"doc_id" < 50)
+      .select($"doc_id", size($"tids").cast("long").as("n_tokens"),
+        concat_ws("-", expr("transform(tids, t -> cast(t AS string))")).as("ids"))
+      .orderBy($"doc_id")
+  }
+
+  private val textBpeEncodeSql = {
+    val step = (i: Int) =>
+      s"""p$i AS (SELECT ws[i] AS pa, ws[i+1] AS pb, SUM(c) AS cnt
+         |  FROM (SELECT string_split(seq, ' ') AS ws, c FROM s$i) t,
+         |       unnest(generate_series(1, len(t.ws) - 1)) u(i)
+         |  GROUP BY 1, 2),
+         |m${i + 1} AS (SELECT pa, pb FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |s${i + 1} AS (SELECT w, trim(replace(' '||seq||' ', ' '||pa||' '||pb||' ',
+         |    ' '||pa||'~'||pb||' ')) AS seq, c FROM s$i, m${i + 1})""".stripMargin
+    s"""WITH wc AS (SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS seq, c FROM wc),
+       |${(0 until 10).map(step).mkString(",\n")},
+       |tid AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT unnest(string_split(seq, ' ')) AS tok FROM s10) t),
+       |wt AS (SELECT w, ts[j] AS tok, j
+       |  FROM (SELECT w, string_split(seq, ' ') AS ts FROM s10) t,
+       |       unnest(generate_series(1, len(t.ts))) u(j)),
+       |wid AS (SELECT w, j, tid FROM wt JOIN tid USING (tok)),
+       |dw AS (SELECT doc_id, ws[i] AS w, i AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |        WHERE doc_id < 50) t,
+       |       unnest(generate_series(1, len(t.ws))) u(i)
+       |  WHERE len(ws[i]) > 0)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(tid AS VARCHAR), '-' ORDER BY pos, j) AS ids
+       |FROM dw JOIN wid USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
@@ -1091,6 +1177,7 @@ object TextAnalysis {
     "text_rake_keywords" -> QueryDef(textRakeKeywords, Some(textRakeKeywordsSql)),
     "text_bpe_fertility" -> QueryDef(textBpeFertility, Some(textBpeFertilitySql)),
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
+    "text_bpe_encode" -> QueryDef(textBpeEncode, Some(textBpeEncodeSql)),
     "text_oov_rate" -> QueryDef(textOovRate, Some(textOovRateSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
     "text_classifier_train" -> QueryDef(textClassifierTrain, Some(textClassifierTrainSql), bench = true),

@@ -169,4 +169,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     val far = Kernels.simhash64(UTF8String.fromString("alpha beta gamma delta epsilon zeta eta theta"))
     assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ far))
   }
+
+  test("BPE encode property: training chain's final state == unrolled greedy merges per word") {
+    // reference implementation: apply each learned merge left-to-right,
+    // non-overlapping (a consumed symbol can't serve the next match) —
+    // the textbook Sennrich apply — and compare to the chain's state
+    def applyMerges(word: String, merges: Seq[(String, String)]): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      for ((pa, pb) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+            out += s"$pa~$pb"; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val (state, merges) = graft.queries.TextAnalysis.bpeChain(spark, TestSpark.sf, 10)
+    assert(merges.size == 10)
+    val pairs = merges.map { case (_, pa, pb, _) => (pa, pb) }
+    // the 30 most frequent words exercise every learned merge on this corpus
+    val sample = state.orderBy(org.apache.spark.sql.functions.desc("c"),
+      org.apache.spark.sql.functions.asc("w")).limit(30).collect()
+    assert(sample.nonEmpty)
+    var merged = 0
+    sample.foreach { r =>
+      val w = r.getAs[String]("w")
+      val want = r.getAs[String]("seq").split(" ").toVector
+      val got = applyMerges(w, pairs)
+      assert(got == want, s"word '$w': chain=$want unrolled=$got")
+      if (want.length < w.length) merged += 1
+    }
+    assert(merged > 0, "sample exercised no merges — property vacuous")
+  }
 }
