@@ -1145,6 +1145,161 @@ object Similarity {
        |FROM r CROSS JOIN planc CROSS JOIN livec WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** IVF-PQ THROUGH THE MANIFEST TABLE — the full disk-resident FAISS
+    * IVFADC shape: the index files carry (cell, vec_id, pq_code) where
+    * pq_code PACKS the 8 two-bit sub-codes into one small integer — 9
+    * meaningful bytes per row instead of the 256-byte raw vector, a
+    * 28× smaller index scan. A probe plans ONLY its nProbe cells'
+    * files via manifest stats (storage-level pruning — the census
+    * rides the output), ADC-ranks the planned rows against a
+    * broadcast lookup table built from the query alone (codes are
+    * unpacked in-scan with shift/mask, no raw vectors touched), and
+    * ONLY the 20-row shortlist fetches full-width embeddings for the
+    * exact cosine re-rank. The emitted rows also carry the recall@5
+    * acceptance companion vs exact brute force (n_hits5 per query) —
+    * the oracle recomputes ranking, census, and recall independently,
+    * so a wrong file bound, a broken unpack, or a shortlist that
+    * misses brute-force neighbors all break the hash. Scale shape:
+    * build is ONE shuffle + ONE commit ([[graft.operators.Similarity
+    * .buildIvfManifestIndex]]); probes read O(nProbe) code files;
+    * raw-vector IO is O(shortlist). */
+  private def annIvfPqManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Sim.coarseCentroids(emb, 8, Some(trainedCentroids(s, dir)))
+    val assigned = Sim.nearestCells(centroids, emb, "vec_id", "embedding", 1)
+      .select($"cell", $"vec_id")
+    val packed = Pipeline.pqCodes(s, dir)
+      .groupBy($"vec_id")
+      .agg(expr("sum(shiftleft(code, cast(2 * sub as int)))").as("pq_code"))
+    val indexRows = assigned.join(packed, "vec_id")
+      .select($"cell", $"vec_id", $"pq_code")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-manifest").toFile.getPath
+    val universe = centroids.select($"cell").as[Long].collect().sorted
+    Sim.buildIvfManifestIndex(s, indexRows, universe, root)
+    val live = ManifestTable.snapshotFiles(root).size
+    val probeCells = Sim.nearestCells(centroids,
+      emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe")),
+      "query_id", "qe", 2)
+      .select($"query_id", $"cell".as("p_cell"))
+    val needed = probeCells.select($"p_cell").distinct().as[Long].collect().sorted
+    val planned = needed.map(c =>
+      ManifestTable.plannedFilesForRange(root, "cell", c, c).size).sum
+    val candidates = needed.map(c => ManifestTable.readRange(s, root, "cell", c, c))
+      .reduce(_ unionAll _)
+    // in-scan unpack: sub-code s = (pq_code >> 2s) & 3 — codes never
+    // round-trip through raw vectors
+    val unpacked = candidates.select($"cell", $"vec_id".as("cand_id"),
+      posexplode(expr("transform(sequence(0, 7), s -> (pq_code >> (2 * s)) & 3)"))
+        .as(Seq("c_sub", "code")))
+    // ≤ 3 queries × 2 cells × 32 LUT rows: broadcast by construction
+    val lutByCell = probeCells.join(Pipeline.pqLut(s, dir), "query_id")
+    val adc = unpacked
+      .join(broadcast(lutByCell),
+        $"cell" === $"p_cell" && $"c_sub" === $"sub" && $"code" === $"cid")
+      .filter($"cand_id" =!= $"query_id")
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"d2q").as("adc"))
+    val w20 = Window.partitionBy($"query_id").orderBy($"adc", $"cand_id")
+    val shortlist = adc.withColumn("crk", row_number().over(w20)).filter($"crk" <= 20)
+    val exact = shortlist
+      .join(emb.select($"vec_id", $"embedding".as("qe")), $"query_id" === $"vec_id")
+      .drop("vec_id")
+      .join(emb.select($"vec_id", $"embedding"), $"cand_id" === $"vec_id")
+      .select($"query_id", $"cand_id".as("neighbor_id"),
+        round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+    val w5 = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val top5 = exact.withColumn("rk", row_number().over(w5)).filter($"rk" <= 5)
+    // recall@5 acceptance companion: hits against exact brute force
+    val brute5 = Sim.bruteForce(s, emb, emb.filter($"vec_id" < 3), 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = top5.select($"query_id", $"neighbor_id")
+      .join(brute5, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits5"))
+    val res = top5.join(hits, "query_id")
+      .select($"query_id", $"neighbor_id", $"rk", $"cos_sim",
+        lit(planned.toLong).as("n_files_planned"),
+        lit(live.toLong).as("n_files_live"), $"n_hits5")
+      .orderBy($"query_id", $"rk")
+    StreamReplay.finish(s, qname = "", root)(res)
+  }
+
+  private val annIvfPqManifestSql =
+    s"""WITH ${ivfScoredCtes("e.vec_id < 3", 2)},
+       |nonempty AS (SELECT DISTINCT cell FROM asg),
+       |livec AS (SELECT COUNT(*) AS n_files_live FROM nonempty),
+       |needc AS (SELECT DISTINCT cell FROM pc),
+       |planc AS (SELECT COUNT(*) AS n_files_planned
+       |  FROM needc JOIN nonempty USING (cell)),
+       |q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT c.vec_id AS cid, c.qv AS cv, s.sub
+       |  FROM q c, (SELECT unnest(range(0, 8)) AS sub) s
+       |  WHERE c.vec_id < 4),
+       |dists AS (
+       |  SELECT q.vec_id, cb.sub, cb.cid,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> (qv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)])
+       |         * (qv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)]))) AS d2
+       |  FROM q CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id AS cand_id, sub AS c_sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+       |    FROM dists) x WHERE rk = 1),
+       |lut AS (SELECT vec_id AS query_id, sub, cid, d2 AS d2q
+       |        FROM dists WHERE vec_id < 3),
+       |adc AS (
+       |  SELECT l.query_id, c.cand_id, SUM(l.d2q) AS adc
+       |  FROM codes c
+       |  JOIN asg a ON a.vec_id = c.cand_id
+       |  JOIN pc ON pc.cell = a.cell
+       |  JOIN lut l ON l.query_id = pc.query_id AND l.sub = c.c_sub AND l.cid = c.code
+       |  WHERE c.cand_id <> l.query_id
+       |  GROUP BY l.query_id, c.cand_id),
+       |shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS crk
+       |    FROM adc) x WHERE crk <= 20),
+       |exact AS (
+       |  SELECT s.query_id, s.cand_id AS neighbor_id,
+       |    ROUND(${cosSql("eq.embedding", "ec.embedding")}, 9) AS cos_sim
+       |  FROM shortlist s
+       |  JOIN embeddings eq ON eq.vec_id = s.query_id
+       |  JOIN embeddings ec ON ec.vec_id = s.cand_id),
+       |top5 AS (
+       |  SELECT query_id, neighbor_id, rk, cos_sim FROM (
+       |    SELECT query_id, neighbor_id, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM exact) x WHERE rk <= 5),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qe.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qe.vec_id
+       |        ORDER BY ROUND(${cosSql("qe.embedding", "e.embedding")}, 9) DESC,
+       |          e.vec_id) AS brk
+       |    FROM embeddings qe JOIN embeddings e ON e.vec_id <> qe.vec_id
+       |    WHERE qe.vec_id < 3) x WHERE brk <= 5),
+       |hits AS (
+       |  SELECT t.query_id, COUNT(b.neighbor_id) AS n_hits5
+       |  FROM top5 t LEFT JOIN bf b
+       |    ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT t.query_id, t.neighbor_id, t.rk, t.cos_sim,
+       |  CAST(n_files_planned AS BIGINT) AS n_files_planned,
+       |  CAST(n_files_live AS BIGINT) AS n_files_live,
+       |  CAST(n_hits5 AS BIGINT) AS n_hits5
+       |FROM top5 t JOIN hits USING (query_id)
+       |CROSS JOIN planc CROSS JOIN livec
+       |ORDER BY query_id, rk""".stripMargin
+
   /** Radius search: the full recall set within cosine >= 0.1 of each
     * of 5 probes (top-k's complement — "everything near X", the query
     * a dedup audit or contamination sweep asks). Exact scan-side
@@ -2513,6 +2668,7 @@ object Similarity {
     "ann_filtered_recall" -> QueryDef(annFilteredRecall, Some(annFilteredRecallSql)),
     "ann_ivf_trained" -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
     "ann_ivf_manifest" -> QueryDef(annIvfManifest, Some(annIvfManifestSql)),
+    "ann_ivfpq_manifest" -> QueryDef(annIvfPqManifest, Some(annIvfPqManifestSql)),
     "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_probe_curve" -> QueryDef(annProbeCurve, Some(annProbeCurveSql)),
     "ann_mrr" -> QueryDef(annMrr, Some(annMrrSql)),
