@@ -1209,7 +1209,10 @@ object Jpeg {
 
   /** Per-pixel integer luma of a decoded JPEG — the [[Multimodal]]
     * luminance convention ((299R+587G+114B)/1000). */
-  def luminance(b: Array[Byte]): Option[Array[Long]] =
+  /** [[luminance]] that also returns the decoded dimensions — for
+    * container decoders (MJPEG) that must cross-check frame dims
+    * against their own header. */
+  def luminanceWithDims(b: Array[Byte]): Option[(Int, Int, Array[Long])] =
     decode(b).map { case (w, h, px) =>
       val out = new Array[Long](w * h)
       var i = 0
@@ -1220,6 +1223,9 @@ object Jpeg {
         out(i) = (299L * r + 587L * g + 114L * bl) / 1000L
         i += 1
       }
-      out
+      (w, h, out)
     }
+
+  def luminance(b: Array[Byte]): Option[Array[Long]] =
+    luminanceWithDims(b).map(_._3)
 }

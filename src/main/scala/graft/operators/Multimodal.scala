@@ -1082,6 +1082,138 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  /** Real RIFF/AVI file carrying a Motion-JPEG ('MJPG') video stream —
+    * the compressed-video layout capture pipelines and cheap cameras
+    * emit: the same LIST hdrl/strl/movi tree as [[aviRawVideo]], but
+    * strh/strf declare MJPG compression and each frame is a COMPLETE
+    * baseline JPEG in a '00dc' (compressed-data) chunk. JPEG sizes are
+    * arbitrary, so odd-length chunks genuinely exercise RIFF word
+    * alignment; idx1 carries the per-frame sizes. */
+  def aviMjpegVideo(w: Int, h: Int, frames: Seq[Array[Byte]],
+                    junk: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty)
+    val maxLen = frames.map(_.length).max
+    val out = new java.io.ByteArrayOutputStream(512 + frames.map(_.length + 9).sum)
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    val strhSize = 56; val strfSize = 40
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val avihSize = 56
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val junkPayload = if (junk) 7 else 0 // odd on purpose
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val idx1Size = frames.length * 16
+    val riffSize = 4 + (8 + hdrlSize) +
+      (if (junk) 8 + junkPayload + 1 else 0) + (8 + moviSize) + (8 + idx1Size)
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(avihSize)
+    le32(40000)            // dwMicroSecPerFrame (25 fps)
+    le32(maxLen * 25)      // dwMaxBytesPerSec
+    le32(0); le32(0x10)    // padding, AVIF_HASINDEX
+    le32(frames.length); le32(0)
+    le32(1)                // dwStreams
+    le32(maxLen)           // dwSuggestedBufferSize
+    le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    tag("LIST"); le32(strlSize); tag("strl")
+    tag("strh"); le32(strhSize)
+    tag("vids"); tag("MJPG")
+    le32(0); le16(0); le16(0) // flags, priority, language
+    le32(0)                   // initial frames
+    le32(1); le32(25)         // scale, rate (25 fps)
+    le32(0); le32(frames.length) // start, length
+    le32(maxLen); le32(-1)    // bufSize, quality
+    le32(0)                   // sample size (varies per frame)
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    tag("strf"); le32(strfSize)
+    le32(40); le32(w); le32(h)
+    le16(1); le16(24)          // planes, bpp
+    tag("MJPG")                // biCompression
+    le32(maxLen)               // biSizeImage (upper bound, compressed)
+    le32(0); le32(0); le32(0); le32(0)
+    if (junk) {
+      tag("JUNK"); le32(junkPayload)
+      out.write(Array.fill[Byte](junkPayload)('j'), 0, junkPayload)
+      out.write(0) // word-align pad
+    }
+    tag("LIST"); le32(moviSize); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); le32(f.length)
+      out.write(f, 0, f.length)
+      if ((f.length & 1) == 1) out.write(0) // word-align pad
+    }
+    tag("idx1"); le32(idx1Size)
+    var moviOff = 4
+    frames.foreach { f =>
+      tag("00dc"); le32(0x10) // AVIIF_KEYFRAME
+      le32(moviOff); le32(f.length)
+      moviOff += 8 + f.length + (f.length & 1)
+    }
+    out.toByteArray
+  }
+
+  /** MJPEG AVI decode, end to end ours: the same word-aligned RIFF
+    * walk as [[aviFrameLuma]], but the stream must declare 'MJPG'
+    * compression and every '00dc' frame chunk decodes through the
+    * from-scratch baseline JPEG pipeline ([[graft.operators.Jpeg
+    * .decode]] — marker walk, Huffman, dequant, IDCT). Every frame's
+    * dimensions must agree with the container header. None — never a
+    * throw — for a bad tree, a non-MJPG stream, an undecodable frame,
+    * or a header/frame dimension mismatch. */
+  def aviMjpegFrameLuma(b: Array[Byte]): Option[(Int, Int, Array[Array[Long]])] = {
+    if (b.length < 12) return None
+    def tagAt(off: Int, s: String) =
+      off + s.length <= b.length && s.indices.forall(i => b(off + i) == s(i).toByte)
+    def le32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    if (!tagAt(0, "RIFF") || !tagAt(8, "AVI ")) return None
+    var w = -1; var h = -1; var mjpg = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    def walk(from: Int, to: Int): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val size = le32(off + 4)
+        if (size < 0 || off + 8L + size > to) return false
+        if (tagAt(off, "LIST")) {
+          if (size < 4) return false
+          if (!walk(off + 12, off + 8 + size)) return false
+        } else if (tagAt(off, "avih")) {
+          if (size < 40) return false
+          w = le32(off + 8 + 32); h = le32(off + 8 + 36)
+        } else if (tagAt(off, "strf")) {
+          if (size < 20) return false
+          mjpg = tagAt(off + 8 + 16, "MJPG") // biCompression fourcc
+        } else if (tagAt(off, "00dc")) {
+          frames += ((off + 8, size))
+        }
+        off += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, math.min(b.length, 8L + le32(4)).toInt)) return None
+    if (w <= 0 || h <= 0 || !mjpg || frames.isEmpty) return None
+    if (w.toLong * h > (1L << 26)) return None
+    val out = new Array[Array[Long]](frames.length)
+    var i = 0
+    while (i < frames.length) {
+      val (fOff, fLen) = frames(i)
+      val lum = Jpeg.luminanceWithDims(
+        java.util.Arrays.copyOfRange(b, fOff, fOff + fLen)) match {
+        case Some((fw, fh, l)) if fw == w && fh == h => l
+        case _ => return None // undecodable frame or dims disagree with header
+      }
+      out(i) = lum
+      i += 1
+    }
+    Some((w, h, out))
+  }
+
   /** Perceptual blockhash over REAL decoded luminance when the blob is
     * a decodable BMP ([[bmpLuminance]]), PNG ([[pngLuminance]]) or GIF
     * ([[gifLuminance]]), byte-level [[blockHash60]] otherwise: a mixed

@@ -524,6 +524,85 @@ object Multimodal {
       |FROM dl JOIN agg g ON g.doc_id = dl.doc_id AND g.f = dl.frame_idx
       |ORDER BY g.doc_id, frame_idx""".stripMargin
 
+  /** Shot-boundary detection over COMPRESSED video — Motion-JPEG in
+    * AVI, the layout capture pipelines emit: per doc the known
+    * one-cut grayscale clip is encoded frame-by-frame through the
+    * from-scratch baseline JPEG ENCODER (docs rotate the grayscale /
+    * 4:4:4 / 4:2:0 profiles exactly like mm_jpeg_luma), wrapped in a
+    * real RIFF/AVI with MJPG fourcc ('00dc' compressed chunks,
+    * word-aligned odd JPEG sizes, every third doc a JUNK chunk), and
+    * decoded back through BOTH layers we own — the RIFF tree walk AND
+    * the full T.81 Huffman/IDCT pipeline per frame — before the same
+    * luma-delta cut detector as mm_avi_shots runs. Exactness through
+    * a lossy codec: pixels are constant per 8×8 cell with base values
+    * bounded to 0..237 (no mod-wrap inside a clip), so the DC-only
+    * FDCT round-trips bit-exact and within-shot deltas are EXACTLY
+    * w·h (+1 drift per frame) vs 129·w·h at the planted cut — the
+    * 64·w·h threshold splits them with spec-pinned margins, and the
+    * oracle re-derives every pixel from the formula without ever
+    * seeing AVI or JPEG bytes. Scale shape: encode+decode live inside
+    * one scan stage; blobs never shuffle. */
+  private def mmMjpegShots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val w = (nChars % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+        val n = (id % 5 + 6).toInt; val c = (2 + (id * 7) % (n - 3)).toInt
+        val nbx = (w + 7) / 8
+        def gray(v: Int) = (v << 16) | (v << 8) | v
+        val jpegs = (0 until n).map { f =>
+          graft.operators.Jpeg.encode(w, h, (x, y) => {
+            val bv = ((id * 31 + (y / 8).toLong * nbx + (x / 8)) % 100).toInt
+            gray(bv + f + (if (f >= c) 128 else 0))
+          }, gray = id % 3 == 0, subsample420 = id % 3 == 1)
+        }
+        val avi = MM.aviMjpegVideo(w, h, jpegs, junk = id % 3 == 0)
+        val (gw, gh, frames) = MM.aviMjpegFrameLuma(avi).getOrElse(
+          throw new IllegalStateException(s"mjpeg avi round-trip failed for doc $id"))
+        require(gw == w && gh == h && frames.length == n,
+          s"mjpeg decode shape mismatch for doc $id")
+        (1 until n).iterator.map { f =>
+          val cur = frames(f); val prev = frames(f - 1)
+          var delta = 0L; var sum = 0L; var i = 0
+          while (i < cur.length) {
+            delta += math.abs(cur(i) - prev(i)); sum += cur(i); i += 1
+          }
+          (id, f.toLong, sum, delta, delta > 64L * w * h)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "luma_sum", "delta_l1", "is_cut")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmMjpegShotsSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(n_chars % 9 + 4 AS BIGINT) AS w,
+      |    CAST(doc_id % 7 + 3 AS BIGINT) AS h,
+      |    CAST(doc_id % 5 + 6 AS BIGINT) AS n,
+      |    CAST(2 + (doc_id * 7) % (doc_id % 5 + 3) AS BIGINT) AS c
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, n, c, unnest(range(0, w * h)) AS i FROM d),
+      |fr AS (SELECT doc_id, w, h, c, i, unnest(range(0, n)) AS f FROM px),
+      |pv AS (SELECT doc_id, w, h, f, i,
+      |    (doc_id * 31 + ((i // w) // 8) * ((w + 7) // 8) + ((i % w) // 8)) % 100
+      |      + f + CASE WHEN f >= c THEN 128 ELSE 0 END AS v
+      |  FROM fr),
+      |agg AS (SELECT doc_id, w, h, f, SUM(v) AS luma_sum
+      |  FROM pv GROUP BY 1, 2, 3, 4),
+      |dl AS (SELECT cur.doc_id, cur.f AS frame_idx,
+      |    SUM(ABS(cur.v - prv.v)) AS delta
+      |  FROM pv cur JOIN pv prv
+      |    ON prv.doc_id = cur.doc_id AND prv.i = cur.i AND prv.f = cur.f - 1
+      |  GROUP BY 1, 2)
+      |SELECT g.doc_id, CAST(dl.frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(g.luma_sum AS BIGINT) AS luma_sum,
+      |  CAST(dl.delta AS BIGINT) AS delta_l1,
+      |  dl.delta > 64 * g.w * g.h AS is_cut
+      |FROM dl JOIN agg g ON g.doc_id = dl.doc_id AND g.f = dl.frame_idx
+      |ORDER BY g.doc_id, frame_idx""".stripMargin
+
   /** Resize planning off REAL header-decoded dimensions: a
     * deterministic BMP header is synthesized per doc (w, h derived
     * from doc fields), [[graft.operators.Multimodal.HeaderImageDecoder]]
@@ -885,6 +964,7 @@ object Multimodal {
     "mm_jpeg_luma" -> QueryDef(mmJpegLuma, Some(mmJpegLumaSql), bench = true),
     "mm_jpeg_prog_luma" -> QueryDef(mmJpegProgLuma, Some(mmJpegProgLumaSql)),
     "mm_avi_shots" -> QueryDef(mmAviShots, Some(mmAviShotsSql)),
+    "mm_mjpeg_shots" -> QueryDef(mmMjpegShots, Some(mmMjpegShotsSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),

@@ -87,4 +87,50 @@ class AviDecodeSpec extends AnyFunSuite {
         s"frame ${f0 + 1}: delta $d vs thresh $thresh (cut at $c)")
     }
   }
+
+  test("MJPEG: container frames decode identically to Jpeg.decode on the raw bytes") {
+    import graft.operators.Jpeg
+    val w = 11; val h = 9; val nbx = (w + 7) / 8
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // constant 8x8 cells -> the encode is bit-exact, so the container
+    // path must reproduce Jpeg.luminance byte for byte
+    val jpegs = (0 until 4).map { f =>
+      Jpeg.encode(w, h, (x, y) =>
+        gray(((7L * f + (y / 8).toLong * nbx + (x / 8)) % 100).toInt + f),
+        gray = f % 2 == 0, subsample420 = f % 2 == 1)
+    }
+    for (junk <- Seq(false, true)) {
+      val avi = Multimodal.aviMjpegVideo(w, h, jpegs, junk = junk)
+      val (gw, gh, frames) = Multimodal.aviMjpegFrameLuma(avi).get
+      assert(gw == w && gh == h && frames.length == 4)
+      frames.zip(jpegs).zipWithIndex.foreach { case ((got, src), f) =>
+        val direct = Jpeg.luminance(src).get
+        assert(got.sameElements(direct), s"frame $f diverges from direct Jpeg.decode")
+      }
+    }
+  }
+
+  test("MJPEG malformed variants degrade to None: raw-DIB stream, garbage frame, dim lie, truncation") {
+    import graft.operators.Jpeg
+    val w = 8; val h = 8
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val jpeg = Jpeg.encode(w, h, (_, _) => gray(50), gray = true)
+    val good = Multimodal.aviMjpegVideo(w, h, Seq(jpeg, jpeg))
+    assert(Multimodal.aviMjpegFrameLuma(good).isDefined)
+    // a raw-DIB AVI is not MJPEG (and vice versa: the raw decoder
+    // refuses the compressed stream)
+    val raw = Multimodal.aviRawVideo(w, h, 2, (_, _, _) => gray(50))
+    assert(Multimodal.aviMjpegFrameLuma(raw).isEmpty)
+    assert(Multimodal.aviFrameLuma(good).isEmpty)
+    // a frame chunk of garbage bytes is an undecodable JPEG
+    val garbage = Multimodal.aviMjpegVideo(w, h,
+      Seq(jpeg, Array.fill[Byte](64)(0x55)))
+    assert(Multimodal.aviMjpegFrameLuma(garbage).isEmpty)
+    // header dims disagreeing with the frames' own SOF dims
+    val lied = Multimodal.aviMjpegVideo(w + 8, h, Seq(jpeg))
+    assert(Multimodal.aviMjpegFrameLuma(lied).isEmpty)
+    // truncation never throws
+    for (cut <- Seq(4, 40, good.length / 2, good.length - 3))
+      assert(Multimodal.aviMjpegFrameLuma(good.take(cut)).isEmpty, s"cut=$cut")
+  }
 }
