@@ -60,12 +60,12 @@ final class SerializableHadoopConf(@transient var value: Configuration)
   *    prepare time, so a drain processes everything committed before
   *    the query started and stops — even while writers keep
   *    committing.
-  *  - A REPLACING commit (compact/deleteWhere `reset`) inside an
-  *    unread interval fails the stream with a clear error: the delta
-  *    is not expressible as appended rows, and silently re-reading
-  *    the snapshot would double-count — the consumer must restart
-  *    from a fresh snapshot (exactly Delta's semantics without
-  *    `ignoreChanges`).
+  *  - A ROW-REMOVING commit (compact's `reset`, deleteWhere/mergeInto
+  *    `remove=`) inside an unread interval fails the stream with a
+  *    clear error: the delta is not expressible as appended rows, and
+  *    silently re-reading the snapshot would double-count — the
+  *    consumer must restart from a fresh snapshot (exactly Delta's
+  *    semantics without `ignoreChanges`).
   *
   * Column types supported: long/int/double/boolean/string (the
   * manifest sink's own write surface). Schema must be supplied

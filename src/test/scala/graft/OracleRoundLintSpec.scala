@@ -61,6 +61,10 @@ class OracleRoundLintSpec extends AnyFunSuite {
       "ann_ivf_manifest" -> ("k-means centroid mean + cosine chain " +
         "(ivfScoredCtes, same sites as ann_ivf_trained); the census " +
         "columns are exact BIGINT counts"),
+      "ann_ivfpq_manifest" -> ("k-means centroid mean + cosine chain " +
+        "(ivfScoredCtes, same sites as ann_ivf_trained) + the exact " +
+        "re-rank/brute-force cosines (round(cos,9), the top-k family " +
+        "convention); census and recall columns are exact BIGINT counts"),
       "ann_sq8" -> "SQ8 quantizer: (v-mn)*255/(mx-mn) float grid",
       "ann_recall_sq8" -> "SQ8 quantizer + cosine chain",
       "q_disorder" -> "quantile_cont interpolation / 60000.0 minutes",
