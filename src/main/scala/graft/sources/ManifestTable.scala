@@ -131,20 +131,22 @@ object ManifestTable {
     * [[appendWithStats]] time (Iceberg-style per-column bounds; empty
     * map for files committed without stats). Entry format:
     * `<rel>` followed by zero or more `|stat=<col>:<min>:<max>`. */
+  private def parseStatsEntry(entry: String): (String, Map[String, (Long, Long)]) = {
+    val parts = entry.split('|')
+    val stats = parts.iterator.drop(1).collect {
+      case p if p.startsWith("stat=") =>
+        p.stripPrefix("stat=").split(':') match {
+          case Array(c, mn, mx) => c -> ((mn.toLong, mx.toLong))
+          case bad => throw new IllegalStateException(
+            s"corrupt stat segment '${bad.mkString(":")}' in $entry")
+        }
+    }.toMap
+    (parts(0), stats)
+  }
+
   def snapshotFilesWithStats(dir: String, version: Option[Long] = None)
       : Seq[(String, Map[String, (Long, Long)])] =
-    fold(dir, resolved(dir, version)).files.map { entry =>
-      val parts = entry.split('|')
-      val stats = parts.iterator.drop(1).collect {
-        case p if p.startsWith("stat=") =>
-          p.stripPrefix("stat=").split(':') match {
-            case Array(c, mn, mx) => c -> ((mn.toLong, mx.toLong))
-            case bad => throw new IllegalStateException(
-              s"corrupt stat segment '${bad.mkString(":")}' in $entry")
-          }
-      }.toMap
-      (parts(0), stats)
-    }
+    fold(dir, resolved(dir, version)).files.map(parseStatsEntry)
 
   /** Batch ids a writer has already committed (latest snapshot). */
   def committedBatches(dir: String, writer: String): Set[Long] =
@@ -572,7 +574,13 @@ object ManifestTable {
         if (committedBatches(dir, w).contains(b)) return None
       }
       val parent = latestVersion(dir).getOrElse(-1L)
-      // files holding matched rows: one semi-join scan, file-count bounded
+      // files holding matched rows: one semi-join scan, file-count
+      // bounded — and when the table records stats on the merge key,
+      // the scan itself is PRE-PRUNED to the files whose key range
+      // overlaps the batch's [min, max] (files without key stats are
+      // always scanned — unknown ranges are never skipped). A narrow
+      // CDC batch against a key-clustered table then plans its files
+      // without touching the rest of the snapshot.
       val affected: Set[String] =
         if (parent < 0) Set.empty
         else {
@@ -581,16 +589,38 @@ object ManifestTable {
             val rel = e.takeWhile(_ != '|')
             new File(dataDir(dir), rel).getCanonicalPath -> rel
           }.toMap
-          // file name is attached BEFORE the join: input_file_name()
-          // only resolves against a single source, and the semi-join's
-          // other side may itself be file-backed
-          read(spark, dir, Some(parent))
-            .withColumn("_m_file", input_file_name())
-            .join(keys, Seq(key), "left_semi")
-            .select(col("_m_file").as("f")).distinct().collect()
-            .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
-            .map(p => relOf.getOrElse(p, throw new IllegalStateException(
-              s"matched file $p is not in the snapshot"))).toSet
+          val statted = entries.map(parseStatsEntry)
+          // the pruning path needs long bounds; non-long keys scan all
+          val hasKeyStats = statted.exists(_._2.contains(key)) &&
+            batch.schema(key).dataType == org.apache.spark.sql.types.LongType
+          val scanRels: Seq[String] =
+            if (!hasKeyStats) statted.map(_._1)
+            else {
+              val bounds = batch.agg(
+                org.apache.spark.sql.functions.min(col(key)),
+                org.apache.spark.sql.functions.max(col(key))).head()
+              if (bounds.isNullAt(0)) Seq.empty // all-NULL keys match nothing
+              else {
+                val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
+                statted.collect {
+                  case (rel, stats) if stats.get(key)
+                    .forall { case (mn, mx) => mx >= bMin && mn <= bMax } => rel
+                }
+              }
+            }
+          if (scanRels.isEmpty) Set.empty
+          else
+            // file name is attached BEFORE the join: input_file_name()
+            // only resolves against a single source, and the semi-join's
+            // other side may itself be file-backed
+            spark.read.parquet(
+                scanRels.map(rel => new File(dataDir(dir), rel).getPath): _*)
+              .withColumn("_m_file", input_file_name())
+              .join(keys, Seq(key), "left_semi")
+              .select(col("_m_file").as("f")).distinct().collect()
+              .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
+              .map(p => relOf.getOrElse(p, throw new IllegalStateException(
+                s"matched file $p is not in the snapshot"))).toSet
         }
       // one staged write: affected files' NON-matched survivors, then
       // every batch row (update and insert alike land as fresh files)

@@ -447,6 +447,32 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() == 43)
   }
 
+  test("mergeInto plans via key stats: disjoint batch inserts without touching a file") {
+    val dir = freshDir()
+    ManifestTable.appendWithStats(spark,
+      (0 until 10).map(i => (i.toLong, "a")).toDF("k", "v").coalesce(1), dir, "k")
+    ManifestTable.appendWithStats(spark,
+      (100 until 110).map(i => (i.toLong, "b")).toDF("k", "v").coalesce(1), dir, "k")
+    // batch range [500, 501] overlaps NO file: pure insert, zero removes
+    val mv = ManifestTable.mergeInto(spark, dir,
+      Seq((500L, "x"), (501L, "y")).toDF("k", "v"), "k", statCols = Seq("k"))
+    assert(mv.contains(2L))
+    assert(manifestLines(dir, 2L).drop(1).count(_.startsWith("remove=")) == 0,
+      "disjoint merge rewrote a file")
+    assert(ManifestTable.read(spark, dir).count() == 22)
+    // batch inside ONE file's range rewrites exactly that file
+    val mv2 = ManifestTable.mergeInto(spark, dir,
+      Seq((105L, "upd")).toDF("k", "v"), "k", statCols = Seq("k"))
+    assert(mv2.contains(3L))
+    assert(manifestLines(dir, 3L).drop(1).count(_.startsWith("remove=")) == 1,
+      "narrow merge rewrote more than its one matched file")
+    val back = ManifestTable.read(spark, dir)
+    assert(back.count() == 22)
+    assert(back.filter($"v" === "upd").count() == 1)
+    assert(ManifestTable.plannedFilesForRange(dir, "k", 0, 5).size == 1,
+      "merge dropped the untouched file's stats")
+  }
+
   test("mergeInto: txn marker makes the retried batch a no-op") {
     val dir = freshDir()
     ManifestTable.append(spark,
