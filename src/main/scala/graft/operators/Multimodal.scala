@@ -1024,7 +1024,19 @@ object Multimodal {
     * for a bad signature, compressed or non-24-bpp streams, missing
     * hdrl/avih/strf/movi, a frame chunk of the wrong size, or any
     * truncation: mixed corpora degrade to byte-level features. */
-  def aviFrameLuma(b: Array[Byte]): Option[(Int, Int, Array[Array[Long]])] = {
+  /** Parsed AVI header + frame index, shared by the raw-DIB and MJPEG
+    * decoders: dimensions from avih, the VIDEO stream's bpp and
+    * biCompression from the strf that follows a 'vids' strh (latched
+    * once — a later stream's strf, e.g. an audio WAVEFORMATEX, must
+    * not overwrite the video format: last-writer-wins rejected valid
+    * video+audio files), and the (offset, length) of every `frameTag`
+    * chunk. None for a bad signature, tree overrun, missing header,
+    * zero frames, or a >64M-pixel frame. */
+  private final case class AviStreamInfo(w: Int, h: Int, vidsBpp: Int,
+                                         vidsCompression: Int,
+                                         frames: Seq[(Int, Int)])
+
+  private def aviWalk(b: Array[Byte], frameTag: String): Option[AviStreamInfo] = {
     if (b.length < 12) return None
     def tagAt(off: Int, s: String) =
       off + s.length <= b.length && s.indices.forall(i => b(off + i) == s(i).toByte)
@@ -1034,6 +1046,8 @@ object Multimodal {
     def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
     if (!tagAt(0, "RIFF") || !tagAt(8, "AVI ")) return None
     var w = -1; var h = -1; var bpp = -1; var compression = -1
+    var pendingVids = false // the next strf belongs to a 'vids' stream
+    var vidsSeen = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
     // walk a chunk range [from, to); recurse into LISTs
     def walk(from: Int, to: Int): Boolean = {
@@ -1047,10 +1061,16 @@ object Multimodal {
         } else if (tagAt(off, "avih")) {
           if (size < 40) return false
           w = le32(off + 8 + 32); h = le32(off + 8 + 36)
+        } else if (tagAt(off, "strh")) {
+          if (size < 4) return false
+          pendingVids = tagAt(off + 8, "vids") && !vidsSeen
         } else if (tagAt(off, "strf")) {
-          if (size < 20) return false
-          bpp = le16(off + 8 + 14); compression = le32(off + 8 + 16)
-        } else if (tagAt(off, "00db")) {
+          if (pendingVids) {
+            if (size < 20) return false
+            bpp = le16(off + 8 + 14); compression = le32(off + 8 + 16)
+            pendingVids = false; vidsSeen = true
+          }
+        } else if (tagAt(off, frameTag)) {
           frames += ((off + 8, size))
         }
         off += 8 + size + (size & 1) // RIFF chunks are word-aligned
@@ -1058,9 +1078,18 @@ object Multimodal {
       true
     }
     if (!walk(12, math.min(b.length, 8L + le32(4)).toInt)) return None
-    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0 || frames.isEmpty)
-      return None
+    if (w <= 0 || h <= 0 || !vidsSeen || frames.isEmpty) return None
     if (w.toLong * h > (1L << 26)) return None // 64M-pixel frame bound
+    Some(AviStreamInfo(w, h, bpp, compression, frames.toSeq))
+  }
+
+  def aviFrameLuma(b: Array[Byte]): Option[(Int, Int, Array[Array[Long]])] = {
+    val info = aviWalk(b, "00db") match {
+      case Some(i) if i.vidsBpp == 24 && i.vidsCompression == 0 => i
+      case _ => return None
+    }
+    val w = info.w; val h = info.h
+    val frames = info.frames
     val rowBytes = (w * 3 + 3) & ~3
     if (frames.exists(_._2 != rowBytes * h)) return None // wrong frame size
     val out = frames.map { case (fOff, _) =>
@@ -1090,7 +1119,8 @@ object Multimodal {
     * arbitrary, so odd-length chunks genuinely exercise RIFF word
     * alignment; idx1 carries the per-frame sizes. */
   def aviMjpegVideo(w: Int, h: Int, frames: Seq[Array[Byte]],
-                    junk: Boolean = false): Array[Byte] = {
+                    junk: Boolean = false,
+                    audioStream: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && frames.nonEmpty)
     val maxLen = frames.map(_.length).max
     val out = new java.io.ByteArrayOutputStream(512 + frames.map(_.length + 9).sum)
@@ -1102,8 +1132,13 @@ object Multimodal {
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     val strhSize = 56; val strfSize = 40
     val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    // optional second stream (PCM audio, 16-byte WAVEFORMAT strf) —
+    // the camera-file shape whose strf must NOT overwrite the video
+    // format in a decoder
+    val strl2Size = 4 + (8 + strhSize) + (8 + 16)
     val avihSize = 56
-    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize) +
+      (if (audioStream) 8 + strl2Size else 0)
     val junkPayload = if (junk) 7 else 0 // odd on purpose
     val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val idx1Size = frames.length * 16
@@ -1116,7 +1151,7 @@ object Multimodal {
     le32(maxLen * 25)      // dwMaxBytesPerSec
     le32(0); le32(0x10)    // padding, AVIF_HASINDEX
     le32(frames.length); le32(0)
-    le32(1)                // dwStreams
+    le32(if (audioStream) 2 else 1) // dwStreams
     le32(maxLen)           // dwSuggestedBufferSize
     le32(w); le32(h)
     le32(0); le32(0); le32(0); le32(0) // reserved
@@ -1136,6 +1171,22 @@ object Multimodal {
     tag("MJPG")                // biCompression
     le32(maxLen)               // biSizeImage (upper bound, compressed)
     le32(0); le32(0); le32(0); le32(0)
+    if (audioStream) {
+      tag("LIST"); le32(strl2Size); tag("strl")
+      tag("strh"); le32(strhSize)
+      tag("auds"); le32(0)      // fccType, fccHandler (PCM)
+      le32(0); le16(0); le16(0) // flags, priority, language
+      le32(0)                   // initial frames
+      le32(1); le32(8000)       // scale, rate (8 kHz)
+      le32(0); le32(8000)       // start, length (1 s)
+      le32(8000); le32(-1)      // bufSize, quality
+      le32(1)                   // sample size (8-bit mono PCM)
+      le16(0); le16(0); le16(0); le16(0) // rcFrame (unused for audio)
+      tag("strf"); le32(16)     // minimal WAVEFORMAT — 16 bytes, and
+      le16(1); le16(1)          // its bytes at offset 14-19 are NOT a
+      le32(8000); le32(8000)    // video fourcc: a last-writer-wins
+      le16(1); le16(8)          // decoder would mis-latch on this
+    }
     if (junk) {
       tag("JUNK"); le32(junkPayload)
       out.write(Array.fill[Byte](junkPayload)('j'), 0, junkPayload)
@@ -1166,39 +1217,14 @@ object Multimodal {
     * throw — for a bad tree, a non-MJPG stream, an undecodable frame,
     * or a header/frame dimension mismatch. */
   def aviMjpegFrameLuma(b: Array[Byte]): Option[(Int, Int, Array[Array[Long]])] = {
-    if (b.length < 12) return None
-    def tagAt(off: Int, s: String) =
-      off + s.length <= b.length && s.indices.forall(i => b(off + i) == s(i).toByte)
-    def le32(off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    if (!tagAt(0, "RIFF") || !tagAt(8, "AVI ")) return None
-    var w = -1; var h = -1; var mjpg = false
-    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
-    def walk(from: Int, to: Int): Boolean = {
-      var off = from
-      while (off + 8 <= to) {
-        val size = le32(off + 4)
-        if (size < 0 || off + 8L + size > to) return false
-        if (tagAt(off, "LIST")) {
-          if (size < 4) return false
-          if (!walk(off + 12, off + 8 + size)) return false
-        } else if (tagAt(off, "avih")) {
-          if (size < 40) return false
-          w = le32(off + 8 + 32); h = le32(off + 8 + 36)
-        } else if (tagAt(off, "strf")) {
-          if (size < 20) return false
-          mjpg = tagAt(off + 8 + 16, "MJPG") // biCompression fourcc
-        } else if (tagAt(off, "00dc")) {
-          frames += ((off + 8, size))
-        }
-        off += 8 + size + (size & 1)
-      }
-      true
+    val MjpgFourcc = // 'MJPG' little-endian, as biCompression stores it
+      ('M'.toInt) | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+    val info = aviWalk(b, "00dc") match {
+      case Some(i) if i.vidsCompression == MjpgFourcc => i
+      case _ => return None
     }
-    if (!walk(12, math.min(b.length, 8L + le32(4)).toInt)) return None
-    if (w <= 0 || h <= 0 || !mjpg || frames.isEmpty) return None
-    if (w.toLong * h > (1L << 26)) return None
+    val w = info.w; val h = info.h
+    val frames = info.frames
     val out = new Array[Array[Long]](frames.length)
     var i = 0
     while (i < frames.length) {

@@ -1213,13 +1213,18 @@ object Similarity {
         round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
     val w5 = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
     val top5 = exact.withColumn("rk", row_number().over(w5)).filter($"rk" <= 5)
-    // recall@5 acceptance companion: hits against exact brute force
+    // recall@5 acceptance companion: hits against exact brute force.
+    // LEFT join + coalesce: a query whose shortlist misses ALL true
+    // neighbors has recall 0, not zero output rows (the oracle's
+    // LEFT JOIN + COUNT keeps them — an inner join here would drop
+    // the query entirely and diverge from the gate)
     val brute5 = Sim.bruteForce(s, emb, emb.filter($"vec_id" < 3), 5)
       .select($"query_id", $"neighbor_id")
     val hits = top5.select($"query_id", $"neighbor_id")
       .join(brute5, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy($"query_id").agg(count(lit(1)).as("n_hits5"))
-    val res = top5.join(hits, "query_id")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    val res = top5.join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits5", coalesce($"n_hits", lit(0L))).drop("n_hits")
       .select($"query_id", $"neighbor_id", $"rk", $"cos_sim",
         lit(planned.toLong).as("n_files_planned"),
         lit(live.toLong).as("n_files_live"), $"n_hits5")

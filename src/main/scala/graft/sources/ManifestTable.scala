@@ -161,12 +161,31 @@ object ManifestTable {
     * [[appendEvolving]]'s `schema=` actions — None for tables that
     * never evolved (their files all share one schema). Time travel
     * resolves to the schema as of that version: reading v3 of a table
-    * that evolved at v5 presents v3's columns. */
+    * that evolved at v5 presents v3's columns. Every column comes back
+    * NULLABLE regardless of how the recording batch declared it: any
+    * column can predate some live file and NULL-backfill, and a
+    * non-nullable long read through a null-blind path would silently
+    * surface as 0. */
   def tableSchema(dir: String, version: Option[Long] = None)
       : Option[org.apache.spark.sql.types.StructType] =
     fold(dir, resolved(dir, version)).schema.map(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fields.map(_.copy(nullable = true))))
+
+  /** Parquet reader pinned to the schema recorded at `version`, plain
+    * reader when none — EVERY path that reads committed data files
+    * (snapshot read, change feed, delete/merge rewrites) must come
+    * through here: an unpinned read of files spanning a schema
+    * evolution takes whichever footer parquet samples first, silently
+    * dropping (or crashing on) the evolved column. */
+  private def pinnedReader(spark: SparkSession, dir: String,
+                           version: Option[Long]): org.apache.spark.sql.DataFrameReader =
+    tableSchema(dir, version) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
 
   /** Read a snapshot: exactly the manifest-listed files, nothing else.
     * When the log records a schema ([[appendEvolving]]), the read is
@@ -175,15 +194,9 @@ object ManifestTable {
     * later version added are absent from an older snapshot. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): DataFrame = {
-    val st = fold(dir, resolved(dir, version))
-    val paths = st.files.map(e => new File(dataDir(dir), e.takeWhile(_ != '|')).getPath)
-    val reader = st.schema match {
-      case Some(j) => spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      case None => spark.read
-    }
-    reader.parquet(paths: _*)
+    val paths = snapshotFiles(dir, version)
+      .map(rel => new File(dataDir(dir), rel).getPath)
+    pinnedReader(spark, dir, version).parquet(paths: _*)
   }
 
   /** Stage `df` as parquet under a fresh txn dir; returns the
@@ -224,22 +237,22 @@ object ManifestTable {
         s"stats column name '$c' must match [A-Za-z0-9_]+ — " +
           "'|' or ':' would corrupt the manifest entry")
     }
-    // validate types BEFORE staging turns into a half-committed mess:
-    // a non-long stats column would ClassCastException mid-collect
-    val schema = spark.read.parquet(
-      rels.map(r => new File(dataDir(dir), r).getPath): _*).schema
+    // ONE reader over the staged paths serves both the up-front type
+    // validation (a non-long stats column would ClassCastException
+    // mid-collect otherwise) and the min/max aggregation
+    val staged = spark.read.parquet(
+      rels.map(r => new File(dataDir(dir), r).getPath): _*)
     statCols.foreach { c =>
-      val f = schema.find(_.name == c).getOrElse(
+      val f = staged.schema.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"stats column '$c' is not in the staged batch's schema " +
-            s"(${schema.fieldNames.mkString(", ")})"))
+            s"(${staged.schema.fieldNames.mkString(", ")})"))
       require(f.dataType == org.apache.spark.sql.types.LongType,
         s"stats column '$c' must be LongType, found ${f.dataType.simpleString}")
     }
     val aggs = statCols.flatMap(c =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    val byFile = spark.read.parquet(
-        rels.map(r => new File(dataDir(dir), r).getPath): _*)
+    val byFile = staged
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per non-empty staged part file — batch-bounded
@@ -278,7 +291,13 @@ object ManifestTable {
                      statCols: String*): Long = {
     val prior: Option[org.apache.spark.sql.types.StructType] =
       if (latestVersion(dir).isEmpty) None
-      else tableSchema(dir).orElse(Some(read(spark, dir).schema))
+      else tableSchema(dir).orElse {
+        // non-evolved table: infer from the live files — but a
+        // delete-everything can leave a ZERO-file snapshot, which is
+        // schema-fresh (parquet would throw 'unable to infer schema')
+        val files = snapshotFiles(dir)
+        if (files.isEmpty) None else Some(read(spark, dir).schema)
+      }
     prior.foreach { p =>
       p.fields.foreach { f =>
         df.schema.find(_.name == f.name).foreach { g =>
@@ -505,7 +524,10 @@ object ManifestTable {
       // rewrite the affected files' survivors into fresh staged files.
       // DELETE semantics: only predicate-IS-TRUE rows go; a NULL
       // predicate keeps the row (so !pred alone would over-delete)
-      val survivors = spark.read.parquet(
+      // pinned read: affected files may span a schema evolution, and
+      // the rewrite must preserve the evolved column (not let parquet
+      // infer from whichever footer it samples)
+      val survivors = pinnedReader(spark, dir, Some(parent)).parquet(
           affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
         .filter(!org.apache.spark.sql.functions.coalesce(
           predicate, org.apache.spark.sql.functions.lit(false)))
@@ -626,9 +648,13 @@ object ManifestTable {
       // every batch row (update and insert alike land as fresh files)
       val rewritten =
         if (affected.isEmpty) guarded
-        else spark.read.parquet(
+        else pinnedReader(spark, dir, Some(parent)).parquet(
             affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
           .join(keys, Seq(key), "left_anti")
+          // strict by-name union: the pinned read gives pre-evolution
+          // survivors the full recorded schema (NULL backfill), so a
+          // column mismatch here means the BATCH doesn't carry the
+          // table's current schema — an error, not something to pad
           .unionByName(guarded)
       val staged = stageFiles(rewritten, dir)
       val adds =

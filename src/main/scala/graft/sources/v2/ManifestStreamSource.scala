@@ -229,7 +229,18 @@ final class ManifestPartitionReader(file: String, schema: StructType,
     * INSIDE init(), where the file schema is already in hand — the
     * projection keeps the file's exact types and required/optional
     * repetitions (hand-built fields would have to guess Spark's
-    * nullability encoding), and the footer is read exactly once. */
+    * nullability encoding), and the footer is read exactly once.
+    * Requested columns ABSENT from the file resolve to NULL rows-wide
+    * (recorded in [[presentFields]]) — the same parquet schema-
+    * evolution rule as ManifestTable.read, so a table evolved by
+    * appendEvolving streams its pre-evolution files instead of dying
+    * on them (a pruned projection may legitimately request ONLY
+    * evolved columns against an old file: every row is null). The
+    * flip side — a typo'd .schema(...) surfaces as an all-NULL
+    * column, exactly as it would reading the same files through
+    * spark.read.schema(...).parquet — is the standard parquet
+    * contract, not an error this layer can distinguish from
+    * evolution. */
   private final class ProjectingReadSupport(wanted: Set[String])
       extends GroupReadSupport {
     override def init(context: org.apache.parquet.hadoop.api.InitContext)
@@ -238,20 +249,18 @@ final class ManifestPartitionReader(file: String, schema: StructType,
       val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
       fileSchema.getFields.forEach(f =>
         if (wanted.contains(f.getName)) kept.add(f): Unit)
-      // fail HERE, with names, when a requested column is absent from
-      // the file — not later with parquet's opaque InvalidRecordException
       val have = new scala.collection.mutable.HashSet[String]
       kept.forEach(f => have.add(f.getName): Unit)
-      val missing = wanted.diff(have)
-      if (missing.nonEmpty)
-        throw new IllegalArgumentException(
-          s"graft-manifest: columns ${missing.toSeq.sorted.mkString(", ")} " +
-            s"are not in the schema of $file — the supplied .schema(...) " +
-            "does not match the table's files")
+      presentFields = have.toSet
       new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
         new org.apache.parquet.schema.MessageType("spark_schema", kept))
     }
   }
+
+  // set by init() (which runs during reader build, before any get()):
+  // the requested fields this file actually carries — the rest
+  // NULL-backfill per row
+  @volatile private var presentFields: Set[String] = Set.empty
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new ProjectingReadSupport(schema.fieldNames.toSet),
@@ -269,7 +278,8 @@ final class ManifestPartitionReader(file: String, schema: StructType,
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
-      if (current.getFieldRepetitionCount(f.name) == 0) row.setNullAt(i)
+      if (!presentFields.contains(f.name) ||
+          current.getFieldRepetitionCount(f.name) == 0) row.setNullAt(i)
       else f.dataType match {
         case LongType => row.setLong(i, current.getLong(f.name, 0))
         case IntegerType => row.setInt(i, current.getInteger(f.name, 0))

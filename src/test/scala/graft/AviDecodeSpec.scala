@@ -133,4 +133,19 @@ class AviDecodeSpec extends AnyFunSuite {
     for (cut <- Seq(4, 40, good.length / 2, good.length - 3))
       assert(Multimodal.aviMjpegFrameLuma(good.take(cut)).isEmpty, s"cut=$cut")
   }
+
+  test("MJPEG with an audio stream still decodes: the video strf is latched, not last-writer-wins") {
+    import graft.operators.Jpeg
+    val w = 10; val h = 6
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val jpegs = (0 until 3).map(f =>
+      Jpeg.encode(w, h, (_, _) => gray(40 + f), gray = true))
+    val avi = Multimodal.aviMjpegVideo(w, h, jpegs, audioStream = true)
+    val (gw, gh, frames) = Multimodal.aviMjpegFrameLuma(avi)
+      .getOrElse(fail("valid MJPEG+PCM AVI rejected — audio strf clobbered the video format"))
+    assert(gw == w && gh == h && frames.length == 3)
+    frames.zipWithIndex.foreach { case (lum, f) =>
+      assert(lum.forall(_ == 40L + f), s"frame $f pixels wrong")
+    }
+  }
 }

@@ -177,4 +177,21 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("explicit .schema"))
   }
+
+  test("an evolved table reads through the source: pre-evolution files NULL-backfill the new column") {
+    val dir = freshDir()
+    ManifestTable.appendEvolving(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), dir)
+    ManifestTable.appendEvolving(spark,
+      Seq((3L, "c", 30L)).toDF("k", "v", "extra").coalesce(1), dir)
+    val schema = ManifestTable.tableSchema(dir).get
+    val got = spark.read.format("graft-manifest").schema(schema).load(dir)
+    assert(got.count() == 3)
+    assert(got.filter($"extra".isNull).count() == 2,
+      "pre-evolution rows must NULL-backfill, not fail the scan")
+    assert(got.filter($"extra" === 30L).count() == 1)
+    // a projection of ONLY the evolved column still reads the old
+    // files (all-null) — the pruned-scan shape of the same rule
+    assert(got.select($"extra").filter($"extra".isNull).count() == 2)
+  }
 }

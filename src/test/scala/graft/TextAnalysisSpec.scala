@@ -171,9 +171,12 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("BPE encode property: training chain's final state == unrolled greedy merges per word") {
-    // reference implementation: apply each learned merge left-to-right,
-    // non-overlapping (a consumed symbol can't serve the next match) —
-    // the textbook Sennrich apply — and compare to the chain's state
+    // reference implementation mirroring the chain's EXACT replace
+    // semantics: the literal " pa pb " match consumes pb's trailing
+    // space, so the SYMBOL AFTER a merge cannot start the next match
+    // (in " b a n a n a " with merge (a,n), only the first "a n"
+    // merges — identical in Spark regexp_replace and DuckDB replace;
+    // a plain symbol-wise scan would merge both and diverge)
     def applyMerges(word: String, merges: Seq[(String, String)]): Vector[String] = {
       var syms = word.map(_.toString).toVector
       for ((pa, pb) <- merges) {
@@ -181,12 +184,28 @@ class TextAnalysisSpec extends AnyFunSuite {
         var i = 0
         while (i < syms.length) {
           if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
-            out += s"$pa~$pb"; i += 2
+            out += s"$pa~$pb"
+            if (i + 2 < syms.length) out += syms(i + 2) // separator consumed
+            i += 3
           } else { out += syms(i); i += 1 }
         }
         syms = out.result()
       }
       syms
+    }
+    // pin the reference's separator-consumption rule against Spark's
+    // own regexp_replace on the 'banana' class (pair repeats with a
+    // shared boundary) before trusting it as the oracle-of-the-oracle
+    {
+      import org.apache.spark.sql.functions._
+      val chainStyle = spark.range(1).select(
+        trim(regexp_replace(lit(" b a n a n a "),
+          java.util.regex.Pattern.quote(" a n "),
+          java.util.regex.Matcher.quoteReplacement(" a~n ")), " "))
+        .collect()(0).getString(0).split(" ").toVector
+      assert(applyMerges("banana", Seq(("a", "n"))) == chainStyle,
+        s"reference diverges from regexp_replace on 'banana': got " +
+          s"${applyMerges("banana", Seq(("a", "n")))} vs $chainStyle")
     }
     val (state, merges) = graft.queries.TextAnalysis.bpeChain(spark, TestSpark.sf, 10)
     assert(merges.size == 10)
