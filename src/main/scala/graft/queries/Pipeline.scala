@@ -511,6 +511,62 @@ object Pipeline {
       |    AS sum_tokens
       |FROM documents, w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming MERGE exactly-once — the CDC-upsert pipeline a keyed
+    * mirror table actually runs, composed from the proven primitives:
+    * the events ledger replays as five event_id-ordered CDC batches,
+    * each deduped to its last-per-user row (the in-batch MERGE rule)
+    * and applied via [[graft.sources.ManifestTable.mergeInto]] with a
+    * txn marker — and EVERY batch is delivered twice (the
+    * foreachBatch post-commit-crash retry), whose second delivery
+    * must be a committed-marker no-op. Correct IFF the final table is
+    * exactly the ledger's last-per-user state: a double-applied
+    * retry, a lost batch, a stale matched row, or broken in-batch
+    * dedup all break the hash against the oracle's global
+    * last-per-key window. In-code requires pin one commit per batch
+    * (versions dense 0..4) and the no-op retries. Scale shape: per
+    * batch one stats-prunable semi-join plan + O(affected+batch)
+    * rewrite; nothing rescans history. */
+  private def sinkManifestMergeStreaming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-cdc-merge").toFile.getPath
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        QueryDef.cents($"value").as("value_cents"))
+    val n = ev.count()
+    val w = (n + 4) / 5
+    for (b <- 0L until 5L) {
+      val batch = ev.filter($"event_id" >= b * w && $"event_id" < (b + 1) * w)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"event_id".desc)))
+        .filter($"rk" === 1).drop("rk")
+      val v = ManifestTable.mergeInto(s, root, batch, "user_id",
+        statCols = Seq("user_id"), txn = Some(("cdc", b)))
+      require(v.contains(b), s"CDC batch $b must commit exactly version $b")
+      // the post-commit-crash retry: same batch, same marker — no-op
+      require(ManifestTable.mergeInto(s, root, batch, "user_id",
+          statCols = Seq("user_id"), txn = Some(("cdc", b))).isEmpty,
+        s"retried CDC batch $b applied twice")
+    }
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, root)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"), sum($"value_cents").as("sum_cents"))
+        .orderBy($"event_type"))
+  }
+
+  private val sinkManifestMergeStreamingSql =
+    """WITH lastev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(ROUND(value*100) AS BIGINT) AS value_cents
+      |  FROM events
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+      |SELECT event_type, COUNT(*) AS n_users,
+      |  CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+      |FROM lastev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** MERGE INTO on the manifest table proven end-to-end — the upsert
     * primitive (Delta MERGE, whole-row update-all + insert-all): the
     * corpus lands as 4 stats-carrying doc_id slices, then one
@@ -2171,6 +2227,8 @@ object Pipeline {
       QueryDef(sinkManifestMerge, Some(sinkManifestMergeSql)),
     "sink_manifest_schema_evo" ->
       QueryDef(sinkManifestSchemaEvo, Some(sinkManifestSchemaEvoSql)),
+    "sink_manifest_merge_streaming" ->
+      QueryDef(sinkManifestMergeStreaming, Some(sinkManifestMergeStreamingSql)),
     "dedup_changefeed_e2e" ->
       QueryDef(dedupChangefeedE2e, Some(dedupChangefeedE2eSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
