@@ -1042,6 +1042,49 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE round-trip — DECODE closes the tokenizer loop: every doc is
+    * encoded to token ids and decoded back THROUGH the id table
+    * (tid → symbol → merge-marker strip → word → space-joined text),
+    * and the reconstruction's md5 must equal the original text's md5
+    * for EVERY document — the losslessness contract a tokenizer ships
+    * under. The oracle only hashes the original text: any drift in
+    * the id table, the per-word symbol order, the marker stripping,
+    * or the word-order flatten breaks the hash. Scale shape: decode
+    * runs on the VOCABULARY (ids → word string once per distinct
+    * word); docs pay one posexplode + one hash join + one ordered
+    * per-doc concat — same O(corpus) profile as the encode. */
+  private def textBpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (state, _) = bpeChain(s, dir, steps = 10)
+    val tokIds = state.select(explode(split($"seq", " ")).as("tok")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy($"tok")).cast("long"))
+    // encode side: (w, j, tid) — then decode STRICTLY through tid
+    val wordTids = state
+      .select($"w", posexplode(split($"seq", " ")).as(Seq("j", "tok")))
+      .join(tokIds, "tok")
+      .select($"w", $"j", $"tid")
+    val decodedWords = wordTids
+      .join(tokIds.select($"tid", $"tok".as("tok_dec")), "tid")
+      .groupBy($"w")
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(j, tok_dec))), " +
+          "x -> replace(x.tok_dec, '~', ''))")).as("w_dec"))
+    val dw = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter(length($"w") > 0)
+    dw.join(decodedWords, "w")
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, w_dec))), x -> x.w_dec)"))
+        .as("text_dec"))
+      .select($"doc_id", md5($"text_dec").as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private val textBpeRoundtripSql =
+    """SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""".stripMargin
+
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
     * maximal stopword-free token runs (capped at 4 tokens), scored by
     * Σ degree(w)/freq(w) over member words — the classic unsupervised
@@ -1178,6 +1221,7 @@ object TextAnalysis {
     "text_bpe_fertility" -> QueryDef(textBpeFertility, Some(textBpeFertilitySql)),
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
     "text_bpe_encode" -> QueryDef(textBpeEncode, Some(textBpeEncodeSql)),
+    "text_bpe_roundtrip" -> QueryDef(textBpeRoundtrip, Some(textBpeRoundtripSql)),
     "text_oov_rate" -> QueryDef(textOovRate, Some(textOovRateSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
     "text_classifier_train" -> QueryDef(textClassifierTrain, Some(textClassifierTrainSql), bench = true),
