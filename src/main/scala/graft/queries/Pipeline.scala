@@ -1104,7 +1104,7 @@ object Pipeline {
   }
 
   /** Exact int² L2 between a vector's `sub` slice and a centroid's. */
-  private def subDist: org.apache.spark.sql.Column =
+  private[queries] def subDist: org.apache.spark.sql.Column =
     aggregate(
       zip_with(slice(col("qv"), col("sub") * 8 + 1, lit(8)),
         slice(col("cv"), col("sub") * 8 + 1, lit(8)),

@@ -1305,6 +1305,164 @@ object Similarity {
        |CROSS JOIN planc CROSS JOIN livec
        |ORDER BY query_id, rk""".stripMargin
 
+  /** RESIDUAL IVF-PQ — the paper-faithful FAISS IVFADC (Jégou et al.
+    * 2011 §IV, the part `ann_ivfpq` simplifies away): PQ codes
+    * quantize each vector's RESIDUAL to its coarse centroid, not the
+    * raw vector — residuals are centered near zero, so a fixed-size
+    * codebook spends its entries on the informative part (why FAISS
+    * encodes residuals). Everything stays exact-integer: vectors and
+    * centroids micro-quantize to int grids, residual = elementwise
+    * difference, codebook = the first-4 vectors' residuals per
+    * subspace, and the ADC lookup table is built per (query, probed
+    * cell) — the query's residual DIFFERS per cell, the structural
+    * cost the paper's Table lists and the raw-vector variant skips.
+    * Output also carries the recall@5-vs-brute-force companion, so
+    * the compression tier's fidelity is gated next to the raw-code
+    * tier's (`ann_ivfpq_manifest`). Scale shape identical to
+    * ann_ivfpq: broadcast centroids + per-query LUTs, one corpus scan
+    * of 9-byte code rows, O(shortlist) full-width fetches. */
+  private def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = Sim.coarseCentroids(emb, 8, Some(trainedCentroids(s, dir)))
+    val cv6 = cents.select($"cell",
+      transform($"ce", x => round(x.cast("double") * 1e6).cast("long")).as("cv6"))
+    val qv6 = Pipeline.quantized(s, dir) // (vec_id, qv: array<long>)
+    val assigned = Sim.nearestCells(cents, emb, "vec_id", "embedding", 1)
+      .select($"vec_id", $"cell")
+    // residual to the OWN cell's centroid — named qv so subDist applies
+    val rv = qv6.join(assigned, "vec_id").join(broadcast(cv6), "cell")
+      .select($"vec_id", $"cell",
+        zip_with($"qv", $"cv6", (a, b) => a - b).as("qv"))
+    // subspace codebook: the first-4 vectors' residuals (init convention
+    // of the raw-PQ tier, applied in residual space)
+    val cb = rv.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("cid"), $"qv".as("cv"))
+      .crossJoin(s.range(8).select($"id".cast("int").as("sub")))
+    val codes = rv.crossJoin(broadcast(cb))
+      .select($"vec_id", $"cell", $"sub", $"cid", Pipeline.subDist.as("d2"))
+      .groupBy($"vec_id", $"cell", $"sub")
+      .agg(min(struct($"d2", $"cid")).as("best"))
+      .select($"vec_id".as("cand_id"), $"cell", $"sub".as("c_sub"),
+        $"best.cid".as("code"))
+    val probeCells = Sim.nearestCells(cents,
+      emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe")),
+      "query_id", "qe", 2)
+      .select($"query_id", $"cell")
+    // per-(query, probed cell) residual → per-cell LUT (3×2×32 rows)
+    val rq = probeCells
+      .join(qv6.select($"vec_id".as("query_id"), $"qv"), "query_id")
+      .join(broadcast(cv6), "cell")
+      .select($"query_id", $"cell".as("p_cell"),
+        zip_with($"qv", $"cv6", (a, b) => a - b).as("qv"))
+    val lut = rq.crossJoin(broadcast(cb))
+      .select($"query_id", $"p_cell", $"sub", $"cid", Pipeline.subDist.as("d2q"))
+    val adc = codes
+      .join(broadcast(lut),
+        $"cell" === $"p_cell" && $"c_sub" === $"sub" && $"code" === $"cid")
+      .filter($"cand_id" =!= $"query_id")
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"d2q").as("adc"))
+    val w20 = Window.partitionBy($"query_id").orderBy($"adc", $"cand_id")
+    val shortlist = adc.withColumn("crk", row_number().over(w20)).filter($"crk" <= 20)
+    val exact = shortlist
+      .join(emb.select($"vec_id", $"embedding".as("qe")), $"query_id" === $"vec_id")
+      .drop("vec_id")
+      .join(emb.select($"vec_id", $"embedding"), $"cand_id" === $"vec_id")
+      .select($"query_id", $"cand_id".as("neighbor_id"),
+        round(Fns.cosine_sim($"qe", $"embedding"), 9).as("cos_sim"))
+    val w5 = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val top5 = exact.withColumn("rk", row_number().over(w5)).filter($"rk" <= 5)
+    val brute5 = Sim.bruteForce(s, emb, emb.filter($"vec_id" < 3), 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = top5.select($"query_id", $"neighbor_id")
+      .join(brute5, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    top5.join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits5", coalesce($"n_hits", lit(0L))).drop("n_hits")
+      .select($"query_id", $"neighbor_id", $"rk", $"cos_sim", $"n_hits5")
+      .orderBy($"query_id", $"rk")
+  }
+
+  private val annIvfPqResidualSql =
+    s"""WITH ${ivfScoredCtes("e.vec_id < 3", 2)},
+       |q6 AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c6 AS (SELECT cell, list_transform(ce,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS cv6
+       |  FROM tc),
+       |rv AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(generate_series(1, 64), i -> q6.qv[i] - c6.cv6[i]) AS rv
+       |  FROM asg a JOIN q6 ON q6.vec_id = a.vec_id JOIN c6 ON c6.cell = a.cell),
+       |cbr AS (
+       |  SELECT r.vec_id AS cid, r.rv AS cv, s.sub
+       |  FROM rv r, (SELECT unnest(range(0, 8)) AS sub) s
+       |  WHERE r.vec_id < 4),
+       |distsr AS (
+       |  SELECT r.vec_id, r.cell, cb.sub, cb.cid,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> (r.rv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)])
+       |         * (r.rv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)]))) AS d2
+       |  FROM rv r CROSS JOIN cbr cb),
+       |codesr AS (
+       |  SELECT vec_id AS cand_id, cell, sub AS c_sub, cid AS code FROM (
+       |    SELECT vec_id, cell, sub, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+       |    FROM distsr) x WHERE rk = 1),
+       |rq AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(generate_series(1, 64), i -> q6.qv[i] - c6.cv6[i]) AS rqv
+       |  FROM pc p JOIN q6 ON q6.vec_id = p.query_id JOIN c6 ON c6.cell = p.cell),
+       |lutr AS (
+       |  SELECT rq.query_id, rq.cell, cb.sub, cb.cid,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> (rq.rqv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)])
+       |         * (rq.rqv[CAST(sub*8+i AS INTEGER)] - cv[CAST(sub*8+i AS INTEGER)]))) AS d2q
+       |  FROM rq CROSS JOIN cbr cb),
+       |adc AS (
+       |  SELECT l.query_id, c.cand_id, SUM(l.d2q) AS adc
+       |  FROM codesr c
+       |  JOIN lutr l ON l.cell = c.cell AND l.sub = c.c_sub AND l.cid = c.code
+       |  WHERE c.cand_id <> l.query_id
+       |  GROUP BY l.query_id, c.cand_id),
+       |shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS crk
+       |    FROM adc) x WHERE crk <= 20),
+       |exact AS (
+       |  SELECT s.query_id, s.cand_id AS neighbor_id,
+       |    ROUND(${cosSql("eq.embedding", "ec.embedding")}, 9) AS cos_sim
+       |  FROM shortlist s
+       |  JOIN embeddings eq ON eq.vec_id = s.query_id
+       |  JOIN embeddings ec ON ec.vec_id = s.cand_id),
+       |top5 AS (
+       |  SELECT query_id, neighbor_id, rk, cos_sim FROM (
+       |    SELECT query_id, neighbor_id, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM exact) x WHERE rk <= 5),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qe.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qe.vec_id
+       |        ORDER BY ROUND(${cosSql("qe.embedding", "e.embedding")}, 9) DESC,
+       |          e.vec_id) AS brk
+       |    FROM embeddings qe JOIN embeddings e ON e.vec_id <> qe.vec_id
+       |    WHERE qe.vec_id < 3) x WHERE brk <= 5),
+       |hits AS (
+       |  SELECT t.query_id, COUNT(b.neighbor_id) AS n_hits5
+       |  FROM top5 t LEFT JOIN bf b
+       |    ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT t.query_id, t.neighbor_id, t.rk, t.cos_sim,
+       |  CAST(n_hits5 AS BIGINT) AS n_hits5
+       |FROM top5 t JOIN hits USING (query_id)
+       |ORDER BY query_id, rk""".stripMargin
+
   /** Radius search: the full recall set within cosine >= 0.1 of each
     * of 5 probes (top-k's complement — "everything near X", the query
     * a dedup audit or contamination sweep asks). Exact scan-side
@@ -2674,6 +2832,7 @@ object Similarity {
     "ann_ivf_trained" -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
     "ann_ivf_manifest" -> QueryDef(annIvfManifest, Some(annIvfManifestSql)),
     "ann_ivfpq_manifest" -> QueryDef(annIvfPqManifest, Some(annIvfPqManifestSql)),
+    "ann_ivfpq_residual" -> QueryDef(annIvfPqResidual, Some(annIvfPqResidualSql)),
     "ann_recall" -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_probe_curve" -> QueryDef(annProbeCurve, Some(annProbeCurveSql)),
     "ann_mrr" -> QueryDef(annMrr, Some(annMrrSql)),

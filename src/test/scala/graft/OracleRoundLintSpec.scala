@@ -65,6 +65,9 @@ class OracleRoundLintSpec extends AnyFunSuite {
         "(ivfScoredCtes, same sites as ann_ivf_trained) + the exact " +
         "re-rank/brute-force cosines (round(cos,9), the top-k family " +
         "convention); census and recall columns are exact BIGINT counts"),
+      "ann_ivfpq_residual" -> ("same cosine-chain sites as " +
+        "ann_ivfpq_manifest; residual/ADC arithmetic is exact int² on " +
+        "the micro grid, recall column an exact BIGINT count"),
       "ann_sq8" -> "SQ8 quantizer: (v-mn)*255/(mx-mn) float grid",
       "ann_recall_sq8" -> "SQ8 quantizer + cosine chain",
       "q_disorder" -> "quantile_cont interpolation / 60000.0 minutes",
