@@ -160,7 +160,9 @@ object Similarity {
     * for deterministic layout. Returns the committed version (always
     * 0 — a fresh index dir). */
   private[graft] def buildIvfManifestIndex(s: SparkSession, assigned: DataFrame,
-                                           cells: Array[Long], root: String): Long = {
+                                           cells: Array[Long], root: String,
+                                           sortCol: String = "vec_id",
+                                           statCols: Seq[String] = Seq("cell")): Long = {
     val rank: Map[Long, Int] = cells.sorted.zipWithIndex.toMap
     val schema = assigned.schema
     val cellIdx = schema.fieldIndex("cell")
@@ -170,8 +172,8 @@ object Similarity {
           override def numPartitions: Int = rank.size
           override def getPartition(key: Any): Int = rank(key.asInstanceOf[Long])
         }).values, schema)
-      .sortWithinPartitions(col("vec_id"))
-    val v = graft.sources.ManifestTable.appendWithStats(s, placed, root, "cell")
+      .sortWithinPartitions(col(sortCol))
+    val v = graft.sources.ManifestTable.appendWithStats(s, placed, root, statCols: _*)
     require(v == 0L, s"IVF index build must be ONE commit; landed at v$v")
     v
   }

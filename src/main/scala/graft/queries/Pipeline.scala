@@ -511,6 +511,112 @@ object Pipeline {
       |    AS sum_tokens
       |FROM documents, w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Z-ORDER clustering on the manifest table — WHY multi-dimensional
+    * layout beats a linear sort (the Delta OPTIMIZE ZORDER rationale,
+    * measured): the corpus lands TWICE, once laid out by the
+    * interleaved-bits Z-value of (doc_id bucket, n_chars bucket) —
+    * 16 single-cell files whose per-file bounds are tight in BOTH
+    * dimensions — and once linearly by doc_id alone (16 files tight
+    * in doc_id, but each spanning nearly the full n_chars range,
+    * because the two columns are uncorrelated). A 2-D rectangle query
+    * then plans via the SAME per-file min/max overlap test on both
+    * tables: the Z layout prunes in both dimensions (≤4 of 16 files
+    * for a 2×2-bucket rectangle), the linear layout prunes only in
+    * doc_id (~8 of 16 — its n_chars bounds never exclude anything).
+    * The emitted single row carries both censuses plus the rectangle
+    * aggregate read THROUGH the planned Z files (a wrong file bound
+    * breaks the sums); the oracle re-derives every bucket, Z-value,
+    * per-cell bound, and overlap decision from the raw table. Scale
+    * shape: each layout is ONE shuffle + ONE stats-carrying commit
+    * (the IVF build path); planning is metadata-only. */
+  private def sinkManifestZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-manifest-zorder").toFile.getPath
+    val zroot = s"$base/z"; val lroot = s"$base/linear"
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val (n, cMin, cMax) = docs
+      .agg(count(lit(1)), min($"n_chars"), max($"n_chars"))
+      .as[(Long, Long, Long)].head()
+    val w4 = (n + 3) / 4; val w16 = (n + 15) / 16; val rng = cMax - cMin + 1
+    val bucketed = docs
+      .withColumn("x", expr(s"doc_id div $w4"))
+      .withColumn("y", expr(s"((n_chars - $cMin) * 4) div $rng"))
+    val zRows = bucketed.withColumn("cell",
+      expr("(x % 2) + 2 * (y % 2) + 4 * ((x div 2) % 2) + 8 * ((y div 2) % 2)"))
+      .select($"cell", $"doc_id", $"n_chars")
+    val linRows = bucketed.withColumn("cell", expr(s"doc_id div $w16"))
+      .select($"cell", $"doc_id", $"n_chars")
+    graft.operators.Similarity.buildIvfManifestIndex(s, zRows,
+      (0L until 16L).toArray, zroot, sortCol = "doc_id",
+      statCols = Seq("doc_id", "n_chars"))
+    graft.operators.Similarity.buildIvfManifestIndex(s, linRows,
+      (0L until 16L).toArray, lroot, sortCol = "doc_id",
+      statCols = Seq("doc_id", "n_chars"))
+    // the 2-D rectangle: doc_id buckets 1-2 × n_chars buckets 1-2
+    val xLo = w4; val xHi = 3 * w4 - 1
+    val yLo = cMin + (rng + 3) / 4; val yHi = cMin + (3 * rng - 1) / 4
+    def planned(root: String): Long =
+      ManifestTable.snapshotFilesWithStats(root).count { case (_, st) =>
+        st.get("doc_id").forall { case (mn, mx) => mx >= xLo && mn <= xHi } &&
+          st.get("n_chars").forall { case (mn, mx) => mx >= yLo && mn <= yHi }
+      }.toLong
+    def live(root: String): Long = ManifestTable.snapshotFiles(root).size.toLong
+    val (pZ, pLin) = (planned(zroot), planned(lroot))
+    require(pZ < pLin,
+      s"Z layout planned $pZ files vs linear $pLin — no 2-D pruning win")
+    // the rectangle aggregate, read THROUGH the planned Z files only
+    val plannedPaths = ManifestTable.snapshotFilesWithStats(zroot).collect {
+      case (f, st)
+        if st.get("doc_id").forall { case (mn, mx) => mx >= xLo && mn <= xHi } &&
+          st.get("n_chars").forall { case (mn, mx) => mx >= yLo && mn <= yHi } =>
+        new java.io.File(s"$zroot/data", f).getPath
+    }
+    val rect = s.read.parquet(plannedPaths: _*)
+      .filter($"doc_id" >= xLo && $"doc_id" <= xHi &&
+        $"n_chars" >= yLo && $"n_chars" <= yHi)
+      .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"))
+      .select(lit(live(zroot)).as("n_live_z"), lit(pZ).as("n_planned_z"),
+        lit(live(lroot)).as("n_live_linear"), lit(pLin).as("n_planned_linear"),
+        $"n_rows", $"sum_chars")
+    StreamReplay.finish(s, qname = "", base)(rect)
+  }
+
+  private val sinkManifestZorderSql =
+    """WITH p AS (SELECT COUNT(*) AS n, MIN(n_chars) AS cmin, MAX(n_chars) AS cmax
+      |  FROM documents),
+      |g AS (SELECT n, cmin, cmax, (n + 3) // 4 AS w4, (n + 15) // 16 AS w16,
+      |  cmax - cmin + 1 AS rng FROM p),
+      |d AS (SELECT doc_id, n_chars,
+      |    doc_id // w4 AS x, ((n_chars - cmin) * 4) // rng AS y,
+      |    doc_id // w16 AS lin
+      |  FROM documents, g),
+      |z AS (SELECT *,
+      |    (x % 2) + 2 * (y % 2) + 4 * ((x // 2) % 2) + 8 * ((y // 2) % 2) AS zc
+      |  FROM d),
+      |rect AS (SELECT w4 AS xlo, 3 * w4 - 1 AS xhi,
+      |    cmin + (rng + 3) // 4 AS ylo, cmin + (3 * rng - 1) // 4 AS yhi FROM g),
+      |zstats AS (SELECT zc, MIN(doc_id) AS mnx, MAX(doc_id) AS mxx,
+      |    MIN(n_chars) AS mny, MAX(n_chars) AS mxy FROM z GROUP BY 1),
+      |lstats AS (SELECT lin, MIN(doc_id) AS mnx, MAX(doc_id) AS mxx,
+      |    MIN(n_chars) AS mny, MAX(n_chars) AS mxy FROM z GROUP BY 1),
+      |zp AS (SELECT COUNT(*) AS n_planned_z FROM zstats, rect
+      |  WHERE mxx >= xlo AND mnx <= xhi AND mxy >= ylo AND mny <= yhi),
+      |lp AS (SELECT COUNT(*) AS n_planned_linear FROM lstats, rect
+      |  WHERE mxx >= xlo AND mnx <= xhi AND mxy >= ylo AND mny <= yhi),
+      |zl AS (SELECT COUNT(*) AS n_live_z FROM zstats),
+      |ll AS (SELECT COUNT(*) AS n_live_linear FROM lstats)
+      |SELECT CAST(n_live_z AS BIGINT) AS n_live_z,
+      |  CAST(n_planned_z AS BIGINT) AS n_planned_z,
+      |  CAST(n_live_linear AS BIGINT) AS n_live_linear,
+      |  CAST(n_planned_linear AS BIGINT) AS n_planned_linear,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM z, rect, zp, lp, zl, ll
+      |WHERE doc_id >= xlo AND doc_id <= xhi AND n_chars >= ylo AND n_chars <= yhi
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Streaming MERGE exactly-once — the CDC-upsert pipeline a keyed
     * mirror table actually runs, composed from the proven primitives:
     * the events ledger replays as five event_id-ordered CDC batches,
@@ -2229,6 +2335,8 @@ object Pipeline {
       QueryDef(sinkManifestSchemaEvo, Some(sinkManifestSchemaEvoSql)),
     "sink_manifest_merge_streaming" ->
       QueryDef(sinkManifestMergeStreaming, Some(sinkManifestMergeStreamingSql)),
+    "sink_manifest_zorder" ->
+      QueryDef(sinkManifestZorder, Some(sinkManifestZorderSql)),
     "dedup_changefeed_e2e" ->
       QueryDef(dedupChangefeedE2e, Some(dedupChangefeedE2eSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),
