@@ -1025,18 +1025,22 @@ object Multimodal {
     * hdrl/avih/strf/movi, a frame chunk of the wrong size, or any
     * truncation: mixed corpora degrade to byte-level features. */
   /** Parsed AVI header + frame index, shared by the raw-DIB and MJPEG
-    * decoders: dimensions from avih, the VIDEO stream's bpp and
-    * biCompression from the strf that follows a 'vids' strh (latched
-    * once — a later stream's strf, e.g. an audio WAVEFORMATEX, must
-    * not overwrite the video format: last-writer-wins rejected valid
-    * video+audio files), and the (offset, length) of every `frameTag`
-    * chunk. None for a bad signature, tree overrun, missing header,
-    * zero frames, or a >64M-pixel frame. */
+    * decoders: dimensions from avih; the VIDEO stream's bpp and
+    * biCompression from the strf that follows the first 'vids' strh
+    * (latched once — a later stream's strf, e.g. an audio
+    * WAVEFORMATEX, must not overwrite the video format:
+    * last-writer-wins rejected valid video+audio files); and the
+    * (offset, length) of THAT stream's frame chunks — the chunk id's
+    * two-digit stream number must match the vids stream's strl
+    * position (an audio-first file numbers its video chunks '01xx',
+    * not '00xx'), with `frameSuffix` picking raw ("db") vs compressed
+    * ("dc") payloads. None for a bad signature, tree overrun, missing
+    * header, zero frames, or a >64M-pixel frame. */
   private final case class AviStreamInfo(w: Int, h: Int, vidsBpp: Int,
                                          vidsCompression: Int,
                                          frames: Seq[(Int, Int)])
 
-  private def aviWalk(b: Array[Byte], frameTag: String): Option[AviStreamInfo] = {
+  private def aviWalk(b: Array[Byte], frameSuffix: String): Option[AviStreamInfo] = {
     if (b.length < 12) return None
     def tagAt(off: Int, s: String) =
       off + s.length <= b.length && s.indices.forall(i => b(off + i) == s(i).toByte)
@@ -1044,11 +1048,18 @@ object Multimodal {
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
     def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def digitAt(off: Int): Int = {
+      val c = b(off) & 0xff
+      if (c >= '0' && c <= '9') c - '0' else -1
+    }
     if (!tagAt(0, "RIFF") || !tagAt(8, "AVI ")) return None
     var w = -1; var h = -1; var bpp = -1; var compression = -1
-    var pendingVids = false // the next strf belongs to a 'vids' stream
-    var vidsSeen = false
-    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    var pendingVids = false // the next strf belongs to the 'vids' stream
+    var streamIdx = -1      // strl position of the stream being parsed
+    var vidsIdx = -1        // strl position of the FIRST 'vids' stream
+    // (streamNo, off, len) of every NN<suffix> chunk; filtered to the
+    // vids stream's number after the walk
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     // walk a chunk range [from, to); recurse into LISTs
     def walk(from: Int, to: Int): Boolean = {
       var off = from
@@ -1063,28 +1074,32 @@ object Multimodal {
           w = le32(off + 8 + 32); h = le32(off + 8 + 36)
         } else if (tagAt(off, "strh")) {
           if (size < 4) return false
-          pendingVids = tagAt(off + 8, "vids") && !vidsSeen
+          streamIdx += 1
+          pendingVids = tagAt(off + 8, "vids") && vidsIdx < 0
+          if (pendingVids) vidsIdx = streamIdx
         } else if (tagAt(off, "strf")) {
           if (pendingVids) {
             if (size < 20) return false
             bpp = le16(off + 8 + 14); compression = le32(off + 8 + 16)
-            pendingVids = false; vidsSeen = true
+            pendingVids = false
           }
-        } else if (tagAt(off, frameTag)) {
-          frames += ((off + 8, size))
+        } else if (digitAt(off) >= 0 && digitAt(off + 1) >= 0 &&
+            tagAt(off + 2, frameSuffix)) {
+          frames += ((digitAt(off) * 10 + digitAt(off + 1), off + 8, size))
         }
         off += 8 + size + (size & 1) // RIFF chunks are word-aligned
       }
       true
     }
     if (!walk(12, math.min(b.length, 8L + le32(4)).toInt)) return None
-    if (w <= 0 || h <= 0 || !vidsSeen || frames.isEmpty) return None
+    val vidsFrames = frames.collect { case (s, o, l) if s == vidsIdx => (o, l) }
+    if (w <= 0 || h <= 0 || vidsIdx < 0 || vidsFrames.isEmpty) return None
     if (w.toLong * h > (1L << 26)) return None // 64M-pixel frame bound
-    Some(AviStreamInfo(w, h, bpp, compression, frames.toSeq))
+    Some(AviStreamInfo(w, h, bpp, compression, vidsFrames.toSeq))
   }
 
   def aviFrameLuma(b: Array[Byte]): Option[(Int, Int, Array[Array[Long]])] = {
-    val info = aviWalk(b, "00db") match {
+    val info = aviWalk(b, "db") match {
       case Some(i) if i.vidsBpp == 24 && i.vidsCompression == 0 => i
       case _ => return None
     }
@@ -1120,8 +1135,13 @@ object Multimodal {
     * alignment; idx1 carries the per-frame sizes. */
   def aviMjpegVideo(w: Int, h: Int, frames: Seq[Array[Byte]],
                     junk: Boolean = false,
-                    audioStream: Boolean = false): Array[Byte] = {
+                    audioStream: Boolean = false,
+                    audioFirst: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && frames.nonEmpty)
+    // audio declared BEFORE video numbers the video stream 1: its
+    // movi chunks are '01dc' — the decoder must follow the strl index
+    val hasAudio = audioStream || audioFirst
+    val vTag = if (audioFirst) "01dc" else "00dc"
     val maxLen = frames.map(_.length).max
     val out = new java.io.ByteArrayOutputStream(512 + frames.map(_.length + 9).sum)
     def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
@@ -1138,7 +1158,7 @@ object Multimodal {
     val strl2Size = 4 + (8 + strhSize) + (8 + 16)
     val avihSize = 56
     val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize) +
-      (if (audioStream) 8 + strl2Size else 0)
+      (if (hasAudio) 8 + strl2Size else 0)
     val junkPayload = if (junk) 7 else 0 // odd on purpose
     val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val idx1Size = frames.length * 16
@@ -1151,27 +1171,29 @@ object Multimodal {
     le32(maxLen * 25)      // dwMaxBytesPerSec
     le32(0); le32(0x10)    // padding, AVIF_HASINDEX
     le32(frames.length); le32(0)
-    le32(if (audioStream) 2 else 1) // dwStreams
+    le32(if (hasAudio) 2 else 1) // dwStreams
     le32(maxLen)           // dwSuggestedBufferSize
     le32(w); le32(h)
     le32(0); le32(0); le32(0); le32(0) // reserved
-    tag("LIST"); le32(strlSize); tag("strl")
-    tag("strh"); le32(strhSize)
-    tag("vids"); tag("MJPG")
-    le32(0); le16(0); le16(0) // flags, priority, language
-    le32(0)                   // initial frames
-    le32(1); le32(25)         // scale, rate (25 fps)
-    le32(0); le32(frames.length) // start, length
-    le32(maxLen); le32(-1)    // bufSize, quality
-    le32(0)                   // sample size (varies per frame)
-    le16(0); le16(0); le16(w); le16(h) // rcFrame
-    tag("strf"); le32(strfSize)
-    le32(40); le32(w); le32(h)
-    le16(1); le16(24)          // planes, bpp
-    tag("MJPG")                // biCompression
-    le32(maxLen)               // biSizeImage (upper bound, compressed)
-    le32(0); le32(0); le32(0); le32(0)
-    if (audioStream) {
+    def videoStrl(): Unit = {
+      tag("LIST"); le32(strlSize); tag("strl")
+      tag("strh"); le32(strhSize)
+      tag("vids"); tag("MJPG")
+      le32(0); le16(0); le16(0) // flags, priority, language
+      le32(0)                   // initial frames
+      le32(1); le32(25)         // scale, rate (25 fps)
+      le32(0); le32(frames.length) // start, length
+      le32(maxLen); le32(-1)    // bufSize, quality
+      le32(0)                   // sample size (varies per frame)
+      le16(0); le16(0); le16(w); le16(h) // rcFrame
+      tag("strf"); le32(strfSize)
+      le32(40); le32(w); le32(h)
+      le16(1); le16(24)          // planes, bpp
+      tag("MJPG")                // biCompression
+      le32(maxLen)               // biSizeImage (upper bound, compressed)
+      le32(0); le32(0); le32(0); le32(0)
+    }
+    def audioStrl(): Unit = {
       tag("LIST"); le32(strl2Size); tag("strl")
       tag("strh"); le32(strhSize)
       tag("auds"); le32(0)      // fccType, fccHandler (PCM)
@@ -1187,6 +1209,8 @@ object Multimodal {
       le32(8000); le32(8000)    // video fourcc: a last-writer-wins
       le16(1); le16(8)          // decoder would mis-latch on this
     }
+    if (audioFirst) { audioStrl(); videoStrl() }
+    else { videoStrl(); if (hasAudio) audioStrl() }
     if (junk) {
       tag("JUNK"); le32(junkPayload)
       out.write(Array.fill[Byte](junkPayload)('j'), 0, junkPayload)
@@ -1194,14 +1218,14 @@ object Multimodal {
     }
     tag("LIST"); le32(moviSize); tag("movi")
     frames.foreach { f =>
-      tag("00dc"); le32(f.length)
+      tag(vTag); le32(f.length)
       out.write(f, 0, f.length)
       if ((f.length & 1) == 1) out.write(0) // word-align pad
     }
     tag("idx1"); le32(idx1Size)
     var moviOff = 4
     frames.foreach { f =>
-      tag("00dc"); le32(0x10) // AVIIF_KEYFRAME
+      tag(vTag); le32(0x10) // AVIIF_KEYFRAME
       le32(moviOff); le32(f.length)
       moviOff += 8 + f.length + (f.length & 1)
     }
@@ -1219,7 +1243,7 @@ object Multimodal {
   def aviMjpegFrameLuma(b: Array[Byte]): Option[(Int, Int, Array[Array[Long]])] = {
     val MjpgFourcc = // 'MJPG' little-endian, as biCompression stores it
       ('M'.toInt) | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
-    val info = aviWalk(b, "00dc") match {
+    val info = aviWalk(b, "dc") match {
       case Some(i) if i.vidsCompression == MjpgFourcc => i
       case _ => return None
     }

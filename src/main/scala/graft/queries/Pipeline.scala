@@ -557,23 +557,28 @@ object Pipeline {
     // the 2-D rectangle: doc_id buckets 1-2 × n_chars buckets 1-2
     val xLo = w4; val xHi = 3 * w4 - 1
     val yLo = cMin + (rng + 3) / 4; val yHi = cMin + (3 * rng - 1) / 4
-    def planned(root: String): Long =
-      ManifestTable.snapshotFilesWithStats(root).count { case (_, st) =>
-        st.get("doc_id").forall { case (mn, mx) => mx >= xLo && mn <= xHi } &&
-          st.get("n_chars").forall { case (mn, mx) => mx >= yLo && mn <= yHi }
-      }.toLong
+    // ONE overlap computation per layout: the census counts and the
+    // files the aggregate reads through must be the same set by
+    // construction, not two copies of the predicate that can drift
+    def plannedFiles(root: String): Seq[String] =
+      ManifestTable.snapshotFilesWithStats(root).collect {
+        case (f, st)
+          if st.get("doc_id").forall { case (mn, mx) => mx >= xLo && mn <= xHi } &&
+            st.get("n_chars").forall { case (mn, mx) => mx >= yLo && mn <= yHi } => f
+      }
     def live(root: String): Long = ManifestTable.snapshotFiles(root).size.toLong
-    val (pZ, pLin) = (planned(zroot), planned(lroot))
+    val plannedZ = plannedFiles(zroot)
+    val (pZ, pLin) = (plannedZ.size.toLong, plannedFiles(lroot).size.toLong)
     require(pZ < pLin,
       s"Z layout planned $pZ files vs linear $pLin — no 2-D pruning win")
     // the rectangle aggregate, read THROUGH the planned Z files only
-    val plannedPaths = ManifestTable.snapshotFilesWithStats(zroot).collect {
-      case (f, st)
-        if st.get("doc_id").forall { case (mn, mx) => mx >= xLo && mn <= xHi } &&
-          st.get("n_chars").forall { case (mn, mx) => mx >= yLo && mn <= yHi } =>
-        new java.io.File(s"$zroot/data", f).getPath
-    }
-    val rect = s.read.parquet(plannedPaths: _*)
+    // (an all-pruned plan degrades to an empty frame, mirroring the
+    // oracle's COUNT-over-nothing row, not a parquet path error)
+    val rectSrc =
+      if (plannedZ.nonEmpty) s.read.parquet(
+        plannedZ.map(f => new java.io.File(s"$zroot/data", f).getPath): _*)
+      else ManifestTable.read(s, zroot).filter(lit(false))
+    val rect = rectSrc
       .filter($"doc_id" >= xLo && $"doc_id" <= xHi &&
         $"n_chars" >= yLo && $"n_chars" <= yHi)
       .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"))
@@ -606,16 +611,16 @@ object Pipeline {
       |lp AS (SELECT COUNT(*) AS n_planned_linear FROM lstats, rect
       |  WHERE mxx >= xlo AND mnx <= xhi AND mxy >= ylo AND mny <= yhi),
       |zl AS (SELECT COUNT(*) AS n_live_z FROM zstats),
-      |ll AS (SELECT COUNT(*) AS n_live_linear FROM lstats)
+      |ll AS (SELECT COUNT(*) AS n_live_linear FROM lstats),
+      |rq AS (SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |  FROM z, rect
+      |  WHERE doc_id >= xlo AND doc_id <= xhi AND n_chars >= ylo AND n_chars <= yhi)
       |SELECT CAST(n_live_z AS BIGINT) AS n_live_z,
       |  CAST(n_planned_z AS BIGINT) AS n_planned_z,
       |  CAST(n_live_linear AS BIGINT) AS n_live_linear,
       |  CAST(n_planned_linear AS BIGINT) AS n_planned_linear,
-      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-      |FROM z, rect, zp, lp, zl, ll
-      |WHERE doc_id >= xlo AND doc_id <= xhi AND n_chars >= ylo AND n_chars <= yhi
-      |GROUP BY 1, 2, 3, 4""".stripMargin
+      |  CAST(n_rows AS BIGINT) AS n_rows, sum_chars
+      |FROM zp, lp, zl, ll, rq""".stripMargin
 
   /** Streaming MERGE exactly-once — the CDC-upsert pipeline a keyed
     * mirror table actually runs, composed from the proven primitives:

@@ -973,25 +973,45 @@ object TextAnalysis {
     * per-word id arrays (vocab side broadcast by AQE when small) and
     * flatten in word order — corpus-side work is one posexplode + one
     * join + one per-doc aggregation, no iteration. */
-  private def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+  /** The frozen tokenizer artifacts shared by encode, decode and the
+    * round-trip gate — ONE implementation so the decoder can never
+    * desynchronize from the encoder's id assignment:
+    * `tokIds(tok, tid)` — distinct final symbols, ids lexicographic
+    * (a bounded vocabulary-sized global window, exactly how a shipped
+    * tokenizer freezes its vocab file) — and `wordTids(w, j, tid)` —
+    * each distinct word's token-id sequence, encoded once on the
+    * vocabulary. */
+  private def bpeIdTables(s: SparkSession, state: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val (state, _) = bpeChain(s, dir, steps = 10)
-    // token-id table: distinct final symbols, ids lexicographic — a
-    // bounded (vocabulary-sized) global window, exactly how a shipped
-    // tokenizer freezes its vocab file
     val tokIds = state.select(explode(split($"seq", " ")).as("tok")).distinct()
       .withColumn("tid", row_number().over(Window.orderBy($"tok")).cast("long"))
-    // per-WORD id arrays (vocab-sized): each distinct word encodes once
-    val wordIds = state
+    val wordTids = state
       .select($"w", posexplode(split($"seq", " ")).as(Seq("j", "tok")))
       .join(tokIds, "tok")
+      .select($"w", $"j", $"tid")
+    (tokIds, wordTids)
+  }
+
+  /** (doc_id, pos, w): the corpus exploded to position-stamped words —
+    * the document side every BPE apply/decode pass joins against. */
+  private def bpeDocWords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter(length($"w") > 0)
+  }
+
+  private def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (state, _) = bpeChain(s, dir, steps = 10)
+    val (_, wordTids) = bpeIdTables(s, state)
+    // per-WORD id arrays (vocab-sized): each distinct word encodes once
+    val wordIds = wordTids
       .groupBy($"w")
       .agg(expr("transform(array_sort(collect_list(struct(j, tid))), x -> x.tid)")
         .as("ids"))
-    val dw = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .filter(length($"w") > 0)
+    val dw = bpeDocWords(s, dir)
     val encoded = dw.join(wordIds, "w")
       .groupBy($"doc_id")
       .agg(flatten(
@@ -1055,24 +1075,17 @@ object TextAnalysis {
     * per-doc concat — same O(corpus) profile as the encode. */
   private def textBpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val (state, _) = bpeChain(s, dir, steps = 10)
-    val tokIds = state.select(explode(split($"seq", " ")).as("tok")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy($"tok")).cast("long"))
-    // encode side: (w, j, tid) — then decode STRICTLY through tid
-    val wordTids = state
-      .select($"w", posexplode(split($"seq", " ")).as(Seq("j", "tok")))
-      .join(tokIds, "tok")
-      .select($"w", $"j", $"tid")
+    // the SAME frozen id tables the encoder uses ([[bpeIdTables]]) —
+    // then decode STRICTLY through tid
+    val (tokIds, wordTids) = bpeIdTables(s, state)
     val decodedWords = wordTids
       .join(tokIds.select($"tid", $"tok".as("tok_dec")), "tid")
       .groupBy($"w")
       .agg(concat_ws("", expr(
         "transform(array_sort(collect_list(struct(j, tok_dec))), " +
           "x -> replace(x.tok_dec, '~', ''))")).as("w_dec"))
-    val dw = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .filter(length($"w") > 0)
+    val dw = bpeDocWords(s, dir)
     dw.join(decodedWords, "w")
       .groupBy($"doc_id")
       .agg(concat_ws(" ", expr(

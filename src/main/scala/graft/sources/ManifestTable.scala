@@ -632,10 +632,13 @@ object ManifestTable {
             }
           if (scanRels.isEmpty) Set.empty
           else
-            // file name is attached BEFORE the join: input_file_name()
-            // only resolves against a single source, and the semi-join's
+            // pinned reader: the scanned files may span a schema
+            // evolution and the key column must NULL-backfill, not
+            // vanish with a sampled pre-evolution footer. File name is
+            // attached BEFORE the join: input_file_name() only
+            // resolves against a single source, and the semi-join's
             // other side may itself be file-backed
-            spark.read.parquet(
+            pinnedReader(spark, dir, Some(parent)).parquet(
                 scanRels.map(rel => new File(dataDir(dir), rel).getPath): _*)
               .withColumn("_m_file", input_file_name())
               .join(keys, Seq(key), "left_semi")
@@ -712,23 +715,21 @@ object ManifestTable {
   def readSince(spark: SparkSession, dir: String, sinceVersion: Long,
                 toVersion: Option[Long] = None): DataFrame = {
     val rels = addedFilesSince(dir, sinceVersion, toVersion)
-    if (rels.nonEmpty) {
-      // pin the feed to the target version's recorded schema (if the
-      // table evolved): an interval spanning the evolution commit
-      // holds files of BOTH shapes, and an unpinned read would take
-      // whichever footer parquet sampled first
-      val reader = tableSchema(dir, toVersion) match {
-        case Some(st) => spark.read.schema(st)
-        case None => spark.read
-      }
-      return reader.parquet(
+    // pin the feed to the target version's recorded schema (if the
+    // table evolved): an interval spanning the evolution commit holds
+    // files of BOTH shapes, and an unpinned read would take whichever
+    // footer parquet sampled first — this applies equally to the
+    // empty-interval fallback, whose frame must carry the CURRENT
+    // schema, not a sampled pre-evolution one
+    if (rels.nonEmpty)
+      return pinnedReader(spark, dir, toVersion).parquet(
         rels.map(rel => new File(dataDir(dir), rel).getPath): _*)
-    }
     val all = snapshotFiles(dir, toVersion)
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readSince on $dir: nothing added and the snapshot holds no files")
-    spark.read.parquet(new File(dataDir(dir), all.head).getPath)
+    pinnedReader(spark, dir, toVersion)
+      .parquet(new File(dataDir(dir), all.head).getPath)
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 

@@ -148,4 +148,19 @@ class AviDecodeSpec extends AnyFunSuite {
       assert(lum.forall(_ == 40L + f), s"frame $f pixels wrong")
     }
   }
+
+  test("MJPEG with audio declared FIRST: video is stream 1, its 01dc frames are followed") {
+    import graft.operators.Jpeg
+    val w = 10; val h = 6
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val jpegs = (0 until 3).map(f =>
+      Jpeg.encode(w, h, (_, _) => gray(60 + f), gray = true))
+    val avi = Multimodal.aviMjpegVideo(w, h, jpegs, audioFirst = true)
+    val (gw, gh, frames) = Multimodal.aviMjpegFrameLuma(avi)
+      .getOrElse(fail("audio-first MJPEG AVI rejected — frame tag hardwired to stream 00"))
+    assert(gw == w && gh == h && frames.length == 3)
+    frames.zipWithIndex.foreach { case (lum, f) =>
+      assert(lum.forall(_ == 60L + f), s"frame $f pixels wrong")
+    }
+  }
 }
