@@ -475,6 +475,68 @@ object ManifestTable {
     RewriteConflict // unreachable
   }
 
+  /** [[compact]] that Z-ORDER clusters the rewrite — the Delta
+    * OPTIMIZE ZORDER maintenance op on a LIVE table (the layout
+    * `compactClustered`'s hierarchical sort cannot give): each row's
+    * long `zCols` values are bucketed against the snapshot's global
+    * min/max (`zBuckets` per dimension, a power of two) and the
+    * bucket bits INTERLEAVED into one Z-value; the rewrite
+    * range-partitions and sorts on that Z-value and re-records stats
+    * on ALL the z columns. Files then carry bounds that are tight in
+    * EVERY clustered dimension simultaneously, so multi-predicate
+    * range plans prune in all of them — a hierarchical sort is tight
+    * only in its leading column. NULLs in a z column bucket as 0
+    * (they cluster together and never widen another file's bounds).
+    * Same replacing-commit + optimistic-concurrency rule as
+    * [[compact]]. */
+  def compactZorder(spark: SparkSession, dir: String, targetFiles: Int,
+                    zCols: Seq[String], zBuckets: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col, expr, max, min}
+    require(zCols.nonEmpty, "compactZorder needs at least one cluster column")
+    require(zBuckets >= 2 && (zBuckets & (zBuckets - 1)) == 0,
+      s"zBuckets must be a power of two, got $zBuckets")
+    val nBits = java.lang.Integer.numberOfTrailingZeros(zBuckets)
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val parent = latestVersion(dir).getOrElse(
+        throw new IllegalStateException(s"nothing to compact in $dir"))
+      val snap = read(spark, dir, Some(parent))
+      zCols.foreach { c =>
+        require(snap.schema(c).dataType == org.apache.spark.sql.types.LongType,
+          s"z column '$c' must be LongType")
+      }
+      // global per-column bounds: one metadata-cheap agg to the driver
+      val aggs = zCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val b = snap.agg(aggs.head, aggs.tail: _*).head()
+      val zExpr = zCols.zipWithIndex.map { case (c, j) =>
+        if (b.isNullAt(2 * j)) s"CAST(0 AS BIGINT)" // all-NULL column
+        else {
+          val mn = b.getLong(2 * j); val rng = b.getLong(2 * j + 1) - mn + 1
+          val bucket = s"(((coalesce(`$c`, ${mn}L) - ${mn}L) * $zBuckets) div ${rng}L)"
+          (0 until nBits).map(i =>
+            s"(shiftleft(shiftright($bucket, $i) & 1, ${i * zCols.length + j}))")
+            .mkString(" + ")
+        }
+      }.mkString(" + ")
+      val stage = new File(dataDir(dir), s"txn-${UUID.randomUUID()}")
+      snap.withColumn("_z", expr(zExpr))
+        .repartitionByRange(targetFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.parquet(stage.getPath)
+      val mine = Option(stage.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(f => s"${stage.getName}/${f.getName}").toSeq.sorted
+      val adds = statAddActions(spark, dir, mine, zCols)
+      tryCommitAt(dir, parent + 1L, "reset" +: adds) match {
+        case Some(v) => return v
+        case None => deleteRec(stage) // a commit beat us: re-cluster the new latest
+      }
+    }
+    throw new IllegalStateException(s"gave up z-ordering $dir after 20 conflicts")
+  }
+
   /** Row-level DELETE, copy-on-write (the Delta/Iceberg shape — the
     * GDPR/takedown primitive a training-data warehouse cannot ship
     * without): plan the files that hold matching rows, rewrite ONLY

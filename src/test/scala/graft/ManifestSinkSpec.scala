@@ -532,6 +532,52 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestTable.readSince(spark, dir, 1L).count() == 1)
   }
 
+  test("compactZorder: live-table OPTIMIZE re-clusters for multi-dimension pruning, data intact") {
+    val dir = freshDir()
+    // k ascending, y deliberately uncorrelated with k — appended in 4
+    // k-ordered slices, so pre-OPTIMIZE files are tight in k only
+    val rows = (0 until 256).map(i => (i.toLong, ((i * 37) % 256).toLong, s"r$i"))
+    for (s4 <- 0 until 4)
+      ManifestTable.appendWithStats(spark,
+        rows.slice(s4 * 64, s4 * 64 + 64).toDF("k", "y", "v").coalesce(1),
+        dir, "k", "y")
+    def planned2d(kLo: Long, kHi: Long, yLo: Long, yHi: Long): Int =
+      ManifestTable.snapshotFilesWithStats(dir).count { case (_, st) =>
+        st.get("k").forall { case (mn, mx) => mx >= kLo && mn <= kHi } &&
+          st.get("y").forall { case (mn, mx) => mx >= yLo && mn <= yHi }
+      }
+    // the mixed workload a multi-tenant table actually serves: one
+    // k-rectangle and one y-rectangle. Pre-OPTIMIZE the y query reads
+    // EVERYTHING (each k-slice spans ~the full y range).
+    def workloadFraction(): Double = {
+      val live = ManifestTable.snapshotFiles(dir).size.toDouble
+      (planned2d(64, 127, Long.MinValue, Long.MaxValue) +
+        planned2d(Long.MinValue, Long.MaxValue, 0, 63)) / (2 * live)
+    }
+    val preFrac = workloadFraction()
+    val v = ManifestTable.compactZorder(spark, dir, targetFiles = 16, Seq("k", "y"))
+    assert(ManifestTable.latestVersion(dir).contains(v))
+    // data survives the rewrite byte-for-byte
+    val back = ManifestTable.read(spark, dir)
+      .select($"k", $"y", $"v").as[(Long, Long, String)].collect().sorted
+    assert(back.sameElements(rows.sorted), "OPTIMIZE lost or mutated rows")
+    // time travel to the pre-rewrite layout still folds
+    assert(ManifestTable.read(spark, dir, Some(v - 1)).count() == 256)
+    val live = ManifestTable.snapshotFiles(dir).size
+    assert(live > 4, s"expected a multi-file rewrite, got $live")
+    // the 2-D rectangle prunes in BOTH dimensions post-OPTIMIZE
+    val post2d = planned2d(64, 127, 64, 127)
+    assert(post2d < live, s"2-D rectangle read the whole table: $post2d of $live")
+    // a y-only predicate now prunes too — impossible pre-OPTIMIZE…
+    val yOnly = planned2d(Long.MinValue, Long.MaxValue, 0, 63)
+    assert(yOnly < live, s"y-only range read the whole table: $yOnly of $live")
+    // …and the mixed workload's planned FRACTION drops (z-order trades
+    // a little leading-column tightness for pruning in every dimension)
+    val postFrac = workloadFraction()
+    assert(postFrac < preFrac,
+      f"workload fraction did not improve: $postFrac%.3f vs $preFrac%.3f")
+  }
+
   test("schema evolution: NULL backfill, time travel to old schema, checkpoint carries schema") {
     val dir = freshDir()
     ManifestTable.appendEvolving(spark,
