@@ -478,24 +478,24 @@ object ManifestTable {
   /** [[compact]] that Z-ORDER clusters the rewrite — the Delta
     * OPTIMIZE ZORDER maintenance op on a LIVE table (the layout
     * `compactClustered`'s hierarchical sort cannot give): each row's
-    * long `zCols` values are bucketed against the snapshot's global
-    * min/max (`zBuckets` per dimension, a power of two) and the
-    * bucket bits INTERLEAVED into one Z-value; the rewrite
-    * range-partitions and sorts on that Z-value and re-records stats
-    * on ALL the z columns. Files then carry bounds that are tight in
-    * EVERY clustered dimension simultaneously, so multi-predicate
-    * range plans prune in all of them — a hierarchical sort is tight
-    * only in its leading column. NULLs in a z column bucket as 0
-    * (they cluster together and never widen another file's bounds).
-    * Same replacing-commit + optimistic-concurrency rule as
-    * [[compact]]. */
+    * (`colA`, `colB`) values are min/max-normalized against the
+    * snapshot's global bounds and Morton-interleaved into one Z-value
+    * ([[graft.operators.Layout.zValue]] — the overflow-safe,
+    * separately-spec'd machinery); the rewrite range-partitions and
+    * sorts on that Z-value and re-records stats on BOTH columns.
+    * Files then carry bounds that are tight in EVERY clustered
+    * dimension simultaneously, so multi-predicate range plans prune
+    * in all of them — a hierarchical sort is tight only in its
+    * leading column. Global bounds come straight from the manifest's
+    * per-file stats when every live file records them (a
+    * metadata-only plan, even across concurrency retries). NULLs
+    * bucket at the low edge (they cluster together and never widen
+    * another file's bounds). Same replacing-commit +
+    * optimistic-concurrency rule as [[compact]]. */
   def compactZorder(spark: SparkSession, dir: String, targetFiles: Int,
-                    zCols: Seq[String], zBuckets: Int = 16): Long = {
-    import org.apache.spark.sql.functions.{col, expr, max, min}
-    require(zCols.nonEmpty, "compactZorder needs at least one cluster column")
-    require(zBuckets >= 2 && (zBuckets & (zBuckets - 1)) == 0,
-      s"zBuckets must be a power of two, got $zBuckets")
-    val nBits = java.lang.Integer.numberOfTrailingZeros(zBuckets)
+                    colA: String, colB: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
+    val zCols = Seq(colA, colB)
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
@@ -506,25 +506,39 @@ object ManifestTable {
         require(snap.schema(c).dataType == org.apache.spark.sql.types.LongType,
           s"z column '$c' must be LongType")
       }
-      // global per-column bounds: one metadata-cheap agg to the driver
-      val aggs = zCols.flatMap(c => Seq(min(col(c)), max(col(c))))
-      val b = snap.agg(aggs.head, aggs.tail: _*).head()
-      val zExpr = zCols.zipWithIndex.map { case (c, j) =>
-        if (b.isNullAt(2 * j)) s"CAST(0 AS BIGINT)" // all-NULL column
+      // global bounds come from the MANIFEST when every live file
+      // carries stats for both columns (zero Spark jobs — and retries
+      // under contention stay metadata-only); one scan otherwise
+      val statted = fold(dir, parent).files.map(parseStatsEntry)
+      val bounds: Option[(Long, Long, Long, Long)] =
+        if (statted.nonEmpty &&
+            statted.forall(e => zCols.forall(e._2.contains))) Some((
+          statted.map(_._2(colA)._1).min, statted.map(_._2(colA)._2).max,
+          statted.map(_._2(colB)._1).min, statted.map(_._2(colB)._2).max))
         else {
-          val mn = b.getLong(2 * j); val rng = b.getLong(2 * j + 1) - mn + 1
-          val bucket = s"(((coalesce(`$c`, ${mn}L) - ${mn}L) * $zBuckets) div ${rng}L)"
-          (0 until nBits).map(i =>
-            s"(shiftleft(shiftright($bucket, $i) & 1, ${i * zCols.length + j}))")
-            .mkString(" + ")
+          val b = snap.agg(min(col(colA)), max(col(colA)),
+            min(col(colB)), max(col(colB))).head()
+          if (b.isNullAt(0) || b.isNullAt(2)) None // a column is all-NULL
+          else Some((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3)))
         }
-      }.mkString(" + ")
+      // a helper name that cannot clobber table data
+      var zName = "_z"
+      while (snap.columns.contains(zName)) zName += "_"
+      val clustered = bounds match {
+        case Some((aLo, aHi, bLo, bHi)) =>
+          // overflow-safe normalize + Morton interleave from the
+          // spec'd Layout machinery (double-cast before the multiply;
+          // constant-dimension guard); NULLs bucket at the low edge
+          snap.withColumn(zName, graft.operators.Layout.zValue(
+              coalesce(col(colA), lit(aLo)), lit(aLo), lit(aHi),
+              coalesce(col(colB), lit(bLo)), lit(bLo), lit(bHi)))
+            .repartitionByRange(targetFiles, col(zName))
+            .sortWithinPartitions(col(zName))
+            .drop(zName)
+        case None => snap.repartition(targetFiles) // degenerate: no usable axis
+      }
       val stage = new File(dataDir(dir), s"txn-${UUID.randomUUID()}")
-      snap.withColumn("_z", expr(zExpr))
-        .repartitionByRange(targetFiles, col("_z"))
-        .sortWithinPartitions(col("_z"))
-        .drop("_z")
-        .write.parquet(stage.getPath)
+      clustered.write.parquet(stage.getPath)
       val mine = Option(stage.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .map(f => s"${stage.getName}/${f.getName}").toSeq.sorted

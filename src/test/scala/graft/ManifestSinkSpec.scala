@@ -555,7 +555,7 @@ class ManifestSinkSpec extends AnyFunSuite {
         planned2d(Long.MinValue, Long.MaxValue, 0, 63)) / (2 * live)
     }
     val preFrac = workloadFraction()
-    val v = ManifestTable.compactZorder(spark, dir, targetFiles = 16, Seq("k", "y"))
+    val v = ManifestTable.compactZorder(spark, dir, targetFiles = 16, "k", "y")
     assert(ManifestTable.latestVersion(dir).contains(v))
     // data survives the rewrite byte-for-byte
     val back = ManifestTable.read(spark, dir)
