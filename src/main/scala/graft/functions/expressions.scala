@@ -26,6 +26,21 @@ object Kernels {
   }
   def fnv64(s: String): Long = { val b = s.getBytes("UTF-8"); fnv64(b, 0, b.length) }
 
+  /** Unicode NFC normalization (UAX #15) via the JDK's
+    * java.text.Normalizer — the canonical-composition pass every
+    * text-curation pipeline runs before hashing/dedup (a decomposed
+    * e+U+0301 and the composed U+00E9 must fingerprint identically).
+    * Fast
+    * path: already-normalized text (all ASCII in particular) is
+    * detected by `isNormalized` — one scan, zero allocation — and
+    * returned as the SAME UTF8String object. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -618,6 +633,20 @@ case class MinHashSig(child: Expression, numPerms: Int, shingleW: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC normalization of a string column — codegen'd scalar
+  * (one static call per row, inside whole-stage codegen; the
+  * already-normalized fast path returns the input buffer). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"nfc expects a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = Kernels.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Portable md5-based MinHash signature of a text column. */
 case class MinHashSigMd5(child: Expression, numPerms: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -886,6 +915,7 @@ object Fns {
     column(MinHashSig(expression(c), numPerms, shingleW))
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def simhash_md5(c: Column): Column = column(SimHashMd5(expression(c)))
+  def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
   def minhash_sig_md5(c: Column, numPerms: Int = 32): Column =
     column(MinHashSigMd5(expression(c), numPerms))
   def lsh_bucket(c: Column, numPlanes: Int = 16): Column = column(LshBucket(expression(c), numPlanes))
@@ -931,6 +961,7 @@ object Fns {
       case es => throw new IllegalArgumentException(s"dsir_buckets takes 1-2 args, got ${es.length}")
     })
     registerFunction(spark, "simhash_md5", es => SimHashMd5(es.head))
+    registerFunction(spark, "nfc", es => NfcNormalize(es.head))
     registerFunction(spark, "lsh_bucket", {
       case Seq(c) => LshBucket(c, 16)
       case Seq(c, n) => LshBucket(c, intArg(n, "numPlanes"))

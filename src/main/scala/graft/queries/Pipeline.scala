@@ -622,6 +622,209 @@ object Pipeline {
       |  CAST(n_rows AS BIGINT) AS n_rows, sum_chars
       |FROM zp, lp, zl, ll, rq""".stripMargin
 
+  /** RESTORE on the manifest table proven end-to-end — the Delta
+    * RESTORE lifecycle op, the undo every warehouse needs the day a
+    * takedown predicate is fat-fingered: the corpus lands as 4
+    * stats-carrying slices, a WRONG delete removes a third of it, and
+    * [[graft.sources.ManifestTable.restore]] brings the pre-delete
+    * snapshot back as ONE forward replacing commit — no data moves,
+    * the bad version still folds for the auditor, untouched column
+    * stats ride the restored entries verbatim (the range census
+    * proves pruning survives), and the table keeps accepting appends
+    * afterwards. In-code requires pin the protocol: exactly one new
+    * commit, restore-to-current is a no-op that advances nothing, the
+    * bad snapshot still time-travels. The emitted phases commit the
+    * data contract: `bad` (the mistaken state), `restored` (must
+    * equal the original corpus), `zfinal` (restore + a fresh append).
+    * Scale shape: restore is metadata-only — O(target snapshot)
+    * manifest lines, zero file copies, pinned-version optimistic
+    * concurrency. */
+  private def sinkManifestRestore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-restore").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id", "n_chars")
+    val goodV = ManifestTable.latestVersion(root).get
+    val badV = ManifestTable.deleteWhere(s, root, $"doc_id" % 3 === 0,
+      statCols = Seq("doc_id", "n_chars")).get
+    def aggOf(df: DataFrame, phase: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .select(lit(phase).as("phase"), $"n_docs", $"sum_chars")
+    val bad = aggOf(ManifestTable.read(s, root), "bad")
+    val rv = ManifestTable.restore(s, root, goodV)
+    require(rv == badV + 1, "restore must be exactly ONE new commit")
+    require(ManifestTable.restore(s, root, rv) == rv,
+      "restore to the current version must be a no-op")
+    require(ManifestTable.latestVersion(root).contains(rv),
+      "no-op restore advanced the log")
+    // restored entries verbatim ⇒ stats still prune: slice 0 alone
+    require(ManifestTable.plannedFilesForRange(root, "doc_id", 0, 1).size == 1,
+      "restore dropped the per-file stats")
+    // forward-only log: the mistake is still auditable by time travel
+    require(ManifestTable.read(s, root, Some(badV)).count() < n,
+      "the bad version no longer folds")
+    val restored = aggOf(ManifestTable.read(s, root), "restored")
+    ManifestTable.appendWithStats(s,
+      docs.filter($"doc_id" < 10).coalesce(1), root, "doc_id", "n_chars")
+    val fin = aggOf(ManifestTable.read(s, root), "zfinal")
+    StreamReplay.finish(s, qname = "", root)(
+      bad.unionAll(restored).unionAll(fin).orderBy($"phase"))
+  }
+
+  private val sinkManifestRestoreSql =
+    """SELECT 'bad' AS phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 3 <> 0
+      |UNION ALL
+      |SELECT 'restored', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'zfinal', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM (SELECT doc_id, n_chars FROM documents
+      |      UNION ALL
+      |      SELECT doc_id, n_chars FROM documents WHERE doc_id < 10) t
+      |ORDER BY phase""".stripMargin
+
+  /** Metadata-only aggregates on the manifest table — the
+    * Iceberg/Delta trick where COUNT(*) / MIN / MAX never touch a data
+    * file: every stats-carrying commit records the exact per-file row
+    * count (`rows=`) and column bounds, so
+    * [[graft.sources.ManifestTable.countMeta]] /
+    * [[graft.sources.ManifestTable.rangeMeta]] fold the manifest and
+    * answer in O(live files) — at 100 TB that is the difference
+    * between a metadata lookup and a full scan. Copy-on-write keeps
+    * the answers EXACT (not estimates): the key deletes rows mid-test
+    * and the rewritten files carry fresh counts/bounds while untouched
+    * entries survive verbatim. The None-fallback contract is pinned
+    * in-code on a scratch table (one stats-less append ⇒ the
+    * aggregate is unknowable ⇒ None, caller must scan). The emitted
+    * row is built ENTIRELY from the metadata answers; the oracle
+    * recomputes each from raw rows + the delete predicate. */
+  private def sinkManifestCountMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-countmeta").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id", "n_chars")
+    ManifestTable.deleteWhere(s, root,
+      $"doc_id" >= 2 * w && $"doc_id" % 2 === 0,
+      statCols = Seq("doc_id", "n_chars"))
+    val cnt = ManifestTable.countMeta(root).getOrElse(
+      throw new IllegalStateException("countMeta undefined on a stats-only table"))
+    val (idLo, idHi) = ManifestTable.rangeMeta(root, "doc_id").get
+    val (chLo, chHi) = ManifestTable.rangeMeta(root, "n_chars").get
+    // pin exactness against one real read (the zero-read proof — data
+    // dir withheld — lives in the spec, where a read must still fail)
+    require(cnt == ManifestTable.read(s, root).count(),
+      "metadata row count drifted from the data")
+    // fallback contract: one stats-less append ⇒ unknowable ⇒ None
+    val scratch = root + "-scratch"
+    ManifestTable.append(s, docs.limit(5), scratch)
+    require(ManifestTable.countMeta(scratch).isEmpty,
+      "countMeta invented a count for a stats-less commit")
+    require(ManifestTable.rangeMeta(scratch, "doc_id").isEmpty,
+      "rangeMeta invented bounds for a stats-less commit")
+    // release the scratch table; `root` is released by finish below
+    def delRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delRec))
+      f.delete(): Unit
+    }
+    delRec(new java.io.File(scratch))
+    StreamReplay.finish(s, qname = "", root)(
+      s.range(1).select(lit(cnt).as("n_rows"),
+        lit(idLo).as("min_id"), lit(idHi).as("max_id"),
+        lit(chLo).as("min_chars"), lit(chHi).as("max_chars")))
+  }
+
+  private val sinkManifestCountMetaSql =
+    """WITH w AS (SELECT (COUNT(*) + 3) // 4 AS w FROM documents),
+      |s AS (SELECT doc_id, n_chars FROM documents, w
+      |      WHERE NOT (doc_id >= 2 * w AND doc_id % 2 = 0))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM s""".stripMargin
+
+  /** Bloom-filter file skipping on the manifest table — the POINT
+    * lookup min/max bounds cannot serve: the corpus is laid out by
+    * QUALITY (8 n_chars buckets via
+    * [[graft.sources.ManifestTable.appendWithBloom]]), so every file
+    * spans nearly the full doc_id range and a doc_id range plan reads
+    * all 8 — but the per-file Bloom filter (built on doc_id at append
+    * time, riding the `add=` entry) sends a takedown-by-id lookup to
+    * the ONE file that holds the document. In-code requires pin the
+    * index contract: no false negatives (the lookup row always comes
+    * back), planned ≤ present + 1 FP for each probe, absent keys plan
+    * ≤ 1 file, and all probes together plan strictly fewer files than
+    * one full scan. The emitted rows are the lookups themselves —
+    * probe id, row count, chars — everything the oracle recomputes
+    * from raw rows. Scale shape: build is one codegen'd pass + a
+    * metadata-sized (file × word) aggregation; planning is a manifest
+    * fold with zero data reads. */
+  private def sinkManifestBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-bloom").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = docs.count()
+    // quality layout in ONE pass + ONE commit (the compactClustered /
+    // IVF-build shape — never a filter+write loop per bucket): range-
+    // partition on n_chars, so each file spans ~the whole doc_id range
+    // — the worst case for min/max bounds and the case blooms fix
+    ManifestTable.appendWithBloom(s,
+      docs.repartitionByRange(8, $"n_chars"), root, "doc_id", "n_chars")
+    val probes = Seq(0L, n / 2, n - 1, n + 7777)
+    val liveFiles = ManifestTable.snapshotFiles(root).size
+    var plannedTotal = 0
+    val rows = probes.map { p =>
+      val planned = ManifestTable.plannedFilesForPoint(root, "doc_id", p).size
+      plannedTotal += planned
+      val hit = ManifestTable.readPoint(s, root, "doc_id", p)
+        .agg(count(lit(1)).as("n"), coalesce(sum($"n_chars"), lit(0L)).as("c"))
+        .as[(Long, Long)].head()
+      val present = if (p < n) 1 else 0
+      require(hit._1 == present,
+        s"bloom lookup of doc $p returned ${hit._1} rows, expected $present " +
+          "(a false NEGATIVE lost a row, or a residual filter is missing)")
+      require(planned >= present && planned <= present + 1,
+        s"doc $p planned $planned of $liveFiles files (present=$present) — " +
+          "the bloom is not pruning (or FP rate blew its budget)")
+      (p, hit._1, hit._2)
+    }
+    // the win over a full scan — meaningful once the layout has
+    // enough files that probes cannot trivially cover them
+    if (liveFiles > 4)
+      require(plannedTotal < liveFiles,
+        s"all probes together planned $plannedTotal files — no win over one full scan")
+    StreamReplay.finish(s, qname = "", root)(
+      rows.toDF("probe_id", "n_rows", "sum_chars").orderBy($"probe_id"))
+  }
+
+  private val sinkManifestBloomSkipSql =
+    """WITH p AS (SELECT COUNT(*) AS n FROM documents),
+      |probes AS (SELECT CAST(0 AS BIGINT) AS probe_id
+      |  UNION ALL SELECT n // 2 FROM p
+      |  UNION ALL SELECT n - 1 FROM p
+      |  UNION ALL SELECT n + 7777 FROM p)
+      |SELECT probe_id, CAST(COUNT(d.doc_id) AS BIGINT) AS n_rows,
+      |  CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS sum_chars
+      |FROM probes LEFT JOIN documents d ON d.doc_id = probes.probe_id
+      |GROUP BY probe_id ORDER BY probe_id""".stripMargin
+
   /** Streaming MERGE exactly-once — the CDC-upsert pipeline a keyed
     * mirror table actually runs, composed from the proven primitives:
     * the events ledger replays as five event_id-ordered CDC batches,
@@ -2342,6 +2545,12 @@ object Pipeline {
       QueryDef(sinkManifestMergeStreaming, Some(sinkManifestMergeStreamingSql)),
     "sink_manifest_zorder" ->
       QueryDef(sinkManifestZorder, Some(sinkManifestZorderSql)),
+    "sink_manifest_restore" ->
+      QueryDef(sinkManifestRestore, Some(sinkManifestRestoreSql)),
+    "sink_manifest_count_meta" ->
+      QueryDef(sinkManifestCountMeta, Some(sinkManifestCountMetaSql)),
+    "sink_manifest_bloom_skip" ->
+      QueryDef(sinkManifestBloomSkip, Some(sinkManifestBloomSkipSql)),
     "dedup_changefeed_e2e" ->
       QueryDef(dedupChangefeedE2e, Some(dedupChangefeedE2eSql)),
     "q_incremental_agg" -> QueryDef(qIncrementalAgg, Some(qIncrementalAggSql)),

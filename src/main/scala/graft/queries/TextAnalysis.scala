@@ -1062,6 +1062,115 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE token PACKING — the last step of pretraining data prep: the
+    * whole corpus is tokenized with the learned 10-merge vocabulary,
+    * docs are concatenated in doc_id order with an EOS token (id 0 —
+    * reserved by construction, real ids start at 1) after each, and
+    * the global token stream is chunked into fixed 128-token training
+    * sequences. Every sequence is emitted with its token count and the
+    * md5 of its exact id string — a misplaced boundary, a lost EOS, a
+    * broken offset, or any out-of-order flatten breaks the hash.
+    * In-code requires pin the packing invariants: every sequence but
+    * the last is exactly full, and the sequence count equals
+    * ceil(total/128).
+    *
+    * Scale shape: token ids come from the vocabulary-sized id tables
+    * (the frozen-tokenizer contract shared with encode/decode); the
+    * corpus pays one explode + two hash joins + per-doc windows. The
+    * ONLY global pass is the doc-offset prefix sum — a window over the
+    * doc-count-sized per-doc totals (one row per document, never per
+    * token); at extreme doc counts that single-partition prefix sum is
+    * the known bottleneck and splits into the standard two-phase
+    * (per-partition partials + broadcast cumulative) form without
+    * changing results. Sequence assembly is a groupBy whose groups are
+    * 128-bounded. */
+  private def corpusBpePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val SeqLen = 128L
+    val (state, _) = bpeChain(s, dir, steps = 10)
+    val (_, wordTids) = bpeIdTables(s, state)
+    val nTokPerWord = state.select($"w",
+      size(split($"seq", " ")).cast("long").as("n_tok"))
+    val dw = bpeDocWords(s, dir)
+    val docTok = dw.join(nTokPerWord, "w")
+      .groupBy($"doc_id").agg(sum($"n_tok").as("n_doc"))
+    // doc offsets: prefix sum over ONE ROW PER DOC (+1 per doc = EOS)
+    val docOff = docTok.withColumn("off",
+      coalesce(sum($"n_doc" + 1L).over(Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // word offsets inside each doc: per-doc window, doc-bounded
+    val wordOff = dw.join(nTokPerWord, "w")
+      .withColumn("woff", coalesce(sum($"n_tok").over(
+        Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val real = wordOff.join(docOff.select($"doc_id", $"off"), "doc_id")
+      .join(wordTids, "w")
+      .select(($"off" + $"woff" + $"j").as("idx"), $"tid")
+    val eos = docOff.select(($"off" + $"n_doc").as("idx"), lit(0L).as("tid"))
+    val packed = real.unionByName(eos)
+      .withColumn("seq_id", expr(s"idx div $SeqLen"))
+      .groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws("-", expr(
+          "transform(array_sort(collect_list(struct(idx, tid))), " +
+            "x -> cast(x.tid AS string))"))).as("ids_md5"))
+      .localCheckpoint()
+    // packing invariants: ceil(total/128) sequences, all full but the last
+    val total = docTok.agg(sum($"n_doc" + 1L)).as[Long].head()
+    val nSeqs = packed.count()
+    require(nSeqs == (total + SeqLen - 1) / SeqLen,
+      s"packed $nSeqs sequences from $total tokens — boundaries drifted")
+    val maxSeq = nSeqs - 1
+    val short = packed.filter($"n_tokens" =!= SeqLen && $"seq_id" =!= maxSeq).count()
+    require(short == 0, s"$short non-final sequences are not exactly full")
+    packed.orderBy($"seq_id")
+  }
+
+  private val corpusBpePackSql = {
+    val step = (i: Int) =>
+      s"""p$i AS (SELECT ws[i] AS pa, ws[i+1] AS pb, SUM(c) AS cnt
+         |  FROM (SELECT string_split(seq, ' ') AS ws, c FROM s$i) t,
+         |       unnest(generate_series(1, len(t.ws) - 1)) u(i)
+         |  GROUP BY 1, 2),
+         |m${i + 1} AS (SELECT pa, pb FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |s${i + 1} AS (SELECT w, trim(replace(' '||seq||' ', ' '||pa||' '||pb||' ',
+         |    ' '||pa||'~'||pb||' ')) AS seq, c FROM s$i, m${i + 1})""".stripMargin
+    s"""WITH wc AS (SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS seq, c FROM wc),
+       |${(0 until 10).map(step).mkString(",\n")},
+       |tid AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT unnest(string_split(seq, ' ')) AS tok FROM s10) t),
+       |wt AS (SELECT w, ts[j] AS tok, j
+       |  FROM (SELECT w, string_split(seq, ' ') AS ts FROM s10) t,
+       |       unnest(generate_series(1, len(t.ts))) u(j)),
+       |wid AS (SELECT w, j, tid FROM wt JOIN tid USING (tok)),
+       |nt AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM s10),
+       |dw AS (SELECT doc_id, ws[i] AS w, i AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+       |       unnest(generate_series(1, len(t.ws))) u(i)
+       |  WHERE len(ws[i]) > 0),
+       |dt AS (SELECT doc_id, SUM(n_tok) AS n_doc
+       |  FROM dw JOIN nt USING (w) GROUP BY doc_id),
+       |doff AS (SELECT doc_id, n_doc,
+       |    COALESCE(SUM(n_doc + 1) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM dt),
+       |woff AS (SELECT dw.doc_id, dw.pos, dw.w,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY dw.doc_id ORDER BY dw.pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+       |  FROM dw JOIN nt USING (w)),
+       |real AS (SELECT doff.off + woff.woff + wid.j - 1 AS idx, wid.tid
+       |  FROM woff JOIN doff USING (doc_id) JOIN wid ON wid.w = woff.w),
+       |eos AS (SELECT off + n_doc AS idx, CAST(0 AS BIGINT) AS tid FROM doff),
+       |stream AS (SELECT * FROM real UNION ALL SELECT * FROM eos)
+       |SELECT idx // 128 AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(CAST(tid AS VARCHAR), '-' ORDER BY idx)) AS ids_md5
+       |FROM stream GROUP BY 1 ORDER BY seq_id""".stripMargin
+  }
+
   /** BPE round-trip — DECODE closes the tokenizer loop: every doc is
     * encoded to token ids and decoded back THROUGH the id table
     * (tid → symbol → merge-marker strip → word → space-joined text),
@@ -1228,13 +1337,50 @@ object TextAnalysis {
       |FROM st CROSS JOIN nd
       |ORDER BY vmr_ppb DESC, term LIMIT 30""".stripMargin
 
+  /** Unicode NFC normalization — the canonical-composition pass every
+    * curation pipeline runs before any hashing/dedup/fingerprint step
+    * (a decomposed e+COMBINING ACUTE and a composed é must hash the
+    * same). Both engines implement UAX #15 independently (Spark side:
+    * the native codegen'd [[graft.functions.NfcNormalize]] wrapping
+    * java.text.Normalizer; oracle: DuckDB's nfc_normalize), so the
+    * md5-over-normalized-text hash compare is a genuine cross-engine
+    * conformance gate. The corpus is deterministically DE-composed
+    * first (every 'e' gains U+0301) in both engines — otherwise the
+    * synthetic ASCII corpus would make NFC a no-op. Byte lengths
+    * before/after pin the composition actually happened (3 UTF-8
+    * bytes → 2 per pair). Scale shape: map-only, whole-stage codegen,
+    * in-scan; the already-normalized fast path is one scan with zero
+    * allocation. */
+  private def textNfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = graft.functions.Fns.nfc(
+      regexp_replace($"text", "e", "e\u0301"))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        octet_length(regexp_replace($"text", "e", "e\u0301")).cast("long")
+          .as("bytes_decomposed"),
+        octet_length(norm).cast("long").as("bytes_nfc"),
+        md5(norm).as("nfc_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private val textNfcNormalizeSql =
+    """WITH d AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t_dec
+      |  FROM documents)
+      |SELECT doc_id, CAST(strlen(t_dec) AS BIGINT) AS bytes_decomposed,
+      |  CAST(strlen(nfc_normalize(t_dec)) AS BIGINT) AS bytes_nfc,
+      |  md5(nfc_normalize(t_dec)) AS nfc_md5
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "text_nfc_normalize" -> QueryDef(textNfcNormalize, Some(textNfcNormalizeSql)),
     "text_burstiness" -> QueryDef(textBurstiness, Some(textBurstinessSql)),
     "text_rake_keywords" -> QueryDef(textRakeKeywords, Some(textRakeKeywordsSql)),
     "text_bpe_fertility" -> QueryDef(textBpeFertility, Some(textBpeFertilitySql)),
     "text_bpe_train" -> QueryDef(textBpeTrain, Some(textBpeTrainSql)),
     "text_bpe_encode" -> QueryDef(textBpeEncode, Some(textBpeEncodeSql)),
     "text_bpe_roundtrip" -> QueryDef(textBpeRoundtrip, Some(textBpeRoundtripSql)),
+    "corpus_bpe_pack" -> QueryDef(corpusBpePack, Some(corpusBpePackSql)),
     "text_oov_rate" -> QueryDef(textOovRate, Some(textOovRateSql)),
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
     "text_classifier_train" -> QueryDef(textClassifierTrain, Some(textClassifierTrainSql), bench = true),

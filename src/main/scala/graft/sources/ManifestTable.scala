@@ -130,7 +130,11 @@ object ManifestTable {
   /** Live files with their per-column (min, max) stats recorded at
     * [[appendWithStats]] time (Iceberg-style per-column bounds; empty
     * map for files committed without stats). Entry format:
-    * `<rel>` followed by zero or more `|stat=<col>:<min>:<max>`. */
+    * `<rel>` followed by metadata segments in any order:
+    * `|rows=<n>` (exact row count), `|stat=<col>:<min>:<max>`,
+    * `|bloom=<col>:<m>:<k>:<hex>` (a per-file Bloom filter for
+    * point-lookup skipping — see [[BloomIndex]]). Unknown segments are
+    * ignored by every reader, so the format is forward-extensible. */
   private def parseStatsEntry(entry: String): (String, Map[String, (Long, Long)]) = {
     val parts = entry.split('|')
     val stats = parts.iterator.drop(1).collect {
@@ -142,6 +146,46 @@ object ManifestTable {
         }
     }.toMap
     (parts(0), stats)
+  }
+
+  /** (rel, exact row count) per live file — Some only for entries that
+    * recorded `rows=` at commit time ([[appendWithStats]] /
+    * [[appendEvolving]]-with-stats / stats-carrying rewrites). */
+  def snapshotRowCounts(dir: String, version: Option[Long] = None)
+      : Seq[(String, Option[Long])] =
+    fold(dir, resolved(dir, version)).files.map { e =>
+      val parts = e.split('|')
+      val rows = parts.iterator.drop(1)
+        .find(_.startsWith("rows=")).map(_.stripPrefix("rows=").toLong)
+      (parts(0), rows)
+    }
+
+  /** COUNT(*) answered purely from manifest metadata — zero data-file
+    * reads (the Iceberg/Delta metadata-only aggregate): the sum of the
+    * per-file `rows=` counts, defined only when EVERY live file
+    * recorded one (a stats-less append in the history makes the count
+    * unknowable without a scan → None, caller falls back to a read).
+    * Row counts are exact at write time and copy-on-write keeps them
+    * exact: DELETE/MERGE rewrite affected files with fresh counts and
+    * never mutate a counted file in place. */
+  def countMeta(dir: String, version: Option[Long] = None): Option[Long] = {
+    val counts = snapshotRowCounts(dir, version)
+    if (counts.forall(_._2.isDefined)) Some(counts.iterator.map(_._2.get).sum)
+    else None
+  }
+
+  /** Global (min, max) of `statCol` answered purely from manifest
+    * metadata — defined only when EVERY live file carries bounds for
+    * the column (one unknown file could widen either end). Per-file
+    * bounds are the exact min/max of the file's rows at write time,
+    * so folding them is the exact table min/max, not an estimate.
+    * None also for the zero-file snapshot (no rows → no extrema). */
+  def rangeMeta(dir: String, statCol: String,
+                version: Option[Long] = None): Option[(Long, Long)] = {
+    val statted = snapshotFilesWithStats(dir, version)
+    if (statted.isEmpty || !statted.forall(_._2.contains(statCol))) None
+    else Some((statted.iterator.map(_._2(statCol)._1).min,
+      statted.iterator.map(_._2(statCol)._2).max))
   }
 
   def snapshotFilesWithStats(dir: String, version: Option[Long] = None)
@@ -250,7 +294,10 @@ object ManifestTable {
       require(f.dataType == org.apache.spark.sql.types.LongType,
         s"stats column '$c' must be LongType, found ${f.dataType.simpleString}")
     }
-    val aggs = statCols.flatMap(c =>
+    import org.apache.spark.sql.functions.{count, lit}
+    // row count first, then per-column bounds — the exact count feeds
+    // [[countMeta]]'s metadata-only aggregates at zero extra passes
+    val aggs = count(lit(1)).as("_rows") +: statCols.flatMap(c =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     val byFile = staged
       .groupBy(input_file_name().as("f"))
@@ -261,16 +308,14 @@ object ManifestTable {
         // an all-NULL column in a part file has null bounds — record
         // no stat for that (file, column); unknown ranges never prune
         val stats = statCols.zipWithIndex.collect {
-          case (c, i) if !r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i) =>
-            s"stat=$c:${r.getLong(1 + 2 * i)}:${r.getLong(2 + 2 * i)}"
+          case (c, i) if !r.isNullAt(2 + 2 * i) && !r.isNullAt(3 + 2 * i) =>
+            s"stat=$c:${r.getLong(2 + 2 * i)}:${r.getLong(3 + 2 * i)}"
         }
-        name -> stats.mkString("|")
+        name -> (s"rows=${r.getLong(1)}" +: stats).mkString("|")
       }.toMap
     rels.flatMap { rel =>
       // absent from byFile ⇒ the part file holds zero rows: skip it
-      byFile.get(rel.split('/').last).map { stats =>
-        if (stats.isEmpty) s"add=$rel" else s"add=$rel|$stats"
-      }
+      byFile.get(rel.split('/').last).map(meta => s"add=$rel|$meta")
     }
   }
 
@@ -356,6 +401,89 @@ object ManifestTable {
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readRange on $dir: snapshot holds no data files at all")
+    spark.read.parquet(new File(dataDir(dir), all.head).getPath)
+      .filter(org.apache.spark.sql.functions.lit(false))
+  }
+
+  /** Per-file Bloom segments of a snapshot: file → (col → (m, k,
+    * hex)), empty map for files committed without a bloom. */
+  def snapshotFilesWithBloom(dir: String, version: Option[Long] = None)
+      : Seq[(String, Map[String, (Int, Int, String)])] =
+    fold(dir, resolved(dir, version)).files.map { e =>
+      val parts = e.split('|')
+      val blooms = parts.iterator.drop(1).collect {
+        case p if p.startsWith("bloom=") =>
+          p.stripPrefix("bloom=").split(':') match {
+            case Array(c, m, k, hex) => c -> ((m.toInt, k.toInt, hex))
+            case bad => throw new IllegalStateException(
+              s"corrupt bloom segment '${bad.mkString(":")}' in $e")
+          }
+      }.toMap
+      (parts(0), blooms)
+    }
+
+  /** [[appendWithStats]] that ALSO records a per-file Bloom filter on
+    * `bloomCol` (see [[BloomIndex]]) — the point-lookup index for keys
+    * whose min/max bounds cannot prune (high-cardinality values
+    * scattered across every file). Bloom build cost is one more
+    * codegen'd pass over the staged batch; the filter rides the `add=`
+    * entry, so it survives exactly as long as the file does (a
+    * copy-on-write rewrite drops it with the entry — rewritten files
+    * simply carry no bloom until appended through this path again,
+    * and an unknown bloom is never used to skip). `statCols` may be
+    * empty: the entry then carries `rows=` + the bloom alone. */
+  def appendWithBloom(spark: SparkSession, df: DataFrame, dir: String,
+                      bloomCol: String, statCols: String*): Long = {
+    require(StatColName.matches(bloomCol),
+      s"bloom column name '$bloomCol' must match [A-Za-z0-9_]+")
+    val f = df.schema.find(_.name == bloomCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"bloom column '$bloomCol' is not in the batch's schema"))
+    require(f.dataType == org.apache.spark.sql.types.LongType,
+      s"bloom column '$bloomCol' must be LongType, found ${f.dataType.simpleString}")
+    val staged = stageFiles(df, dir)
+    val adds = statAddActions(spark, dir, staged, statCols)
+    val blooms = BloomIndex.buildPerFile(
+      spark.read.parquet(staged.map(r => new File(dataDir(dir), r).getPath): _*),
+      bloomCol)
+    val withBloom = adds.map { a =>
+      val rel = a.stripPrefix("add=").takeWhile(_ != '|')
+      blooms.get(rel.split('/').last) match {
+        case Some(spec) => s"$a|bloom=$bloomCol:$spec"
+        case None => a // all-NULL key in this file: no bloom, never skipped
+      }
+    }
+    commit(dir, withBloom).get
+  }
+
+  /** Files the snapshot plans for an equality lookup `col = value`:
+    * files whose Bloom filter says maybe, plus every file with no
+    * bloom FOR THAT COLUMN (unknown is never skipped). No false
+    * negatives by the [[BloomIndex]] contract, so the planned set is
+    * always a superset of the files that actually hold the value. */
+  def plannedFilesForPoint(dir: String, colName: String, value: Long,
+                           version: Option[Long] = None): Seq[String] =
+    snapshotFilesWithBloom(dir, version).collect {
+      case (f, blooms) if blooms.get(colName).forall {
+        case (m, _, hex) => BloomIndex.maybeContains(hex, m, value)
+      } => f
+    }
+
+  /** Point-lookup read with Bloom file skipping: plan only
+    * [[plannedFilesForPoint]] and apply the residual equality filter
+    * (bloom false positives are filtered out here, exactly like
+    * readRange's residual). */
+  def readPoint(spark: SparkSession, dir: String, colName: String,
+                value: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = plannedFilesForPoint(dir, colName, value)
+      .map(rel => new File(dataDir(dir), rel).getPath)
+    if (paths.nonEmpty)
+      return spark.read.parquet(paths: _*).filter(col(colName) === value)
+    val all = snapshotFiles(dir)
+    if (all.isEmpty)
+      throw new IllegalStateException(
+        s"readPoint on $dir: snapshot holds no data files at all")
     spark.read.parquet(new File(dataDir(dir), all.head).getPath)
       .filter(org.apache.spark.sql.functions.lit(false))
   }
@@ -549,6 +677,73 @@ object ManifestTable {
       }
     }
     throw new IllegalStateException(s"gave up z-ordering $dir after 20 conflicts")
+  }
+
+  /** RESTORE the table to the state it had at `toVersion` — the Delta
+    * RESTORE lifecycle op (the undo for a bad delete/merge/compaction):
+    * commits a NEW replacing version whose file list is the target
+    * snapshot's entries VERBATIM (column stats, row counts and bloom
+    * segments ride along untouched — pruning survives the restore),
+    * so the log stays strictly forward (nothing is rewound or erased;
+    * an auditor still sees the bad commit and its undo). No data
+    * moves: the target's files are still on disk because [[vacuum]]
+    * only deletes files unreferenced by SURVIVING versions, and a
+    * vacuumed-away target fails loudly in the fold ("version missing")
+    * before anything commits.
+    *
+    * Schema: the restored version presents the schema AS OF the
+    * target. A later `schema=` evolution action would survive a bare
+    * `reset` (reset clears files, never schema), so the restore
+    * explicitly reinstates the target's schema — recorded if the
+    * target had one, re-inferred from the target's files when the
+    * table evolved only after the target (ambiguous only for a
+    * zero-file target, which throws).
+    *
+    * Txn idempotence markers survive (they always do): a streaming
+    * batch that committed before the restored-away range stays a
+    * no-op on retry — Delta's rule; the writer must use fresh batch
+    * ids to re-deliver.
+    *
+    * Concurrency: pinned to the version that was read (a replacing
+    * commit must never erase a concurrent append — same rule as
+    * [[compact]]); on a lost race the restore re-reads and re-commits,
+    * metadata-only every time. Metadata is O(target snapshot) — the
+    * checkpoint cost, inherent to a replacing commit. Restoring to
+    * the current version is a no-op and commits nothing. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val parent = resolved(dir, None)
+      require(toVersion >= 0 && toVersion <= parent,
+        s"restore target v$toVersion is outside the committed log (latest v$parent)")
+      if (toVersion == parent) return parent
+      val target = fold(dir, toVersion)
+      val current = fold(dir, parent)
+      val schemaAction: Seq[String] = target.schema match {
+        case Some(j) => Seq("schema=" + j)
+        case None if current.schema.isDefined =>
+          // the evolution happened after the target: pin the target's
+          // effective (file) schema so post-restore reads don't resolve
+          // against the later evolution's surviving schema= action
+          if (target.files.isEmpty)
+            throw new IllegalStateException(
+              s"restore of $dir to v$toVersion: the target snapshot holds no " +
+                "files and recorded no schema, but the table evolved later — " +
+                "the restored schema is undefined")
+          Seq("schema=" + spark.read.parquet(
+            target.files.map(e =>
+              new File(dataDir(dir), e.takeWhile(_ != '|')).getPath): _*)
+            .schema.json)
+        case None => Nil
+      }
+      val actions = "reset" +: (schemaAction ++ target.files.map("add=" + _))
+      tryCommitAt(dir, parent + 1L, actions) match {
+        case Some(v) => return v
+        case None => // a commit beat us: re-pin against the new latest
+      }
+    }
+    throw new IllegalStateException(s"gave up restoring $dir after 20 conflicts")
   }
 
   /** Row-level DELETE, copy-on-write (the Delta/Iceberg shape — the
