@@ -641,6 +641,270 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // Compressed audio: G.711 μ-law (ITU-T G.711 — the stateless 8-bit
+  // companding every telephony corpus ships in) and IMA/DVI ADPCM
+  // (the classic 4-bit predictive WAV codec, fmt tag 0x11). Both
+  // implemented from the public specs, both directions — the audio
+  // analog of the MJPEG milestone: WAV was container-only (PCM16),
+  // these add real codecs behind the same chunk walk.
+  // ---------------------------------------------------------------
+
+  /** G.711 μ-law encode: signed 16-bit sample → 8-bit codeword.
+    * Classic bias-132/clip-32635 segment search (G.711 Table 2a). */
+  def ulawEncode(sample: Int): Int = {
+    val Bias = 0x84; val Clip = 32635
+    var s = sample
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > Clip) s = Clip
+    s += Bias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mantissa = (s >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mantissa) & 0xff
+  }
+
+  /** G.711 μ-law decode: 8-bit codeword → signed 16-bit sample. Pure
+    * table math, stateless — decode(encode(s)) == s exactly on the
+    * codec's 255 representable magnitudes. */
+  def ulawDecode(u0: Int): Int = {
+    val u = ~u0 & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** RIFF/WAVE with μ-law payload (fmt tag 7, 8 bits/sample),
+    * channels interleaved, optional junk LIST chunk like
+    * [[wavPcm16]]. Samples are int16 values, companded here. */
+  def wavUlaw(sampleRate: Int, channels: Int, samples: Array[Int],
+              junkChunk: Boolean = false): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0)
+    val junk = if (junkChunk) Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0)
+    else Array.empty[Byte]
+    val dataLen = samples.length
+    val b = java.nio.ByteBuffer.allocate(46 + junk.length + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+      .putInt(38 + junk.length + dataLen + (dataLen & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(7) // μ-law
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels) // byte rate: 1 byte/sample
+      .putShort(channels.toShort)    // block align
+      .putShort(8)                   // bits per sample
+      .putShort(0)                   // cbSize (G.711 carries none)
+    b.put(junk)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => b.put(ulawEncode(s).toByte))
+    if ((dataLen & 1) == 1) b.put(0.toByte) // RIFF word alignment
+    b.array()
+  }
+
+  /** IMA/DVI ADPCM step-size table (89 entries, IMA ADPCM reference). */
+  val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** IMA index-adjust table (per 3-bit magnitude). */
+  val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def clamp16(v: Int): Int = math.max(-32768, math.min(32767, v))
+
+  /** One IMA decode step: (pred, index, nibble) → (pred', index'). */
+  private def imaStep(pred: Int, index: Int, n: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((n & 1) != 0) diff += step >> 2
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 4) != 0) diff += step
+    val p = clamp16(if ((n & 8) != 0) pred - diff else pred + diff)
+    val i = math.max(0, math.min(88, index + ImaIndexTable(n & 7)))
+    (p, i)
+  }
+
+  /** IMA ADPCM mono encode into standard WAV blocks: per block a
+    * 4-byte header (int16 predictor = the block's first sample
+    * verbatim, step index, reserved) then `spb - 1` nibbles packed
+    * low-first. Each block restarts at index 0 with its own exact
+    * first sample, so a per-block-constant signal round-trips
+    * EXACTLY (nibble 0 at step 7 decodes to +0) — the audio analog
+    * of the constant-cell JPEG oracle trick; arbitrary signals decode
+    * within the codec's tracking error. `samples.length` must be a
+    * whole number of blocks. */
+  def imaEncodeMono(samples: Array[Int], spb: Int): Array[Byte] = {
+    require(spb >= 3 && spb % 2 == 1, s"samplesPerBlock $spb must be odd ≥ 3")
+    require(samples.nonEmpty && samples.length % spb == 0,
+      s"need whole blocks of $spb samples, got ${samples.length}")
+    val blockBytes = 4 + (spb - 1) / 2
+    val out = new Array[Byte]((samples.length / spb) * blockBytes)
+    var o = 0
+    var base = 0
+    while (base < samples.length) {
+      var pred = clamp16(samples(base))
+      var index = 0
+      out(o) = (pred & 0xff).toByte; out(o + 1) = ((pred >> 8) & 0xff).toByte
+      out(o + 2) = index.toByte; out(o + 3) = 0
+      o += 4
+      var k = 1
+      while (k < spb) {
+        val step = ImaStepTable(index)
+        var diff = samples(base + k) - pred
+        var n = 0
+        if (diff < 0) { n = 8; diff = -diff }
+        if (diff >= step) { n |= 4; diff -= step }
+        if (diff >= (step >> 1)) { n |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) { n |= 1 }
+        val (p2, i2) = imaStep(pred, index, n) // encoder mirrors decoder
+        pred = p2; index = i2
+        if ((k & 1) == 1) out(o + (k - 1) / 2) = (n & 0x0f).toByte
+        else out(o + (k - 1) / 2) = (out(o + (k - 1) / 2) | (n << 4)).toByte
+        k += 1
+      }
+      o += (spb - 1) / 2
+      base += spb
+    }
+    out
+  }
+
+  /** IMA ADPCM mono decode of [[imaEncodeMono]]-shaped blocks. */
+  def imaDecodeMono(data: Array[Byte], from: Int, len: Int, spb: Int): Array[Int] = {
+    val blockBytes = 4 + (spb - 1) / 2
+    require(len % blockBytes == 0, s"ADPCM payload $len not whole $blockBytes-byte blocks")
+    val nBlocks = len / blockBytes
+    val out = new Array[Int](nBlocks * spb)
+    var b = 0
+    while (b < nBlocks) {
+      val o = from + b * blockBytes
+      var pred = ((data(o) & 0xff) | ((data(o + 1) & 0xff) << 8)).toShort.toInt
+      var index = math.max(0, math.min(88, data(o + 2) & 0xff))
+      out(b * spb) = pred
+      var k = 1
+      while (k < spb) {
+        val byte = data(o + 4 + (k - 1) / 2) & 0xff
+        val n = if ((k & 1) == 1) byte & 0x0f else byte >> 4
+        val (p2, i2) = imaStep(pred, index, n)
+        pred = p2; index = i2
+        out(b * spb + k) = pred
+        k += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** RIFF/WAVE with IMA ADPCM payload (fmt tag 0x11, mono): fmt
+    * carries the cbSize=2 samples-per-block extension, a `fact`
+    * chunk records the true sample count (mandatory for compressed
+    * WAV), data is whole [[imaEncodeMono]] blocks. */
+  def wavImaAdpcm(sampleRate: Int, samples: Array[Int], spb: Int = 65): Array[Byte] = {
+    val payload = imaEncodeMono(samples, spb)
+    val blockAlign = 4 + (spb - 1) / 2
+    val b = java.nio.ByteBuffer
+      .allocate(12 + 8 + 20 + 8 + 4 + 8 + payload.length + (payload.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 8 + 20 + 8 + 4 + 8 + payload.length + (payload.length & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11) // IMA ADPCM
+      .putShort(1)    // mono
+      .putInt(sampleRate)
+      .putInt((sampleRate.toLong * blockAlign / spb).toInt) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4)    // bits per sample
+      .putShort(2)    // cbSize
+      .putShort(spb.toShort)
+    b.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    b.put("data".getBytes("US-ASCII")).putInt(payload.length)
+    b.put(payload)
+    if ((payload.length & 1) == 1) b.put(0.toByte)
+    b.array()
+  }
+
+  /** [[wavSamples]] extended to the compressed formats: returns
+    * (sampleRate, channels, fmtTag, monoSamples) for PCM16 (tag 1),
+    * μ-law (tag 7, 8-bit, any channel count — same exact integer
+    * mixdown as PCM16) and IMA ADPCM (tag 0x11, mono). Same RIFF
+    * discipline as [[wavSamples]]: word-aligned chunk walk, fmt
+    * before data, overrun checks, None — never a throw — for
+    * anything else. */
+  def wavSamplesEx(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (b.length < 44) return None
+    def tag(off: Int, s: String) =
+      s.indices.forall(i => b(off + i) == s(i).toByte)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    def leInt(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def leShort(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    var off = 12
+    // (fmtTag, channels, rate, samplesPerBlock)
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    while (off + 8 <= b.length) {
+      val size = leInt(off + 4)
+      if (size < 0 || off + 8L + size > b.length) return None
+      if (tag(off, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = leShort(off + 8)
+        val channels = leShort(off + 10)
+        val rate = leInt(off + 12)
+        val bits = leShort(off + 22)
+        if (channels < 1 || channels > 8 || rate <= 0) return None
+        audioFormat match {
+          case 1 if bits == 16 => fmt = Some((1, channels, rate, 0))
+          case 7 if bits == 8 => fmt = Some((7, channels, rate, 0))
+          case 0x11 if bits == 4 && channels == 1 =>
+            if (size < 20) return None
+            val spb = leShort(off + 26)
+            if (spb < 3 || spb % 2 == 0) return None
+            fmt = Some((0x11, 1, rate, spb))
+          case _ => return None
+        }
+      } else if (tag(off, "data")) {
+        if (fmt.isEmpty) return None
+        val (t, channels, rate, spb) = fmt.get
+        val mono: Array[Int] = t match {
+          case 1 =>
+            val frames = size / (2 * channels)
+            Array.tabulate(frames) { f =>
+              var sum = 0; var c = 0
+              while (c < channels) {
+                val o = off + 8 + (f * channels + c) * 2
+                sum += leShort(o).toShort.toInt; c += 1
+              }
+              sum / channels
+            }
+          case 7 =>
+            val frames = size / channels
+            Array.tabulate(frames) { f =>
+              var sum = 0; var c = 0
+              while (c < channels) {
+                sum += ulawDecode(b(off + 8 + f * channels + c) & 0xff); c += 1
+              }
+              sum / channels
+            }
+          case _ =>
+            val blockBytes = 4 + (spb - 1) / 2
+            if (size % blockBytes != 0) return None
+            imaDecodeMono(b, off + 8, size, spb)
+        }
+        return Some((rate, channels, t, mono))
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  // ---------------------------------------------------------------
   // GIF: real pure-JVM pixel decode — LZW is the entire codec and it
   // is plain bit-twiddling, so like PNG (JDK zlib) and WAV (no codec)
   // there is nothing to stub for the third classic web container.

@@ -402,6 +402,146 @@ object Multimodal {
       |FROM pk WHERE rk = 1
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Compressed-audio twin of [[mmWavPeaks]] — G.711 μ-LAW through the
+    * same RIFF walk (fmt tag 7, a REAL codec behind the container,
+    * like MJPEG for video): per doc a square wave whose amplitudes are
+    * exact μ-law fixed points (128·m + 1980, the e=4 quantizer rungs —
+    * decode∘encode is the identity there, so the oracle can recompute
+    * every decoded sample from the generating formula without ever
+    * seeing a byte), companded to 8-bit with the from-scratch G.711
+    * encoder, decoded back through [[graft.operators.Multimodal
+    * .wavSamplesEx]] (table decode + the exact integer mixdown), and
+    * framed into band energies. Odd docs stereo with a second
+    * fixed-point amplitude; every third doc carries the odd-length
+    * LIST chunk. The G.711 tables themselves are cross-validated
+    * against javax.sound's independent ULAW codec in the spec. Decode
+    * work stays in the scan stage; blobs never shuffle. */
+  private def mmUlawPeaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val p = (id % 11 + 3).toInt
+        val amp1 = (1980 + 128 * (nChars % 16)).toInt  // exact μ-law rung
+        val amp2 = (1980 + 128 * ((nChars + 5) % 16)).toInt
+        val n = (64 * (id % 5 + 2)).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val sgn = Array.tabulate(n)(i => if ((i / p) % 2 == 0) 1 else -1)
+        val stereo = id % 2 == 1
+        val pcm: Array[Int] =
+          if (stereo) Array.tabulate(2 * n) { j =>
+            sgn(j / 2) * (if (j % 2 == 0) amp1 else amp2)
+          } else Array.tabulate(n)(i => sgn(i) * amp1)
+        val wav = MM.wavUlaw(rate, if (stereo) 2 else 1, pcm,
+          junkChunk = id % 3 == 0)
+        val (gotRate, gotCh, gotFmt, samples) = MM.wavSamplesEx(wav).getOrElse(
+          throw new IllegalStateException(s"ulaw round-trip failed for doc $id"))
+        require(gotFmt == 7 && gotCh == (if (stereo) 2 else 1))
+        MM.sampleBandEnergy(samples, frameSize = 64, nBands = 8)
+          .iterator.zipWithIndex.map { case (bands, f) =>
+            val peak = bands.zipWithIndex.maxBy { case (e, b) => (e, -b) }
+            (id, gotRate.toLong, f.toLong, peak._2.toLong, peak._1, bands.sum)
+          }
+      }
+      .toDF("doc_id", "sample_rate", "frame_idx", "peak_band", "max_energy",
+        "tot_energy")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmUlawPeaksSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(doc_id % 11 + 3 AS BIGINT) AS p,
+      |    CAST(1980 + 128 * (n_chars % 16) AS BIGINT) AS amp1,
+      |    CAST(1980 + 128 * ((n_chars + 5) % 16) AS BIGINT) AS amp2,
+      |    CAST(64 * (doc_id % 5 + 2) AS BIGINT) AS n,
+      |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate
+      |  FROM documents),
+      |sm AS (SELECT doc_id, rate, unnest(range(0, n)) AS i, p, amp1, amp2
+      |  FROM d),
+      |mix AS (SELECT doc_id, rate, i,
+      |    (CASE WHEN (i // p) % 2 = 0 THEN 1 ELSE -1 END) *
+      |    (CASE WHEN doc_id % 2 = 1 THEN (amp1 + amp2) // 2 ELSE amp1 END) AS s
+      |  FROM sm),
+      |be AS (SELECT doc_id, rate, i // 64 AS frame_idx, (i % 64) // 8 AS band,
+      |    SUM(s * s) AS energy
+      |  FROM mix GROUP BY 1, 2, 3, 4),
+      |pk AS (SELECT doc_id, rate, frame_idx, band, energy,
+      |    SUM(energy) OVER (PARTITION BY doc_id, frame_idx) AS tot,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, frame_idx
+      |      ORDER BY energy DESC, band) AS rk
+      |  FROM be)
+      |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(band AS BIGINT) AS peak_band,
+      |  CAST(energy AS BIGINT) AS max_energy,
+      |  CAST(tot AS BIGINT) AS tot_energy
+      |FROM pk WHERE rk = 1
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** IMA/DVI ADPCM through the WAV container (fmt tag 0x11) — the
+    * PREDICTIVE audio codec, stateful where μ-law is a table: per doc
+    * a per-block-constant signal (each 65-sample block's amplitude is
+    * doc- and block-derived) is compressed 4:1 by the from-scratch
+    * IMA encoder and decoded back through the full block walk
+    * (header predictor + 64 nibble steps per block). Per-block
+    * constants make the lossy codec EXACT — the block header stores
+    * the first sample verbatim and nibble 0 at step 7 decodes to +0
+    * (the constant-cell JPEG trick, audio edition) — so the oracle
+    * recomputes every decoded sample as amp(i div 65) and one wrong
+    * nibble, step-table entry, or block boundary breaks the hash.
+    * General-signal behavior (encode→decode→re-encode idempotence,
+    * tracking error) is property-pinned in the spec. */
+  private def mmAdpcmPeaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val nBlocks = (id % 4 + 2).toInt
+        val spb = 65
+        val amps = Array.tabulate(nBlocks)(b =>
+          (((nChars + 37L * b + id) % 32001L) - 16000L).toInt)
+        val samples = Array.tabulate(nBlocks * spb)(i => amps(i / spb))
+        val wav = MM.wavImaAdpcm(8000, samples, spb)
+        val (gotRate, _, gotFmt, decoded) = MM.wavSamplesEx(wav).getOrElse(
+          throw new IllegalStateException(s"adpcm round-trip failed for doc $id"))
+        require(gotFmt == 0x11 && decoded.length == samples.length)
+        MM.sampleBandEnergy(decoded, frameSize = 64, nBands = 8)
+          .iterator.zipWithIndex.map { case (bands, f) =>
+            val peak = bands.zipWithIndex.maxBy { case (e, b) => (e, -b) }
+            (id, gotRate.toLong, f.toLong, peak._2.toLong, peak._1, bands.sum)
+          }
+      }
+      .toDF("doc_id", "sample_rate", "frame_idx", "peak_band", "max_energy",
+        "tot_energy")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmAdpcmPeaksSql =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    CAST(doc_id % 4 + 2 AS BIGINT) AS nb
+      |  FROM documents),
+      |sm AS (SELECT doc_id, n_chars, unnest(range(0, nb * 65)) AS i FROM d),
+      |mix AS (SELECT doc_id,
+      |    ((n_chars + 37 * (i // 65) + doc_id) % 32001) - 16000 AS s, i
+      |  FROM sm),
+      |be AS (SELECT doc_id, i // 64 AS frame_idx, (i % 64) // 8 AS band,
+      |    SUM(s * s) AS energy
+      |  FROM mix GROUP BY 1, 2, 3),
+      |pk AS (SELECT doc_id, frame_idx, band, energy,
+      |    SUM(energy) OVER (PARTITION BY doc_id, frame_idx) AS tot,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, frame_idx
+      |      ORDER BY energy DESC, band) AS rk
+      |  FROM be)
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(band AS BIGINT) AS peak_band,
+      |  CAST(energy AS BIGINT) AS max_energy,
+      |  CAST(tot AS BIGINT) AS tot_energy
+      |FROM pk WHERE rk = 1
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Corpus-scale validation of the REAL GIF pixel decoder — the third
     * image container after [[mmBmpLuma]]/[[mmPngLuma]], and the first
     * with an actual compression codec implemented from scratch
@@ -966,6 +1106,8 @@ object Multimodal {
     "mm_avi_shots" -> QueryDef(mmAviShots, Some(mmAviShotsSql)),
     "mm_mjpeg_shots" -> QueryDef(mmMjpegShots, Some(mmMjpegShotsSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
+    "mm_ulaw_peaks" -> QueryDef(mmUlawPeaks, Some(mmUlawPeaksSql)),
+    "mm_adpcm_peaks" -> QueryDef(mmAdpcmPeaks, Some(mmAdpcmPeaksSql)),
     "mm_blockhash" -> QueryDef(mmBlockhash, Some(mmBlockhashSql)),
     "mm_hash_dedup" -> QueryDef(mmHashDedup, Some(mmHashDedupSql)),
     "mm_features" -> QueryDef(mmFeatures, Some(mmFeaturesSql)),
