@@ -955,6 +955,155 @@ object Pipeline {
       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** The ROW-LEVEL change feed (Delta CDF with `_change_type`) proven
+    * end-to-end through every change kind the table format can emit:
+    * v0 appends half the corpus (a pure append IS its own insert
+    * feed — no change files written or needed), v1 is a cdf-enabled
+    * MERGE whose batch half-updates/half-inserts (update_preimage +
+    * update_postimage + insert rows written AT COMMIT TIME, O(batch +
+    * matched) — read-time diffing would pay an anti-join per poll),
+    * v2 a cdf-enabled GDPR DELETE (delete rows). One
+    * [[graft.sources.ManifestTable.readChanges]] call over (−1, 2]
+    * then serves all seven feed slices, and the emitted per-(version,
+    * type) census hash-matches the oracle's replay of the same
+    * arithmetic — a leaked survivor row in the feed, a missed
+    * preimage, or a double-served retry all break the hash. In-code
+    * requires pin the exactly-once contract (a retried txn-marked
+    * MERGE adds nothing to the feed) and the O(affected) commit shape
+    * (no reset, remove= lines only for matched slices). The
+    * final_snapshot row ties feed and table together: the snapshot
+    * must equal what the feed implies. */
+  private def sinkManifestCdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-rowcdf").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val n = docs.count()
+    val h = n / 2
+    val q = n / 4
+    // v0: base corpus as 2 slices in ONE commit — the insert feed
+    ManifestTable.append(s, docs.filter($"doc_id" < h).repartitionByRange(2, $"doc_id"), root)
+    // v1: CDC upsert — [q, h) exist (updates, +1000 chars), [h, q+h) are fresh (inserts)
+    val batch = docs.filter($"doc_id" >= q && $"doc_id" < q + h)
+      .select($"doc_id", $"source", ($"n_chars" + 1000L).as("n_chars"))
+    val mv = ManifestTable.mergeInto(s, root, batch, "doc_id",
+      txn = Some(("cdc", 1L)), cdf = true)
+    require(mv.contains(1L), "merge must commit exactly v1")
+    // the post-commit-crash retry: no new version AND nothing in the feed
+    require(ManifestTable.mergeInto(s, root, batch, "doc_id",
+        txn = Some(("cdc", 1L)), cdf = true).isEmpty,
+      "retried CDC batch applied twice")
+    // v2: GDPR delete with change capture
+    val dv = ManifestTable.deleteWhere(s, root, $"doc_id" % 3 === 0, cdf = true)
+    require(dv.contains(2L), "delete must commit exactly v2")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_manifest", "v2.manifest"))
+    require(!lines.contains("reset"), "cdf delete wrote a replacing commit")
+    require((0 until lines.size).exists(i => lines.get(i).startsWith("cdf=")),
+      "cdf delete recorded no change files")
+    val feed = ManifestTable.readChanges(s, root, -1L)
+      .groupBy($"_commit_version".as("commit_version"),
+        $"_change_type".as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"))
+    val fin = ManifestTable.read(s, root)
+      .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"))
+      .select(lit(99L).as("commit_version"),
+        lit("final_snapshot").as("change_type"), $"n_rows", $"sum_chars")
+    StreamReplay.finish(s, qname = "", root)(
+      feed.unionByName(fin).orderBy($"commit_version", $"change_type"))
+  }
+
+  private val sinkManifestCdfSql =
+    """WITH p AS (SELECT COUNT(*) // 2 AS h, COUNT(*) // 4 AS q FROM documents),
+      |upd AS (SELECT doc_id, n_chars FROM documents, p
+      |  WHERE doc_id >= q AND doc_id < h),
+      |cur AS (SELECT doc_id,
+      |  CASE WHEN doc_id >= (SELECT q FROM p) THEN n_chars + 1000
+      |       ELSE n_chars END AS n_chars
+      |  FROM documents, p WHERE doc_id < q + h),
+      |feed AS (
+      |  SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+      |    COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars
+      |  FROM documents, p WHERE doc_id < h
+      |  UNION ALL SELECT 1, 'insert', COUNT(*), SUM(n_chars) + 1000 * COUNT(*)
+      |  FROM documents, p WHERE doc_id >= h AND doc_id < q + h
+      |  UNION ALL SELECT 1, 'update_postimage', COUNT(*),
+      |    SUM(n_chars) + 1000 * COUNT(*) FROM upd
+      |  UNION ALL SELECT 1, 'update_preimage', COUNT(*), SUM(n_chars) FROM upd
+      |  UNION ALL SELECT 2, 'delete', COUNT(*), SUM(n_chars)
+      |  FROM cur WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT 99, 'final_snapshot', COUNT(*), SUM(n_chars)
+      |  FROM cur WHERE doc_id % 3 != 0)
+      |SELECT commit_version, change_type, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(sum_chars AS BIGINT) AS sum_chars
+      |FROM feed ORDER BY commit_version, change_type""".stripMargin
+
+  /** Incremental VIEW MAINTENANCE off the row-level change feed — the
+    * production composition CDF exists for: an upstream corpus table
+    * takes two appends, a cdf-enabled MERGE (quality re-score: every
+    * doc_id % 5 == 0 gains 7 chars) and a cdf-enabled GDPR DELETE
+    * (every doc_id % 3 == 0 erased), while a downstream per-source
+    * aggregate table is maintained ONLY from
+    * [[graft.sources.ManifestTable.readChanges]] deltas — each poll
+    * folds the interval's rows with sign (+1 insert/update_postimage,
+    * −1 delete/update_preimage), joins the tiny per-source delta
+    * against the aggregate table, and upserts via
+    * [[graft.sources.ManifestTable.mergeInto]]. The consumer NEVER
+    * re-reads the upstream snapshot — O(changes) per poll, the whole
+    * point — yet the emitted aggregate table hash-matches the oracle's
+    * from-scratch recompute of the final upstream state. This is the
+    * GDPR-propagation story completed: the upstream erasure reaches
+    * the derived table through the feed, not through a rebuild. */
+  private def sinkManifestCdfPropagate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdf-ivm").toFile.getPath
+    val up = s"$root/up"
+    val agg = s"$root/agg"
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    var cursor = -1L
+    def consume(): Unit = {
+      val latest = ManifestTable.latestVersion(up).get
+      if (latest <= cursor) return
+      val sign = when($"_change_type".isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val delta = ManifestTable.readChanges(s, up, cursor, Some(latest))
+        .groupBy($"source")
+        .agg(sum(sign).as("dn"), sum(sign * $"n_chars").as("dchars"))
+      val updated =
+        if (ManifestTable.latestVersion(agg).isEmpty)
+          delta.select($"source", $"dn".as("n_docs"), $"dchars".as("sum_chars"))
+        else delta.join(ManifestTable.read(s, agg), Seq("source"), "left")
+          .select($"source",
+            (coalesce($"n_docs", lit(0L)) + $"dn").as("n_docs"),
+            (coalesce($"sum_chars", lit(0L)) + $"dchars").as("sum_chars"))
+      // a source erased to zero docs would need MERGE's delete clause
+      // to leave the aggregate table; this scenario never empties one
+      require(updated.filter($"n_docs" <= 0L).isEmpty,
+        "a source emptied out — the aggregate row should be deleted, not zeroed")
+      ManifestTable.mergeInto(s, agg, updated, "source")
+      cursor = latest
+    }
+    ManifestTable.append(s, docs.filter($"doc_id" % 2 === 0), up); consume()
+    ManifestTable.append(s, docs.filter($"doc_id" % 2 === 1), up); consume()
+    ManifestTable.mergeInto(s, up,
+      docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"source", ($"n_chars" + 7L).as("n_chars")),
+      "doc_id", cdf = true); consume()
+    ManifestTable.deleteWhere(s, up, $"doc_id" % 3 === 0, cdf = true); consume()
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, agg).orderBy($"source"))
+  }
+
+  private val sinkManifestCdfPropagateSql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+      |           ELSE n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 3 != 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** The manifest table consumed through the REAL Structured Streaming
     * SOURCE (15th driver-verified streaming path —
     * [[graft.sources.v2.ManifestStreamDataSource]], the engine-layer
@@ -2539,6 +2688,10 @@ object Pipeline {
       QueryDef(sinkManifestGdprE2e, Some(sinkManifestGdprE2eSql)),
     "sink_manifest_merge" ->
       QueryDef(sinkManifestMerge, Some(sinkManifestMergeSql)),
+    "sink_manifest_cdf" ->
+      QueryDef(sinkManifestCdf, Some(sinkManifestCdfSql)),
+    "sink_manifest_cdf_propagate" ->
+      QueryDef(sinkManifestCdfPropagate, Some(sinkManifestCdfPropagateSql)),
     "sink_manifest_schema_evo" ->
       QueryDef(sinkManifestSchemaEvo, Some(sinkManifestSchemaEvoSql)),
     "sink_manifest_merge_streaming" ->

@@ -1166,7 +1166,7 @@ object TextAnalysis {
        |  FROM woff JOIN doff USING (doc_id) JOIN wid ON wid.w = woff.w),
        |eos AS (SELECT off + n_doc AS idx, CAST(0 AS BIGINT) AS tid FROM doff),
        |stream AS (SELECT * FROM real UNION ALL SELECT * FROM eos)
-       |SELECT idx // 128 AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |SELECT CAST(idx // 128 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |  md5(string_agg(CAST(tid AS VARCHAR), '-' ORDER BY idx)) AS ids_md5
        |FROM stream GROUP BY 1 ORDER BY seq_id""".stripMargin
   }

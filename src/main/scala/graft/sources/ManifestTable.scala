@@ -47,11 +47,15 @@ import java.util.UUID
   * `version=<N>`, then per line `add=<data-relative path>`,
   * `remove=<data-relative path>` (drops that file from the folded
   * set — the O(affected) half of copy-on-write DELETE/MERGE),
-  * `txn=<writer>:<batch>`, or `reset` (clears the folded file set;
+  * `txn=<writer>:<batch>`, `cdf=<data-relative path>` (a CHANGE-DATA
+  * file the commit wrote alongside its rewrite — rows + a baked-in
+  * `_change_type` column; never part of the folded snapshot, served
+  * only by [[readChanges]]), or `reset` (clears the folded file set;
   * txn markers always survive — a streaming writer's retried batch
   * must stay a no-op across compactions). A `v<N>.checkpoint` holds
   * the FOLDED state at N in the same format (removes already
-  * applied), so checkpoints stay the only O(table) metadata writes.
+  * applied; cdf entries are interval-scoped and never checkpointed),
+  * so checkpoints stay the only O(table) metadata writes.
   */
 object ManifestTable {
 
@@ -104,6 +108,7 @@ object ManifestTable {
         files = files.filterNot(_.takeWhile(_ != '|') == rel)
       case l if l.startsWith("txn=") => txns += l.stripPrefix("txn=")
       case l if l.startsWith("schema=") => schema = Some(l.stripPrefix("schema="))
+      case l if l.startsWith("cdf=") => () // change-data files: feed-only, never snapshot state
       case l => throw new IllegalStateException(s"unknown log action: $l")
     }
     ckpt.foreach { c => apply(readLog(new File(md, s"v$c.checkpoint"), c)) }
@@ -566,7 +571,7 @@ object ManifestTable {
     (from to to).forall { v =>
       val mf = new File(manifestDir(dir), s"v$v.manifest")
       mf.isFile && readLog(mf, v).forall(l =>
-        l.startsWith("add=") || l.startsWith("txn="))
+        l.startsWith("add=") || l.startsWith("txn=") || l.startsWith("cdf="))
     }
 
   private[graft] sealed trait RewriteResult
@@ -767,12 +772,17 @@ object ManifestTable {
     *
     * Scale shape: the affected-file scan is one pass with the
     * predicate pushed to parquet; the rewrite touches only affected
-    * files' rows; commit metadata is O(affected). Returns the
+    * files' rows; commit metadata is O(affected). With `cdf = true`
+    * the commit also records the deleted rows as change-data files
+    * (`cdf=` actions, `_change_type = 'delete'`) so [[readChanges]]
+    * can serve the delete to downstream consumers — GDPR erasure then
+    * PROPAGATES instead of stranding derived tables. Returns the
     * committed version, or None when nothing matched (no commit —
     * a delete of nothing must not advance the log). */
   def deleteWhere(spark: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column,
-                  statCols: Seq[String] = Nil): Option[Long] = {
+                  statCols: Seq[String] = Nil,
+                  cdf: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.input_file_name
     var attempts = 0
     while (attempts < 20) {
@@ -803,16 +813,32 @@ object ManifestTable {
         .filter(!org.apache.spark.sql.functions.coalesce(
           predicate, org.apache.spark.sql.functions.lit(false)))
       val staged = stageFiles(survivors, dir)
+      // change-data feed (opt-in, the Delta enableChangeDataFeed
+      // shape): the DELETED rows are written at commit time with a
+      // baked-in `_change_type` — O(changed rows), one more
+      // predicate-pushed pass over the SAME affected files; read-time
+      // diffing of removed-vs-added files would pay an anti-join per
+      // feed poll instead
+      val cdfStaged: Seq[String] =
+        if (!cdf) Nil
+        else stageFiles(
+          pinnedReader(spark, dir, Some(parent)).parquet(
+              affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+            .filter(org.apache.spark.sql.functions.coalesce(
+              predicate, org.apache.spark.sql.functions.lit(false)))
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
+          dir)
       val adds =
         if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
         else staged.map("add=" + _)
-      val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds
+      val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
+        cdfStaged.map("cdf=" + _)
       commitRewriteRebasing(dir, parent, actions) match {
         case RewriteCommitted(v) => return Some(v)
         case _ =>
           // a non-commuting commit landed; the rewrite may have read
           // rows that commit removed — drop it and re-plan
-          staged.map(_.takeWhile(_ != '/')).distinct
+          (staged ++ cdfStaged).map(_.takeWhile(_ != '/')).distinct
             .foreach(t => deleteRec(new File(dataDir(dir), t)))
       }
     }
@@ -841,11 +867,15 @@ object ManifestTable {
     *
     * Duplicate keys IN the batch are an error (MERGE's own rule —
     * which copy would win?), raised distributedly during the staged
-    * write, before anything commits. Returns the committed version,
-    * or None when `txn` says this batch already landed. */
+    * write, before anything commits. With `cdf = true` the commit
+    * also records its row changes (`update_preimage` /
+    * `update_postimage` / `insert`) as change-data files for
+    * [[readChanges]]. Returns the committed version, or None when
+    * `txn` says this batch already landed. */
   def mergeInto(spark: SparkSession, dir: String, batch: DataFrame, key: String,
                 statCols: Seq[String] = Nil,
-                txn: Option[(String, Long)] = None): Option[Long] = {
+                txn: Option[(String, Long)] = None,
+                cdf: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, raise_error, when}
     // the duplicate-batch-key guard rides the key column itself, so it
@@ -931,15 +961,47 @@ object ManifestTable {
           // table's current schema — an error, not something to pad
           .unionByName(guarded)
       val staged = stageFiles(rewritten, dir)
+      // change-data feed (opt-in): MERGE's row changes recorded at
+      // commit time — matched old rows as `update_preimage`, their
+      // batch replacements as `update_postimage`, unmatched batch rows
+      // as `insert`. One staged write of O(batch + matched) rows; the
+      // feed then carries the exact signed delta an incremental view
+      // needs (postimage − preimage), which added-files-only feeds
+      // cannot express for an upsert.
+      val cdfStaged: Seq[String] =
+        if (!cdf) Nil
+        else {
+          val typed =
+            if (affected.isEmpty)
+              guarded.withColumn("_change_type",
+                org.apache.spark.sql.functions.lit("insert"))
+            else {
+              val oldMatched = pinnedReader(spark, dir, Some(parent)).parquet(
+                  affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+                .join(keys, Seq(key), "left_semi")
+              val matchedKeys = oldMatched.select(col(key)).distinct()
+              oldMatched
+                .withColumn("_change_type",
+                  org.apache.spark.sql.functions.lit("update_preimage"))
+                .unionByName(guarded.join(matchedKeys, Seq(key), "left_semi")
+                  .withColumn("_change_type",
+                    org.apache.spark.sql.functions.lit("update_postimage")))
+                .unionByName(guarded.join(matchedKeys, Seq(key), "left_anti")
+                  .withColumn("_change_type",
+                    org.apache.spark.sql.functions.lit("insert")))
+            }
+          stageFiles(typed, dir)
+        }
       val adds =
         if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
         else staged.map("add=" + _)
       val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
+        cdfStaged.map("cdf=" + _) ++
         txn.map { case (w, b) => s"txn=$w:$b" }
       commitRewriteRebasing(dir, parent, actions, skipIfTxn = txn) match {
         case RewriteCommitted(v) => return Some(v)
         case other =>
-          staged.map(_.takeWhile(_ != '/')).distinct
+          (staged ++ cdfStaged).map(_.takeWhile(_ != '/')).distinct
             .foreach(t => deleteRec(new File(dataDir(dir), t)))
           if (other == RewriteSkippedTxn) return None
         // RewriteConflict: a reset/remove landed — re-plan from the
@@ -1004,6 +1066,83 @@ object ManifestTable {
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 
+  /** The ROW-LEVEL change feed over `(sinceVersion, toVersion]` — the
+    * full Delta CDF contract, superseding [[readSince]] wherever the
+    * interval may contain deletes or merges: every row change in the
+    * interval comes back tagged `_change_type` ∈ {insert,
+    * update_preimage, update_postimage, delete} and `_commit_version`.
+    * Per commit the classification is pure log metadata:
+    *
+    *  - a pure-append commit's `add=` files ARE its inserted rows —
+    *    served directly, no change files needed (Delta does the same);
+    *  - a commit carrying `cdf=` actions (a cdf-enabled DELETE/MERGE)
+    *    serves exactly its change files — the rewritten survivor files
+    *    it also adds are NOT row changes and are skipped;
+    *  - a row-removing commit WITHOUT change data (`remove=`/`reset`
+    *    from a cdf-less delete, compact, restore) is not expressible
+    *    as a row feed: throws, consumer falls back to a snapshot
+    *    re-read — the Delta rule when CDF wasn't enabled at write time.
+    *
+    * Feed cost: O(manifests polled) metadata + O(changed rows) data.
+    * Applying inserts − deletes + (postimages − preimages) to a
+    * downstream copy reconstructs the upstream snapshot exactly —
+    * incremental view maintenance rides this (see
+    * `sink_manifest_cdf_propagate`). */
+  def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
+                  toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = resolved(dir, toVersion)
+    require(to >= sinceVersion, s"change feed interval ($sinceVersion, $to] is negative")
+    val md = manifestDir(dir)
+    // change files carry the table schema AS OF their commit plus the
+    // baked-in type column; pin to the target version's schema (when
+    // the table evolved) so pre-evolution change files NULL-backfill
+    val cdfReader = tableSchema(dir, Some(to)) match {
+      case Some(st) => spark.read.schema(st.add(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      case None => spark.read
+    }
+    val frames: Seq[DataFrame] = (sinceVersion + 1 to to).flatMap { v =>
+      val mf = new File(md, s"v$v.manifest")
+      if (!mf.isFile)
+        throw new IllegalStateException(
+          s"version $v missing from the log of $dir (vacuumed past it?)")
+      val lines = readLog(mf, v)
+      val cdfRels = lines.collect { case l if l.startsWith("cdf=") => l.stripPrefix("cdf=") }
+      if (cdfRels.nonEmpty)
+        Some(cdfReader.parquet(
+            cdfRels.map(rel => new File(dataDir(dir), rel).getPath): _*)
+          .withColumn("_commit_version", lit(v)))
+      else if (lines.contains("reset") || lines.exists(_.startsWith("remove=")))
+        throw new IllegalStateException(
+          s"change feed ($sinceVersion, $to] crosses a row-removing commit at v$v " +
+            "written without change data; re-read the snapshot instead")
+      else {
+        val adds = lines.collect { case l if l.startsWith("add=") =>
+          l.stripPrefix("add=").takeWhile(_ != '|')
+        }
+        if (adds.isEmpty) None // markers-only commit: no row changes
+        else Some(pinnedReader(spark, dir, Some(to)).parquet(
+            adds.map(rel => new File(dataDir(dir), rel).getPath): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (frames.nonEmpty)
+      return frames.reduce(_.unionByName(_))
+    // empty interval: an empty frame in the feed's schema
+    val all = snapshotFiles(dir, Some(to))
+    if (all.isEmpty)
+      throw new IllegalStateException(
+        s"readChanges on $dir: no changes and the snapshot holds no files")
+    pinnedReader(spark, dir, Some(to))
+      .parquet(new File(dataDir(dir), all.head).getPath)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(-1L))
+      .filter(org.apache.spark.sql.functions.lit(false))
+  }
+
   /** Default [[vacuum]] grace period: unreferenced files younger than
     * this survive, protecting a concurrent writer's staged-but-not-
     * yet-committed part files (the same race Delta's VACUUM retention
@@ -1034,9 +1173,15 @@ object ManifestTable {
     writeCheckpoint(dir, oldestKept) // folds BEFORE history is dropped
     // live = surviving versions' files, stats suffix STRIPPED — the
     // raw fold entries carry `|stat=..` for stats-commits and would
-    // never string-match an on-disk relative path
+    // never string-match an on-disk relative path. Change-data files
+    // named by a SURVIVING manifest stay too ([[readChanges]] over the
+    // kept interval must still serve them); cdf files referenced only
+    // by dropped history go with it — CDF retention = time-travel
+    // retention, Delta's rule.
     val live: Set[String] =
-      keep.flatMap { case (v, _) => fold(dir, v).files.map(_.takeWhile(_ != '|')) }.toSet
+      keep.flatMap { case (v, _) => fold(dir, v).files.map(_.takeWhile(_ != '|')) }.toSet ++
+        keep.flatMap { case (v, f) => readLog(f, v).collect {
+          case l if l.startsWith("cdf=") => l.stripPrefix("cdf=") } }
     drop.foreach { case (_, f) => f.delete(): Unit }
     // checkpoints strictly below the oldest kept version are useless now
     Option(md.listFiles()).getOrElse(Array.empty)

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestTable
+import java.nio.file.Files
+
+/** Round-15 engine layer: the ROW-LEVEL change feed
+  * ([[ManifestTable.readChanges]] + the `cdf=` commit action) — the
+  * Delta CDF contract. Pins the properties the feed exists for:
+  * change rows written AT COMMIT TIME by cdf-enabled DELETE/MERGE
+  * (typed insert / update_preimage / update_postimage / delete),
+  * pure appends served as inserts with no change files at all,
+  * loud refusal where the feed would lie (row-removing commits
+  * without change data, replacing rewrites), exactly-once under
+  * txn-marked retries, and vacuum sparing exactly the change files
+  * a surviving manifest still names. */
+class ManifestCdfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-cdf-spec").toFile.getPath
+
+  private def feed(dir: String, since: Long = -1L): Seq[(Long, String, Int, String)] =
+    ManifestTable.readChanges(spark, dir, since)
+      .select($"_commit_version", $"_change_type", $"id", $"v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSeq.sorted
+
+  test("pure appends are served as typed inserts, one _commit_version per commit") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    ManifestTable.append(spark, Seq((3, "c")).toDF("id", "v"), dir)
+    assert(feed(dir) == Seq((0L, "insert", 1, "a"), (0L, "insert", 2, "b"),
+      (1L, "insert", 3, "c")))
+    // no change files were written for appends — the adds ARE the feed
+    val lines = Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_manifest", "v0.manifest"))
+    assert(!(0 until lines.size).exists(i => lines.get(i).startsWith("cdf=")))
+    // interval scoping: (0, 1] sees only the second commit
+    assert(feed(dir, since = 0L) == Seq((1L, "insert", 3, "c")))
+  }
+
+  test("cdf-enabled MERGE records exact preimage/postimage/insert rows") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "old1"), (2, "old2"), (3, "keep")).toDF("id", "v"), dir)
+    val mv = ManifestTable.mergeInto(spark, dir,
+      Seq((1, "new1"), (2, "new2"), (9, "fresh")).toDF("id", "v"), "id", cdf = true)
+    assert(mv.contains(1L))
+    assert(feed(dir, since = 0L) == Seq(
+      (1L, "insert", 9, "fresh"),
+      (1L, "update_postimage", 1, "new1"), (1L, "update_postimage", 2, "new2"),
+      (1L, "update_preimage", 1, "old1"), (1L, "update_preimage", 2, "old2")))
+    // the rewritten survivor (3, keep) is NOT a row change
+    assert(!feed(dir, since = 0L).exists(_._3 == 3))
+    // and the snapshot agrees with what the feed implies
+    assert(ManifestTable.read(spark, dir).count() == 4)
+  }
+
+  test("insert-only MERGE into an empty/unmatched table feeds pure inserts") {
+    val dir = freshDir()
+    val mv = ManifestTable.mergeInto(spark, dir,
+      Seq((7, "x")).toDF("id", "v"), "id", cdf = true)
+    assert(mv.contains(0L))
+    assert(feed(dir) == Seq((0L, "insert", 7, "x")))
+  }
+
+  test("cdf-enabled DELETE records exactly the deleted rows") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (1 to 6).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    val dv = ManifestTable.deleteWhere(spark, dir, $"id" % 2 === 0, cdf = true)
+    assert(dv.contains(1L))
+    assert(feed(dir, since = 0L) == Seq((1L, "delete", 2, "r2"),
+      (1L, "delete", 4, "r4"), (1L, "delete", 6, "r6")))
+    assert(ManifestTable.read(spark, dir).count() == 3)
+  }
+
+  test("a row-removing commit WITHOUT change data refuses to feed") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (1 to 4).map(i => (i, "x")).toDF("id", "v"), dir)
+    ManifestTable.deleteWhere(spark, dir, $"id" === 1) // cdf = false
+    val e = intercept[IllegalStateException] {
+      ManifestTable.readChanges(spark, dir, -1L).collect()
+    }
+    assert(e.getMessage.contains("without change data"))
+    // but an interval that stops BEFORE the blind delete still serves
+    assert(ManifestTable.readChanges(spark, dir, -1L, Some(0L)).count() == 4)
+  }
+
+  test("a replacing rewrite (compact) in the interval refuses to feed") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (1 to 4).map(i => (i, "x")).toDF("id", "v"), dir)
+    ManifestTable.compact(spark, dir)
+    val e = intercept[IllegalStateException] {
+      ManifestTable.readChanges(spark, dir, -1L).collect()
+    }
+    assert(e.getMessage.contains("re-read the snapshot"))
+  }
+
+  test("retried txn-marked MERGE adds nothing to the feed") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "a")).toDF("id", "v"), dir)
+    val batch = Seq((1, "a2")).toDF("id", "v")
+    assert(ManifestTable.mergeInto(spark, dir, batch, "id",
+      txn = Some(("w", 5L)), cdf = true).isDefined)
+    val before = feed(dir)
+    assert(ManifestTable.mergeInto(spark, dir, batch, "id",
+      txn = Some(("w", 5L)), cdf = true).isEmpty)
+    assert(feed(dir) == before)
+  }
+
+  test("empty interval returns an empty frame in the feed schema") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "a")).toDF("id", "v"), dir)
+    val empty = ManifestTable.readChanges(spark, dir, 0L)
+    assert(empty.columns.toSeq ==
+      Seq("id", "v", "_change_type", "_commit_version"))
+    assert(empty.count() == 0)
+  }
+
+  test("vacuum spares change files named by surviving manifests, sweeps dropped ones") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (1 to 6).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    ManifestTable.deleteWhere(spark, dir, $"id" === 1, cdf = true) // v1: dropped below
+    ManifestTable.deleteWhere(spark, dir, $"id" === 2, cdf = true) // v2: survives
+    val cdfRelOf = (v: Long) => {
+      val lines = Files.readAllLines(
+        java.nio.file.Paths.get(dir, "_manifest", s"v$v.manifest"))
+      (0 until lines.size).map(lines.get(_)).filter(_.startsWith("cdf="))
+        .map(_.stripPrefix("cdf="))
+    }
+    val (dropped, kept) = (cdfRelOf(1L), cdfRelOf(2L))
+    assert(dropped.nonEmpty && kept.nonEmpty)
+    // keep only v2: v1's manifest (and so its change files) leave history
+    ManifestTable.vacuum(dir, keepVersions = 1, minAgeMs = 0L)
+    def onDisk(rel: String) = new java.io.File(s"$dir/data/$rel").isFile
+    assert(dropped.forall(!onDisk(_)), "dropped history's change files must be swept")
+    assert(kept.forall(onDisk), "surviving manifests' change files must stay")
+    // and the feed over the surviving interval still serves
+    assert(feed(dir, since = 1L) == Seq((2L, "delete", 2, "r2")))
+  }
+}
