@@ -1528,6 +1528,347 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  // ── ISO-BMFF (MP4/MOV) ────────────────────────────────────────────
+  // The dominant crawl-video container (ISO/IEC 14496-12). Unlike
+  // RIFF, boxes are big-endian, exact-sized (no word alignment), and
+  // the SAMPLE TABLE (stbl) is pure metadata: per-sample offsets,
+  // sizes and durations are derived by joining stsc (chunk runs) ×
+  // stco/co64 (chunk offsets) × stsz (sizes) × stts (duration runs) —
+  // the payload is never scanned to find frames, which is exactly why
+  // the format survives at scale: a reader plans byte ranges from
+  // O(samples) metadata the way a manifest table plans files.
+
+  /** One parsed ISO-BMFF track: identity, media geometry, and the
+    * fully-resolved sample table (absolute byte offset, size, duration
+    * in media-timescale ticks — stsc/stco/stsz/stts already joined). */
+  final case class Mp4Track(trackId: Long, handler: String, fourcc: String,
+                            width: Int, height: Int,
+                            timescale: Long, duration: Long,
+                            samples: Array[(Long, Int, Long)])
+
+  /** Parsed movie: mvhd timescale/duration + every trak. */
+  final case class Mp4Info(timescale: Long, duration: Long,
+                           tracks: Seq[Mp4Track])
+
+  /** Real ISO-BMFF file carrying a Motion-JPEG video track ('jpeg'
+    * VisualSampleEntry — the QuickTime/MJPEG-in-MP4 layout): ftyp +
+    * mdat (samples laid out in chunks of `samplesPerChunk`) + moov
+    * with the full box tree (mvhd, trak(tkhd, mdia(mdhd, hdlr,
+    * minf(vmhd, dinf/dref, stbl(stsd/stts/stsc/stsz/stco|co64))))).
+    * `sampleDelta` is the per-sample duration in `timescale` ticks;
+    * the LAST sample gets 2× (a second stts run — real encoders emit
+    * run-length stts, a constant-delta-only walk would misread them).
+    * `co64` stores chunk offsets as ChunkLargeOffsetBox (the 64-bit
+    * arm every >4 GiB file uses). `audioTrack` adds a second 'soun'
+    * trak whose chunks interleave into mdat — the decoder must follow
+    * per-track sample tables, not file order. */
+  def mp4MjpegVideo(w: Int, h: Int, frames: Seq[Array[Byte]],
+                    timescale: Int, sampleDelta: Int,
+                    samplesPerChunk: Int = 1,
+                    co64: Boolean = false,
+                    audioTrack: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty && samplesPerChunk > 0)
+    val out = new java.io.ByteArrayOutputStream(1024 + frames.map(_.length).sum)
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xffffffffL) }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def box(typ: String)(body: => Unit): Unit = {
+      // two-pass: render body to measure, then emit size-prefixed
+      val saved = out.toByteArray; out.reset(); body
+      val payload = out.toByteArray; out.reset()
+      out.write(saved, 0, saved.length)
+      be32(8L + payload.length); tag(typ)
+      out.write(payload, 0, payload.length)
+    }
+    val n = frames.length
+    // audio: tiny fixed-size PCM chunks interleaved after video chunks
+    val audioChunks: Seq[Array[Byte]] =
+      if (audioTrack) (0 until 3).map(i => Array.fill[Byte](11)((i + 1).toByte))
+      else Nil
+    // mdat layout: video chunks (spc samples each), then audio chunks
+    val videoChunks = frames.grouped(samplesPerChunk).toSeq
+    box("ftyp") { tag("isom"); be32(0x200); tag("isom"); tag("mp41") }
+    // mdat offset = current position + 8 (its own header)
+    val mdatStart = out.size() + 8
+    val vChunkOffs = new Array[Long](videoChunks.length)
+    val aChunkOffs = new Array[Long](audioChunks.length)
+    locally {
+      var off = mdatStart.toLong
+      videoChunks.zipWithIndex.foreach { case (c, i) =>
+        vChunkOffs(i) = off; off += c.map(_.length.toLong).sum
+      }
+      audioChunks.zipWithIndex.foreach { case (c, i) =>
+        aChunkOffs(i) = off; off += c.length
+      }
+    }
+    box("mdat") {
+      videoChunks.foreach(_.foreach(f => out.write(f, 0, f.length)))
+      audioChunks.foreach(c => out.write(c, 0, c.length))
+    }
+    val vDuration = if (n == 1) 2L * sampleDelta
+      else (n - 1).toLong * sampleDelta + 2L * sampleDelta
+    def fullBox(typ: String, ver: Int = 0, flags: Int = 0)(body: => Unit): Unit =
+      box(typ) { be32(((ver.toLong << 24) | flags)); body }
+    def matrix(): Unit = {
+      be32(0x10000); be32(0); be32(0); be32(0); be32(0x10000); be32(0)
+      be32(0); be32(0); be32(0x40000000L)
+    }
+    def stblBox(chunkOffs: Array[Long], sizes: Array[Int], spc: Int,
+                delta: Int, lastDouble: Boolean, entry: () => Unit): Unit =
+      box("stbl") {
+        fullBox("stsd") { be32(1); entry() }
+        fullBox("stts") {
+          val k = sizes.length
+          if (lastDouble && k > 1) {
+            be32(2); be32(k - 1L); be32(delta); be32(1); be32(2L * delta)
+          } else { be32(1); be32(k.toLong); be32(if (lastDouble) 2L * delta else delta) }
+        }
+        fullBox("stsc") { be32(1); be32(1); be32(spc); be32(1) }
+        fullBox("stsz") { be32(0); be32(sizes.length.toLong); sizes.foreach(s => be32(s.toLong)) }
+        if (co64) fullBox("co64") { be32(chunkOffs.length.toLong); chunkOffs.foreach(be64) }
+        else fullBox("stco") { be32(chunkOffs.length.toLong); chunkOffs.foreach(o => be32(o)) }
+      }
+    def trakBox(tid: Long, handler: String, dur: Long, mediaTs: Long,
+                mediaDur: Long, stbl: () => Unit, isVideo: Boolean): Unit =
+      box("trak") {
+        fullBox("tkhd", flags = 7) {
+          be32(0); be32(0); be32(tid); be32(0); be32(dur)
+          be32(0); be32(0); be16(0); be16(0); be16(if (isVideo) 0 else 0x100); be16(0)
+          matrix()
+          be32(if (isVideo) w.toLong << 16 else 0)
+          be32(if (isVideo) h.toLong << 16 else 0)
+        }
+        box("mdia") {
+          fullBox("mdhd") { be32(0); be32(0); be32(mediaTs); be32(mediaDur); be16(0x55c4); be16(0) }
+          fullBox("hdlr") { be32(0); tag(handler); be32(0); be32(0); be32(0); tag(if (isVideo) "Video" else "Sound"); out.write(0) }
+          box("minf") {
+            if (isVideo) fullBox("vmhd", flags = 1) { be16(0); be16(0); be16(0); be16(0) }
+            else fullBox("smhd") { be16(0); be16(0) }
+            box("dinf") { fullBox("dref") { be32(1); fullBox("url ", flags = 1) {} } }
+            stbl()
+          }
+        }
+      }
+    box("moov") {
+      fullBox("mvhd") {
+        be32(0); be32(0)       // creation, modification
+        be32(1000); be32(vDuration * 1000 / timescale) // movie timescale ms
+        be32(0x10000); be16(0x100); be16(0); be32(0); be32(0)
+        matrix()
+        (0 until 6).foreach(_ => be32(0))
+        be32(if (audioTrack) 3 else 2) // next track id
+      }
+      trakBox(1, "vide", vDuration * 1000 / timescale, timescale, vDuration,
+        () => stblBox(vChunkOffs, frames.map(_.length).toArray, samplesPerChunk,
+          sampleDelta, lastDouble = true, () => box("jpeg") {
+            (0 until 6).foreach(_ => out.write(0)); be16(1) // reserved, dri
+            be16(0); be16(0); (0 until 3).foreach(_ => be32(0))
+            be16(w); be16(h)
+            be32(0x480000); be32(0x480000); be32(0); be16(1)
+            out.write(new Array[Byte](32), 0, 32) // compressorname
+            be16(24); be16(0xffff)
+          }), isVideo = true)
+      if (audioTrack)
+        trakBox(2, "soun", 0, 8000, audioChunks.map(_.length.toLong).sum,
+          () => stblBox(aChunkOffs, audioChunks.map(_.length).toArray, 1,
+            1, lastDouble = false, () => box("twos") {
+              (0 until 6).foreach(_ => out.write(0)); be16(1)
+              be16(0); be16(0); be32(0)
+              be16(1); be16(8); be16(0); be16(0)
+              be32(8000L << 16)
+            }), isVideo = false)
+    }
+    out.toByteArray
+  }
+
+  /** REAL pure-JVM ISO-BMFF walk: top-level boxes (32-bit and
+    * `size==1` 64-bit largesize), container recursion (moov/trak/
+    * mdia/minf/stbl/dinf/edts/udta), and the full sample-table join —
+    * stsc chunk runs × stco/co64 × stsz (fixed or per-sample) × stts
+    * duration runs — resolved into absolute (offset, size, delta)
+    * per sample. None — never a throw — for truncated boxes, a
+    * malformed tree, or an inconsistent sample table (counts that
+    * don't reconcile across the four boxes). */
+  def mp4Walk(b: Array[Byte]): Option[Mp4Info] = {
+    def be16(off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    def be32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    def fourcc(off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "dinf", "edts", "udta")
+    var movieTs = 0L; var movieDur = 0L
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    // per-trak parse state, finalized when the trak box closes
+    final class TrakState {
+      var tid = 0L; var handler = ""; var fourcc = ""; var w = 0; var h = 0
+      var ts = 0L; var dur = 0L
+      var stts: Array[(Long, Long)] = Array.empty
+      var stsc: Array[(Long, Long)] = Array.empty
+      var fixedSize = 0L; var sizes: Array[Int] = Array.empty
+      var chunkOffs: Array[Long] = Array.empty
+    }
+    var trak: TrakState = null
+    def parseLeaf(typ: String, po: Int, pl: Int): Boolean = typ match {
+      case "mvhd" =>
+        if (pl < 24) return false
+        val v = b(po) & 0xff
+        if (v == 1) { movieTs = be32(po + 20); movieDur = be64(po + 24) }
+        else { movieTs = be32(po + 12); movieDur = be32(po + 16) }
+        true
+      case "tkhd" if trak != null =>
+        if (pl < 84) return false
+        val v = b(po) & 0xff
+        trak.tid = if (v == 1) be32(po + 20) else be32(po + 12)
+        true
+      case "mdhd" if trak != null =>
+        if (pl < 24) return false
+        val v = b(po) & 0xff
+        if (v == 1) { trak.ts = be32(po + 20); trak.dur = be64(po + 24) }
+        else { trak.ts = be32(po + 12); trak.dur = be32(po + 16) }
+        true
+      case "hdlr" if trak != null =>
+        if (pl < 12) return false
+        trak.handler = fourcc(po + 8); true
+      case "stsd" if trak != null =>
+        // first sample entry: size(4) fourcc(4); video entries carry
+        // width/height at entry offset 32/34
+        if (pl < 16) return false
+        val eo = po + 8
+        if (eo + 8 > po + pl) return false
+        trak.fourcc = fourcc(eo + 4)
+        if (trak.handler == "vide" && eo + 36 <= po + pl) {
+          trak.w = be16(eo + 32); trak.h = be16(eo + 34)
+        }
+        true
+      case "stts" if trak != null =>
+        if (pl < 8) return false
+        val k = be32(po + 4).toInt
+        if (pl < 8 + 8 * k || k < 0) return false
+        trak.stts = Array.tabulate(k)(i =>
+          (be32(po + 8 + 8 * i), be32(po + 12 + 8 * i)))
+        true
+      case "stsc" if trak != null =>
+        if (pl < 8) return false
+        val k = be32(po + 4).toInt
+        if (pl < 8 + 12 * k || k < 0) return false
+        trak.stsc = Array.tabulate(k)(i =>
+          (be32(po + 8 + 12 * i), be32(po + 12 + 12 * i)))
+        true
+      case "stsz" if trak != null =>
+        if (pl < 12) return false
+        trak.fixedSize = be32(po + 4)
+        val k = be32(po + 8).toInt
+        if (trak.fixedSize == 0) {
+          if (pl < 12 + 4 * k || k < 0) return false
+          trak.sizes = Array.tabulate(k)(i => be32(po + 12 + 4 * i).toInt)
+        } else trak.sizes = Array.fill(k)(trak.fixedSize.toInt)
+        true
+      case "stco" if trak != null =>
+        if (pl < 8) return false
+        val k = be32(po + 4).toInt
+        if (pl < 8 + 4 * k || k < 0) return false
+        trak.chunkOffs = Array.tabulate(k)(i => be32(po + 8 + 4 * i))
+        true
+      case "co64" if trak != null =>
+        if (pl < 8) return false
+        val k = be32(po + 4).toInt
+        if (pl < 8 + 8 * k || k < 0) return false
+        trak.chunkOffs = Array.tabulate(k)(i => be64(po + 8 + 8 * i))
+        true
+      case _ => true // unknown leaves are skipped, the format's rule
+    }
+    def finalizeTrak(): Boolean = {
+      val t = trak
+      // join the four tables into per-sample (offset, size, delta)
+      val nSamples = t.sizes.length
+      if (t.stts.map(_._1).sum != nSamples) return false
+      val deltas = new Array[Long](nSamples)
+      var di = 0
+      t.stts.foreach { case (cnt, d) =>
+        var c = 0L
+        while (c < cnt && di < nSamples) { deltas(di) = d; di += 1; c += 1 }
+      }
+      val samples = new Array[(Long, Int, Long)](nSamples)
+      var si = 0; var ci = 0; var run = 0
+      while (ci < t.chunkOffs.length && si < nSamples) {
+        while (run + 1 < t.stsc.length && t.stsc(run + 1)._1 <= ci + 1) run += 1
+        if (t.stsc.isEmpty) return false
+        val spc = t.stsc(run)._2
+        var off = t.chunkOffs(ci)
+        var k = 0L
+        while (k < spc && si < nSamples) {
+          if (off + t.sizes(si) > b.length) return false // points past EOF
+          samples(si) = (off, t.sizes(si), deltas(si))
+          off += t.sizes(si); si += 1; k += 1
+        }
+        ci += 1
+      }
+      if (si != nSamples) return false // chunk map can't place every sample
+      tracks += Mp4Track(t.tid, t.handler, t.fourcc, t.w, t.h, t.ts, t.dur, samples)
+      true
+    }
+    def walk(from: Int, to: Int): Boolean = {
+      var off = from
+      while (off < to) {
+        if (off + 8 > to) return false
+        var size = be32(off)
+        var hdr = 8
+        val typ = fourcc(off + 4)
+        if (size == 1) {
+          if (off + 16 > to) return false
+          size = be64(off + 8); hdr = 16
+        } else if (size == 0) size = (to - off).toLong
+        if (size < hdr || off + size > to) return false
+        if (containers.contains(typ)) {
+          val isTrak = typ == "trak"
+          if (isTrak) {
+            if (trak != null) return false // nested trak: malformed
+            trak = new TrakState
+          }
+          if (!walk(off + hdr, off + size.toInt)) return false
+          if (isTrak) { if (!finalizeTrak()) return false; trak = null }
+        } else if (!parseLeaf(typ, off + hdr, (size - hdr).toInt)) return false
+        off += size.toInt
+      }
+      true
+    }
+    try {
+      if (b.length < 8 || !walk(0, b.length) || movieTs == 0) None
+      else Some(Mp4Info(movieTs, movieDur, tracks.toSeq))
+    } catch { case _: Exception => None }
+  }
+
+  /** MJPEG-in-MP4 decode, end to end ours: [[mp4Walk]] resolves the
+    * 'vide' track's sample table, every sample's byte range decodes
+    * through the from-scratch baseline JPEG pipeline, dims must agree
+    * with the VisualSampleEntry. None for a bad tree, no video track,
+    * a non-jpeg entry, an undecodable sample, or a dims mismatch. */
+  def mp4MjpegFrameLuma(b: Array[Byte]): Option[(Int, Int, Array[Array[Long]])] = {
+    val info = mp4Walk(b).getOrElse(return None)
+    val v = info.tracks.find(t => t.handler == "vide" && t.fourcc == "jpeg")
+      .getOrElse(return None)
+    val out = new Array[Array[Long]](v.samples.length)
+    var i = 0
+    while (i < v.samples.length) {
+      val (off, len, _) = v.samples(i)
+      val lum = Jpeg.luminanceWithDims(
+        java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + len)) match {
+        case Some((fw, fh, l)) if fw == v.width && fh == v.height => l
+        case _ => return None
+      }
+      out(i) = lum
+      i += 1
+    }
+    Some((v.width, v.height, out))
+  }
+
   /** Perceptual blockhash over REAL decoded luminance when the blob is
     * a decodable BMP ([[bmpLuminance]]), PNG ([[pngLuminance]]) or GIF
     * ([[gifLuminance]]), byte-level [[blockHash60]] otherwise: a mixed

@@ -743,6 +743,133 @@ object Multimodal {
       |FROM dl JOIN agg g ON g.doc_id = dl.doc_id AND g.f = dl.frame_idx
       |ORDER BY g.doc_id, frame_idx""".stripMargin
 
+  /** ISO-BMFF (MP4) SAMPLE-TABLE decode at corpus scale — the
+    * dominant crawl-video container, proven at the metadata layer the
+    * format exists for: per doc a real MP4 is synthesized (ftyp +
+    * chunked mdat + full moov tree) with doc-derived geometry —
+    * frames-per-chunk rotates 1/2/3 (multi-sample stsc runs), every
+    * fourth doc stores offsets as 64-bit co64, every third carries an
+    * interleaved audio track the walk must not confuse with video,
+    * and stts is genuinely run-length (last sample 2× duration).
+    * [[graft.operators.Multimodal.mp4Walk]] then re-derives
+    * EVERYTHING from the box tree alone — track count, dims,
+    * timescale, duration (Σ stts), sample count — and the decoded
+    * first-frame luma proves stsc×stco×stsz actually resolved to the
+    * right mdat bytes (an off-by-one chunk join decodes garbage or
+    * nothing). The oracle replays every field from the doc formula;
+    * container bytes are never seen. Scale shape: synthesis + walk +
+    * decode all inside the scan stage, blobs never shuffle. */
+  private def mmMp4Manifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (nChars % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+        val n = (id % 5 + 6).toInt
+        val nbx = (w + 7) / 8
+        val delta = (3000 + (id % 4) * 750).toInt
+        def gray(v: Int) = (v << 16) | (v << 8) | v
+        val jpegs = (0 until n).map { f =>
+          graft.operators.Jpeg.encode(w, h, (x, y) => {
+            val bv = ((id * 31 + (y / 8).toLong * nbx + (x / 8)) % 100).toInt
+            gray(bv + f)
+          }, gray = id % 3 == 0, subsample420 = id % 3 == 1)
+        }
+        val mp4 = MM.mp4MjpegVideo(w, h, jpegs, timescale = 90000,
+          sampleDelta = delta, samplesPerChunk = (id % 3 + 1).toInt,
+          co64 = id % 4 == 0, audioTrack = id % 3 == 0)
+        val info = MM.mp4Walk(mp4).getOrElse(
+          throw new IllegalStateException(s"mp4 walk failed for doc $id"))
+        val v = info.tracks.find(_.handler == "vide").getOrElse(
+          throw new IllegalStateException(s"no video track for doc $id"))
+        require(v.fourcc == "jpeg" && v.timescale == 90000L,
+          s"video entry mismatch for doc $id")
+        require(v.samples.length == n && v.duration == (n + 1).toLong * delta,
+          s"sample table mismatch for doc $id")
+        require(v.samples.map(_._3).sum == v.duration,
+          s"stts expansion disagrees with mdhd duration for doc $id")
+        // decode frame 0 THROUGH the resolved byte range: the join is
+        // wrong unless these bytes are exactly the first JPEG
+        val (o0, l0, _) = v.samples(0)
+        val luma0 = graft.operators.Jpeg.luminanceWithDims(
+          java.util.Arrays.copyOfRange(mp4, o0.toInt, o0.toInt + l0)) match {
+          case Some((fw, fh, l)) if fw == w && fh == h => l.sum
+          case _ => throw new IllegalStateException(s"frame 0 undecodable for doc $id")
+        }
+        (id, info.tracks.length.toLong, v.width.toLong, v.height.toLong,
+          n.toLong, v.duration, ((n + 1).toLong * delta * 1000) / 90000, luma0)
+      }
+      .toDF("doc_id", "n_tracks", "width", "height", "n_samples",
+        "duration_ticks", "duration_ms", "luma0")
+      .orderBy($"doc_id")
+  }
+
+  private val mmMp4ManifestSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(n_chars % 9 + 4 AS BIGINT) AS w,
+      |    CAST(doc_id % 7 + 3 AS BIGINT) AS h,
+      |    CAST(doc_id % 5 + 6 AS BIGINT) AS n,
+      |    CAST(3000 + (doc_id % 4) * 750 AS BIGINT) AS delta
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      |l0 AS (SELECT doc_id,
+      |    SUM((doc_id * 31 + ((i // w) // 8) * ((w + 7) // 8) + ((i % w) // 8)) % 100)
+      |      AS luma0
+      |  FROM px GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+      |  d.w AS width, d.h AS height, d.n AS n_samples,
+      |  CAST((d.n + 1) * d.delta AS BIGINT) AS duration_ticks,
+      |  CAST((d.n + 1) * d.delta * 1000 // 90000 AS BIGINT) AS duration_ms,
+      |  CAST(l0.luma0 AS BIGINT) AS luma0
+      |FROM d JOIN l0 USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** Shot detection through the ISO-BMFF container — the
+    * [[mmMjpegShots]] pipeline with the RIFF/AVI layer swapped for
+    * the MP4 sample table: identical frames, identical JPEG layer,
+    * identical cut detector, so the ORACLE IS THE SAME SQL — proving
+    * the two container walks are interchangeable in front of the
+    * codec stack (the cross-container property real crawl pipelines
+    * need: the same video dedups identically however it was
+    * wrapped). Chunking/co64/audio-track geometry rotates per doc as
+    * in [[mmMp4Manifest]]. */
+  private def mmMp4Shots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val w = (nChars % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+        val n = (id % 5 + 6).toInt; val c = (2 + (id * 7) % (n - 3)).toInt
+        val nbx = (w + 7) / 8
+        def gray(v: Int) = (v << 16) | (v << 8) | v
+        val jpegs = (0 until n).map { f =>
+          graft.operators.Jpeg.encode(w, h, (x, y) => {
+            val bv = ((id * 31 + (y / 8).toLong * nbx + (x / 8)) % 100).toInt
+            gray(bv + f + (if (f >= c) 128 else 0))
+          }, gray = id % 3 == 0, subsample420 = id % 3 == 1)
+        }
+        val mp4 = MM.mp4MjpegVideo(w, h, jpegs, timescale = 90000,
+          sampleDelta = 3000, samplesPerChunk = (id % 3 + 1).toInt,
+          co64 = id % 4 == 0, audioTrack = id % 3 == 0)
+        val (gw, gh, frames) = MM.mp4MjpegFrameLuma(mp4).getOrElse(
+          throw new IllegalStateException(s"mjpeg mp4 round-trip failed for doc $id"))
+        require(gw == w && gh == h && frames.length == n,
+          s"mp4 decode shape mismatch for doc $id")
+        (1 until n).iterator.map { f =>
+          val cur = frames(f); val prev = frames(f - 1)
+          var delta = 0L; var sum = 0L; var i = 0
+          while (i < cur.length) {
+            delta += math.abs(cur(i) - prev(i)); sum += cur(i); i += 1
+          }
+          (id, f.toLong, sum, delta, delta > 64L * w * h)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "luma_sum", "delta_l1", "is_cut")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Resize planning off REAL header-decoded dimensions: a
     * deterministic BMP header is synthesized per doc (w, h derived
     * from doc fields), [[graft.operators.Multimodal.HeaderImageDecoder]]
@@ -1105,6 +1232,8 @@ object Multimodal {
     "mm_jpeg_prog_luma" -> QueryDef(mmJpegProgLuma, Some(mmJpegProgLumaSql)),
     "mm_avi_shots" -> QueryDef(mmAviShots, Some(mmAviShotsSql)),
     "mm_mjpeg_shots" -> QueryDef(mmMjpegShots, Some(mmMjpegShotsSql)),
+    "mm_mp4_manifest" -> QueryDef(mmMp4Manifest, Some(mmMp4ManifestSql)),
+    "mm_mp4_shots" -> QueryDef(mmMp4Shots, Some(mmMjpegShotsSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_ulaw_peaks" -> QueryDef(mmUlawPeaks, Some(mmUlawPeaksSql)),
     "mm_adpcm_peaks" -> QueryDef(mmAdpcmPeaks, Some(mmAdpcmPeaksSql)),
