@@ -236,6 +236,40 @@ object ManifestTable {
       case None => spark.read
     }
 
+  /** Resolve a wall-clock timestamp to a version — Delta's
+    * `timestampAsOf` rule: the LATEST version whose commit time is ≤
+    * `tsMillis`. Commit time is the manifest file's mtime (what Delta
+    * itself uses), repaired to be non-decreasing the way Delta's
+    * history reconstruction does (clock skew between writers can
+    * stamp v5 older than v4 — the later VERSION still wins, so a
+    * non-monotonic mtime is lifted to its predecessor's + 1 ms).
+    * Throws when `tsMillis` predates the first commit (no snapshot
+    * existed yet — silently serving v0 would fabricate history). */
+  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
+    val md = manifestDir(dir)
+    val byVersion = Option(md.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => versionOf(f, ".manifest").map(_ -> f.lastModified()))
+      .sortBy(_._1)
+    if (byVersion.isEmpty)
+      throw new IllegalStateException(s"no committed version in $dir")
+    var last = Long.MinValue
+    val adjusted = byVersion.map { case (v, ts) =>
+      val t = math.max(ts, if (last == Long.MinValue) ts else last + 1)
+      last = t
+      (v, t)
+    }
+    val at = adjusted.filter(_._2 <= tsMillis)
+    if (at.isEmpty)
+      throw new IllegalStateException(
+        s"timestamp $tsMillis predates the first commit of $dir " +
+          s"(earliest ${adjusted.head._2})")
+    at.last._1
+  }
+
+  /** [[read]] pinned to the snapshot as of a wall-clock timestamp. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAtTimestamp(dir, tsMillis)))
+
   /** Read a snapshot: exactly the manifest-listed files, nothing else.
     * When the log records a schema ([[appendEvolving]]), the read is
     * pinned to the schema AS OF the target version: columns a file

@@ -120,6 +120,30 @@ class ManifestCdfSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("timestamp time travel: latest version at-or-before, non-monotonic mtimes repaired") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "a")).toDF("id", "v"), dir) // v0
+    ManifestTable.append(spark, Seq((2, "b")).toDF("id", "v"), dir) // v1
+    ManifestTable.append(spark, Seq((3, "c")).toDF("id", "v"), dir) // v2
+    val mf = (v: Long) => new java.io.File(s"$dir/_manifest/v$v.manifest")
+    assert(mf(0).setLastModified(100000L))
+    assert(mf(1).setLastModified(200000L))
+    // clock skew: v2 stamped BEFORE v1 — must be lifted to v1 + 1 ms
+    assert(mf(2).setLastModified(150000L))
+    assert(ManifestTable.versionAtTimestamp(dir, 100000L) == 0L)
+    assert(ManifestTable.versionAtTimestamp(dir, 199999L) == 0L)
+    assert(ManifestTable.versionAtTimestamp(dir, 200000L) == 1L)
+    // 150000 < v1's time: the SKEWED v2 must not win at 150000
+    assert(ManifestTable.versionAtTimestamp(dir, 150000L) == 0L)
+    assert(ManifestTable.versionAtTimestamp(dir, 200001L) == 2L)
+    assert(ManifestTable.versionAtTimestamp(dir, Long.MaxValue) == 2L)
+    assert(ManifestTable.readAsOf(spark, dir, 200000L).count() == 2)
+    val e = intercept[IllegalStateException] {
+      ManifestTable.versionAtTimestamp(dir, 99999L)
+    }
+    assert(e.getMessage.contains("predates"))
+  }
+
   test("vacuum spares change files named by surviving manifests, sweeps dropped ones") {
     val dir = freshDir()
     ManifestTable.append(spark, (1 to 6).map(i => (i, s"r$i")).toDF("id", "v"), dir)
