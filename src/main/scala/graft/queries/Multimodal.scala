@@ -743,6 +743,100 @@ object Multimodal {
       |FROM dl JOIN agg g ON g.doc_id = dl.doc_id AND g.f = dl.frame_idx
       |ORDER BY g.doc_id, frame_idx""".stripMargin
 
+  /** LOSSLESS compressed audio at corpus scale — FLAC
+    * ([[graft.operators.Flac]], from-scratch Rice coding + fixed
+    * predictors + stereo decorrelation) through the same band-energy
+    * framing as [[mmWavPeaks]]. The signal is deliberately RICH — each
+    * 64-sample stretch rotates constant / ramp / square — because
+    * losslessness makes the oracle exact for ANY integer signal (no
+    * quantizer-rung or constant-cell construction needed, unlike the
+    * μ-law/ADPCM/JPEG keys): every stretch lands in its natural
+    * subframe type (CONSTANT / FIXED / FIXED-or-VERBATIM), odd docs
+    * are stereo through a rotating decorrelation mode (independent /
+    * left-side / right-side / mid-side — the side channel exercising
+    * 17-bit subframes), and block size 256 splits every doc into
+    * multiple CRC'd frames with a ragged tail. One wrong bit anywhere
+    * in Rice/predictor/CRC/decorrelation breaks the hash. In-scan,
+    * blobs never shuffle. */
+  private def mmFlacPeaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val p = (id % 13 + 4).toInt
+        val amp = (200 + nChars % 800).toInt
+        val n = (64 * (id % 6 + 2)).toInt
+        val rate = (8000 + (id % 5) * 1000).toInt
+        val mono = Array.tabulate(n) { i =>
+          (i / 64) % 3 match {
+            case 0 => amp
+            case 1 => amp - 5 * (i % 64)
+            case _ => if ((i / p) % 2 == 0) amp else -amp
+          }
+        }
+        val stereo = id % 2 == 1
+        val chans =
+          if (stereo) Array(mono, mono.map(_ / 2 - 50))
+          else Array(mono)
+        // odd ids are 1/3/5/7 mod 8 — map them onto all four stereo modes
+        val mode = if (!stereo) -1 else ((id % 8) / 2).toInt match {
+          case 0 => -1; case 1 => 8; case 2 => 9; case _ => 10
+        }
+        val flac = graft.operators.Flac.encode(rate, chans,
+          blockSize = 256, chMode = mode)
+        val (gotRate, out) = graft.operators.Flac.decode(flac).getOrElse(
+          throw new IllegalStateException(s"flac round-trip failed for doc $id"))
+        require(gotRate == rate && out.length == chans.length,
+          s"flac geometry mismatch for doc $id")
+        val mix =
+          if (stereo) Array.tabulate(n)(i => (out(0)(i) + out(1)(i)) / 2)
+          else out(0)
+        MM.sampleBandEnergy(mix, frameSize = 64, nBands = 8)
+          .iterator.zipWithIndex.map { case (bands, f) =>
+            val peak = bands.zipWithIndex.maxBy { case (e, b) => (e, -b) }
+            (id, rate.toLong, f.toLong, peak._2.toLong, peak._1, bands.sum)
+          }
+      }
+      .toDF("doc_id", "sample_rate", "frame_idx", "peak_band", "max_energy",
+        "tot_energy")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmFlacPeaksSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(doc_id % 13 + 4 AS BIGINT) AS p,
+      |    CAST(200 + n_chars % 800 AS BIGINT) AS amp,
+      |    CAST(64 * (doc_id % 6 + 2) AS BIGINT) AS n,
+      |    CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS rate
+      |  FROM documents),
+      |sm AS (SELECT doc_id, rate, unnest(range(0, n)) AS i, p, amp FROM d),
+      |mono AS (SELECT doc_id, rate, i,
+      |    CASE (i // 64) % 3
+      |      WHEN 0 THEN amp
+      |      WHEN 1 THEN amp - 5 * (i % 64)
+      |      ELSE CASE WHEN (i // p) % 2 = 0 THEN amp ELSE -amp END
+      |    END AS s0
+      |  FROM sm),
+      |mix AS (SELECT doc_id, rate, i,
+      |    CASE WHEN doc_id % 2 = 1 THEN (s0 + (s0 // 2 - 50)) // 2 ELSE s0 END AS s
+      |  FROM mono),
+      |be AS (SELECT doc_id, rate, i // 64 AS frame_idx, (i % 64) // 8 AS band,
+      |    SUM(s * s) AS energy
+      |  FROM mix GROUP BY 1, 2, 3, 4),
+      |pk AS (SELECT doc_id, rate, frame_idx, band, energy,
+      |    SUM(energy) OVER (PARTITION BY doc_id, frame_idx) AS tot,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, frame_idx
+      |      ORDER BY energy DESC, band) AS rk
+      |  FROM be)
+      |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(band AS BIGINT) AS peak_band,
+      |  CAST(energy AS BIGINT) AS max_energy,
+      |  CAST(tot AS BIGINT) AS tot_energy
+      |FROM pk WHERE rk = 1
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** ISO-BMFF (MP4) SAMPLE-TABLE decode at corpus scale — the
     * dominant crawl-video container, proven at the metadata layer the
     * format exists for: per doc a real MP4 is synthesized (ftyp +
@@ -1234,6 +1328,7 @@ object Multimodal {
     "mm_mjpeg_shots" -> QueryDef(mmMjpegShots, Some(mmMjpegShotsSql)),
     "mm_mp4_manifest" -> QueryDef(mmMp4Manifest, Some(mmMp4ManifestSql)),
     "mm_mp4_shots" -> QueryDef(mmMp4Shots, Some(mmMjpegShotsSql)),
+    "mm_flac_peaks" -> QueryDef(mmFlacPeaks, Some(mmFlacPeaksSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_ulaw_peaks" -> QueryDef(mmUlawPeaks, Some(mmUlawPeaksSql)),
     "mm_adpcm_peaks" -> QueryDef(mmAdpcmPeaks, Some(mmAdpcmPeaksSql)),
