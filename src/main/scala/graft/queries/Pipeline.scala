@@ -955,6 +955,87 @@ object Pipeline {
       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** MERGE with a DELETE clause proven end-to-end — the FULL Delta
+    * MERGE a CDC stream needs ([[graft.sources.ManifestTable
+    * .mergeIntoCdc]]): one batch carries op ∈ {I, U, D} and ONE
+    * commit applies all three clauses — matched D rows dropped
+    * (lower slices), matched U rows replaced (upper slices),
+    * unmatched I rows inserted, unmatched D rows silently no-op'd
+    * (the upstream already deleted them). In-code requires pin the
+    * shape: exactly one committed version, per-file removes (no
+    * reset), a pure-unmatched-delete batch committing NOTHING, the
+    * txn-marked retry a no-op, and the cdf feed carrying exactly the
+    * typed change census (deletes included — what
+    * `sink_manifest_cdf_propagate`'s consumer would need to drop an
+    * emptied aggregate row). The emitted per-source aggregate
+    * hash-matches the oracle's three-clause replay. */
+  private def sinkManifestMergeCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-cdc").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id")
+    val updates = docs.filter($"doc_id" % 3 === 0 && $"doc_id" >= 2 * w)
+      .select($"doc_id", lit("merged").as("source"), ($"n_chars" + 7L).as("n_chars"),
+        lit("U").as("op"))
+    val inserts = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10L * n).as("doc_id"), lit("fresh").as("source"),
+        $"n_chars", lit("I").as("op"))
+    val deletes = docs.filter($"doc_id" % 7 === 0 && $"doc_id" < 2 * w)
+      .select($"doc_id", $"source", $"n_chars", lit("D").as("op"))
+    val ghostDeletes = docs.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 20L * n).as("doc_id"), $"source", $"n_chars",
+        lit("D").as("op"))
+    val batch = updates.unionAll(inserts).unionAll(deletes).unionAll(ghostDeletes)
+    val nU = updates.count(); val nI = inserts.count(); val nD = deletes.count()
+    val preV = ManifestTable.latestVersion(root).get
+    val mv = ManifestTable.mergeIntoCdc(s, root, batch, "doc_id",
+      statCols = Seq("doc_id"), txn = Some(("cdc", 7L)), cdf = true)
+    require(mv.contains(preV + 1), "CDC merge must land as exactly one commit")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_manifest", s"v${preV + 1}.manifest"))
+    require(!lines.contains("reset"), "CDC merge wrote a replacing commit")
+    // a batch of ONLY unmatched deletes must not commit (no txn)
+    require(ManifestTable.mergeIntoCdc(s, root,
+        ghostDeletes.withColumn("doc_id", $"doc_id" + n), "doc_id").isEmpty,
+      "unmatched-delete batch advanced the log")
+    // the post-commit-crash retry: same txn marker, no-op
+    require(ManifestTable.mergeIntoCdc(s, root, batch, "doc_id",
+        statCols = Seq("doc_id"), txn = Some(("cdc", 7L)), cdf = true).isEmpty,
+      "retried CDC batch applied twice")
+    // the feed carries the exact typed census, deletes included
+    val census = ManifestTable.readChanges(s, root, preV, mv)
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(census == Map("update_preimage" -> nU, "update_postimage" -> nU,
+        "insert" -> nI, "delete" -> nD),
+      s"cdf census mismatch: $census vs U=$nU I=$nI D=$nD")
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, root)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"source"))
+  }
+
+  private val sinkManifestMergeCdcSql =
+    """WITH nn AS (SELECT COUNT(*) AS n, (COUNT(*) + 3) // 4 AS w FROM documents),
+      |fin AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 AND doc_id >= 2 * w
+      |           THEN 'merged' ELSE source END AS source,
+      |         CASE WHEN doc_id % 3 = 0 AND doc_id >= 2 * w
+      |           THEN n_chars + 7 ELSE n_chars END AS n_chars
+      |  FROM documents, nn WHERE NOT (doc_id % 7 = 0 AND doc_id < 2 * w)
+      |  UNION ALL
+      |  SELECT 'fresh', n_chars FROM documents WHERE doc_id % 5 = 0)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
+
   /** The ROW-LEVEL change feed (Delta CDF with `_change_type`) proven
     * end-to-end through every change kind the table format can emit:
     * v0 appends half the corpus (a pure append IS its own insert
@@ -2688,6 +2769,8 @@ object Pipeline {
       QueryDef(sinkManifestGdprE2e, Some(sinkManifestGdprE2eSql)),
     "sink_manifest_merge" ->
       QueryDef(sinkManifestMerge, Some(sinkManifestMergeSql)),
+    "sink_manifest_merge_cdc" ->
+      QueryDef(sinkManifestMergeCdc, Some(sinkManifestMergeCdcSql)),
     "sink_manifest_cdf" ->
       QueryDef(sinkManifestCdf, Some(sinkManifestCdfSql)),
     "sink_manifest_cdf_propagate" ->

@@ -879,6 +879,61 @@ object ManifestTable {
     throw new IllegalStateException(s"gave up deleting from $dir after 20 conflicts")
   }
 
+  /** Files of snapshot `parent` that may hold rows whose `key` is in
+    * `keys` — the MERGE/CDC planning scan: ONE semi-join pass,
+    * file-count bounded, and when the table records stats on the key
+    * the scan is PRE-PRUNED to files whose key range overlaps the
+    * keys' [min, max] (files without key stats always scan — unknown
+    * ranges are never skipped). A narrow CDC batch against a
+    * key-clustered table then plans its files without touching the
+    * rest of the snapshot. */
+  private def affectedByKeys(spark: SparkSession, dir: String, parent: Long,
+                             keys: DataFrame, key: String,
+                             keyType: org.apache.spark.sql.types.DataType): Set[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    if (parent < 0) return Set.empty
+    val entries = fold(dir, parent).files
+    val relOf = entries.map { e =>
+      val rel = e.takeWhile(_ != '|')
+      new File(dataDir(dir), rel).getCanonicalPath -> rel
+    }.toMap
+    val statted = entries.map(parseStatsEntry)
+    // the pruning path needs long bounds; non-long keys scan all
+    val hasKeyStats = statted.exists(_._2.contains(key)) &&
+      keyType == org.apache.spark.sql.types.LongType
+    val scanRels: Seq[String] =
+      if (!hasKeyStats) statted.map(_._1)
+      else {
+        val bounds = keys.agg(
+          org.apache.spark.sql.functions.min(col(key)),
+          org.apache.spark.sql.functions.max(col(key))).head()
+        if (bounds.isNullAt(0)) Seq.empty // all-NULL keys match nothing
+        else {
+          val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
+          statted.collect {
+            case (rel, stats) if stats.get(key)
+              .forall { case (mn, mx) => mx >= bMin && mn <= bMax } => rel
+          }
+        }
+      }
+    if (scanRels.isEmpty) Set.empty
+    else
+      // pinned reader: the scanned files may span a schema evolution
+      // and the key column must NULL-backfill, not vanish with a
+      // sampled pre-evolution footer. File name is attached BEFORE
+      // the join: input_file_name() only resolves against a single
+      // source, and the semi-join's other side may itself be
+      // file-backed
+      pinnedReader(spark, dir, Some(parent)).parquet(
+          scanRels.map(rel => new File(dataDir(dir), rel).getPath): _*)
+        .withColumn("_m_file", input_file_name())
+        .join(keys, Seq(key), "left_semi")
+        .select(col("_m_file").as("f")).distinct().collect()
+        .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
+        .map(p => relOf.getOrElse(p, throw new IllegalStateException(
+          s"matched file $p is not in the snapshot"))).toSet
+  }
+
   /** MERGE INTO (keyed upsert), copy-on-write — the Delta MERGE shape
     * restricted to whole-row `WHEN MATCHED THEN UPDATE SET *` /
     * `WHEN NOT MATCHED THEN INSERT *`: batch rows whose `key` matches
@@ -931,57 +986,8 @@ object ManifestTable {
         if (committedBatches(dir, w).contains(b)) return None
       }
       val parent = latestVersion(dir).getOrElse(-1L)
-      // files holding matched rows: one semi-join scan, file-count
-      // bounded — and when the table records stats on the merge key,
-      // the scan itself is PRE-PRUNED to the files whose key range
-      // overlaps the batch's [min, max] (files without key stats are
-      // always scanned — unknown ranges are never skipped). A narrow
-      // CDC batch against a key-clustered table then plans its files
-      // without touching the rest of the snapshot.
       val affected: Set[String] =
-        if (parent < 0) Set.empty
-        else {
-          val entries = fold(dir, parent).files
-          val relOf = entries.map { e =>
-            val rel = e.takeWhile(_ != '|')
-            new File(dataDir(dir), rel).getCanonicalPath -> rel
-          }.toMap
-          val statted = entries.map(parseStatsEntry)
-          // the pruning path needs long bounds; non-long keys scan all
-          val hasKeyStats = statted.exists(_._2.contains(key)) &&
-            batch.schema(key).dataType == org.apache.spark.sql.types.LongType
-          val scanRels: Seq[String] =
-            if (!hasKeyStats) statted.map(_._1)
-            else {
-              val bounds = batch.agg(
-                org.apache.spark.sql.functions.min(col(key)),
-                org.apache.spark.sql.functions.max(col(key))).head()
-              if (bounds.isNullAt(0)) Seq.empty // all-NULL keys match nothing
-              else {
-                val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
-                statted.collect {
-                  case (rel, stats) if stats.get(key)
-                    .forall { case (mn, mx) => mx >= bMin && mn <= bMax } => rel
-                }
-              }
-            }
-          if (scanRels.isEmpty) Set.empty
-          else
-            // pinned reader: the scanned files may span a schema
-            // evolution and the key column must NULL-backfill, not
-            // vanish with a sampled pre-evolution footer. File name is
-            // attached BEFORE the join: input_file_name() only
-            // resolves against a single source, and the semi-join's
-            // other side may itself be file-backed
-            pinnedReader(spark, dir, Some(parent)).parquet(
-                scanRels.map(rel => new File(dataDir(dir), rel).getPath): _*)
-              .withColumn("_m_file", input_file_name())
-              .join(keys, Seq(key), "left_semi")
-              .select(col("_m_file").as("f")).distinct().collect()
-              .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
-              .map(p => relOf.getOrElse(p, throw new IllegalStateException(
-                s"matched file $p is not in the snapshot"))).toSet
-        }
+        affectedByKeys(spark, dir, parent, keys, key, batch.schema(key).dataType)
       // one staged write: affected files' NON-matched survivors, then
       // every batch row (update and insert alike land as fresh files)
       val rewritten =
@@ -1043,6 +1049,104 @@ object ManifestTable {
       }
     }
     throw new IllegalStateException(s"gave up merging into $dir after 20 conflicts")
+  }
+
+  /** MERGE with a DELETE clause — the FULL Delta MERGE shape a CDC
+    * stream needs (`WHEN MATCHED AND op='D' THEN DELETE / WHEN
+    * MATCHED THEN UPDATE SET * / WHEN NOT MATCHED AND op!='D' THEN
+    * INSERT *`): `batch` carries `opCol` ∈ {I, U, D}; matched D rows
+    * are dropped, matched I/U rows replaced, unmatched I/U rows
+    * inserted, unmatched D rows are silent no-ops (the delete already
+    * happened upstream). ONE planning semi-join over ALL batch keys
+    * (stats-pruned like [[mergeInto]]), ONE staged rewrite, ONE
+    * commit: O(affected + batch), never O(table). Duplicate keys in
+    * the batch are an error exactly as in [[mergeInto]] — a key both
+    * updated and deleted in one batch has no defined winner. `txn`
+    * gives exactly-once streaming apply; `cdf = true` records the
+    * full typed change set (update_preimage / update_postimage /
+    * insert / delete) so downstream [[readChanges]] consumers see the
+    * deletes a CDC apply produces. A batch with no upserts and no
+    * matched rows commits nothing (None) unless a `txn` marker must
+    * be recorded. */
+  def mergeIntoCdc(spark: SparkSession, dir: String, batch: DataFrame,
+                   key: String, opCol: String = "op",
+                   statCols: Seq[String] = Nil,
+                   txn: Option[(String, Long)] = None,
+                   cdf: Boolean = false): Option[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
+    require(batch.columns.contains(opCol), s"CDC batch needs an '$opCol' column")
+    val guarded = batch
+      .withColumn("_m_n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .withColumn(key,
+        when(col("_m_n") > 1,
+          raise_error(lit(s"mergeIntoCdc: multiple batch rows share one $key"))
+            .cast(batch.schema(key).dataType))
+          .otherwise(col(key)))
+      .withColumn(opCol,
+        when(!col(opCol).isin("I", "U", "D"),
+          raise_error(lit(s"mergeIntoCdc: $opCol must be I, U or D")))
+          .otherwise(col(opCol)))
+      .drop("_m_n")
+    val upserts = guarded.filter(col(opCol) =!= "D").drop(opCol)
+    val delKeys = batch.filter(col(opCol) === "D").select(col(key)).distinct()
+    val allKeys = batch.select(col(key)).distinct()
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      txn.foreach { case (w, b) =>
+        if (committedBatches(dir, w).contains(b)) return None
+      }
+      val parent = latestVersion(dir).getOrElse(-1L)
+      val affected: Set[String] =
+        affectedByKeys(spark, dir, parent, allKeys, key, batch.schema(key).dataType)
+      if (affected.isEmpty && upserts.isEmpty)
+        // nothing matched, nothing to insert: only a txn marker may
+        // need recording (a retried empty CDC batch must stay no-op)
+        return txn.flatMap { case (w, b) =>
+          commit(dir, Seq(s"txn=$w:$b"), skipIfTxn = txn)
+        }
+      def affectedRead: DataFrame =
+        pinnedReader(spark, dir, Some(parent)).parquet(
+          affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+      val rewritten =
+        if (affected.isEmpty) upserts
+        else affectedRead.join(allKeys, Seq(key), "left_anti").unionByName(upserts)
+      val staged = stageFiles(rewritten, dir)
+      val cdfStaged: Seq[String] =
+        if (!cdf) Nil
+        else {
+          val typed =
+            if (affected.isEmpty) upserts.withColumn("_change_type", lit("insert"))
+            else {
+              val upsertKeys = upserts.select(col(key)).distinct()
+              val oldUpMatched = affectedRead.join(upsertKeys, Seq(key), "left_semi")
+              val matchedKeys = oldUpMatched.select(col(key)).distinct()
+              oldUpMatched.withColumn("_change_type", lit("update_preimage"))
+                .unionByName(upserts.join(matchedKeys, Seq(key), "left_semi")
+                  .withColumn("_change_type", lit("update_postimage")))
+                .unionByName(upserts.join(matchedKeys, Seq(key), "left_anti")
+                  .withColumn("_change_type", lit("insert")))
+                .unionByName(affectedRead.join(delKeys, Seq(key), "left_semi")
+                  .withColumn("_change_type", lit("delete")))
+            }
+          stageFiles(typed, dir)
+        }
+      val adds =
+        if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
+        else staged.map("add=" + _)
+      val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
+        cdfStaged.map("cdf=" + _) ++
+        txn.map { case (w, b) => s"txn=$w:$b" }
+      commitRewriteRebasing(dir, parent, actions, skipIfTxn = txn) match {
+        case RewriteCommitted(v) => return Some(v)
+        case other =>
+          (staged ++ cdfStaged).map(_.takeWhile(_ != '/')).distinct
+            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+          if (other == RewriteSkippedTxn) return None
+      }
+    }
+    throw new IllegalStateException(s"gave up CDC-merging into $dir after 20 conflicts")
   }
 
   /** The change feed (Delta CDF shape, append-only): data files ADDED

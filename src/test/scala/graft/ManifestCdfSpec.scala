@@ -120,6 +120,53 @@ class ManifestCdfSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("mergeIntoCdc: all three clauses in one commit, unmatched D is a no-op") {
+    val dir = freshDir()
+    ManifestTable.append(spark,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"), dir)
+    val batch = Seq(
+      (2, "b2", "U"),   // matched update
+      (9, "fresh", "I"), // unmatched insert
+      (3, "x", "D"),    // matched delete
+      (77, "x", "D")    // unmatched delete: silent no-op
+    ).toDF("id", "v", "op")
+    val mv = ManifestTable.mergeIntoCdc(spark, dir, batch, "id", cdf = true)
+    assert(mv.contains(1L))
+    val back = ManifestTable.read(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back == Set((1, "a"), (2, "b2"), (4, "d"), (9, "fresh")))
+    assert(feed(dir, since = 0L) == Seq(
+      (1L, "delete", 3, "c"),
+      (1L, "insert", 9, "fresh"),
+      (1L, "update_postimage", 2, "b2"), (1L, "update_preimage", 2, "b")))
+  }
+
+  test("mergeIntoCdc: one key in two clauses is an error, nothing commits") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "a")).toDF("id", "v"), dir)
+    val bad = Seq((1, "a2", "U"), (1, "x", "D")).toDF("id", "v", "op")
+    intercept[Exception] {
+      ManifestTable.mergeIntoCdc(spark, dir, bad, "id")
+    }
+    assert(ManifestTable.latestVersion(dir).contains(0L))
+    assert(ManifestTable.read(spark, dir).count() == 1)
+  }
+
+  test("mergeIntoCdc: no-effect batch commits nothing, txn marker still records") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "a")).toDF("id", "v"), dir)
+    val ghosts = Seq((50, "x", "D"), (51, "x", "D")).toDF("id", "v", "op")
+    assert(ManifestTable.mergeIntoCdc(spark, dir, ghosts, "id").isEmpty)
+    assert(ManifestTable.latestVersion(dir).contains(0L))
+    // with a txn marker the empty apply must still be made idempotent
+    val v = ManifestTable.mergeIntoCdc(spark, dir, ghosts, "id",
+      txn = Some(("w", 3L)))
+    assert(v.contains(1L))
+    assert(ManifestTable.mergeIntoCdc(spark, dir, ghosts, "id",
+      txn = Some(("w", 3L))).isEmpty)
+    assert(ManifestTable.read(spark, dir).count() == 1)
+  }
+
   test("timestamp time travel: latest version at-or-before, non-monotonic mtimes repaired") {
     val dir = freshDir()
     ManifestTable.append(spark, Seq((1, "a")).toDF("id", "v"), dir) // v0
