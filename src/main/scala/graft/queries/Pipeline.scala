@@ -955,6 +955,68 @@ object Pipeline {
       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** INCREMENTAL compaction proven end-to-end — the real OPTIMIZE
+    * shape ([[graft.sources.ManifestTable.compactSmall]]): a streaming
+    * sink's steady state is one healthy file plus a drip of small
+    * ones, and maintenance must bin-pack ONLY the drip — O(small
+    * files) data movement and commit metadata, never [[compact]]'s
+    * O(table) reset rewrite. The corpus lands as 1 big file + 6 small
+    * slices; one compactSmall packs exactly the six (per-file
+    * `remove=` + packed `add=`, no reset), the big file's manifest
+    * ENTRY — path, stats, bytes — survives verbatim (requires pin
+    * entry equality, not just readability), both halves stay
+    * range-prunable, and a second call finds nothing to pack and
+    * commits NOTHING. The emitted aggregate hash-matches the plain
+    * corpus oracle: compaction moved every row and lost none. */
+  private def sinkManifestCompactSmall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-pack").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val n = docs.count()
+    val h = n / 2
+    ManifestTable.appendWithStats(s,
+      docs.filter($"doc_id" < h).coalesce(1), root, "doc_id")
+    val w = (n - h + 5) / 6
+    for (i <- 0L until 6L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= h + i * w && $"doc_id" < h + (i + 1) * w)
+          .coalesce(1), root, "doc_id")
+    val entriesBefore = ManifestTable.snapshotFilesWithStats(root)
+    require(entriesBefore.size == 7, "expected 1 big + 6 small files")
+    val bigRel = entriesBefore.head._1 // first commit's file
+    val bigLen = new java.io.File(s"$root/data/$bigRel").length()
+    val preV = ManifestTable.latestVersion(root).get
+    val cv = ManifestTable.compactSmall(s, root, minBytes = bigLen,
+      targetFiles = 1, statCols = Seq("doc_id"))
+    require(cv.contains(preV + 1), "bin-pack must land as exactly one commit")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_manifest", s"v${preV + 1}.manifest"))
+    require(!lines.contains("reset"), "bin-pack wrote a replacing commit")
+    require((0 until lines.size).count(i => lines.get(i).startsWith("remove=")) == 6,
+      "bin-pack must remove exactly the 6 small files")
+    val after = ManifestTable.snapshotFilesWithStats(root)
+    require(after.size == 2, s"expected big + packed, got ${after.size}")
+    require(after.exists { case (rel, stats) =>
+        rel == bigRel && stats == entriesBefore.head._2 },
+      "the healthy file's entry (path + stats) must survive verbatim")
+    require(ManifestTable.plannedFilesForRange(root, "doc_id", 0, 1).size == 1 &&
+        ManifestTable.plannedFilesForRange(root, "doc_id", n - 1, n - 1).size == 1,
+      "both halves must stay range-prunable after the pack")
+    require(ManifestTable.compactSmall(s, root, minBytes = bigLen).isEmpty,
+      "a pack with nothing to pack must not advance the log")
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, root)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"source"))
+  }
+
+  private val sinkManifestCompactSmallSql =
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** MERGE with a DELETE clause proven end-to-end — the FULL Delta
     * MERGE a CDC stream needs ([[graft.sources.ManifestTable
     * .mergeIntoCdc]]): one batch carries op ∈ {I, U, D} and ONE
@@ -2771,6 +2833,8 @@ object Pipeline {
       QueryDef(sinkManifestMerge, Some(sinkManifestMergeSql)),
     "sink_manifest_merge_cdc" ->
       QueryDef(sinkManifestMergeCdc, Some(sinkManifestMergeCdcSql)),
+    "sink_manifest_compact_small" ->
+      QueryDef(sinkManifestCompactSmall, Some(sinkManifestCompactSmallSql)),
     "sink_manifest_cdf" ->
       QueryDef(sinkManifestCdf, Some(sinkManifestCdfSql)),
     "sink_manifest_cdf_propagate" ->

@@ -601,6 +601,54 @@ object ManifestTable {
     * those files), so a conflicted delete/merge may re-commit its own
     * actions on top instead of redoing the scan+rewrite (Delta's
     * append/delete conflict-resolution rule). */
+  /** INCREMENTAL compaction — the real Delta/Iceberg OPTIMIZE shape:
+    * bin-pack ONLY the live files smaller than `minBytes` into
+    * `targetFiles` outputs and commit per-file `remove=` + `add=`
+    * actions; files already at a healthy size are NOT touched (their
+    * entries, stats and bytes survive verbatim). [[compact]]'s
+    * full-snapshot `reset` rewrite costs O(table) data movement every
+    * time — correct for a one-off re-layout, wrong for the steady
+    * state, where a streaming sink drips small files forever and
+    * maintenance must stay O(small files). A `reset`-free commit also
+    * keeps the CHANGE FEED alive: readers of [[readSince]]/
+    * [[readChanges]] refuse reset commits, but a remove+add rewrite
+    * that moves no rows is data-preserving... and still refused
+    * (feeds cannot verify that claim from metadata) — so run
+    * compaction BETWEEN feed polls, exactly as Delta documents.
+    * Optimistic concurrency: pinned to the planned version, rebased
+    * over concurrent pure appends, re-planned after another rewrite.
+    * Returns None when fewer than 2 files qualify (nothing to pack —
+    * an empty OPTIMIZE must not advance the log). `statCols` re-record
+    * bounds on the packed output so pruning survives. */
+  def compactSmall(spark: SparkSession, dir: String, minBytes: Long,
+                   targetFiles: Int = 1,
+                   statCols: Seq[String] = Nil): Option[Long] = {
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val parent = resolved(dir, None)
+      val small = fold(dir, parent).files
+        .map(_.takeWhile(_ != '|'))
+        .filter(rel => new File(dataDir(dir), rel).length() < minBytes)
+      if (small.size < 2) return None
+      val packed = pinnedReader(spark, dir, Some(parent)).parquet(
+          small.map(rel => new File(dataDir(dir), rel).getPath): _*)
+        .repartition(targetFiles)
+      val staged = stageFiles(packed, dir)
+      val adds =
+        if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
+        else staged.map("add=" + _)
+      val actions = small.sorted.map("remove=" + _) ++ adds
+      commitRewriteRebasing(dir, parent, actions) match {
+        case RewriteCommitted(v) => return Some(v)
+        case _ =>
+          staged.map(_.takeWhile(_ != '/')).distinct
+            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+      }
+    }
+    throw new IllegalStateException(s"gave up bin-packing $dir after 20 conflicts")
+  }
+
   private def pureAppends(dir: String, from: Long, to: Long): Boolean =
     (from to to).forall { v =>
       val mf = new File(manifestDir(dir), s"v$v.manifest")

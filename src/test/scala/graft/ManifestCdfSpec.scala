@@ -120,6 +120,32 @@ class ManifestCdfSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("compactSmall packs only sub-threshold files; the feed refuses across it") {
+    val dir = freshDir()
+    // one healthy file, three tiny ones
+    ManifestTable.append(spark,
+      (0 until 5000).map(i => (i, s"row-$i-with-some-padding")).toDF("id", "v")
+        .coalesce(1), dir)
+    (0 until 3).foreach(k =>
+      ManifestTable.append(spark, Seq((9000 + k, "small")).toDF("id", "v"), dir))
+    val bigRel = ManifestTable.snapshotFiles(dir).head
+    val bigLen = new java.io.File(s"$dir/data/$bigRel").length()
+    val cv = ManifestTable.compactSmall(spark, dir, minBytes = bigLen)
+    assert(cv.contains(4L))
+    val files = ManifestTable.snapshotFiles(dir)
+    assert(files.size == 2 && files.contains(bigRel))
+    assert(ManifestTable.read(spark, dir).count() == 5003)
+    // fewer than 2 qualifying files: nothing to pack, nothing commits
+    assert(ManifestTable.compactSmall(spark, dir, minBytes = bigLen).isEmpty)
+    assert(ManifestTable.latestVersion(dir).contains(4L))
+    // a remove-carrying rewrite is not expressible as a row feed
+    intercept[IllegalStateException] {
+      ManifestTable.readChanges(spark, dir, -1L).collect()
+    }
+    // but the interval BEFORE the pack still serves
+    assert(ManifestTable.readChanges(spark, dir, -1L, Some(3L)).count() == 5003)
+  }
+
   test("mergeIntoCdc: all three clauses in one commit, unmatched D is a no-op") {
     val dir = freshDir()
     ManifestTable.append(spark,
