@@ -1685,6 +1685,118 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Real FRAGMENTED MP4 (fMP4 — the DASH/HLS segment layout that
+    * dominates crawled streaming video): moov carries an EMPTY sample
+    * table (stsd entry only; stts/stsc/stsz/stco all zero) plus
+    * mvex/trex defaults, and every `framesPerFragment` samples ship as
+    * a moof(mfhd, traf(tfhd[default-base-is-moof], tfdt, trun)) + mdat
+    * pair — per-sample sizes/durations live in the trun, offsets are
+    * moof-relative. The LAST sample still gets 2× duration (a
+    * per-sample trun duration, where the unfragmented layout needed a
+    * second stts run). */
+  def mp4FragmentedMjpeg(w: Int, h: Int, frames: Seq[Array[Byte]],
+                         timescale: Int, sampleDelta: Int,
+                         framesPerFragment: Int = 2): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty && framesPerFragment > 0)
+    val out = new java.io.ByteArrayOutputStream(1024 + frames.map(_.length).sum)
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def box(typ: String)(body: => Unit): Unit = {
+      val saved = out.toByteArray; out.reset(); body
+      val payload = out.toByteArray; out.reset()
+      out.write(saved, 0, saved.length)
+      be32(8L + payload.length); tag(typ)
+      out.write(payload, 0, payload.length)
+    }
+    def fullBox(typ: String, ver: Int = 0, flags: Int = 0)(body: => Unit): Unit =
+      box(typ) { be32((ver.toLong << 24) | flags); body }
+    def matrix(): Unit = {
+      be32(0x10000); be32(0); be32(0); be32(0); be32(0x10000); be32(0)
+      be32(0); be32(0); be32(0x40000000L)
+    }
+    val n = frames.length
+    box("ftyp") { tag("iso5"); be32(0x200); tag("iso6"); tag("dash") }
+    box("moov") {
+      fullBox("mvhd") {
+        be32(0); be32(0); be32(1000); be32(0) // fragmented: duration unknown
+        be32(0x10000); be16(0x100); be16(0); be32(0); be32(0)
+        matrix(); (0 until 6).foreach(_ => be32(0)); be32(2)
+      }
+      box("trak") {
+        fullBox("tkhd", flags = 7) {
+          be32(0); be32(0); be32(1); be32(0); be32(0)
+          be32(0); be32(0); be16(0); be16(0); be16(0); be16(0)
+          matrix(); be32(w.toLong << 16); be32(h.toLong << 16)
+        }
+        box("mdia") {
+          fullBox("mdhd") { be32(0); be32(0); be32(timescale.toLong); be32(0); be16(0x55c4); be16(0) }
+          fullBox("hdlr") { be32(0); tag("vide"); be32(0); be32(0); be32(0); tag("Video"); out.write(0) }
+          box("minf") {
+            fullBox("vmhd", flags = 1) { be16(0); be16(0); be16(0); be16(0) }
+            box("dinf") { fullBox("dref") { be32(1); fullBox("url ", flags = 1) {} } }
+            box("stbl") {
+              fullBox("stsd") {
+                be32(1)
+                box("jpeg") {
+                  (0 until 6).foreach(_ => out.write(0)); be16(1)
+                  be16(0); be16(0); (0 until 3).foreach(_ => be32(0))
+                  be16(w); be16(h)
+                  be32(0x480000); be32(0x480000); be32(0); be16(1)
+                  out.write(new Array[Byte](32), 0, 32)
+                  be16(24); be16(0xffff)
+                }
+              }
+              fullBox("stts") { be32(0) }
+              fullBox("stsc") { be32(0) }
+              fullBox("stsz") { be32(0); be32(0) }
+              fullBox("stco") { be32(0) }
+            }
+          }
+        }
+      }
+      box("mvex") {
+        fullBox("trex") { be32(1); be32(1); be32(0); be32(0); be32(0) }
+      }
+    }
+    var seq = 1L
+    var base = 0L
+    frames.grouped(framesPerFragment).foreach { grp =>
+      val k = grp.length
+      // moof layout is fixed-shape: 8 (moof) + 16 (mfhd) + 8 (traf)
+      // + 16 (tfhd) + 20 (tfdt v1) + (20 + 8k) (trun) bytes
+      val moofSize = 8 + 16 + 8 + 16 + 20 + 20 + 8 * k
+      val before = out.size()
+      box("moof") {
+        fullBox("mfhd") { be32(seq) }
+        box("traf") {
+          // default-base-is-moof, no optional fields
+          fullBox("tfhd", flags = 0x020000) { be32(1) }
+          fullBox("tfdt", ver = 1) { be32(base >>> 32); be32(base & 0xffffffffL) }
+          // data-offset + per-sample duration + size
+          fullBox("trun", flags = 0x301) {
+            be32(k.toLong)
+            be32(moofSize + 8L) // into the mdat payload that follows
+            grp.zipWithIndex.foreach { case (f, i) =>
+              val isLast = seq * framesPerFragment >= n && i == k - 1
+              val d = if (isLast) 2L * sampleDelta else sampleDelta.toLong
+              be32(d); be32(f.length.toLong)
+              base += d
+            }
+          }
+        }
+      }
+      require(out.size() - before == moofSize,
+        s"moof layout drifted: ${out.size() - before} vs $moofSize")
+      box("mdat") { grp.foreach(f => out.write(f, 0, f.length)) }
+      seq += 1
+    }
+    out.toByteArray
+  }
+
   /** REAL pure-JVM ISO-BMFF walk: top-level boxes (32-bit and
     * `size==1` 64-bit largesize), container recursion (moov/trak/
     * mdia/minf/stbl/dinf/edts/udta), and the full sample-table join —
@@ -1702,7 +1814,8 @@ object Multimodal {
     def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
     def fourcc(off: Int): String =
       new String(b, off, 4, "US-ASCII")
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "dinf", "edts", "udta")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "dinf", "edts",
+      "udta", "mvex", "moof", "traf")
     var movieTs = 0L; var movieDur = 0L
     val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
     // per-trak parse state, finalized when the trak box closes
@@ -1715,7 +1828,77 @@ object Multimodal {
       var chunkOffs: Array[Long] = Array.empty
     }
     var trak: TrakState = null
+    // ── fragmented-MP4 (fMP4/DASH) state ──────────────────────────
+    // trex defaults per track; the open traf's accumulated samples
+    val trexDefaults = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var curMoofStart = -1L
+    final class TrafState {
+      var tid = -1L
+      var baseOff: Option[Long] = None
+      var baseIsMoof = false
+      var defDur: Option[Long] = None
+      var defSize: Option[Long] = None
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    }
+    var traf: TrafState = null
     def parseLeaf(typ: String, po: Int, pl: Int): Boolean = typ match {
+      case "trex" =>
+        if (pl < 24) return false
+        val tid = be32(po + 4)
+        trexDefaults(tid) = (be32(po + 12), be32(po + 16)) // (duration, size)
+        true
+      case "tfhd" if traf != null =>
+        if (pl < 8) return false
+        val flags = (be32(po) & 0xffffff).toInt
+        traf.tid = be32(po + 4)
+        var at = po + 8
+        if ((flags & 0x1) != 0) { traf.baseOff = Some(be64(at)); at += 8 }
+        if ((flags & 0x2) != 0) at += 4  // sample-description-index
+        if ((flags & 0x8) != 0) { traf.defDur = Some(be32(at)); at += 4 }
+        if ((flags & 0x10) != 0) { traf.defSize = Some(be32(at)); at += 4 }
+        traf.baseIsMoof = (flags & 0x020000) != 0
+        true
+      case "mfhd" => pl >= 8 // sequence number: presence-checked, unused
+      case "tfdt" if traf != null =>
+        pl >= (if ((b(po) & 0xff) == 1) 12 else 8) // decode time: unused
+      case "trun" if traf != null =>
+        if (pl < 8) return false
+        val flags = (be32(po) & 0xffffff).toInt
+        val cnt = be32(po + 4).toInt
+        var at = po + 8
+        // our subset needs an explicit data offset: without one, runs
+        // chain off the previous run's end — ambiguous for a reader
+        // that refuses to guess
+        if ((flags & 0x1) == 0) return false
+        val dataOff = be32(at).toInt; at += 4 // signed i32 per spec
+        if ((flags & 0x4) != 0) at += 4       // first-sample-flags
+        val base = traf.baseOff.getOrElse {
+          // spec default: relative to the enclosing moof's first byte
+          if (curMoofStart < 0) return false
+          curMoofStart
+        }
+        var off = base + dataOff
+        var i = 0
+        while (i < cnt) {
+          val dur =
+            if ((flags & 0x100) != 0) { val d = be32(at); at += 4; d }
+            else traf.defDur.orElse(trexDefaults.get(traf.tid).map(_._1))
+              .getOrElse(return false)
+          val sz =
+            if ((flags & 0x200) != 0) { val s0 = be32(at); at += 4; s0 }
+            else traf.defSize.orElse(trexDefaults.get(traf.tid).map(_._2))
+              .getOrElse(return false)
+          if ((flags & 0x400) != 0) at += 4 // per-sample flags
+          if ((flags & 0x800) != 0) at += 4 // composition offset
+          if (off + sz > b.length) return false
+          traf.samples += ((off, sz.toInt, dur))
+          off += sz
+          i += 1
+        }
+        at <= po + pl
+      case _ => parseMoovLeaf(typ, po, pl)
+    }
+    def parseMoovLeaf(typ: String, po: Int, pl: Int): Boolean = typ match {
       case "mvhd" =>
         if (pl < 24) return false
         val v = b(po) & 0xff
@@ -1828,12 +2011,28 @@ object Multimodal {
         if (size < hdr || off + size > to) return false
         if (containers.contains(typ)) {
           val isTrak = typ == "trak"
+          val isMoof = typ == "moof"
+          val isTraf = typ == "traf"
           if (isTrak) {
             if (trak != null) return false // nested trak: malformed
             trak = new TrakState
           }
+          if (isMoof) curMoofStart = off.toLong
+          if (isTraf) {
+            if (traf != null || curMoofStart < 0) return false
+            traf = new TrafState
+          }
           if (!walk(off + hdr, off + size.toInt)) return false
           if (isTrak) { if (!finalizeTrak()) return false; trak = null }
+          if (isTraf) {
+            // merge the fragment's run into its (already-declared) track
+            val at = tracks.indexWhere(_.trackId == traf.tid)
+            if (at < 0) return false // moof before moov: malformed
+            tracks(at) = tracks(at).copy(
+              samples = tracks(at).samples ++ traf.samples)
+            traf = null
+          }
+          if (isMoof) curMoofStart = -1L
         } else if (!parseLeaf(typ, off + hdr, (size - hdr).toInt)) return false
         off += size.toInt
       }
@@ -1841,7 +2040,13 @@ object Multimodal {
     }
     try {
       if (b.length < 8 || !walk(0, b.length) || movieTs == 0) None
-      else Some(Mp4Info(movieTs, movieDur, tracks.toSeq))
+      else Some(Mp4Info(movieTs, movieDur, tracks.toSeq.map { t =>
+        // a fragmented track's mdhd duration is typically 0: report
+        // the sample-table truth (Σ deltas) so both layouts agree
+        if (t.duration == 0 && t.samples.nonEmpty)
+          t.copy(duration = t.samples.map(_._3).sum)
+        else t
+      }))
     } catch { case _: Exception => None }
   }
 

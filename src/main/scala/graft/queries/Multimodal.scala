@@ -964,6 +964,62 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Shot detection through FRAGMENTED MP4 (fMP4 — the DASH/HLS
+    * segment layout that dominates crawled STREAMING video): the same
+    * frames and cut detector as [[mmMp4Shots]], but the sample table
+    * lives in per-fragment moof/traf/trun boxes (empty stbl, trex
+    * defaults, moof-relative data offsets) instead of
+    * stsc×stco×stsz — the third container layout in front of the one
+    * codec stack, so the oracle is again the SAME SQL. Fragment size
+    * rotates 2/3/4 frames per doc; per-sample trun durations carry
+    * the 2×-last-sample run the unfragmented layout needed a second
+    * stts entry for. In-code requires pin that BOTH layouts resolve
+    * identical sample tables (sizes + durations) — byte-offset
+    * equality is impossible (different containers), content equality
+    * is the contract. */
+  private def mmMp4FragShots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, nChars) =>
+        val w = (nChars % 9 + 4).toInt; val h = (id % 7 + 3).toInt
+        val n = (id % 5 + 6).toInt; val c = (2 + (id * 7) % (n - 3)).toInt
+        val nbx = (w + 7) / 8
+        def gray(v: Int) = (v << 16) | (v << 8) | v
+        val jpegs = (0 until n).map { f =>
+          graft.operators.Jpeg.encode(w, h, (x, y) => {
+            val bv = ((id * 31 + (y / 8).toLong * nbx + (x / 8)) % 100).toInt
+            gray(bv + f + (if (f >= c) 128 else 0))
+          }, gray = id % 3 == 0, subsample420 = id % 3 == 1)
+        }
+        val frag = MM.mp4FragmentedMjpeg(w, h, jpegs, timescale = 90000,
+          sampleDelta = 3000, framesPerFragment = (id % 3 + 2).toInt)
+        val info = MM.mp4Walk(frag).getOrElse(
+          throw new IllegalStateException(s"fmp4 walk failed for doc $id"))
+        val v = info.tracks.find(_.handler == "vide").getOrElse(
+          throw new IllegalStateException(s"no video track for doc $id"))
+        require(v.samples.map(x => (x._2, x._3)).toSeq ==
+            jpegs.zipWithIndex.map { case (j, i) =>
+              (j.length, if (i == n - 1) 6000L else 3000L) },
+          s"fragmented sample table disagrees with the frames for doc $id")
+        val (gw, gh, frames) = MM.mp4MjpegFrameLuma(frag).getOrElse(
+          throw new IllegalStateException(s"fmp4 decode failed for doc $id"))
+        require(gw == w && gh == h && frames.length == n,
+          s"fmp4 decode shape mismatch for doc $id")
+        (1 until n).iterator.map { f =>
+          val cur = frames(f); val prev = frames(f - 1)
+          var delta = 0L; var sum = 0L; var i = 0
+          while (i < cur.length) {
+            delta += math.abs(cur(i) - prev(i)); sum += cur(i); i += 1
+          }
+          (id, f.toLong, sum, delta, delta > 64L * w * h)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "luma_sum", "delta_l1", "is_cut")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Resize planning off REAL header-decoded dimensions: a
     * deterministic BMP header is synthesized per doc (w, h derived
     * from doc fields), [[graft.operators.Multimodal.HeaderImageDecoder]]
@@ -1329,6 +1385,7 @@ object Multimodal {
     "mm_mp4_manifest" -> QueryDef(mmMp4Manifest, Some(mmMp4ManifestSql)),
     "mm_mp4_shots" -> QueryDef(mmMp4Shots, Some(mmMjpegShotsSql)),
     "mm_flac_peaks" -> QueryDef(mmFlacPeaks, Some(mmFlacPeaksSql)),
+    "mm_mp4_frag_shots" -> QueryDef(mmMp4FragShots, Some(mmMjpegShotsSql)),
     "mm_wav_peaks" -> QueryDef(mmWavPeaks, Some(mmWavPeaksSql)),
     "mm_ulaw_peaks" -> QueryDef(mmUlawPeaks, Some(mmUlawPeaksSql)),
     "mm_adpcm_peaks" -> QueryDef(mmAdpcmPeaks, Some(mmAdpcmPeaksSql)),

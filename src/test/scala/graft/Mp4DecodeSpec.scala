@@ -133,6 +133,61 @@ class Mp4DecodeSpec extends AnyFunSuite {
     assert(MM.mp4MjpegFrameLuma(patched).get._3(0).sum == lumaOf(8, 8, 0))
   }
 
+  test("fragmented MP4: moof/traf/trun samples resolve byte-exactly") {
+    val fs = frames(16, 8, 7)
+    val b = MM.mp4FragmentedMjpeg(16, 8, fs, timescale = 90000,
+      sampleDelta = 3000, framesPerFragment = 3) // fragments of 3, 3, 1
+    val info = MM.mp4Walk(b).get
+    val v = info.tracks.find(_.handler == "vide").get
+    assert(v.width == 16 && v.height == 8 && v.fourcc == "jpeg")
+    assert(v.samples.length == 7)
+    // fragmented mdhd duration is 0: reported duration is Σ trun deltas
+    assert(v.duration == 8L * 3000)
+    assert(v.samples.map(_._3).toSeq ==
+      Seq(3000L, 3000L, 3000L, 3000L, 3000L, 3000L, 6000L))
+    v.samples.zip(fs).foreach { case ((off, len, _), f) =>
+      assert(len == f.length)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + len), f),
+        "trun-resolved byte range must be exactly the original sample")
+    }
+  }
+
+  test("fragmented and unfragmented layouts decode to identical pixels") {
+    val fs = frames(24, 16, 5)
+    val flat = MM.mp4MjpegVideo(24, 16, fs, 90000, 3000, samplesPerChunk = 2)
+    val frag = MM.mp4FragmentedMjpeg(24, 16, fs, 90000, 3000, framesPerFragment = 2)
+    val a = MM.mp4MjpegFrameLuma(flat).get
+    val c = MM.mp4MjpegFrameLuma(frag).get
+    assert(a._1 == c._1 && a._2 == c._2)
+    a._3.zip(c._3).foreach { case (x, y) => assert(java.util.Arrays.equals(x, y)) }
+    // and both sample tables agree on (size, duration) content
+    val ta = MM.mp4Walk(flat).get.tracks.head.samples.map(s => (s._2, s._3))
+    val tc = MM.mp4Walk(frag).get.tracks.head.samples.map(s => (s._2, s._3))
+    assert(ta.toSeq == tc.toSeq)
+  }
+
+  test("fragmented malformed paths: truncated moof/mdat, moof before moov") {
+    val fs = frames(8, 8, 4)
+    val good = MM.mp4FragmentedMjpeg(8, 8, fs, 90000, 3000, framesPerFragment = 2)
+    Seq(good.length / 2, good.length - 3).foreach { cut =>
+      assert(MM.mp4Walk(good.take(cut)).isEmpty, s"cut at $cut must be None")
+    }
+    // a stream whose moof precedes any moov cannot name a track
+    val moofAt = {
+      var off = 0; var found = -1
+      while (off < good.length && found < 0) {
+        val size = ((good(off) & 0xffL) << 24) | ((good(off + 1) & 0xffL) << 16) |
+          ((good(off + 2) & 0xffL) << 8) | (good(off + 3) & 0xffL)
+        if (new String(good, off + 4, 4, "US-ASCII") == "moof") found = off
+        else off += size.toInt
+      }
+      found
+    }
+    assert(moofAt > 0)
+    assert(MM.mp4Walk(java.util.Arrays.copyOfRange(good, moofAt, good.length)).isEmpty)
+  }
+
   test("malformed inputs degrade to None, never a throw") {
     val fs = frames(8, 8, 3)
     val good = MM.mp4MjpegVideo(8, 8, fs, 90000, 3000)
