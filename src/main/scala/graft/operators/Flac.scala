@@ -259,7 +259,11 @@ object Flac {
     out.write("fLaC".getBytes("US-ASCII"))
     val si = new BitWriter
     si.bits(1, 1); si.bits(0, 7); si.bits(34, 24) // last block, STREAMINFO, len
-    si.bits(blockSize.toLong, 16); si.bits(blockSize.toLong, 16)
+    // STREAMINFO reports the TRUE min/max block size used: every frame
+    // is blockSize except a shorter ragged tail
+    val maxBlock = math.min(blockSize, n)
+    val minBlock = if (n % blockSize == 0) maxBlock else n % blockSize
+    si.bits(minBlock.toLong, 16); si.bits(maxBlock.toLong, 16)
     si.bits(0, 24); si.bits(0, 24)
     si.bits(sampleRate.toLong, 20)
     si.bits(channels.length - 1L, 3)

@@ -1568,7 +1568,7 @@ object Multimodal {
                     co64: Boolean = false,
                     audioTrack: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && frames.nonEmpty && samplesPerChunk > 0)
-    val out = new java.io.ByteArrayOutputStream(1024 + frames.map(_.length).sum)
+    var out = new java.io.ByteArrayOutputStream(1024 + frames.map(_.length).sum)
     def be32(v: Long): Unit = {
       out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
       out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
@@ -1577,12 +1577,18 @@ object Multimodal {
     def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def box(typ: String)(body: => Unit): Unit = {
-      // two-pass: render body to measure, then emit size-prefixed
-      val saved = out.toByteArray; out.reset(); body
-      val payload = out.toByteArray; out.reset()
-      out.write(saved, 0, saved.length)
-      be32(8L + payload.length); tag(typ)
-      out.write(payload, 0, payload.length)
+      // render the body into a FRESH stream, then emit size-prefixed —
+      // each byte is copied once per nesting level, never once per
+      // SIBLING box (re-copying the accumulated prefix per box made
+      // corpus-scale synthesis O(file × boxes); measured 2–3× on the
+      // sf10 probes before this)
+      val saved = out
+      out = new java.io.ByteArrayOutputStream()
+      body
+      val payload = out
+      out = saved
+      be32(8L + payload.size()); tag(typ)
+      payload.writeTo(out)
     }
     val n = frames.length
     // audio: tiny fixed-size PCM chunks interleaved after video chunks
@@ -1698,7 +1704,7 @@ object Multimodal {
                          timescale: Int, sampleDelta: Int,
                          framesPerFragment: Int = 2): Array[Byte] = {
     require(w > 0 && h > 0 && frames.nonEmpty && framesPerFragment > 0)
-    val out = new java.io.ByteArrayOutputStream(1024 + frames.map(_.length).sum)
+    var out = new java.io.ByteArrayOutputStream(1024 + frames.map(_.length).sum)
     def be32(v: Long): Unit = {
       out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
       out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
@@ -1706,11 +1712,15 @@ object Multimodal {
     def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def box(typ: String)(body: => Unit): Unit = {
-      val saved = out.toByteArray; out.reset(); body
-      val payload = out.toByteArray; out.reset()
-      out.write(saved, 0, saved.length)
-      be32(8L + payload.length); tag(typ)
-      out.write(payload, 0, payload.length)
+      // fresh-stream nesting: bytes copy once per level, never per
+      // sibling (see mp4MjpegVideo.box)
+      val saved = out
+      out = new java.io.ByteArrayOutputStream()
+      body
+      val payload = out
+      out = saved
+      be32(8L + payload.size()); tag(typ)
+      payload.writeTo(out)
     }
     def fullBox(typ: String, ver: Int = 0, flags: Int = 0)(body: => Unit): Unit =
       box(typ) { be32((ver.toLong << 24) | flags); body }
@@ -1852,12 +1862,12 @@ object Multimodal {
         val flags = (be32(po) & 0xffffff).toInt
         traf.tid = be32(po + 4)
         var at = po + 8
-        if ((flags & 0x1) != 0) { traf.baseOff = Some(be64(at)); at += 8 }
+        if ((flags & 0x1) != 0) { if (at + 8 > po + pl) return false; traf.baseOff = Some(be64(at)); at += 8 }
         if ((flags & 0x2) != 0) at += 4  // sample-description-index
-        if ((flags & 0x8) != 0) { traf.defDur = Some(be32(at)); at += 4 }
-        if ((flags & 0x10) != 0) { traf.defSize = Some(be32(at)); at += 4 }
+        if ((flags & 0x8) != 0) { if (at + 4 > po + pl) return false; traf.defDur = Some(be32(at)); at += 4 }
+        if ((flags & 0x10) != 0) { if (at + 4 > po + pl) return false; traf.defSize = Some(be32(at)); at += 4 }
         traf.baseIsMoof = (flags & 0x020000) != 0
-        true
+        at <= po + pl
       case "mfhd" => pl >= 8 // sequence number: presence-checked, unused
       case "tfdt" if traf != null =>
         pl >= (if ((b(po) & 0xff) == 1) 12 else 8) // decode time: unused
