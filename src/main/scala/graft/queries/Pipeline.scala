@@ -1247,6 +1247,77 @@ object Pipeline {
       |FROM documents WHERE doc_id % 3 != 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The row-level change feed as a CHECKPOINTED STREAM (16th
+    * driver-verified streaming path — the streaming twin of
+    * [[sinkManifestCdfPropagate]], Delta's `readChangeFeed`): the same
+    * upstream history (two appends, a cdf MERGE re-score, a cdf GDPR
+    * DELETE) is drained through
+    * `readStream.format("graft-manifest").option("readChangeFeed",
+    * true)` — offsets are versions, admission control forces one
+    * commit per micro-batch, cdf commits stream their commit-time
+    * change files (type baked in the file) while appends stream as
+    * constant-'insert' rows — and each micro-batch folds its signed
+    * delta into the derived per-source aggregate via mergeInto. The
+    * emitted aggregate hash-matches the from-scratch oracle IFF every
+    * change row arrived exactly once with the right type: a skipped
+    * version, a double-served file, or a mistyped row all break the
+    * hash. The in-code require pins that admission control actually
+    * split the drain into per-commit batches. */
+  private def sinkManifestCdfStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdf-stream").toFile.getPath
+    val up = s"$root/up"
+    val agg = s"$root/agg"
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    ManifestTable.append(s, docs.filter($"doc_id" % 2 === 0), up)
+    ManifestTable.append(s, docs.filter($"doc_id" % 2 === 1), up)
+    ManifestTable.mergeInto(s, up,
+      docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"source", ($"n_chars" + 7L).as("n_chars")),
+      "doc_id", cdf = true)
+    ManifestTable.deleteWhere(s, up, $"doc_id" % 3 === 0, cdf = true)
+    var nBatches = 0
+    val q = s.readStream.format("graft-manifest")
+      .schema(docs.schema)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", 1)
+      .load(up)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!batch.isEmpty) {
+          nBatches += 1
+          val sign = when($"_change_type".isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L)
+          val delta = batch.toDF()
+            .groupBy($"source")
+            .agg(sum(sign).as("dn"), sum(sign * $"n_chars").as("dchars"))
+          val updated =
+            if (ManifestTable.latestVersion(agg).isEmpty)
+              delta.select($"source", $"dn".as("n_docs"), $"dchars".as("sum_chars"))
+            else delta.join(ManifestTable.read(s, agg), Seq("source"), "left")
+              .select($"source",
+                (coalesce($"n_docs", lit(0L)) + $"dn").as("n_docs"),
+                (coalesce($"sum_chars", lit(0L)) + $"dchars").as("sum_chars"))
+          ManifestTable.mergeInto(s, agg, updated, "source"): Unit
+        }
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("sink_manifest_cdf_stream: stream stalled")
+    }
+    require(nBatches >= 4,
+      s"admission control did not split the drain: $nBatches batches")
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, agg).orderBy($"source"))
+  }
+
   /** The manifest table consumed through the REAL Structured Streaming
     * SOURCE (15th driver-verified streaming path —
     * [[graft.sources.v2.ManifestStreamDataSource]], the engine-layer
@@ -2839,6 +2910,8 @@ object Pipeline {
       QueryDef(sinkManifestCdf, Some(sinkManifestCdfSql)),
     "sink_manifest_cdf_propagate" ->
       QueryDef(sinkManifestCdfPropagate, Some(sinkManifestCdfPropagateSql)),
+    "sink_manifest_cdf_stream" ->
+      QueryDef(sinkManifestCdfStream, Some(sinkManifestCdfPropagateSql)),
     "sink_manifest_schema_evo" ->
       QueryDef(sinkManifestSchemaEvo, Some(sinkManifestSchemaEvoSql)),
     "sink_manifest_merge_streaming" ->

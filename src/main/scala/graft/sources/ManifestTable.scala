@@ -1274,12 +1274,34 @@ object ManifestTable {
     * downstream copy reconstructs the upstream snapshot exactly —
     * incremental view maintenance rides this (see
     * `sink_manifest_cdf_propagate`). */
+  /** One commit's feed classification: (insert add= rels, cdf= rels).
+    * A cdf-carrying commit serves ONLY its change files; a
+    * row-removing commit without change data throws (not expressible
+    * as a row feed). Shared by [[readChanges]] and the streaming
+    * source's change-feed mode. */
+  private[graft] def classifyChangeCommit(dir: String, v: Long,
+                                          intervalDesc: String): (Seq[String], Seq[String]) = {
+    val mf = new File(manifestDir(dir), s"v$v.manifest")
+    if (!mf.isFile)
+      throw new IllegalStateException(
+        s"version $v missing from the log of $dir (vacuumed past it?)")
+    val lines = readLog(mf, v)
+    val cdfRels = lines.collect { case l if l.startsWith("cdf=") => l.stripPrefix("cdf=") }
+    if (cdfRels.nonEmpty) (Nil, cdfRels)
+    else if (lines.contains("reset") || lines.exists(_.startsWith("remove=")))
+      throw new IllegalStateException(
+        s"change feed $intervalDesc crosses a row-removing commit at v$v " +
+          "written without change data; re-read the snapshot instead")
+    else (lines.collect { case l if l.startsWith("add=") =>
+      l.stripPrefix("add=").takeWhile(_ != '|')
+    }, Nil)
+  }
+
   def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,
                   toVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val to = resolved(dir, toVersion)
     require(to >= sinceVersion, s"change feed interval ($sinceVersion, $to] is negative")
-    val md = manifestDir(dir)
     // change files carry the table schema AS OF their commit plus the
     // baked-in type column; pin to the target version's schema (when
     // the table evolved) so pre-evolution change files NULL-backfill
@@ -1290,30 +1312,16 @@ object ManifestTable {
       case None => spark.read
     }
     val frames: Seq[DataFrame] = (sinceVersion + 1 to to).flatMap { v =>
-      val mf = new File(md, s"v$v.manifest")
-      if (!mf.isFile)
-        throw new IllegalStateException(
-          s"version $v missing from the log of $dir (vacuumed past it?)")
-      val lines = readLog(mf, v)
-      val cdfRels = lines.collect { case l if l.startsWith("cdf=") => l.stripPrefix("cdf=") }
+      val (adds, cdfRels) = classifyChangeCommit(dir, v, s"($sinceVersion, $to]")
       if (cdfRels.nonEmpty)
         Some(cdfReader.parquet(
             cdfRels.map(rel => new File(dataDir(dir), rel).getPath): _*)
           .withColumn("_commit_version", lit(v)))
-      else if (lines.contains("reset") || lines.exists(_.startsWith("remove=")))
-        throw new IllegalStateException(
-          s"change feed ($sinceVersion, $to] crosses a row-removing commit at v$v " +
-            "written without change data; re-read the snapshot instead")
-      else {
-        val adds = lines.collect { case l if l.startsWith("add=") =>
-          l.stripPrefix("add=").takeWhile(_ != '|')
-        }
-        if (adds.isEmpty) None // markers-only commit: no row changes
-        else Some(pinnedReader(spark, dir, Some(to)).parquet(
-            adds.map(rel => new File(dataDir(dir), rel).getPath): _*)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
-      }
+      else if (adds.isEmpty) None // markers-only commit: no row changes
+      else Some(pinnedReader(spark, dir, Some(to)).parquet(
+          adds.map(rel => new File(dataDir(dir), rel).getPath): _*)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v)))
     }
     if (frames.nonEmpty)
       return frames.reduce(_.unionByName(_))

@@ -66,6 +66,14 @@ final class SerializableHadoopConf(@transient var value: Configuration)
   *    silently re-reading the snapshot would double-count — the
   *    consumer must restart from a fresh snapshot (exactly Delta's
   *    semantics without `ignoreChanges`).
+  *  - **`readChangeFeed=true`** (Delta's streaming CDF): rows arrive
+  *    tagged `_change_type`/`_commit_version` — cdf-enabled
+  *    DELETE/MERGE commits stream their commit-time change files
+  *    (type baked in the file), pure appends stream as constant
+  *    'insert' rows, and a row-removing commit written WITHOUT change
+  *    data still fails the stream. Downstream incremental view
+  *    maintenance then rides a checkpointed stream instead of a
+  *    hand-rolled cursor.
   *
   * Column types supported: long/int/double/boolean/string (the
   * manifest sink's own write surface). Schema must be supplied
@@ -82,18 +90,27 @@ class ManifestStreamDataSource extends TableProvider
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestStreamTable(schema, opts.get("path"),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
-      Option(opts.get("versionAsOf")).map(_.toLong))
+      Option(opts.get("versionAsOf")).map(_.toLong),
+      opts.getBoolean("readChangeFeed", false))
   }
 }
 
 final class ManifestStreamTable(tableSchema: StructType, dir: String,
                                 maxVersionsPerTrigger: Long,
-                                versionAsOf: Option[Long])
+                                versionAsOf: Option[Long],
+                                changeFeed: Boolean = false)
     extends Table with SupportsRead {
   require(dir != null, "graft-manifest requires a path")
   require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
   override def name(): String = s"graft-manifest($dir)"
-  override def schema(): StructType = tableSchema
+  // change-feed mode serves the user's table schema PLUS the two CDF
+  // meta columns (the Delta readChangeFeed contract)
+  private val servedSchema: StructType =
+    if (!changeFeed) tableSchema
+    else tableSchema
+      .add(StructField("_change_type", StringType, nullable = true))
+      .add(StructField("_commit_version", LongType, nullable = true))
+  override def schema(): StructType = servedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -107,23 +124,28 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
       // unrequested columns are never materialized — which also means
       // a table holding unsupported-typed columns (embedding arrays)
       // reads fine as long as the QUERY touches only scalars
-      private var required: StructType = tableSchema
+      private var required: StructType = servedSchema
       override def pruneColumns(r: StructType): Unit =
-        required = StructType(tableSchema.fields.filter(f =>
+        required = StructType(servedSchema.fields.filter(f =>
           r.fieldNames.contains(f.name)))
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(required, dir, maxVersionsPerTrigger, hadoopConf)
+          new ManifestMicroBatchStream(required, dir, maxVersionsPerTrigger,
+            hadoopConf, changeFeed)
         // batch read = the SNAPSHOT (latest, or `versionAsOf` time
         // travel) — the same manifest fold ManifestTable.read plans,
         // served through the same executor-side reader as the stream
         override def toBatch: Batch = new Batch {
-          override def planInputPartitions(): Array[InputPartition] =
+          override def planInputPartitions(): Array[InputPartition] = {
+            require(!changeFeed,
+              "readChangeFeed is a streaming option; batch change reads go " +
+                "through ManifestTable.readChanges")
             ManifestTable.snapshotFiles(dir, versionAsOf)
               .map(rel => ManifestFilePartition(
                 ManifestStreamSource.dataFilePath(dir, rel)): InputPartition)
               .toArray
+          }
           override def createReaderFactory(): PartitionReaderFactory =
             new ManifestReaderFactory(required.json, hadoopConf)
         }
@@ -146,7 +168,8 @@ final case class ManifestOffset(version: Long) extends Offset {
 
 final class ManifestMicroBatchStream(schema: StructType, dir: String,
                                      maxVersionsPerTrigger: Long,
-                                     hadoopConf: SerializableHadoopConf)
+                                     hadoopConf: SerializableHadoopConf,
+                                     changeFeed: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -182,12 +205,26 @@ final class ManifestMicroBatchStream(schema: StructType, dir: String,
     val from = start.asInstanceOf[ManifestOffset].version
     val to = end.asInstanceOf[ManifestOffset].version
     if (to <= from) return Array.empty
-    // throws on a replacing commit in the interval — the stream FAILS
-    // rather than silently double-reading a rewritten snapshot
-    ManifestTable.addedFilesSince(dir, from, Some(to))
-      .map(rel => ManifestFilePartition(
-        ManifestStreamSource.dataFilePath(dir, rel)): InputPartition)
-      .toArray
+    if (!changeFeed)
+      // throws on a replacing commit in the interval — the stream FAILS
+      // rather than silently double-reading a rewritten snapshot
+      return ManifestTable.addedFilesSince(dir, from, Some(to))
+        .map(rel => ManifestFilePartition(
+          ManifestStreamSource.dataFilePath(dir, rel)): InputPartition)
+        .toArray
+    // CHANGE-FEED mode (Delta streaming readChangeFeed): per commit,
+    // cdf files carry their own _change_type column (read from the
+    // file), pure-append files stream as constant-'insert' rows;
+    // row-removing commits without change data still FAIL the stream
+    // (classifyChangeCommit throws) — a feed must not guess.
+    (from + 1 to to).flatMap { v =>
+      val (adds, cdfRels) =
+        ManifestTable.classifyChangeCommit(dir, v, s"($from, $to]")
+      cdfRels.map(rel => ManifestFilePartition(
+        ManifestStreamSource.dataFilePath(dir, rel), null, v): InputPartition) ++
+        adds.map(rel => ManifestFilePartition(
+          ManifestStreamSource.dataFilePath(dir, rel), "insert", v): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -205,16 +242,24 @@ final class ManifestMicroBatchStream(schema: StructType, dir: String,
   override def stop(): Unit = ()
 }
 
-final case class ManifestFilePartition(file: String) extends InputPartition
+/** One committed data file. `changeType`: null = not a change-feed
+  * partition OR the file bakes its own `_change_type` column (cdf
+  * files); "insert" = pure-append file served with a constant type.
+  * `commitVersion` feeds `_commit_version` (-1 outside feed mode). */
+final case class ManifestFilePartition(file: String,
+                                       changeType: String = null,
+                                       commitVersion: Long = -1L)
+    extends InputPartition
 
 final class ManifestReaderFactory(schemaJson: String,
                                   hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ManifestPartitionReader(
-      partition.asInstanceOf[ManifestFilePartition].file,
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ManifestFilePartition]
+    new ManifestPartitionReader(p.file,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      hadoopConf.value)
+      hadoopConf.value, p.changeType, p.commitVersion)
+  }
 }
 
 /** Executor-side parquet read of one committed data file through the
@@ -223,7 +268,9 @@ final class ManifestReaderFactory(schemaJson: String,
   * the reader as a parquet projection, so unrequested columns are
   * skipped at the column-chunk level, never decoded. */
 final class ManifestPartitionReader(file: String, schema: StructType,
-                                    conf: Configuration)
+                                    conf: Configuration,
+                                    constChangeType: String = null,
+                                    commitVersion: Long = -1L)
     extends PartitionReader[InternalRow] {
   /** GroupReadSupport that projects to the requested column names
     * INSIDE init(), where the file schema is already in hand — the
@@ -278,7 +325,15 @@ final class ManifestPartitionReader(file: String, schema: StructType,
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
-      if (!presentFields.contains(f.name) ||
+      // change-feed meta columns: _commit_version is always partition
+      // metadata; _change_type is a constant for pure-append files and
+      // a REAL baked column in cdf files (falls through to the file
+      // read below when no constant was assigned)
+      if (f.name == "_commit_version" && commitVersion >= 0L)
+        row.setLong(i, commitVersion)
+      else if (f.name == "_change_type" && constChangeType != null)
+        row.update(i, UTF8String.fromString(constChangeType))
+      else if (!presentFields.contains(f.name) ||
           current.getFieldRepetitionCount(f.name) == 0) row.setNullAt(i)
       else f.dataType match {
         case LongType => row.setLong(i, current.getLong(f.name, 0))

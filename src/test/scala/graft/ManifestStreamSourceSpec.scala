@@ -194,4 +194,81 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     // files (all-null) — the pruned-scan shape of the same rule
     assert(got.select($"extra").filter($"extra".isNull).count() == 2)
   }
+
+  test("readChangeFeed streams typed change rows equal to batch readChanges") {
+    val dir = freshDir()
+    ManifestTable.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    ManifestTable.mergeInto(spark,  dir,
+      Seq((2L, "b2"), (9L, "fresh")).toDF("id", "v"), "id", cdf = true)
+    ManifestTable.deleteWhere(spark, dir, $"id" === 3L, cdf = true)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+    var nBatches = 0
+    val q = spark.readStream.format("graft-manifest")
+      .schema(ManifestTable.read(spark, dir).schema)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", 1)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!b.isEmpty) {
+          nBatches += 1
+          rows ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+            r.getLong(r.fieldIndex("_commit_version")),
+            r.getString(r.fieldIndex("_change_type"))))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"${freshDir()}/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream stalled")
+    assert(nBatches == 3, s"admission control should split per commit: $nBatches")
+    val expected = ManifestTable.readChanges(spark, dir, -1L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(r.fieldIndex("_commit_version")),
+        r.getString(r.fieldIndex("_change_type")))).toSeq
+    assert(rows.sorted == expected.sorted)
+    // the exact typed set, spelled out
+    assert(rows.sorted == Seq(
+      (1L, "a", 0L, "insert"), (2L, "b", 0L, "insert"), (3L, "c", 0L, "insert"),
+      (2L, "b", 1L, "update_preimage"), (2L, "b2", 1L, "update_postimage"),
+      (9L, "fresh", 1L, "insert"),
+      (3L, "c", 2L, "delete")).sorted)
+  }
+
+  test("readChangeFeed fails the stream on a cdf-less row-removing commit") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    ManifestTable.deleteWhere(spark, dir, $"id" === 1L) // cdf = false
+    val q = spark.readStream.format("graft-manifest")
+      .schema(ManifestTable.read(spark, dir).schema)
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) => () }
+      .option("checkpointLocation", s"${freshDir()}/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("without change data") ||
+      Option(e.getCause).exists(_.getMessage.contains("without change data")))
+  }
+
+  test("readChangeFeed refuses the batch path (readChanges is the batch API)") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val e = intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .schema(ManifestTable.read(spark, dir).schema)
+        .option("readChangeFeed", "true")
+        .load(dir).collect()
+    }
+    assert(e.getMessage.contains("streaming option") ||
+      Option(e.getCause).exists(_.getMessage.contains("streaming option")))
+  }
 }
