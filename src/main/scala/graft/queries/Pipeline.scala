@@ -955,6 +955,69 @@ object Pipeline {
       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** UPDATE ... SET ... WHERE proven end-to-end — the third DML verb
+    * ([[graft.sources.ManifestTable.updateWhere]], Delta UPDATE,
+    * copy-on-write): the corpus lands as 4 stats slices, one update
+    * re-scores every doc_id % 3 == 0 of the upper half (n_chars +
+    * 1000, source → 'rescored') — the predicate touches slices 2–3
+    * only, so requires pin exactly 2 `remove=` lines, no reset, and
+    * the untouched slices' stats surviving verbatim; an update
+    * matching nothing commits nothing; with cdf the feed carries
+    * matched-count preimage/postimage rows (census required in-key).
+    * The emitted per-source aggregate hash-matches the oracle's CASE
+    * replay. */
+  private def sinkManifestUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-upd").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id")
+    val nHit = docs.filter($"doc_id" % 3 === 0 && $"doc_id" >= 2 * w).count()
+    val preV = ManifestTable.latestVersion(root).get
+    val uv = ManifestTable.updateWhere(s, root,
+      $"doc_id" % 3 === 0 && $"doc_id" >= 2 * w,
+      Map("n_chars" -> ($"n_chars" + 1000L), "source" -> lit("rescored")),
+      statCols = Seq("doc_id"), cdf = true)
+    require(uv.contains(preV + 1), "update must land as exactly one commit")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_manifest", s"v${preV + 1}.manifest"))
+    require(!lines.contains("reset"), "update wrote a replacing commit")
+    require((0 until lines.size).count(i => lines.get(i).startsWith("remove=")) == 2,
+      "update rewrote files outside the 2 matched slices")
+    require(ManifestTable.plannedFilesForRange(root, "doc_id", 0, 1).size == 1,
+      "update rewrote (or dropped the stats of) a file it did not touch")
+    require(ManifestTable.updateWhere(s, root, $"doc_id" < 0,
+        Map("n_chars" -> lit(0L))).isEmpty,
+      "an update matching nothing must not commit")
+    val census = ManifestTable.readChanges(s, root, preV, uv)
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(census == Map("update_preimage" -> nHit, "update_postimage" -> nHit),
+      s"cdf census mismatch: $census vs hits=$nHit")
+    StreamReplay.finish(s, qname = "", root)(
+      ManifestTable.read(s, root)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"source"))
+  }
+
+  private val sinkManifestUpdateSql =
+    """WITH nn AS (SELECT (COUNT(*) + 3) // 4 AS w FROM documents),
+      |fin AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 AND doc_id >= 2 * w
+      |           THEN 'rescored' ELSE source END AS source,
+      |         CASE WHEN doc_id % 3 = 0 AND doc_id >= 2 * w
+      |           THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents, nn)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
+
   /** INCREMENTAL compaction proven end-to-end — the real OPTIMIZE
     * shape ([[graft.sources.ManifestTable.compactSmall]]): a streaming
     * sink's steady state is one healthy file plus a drip of small
@@ -2906,6 +2969,8 @@ object Pipeline {
       QueryDef(sinkManifestMergeCdc, Some(sinkManifestMergeCdcSql)),
     "sink_manifest_compact_small" ->
       QueryDef(sinkManifestCompactSmall, Some(sinkManifestCompactSmallSql)),
+    "sink_manifest_update" ->
+      QueryDef(sinkManifestUpdate, Some(sinkManifestUpdateSql)),
     "sink_manifest_cdf" ->
       QueryDef(sinkManifestCdf, Some(sinkManifestCdfSql)),
     "sink_manifest_cdf_propagate" ->

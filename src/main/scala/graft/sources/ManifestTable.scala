@@ -982,6 +982,87 @@ object ManifestTable {
           s"matched file $p is not in the snapshot"))).toSet
   }
 
+  /** UPDATE ... SET ... WHERE — the third DML verb (Delta UPDATE),
+    * copy-on-write like [[deleteWhere]]: one predicate-pushed scan
+    * plans the affected files, ONLY those files rewrite — matched rows
+    * with the `set` expressions applied, survivors verbatim — and the
+    * commit carries per-file `remove=` + `add=`, O(affected). SQL
+    * UPDATE semantics: a NULL predicate leaves the row unchanged.
+    * `set` columns must already exist (UPDATE never evolves schema —
+    * that is [[appendEvolving]]'s job) and may reference the row's own
+    * columns (`n_chars -> col("n_chars") + 7`). With `cdf = true` the
+    * commit records update_preimage/update_postimage change rows for
+    * [[readChanges]]. Returns None when nothing matched (no commit). */
+  def updateWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  statCols: Seq[String] = Nil,
+                  cdf: Boolean = false): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, when}
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val parent = resolved(dir, None)
+      val entries = fold(dir, parent).files
+      val relOf = entries.map { e =>
+        val rel = e.takeWhile(_ != '|')
+        new File(dataDir(dir), rel).getCanonicalPath -> rel
+      }.toMap
+      val affected: Set[String] = read(spark, dir, Some(parent))
+        .filter(predicate)
+        .select(input_file_name().as("f")).distinct().collect()
+        .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
+        .map(p => relOf.getOrElse(p, throw new IllegalStateException(
+          s"matched file $p is not in the snapshot"))).toSet
+      if (affected.isEmpty) return None
+      val base = pinnedReader(spark, dir, Some(parent)).parquet(
+        affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+      set.keys.foreach { c =>
+        require(base.columns.contains(c),
+          s"UPDATE SET column '$c' is not in the table (schema evolution is appendEvolving's job)")
+      }
+      // matched rows take the SET expressions, others pass verbatim;
+      // NULL predicate = unchanged (SQL UPDATE), hence the coalesce.
+      // ONE projection, every RHS evaluated against the OLD row — a
+      // sequential withColumn fold would let `SET a = b, b = a` read
+      // a's NEW value, which SQL UPDATE forbids
+      val hit = coalesce(predicate, lit(false))
+      def applied(df: DataFrame, conditional: Boolean): DataFrame =
+        df.select(df.columns.map { c =>
+          set.get(c) match {
+            case Some(expr) if conditional => when(hit, expr).otherwise(df(c)).as(c)
+            case Some(expr) => expr.as(c)
+            case None => df(c)
+          }
+        }.toSeq: _*)
+      val rewritten = applied(base, conditional = true)
+      val staged = stageFiles(rewritten, dir)
+      val cdfStaged: Seq[String] =
+        if (!cdf) Nil
+        else {
+          val matched = base.filter(hit)
+          stageFiles(
+            matched.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(applied(matched, conditional = false)
+                .withColumn("_change_type", lit("update_postimage"))),
+            dir)
+        }
+      val adds =
+        if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
+        else staged.map("add=" + _)
+      val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
+        cdfStaged.map("cdf=" + _)
+      commitRewriteRebasing(dir, parent, actions) match {
+        case RewriteCommitted(v) => return Some(v)
+        case _ =>
+          (staged ++ cdfStaged).map(_.takeWhile(_ != '/')).distinct
+            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+      }
+    }
+    throw new IllegalStateException(s"gave up updating $dir after 20 conflicts")
+  }
+
   /** MERGE INTO (keyed upsert), copy-on-write — the Delta MERGE shape
     * restricted to whole-row `WHEN MATCHED THEN UPDATE SET *` /
     * `WHEN NOT MATCHED THEN INSERT *`: batch rows whose `key` matches

@@ -120,6 +120,42 @@ class ManifestCdfSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("updateWhere: every SET RHS reads the OLD row (swap is a real swap)") {
+    val dir = freshDir()
+    ManifestTable.append(spark,
+      Seq((1, 10L, 20L), (2, 30L, 40L)).toDF("id", "a", "b"), dir)
+    val uv = ManifestTable.updateWhere(spark, dir, $"id" === 1,
+      Map("a" -> col("b"), "b" -> col("a")), cdf = true)
+    assert(uv.contains(1L))
+    val back = ManifestTable.read(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == Set((1, 20L, 10L), (2, 30L, 40L)),
+      "SET a=b, b=a must swap, not chain")
+    val changes = ManifestTable.readChanges(spark, dir, 0L)
+      .select($"_commit_version", $"_change_type", $"id", $"a", $"b")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(changes == Seq((1L, "update_postimage", 1, 20L, 10L),
+      (1L, "update_preimage", 1, 10L, 20L)))
+  }
+
+  test("updateWhere: NULL predicate leaves the row unchanged; unknown SET column refuses") {
+    val dir = freshDir()
+    ManifestTable.append(spark,
+      Seq((1, "x"), (2, null.asInstanceOf[String])).toDF("id", "v"), dir)
+    // v === "x" is NULL for the null row: only id 1 updates
+    ManifestTable.updateWhere(spark, dir, $"v" === "x", Map("v" -> lit("y")))
+    val back = ManifestTable.read(spark, dir)
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(back == Set((1, Some("y")), (2, None)))
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, dir, $"id" === 1, Map("nope" -> lit(1)))
+    }
+    // matching nothing commits nothing
+    assert(ManifestTable.updateWhere(spark, dir, $"id" > 99, Map("v" -> lit("z"))).isEmpty)
+    assert(ManifestTable.latestVersion(dir).contains(1L))
+  }
+
   test("compactSmall packs only sub-threshold files; the feed refuses across it") {
     val dir = freshDir()
     // one healthy file, three tiny ones
