@@ -253,6 +253,64 @@ class ManifestCdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("predates"))
   }
 
+  test("CDF x schema evolution: change files on either side of the evolution NULL-backfill") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir) // v0
+    ManifestTable.deleteWhere(spark, dir, $"id" === 1, cdf = true)            // v1: pre-evolution cdf
+    ManifestTable.appendEvolving(spark,
+      Seq((3, "c", 30L)).toDF("id", "v", "extra"), dir)                       // v2: evolve
+    ManifestTable.deleteWhere(spark, dir, $"id" === 3, cdf = true)            // v3: post-evolution cdf
+    val ch = ManifestTable.readChanges(spark, dir, -1L)
+      .select($"_commit_version", $"_change_type", $"id",
+        $"v", $"extra")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSeq.sorted
+    // pre-evolution rows (v0 inserts, v1's delete) read `extra` as NULL
+    // through the pinned feed schema; v3's delete carries the value
+    assert(ch == Seq(
+      (0L, "insert", 1, "a", None), (0L, "insert", 2, "b", None),
+      (1L, "delete", 1, "a", None),
+      (2L, "insert", 3, "c", Some(30L)),
+      (3L, "delete", 3, "c", Some(30L))))
+    // time-travel feed: an interval ENDING before the evolution has no
+    // `extra` column at all
+    assert(!ManifestTable.readChanges(spark, dir, -1L, Some(1L))
+      .columns.contains("extra"))
+  }
+
+  test("updateWhere x schema evolution: a pre-evolution file updates without losing the new column") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    ManifestTable.appendEvolving(spark,
+      Seq((3, "c", 30L)).toDF("id", "v", "extra"), dir)
+    // the matched row lives in the PRE-evolution file; the rewrite must
+    // keep the recorded schema (extra = NULL), not parquet-sample it away
+    val uv = ManifestTable.updateWhere(spark, dir, $"id" === 1,
+      Map("v" -> org.apache.spark.sql.functions.lit("a2")))
+    assert(uv.isDefined)
+    val back = ManifestTable.read(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(back == Set((1, "a2", None), (2, "b", None), (3, "c", Some(30L))))
+    // and updating the EVOLVED column works on the new file
+    ManifestTable.updateWhere(spark, dir, $"id" === 3,
+      Map("extra" -> ($"extra" * 2L)))
+    assert(ManifestTable.read(spark, dir).filter($"id" === 3)
+      .select($"extra").as[Long].head() == 60L)
+  }
+
+  test("mergeIntoCdc: a disjoint-range delete-only batch against a key-statted table plans nothing") {
+    val dir = freshDir()
+    ManifestTable.appendWithStats(spark,
+      (0L until 20L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1), dir, "k")
+    // D keys far outside the recorded [0, 19] range: the stats pruning
+    // must empty the plan and the call must not commit
+    val ghosts = Seq((100L, "x", "D"), (101L, "x", "D")).toDF("k", "v", "op")
+    assert(ManifestTable.mergeIntoCdc(spark, dir, ghosts, "k").isEmpty)
+    assert(ManifestTable.latestVersion(dir).contains(0L))
+  }
+
   test("vacuum spares change files named by surviving manifests, sweeps dropped ones") {
     val dir = freshDir()
     ManifestTable.append(spark, (1 to 6).map(i => (i, s"r$i")).toDF("id", "v"), dir)
