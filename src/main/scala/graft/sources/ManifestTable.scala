@@ -50,7 +50,9 @@ import java.util.UUID
   * `txn=<writer>:<batch>`, `cdf=<data-relative path>` (a CHANGE-DATA
   * file the commit wrote alongside its rewrite — rows + a baked-in
   * `_change_type` column; never part of the folded snapshot, served
-  * only by [[readChanges]]), or `reset` (clears the folded file set;
+  * only by [[readChanges]]), `op=<NAME>` (writer-stamped commitInfo,
+  * served by [[history]] — DESCRIBE HISTORY; never snapshot state),
+  * or `reset` (clears the folded file set;
   * txn markers always survive — a streaming writer's retried batch
   * must stay a no-op across compactions). A `v<N>.checkpoint` holds
   * the FOLDED state at N in the same format (removes already
@@ -109,6 +111,7 @@ object ManifestTable {
       case l if l.startsWith("txn=") => txns += l.stripPrefix("txn=")
       case l if l.startsWith("schema=") => schema = Some(l.stripPrefix("schema="))
       case l if l.startsWith("cdf=") => () // change-data files: feed-only, never snapshot state
+      case l if l.startsWith("op=") => ()  // commitInfo: introspection-only, never snapshot state
       case l => throw new IllegalStateException(s"unknown log action: $l")
     }
     ckpt.foreach { c => apply(readLog(new File(md, s"v$c.checkpoint"), c)) }
@@ -270,6 +273,45 @@ object ManifestTable {
   def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
     read(spark, dir, Some(versionAtTimestamp(dir, tsMillis)))
 
+  /** One commit's audit row — see [[history]]. */
+  final case class CommitInfo(version: Long, op: String,
+                              adds: Int, removes: Int, changeFiles: Int,
+                              reset: Boolean, schemaChange: Boolean,
+                              txns: Seq[String], timestampMs: Long)
+
+  /** DESCRIBE HISTORY — the commit log as data, newest first: every
+    * SURVIVING version's operation (the writer-stamped `op=` action;
+    * commits from before the stamp — or hand-written logs — classify
+    * from their action shape: reset → REPLACE, removes → REWRITE,
+    * adds → APPEND, else MARKERS), its action census, and its
+    * wall-clock time (manifest mtime, the [[versionAtTimestamp]]
+    * clock). Metadata-only: O(surviving manifests) small files, zero
+    * data reads — what an operator pages through before trusting a
+    * RESTORE target or auditing who deleted what, when. */
+  def history(dir: String, limit: Int = Int.MaxValue): Seq[CommitInfo] = {
+    val md = manifestDir(dir)
+    Option(md.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => versionOf(f, ".manifest").map(_ -> f))
+      .sortBy(-_._1).take(limit)
+      .map { case (v, f) =>
+        val lines = readLog(f, v)
+        val adds = lines.count(_.startsWith("add="))
+        val removes = lines.count(_.startsWith("remove="))
+        val cdfs = lines.count(_.startsWith("cdf="))
+        val reset = lines.contains("reset")
+        val op = lines.find(_.startsWith("op=")).map(_.stripPrefix("op="))
+          .getOrElse(
+            if (reset) "REPLACE"
+            else if (removes > 0) "REWRITE"
+            else if (adds > 0) "APPEND"
+            else "MARKERS")
+        CommitInfo(v, op, adds, removes, cdfs, reset,
+          lines.exists(_.startsWith("schema=")),
+          lines.collect { case l if l.startsWith("txn=") => l.stripPrefix("txn=") },
+          f.lastModified())
+      }.toSeq
+  }
+
   /** Read a snapshot: exactly the manifest-listed files, nothing else.
     * When the log records a schema ([[appendEvolving]]), the read is
     * pinned to the schema AS OF the target version: columns a file
@@ -297,7 +339,7 @@ object ManifestTable {
     * snapshot. Returns the committed version. Retries on version
     * conflicts; the staged files are written exactly once. */
   def append(spark: SparkSession, df: DataFrame, dir: String): Long =
-    commit(dir, stageFiles(df, dir).map("add=" + _)).get
+    commit(dir, stageFiles(df, dir).map("add=" + _) :+ "op=APPEND").get
 
   /** Compute `add=` actions for freshly staged files, recording
     * per-file per-column (min, max) of the given long columns —
@@ -397,7 +439,7 @@ object ManifestTable {
     val adds =
       if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
       else staged.map("add=" + _)
-    commit(dir, adds :+ ("schema=" + df.schema.json)).get
+    commit(dir, adds ++ Seq("schema=" + df.schema.json, "op=APPEND")).get
   }
 
   /** [[append]] that also records per-file (min, max) of one or more
@@ -408,7 +450,7 @@ object ManifestTable {
   def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
                       statCols: String*): Long = {
     require(statCols.nonEmpty, "appendWithStats needs at least one stats column")
-    commit(dir, statAddActions(spark, dir, stageFiles(df, dir), statCols)).get
+    commit(dir, statAddActions(spark, dir, stageFiles(df, dir), statCols) :+ "op=APPEND").get
   }
 
   /** Files the latest snapshot plans for a `[lo, hi]` range predicate
@@ -492,7 +534,7 @@ object ManifestTable {
         case None => a // all-NULL key in this file: no bloom, never skipped
       }
     }
-    commit(dir, withBloom).get
+    commit(dir, withBloom :+ "op=APPEND").get
   }
 
   /** Files the snapshot plans for an equality lookup `col = value`:
@@ -538,7 +580,8 @@ object ManifestTable {
   def appendIdempotent(spark: SparkSession, df: DataFrame, dir: String,
                        writer: String, batchId: Long): Option[Long] = {
     if (committedBatches(dir, writer).contains(batchId)) return None
-    commit(dir, stageFiles(df, dir).map("add=" + _) :+ s"txn=$writer:$batchId",
+    commit(dir, stageFiles(df, dir).map("add=" + _) ++
+        Seq(s"txn=$writer:$batchId", "op=APPEND"),
       skipIfTxn = Some((writer, batchId)))
   }
 
@@ -583,7 +626,7 @@ object ManifestTable {
       val adds =
         if (statCols.isEmpty) mine.map("add=" + _)
         else statAddActions(spark, dir, mine, statCols)
-      tryCommitAt(dir, parent + 1L, "reset" +: adds) match {
+      tryCommitAt(dir, parent + 1L, ("reset" +: adds) :+ "op=COMPACT") match {
         case Some(v) => return v
         case None =>
           // someone committed on top of `parent` — replacing now would
@@ -638,7 +681,7 @@ object ManifestTable {
       val adds =
         if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
         else staged.map("add=" + _)
-      val actions = small.sorted.map("remove=" + _) ++ adds
+      val actions = small.sorted.map("remove=" + _) ++ adds :+ "op=OPTIMIZE"
       commitRewriteRebasing(dir, parent, actions) match {
         case RewriteCommitted(v) => return Some(v)
         case _ =>
@@ -653,7 +696,8 @@ object ManifestTable {
     (from to to).forall { v =>
       val mf = new File(manifestDir(dir), s"v$v.manifest")
       mf.isFile && readLog(mf, v).forall(l =>
-        l.startsWith("add=") || l.startsWith("txn=") || l.startsWith("cdf="))
+        l.startsWith("add=") || l.startsWith("txn=") || l.startsWith("cdf=") ||
+          l.startsWith("op="))
     }
 
   private[graft] sealed trait RewriteResult
@@ -758,7 +802,7 @@ object ManifestTable {
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .map(f => s"${stage.getName}/${f.getName}").toSeq.sorted
       val adds = statAddActions(spark, dir, mine, zCols)
-      tryCommitAt(dir, parent + 1L, "reset" +: adds) match {
+      tryCommitAt(dir, parent + 1L, ("reset" +: adds) :+ "op=ZORDER") match {
         case Some(v) => return v
         case None => deleteRec(stage) // a commit beat us: re-cluster the new latest
       }
@@ -824,7 +868,8 @@ object ManifestTable {
             .schema.json)
         case None => Nil
       }
-      val actions = "reset" +: (schemaAction ++ target.files.map("add=" + _))
+      val actions = ("reset" +: (schemaAction ++ target.files.map("add=" + _))) :+
+        s"op=RESTORE(v$toVersion)"
       tryCommitAt(dir, parent + 1L, actions) match {
         case Some(v) => return v
         case None => // a commit beat us: re-pin against the new latest
@@ -914,7 +959,7 @@ object ManifestTable {
         if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
         else staged.map("add=" + _)
       val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
-        cdfStaged.map("cdf=" + _)
+        cdfStaged.map("cdf=" + _) :+ "op=DELETE"
       commitRewriteRebasing(dir, parent, actions) match {
         case RewriteCommitted(v) => return Some(v)
         case _ =>
@@ -1052,7 +1097,7 @@ object ManifestTable {
         if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
         else staged.map("add=" + _)
       val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
-        cdfStaged.map("cdf=" + _)
+        cdfStaged.map("cdf=" + _) :+ "op=UPDATE"
       commitRewriteRebasing(dir, parent, actions) match {
         case RewriteCommitted(v) => return Some(v)
         case _ =>
@@ -1166,7 +1211,7 @@ object ManifestTable {
         else staged.map("add=" + _)
       val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
         cdfStaged.map("cdf=" + _) ++
-        txn.map { case (w, b) => s"txn=$w:$b" }
+        txn.map { case (w, b) => s"txn=$w:$b" } :+ "op=MERGE"
       commitRewriteRebasing(dir, parent, actions, skipIfTxn = txn) match {
         case RewriteCommitted(v) => return Some(v)
         case other =>
@@ -1233,7 +1278,7 @@ object ManifestTable {
         // nothing matched, nothing to insert: only a txn marker may
         // need recording (a retried empty CDC batch must stay no-op)
         return txn.flatMap { case (w, b) =>
-          commit(dir, Seq(s"txn=$w:$b"), skipIfTxn = txn)
+          commit(dir, Seq(s"txn=$w:$b", "op=MERGE"), skipIfTxn = txn)
         }
       def affectedRead: DataFrame =
         pinnedReader(spark, dir, Some(parent)).parquet(
@@ -1266,7 +1311,7 @@ object ManifestTable {
         else staged.map("add=" + _)
       val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
         cdfStaged.map("cdf=" + _) ++
-        txn.map { case (w, b) => s"txn=$w:$b" }
+        txn.map { case (w, b) => s"txn=$w:$b" } :+ "op=MERGE"
       commitRewriteRebasing(dir, parent, actions, skipIfTxn = txn) match {
         case RewriteCommitted(v) => return Some(v)
         case other =>

@@ -311,6 +311,34 @@ class ManifestCdfSpec extends AnyFunSuite {
     assert(ManifestTable.latestVersion(dir).contains(0L))
   }
 
+  test("history (DESCRIBE HISTORY): writer-stamped ops, action census, legacy fallback") {
+    val dir = freshDir()
+    ManifestTable.append(spark, (1 to 6).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    ManifestTable.deleteWhere(spark, dir, $"id" === 1, cdf = true)
+    ManifestTable.updateWhere(spark, dir, $"id" === 2, Map("v" -> lit("u")))
+    ManifestTable.mergeInto(spark, dir, Seq((9, "m")).toDF("id", "v"), "id",
+      txn = Some(("w", 1L)))
+    ManifestTable.compactSmall(spark, dir, minBytes = Long.MaxValue)
+    ManifestTable.compact(spark, dir)
+    ManifestTable.restore(spark, dir, 2L)
+    val h = ManifestTable.history(dir)
+    assert(h.map(_.version) == Seq(6L, 5L, 4L, 3L, 2L, 1L, 0L), "newest first")
+    assert(h.map(_.op) == Seq("RESTORE(v2)", "COMPACT", "OPTIMIZE",
+      "MERGE", "UPDATE", "DELETE", "APPEND"))
+    val del = h.find(_.version == 1L).get
+    assert(del.removes >= 1 && del.changeFiles >= 1 && !del.reset)
+    assert(h.find(_.version == 3L).get.txns == Seq("w:1"))
+    assert(h.find(_.version == 5L).get.reset)
+    assert(h.head.schemaChange || h.head.reset) // restore re-pins via reset
+    // limit pages from the newest
+    assert(ManifestTable.history(dir, limit = 2).map(_.version) == Seq(6L, 5L))
+    // a hand-written (op-less) commit classifies from its shape
+    val mdir = new java.io.File(dir, "_manifest")
+    Files.write(new java.io.File(mdir, "v7.manifest").toPath,
+      "version=7\nadd=txn-x/part-legacy.parquet\n".getBytes)
+    assert(ManifestTable.history(dir).head.op == "APPEND")
+  }
+
   test("vacuum spares change files named by surviving manifests, sweeps dropped ones") {
     val dir = freshDir()
     ManifestTable.append(spark, (1 to 6).map(i => (i, s"r$i")).toDF("id", "v"), dir)
