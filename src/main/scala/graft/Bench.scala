@@ -50,6 +50,23 @@ object Bench {
         (l, -1.0, -1.0)
     }
 
+  /** Idle gate predicate, factored pure for specs: busy iff EITHER the
+    * 1-minute OR the 5-minute loadavg exceeds 25% of the host's cores.
+    * r15's committed bench passed the old 1-minute-only gate (loadavg1
+    * had momentarily decayed to 7.66 on 64 cores... just under after a
+    * wait) while the 5-minute figure (16.31) showed the box was still
+    * digesting the session's own background verify runs — every key
+    * then read 1.2-2.8× high. A negative la5 means the /proc fallback
+    * path (only la1 known): gate on la1 alone. */
+  def loadGate(la1: Double, la5: Double, hostCpus: Int): Boolean =
+    math.max(la1, if (la5 < 0) la1 else la5) > 0.25 * hostCpus
+
+  /** Mid-run calibration drift predicate, factored pure for specs:
+    * contention arrived mid-run iff any per-group calibration probe ran
+    * >25% slower than the pre-run figure. */
+  def calibDrift(start: Double, groups: Seq[Double]): Boolean =
+    groups.exists(_ > 1.25 * start)
+
   @volatile private var calibSink: Long = 0L
 
   /** Fixed single-thread CPU calibration: 100 M xorshift64 steps,
@@ -146,19 +163,21 @@ object Bench {
     }
     var (la1, la5, la15) = loadAvg()
     var idleWaitSec = 0
-    while (la1 > 0.25 * hostCpus && idleWaitSec < maxWaitSec) {
-      System.err.println(f"[bench] box busy (loadavg1=$la1%.2f on $hostCpus " +
-        f"cpus); waited $idleWaitSec/$maxWaitSec s")
+    while (loadGate(la1, la5, hostCpus) && idleWaitSec < maxWaitSec) {
+      System.err.println(f"[bench] box busy (loadavg1=$la1%.2f/5min=$la5%.2f " +
+        f"on $hostCpus cpus); waited $idleWaitSec/$maxWaitSec s")
       Thread.sleep(30000)
       idleWaitSec += 30
       val l = loadAvg(); la1 = l._1; la5 = l._2; la15 = l._3
     }
-    val loadFlag = la1 > 0.25 * hostCpus
+    val loadFlag = loadGate(la1, la5, hostCpus)
     if (loadFlag) {
       System.err.println(
-        f"[bench] WARNING: box not idle (loadavg1=$la1%.2f on $hostCpus cpus)")
+        f"[bench] WARNING: box not idle (loadavg1=$la1%.2f/5min=$la5%.2f " +
+          f"on $hostCpus cpus)")
       if (sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1"))
-        sys.error(f"refusing to bench on a loaded box: loadavg1=$la1%.2f")
+        sys.error(
+          f"refusing to bench on a loaded box: loadavg1=$la1%.2f/5min=$la5%.2f")
     }
     val calibStart = calibrate()
 
@@ -183,7 +202,16 @@ object Bench {
     // A run that throws is dropped; a query with no successful run is
     // reported as the sentinel -1 and excluded from the total rather
     // than flattering the headline with a near-zero elapsed time.
-    val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Per-group mid-run calibration: re-run the CPU probe every 8
+    // queries so contention that ARRIVES mid-run (after a clean start
+    // gate) is visible in the artifact per-group, not just as one
+    // blended end figure. Each probe is ~0.8 s untimed overhead; the
+    // drift flag (any group >25% over calib_start) marks the artifact
+    // untrustworthy the way r15's loaded run should have been marked.
+    val calibGroups = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = benched.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), qi) =>
+      if (qi > 0 && qi % 8 == 0) calibGroups += calibrate()
       var lastStages: Seq[(String, Long)] = Seq.empty
       val times = (1 to 3).flatMap { _ =>
         org.apache.spark.graft.ListenerBusWait.drain(spark.sparkContext)
@@ -254,20 +282,37 @@ object Bench {
     // after the timings line. build.sbt passes the forked stdout
     // through unprefixed and suppresses sbt's [success] banner.
     spark.sparkContext.setLogLevel("ERROR")
+    try spark.streams.active.foreach(_.stop())
+    catch { case _: Throwable => }
     spark.stop()
     // Post-run calibration + loadavg: if calib_end drifted above
     // calib_start the contention arrived MID-run and per-query numbers
     // should be read against the worse of the two.
     val calibEnd = calibrate()
     val (lb1, lb5, lb15) = loadAvg()
+    val driftFlag = calibDrift(calibStart, calibGroups.toSeq :+ calibEnd)
+    if (driftFlag) {
+      System.err.println("[bench] WARNING: calibration drifted >25% mid-run " +
+        "— contention arrived after the start gate; artifact flagged")
+      if (sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1"))
+        sys.error("refusing bench artifact: mid-run calibration drift >25%")
+    }
+    val groupsJson =
+      calibGroups.map(g => f"$g%.4f").mkString("[", ",", "]")
     val calibJson =
       f"""{"host_cpus":$hostCpus,"loadavg_start":[$la1%.2f,$la5%.2f,$la15%.2f],""" +
         f""""loadavg_end":[$lb1%.2f,$lb5%.2f,$lb15%.2f],""" +
         f""""calib_start_sec":$calibStart%.4f,"calib_end_sec":$calibEnd%.4f,""" +
+        f""""calib_groups_sec":$groupsJson,"calib_drift_flag":$driftFlag,""" +
         f""""calib_nominal_sec":0.20,"idle_wait_sec":$idleWaitSec,""" +
         f""""load_flag":$loadFlag}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":3,"stat":"median","sf":"$sfDir",""" +
       s""""calibration":$calibJson}""")
+    // Same hard-exit rationale as Verify: replayed streaming keys can
+    // leave non-daemon threads that outlive spark.stop() and hang the
+    // forked JVM past the driver's timeout. The timings line is already
+    // printed; exit unconditionally.
+    sys.exit(0)
   }
 }

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.io.File
-import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Path => HPath}
+import java.nio.file.FileAlreadyExistsException
 import java.util.UUID
 
 /** Minimal manifest-committed parquet table — the commit protocol
@@ -17,11 +18,16 @@ import java.util.UUID
   *    O(table). A full-snapshot rewrite per commit would make the
   *    millionth-file table pay its whole history on every append;
   *    that is the design this replaces.
-  *  - The manifest create is link-based (no overwrite), so two writers
-  *    racing to the same version see exactly one winner — the loser
-  *    gets FileAlreadyExistsException, re-reads the new latest, and
+  *  - The manifest create is ATOMIC create-if-absent ([[Io.putIfAbsent]]
+  *    — POSIX link(2) on the local FS, no-overwrite FileContext.rename
+  *    on HDFS/ABFS), so two writers racing to the same version see
+  *    exactly one winner — the loser re-reads the new latest and
   *    retries at N+1 with ITS OWN files still staged (append never
   *    loses data to a conflict, it just re-sequences).
+  *  - ALL filesystem access is the Hadoop FileSystem API resolved from
+  *    the table path's scheme — `dir` may be `hdfs://...`/`abfs://...`
+  *    and the same protocol runs unchanged; only S3 needs a
+  *    conditional-PUT log store (rename is not atomic there).
   *  - READERS reconstruct a snapshot by folding the log — from the
   *    newest `v<K>.checkpoint` at or below the target version (a full
   *    snapshot the writer drops every [[CheckpointInterval]] commits),
@@ -47,6 +53,10 @@ import java.util.UUID
   * `version=<N>`, then per line `add=<data-relative path>`,
   * `remove=<data-relative path>` (drops that file from the folded
   * set — the O(affected) half of copy-on-write DELETE/MERGE),
+  * `dv=<data-relative path>|<positions>` (a DELETION VECTOR — the
+  * merge-on-read row mask for that live file, positions as ascending
+  * inclusive ranges; the latest mask for a file replaces its
+  * predecessor, `remove=`/`reset` drop it),
   * `txn=<writer>:<batch>`, `cdf=<data-relative path>` (a CHANGE-DATA
   * file the commit wrote alongside its rewrite — rows + a baked-in
   * `_change_type` column; never part of the folded snapshot, served
@@ -64,30 +74,173 @@ object ManifestTable {
   /** Write a full checkpoint every this many commits. */
   val CheckpointInterval = 10
 
-  private def manifestDir(dir: String) = new File(dir, "_manifest")
-  private def dataDir(dir: String) = new File(dir, "data")
+  /** Hadoop conf for table I/O: the active session's (so cluster
+    * configs — fs.defaultFS, object-store credentials — apply), a
+    * fresh default otherwise (metadata-only calls with no session). */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
-  private def versionOf(f: File, suffix: String): Option[Long] = {
-    val n = f.getName
-    if (n.startsWith("v") && n.endsWith(suffix))
-      n.stripPrefix("v").stripSuffix(suffix).toLongOption
+  /** All table filesystem access goes through this Hadoop-FS facade —
+    * the table works against any FileSystem a cluster mounts (HDFS,
+    * ABFS, the local FS in tests), not just java.io. Paths resolve via
+    * `new Path(dir, ...)` exactly like the DSv2 read side
+    * (ManifestStreamSource), so `dir` may carry a scheme
+    * (`hdfs://nn/tables/t`). FileSystem instances come from Hadoop's
+    * per-(scheme, authority) cache — constructing an Io per operation
+    * is a map lookup, not a connection. */
+  private final class Io(dir: String) {
+    val conf: Configuration = hadoopConf
+    val root = new HPath(dir)
+    val fs: FileSystem = root.getFileSystem(conf)
+    val manifest = new HPath(root, "_manifest")
+    val data = new HPath(root, "data")
+    def dataPath(rel: String): String = new HPath(data, rel).toString
+    def list(p: HPath): Seq[FileStatus] =
+      try fs.listStatus(p).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    def readLines(p: HPath): Seq[String] = {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+          .filter(_.nonEmpty)
+      } finally in.close()
+    }
+    def exists(p: HPath): Boolean = fs.exists(p)
+    def delete(p: HPath, recursive: Boolean = false): Boolean =
+      try fs.delete(p, recursive)
+      catch { case _: java.io.FileNotFoundException => false }
+    def isLocal: Boolean = fs.getScheme == "file"
+
+    /** Atomic create-if-absent publish of a fully-written log file —
+      * the commit primitive. Two writers racing to one version see
+      * exactly one winner; readers never see a partial manifest.
+      *  - local FS: hard-link a fully-written temp to the target —
+      *    POSIX link(2) fails with EEXIST (rename(2) would silently
+      *    replace), genuinely atomic, exercised by the 6-thread race
+      *    specs.
+      *  - other schemes: temp write + FileContext.rename WITHOUT
+      *    Rename.OVERWRITE — atomic create-if-absent on HDFS/ABFS
+      *    (their rename is a namespace op that fails when the
+      *    destination exists). S3A CAVEAT: rename there is copy+delete
+      *    and NOT atomic; deploy on S3 behind a conditional-PUT
+      *    (If-None-Match: *) log store, the Delta S3 LogStore shape.
+      */
+    def putIfAbsent(target: HPath, body: Array[Byte]): Boolean =
+      if (isLocal) {
+        val dirP = java.nio.file.Paths.get(target.getParent.toUri.getPath)
+        java.nio.file.Files.createDirectories(dirP)
+        val tmp = dirP.resolve(s".tmp-${UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, body)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath), tmp)
+          java.nio.file.Files.deleteIfExists(tmp)
+          true
+        } catch {
+          case _: FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmp); false
+        }
+      } else {
+        fs.mkdirs(target.getParent)
+        val tmp = new HPath(target.getParent, s".tmp-${UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(body) finally out.close()
+        try {
+          FileContext.getFileContext(fs.getUri, conf).rename(tmp, target)
+          true
+        } catch {
+          case e: java.io.IOException =>
+            delete(tmp)
+            if (exists(target)) false // lost the race: one winner stands
+            else throw e
+        }
+      }
+  }
+
+  private def io(dir: String): Io = new Io(dir)
+
+  /** Absolute (possibly scheme-qualified) path of a data-relative
+    * file — what every parquet read/write call receives. */
+  private def dataPath(dir: String, rel: String): String = io(dir).dataPath(rel)
+
+  /** Recursively drop a staged txn dir (abandoned rewrite). */
+  private def deleteStaged(dir: String, txn: String): Unit = {
+    val o = io(dir)
+    o.delete(new HPath(o.data, txn), recursive = true): Unit
+  }
+
+  private def versionOf(name: String, suffix: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(suffix))
+      name.stripPrefix("v").stripSuffix(suffix).toLongOption
     else None
+
+  /** The `txnDir/fileName` data-relative path of an absolute scan URI
+    * (input_file_name output) — every data file lives exactly one txn
+    * dir below `data/`, so the last two segments ARE the rel path;
+    * scheme/authority/symlink differences can never break the match
+    * the way canonical-path string compares could. */
+  private def relOfUri(uri: String): String = {
+    val p = new HPath(uri)
+    s"${p.getParent.getName}/${p.getName}"
   }
 
   /** Highest committed version, if any commit exists. */
   def latestVersion(dir: String): Option[Long] = {
-    val fs = Option(manifestDir(dir).listFiles()).getOrElse(Array.empty)
-    fs.flatMap(versionOf(_, ".manifest")).sorted.lastOption
+    val o = io(dir)
+    o.list(o.manifest).flatMap(f => versionOf(f.getPath.getName, ".manifest"))
+      .sorted.lastOption
   }
 
   private case class State(files: Vector[String], txns: Set[String],
-                           schema: Option[String])
+                           schema: Option[String],
+                           dvs: Map[String, String] = Map.empty)
 
-  private def readLog(f: File, expectVersion: Long): Seq[String] = {
-    val lines = Files.readAllLines(f.toPath)
-    require(!lines.isEmpty && lines.get(0) == s"version=$expectVersion",
-      s"corrupt log file ${f.getPath}")
-    (1 until lines.size).map(lines.get(_))
+  /** Deletion-vector position encoding: ascending row positions as
+    * comma-separated inclusive ranges (`0,5-9,12`) — O(runs) text,
+    * never worse than O(deleted rows), and human-auditable in the log
+    * like every other action. Package-visible for the DV specs. */
+  private[graft] def encodePositions(ps: Seq[Long]): String = {
+    require(ps.nonEmpty, "empty deletion vector must not be committed")
+    val sorted = ps.distinct.sorted
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var (s0, e0) = (sorted.head, sorted.head)
+    sorted.tail.foreach { p =>
+      if (p == e0 + 1) e0 = p
+      else { runs += ((s0, e0)); s0 = p; e0 = p }
+    }
+    runs += ((s0, e0))
+    runs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(",")
+  }
+
+  private[graft] def decodePositions(spec: String): Seq[Long] =
+    spec.split(',').toSeq.flatMap { r =>
+      r.split('-') match {
+        case Array(a) => Seq(a.toLong)
+        case Array(a, b) => a.toLong to b.toLong
+        case _ => throw new IllegalStateException(s"corrupt dv run '$r'")
+      }
+    }
+
+  /** Cardinality of a DV spec without materializing the positions. */
+  private def dvCardinality(spec: String): Long =
+    spec.split(',').iterator.map { r =>
+      r.split('-') match {
+        case Array(_) => 1L
+        case Array(a, b) => b.toLong - a.toLong + 1L
+        case _ => throw new IllegalStateException(s"corrupt dv run '$r'")
+      }
+    }.sum
+
+  private def readLog(o: Io, p: HPath, expectVersion: Long): Seq[String] = {
+    val lines = o.readLines(p)
+    require(lines.nonEmpty && lines.head == s"version=$expectVersion",
+      s"corrupt log file $p")
+    lines.tail
   }
 
   /** Fold the log into the snapshot state at `target`: newest
@@ -95,35 +248,48 @@ object ManifestTable {
     * version in (checkpoint, target] must exist — [[vacuum]] preserves
     * this invariant by checkpointing before it drops history. */
   private def fold(dir: String, target: Long): State = {
-    val md = manifestDir(dir)
-    val ckpt = Option(md.listFiles()).getOrElse(Array.empty)
-      .flatMap(versionOf(_, ".checkpoint")).filter(_ <= target).sorted.lastOption
+    val o = io(dir)
+    val ckpt = o.list(o.manifest)
+      .flatMap(f => versionOf(f.getPath.getName, ".checkpoint"))
+      .filter(_ <= target).sorted.lastOption
     var files = Vector.empty[String]
     var txns = Set.empty[String]
     var schema = Option.empty[String]
+    var dvs = Map.empty[String, String]
     def apply(lines: Seq[String]): Unit = lines.foreach {
-      case "reset" => files = Vector.empty
+      case "reset" => files = Vector.empty; dvs = Map.empty
       case l if l.startsWith("add=") => files :+= l.stripPrefix("add=")
       case l if l.startsWith("remove=") =>
         // match on the bare path: the live entry may carry a stats suffix
         val rel = l.stripPrefix("remove=")
         files = files.filterNot(_.takeWhile(_ != '|') == rel)
+        dvs -= rel // a rewrite of the file materializes its mask away
+      case l if l.startsWith("dv=") =>
+        // merge-on-read deletion vector: `dv=<rel>|<positions>` REPLACES
+        // the file's mask (writers merge prior positions before
+        // committing, so the latest action is always cumulative)
+        val body = l.stripPrefix("dv=")
+        val cut = body.indexOf('|')
+        require(cut > 0, s"corrupt dv action: $l")
+        dvs += body.take(cut) -> body.drop(cut + 1)
       case l if l.startsWith("txn=") => txns += l.stripPrefix("txn=")
       case l if l.startsWith("schema=") => schema = Some(l.stripPrefix("schema="))
       case l if l.startsWith("cdf=") => () // change-data files: feed-only, never snapshot state
       case l if l.startsWith("op=") => ()  // commitInfo: introspection-only, never snapshot state
       case l => throw new IllegalStateException(s"unknown log action: $l")
     }
-    ckpt.foreach { c => apply(readLog(new File(md, s"v$c.checkpoint"), c)) }
+    ckpt.foreach { c =>
+      apply(readLog(o, new HPath(o.manifest, s"v$c.checkpoint"), c))
+    }
     val from = ckpt.map(_ + 1).getOrElse(0L)
     (from to target).foreach { v =>
-      val mf = new File(md, s"v$v.manifest")
-      if (!mf.isFile)
+      val mf = new HPath(o.manifest, s"v$v.manifest")
+      if (!o.exists(mf))
         throw new IllegalStateException(
           s"version $v missing from the log of $dir (vacuumed past it?)")
-      apply(readLog(mf, v))
+      apply(readLog(o, mf, v))
     }
-    State(files, txns, schema)
+    State(files, txns, schema, dvs)
   }
 
   private def resolved(dir: String, version: Option[Long]): Long =
@@ -177,8 +343,18 @@ object ManifestTable {
     * exact: DELETE/MERGE rewrite affected files with fresh counts and
     * never mutate a counted file in place. */
   def countMeta(dir: String, version: Option[Long] = None): Option[Long] = {
-    val counts = snapshotRowCounts(dir, version)
-    if (counts.forall(_._2.isDefined)) Some(counts.iterator.map(_._2.get).sum)
+    val st = fold(dir, resolved(dir, version))
+    val counts = st.files.map { e =>
+      val parts = e.split('|')
+      parts.iterator.drop(1)
+        .find(_.startsWith("rows=")).map(_.stripPrefix("rows=").toLong)
+    }
+    if (counts.forall(_.isDefined))
+      // deletion vectors mask rows in place: COUNT(*) is the recorded
+      // per-file counts minus each live mask's exact cardinality —
+      // still zero data reads (the DV spec itself carries the count)
+      Some(counts.iterator.map(_.get).sum -
+        st.dvs.valuesIterator.map(dvCardinality).sum)
     else None
   }
 
@@ -239,6 +415,73 @@ object ManifestTable {
       case None => spark.read
     }
 
+  /** Live deletion vectors of a snapshot: data-relative file →
+    * masked-out row positions (ascending). Empty for tables whose DML
+    * has always been copy-on-write. */
+  def snapshotDeletionVectors(dir: String, version: Option[Long] = None)
+      : Map[String, Seq[Long]] =
+    fold(dir, resolved(dir, version)).dvs.map { case (r, spec) =>
+      r -> decodePositions(spec)
+    }
+
+  /** Pinned read of `rels` carrying two physical-address helper
+    * columns: `_m_rel` (data-relative path — the last two segments of
+    * the parquet reader's `_metadata.file_path`, the same addressing
+    * [[relOfUri]] uses) and `_m_pos` (`_metadata.row_index`, position
+    * within the file — the Delta/Iceberg DV addressing scheme). The
+    * columns are bound to the scan itself, so they survive any join
+    * stacked on top (input_file_name would not). */
+  private def keyedRead(spark: SparkSession, dir: String,
+                        version: Option[Long], rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, element_at, split => fsplit}
+    pinnedReader(spark, dir, version)
+      .parquet(rels.map(rel => dataPath(dir, rel)): _*)
+      .withColumn("_m_rel", concat_ws("/",
+        element_at(fsplit(col("_metadata.file_path"), "/"), -2),
+        element_at(fsplit(col("_metadata.file_path"), "/"), -1)))
+      .withColumn("_m_pos", col("_metadata.row_index"))
+  }
+
+  /** Anti-apply deletion vectors to a [[keyedRead]] frame — the
+    * merge-on-read half of DML: masked rows drop via a broadcast
+    * anti-join against the O(deleted rows) position set; no shuffle,
+    * and files without a mask stream through untouched. */
+  private def applyMask(spark: SparkSession, keyed: DataFrame,
+                        dvs: Map[String, String], rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val relevant = dvs.view.filterKeys(rels.toSet).toMap
+    if (relevant.isEmpty) return keyed
+    import spark.implicits._
+    val deleted = relevant.toSeq
+      .flatMap { case (r, spec) => decodePositions(spec).map(p => (r, p)) }
+      .toDF("_dv_rel", "_dv_pos")
+    keyed.join(broadcast(deleted),
+        keyed("_m_rel") === deleted("_dv_rel") &&
+          keyed("_m_pos") === deleted("_dv_pos"),
+        "left_anti")
+      .drop("_dv_rel", "_dv_pos")
+  }
+
+  /** DV-masked pinned read of `rels` in the table's own schema. EVERY
+    * read of live table data must come through here (or apply the mask
+    * itself) — a survivor rewrite that read a masked row would
+    * resurrect it. */
+  private def maskedRead(spark: SparkSession, dir: String,
+                         version: Option[Long], rels: Seq[String],
+                         dvs: Map[String, String]): DataFrame = {
+    if (dvs.view.filterKeys(rels.toSet).isEmpty)
+      return pinnedReader(spark, dir, version)
+        .parquet(rels.map(rel => dataPath(dir, rel)): _*)
+    applyMask(spark, keyedRead(spark, dir, version, rels), dvs, rels)
+      .drop("_m_rel", "_m_pos")
+  }
+
+  /** [[maskedRead]] against a snapshot's own fold — the common case. */
+  private def maskedSnapshotRead(spark: SparkSession, dir: String,
+                                 version: Option[Long], rels: Seq[String]): DataFrame =
+    maskedRead(spark, dir, version, rels,
+      fold(dir, resolved(dir, version)).dvs)
+
   /** Resolve a wall-clock timestamp to a version — Delta's
     * `timestampAsOf` rule: the LATEST version whose commit time is ≤
     * `tsMillis`. Commit time is the manifest file's mtime (what Delta
@@ -248,19 +491,30 @@ object ManifestTable {
     * non-monotonic mtime is lifted to its predecessor's + 1 ms).
     * Throws when `tsMillis` predates the first commit (no snapshot
     * existed yet — silently serving v0 would fabricate history). */
-  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
-    val md = manifestDir(dir)
-    val byVersion = Option(md.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => versionOf(f, ".manifest").map(_ -> f.lastModified()))
+  /** Every surviving version with its REPAIRED commit timestamp —
+    * manifest mtimes lifted to be non-decreasing in version order
+    * (writer clock skew can stamp v5 older than v4; the later VERSION
+    * wins, so its time lifts to predecessor + 1 ms). One clock for
+    * both [[versionAtTimestamp]] and [[history]] — their answers must
+    * never disagree about when a version became current. */
+  private def repairedCommitTimes(dir: String): Seq[(Long, Long)] = {
+    val o = io(dir)
+    val byVersion = o.list(o.manifest)
+      .flatMap(f => versionOf(f.getPath.getName, ".manifest")
+        .map(_ -> f.getModificationTime))
       .sortBy(_._1)
-    if (byVersion.isEmpty)
-      throw new IllegalStateException(s"no committed version in $dir")
     var last = Long.MinValue
-    val adjusted = byVersion.map { case (v, ts) =>
+    byVersion.map { case (v, ts) =>
       val t = math.max(ts, if (last == Long.MinValue) ts else last + 1)
       last = t
       (v, t)
     }
+  }
+
+  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
+    val adjusted = repairedCommitTimes(dir)
+    if (adjusted.isEmpty)
+      throw new IllegalStateException(s"no committed version in $dir")
     val at = adjusted.filter(_._2 <= tsMillis)
     if (at.isEmpty)
       throw new IllegalStateException(
@@ -289,12 +543,13 @@ object ManifestTable {
     * data reads — what an operator pages through before trusting a
     * RESTORE target or auditing who deleted what, when. */
   def history(dir: String, limit: Int = Int.MaxValue): Seq[CommitInfo] = {
-    val md = manifestDir(dir)
-    Option(md.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => versionOf(f, ".manifest").map(_ -> f))
-      .sortBy(-_._1).take(limit)
-      .map { case (v, f) =>
-        val lines = readLog(f, v)
+    val o = io(dir)
+    // the repaired clock, not raw mtimes: history's timestamps must
+    // agree with what versionAtTimestamp/readAsOf would resolve
+    val clock = repairedCommitTimes(dir).toMap
+    clock.keys.toSeq.sortBy(-_).take(limit)
+      .map { v =>
+        val lines = readLog(o, new HPath(o.manifest, s"v$v.manifest"), v)
         val adds = lines.count(_.startsWith("add="))
         val removes = lines.count(_.startsWith("remove="))
         val cdfs = lines.count(_.startsWith("cdf="))
@@ -308,8 +563,8 @@ object ManifestTable {
         CommitInfo(v, op, adds, removes, cdfs, reset,
           lines.exists(_.startsWith("schema=")),
           lines.collect { case l if l.startsWith("txn=") => l.stripPrefix("txn=") },
-          f.lastModified())
-      }.toSeq
+          clock(v))
+      }
   }
 
   /** Read a snapshot: exactly the manifest-listed files, nothing else.
@@ -319,20 +574,21 @@ object ManifestTable {
     * later version added are absent from an older snapshot. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): DataFrame = {
-    val paths = snapshotFiles(dir, version)
-      .map(rel => new File(dataDir(dir), rel).getPath)
-    pinnedReader(spark, dir, version).parquet(paths: _*)
+    val st = fold(dir, resolved(dir, version))
+    maskedRead(spark, dir, version,
+      st.files.map(_.takeWhile(_ != '|')), st.dvs)
   }
 
   /** Stage `df` as parquet under a fresh txn dir; returns the
     * data-relative part-file paths. */
   private def stageFiles(df: DataFrame, dir: String): Seq[String] = {
     val txn = s"txn-${UUID.randomUUID()}"
-    val stage = new File(dataDir(dir), txn)
-    df.write.parquet(stage.getPath)
-    Option(stage.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(f => s"$txn/${f.getName}").toSeq.sorted
+    val o = io(dir)
+    val stage = new HPath(o.data, txn)
+    df.write.parquet(stage.toString)
+    o.list(stage).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map(n => s"$txn/$n").sorted
   }
 
   /** Stage `df` as parquet and commit it appended to the latest
@@ -366,7 +622,7 @@ object ManifestTable {
     // validation (a non-long stats column would ClassCastException
     // mid-collect otherwise) and the min/max aggregation
     val staged = spark.read.parquet(
-      rels.map(r => new File(dataDir(dir), r).getPath): _*)
+      rels.map(r => dataPath(dir, r)): _*)
     statCols.foreach { c =>
       val f = staged.schema.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -385,7 +641,7 @@ object ManifestTable {
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per non-empty staged part file — batch-bounded
       .map { r =>
-        val name = new File(r.getString(0)).getName
+        val name = new HPath(r.getString(0)).getName
         // an all-NULL column in a part file has null bounds — record
         // no stat for that (file, column); unknown ranges never prune
         val stats = statCols.zipWithIndex.collect {
@@ -470,10 +726,9 @@ object ManifestTable {
   def readRange(spark: SparkSession, dir: String, statCol: String,
                 lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val paths = plannedFilesForRange(dir, statCol, lo, hi)
-      .map(rel => new File(dataDir(dir), rel).getPath)
-    if (paths.nonEmpty)
-      return spark.read.parquet(paths: _*)
+    val planned = plannedFilesForRange(dir, statCol, lo, hi)
+    if (planned.nonEmpty)
+      return maskedSnapshotRead(spark, dir, None, planned)
         .filter(col(statCol) >= lo && col(statCol) <= hi)
     // every file pruned out: an empty frame in the table's schema.
     // A zero-file snapshot has no schema to offer — fail loudly
@@ -482,7 +737,7 @@ object ManifestTable {
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readRange on $dir: snapshot holds no data files at all")
-    spark.read.parquet(new File(dataDir(dir), all.head).getPath)
+    spark.read.parquet(dataPath(dir, all.head))
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 
@@ -525,7 +780,7 @@ object ManifestTable {
     val staged = stageFiles(df, dir)
     val adds = statAddActions(spark, dir, staged, statCols)
     val blooms = BloomIndex.buildPerFile(
-      spark.read.parquet(staged.map(r => new File(dataDir(dir), r).getPath): _*),
+      spark.read.parquet(staged.map(r => dataPath(dir, r)): _*),
       bloomCol)
     val withBloom = adds.map { a =>
       val rel = a.stripPrefix("add=").takeWhile(_ != '|')
@@ -557,15 +812,15 @@ object ManifestTable {
   def readPoint(spark: SparkSession, dir: String, colName: String,
                 value: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val paths = plannedFilesForPoint(dir, colName, value)
-      .map(rel => new File(dataDir(dir), rel).getPath)
-    if (paths.nonEmpty)
-      return spark.read.parquet(paths: _*).filter(col(colName) === value)
+    val planned = plannedFilesForPoint(dir, colName, value)
+    if (planned.nonEmpty)
+      return maskedSnapshotRead(spark, dir, None, planned)
+        .filter(col(colName) === value)
     val all = snapshotFiles(dir)
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readPoint on $dir: snapshot holds no data files at all")
-    spark.read.parquet(new File(dataDir(dir), all.head).getPath)
+    spark.read.parquet(dataPath(dir, all.head))
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 
@@ -613,16 +868,17 @@ object ManifestTable {
       attempts += 1
       val parent = latestVersion(dir).getOrElse(
         throw new IllegalStateException(s"nothing to compact in $dir"))
-      val stage = new File(dataDir(dir), s"txn-${UUID.randomUUID()}")
+      val o = io(dir)
+      val stage = new HPath(o.data, s"txn-${UUID.randomUUID()}")
       val snap = read(spark, dir, Some(parent))
       val clustered =
         if (statCols.isEmpty) snap.repartition(targetFiles)
         else snap.repartitionByRange(targetFiles, statCols.map(col): _*)
           .sortWithinPartitions(statCols.map(col): _*)
-      clustered.write.parquet(stage.getPath)
-      val mine = Option(stage.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .map(f => s"${stage.getName}/${f.getName}").toSeq.sorted
+      clustered.write.parquet(stage.toString)
+      val mine = o.list(stage).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .map(n => s"${stage.getName}/$n").sorted
       val adds =
         if (statCols.isEmpty) mine.map("add=" + _)
         else statAddActions(spark, dir, mine, statCols)
@@ -632,7 +888,7 @@ object ManifestTable {
           // someone committed on top of `parent` — replacing now would
           // erase their rows; drop the stale rewrite, restart from the
           // new latest
-          deleteRec(stage)
+          o.delete(stage, recursive = true)
       }
     }
     throw new IllegalStateException(s"gave up compacting $dir after 20 conflicts")
@@ -670,12 +926,25 @@ object ManifestTable {
     while (attempts < 20) {
       attempts += 1
       val parent = resolved(dir, None)
-      val small = fold(dir, parent).files
+      val o = io(dir)
+      val stDv = fold(dir, parent)
+      // DV-carrying files are ALWAYS eligible regardless of size:
+      // OPTIMIZE is the op that materializes deletion vectors away
+      // (the rewrite drops masked rows; the remove= drops the mask) —
+      // Delta's PURGE semantics ride its OPTIMIZE the same way.
+      val small = stDv.files
         .map(_.takeWhile(_ != '|'))
-        .filter(rel => new File(dataDir(dir), rel).length() < minBytes)
-      if (small.size < 2) return None
-      val packed = pinnedReader(spark, dir, Some(parent)).parquet(
-          small.map(rel => new File(dataDir(dir), rel).getPath): _*)
+        .filter { rel =>
+          stDv.dvs.contains(rel) || {
+            try o.fs.getFileStatus(new HPath(o.data, rel)).getLen < minBytes
+            catch { case _: java.io.FileNotFoundException => false }
+          }
+        }
+      // pack when ≥2 files qualify, OR a single file needs its mask
+      // materialized — but never advance the log for nothing
+      if (small.isEmpty ||
+        (small.size < 2 && !small.exists(stDv.dvs.contains))) return None
+      val packed = maskedSnapshotRead(spark, dir, Some(parent), small)
         .repartition(targetFiles)
       val staged = stageFiles(packed, dir)
       val adds =
@@ -686,19 +955,21 @@ object ManifestTable {
         case RewriteCommitted(v) => return Some(v)
         case _ =>
           staged.map(_.takeWhile(_ != '/')).distinct
-            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+            .foreach(t => deleteStaged(dir, t))
       }
     }
     throw new IllegalStateException(s"gave up bin-packing $dir after 20 conflicts")
   }
 
-  private def pureAppends(dir: String, from: Long, to: Long): Boolean =
+  private def pureAppends(dir: String, from: Long, to: Long): Boolean = {
+    val o = io(dir)
     (from to to).forall { v =>
-      val mf = new File(manifestDir(dir), s"v$v.manifest")
-      mf.isFile && readLog(mf, v).forall(l =>
+      val mf = new HPath(o.manifest, s"v$v.manifest")
+      o.exists(mf) && readLog(o, mf, v).forall(l =>
         l.startsWith("add=") || l.startsWith("txn=") || l.startsWith("cdf=") ||
           l.startsWith("op="))
     }
+  }
 
   private[graft] sealed trait RewriteResult
   private[graft] case class RewriteCommitted(version: Long) extends RewriteResult
@@ -796,15 +1067,17 @@ object ManifestTable {
             .drop(zName)
         case None => snap.repartition(targetFiles) // degenerate: no usable axis
       }
-      val stage = new File(dataDir(dir), s"txn-${UUID.randomUUID()}")
-      clustered.write.parquet(stage.getPath)
-      val mine = Option(stage.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .map(f => s"${stage.getName}/${f.getName}").toSeq.sorted
+      val o = io(dir)
+      val stage = new HPath(o.data, s"txn-${UUID.randomUUID()}")
+      clustered.write.parquet(stage.toString)
+      val mine = o.list(stage).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .map(n => s"${stage.getName}/$n").sorted
       val adds = statAddActions(spark, dir, mine, zCols)
       tryCommitAt(dir, parent + 1L, ("reset" +: adds) :+ "op=ZORDER") match {
         case Some(v) => return v
-        case None => deleteRec(stage) // a commit beat us: re-cluster the new latest
+        // a commit beat us: re-cluster the new latest
+        case None => o.delete(stage, recursive = true)
       }
     }
     throw new IllegalStateException(s"gave up z-ordering $dir after 20 conflicts")
@@ -864,11 +1137,12 @@ object ManifestTable {
                 "the restored schema is undefined")
           Seq("schema=" + spark.read.parquet(
             target.files.map(e =>
-              new File(dataDir(dir), e.takeWhile(_ != '|')).getPath): _*)
+              dataPath(dir, e.takeWhile(_ != '|'))): _*)
             .schema.json)
         case None => Nil
       }
-      val actions = ("reset" +: (schemaAction ++ target.files.map("add=" + _))) :+
+      val actions = ("reset" +: (schemaAction ++ target.files.map("add=" + _) ++
+        target.dvs.toSeq.sortBy(_._1).map { case (r, sp) => s"dv=$r|$sp" })) :+
         s"op=RESTORE(v$toVersion)"
       tryCommitAt(dir, parent + 1L, actions) match {
         case Some(v) => return v
@@ -905,41 +1179,89 @@ object ManifestTable {
     * can serve the delete to downstream consumers — GDPR erasure then
     * PROPAGATES instead of stranding derived tables. Returns the
     * committed version, or None when nothing matched (no commit —
-    * a delete of nothing must not advance the log). */
+    * a delete of nothing must not advance the log).
+    *
+    * `dvFraction` > 0 enables MERGE-ON-READ deletion vectors: any
+    * affected file whose matched fraction is at or below the
+    * threshold commits an O(matched rows) `dv=` position mask instead
+    * of a rewrite (readers anti-apply the mask in-scan; see
+    * [[maskedRead]]); heavier files still rewrite. OPTIMIZE
+    * ([[compactSmall]]) materializes masks away. */
   def deleteWhere(spark: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column,
                   statCols: Seq[String] = Nil,
-                  cdf: Boolean = false): Option[Long] = {
-    import org.apache.spark.sql.functions.input_file_name
+                  cdf: Boolean = false,
+                  dvFraction: Double = 0.0): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(dvFraction >= 0.0 && dvFraction <= 1.0,
+      s"dvFraction must be in [0, 1], got $dvFraction")
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
       val parent = resolved(dir, None)
-      val entries = fold(dir, parent).files // raw, stats suffix intact
-      val relOf = entries.map { e =>
-        val rel = e.takeWhile(_ != '|')
-        new File(dataDir(dir), rel).getCanonicalPath -> rel
+      val st = fold(dir, parent)
+      val entries = st.files // raw, stats suffix intact
+      val rels: Seq[String] = entries.map(_.takeWhile(_ != '|'))
+      if (rels.isEmpty) return None
+      val rowsOf: Map[String, Long] = entries.flatMap { e =>
+        e.split('|').iterator.drop(1).find(_.startsWith("rows="))
+          .map(r => e.takeWhile(_ != '|') -> r.stripPrefix("rows=").toLong)
       }.toMap
-      // one predicate-pushed scan finds the files that hold matches —
-      // result is bounded by the file count, never the row count
-      val affected: Set[String] = read(spark, dir, Some(parent))
-        .filter(predicate)
-        .select(input_file_name().as("f")).distinct().collect()
-        .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
-        .map(p => relOf.getOrElse(p, throw new IllegalStateException(
-          s"matched file $p is not in the snapshot"))).toSet
-      if (affected.isEmpty) return None
-      // rewrite the affected files' survivors into fresh staged files.
-      // DELETE semantics: only predicate-IS-TRUE rows go; a NULL
-      // predicate keeps the row (so !pred alone would over-delete)
-      // pinned read: affected files may span a schema evolution, and
-      // the rewrite must preserve the evolved column (not let parquet
-      // infer from whichever footer it samples)
-      val survivors = pinnedReader(spark, dir, Some(parent)).parquet(
-          affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
-        .filter(!org.apache.spark.sql.functions.coalesce(
-          predicate, org.apache.spark.sql.functions.lit(false)))
-      val staged = stageFiles(survivors, dir)
+      val hit = coalesce(predicate, lit(false))
+      // one predicate-pushed MASKED scan finds the affected files AND
+      // their matched-row counts — result bounded by the file count.
+      // Already-masked rows can never re-match.
+      val census: Seq[(String, Long)] =
+        applyMask(spark, keyedRead(spark, dir, Some(parent), rels), st.dvs, rels)
+          .filter(hit).groupBy(col("_m_rel")).count().collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      census.foreach { case (rel, _) =>
+        if (!rels.contains(rel)) throw new IllegalStateException(
+          s"matched file $rel is not in the snapshot")
+      }
+      if (census.isEmpty) return None
+      val affected = census.map(_._1).toSet
+      // MERGE-ON-READ split (Delta deletion-vector shape): a file whose
+      // matched fraction is ≤ dvFraction gets a `dv=` position mask —
+      // O(matched rows) bytes committed instead of a full-file rewrite
+      // (the 1-row GDPR delete on a 1 GB file stops costing 1 GB of
+      // write amplification). Files above the threshold — or without a
+      // recorded `rows=` count to judge the fraction by — take the
+      // copy-on-write rewrite as before. dvFraction=0 (default)
+      // disables DVs entirely: exact legacy behavior.
+      val (dvSide, rwSide) = census.partition { case (rel, matched) =>
+        dvFraction > 0 && rowsOf.get(rel).exists(n =>
+          n > 0 && matched.toDouble / n <= dvFraction)
+      }
+      val dvActions: Seq[String] =
+        if (dvSide.isEmpty) Nil
+        else {
+          val dvRels = dvSide.map(_._1)
+          // positions of the matched rows in ONLY the DV-eligible
+          // files: collect is bounded by dvFraction × those files' rows
+          val posByRel: Map[String, Seq[Long]] =
+            applyMask(spark, keyedRead(spark, dir, Some(parent), dvRels),
+                st.dvs, dvRels)
+              .filter(hit).select(col("_m_rel"), col("_m_pos")).collect()
+              .groupBy(_.getString(0))
+              .map { case (r, rws) => r -> rws.map(_.getLong(1)).toSeq }
+          dvSide.map { case (rel, _) =>
+            // cumulative: the new mask carries the file's prior
+            // positions too (the latest dv= action REPLACES in the fold)
+            val prior = st.dvs.get(rel).map(decodePositions).getOrElse(Nil)
+            s"dv=$rel|${encodePositions(prior ++ posByRel(rel))}"
+          }.sorted
+        }
+      // rewrite the copy-on-write files' survivors into fresh staged
+      // files. DELETE semantics: only predicate-IS-TRUE rows go; a NULL
+      // predicate keeps the row (so !pred alone would over-delete).
+      // Masked read: prior DV rows must not resurrect in the rewrite;
+      // pinned: affected files may span a schema evolution.
+      val rwRels = rwSide.map(_._1)
+      val staged: Seq[String] =
+        if (rwRels.isEmpty) Nil
+        else stageFiles(
+          maskedRead(spark, dir, Some(parent), rwRels, st.dvs).filter(!hit), dir)
       // change-data feed (opt-in, the Delta enableChangeDataFeed
       // shape): the DELETED rows are written at commit time with a
       // baked-in `_change_type` — O(changed rows), one more
@@ -949,16 +1271,14 @@ object ManifestTable {
       val cdfStaged: Seq[String] =
         if (!cdf) Nil
         else stageFiles(
-          pinnedReader(spark, dir, Some(parent)).parquet(
-              affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
-            .filter(org.apache.spark.sql.functions.coalesce(
-              predicate, org.apache.spark.sql.functions.lit(false)))
-            .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
+          maskedRead(spark, dir, Some(parent), affected.toSeq, st.dvs)
+            .filter(hit)
+            .withColumn("_change_type", lit("delete")),
           dir)
       val adds =
         if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
         else staged.map("add=" + _)
-      val actions = affected.toSeq.sorted.map("remove=" + _) ++ adds ++
+      val actions = rwRels.sorted.map("remove=" + _) ++ adds ++ dvActions ++
         cdfStaged.map("cdf=" + _) :+ "op=DELETE"
       commitRewriteRebasing(dir, parent, actions) match {
         case RewriteCommitted(v) => return Some(v)
@@ -966,7 +1286,7 @@ object ManifestTable {
           // a non-commuting commit landed; the rewrite may have read
           // rows that commit removed — drop it and re-plan
           (staged ++ cdfStaged).map(_.takeWhile(_ != '/')).distinct
-            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+            .foreach(t => deleteStaged(dir, t))
       }
     }
     throw new IllegalStateException(s"gave up deleting from $dir after 20 conflicts")
@@ -983,13 +1303,11 @@ object ManifestTable {
   private def affectedByKeys(spark: SparkSession, dir: String, parent: Long,
                              keys: DataFrame, key: String,
                              keyType: org.apache.spark.sql.types.DataType): Set[String] = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.col
     if (parent < 0) return Set.empty
-    val entries = fold(dir, parent).files
-    val relOf = entries.map { e =>
-      val rel = e.takeWhile(_ != '|')
-      new File(dataDir(dir), rel).getCanonicalPath -> rel
-    }.toMap
+    val st = fold(dir, parent)
+    val entries = st.files
+    val rels: Set[String] = entries.map(_.takeWhile(_ != '|')).toSet
     val statted = entries.map(parseStatsEntry)
     // the pruning path needs long bounds; non-long keys scan all
     val hasKeyStats = statted.exists(_._2.contains(key)) &&
@@ -1011,20 +1329,19 @@ object ManifestTable {
       }
     if (scanRels.isEmpty) Set.empty
     else
-      // pinned reader: the scanned files may span a schema evolution
-      // and the key column must NULL-backfill, not vanish with a
-      // sampled pre-evolution footer. File name is attached BEFORE
-      // the join: input_file_name() only resolves against a single
-      // source, and the semi-join's other side may itself be
-      // file-backed
-      pinnedReader(spark, dir, Some(parent)).parquet(
-          scanRels.map(rel => new File(dataDir(dir), rel).getPath): _*)
-        .withColumn("_m_file", input_file_name())
+      // pinned reader (via keyedRead): the scanned files may span a
+      // schema evolution and the key column must NULL-backfill, not
+      // vanish with a sampled pre-evolution footer. The _m_rel file
+      // key is bound to the scan, so it resolves through the joins;
+      // MASKED: a key whose only occurrence is DV-deleted must not
+      // plan its file as affected.
+      applyMask(spark,
+          keyedRead(spark, dir, Some(parent), scanRels), st.dvs, scanRels)
         .join(keys, Seq(key), "left_semi")
-        .select(col("_m_file").as("f")).distinct().collect()
-        .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
-        .map(p => relOf.getOrElse(p, throw new IllegalStateException(
-          s"matched file $p is not in the snapshot"))).toSet
+        .select(col("_m_rel")).distinct().collect()
+        .map(_.getString(0))
+        .map(rel => if (rels(rel)) rel else throw new IllegalStateException(
+          s"matched file $rel is not in the snapshot")).toSet
   }
 
   /** UPDATE ... SET ... WHERE — the third DML verb (Delta UPDATE),
@@ -1043,26 +1360,29 @@ object ManifestTable {
                   set: Map[String, org.apache.spark.sql.Column],
                   statCols: Seq[String] = Nil,
                   cdf: Boolean = false): Option[Long] = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
       val parent = resolved(dir, None)
-      val entries = fold(dir, parent).files
-      val relOf = entries.map { e =>
-        val rel = e.takeWhile(_ != '|')
-        new File(dataDir(dir), rel).getCanonicalPath -> rel
-      }.toMap
-      val affected: Set[String] = read(spark, dir, Some(parent))
-        .filter(predicate)
-        .select(input_file_name().as("f")).distinct().collect()
-        .map(r => new File(new java.net.URI(r.getString(0)).getPath).getCanonicalPath)
-        .map(p => relOf.getOrElse(p, throw new IllegalStateException(
-          s"matched file $p is not in the snapshot"))).toSet
+      val st = fold(dir, parent)
+      val rels: Seq[String] = st.files.map(_.takeWhile(_ != '|'))
+      if (rels.isEmpty) return None
+      // masked scan: DV'd rows can neither match nor resurrect; the
+      // _m_rel helper survives the mask's join (input_file_name would
+      // not resolve through it)
+      val affected: Set[String] =
+        applyMask(spark, keyedRead(spark, dir, Some(parent), rels), st.dvs, rels)
+          .filter(predicate)
+          .select(col("_m_rel")).distinct().collect()
+          .map(_.getString(0))
+          .map(rel => if (rels.contains(rel)) rel else throw new IllegalStateException(
+            s"matched file $rel is not in the snapshot")).toSet
       if (affected.isEmpty) return None
-      val base = pinnedReader(spark, dir, Some(parent)).parquet(
-        affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+      // masked + pinned: the rewrite drops any prior DV rows of the
+      // affected files for good (the remove= action drops their masks)
+      val base = maskedRead(spark, dir, Some(parent), affected.toSeq, st.dvs)
       set.keys.foreach { c =>
         require(base.columns.contains(c),
           s"UPDATE SET column '$c' is not in the table (schema evolution is appendEvolving's job)")
@@ -1102,7 +1422,7 @@ object ManifestTable {
         case RewriteCommitted(v) => return Some(v)
         case _ =>
           (staged ++ cdfStaged).map(_.takeWhile(_ != '/')).distinct
-            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+            .foreach(t => deleteStaged(dir, t))
       }
     }
     throw new IllegalStateException(s"gave up updating $dir after 20 conflicts")
@@ -1166,8 +1486,7 @@ object ManifestTable {
       // every batch row (update and insert alike land as fresh files)
       val rewritten =
         if (affected.isEmpty) guarded
-        else pinnedReader(spark, dir, Some(parent)).parquet(
-            affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+        else maskedSnapshotRead(spark, dir, Some(parent), affected.toSeq)
           .join(keys, Seq(key), "left_anti")
           // strict by-name union: the pinned read gives pre-evolution
           // survivors the full recorded schema (NULL backfill), so a
@@ -1190,9 +1509,9 @@ object ManifestTable {
               guarded.withColumn("_change_type",
                 org.apache.spark.sql.functions.lit("insert"))
             else {
-              val oldMatched = pinnedReader(spark, dir, Some(parent)).parquet(
-                  affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
-                .join(keys, Seq(key), "left_semi")
+              val oldMatched =
+                maskedSnapshotRead(spark, dir, Some(parent), affected.toSeq)
+                  .join(keys, Seq(key), "left_semi")
               val matchedKeys = oldMatched.select(col(key)).distinct()
               oldMatched
                 .withColumn("_change_type",
@@ -1216,7 +1535,7 @@ object ManifestTable {
         case RewriteCommitted(v) => return Some(v)
         case other =>
           (staged ++ cdfStaged).map(_.takeWhile(_ != '/')).distinct
-            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+            .foreach(t => deleteStaged(dir, t))
           if (other == RewriteSkippedTxn) return None
         // RewriteConflict: a reset/remove landed — re-plan from the
         // new snapshot
@@ -1263,8 +1582,12 @@ object ManifestTable {
           .otherwise(col(opCol)))
       .drop("_m_n")
     val upserts = guarded.filter(col(opCol) =!= "D").drop(opCol)
-    val delKeys = batch.filter(col(opCol) === "D").select(col(key)).distinct()
-    val allKeys = batch.select(col(key)).distinct()
+    // key sets derive from `guarded`, NOT the raw batch: the
+    // duplicate-key raise_error guard rides the key column, and a
+    // batch whose duplicates are all op='D' rows would otherwise never
+    // evaluate it (the upserts side alone catches only U/I collisions)
+    val delKeys = guarded.filter(col(opCol) === "D").select(col(key)).distinct()
+    val allKeys = guarded.select(col(key)).distinct()
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
@@ -1281,8 +1604,7 @@ object ManifestTable {
           commit(dir, Seq(s"txn=$w:$b", "op=MERGE"), skipIfTxn = txn)
         }
       def affectedRead: DataFrame =
-        pinnedReader(spark, dir, Some(parent)).parquet(
-          affected.toSeq.map(rel => new File(dataDir(dir), rel).getPath): _*)
+        maskedSnapshotRead(spark, dir, Some(parent), affected.toSeq)
       val rewritten =
         if (affected.isEmpty) upserts
         else affectedRead.join(allKeys, Seq(key), "left_anti").unionByName(upserts)
@@ -1316,7 +1638,7 @@ object ManifestTable {
         case RewriteCommitted(v) => return Some(v)
         case other =>
           (staged ++ cdfStaged).map(_.takeWhile(_ != '/')).distinct
-            .foreach(t => deleteRec(new File(dataDir(dir), t)))
+            .foreach(t => deleteStaged(dir, t))
           if (other == RewriteSkippedTxn) return None
       }
     }
@@ -1336,14 +1658,15 @@ object ManifestTable {
                       toVersion: Option[Long] = None): Seq[String] = {
     val to = resolved(dir, toVersion)
     require(to >= sinceVersion, s"change feed interval ($sinceVersion, $to] is negative")
-    val md = manifestDir(dir)
+    val o = io(dir)
     (sinceVersion + 1 to to).flatMap { v =>
-      val mf = new File(md, s"v$v.manifest")
-      if (!mf.isFile)
+      val mf = new HPath(o.manifest, s"v$v.manifest")
+      if (!o.exists(mf))
         throw new IllegalStateException(
           s"version $v missing from the log of $dir (vacuumed past it?)")
-      val lines = readLog(mf, v)
-      if (lines.contains("reset") || lines.exists(_.startsWith("remove=")))
+      val lines = readLog(o, mf, v)
+      if (lines.contains("reset") || lines.exists(_.startsWith("remove=")) ||
+          lines.exists(_.startsWith("dv=")))
         throw new IllegalStateException(
           s"change feed ($sinceVersion, $to] crosses a row-removing commit at v$v; " +
             "re-read the snapshot instead")
@@ -1368,13 +1691,13 @@ object ManifestTable {
     // schema, not a sampled pre-evolution one
     if (rels.nonEmpty)
       return pinnedReader(spark, dir, toVersion).parquet(
-        rels.map(rel => new File(dataDir(dir), rel).getPath): _*)
+        rels.map(rel => dataPath(dir, rel)): _*)
     val all = snapshotFiles(dir, toVersion)
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readSince on $dir: nothing added and the snapshot holds no files")
     pinnedReader(spark, dir, toVersion)
-      .parquet(new File(dataDir(dir), all.head).getPath)
+      .parquet(dataPath(dir, all.head))
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 
@@ -1407,14 +1730,16 @@ object ManifestTable {
     * source's change-feed mode. */
   private[graft] def classifyChangeCommit(dir: String, v: Long,
                                           intervalDesc: String): (Seq[String], Seq[String]) = {
-    val mf = new File(manifestDir(dir), s"v$v.manifest")
-    if (!mf.isFile)
+    val o = io(dir)
+    val mf = new HPath(o.manifest, s"v$v.manifest")
+    if (!o.exists(mf))
       throw new IllegalStateException(
         s"version $v missing from the log of $dir (vacuumed past it?)")
-    val lines = readLog(mf, v)
+    val lines = readLog(o, mf, v)
     val cdfRels = lines.collect { case l if l.startsWith("cdf=") => l.stripPrefix("cdf=") }
     if (cdfRels.nonEmpty) (Nil, cdfRels)
-    else if (lines.contains("reset") || lines.exists(_.startsWith("remove=")))
+    else if (lines.contains("reset") || lines.exists(_.startsWith("remove=")) ||
+        lines.exists(_.startsWith("dv=")))
       throw new IllegalStateException(
         s"change feed $intervalDesc crosses a row-removing commit at v$v " +
           "written without change data; re-read the snapshot instead")
@@ -1441,11 +1766,11 @@ object ManifestTable {
       val (adds, cdfRels) = classifyChangeCommit(dir, v, s"($sinceVersion, $to]")
       if (cdfRels.nonEmpty)
         Some(cdfReader.parquet(
-            cdfRels.map(rel => new File(dataDir(dir), rel).getPath): _*)
+            cdfRels.map(rel => dataPath(dir, rel)): _*)
           .withColumn("_commit_version", lit(v)))
       else if (adds.isEmpty) None // markers-only commit: no row changes
       else Some(pinnedReader(spark, dir, Some(to)).parquet(
-          adds.map(rel => new File(dataDir(dir), rel).getPath): _*)
+          adds.map(rel => dataPath(dir, rel)): _*)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v)))
     }
@@ -1457,7 +1782,7 @@ object ManifestTable {
       throw new IllegalStateException(
         s"readChanges on $dir: no changes and the snapshot holds no files")
     pinnedReader(spark, dir, Some(to))
-      .parquet(new File(dataDir(dir), all.head).getPath)
+      .parquet(dataPath(dir, all.head))
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(-1L))
       .filter(org.apache.spark.sql.functions.lit(false))
@@ -1484,9 +1809,10 @@ object ManifestTable {
   def vacuum(dir: String, keepVersions: Int = 1,
              minAgeMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val md = manifestDir(dir)
-    val manifests = Option(md.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => versionOf(f, ".manifest").map(_ -> f)).sortBy(_._1)
+    val o = io(dir)
+    val manifests = o.list(o.manifest)
+      .flatMap(f => versionOf(f.getPath.getName, ".manifest").map(_ -> f))
+      .sortBy(_._1)
     if (manifests.isEmpty) return (0, 0)
     val (drop, keep) = manifests.splitAt(math.max(0, manifests.length - keepVersions))
     val oldestKept = keep.head._1
@@ -1500,84 +1826,65 @@ object ManifestTable {
     // retention, Delta's rule.
     val live: Set[String] =
       keep.flatMap { case (v, _) => fold(dir, v).files.map(_.takeWhile(_ != '|')) }.toSet ++
-        keep.flatMap { case (v, f) => readLog(f, v).collect {
+        keep.flatMap { case (v, f) => readLog(o, f.getPath, v).collect {
           case l if l.startsWith("cdf=") => l.stripPrefix("cdf=") } }
-    drop.foreach { case (_, f) => f.delete(): Unit }
+    drop.foreach { case (_, f) => o.delete(f.getPath): Unit }
     // checkpoints strictly below the oldest kept version are useless now
-    Option(md.listFiles()).getOrElse(Array.empty)
-      .filter(f => versionOf(f, ".checkpoint").exists(_ < oldestKept))
-      .foreach(_.delete(): Unit)
+    o.list(o.manifest)
+      .filter(f => versionOf(f.getPath.getName, ".checkpoint").exists(_ < oldestKept))
+      .foreach(f => o.delete(f.getPath): Unit)
     val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0
     for {
-      txnDir <- Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
+      txnDir <- o.list(o.data)
       if txnDir.isDirectory
-      f <- Option(txnDir.listFiles()).getOrElse(Array.empty)
+      f <- o.list(txnDir.getPath)
+      if f.isFile
     } {
-      val rel = s"${txnDir.getName}/${f.getName}"
-      if (!live.contains(rel) && f.lastModified() <= cutoff) {
-        if (f.delete()) removed += 1
+      val rel = s"${txnDir.getPath.getName}/${f.getPath.getName}"
+      if (!live.contains(rel) && f.getModificationTime <= cutoff) {
+        if (o.delete(f.getPath)) removed += 1
       }
     }
     // drop now-empty txn dirs
-    Option(dataDir(dir).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
-      .foreach(_.delete(): Unit)
+    o.list(o.data)
+      .filter(d => d.isDirectory && o.list(d.getPath).isEmpty)
+      .foreach(d => o.delete(d.getPath, recursive = true): Unit)
     (removed, drop.length)
   }
 
-  private def deleteRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
-  }
-
   /** Atomically create the log file for exactly version `next` with
-    * the given action lines. None if that version already exists. */
+    * the given action lines. None if that version already exists.
+    * The atomic create-if-absent primitive lives in [[Io.putIfAbsent]]
+    * (POSIX link(2) on the local FS, no-overwrite FileContext.rename
+    * on HDFS/ABFS): two committers racing to one version see exactly
+    * one winner, and readers never observe a partial manifest. */
   private def tryCommitAt(dir: String, next: Long,
                           actions: Seq[String]): Option[Long] = {
-    manifestDir(dir).mkdirs()
+    val o = io(dir)
     val body = (s"version=$next" +: actions).mkString("\n") + "\n"
-    val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    val target = Paths.get(manifestDir(dir).getPath, s"v$next.manifest")
-    try {
-      // atomic create-if-absent: hard-link the fully-written temp to
-      // the version name. NOT a rename — POSIX rename(2) silently
-      // REPLACES an existing target, which would let two committers
-      // both "win" a version; link(2) fails with EEXIST, giving
-      // exactly one winner. Readers never see a partial manifest
-      // because the link appears fully formed. On an object store
-      // this maps to a conditional PUT (If-None-Match: *).
-      Files.createLink(target, tmp)
-      Files.deleteIfExists(tmp)
+    val target = new HPath(o.manifest, s"v$next.manifest")
+    if (o.putIfAbsent(target, body.getBytes("UTF-8"))) {
       if (next > 0 && next % CheckpointInterval == 0) writeCheckpoint(dir, next)
       Some(next)
-    } catch {
-      case _: FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        None
-    }
+    } else None
   }
 
   /** Materialize the folded state at `v` as `v<v>.checkpoint`.
     * Idempotent and derived — losing the race to another checkpointer
     * is fine (the content is identical). */
   private def writeCheckpoint(dir: String, v: Long): Unit = {
-    val target = Paths.get(manifestDir(dir).getPath, s"v$v.checkpoint")
-    if (Files.exists(target)) return
+    val o = io(dir)
+    val target = new HPath(o.manifest, s"v$v.checkpoint")
+    if (o.exists(target)) return
     val st = fold(dir, v)
     val body = (s"version=$v" +:
       (st.schema.map("schema=" + _).toSeq ++
-        st.files.map("add=" + _) ++ st.txns.toSeq.sorted.map("txn=" + _)))
+        st.files.map("add=" + _) ++
+        st.dvs.toSeq.sortBy(_._1).map { case (r, sp) => s"dv=$r|$sp" } ++
+        st.txns.toSeq.sorted.map("txn=" + _)))
       .mkString("\n") + "\n"
-    val tmp = Paths.get(manifestDir(dir).getPath, s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    try {
-      Files.createLink(target, tmp)
-      Files.deleteIfExists(tmp)
-    } catch {
-      case _: FileAlreadyExistsException => Files.deleteIfExists(tmp)
-    }
+    o.putIfAbsent(target, body.getBytes("UTF-8")): Unit
   }
 
   /** Commit `actions` on top of the current snapshot, retrying past

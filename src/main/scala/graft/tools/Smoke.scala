@@ -13,9 +13,15 @@ object Smoke {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // 1. driver smoke: entry() rows>0
+    // 1. driver smoke: entry() rows>0 — pinned EXACTLY. The flagship
+    // CTR-by-referrer over sf0.001 events is deterministic (91 groups);
+    // a silent partial-ingest regression (dropped input split, broken
+    // tolerant-parse) could hide behind a bare rows>0 check forever.
     val e = graft.SparkEntry.entry(spark)
-    println("ENTRY_ROWS=" + e.count())
+    val entryRows = e.count()
+    println("ENTRY_ROWS=" + entryRows)
+    assert(entryRows == 91L,
+      s"entry() row count drifted: got $entryRows, pinned 91 at sf0.001")
     e.show(5, truncate = false)
 
     // 2. probe: poison lines through the tolerant JSON source
@@ -90,6 +96,11 @@ object Smoke {
     qc.stop()
 
     println("SMOKE_DONE")
+    // Hard exit (same as Verify/Bench): the memory-stream queries above
+    // can leave non-daemon threads alive past spark.stop().
+    try spark.streams.active.foreach(_.stop())
+    catch { case _: Throwable => }
     spark.stop()
+    sys.exit(0)
   }
 }
