@@ -125,13 +125,17 @@ object Pipeline {
     import graft.sources.ManifestTable
     val root = java.nio.file.Files
       .createTempDirectory("graft-manifest-prune").toFile.getPath
+    // skey: a zero-padded STRING shadow of doc_id, so the slices carry
+    // disjoint truncated-string bounds (sstat=) alongside the long
+    // bounds — the string-pruning half of the census
     val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+      .withColumn("skey", format_string("k%09d", $"doc_id"))
     val n = docs.count()
     val w = (n + 7) / 8
     for (i <- 0L until 8L)
       ManifestTable.appendWithStats(s,
         docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
-        root, "doc_id", "n_chars")
+        root, "doc_id", "n_chars", "skey")
     val lo = w + 3; val hi = 2 * w + 5 // overlaps slices 1 and 2 only
     val planned = ManifestTable.plannedFilesForRange(root, "doc_id", lo, hi).size
     // second stated column: an n_chars range census. The expected
@@ -145,12 +149,23 @@ object Pipeline {
       ManifestTable.plannedFilesForRange(root, "n_chars", cMin, cHi).size
     val charsSum = ManifestTable.readRange(s, root, "n_chars", cMin, cHi)
       .agg(coalesce(sum($"doc_id"), lit(0L))).as[Long].head()
+    // string-keyed census: the same 2-slice window addressed through
+    // the string shadow key — recorded sstat bounds must plan exactly
+    // the slices the oracle re-derives, and the residual-filtered
+    // read must sum the same ids
+    val sLo = f"k$lo%09d"; val sHi = f"k$hi%09d"
+    val plannedStr =
+      ManifestTable.plannedFilesForStringRange(root, "skey", sLo, sHi).size
+    val strSum = ManifestTable.readRangeString(s, root, "skey", sLo, sHi)
+      .agg(coalesce(sum($"doc_id"), lit(0L))).as[Long].head()
     val res = ManifestTable.readRange(s, root, "doc_id", lo, hi)
       .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"))
       .select(lit(8L).as("n_files"), lit(planned.toLong).as("n_planned"),
         $"n_rows", $"sum_chars",
         lit(plannedChars.toLong).as("n_planned_chars"),
-        lit(charsSum).as("sum_ids_chars"))
+        lit(charsSum).as("sum_ids_chars"),
+        lit(plannedStr.toLong).as("n_planned_str"),
+        lit(strSum).as("sum_ids_str"))
     StreamReplay.finish(s, qname = "", root)(res)
   }
 
@@ -163,12 +178,23 @@ object Pipeline {
       |pc AS (SELECT COUNT(*) AS n_planned_chars FROM slices, cr
       |  WHERE smx >= clo AND smn <= chi),
       |sic AS (SELECT COALESCE(SUM(doc_id), 0) AS sum_ids_chars
-      |  FROM documents, cr WHERE n_chars >= clo AND n_chars <= chi)
+      |  FROM documents, cr WHERE n_chars >= clo AND n_chars <= chi),
+      |sslices AS (SELECT doc_id // (SELECT w FROM w) AS slice,
+      |  MIN(printf('k%09d', doc_id)) AS smn,
+      |  MAX(printf('k%09d', doc_id)) AS smx FROM documents GROUP BY 1),
+      |ps AS (SELECT COUNT(*) AS n_planned_str FROM sslices, w
+      |  WHERE smx >= printf('k%09d', w + 3) AND smn <= printf('k%09d', 2 * w + 5)),
+      |sis AS (SELECT COALESCE(SUM(doc_id), 0) AS sum_ids_str
+      |  FROM documents, w
+      |  WHERE printf('k%09d', doc_id) >= printf('k%09d', w + 3)
+      |    AND printf('k%09d', doc_id) <= printf('k%09d', 2 * w + 5))
       |SELECT CAST(8 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_planned,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  CAST((SELECT n_planned_chars FROM pc) AS BIGINT) AS n_planned_chars,
-      |  CAST((SELECT sum_ids_chars FROM sic) AS BIGINT) AS sum_ids_chars
+      |  CAST((SELECT sum_ids_chars FROM sic) AS BIGINT) AS sum_ids_chars,
+      |  CAST((SELECT n_planned_str FROM ps) AS BIGINT) AS n_planned_str,
+      |  CAST((SELECT sum_ids_str FROM sis) AS BIGINT) AS sum_ids_str
       |FROM documents, w
       |WHERE doc_id >= w + 3 AND doc_id <= 2 * w + 5""".stripMargin
 
@@ -224,6 +250,71 @@ object Pipeline {
       |UNION ALL
       |SELECT 'post', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
       |FROM documents, w WHERE NOT (doc_id >= 2 * w AND doc_id % 2 = 0)
+      |ORDER BY phase""".stripMargin
+
+  /** MERGE-ON-READ DELETE via deletion vectors proven end-to-end —
+    * the Delta DV / Iceberg v2 position-delete shape, the answer to
+    * copy-on-write's write amplification (a 1-row GDPR delete on a
+    * 1 GB file must not cost 1 GB of rewrite): the corpus lands as 4
+    * stats-carrying doc_id slices, then
+    * [[graft.sources.ManifestTable.deleteWhere]] with `dvFraction`
+    * masks the sparse doc_id % 97 == 0 rows. In-code requires pin the
+    * merge-on-read contract: the delete commits exactly ONE version
+    * whose manifest carries ONLY `dv=` masks — zero `add=` (no data
+    * file staged: committed bytes are O(matched rows), the write-
+    * amplification proof) and zero `remove=` (no file rewritten, all
+    * column stats survive verbatim); the metadata-only COUNT(*)
+    * subtracts the mask cardinality; stats pruning still plans 1 file
+    * for a 1-slice range. The emitted rows commit the read contract:
+    * `post` is the masked read-back, `pre` is time travel to the
+    * pre-delete snapshot — both hash-matched against DuckDB replaying
+    * the predicate. Scale shape: the mask is a broadcast anti-join on
+    * (file, row position) applied in-scan — no shuffle, no rewrite,
+    * O(deleted) state. */
+  private def sinkManifestDv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-dv").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id")
+    val preV = ManifestTable.latestVersion(root).get
+    val v = ManifestTable.deleteWhere(s, root, $"doc_id" % 97 === 0,
+      statCols = Seq("doc_id"), dvFraction = 0.10)
+    require(v.contains(preV + 1), s"DV delete must commit exactly version ${preV + 1}")
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        root, "_manifest", s"v${preV + 1}.manifest"))).asScala.toSeq
+    require(lines.exists(_.startsWith("dv=")),
+      "sparse delete must commit deletion-vector masks")
+    require(!lines.exists(l => l.startsWith("add=") || l.startsWith("remove=")),
+      "a DV delete must stage no data files and rewrite none — " +
+        "committed bytes must be O(matched rows)")
+    val expectGone = (0L until n).count(_ % 97 == 0)
+    require(ManifestTable.countMeta(root).contains(n - expectGone),
+      "metadata-only COUNT(*) must subtract the mask cardinality")
+    require(ManifestTable.plannedFilesForRange(root, "doc_id", 0, 1).size == 1,
+      "DV delete must leave every file's column stats prunable")
+    def aggOf(df: DataFrame, phase: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .select(lit(phase).as("phase"), $"n_docs", $"sum_chars")
+    val res = aggOf(ManifestTable.read(s, root, Some(preV)), "pre")
+      .unionAll(aggOf(ManifestTable.read(s, root), "post"))
+      .orderBy($"phase")
+    StreamReplay.finish(s, qname = "", root)(res)
+  }
+
+  private val sinkManifestDvSql =
+    """SELECT 'pre' AS phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents
+      |UNION ALL
+      |SELECT 'post', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents WHERE doc_id % 97 <> 0
       |ORDER BY phase""".stripMargin
 
   /** The manifest table as an incremental SOURCE — the Delta
@@ -2957,6 +3048,7 @@ object Pipeline {
     "sink_manifest_streaming" -> QueryDef(sinkManifestStreaming, Some(sinkManifestStreamingSql)),
     "sink_manifest_pruned" -> QueryDef(sinkManifestPruned, Some(sinkManifestPrunedSql)),
     "sink_manifest_delete" -> QueryDef(sinkManifestDelete, Some(sinkManifestDeleteSql)),
+    "sink_manifest_dv" -> QueryDef(sinkManifestDv, Some(sinkManifestDvSql)),
     "sink_manifest_changefeed" ->
       QueryDef(sinkManifestChangefeed, Some(sinkManifestChangefeedSql)),
     "sink_manifest_stream_source" ->

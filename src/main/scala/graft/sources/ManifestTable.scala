@@ -609,9 +609,53 @@ object ManifestTable {
     * fails at snapshot-read time as "corrupt stat segment". */
   private val StatColName = "[A-Za-z0-9_]+".r
 
+  // ── string bounds (Iceberg-style truncation) ────────────────────
+  // String stats compare in UTF-8 BYTE order — the SAME order Spark's
+  // min/max aggregate uses on strings (UTF8String's binary
+  // comparator) — so a recorded bound is exactly consistent with the
+  // scan that produced it. Bounds are truncated to 16 bytes: the min
+  // truncates plainly (a byte-prefix is ≤ everything it prefixes);
+  // the max truncates then INCREMENTS its last non-0xFF byte (bytes
+  // after it drop) so it stays an upper bound — Iceberg's
+  // truncateStringMax. An all-0xFF prefix cannot be bumped: no upper
+  // bound is recorded and the file is never pruned. Bounds are stored
+  // hex-encoded (`sstat=<col>:<minhex>:<maxhex>`) so arbitrary bytes
+  // can never collide with the log's own delimiters.
+  private val StringStatTruncBytes = 16
+
+  private[graft] def utf8Lex(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private[graft] def truncMinUtf8(s: String): Array[Byte] =
+    s.getBytes("UTF-8").take(StringStatTruncBytes)
+
+  private[graft] def truncMaxUtf8(s: String): Option[Array[Byte]] = {
+    val b = s.getBytes("UTF-8")
+    if (b.length <= StringStatTruncBytes) Some(b)
+    else {
+      val t = b.take(StringStatTruncBytes)
+      var i = t.length - 1
+      while (i >= 0 && (t(i) & 0xff) == 0xff) i -= 1
+      if (i < 0) None
+      else Some(t.take(i + 1).updated(i, (t(i) + 1).toByte))
+    }
+  }
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private[graft] def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   private def statAddActions(spark: SparkSession, dir: String,
                              rels: Seq[String], statCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     if (rels.isEmpty) return Nil
     statCols.foreach { c =>
       require(StatColName.matches(c),
@@ -619,21 +663,27 @@ object ManifestTable {
           "'|' or ':' would corrupt the manifest entry")
     }
     // ONE reader over the staged paths serves both the up-front type
-    // validation (a non-long stats column would ClassCastException
+    // validation (an unsupported stats column would ClassCastException
     // mid-collect otherwise) and the min/max aggregation
     val staged = spark.read.parquet(
       rels.map(r => dataPath(dir, r)): _*)
-    statCols.foreach { c =>
-      val f = staged.schema.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"stats column '$c' is not in the staged batch's schema " +
-            s"(${staged.schema.fieldNames.mkString(", ")})"))
-      require(f.dataType == org.apache.spark.sql.types.LongType,
-        s"stats column '$c' must be LongType, found ${f.dataType.simpleString}")
-    }
+    val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      statCols.map { c =>
+        val f = staged.schema.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"stats column '$c' is not in the staged batch's schema " +
+              s"(${staged.schema.fieldNames.mkString(", ")})"))
+        require(f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == StringType,
+          s"stats column '$c' must be long, int or string, " +
+            s"found ${f.dataType.simpleString} (store timestamps as epoch longs)")
+        c -> f.dataType
+      }.toMap
     import org.apache.spark.sql.functions.{count, lit}
     // row count first, then per-column bounds — the exact count feeds
-    // [[countMeta]]'s metadata-only aggregates at zero extra passes
+    // [[countMeta]]'s metadata-only aggregates at zero extra passes.
+    // Integer columns record as longs (their order embeds); string
+    // columns record truncated UTF-8 byte bounds.
     val aggs = count(lit(1)).as("_rows") +: statCols.flatMap(c =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     val byFile = staged
@@ -646,14 +696,71 @@ object ManifestTable {
         // no stat for that (file, column); unknown ranges never prune
         val stats = statCols.zipWithIndex.collect {
           case (c, i) if !r.isNullAt(2 + 2 * i) && !r.isNullAt(3 + 2 * i) =>
-            s"stat=$c:${r.getLong(2 + 2 * i)}:${r.getLong(3 + 2 * i)}"
-        }
+            typeOf(c) match {
+              case LongType =>
+                Some(s"stat=$c:${r.getLong(2 + 2 * i)}:${r.getLong(3 + 2 * i)}")
+              case IntegerType =>
+                Some(s"stat=$c:${r.getInt(2 + 2 * i).toLong}:${r.getInt(3 + 2 * i).toLong}")
+              case _ =>
+                val mn = hex(truncMinUtf8(r.getString(2 + 2 * i)))
+                truncMaxUtf8(r.getString(3 + 2 * i))
+                  .map(mx => s"sstat=$c:$mn:${hex(mx)}")
+            }
+        }.flatten
         name -> (s"rows=${r.getLong(1)}" +: stats).mkString("|")
       }.toMap
     rels.flatMap { rel =>
       // absent from byFile ⇒ the part file holds zero rows: skip it
       byFile.get(rel.split('/').last).map(meta => s"add=$rel|$meta")
     }
+  }
+
+  /** Live files with their per-column TRUNCATED string bounds (min
+    * bytes, bumped max bytes) recorded by string `statCols`; empty map
+    * for files without string stats. */
+  def snapshotFilesWithStringStats(dir: String, version: Option[Long] = None)
+      : Seq[(String, Map[String, (Array[Byte], Array[Byte])])] =
+    fold(dir, resolved(dir, version)).files.map { e =>
+      val parts = e.split('|')
+      val stats = parts.iterator.drop(1).collect {
+        case p if p.startsWith("sstat=") =>
+          p.stripPrefix("sstat=").split(':') match {
+            case Array(c, mn, mx) => c -> ((unhex(mn), unhex(mx)))
+            case bad => throw new IllegalStateException(
+              s"corrupt sstat segment '${bad.mkString(":")}' in $e")
+          }
+      }.toMap
+      (parts(0), stats)
+    }
+
+  /** Files the latest snapshot plans for a string range `[lo, hi]` on
+    * `statCol`: recorded truncated bounds overlap in UTF-8 byte order,
+    * plus every file without string stats for the column. */
+  def plannedFilesForStringRange(dir: String, statCol: String,
+                                 lo: String, hi: String): Seq[String] = {
+    val (kLo, kHi) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+    snapshotFilesWithStringStats(dir).collect {
+      case (f, stats) if stats.get(statCol).forall { case (mn, mx) =>
+        utf8Lex(mx, kLo) >= 0 && utf8Lex(mn, kHi) <= 0 } => f
+    }
+  }
+
+  /** String-range read with file skipping — [[readRange]]'s string
+    * twin: plan only [[plannedFilesForStringRange]] and apply the
+    * residual row filter. */
+  def readRangeString(spark: SparkSession, dir: String, statCol: String,
+                      lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val planned = plannedFilesForStringRange(dir, statCol, lo, hi)
+    if (planned.nonEmpty)
+      return maskedSnapshotRead(spark, dir, None, planned)
+        .filter(col(statCol) >= lo && col(statCol) <= hi)
+    val all = snapshotFiles(dir)
+    if (all.isEmpty)
+      throw new IllegalStateException(
+        s"readRangeString on $dir: snapshot holds no data files at all")
+    spark.read.parquet(dataPath(dir, all.head))
+      .filter(org.apache.spark.sql.functions.lit(false))
   }
 
   /** [[append]] that also records the batch's schema as the table's
@@ -1309,15 +1416,20 @@ object ManifestTable {
     val entries = st.files
     val rels: Set[String] = entries.map(_.takeWhile(_ != '|')).toSet
     val statted = entries.map(parseStatsEntry)
-    // the pruning path needs long bounds; non-long keys scan all
-    val hasKeyStats = statted.exists(_._2.contains(key)) &&
-      keyType == org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // pruning path per key type: long/int keys prune on `stat=`
+    // bounds, string keys on the truncated `sstat=` byte bounds —
+    // anything else (or a stats-less table) scans all files
+    val hasLongStats = statted.exists(_._2.contains(key)) &&
+      (keyType == LongType || keyType == IntegerType)
+    lazy val sstatted = snapshotFilesWithStringStats(dir, Some(parent))
+    val hasStringStats = keyType == StringType &&
+      sstatted.exists(_._2.contains(key))
     val scanRels: Seq[String] =
-      if (!hasKeyStats) statted.map(_._1)
-      else {
+      if (hasLongStats) {
         val bounds = keys.agg(
-          org.apache.spark.sql.functions.min(col(key)),
-          org.apache.spark.sql.functions.max(col(key))).head()
+          org.apache.spark.sql.functions.min(col(key).cast(LongType)),
+          org.apache.spark.sql.functions.max(col(key).cast(LongType))).head()
         if (bounds.isNullAt(0)) Seq.empty // all-NULL keys match nothing
         else {
           val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
@@ -1326,7 +1438,20 @@ object ManifestTable {
               .forall { case (mn, mx) => mx >= bMin && mn <= bMax } => rel
           }
         }
-      }
+      } else if (hasStringStats) {
+        val bounds = keys.agg(
+          org.apache.spark.sql.functions.min(col(key)),
+          org.apache.spark.sql.functions.max(col(key))).head()
+        if (bounds.isNullAt(0)) Seq.empty
+        else {
+          val kLo = bounds.getString(0).getBytes("UTF-8")
+          val kHi = bounds.getString(1).getBytes("UTF-8")
+          sstatted.collect {
+            case (rel, stats) if stats.get(key).forall { case (mn, mx) =>
+              utf8Lex(mx, kLo) >= 0 && utf8Lex(mn, kHi) <= 0 } => rel
+          }
+        }
+      } else statted.map(_._1)
     if (scanRels.isEmpty) Set.empty
     else
       // pinned reader (via keyedRead): the scanned files may span a
@@ -1746,6 +1871,43 @@ object ManifestTable {
     else (lines.collect { case l if l.startsWith("add=") =>
       l.stripPrefix("add=").takeWhile(_ != '|')
     }, Nil)
+  }
+
+  /** One commit's streamable files in PLAN ORDER with their recorded
+    * per-file row counts — the admission-control and partition-
+    * planning primitive of the DSv2 streaming source. Tuple: (rel,
+    * rows if the entry recorded `rows=`, isChangeFile).
+    * `changeFeed=false`: the commit's `add=` files; throws on a
+    * row-removing commit (reset/remove/dv — not expressible as
+    * appended rows). `changeFeed=true`: a cdf-carrying commit serves
+    * ONLY its change files; a row-removing commit without change data
+    * throws, exactly like [[classifyChangeCommit]]. */
+  private[graft] def commitFeedFiles(dir: String, v: Long, changeFeed: Boolean)
+      : Seq[(String, Option[Long], Boolean)] = {
+    val o = io(dir)
+    val mf = new HPath(o.manifest, s"v$v.manifest")
+    if (!o.exists(mf))
+      throw new IllegalStateException(
+        s"version $v missing from the log of $dir (vacuumed past it?)")
+    val lines = readLog(o, mf, v)
+    val removing = lines.contains("reset") ||
+      lines.exists(_.startsWith("remove=")) || lines.exists(_.startsWith("dv="))
+    val cdfRels = lines.collect { case l if l.startsWith("cdf=") =>
+      l.stripPrefix("cdf=") }
+    def adds: Seq[(String, Option[Long], Boolean)] =
+      lines.collect { case l if l.startsWith("add=") =>
+        val parts = l.stripPrefix("add=").split('|')
+        (parts(0), parts.iterator.drop(1).find(_.startsWith("rows="))
+          .map(_.stripPrefix("rows=").toLong), false)
+      }
+    if (changeFeed && cdfRels.nonEmpty)
+      cdfRels.map((_, None: Option[Long], true))
+    else if (removing)
+      throw new IllegalStateException(
+        s"change feed crosses a row-removing commit at v$v" +
+          (if (changeFeed) " written without change data" else "") +
+          "; re-read the snapshot instead")
+    else adds
   }
 
   def readChanges(spark: SparkSession, dir: String, sinceVersion: Long,

@@ -91,17 +91,131 @@ class ManifestStreamDataSource extends TableProvider
     new ManifestStreamTable(schema, opts.get("path"),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
       Option(opts.get("versionAsOf")).map(_.toLong),
-      opts.getBoolean("readChangeFeed", false))
+      opts.getBoolean("readChangeFeed", false),
+      Option(opts.get("maxRowsPerTrigger")).map(_.toLong))
+  }
+}
+
+/** Pushed-filter support shared by the scan builder (file pruning
+  * against manifest stats) and the executor-side reader (row-level
+  * evaluation). Accepted filters are ALWAYS also residual — Spark
+  * re-applies them post-scan — so both layers are pure skipping
+  * optimizations: dropping is only allowed when DEFINITELY false,
+  * and any uncertainty keeps the file/row. */
+private[v2] object ManifestFilters {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(c, _) => scalar(c, schema)
+    case GreaterThan(c, _) => scalar(c, schema)
+    case GreaterThanOrEqual(c, _) => scalar(c, schema)
+    case LessThan(c, _) => scalar(c, schema)
+    case LessThanOrEqual(c, _) => scalar(c, schema)
+    case In(c, _) => scalar(c, schema)
+    case IsNotNull(c) => scalar(c, schema)
+    case IsNull(c) => scalar(c, schema)
+    case _ => false
+  }
+
+  private def scalar(c: String, schema: StructType): Boolean =
+    schema.fields.exists(f => f.name == c && (f.dataType match {
+      case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+      case _ => false
+    }))
+
+  /** May a file whose manifest records `stats` (long col → (min, max))
+    * hold rows passing every pushed filter? Unknown columns/types
+    * never prune. */
+  def mayOverlap(filters: Array[Filter], stats: Map[String, (Long, Long)]): Boolean =
+    filters.forall {
+      case EqualTo(c, v) => longOf(v).forall(x =>
+        stats.get(c).forall { case (mn, mx) => x >= mn && x <= mx })
+      case GreaterThan(c, v) => longOf(v).forall(x =>
+        stats.get(c).forall { case (_, mx) => mx > x })
+      case GreaterThanOrEqual(c, v) => longOf(v).forall(x =>
+        stats.get(c).forall { case (_, mx) => mx >= x })
+      case LessThan(c, v) => longOf(v).forall(x =>
+        stats.get(c).forall { case (mn, _) => mn < x })
+      case LessThanOrEqual(c, v) => longOf(v).forall(x =>
+        stats.get(c).forall { case (mn, _) => mn <= x })
+      case In(c, vs) =>
+        val xs = vs.toSeq.flatMap(longOf)
+        xs.size != vs.length || // a non-integral value: cannot prune
+          stats.get(c).forall { case (mn, mx) => xs.exists(x => x >= mn && x <= mx) }
+      case _ => true
+    }
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case x: Long => Some(x)
+    case x: Int => Some(x.toLong)
+    case x: Short => Some(x.toLong)
+    case x: Byte => Some(x.toLong)
+    case _ => None
+  }
+
+  /** Row-level evaluation against a decoded InternalRow: false ONLY
+    * when the row definitely fails the filter (SQL semantics: a NULL
+    * comparison is not-true, so the row drops — except IsNull). An
+    * unresolvable column or value type keeps the row. */
+  def eval(filters: Array[Filter], row: InternalRow, schema: StructType): Boolean =
+    filters.forall(f => one(f, row, schema))
+
+  private def one(f: Filter, row: InternalRow, schema: StructType): Boolean = {
+    def v(c: String): (Boolean, Any) = { // (resolvable, value-or-null)
+      val i = schema.fieldNames.indexOf(c)
+      if (i < 0) (false, null)
+      else if (row.isNullAt(i)) (true, null)
+      else (true, schema(i).dataType match {
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i)
+        case DoubleType => row.getDouble(i)
+        case BooleanType => row.getBoolean(i)
+        case StringType => row.getUTF8String(i).toString
+        case _ => null
+      })
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue))
+      case (x: Int, y: Number) => Some(java.lang.Long.compare(x.toLong, y.longValue))
+      case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, x) =>
+        val (ok, a) = v(c); !ok || (a != null && cmp(a, x).forall(_ == 0))
+      case GreaterThan(c, x) =>
+        val (ok, a) = v(c); !ok || (a != null && cmp(a, x).forall(_ > 0))
+      case GreaterThanOrEqual(c, x) =>
+        val (ok, a) = v(c); !ok || (a != null && cmp(a, x).forall(_ >= 0))
+      case LessThan(c, x) =>
+        val (ok, a) = v(c); !ok || (a != null && cmp(a, x).forall(_ < 0))
+      case LessThanOrEqual(c, x) =>
+        val (ok, a) = v(c); !ok || (a != null && cmp(a, x).forall(_ <= 0))
+      case In(c, xs) =>
+        val (ok, a) = v(c)
+        !ok || (a != null && xs.exists(x => cmp(a, x) match {
+          case Some(0) => true
+          case None => true // incomparable value: uncertain, keep
+          case _ => false
+        }))
+      case IsNotNull(c) => val (ok, a) = v(c); !ok || a != null
+      case IsNull(c) => val (ok, a) = v(c); !ok || a == null
+      case _ => true
+    }
   }
 }
 
 final class ManifestStreamTable(tableSchema: StructType, dir: String,
                                 maxVersionsPerTrigger: Long,
                                 versionAsOf: Option[Long],
-                                changeFeed: Boolean = false)
+                                changeFeed: Boolean = false,
+                                maxRowsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   require(dir != null, "graft-manifest requires a path")
   require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
+  require(maxRowsPerTrigger.forall(_ > 0), "maxRowsPerTrigger must be positive")
   override def name(): String = s"graft-manifest($dir)"
   // change-feed mode serves the user's table schema PLUS the two CDF
   // meta columns (the Delta readChangeFeed contract)
@@ -114,7 +228,8 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       // captured driver-side where the session is in scope; shipped to
       // executors so readers resolve paths on the session's filesystem
       private val hadoopConf = new SerializableHadoopConf(
@@ -128,11 +243,29 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
       override def pruneColumns(r: StructType): Unit =
         required = StructType(servedSchema.fields.filter(f =>
           r.fieldNames.contains(f.name)))
+      // FILTER pushdown: supported comparisons are accepted (evaluated
+      // row-level in the executor-side reader — see
+      // ManifestFilters.eval) AND consulted at PLAN time against the
+      // manifest's own per-file column stats, so a range predicate
+      // through spark.read.format("graft-manifest") plans only the
+      // overlapping files — the same census ManifestTable.readRange
+      // computes, now reachable from plain DataFrame filters. Accepted
+      // filters are still returned as residual, so Spark re-applies
+      // them post-scan: file pruning + row skipping stay a pure
+      // optimization, never a correctness dependency.
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters.filter(ManifestFilters.supported(_, servedSchema))
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
+        private val pushedAtBuild = pushed
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(required, dir, maxVersionsPerTrigger,
-            hadoopConf, changeFeed)
+            maxRowsPerTrigger, hadoopConf, changeFeed, pushedAtBuild)
         // batch read = the SNAPSHOT (latest, or `versionAsOf` time
         // travel) — the same manifest fold ManifestTable.read plans,
         // served through the same executor-side reader as the stream
@@ -141,13 +274,16 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
             require(!changeFeed,
               "readChangeFeed is a streaming option; batch change reads go " +
                 "through ManifestTable.readChanges")
-            ManifestTable.snapshotFiles(dir, versionAsOf)
-              .map(rel => ManifestFilePartition(
-                ManifestStreamSource.dataFilePath(dir, rel)): InputPartition)
+            val statted = ManifestTable.snapshotFilesWithStats(dir, versionAsOf)
+            statted
+              .filter { case (_, stats) =>
+                ManifestFilters.mayOverlap(pushedAtBuild, stats) }
+              .map { case (rel, _) => ManifestFilePartition(
+                ManifestStreamSource.dataFilePath(dir, rel)): InputPartition }
               .toArray
           }
           override def createReaderFactory(): PartitionReaderFactory =
-            new ManifestReaderFactory(required.json, hadoopConf)
+            new ManifestReaderFactory(required.json, hadoopConf, pushedAtBuild)
         }
       }
     }
@@ -161,15 +297,24 @@ private[v2] object ManifestStreamSource {
     new Path(new Path(dir, "data"), rel).toString
 }
 
-/** Offset = highest manifest version consumed (-1 = nothing yet). */
-final case class ManifestOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** Offset = highest manifest version FULLY consumed (-1 = nothing
+  * yet), plus `part` files of version `version + 1` already consumed —
+  * the sub-version cursor that lets rows-based admission split ONE fat
+  * commit across micro-batches (Delta's (version, index) offset
+  * shape). part=0 serializes to the legacy `{"version":N}` JSON, so
+  * pre-split checkpoints resume unchanged. */
+final case class ManifestOffset(version: Long, part: Long = 0L) extends Offset {
+  override def json(): String =
+    if (part == 0L) s"""{"version":$version}"""
+    else s"""{"version":$version,"part":$part}"""
 }
 
 final class ManifestMicroBatchStream(schema: StructType, dir: String,
                                      maxVersionsPerTrigger: Long,
+                                     maxRowsPerTrigger: Option[Long],
                                      hadoopConf: SerializableHadoopConf,
-                                     changeFeed: Boolean = false)
+                                     changeFeed: Boolean = false,
+                                     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -190,50 +335,116 @@ final class ManifestMicroBatchStream(schema: StructType, dir: String,
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit) is the entry point")
 
+  /** One commit's feed files in plan order, or None when the commit
+    * cannot feed (row-removing without change data) — admission then
+    * admits the whole commit and lets planInputPartitions raise the
+    * clear error instead of stalling the stream silently. */
+  private def commitFiles(v: Long): Option[Seq[(String, Option[Long], Boolean)]] =
+    try Some(ManifestTable.commitFeedFiles(dir, v, changeFeed))
+    catch { case _: IllegalStateException => None }
+
+  /** Version/rows-bounded admission. Rows accounting uses the
+    * manifest's own per-file `rows=` stats; a file committed without
+    * one conservatively consumes the whole remaining budget (it still
+    * admits — a batch always makes progress — but nothing rides after
+    * it). With no `maxRowsPerTrigger` the legacy whole-version stride
+    * applies. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[ManifestOffset].version
+    val from = start.asInstanceOf[ManifestOffset]
     val target = availableNowTarget.getOrElse(currentLatest)
-    // saturating stride: from + maxVersionsPerTrigger overflows for the
-    // unbounded default, and an overflowed offset would be COMMITTED
-    val step = math.min(maxVersionsPerTrigger, math.max(0L, target - from))
-    ManifestOffset(from + step)
+    maxRowsPerTrigger match {
+      case None =>
+        if (from.part == 0L) {
+          // saturating stride: from + maxVersionsPerTrigger overflows
+          // for the unbounded default, and an overflowed offset would
+          // be COMMITTED
+          val step = math.min(maxVersionsPerTrigger,
+            math.max(0L, target - from.version))
+          ManifestOffset(from.version + step)
+        } else {
+          // a rows-admitted partial version from an earlier run: first
+          // finish that version, then resume whole-version strides
+          ManifestOffset(math.min(target, from.version + 1L))
+        }
+      case Some(budget) =>
+        var v = from.version
+        var part = from.part
+        var spent = 0L
+        var admitted = false
+        var versions = 0L
+        var stop = false
+        while (!stop && v < target && versions < maxVersionsPerTrigger) {
+          commitFiles(v + 1) match {
+            case None =>
+              // unfeedable commit: admit it whole (plan will raise)
+              if (!admitted) { v += 1; part = 0L; admitted = true }
+              stop = true
+            case Some(files) =>
+              var i = part
+              while (!stop && i < files.length) {
+                val rows = math.max(files(i.toInt)._2.getOrElse(Long.MaxValue), 0L)
+                val next = // saturating add
+                  if (spent + rows < spent) Long.MaxValue else spent + rows
+                if (admitted && next > budget) stop = true
+                else {
+                  spent = next
+                  admitted = true
+                  i += 1
+                  if (spent >= budget) stop = true
+                }
+              }
+              if (i >= files.length) { v += 1; part = 0L; versions += 1 }
+              else part = i
+          }
+        }
+        ManifestOffset(v, part)
+    }
   }
 
   override def reportLatestOffset(): Offset = ManifestOffset(currentLatest)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[ManifestOffset].version
-    val to = end.asInstanceOf[ManifestOffset].version
-    if (to <= from) return Array.empty
-    if (!changeFeed)
-      // throws on a replacing commit in the interval — the stream FAILS
-      // rather than silently double-reading a rewritten snapshot
-      return ManifestTable.addedFilesSince(dir, from, Some(to))
-        .map(rel => ManifestFilePartition(
-          ManifestStreamSource.dataFilePath(dir, rel)): InputPartition)
-        .toArray
-    // CHANGE-FEED mode (Delta streaming readChangeFeed): per commit,
-    // cdf files carry their own _change_type column (read from the
-    // file), pure-append files stream as constant-'insert' rows;
-    // row-removing commits without change data still FAIL the stream
-    // (classifyChangeCommit throws) — a feed must not guess.
-    (from + 1 to to).flatMap { v =>
-      val (adds, cdfRels) =
-        ManifestTable.classifyChangeCommit(dir, v, s"($from, $to]")
-      cdfRels.map(rel => ManifestFilePartition(
-        ManifestStreamSource.dataFilePath(dir, rel), null, v): InputPartition) ++
-        adds.map(rel => ManifestFilePartition(
-          ManifestStreamSource.dataFilePath(dir, rel), "insert", v): InputPartition)
-    }.toArray
+    val from = start.asInstanceOf[ManifestOffset]
+    val to = end.asInstanceOf[ManifestOffset]
+    if (to.version < from.version ||
+      (to.version == from.version && to.part <= from.part)) return Array.empty
+    // throws on a replacing commit in the interval — the stream FAILS
+    // rather than silently double-reading a rewritten snapshot
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var v = from.version
+    var skip = from.part
+    while (v < to.version || (v == to.version && to.part > 0L)) {
+      val commitV = v + 1L
+      val files = ManifestTable.commitFeedFiles(dir, commitV, changeFeed)
+      val until =
+        if (v == to.version && to.part > 0L) to.part.toInt else files.length
+      (skip.toInt until until).foreach { i =>
+        val (rel, _, isCdf) = files(i)
+        // CHANGE-FEED mode (Delta streaming readChangeFeed): cdf files
+        // carry their own _change_type column (read from the file),
+        // pure-append files stream as constant-'insert' rows
+        parts += (if (changeFeed)
+          ManifestFilePartition(ManifestStreamSource.dataFilePath(dir, rel),
+            if (isCdf) null else "insert", commitV)
+        else
+          ManifestFilePartition(ManifestStreamSource.dataFilePath(dir, rel)))
+      }
+      if (v == to.version && to.part > 0L) return parts.toArray
+      skip = 0L
+      v += 1
+    }
+    parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema.json, hadoopConf)
+    new ManifestReaderFactory(schema.json, hadoopConf, filters)
 
   override def deserializeOffset(json: String): Offset = {
-    val m = """\{"version":(-?\d+)\}""".r
+    val whole = """\{"version":(-?\d+)\}""".r
+    val split = """\{"version":(-?\d+),"part":(\d+)\}""".r
     json match {
-      case m(v) => ManifestOffset(v.toLong)
+      case whole(v) => ManifestOffset(v.toLong)
+      case split(v, p) => ManifestOffset(v.toLong, p.toLong)
       case _ => throw new IllegalArgumentException(s"bad manifest offset: $json")
     }
   }
@@ -252,13 +463,14 @@ final case class ManifestFilePartition(file: String,
     extends InputPartition
 
 final class ManifestReaderFactory(schemaJson: String,
-                                  hadoopConf: SerializableHadoopConf)
+                                  hadoopConf: SerializableHadoopConf,
+                                  filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
     new ManifestPartitionReader(p.file,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      hadoopConf.value, p.changeType, p.commitVersion)
+      hadoopConf.value, p.changeType, p.commitVersion, filters)
   }
 }
 
@@ -270,7 +482,8 @@ final class ManifestReaderFactory(schemaJson: String,
 final class ManifestPartitionReader(file: String, schema: StructType,
                                     conf: Configuration,
                                     constChangeType: String = null,
-                                    commitVersion: Long = -1L)
+                                    commitVersion: Long = -1L,
+                                    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
   /** GroupReadSupport that projects to the requested column names
     * INSIDE init(), where the file schema is already in hand — the
@@ -314,13 +527,27 @@ final class ManifestPartitionReader(file: String, schema: StructType,
         new Path(file))
       .withConf(conf).build()
   private var current: Group = _
+  private var currentRow: InternalRow = _
 
+  /** Decode-then-evaluate: pushed filters run HERE, executor-side,
+    * right after each row decodes — rows that definitely fail a
+    * pushed predicate never leave the reader (they are also re-checked
+    * by Spark's residual filter, so this is pure skipping, never a
+    * correctness dependency). */
   override def next(): Boolean = {
     current = reader.read()
-    current != null
+    while (current != null) {
+      currentRow = decode()
+      if (filters.isEmpty ||
+        ManifestFilters.eval(filters, currentRow, schema)) return true
+      current = reader.read()
+    }
+    false
   }
 
-  override def get(): InternalRow = {
+  override def get(): InternalRow = currentRow
+
+  private def decode(): InternalRow = {
     val row = new GenericInternalRow(schema.length)
     var i = 0
     while (i < schema.length) {

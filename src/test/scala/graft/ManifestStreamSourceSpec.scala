@@ -136,6 +136,73 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     assert(batchRead(Map.empty).filter($"id" >= 10).count() == 5)
   }
 
+  test("filter pushdown prunes the batch plan to the stats census") {
+    val dir = freshDir()
+    // 4 disjoint stats slices of 25 ids each
+    for (i <- 0 until 4)
+      ManifestTable.appendWithStats(spark,
+        (i * 25 until (i + 1) * 25).map(j => (j.toLong, s"v$j"))
+          .toDF("id", "v").coalesce(1), dir, "id")
+    val schema = ManifestTable.read(spark, dir).schema
+    def scan = spark.read.format("graft-manifest").schema(schema).load(dir)
+    // a 1-slice range plans EXACTLY the files ManifestTable.readRange plans
+    val ranged = scan.filter($"id" >= 30L && $"id" <= 40L)
+    val census = ManifestTable.plannedFilesForRange(dir, "id", 30L, 40L)
+    assert(census.size == 1)
+    assert(ranged.rdd.getNumPartitions == census.size,
+      "pushed range predicate did not prune the planned partitions")
+    assert(ranged.select($"id").as[Long].collect().sorted.sameElements(30L to 40L))
+    // an impossible range plans zero partitions and returns nothing
+    val none = scan.filter($"id" > 1000L)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+    // equality on a string column: no stats to prune by (all files
+    // plan) but the reader-side evaluation still returns exact rows
+    val eq = scan.filter($"v" === "v37")
+    assert(eq.rdd.getNumPartitions == 4)
+    assert(eq.select($"id").as[Long].collect().toSeq == Seq(37L))
+  }
+
+  test("maxRowsPerTrigger splits ONE fat commit across micro-batches") {
+    val dir = freshDir()
+    // one commit, 6 stats-carrying files of 20 rows each
+    ManifestTable.appendWithStats(spark,
+      (0L until 120L).map(i => (i, s"v$i")).toDF("id", "v").repartition(6),
+      dir, "id")
+    assert(ManifestTable.latestVersion(dir).contains(0L))
+    val mirror = freshDir()
+    val schema = ManifestTable.read(spark, dir).schema
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = s"${freshDir()}/ckpt"
+    def drainRows(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .schema(schema)
+        .option("maxRowsPerTrigger", 40)
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         id: Long) =>
+          batches += b.count()
+          ManifestTable.append(spark, b.toDF(), mirror): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000), "stream stalled")
+    }
+    drainRows()
+    // 120 rows at ≤40 per trigger: ≥3 admitted batches, none over 40
+    val real = batches.filter(_ > 0)
+    assert(real.size >= 3, s"fat commit was not split: $batches")
+    assert(real.forall(_ <= 40), s"a batch exceeded the row budget: $batches")
+    val got = ManifestTable.read(spark, mirror).select($"id").as[Long].collect().sorted
+    assert(got.sameElements(0L until 120L), s"lost/duplicated rows: ${got.length}")
+    // resuming from the (version, part) checkpoint re-reads nothing
+    batches.clear()
+    drainRows()
+    assert(batches.forall(_ == 0), s"checkpoint resume re-read rows: $batches")
+  }
+
   test("column pruning is physical: scalar columns of a table holding arrays read fine") {
     val dir = freshDir()
     // a disk-backed ANN-index shape: ids + cells + embedding arrays
