@@ -259,11 +259,17 @@ object Flac {
     out.write("fLaC".getBytes("US-ASCII"))
     val si = new BitWriter
     si.bits(1, 1); si.bits(0, 7); si.bits(34, 24) // last block, STREAMINFO, len
-    // STREAMINFO reports the TRUE min/max block size used: every frame
-    // is blockSize except a shorter ragged tail
-    val maxBlock = math.min(blockSize, n)
-    val minBlock = if (n % blockSize == 0) maxBlock else n % blockSize
-    si.bits(minBlock.toLong, 16); si.bits(maxBlock.toLong, 16)
+    // STREAMINFO min/max block size. This encoder is FIXED-blocksize
+    // (every frame is blockSize except the ragged tail), and RFC 9639
+    // signals that by min == max — the last block is explicitly
+    // allowed to be smaller, so the tail needs no representation
+    // here. Reporting the tail as the minimum (the old behavior) was
+    // doubly wrong: it marked the stream variable-blocksize, and
+    // values 1..15 are reserved and may be rejected outright by
+    // spec-strict decoders. Both fields clamp to >=16 for the
+    // degenerate all-in-one-tiny-block stream.
+    val maxBlock = math.max(math.min(blockSize, n), 16)
+    si.bits(maxBlock.toLong, 16); si.bits(maxBlock.toLong, 16)
     si.bits(0, 24); si.bits(0, 24)
     si.bits(sampleRate.toLong, 20)
     si.bits(channels.length - 1L, 3)

@@ -1633,7 +1633,20 @@ object Multimodal {
             be32(2); be32(k - 1L); be32(delta); be32(1); be32(2L * delta)
           } else { be32(1); be32(k.toLong); be32(if (lastDouble) 2L * delta else delta) }
         }
-        fullBox("stsc") { be32(1); be32(1); be32(spc); be32(1) }
+        fullBox("stsc") {
+          // conformant chunk-run table: when the sample count doesn't
+          // divide evenly, the FINAL chunk holds the remainder and
+          // needs its own run entry — a single (1, spc) entry would
+          // claim spc samples for every chunk and make a spec-strict
+          // reader plan a phantom sample in the last chunk
+          val chunks = chunkOffs.length
+          val rem = sizes.length - (chunks - 1) * spc
+          if (chunks > 1 && rem != spc) {
+            be32(2)
+            be32(1); be32(spc); be32(1)              // chunks 1..n-1
+            be32(chunks.toLong); be32(rem.toLong); be32(1) // ragged tail
+          } else { be32(1); be32(1); be32(spc); be32(1) }
+        }
         fullBox("stsz") { be32(0); be32(sizes.length.toLong); sizes.foreach(s => be32(s.toLong)) }
         if (co64) fullBox("co64") { be32(chunkOffs.length.toLong); chunkOffs.foreach(be64) }
         else fullBox("stco") { be32(chunkOffs.length.toLong); chunkOffs.foreach(o => be32(o)) }

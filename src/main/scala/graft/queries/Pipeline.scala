@@ -317,6 +317,68 @@ object Pipeline {
       |FROM documents WHERE doc_id % 97 <> 0
       |ORDER BY phase""".stripMargin
 
+  /** Column RENAME via column mapping proven end-to-end — the Delta
+    * column-mapping shape (metadata-only schema surgery): the corpus
+    * lands as 4 stats-carrying doc_id slices, `renameColumn` turns
+    * `doc_id` into `document_id` in ONE commit, and the in-code
+    * requires pin the mapping contract: the live file set is
+    * byte-identical across the rename (zero data movement), stats
+    * pruning is STILL LIVE on the renamed column (bounds are keyed by
+    * the untouched physical name), a post-rename append lands through
+    * the logical→physical indirection, and time travel BEFORE the
+    * rename presents the old name. Emitted pre/post aggregates
+    * hash-match DuckDB replaying both snapshots. */
+  private def sinkManifestRename(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-ren").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = docs.count()
+    val w = (n + 3) / 4
+    for (i <- 0L until 4L)
+      ManifestTable.appendWithStats(s,
+        docs.filter($"doc_id" >= i * w && $"doc_id" < (i + 1) * w).coalesce(1),
+        root, "doc_id")
+    val preV = ManifestTable.latestVersion(root).get
+    val filesBefore = ManifestTable.snapshotFiles(root).sorted
+    val rv = ManifestTable.renameColumn(s, root, "doc_id", "document_id")
+    require(rv == preV + 1, "rename must commit exactly one version")
+    require(ManifestTable.snapshotFiles(root).sorted == filesBefore,
+      "rename must be metadata-only: the live file set changed")
+    require(ManifestTable.read(s, root).columns.toSeq ==
+      Seq("document_id", "n_chars"), "rename did not surface in reads")
+    // post-rename append through the logical name (3 shifted echo rows)
+    ManifestTable.appendWithStats(s,
+      docs.filter($"doc_id" < 3).select(
+        ($"doc_id" + n).as("document_id"), $"n_chars").coalesce(1),
+      root, "document_id")
+    // stats pruning is live on the RENAMED column: a low range plans
+    // exactly slice 0 (the appended file's ids start at n)
+    require(ManifestTable.plannedFilesForRange(root, "document_id", 0, 10).size == 1,
+      "stats pruning must survive the rename (physical-keyed bounds)")
+    // time travel across the rename presents the OLD name
+    val pre = ManifestTable.read(s, root, Some(preV))
+    require(pre.columns.toSeq == Seq("doc_id", "n_chars"),
+      "time travel must present the pre-rename schema")
+    val res = pre
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"))
+      .select(lit("pre").as("phase"), $"n_docs", $"sum_ids")
+      .unionAll(ManifestTable.read(s, root)
+        .agg(count(lit(1)).as("n_docs"), sum($"document_id").as("sum_ids"))
+        .select(lit("post").as("phase"), $"n_docs", $"sum_ids"))
+      .orderBy($"phase")
+    StreamReplay.finish(s, qname = "", root)(res)
+  }
+
+  private val sinkManifestRenameSql =
+    """SELECT 'pre' AS phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM documents
+      |UNION ALL
+      |SELECT 'post', CAST(COUNT(*) + 3 AS BIGINT),
+      |  CAST(SUM(doc_id) + 3 + 3 * COUNT(*) AS BIGINT) FROM documents
+      |ORDER BY phase""".stripMargin
+
   /** The manifest table as an incremental SOURCE — the Delta
     * change-data-feed shape, and the 14th driver-verified streaming
     * replay path. The events stream drains through foreachBatch into
@@ -3049,6 +3111,7 @@ object Pipeline {
     "sink_manifest_pruned" -> QueryDef(sinkManifestPruned, Some(sinkManifestPrunedSql)),
     "sink_manifest_delete" -> QueryDef(sinkManifestDelete, Some(sinkManifestDeleteSql)),
     "sink_manifest_dv" -> QueryDef(sinkManifestDv, Some(sinkManifestDvSql)),
+    "sink_manifest_rename" -> QueryDef(sinkManifestRename, Some(sinkManifestRenameSql)),
     "sink_manifest_changefeed" ->
       QueryDef(sinkManifestChangefeed, Some(sinkManifestChangefeedSql)),
     "sink_manifest_stream_source" ->

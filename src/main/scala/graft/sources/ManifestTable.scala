@@ -198,7 +198,8 @@ object ManifestTable {
 
   private case class State(files: Vector[String], txns: Set[String],
                            schema: Option[String],
-                           dvs: Map[String, String] = Map.empty)
+                           dvs: Map[String, String] = Map.empty,
+                           colmap: Option[String] = None)
 
   /** Deletion-vector position encoding: ascending row positions as
     * comma-separated inclusive ranges (`0,5-9,12`) — O(runs) text,
@@ -256,6 +257,7 @@ object ManifestTable {
     var txns = Set.empty[String]
     var schema = Option.empty[String]
     var dvs = Map.empty[String, String]
+    var colmap = Option.empty[String]
     def apply(lines: Seq[String]): Unit = lines.foreach {
       case "reset" => files = Vector.empty; dvs = Map.empty
       case l if l.startsWith("add=") => files :+= l.stripPrefix("add=")
@@ -274,6 +276,8 @@ object ManifestTable {
         dvs += body.take(cut) -> body.drop(cut + 1)
       case l if l.startsWith("txn=") => txns += l.stripPrefix("txn=")
       case l if l.startsWith("schema=") => schema = Some(l.stripPrefix("schema="))
+      case "colmap=-" => colmap = None // explicit clear (RESTORE to pre-mapping)
+      case l if l.startsWith("colmap=") => colmap = Some(l.stripPrefix("colmap="))
       case l if l.startsWith("cdf=") => () // change-data files: feed-only, never snapshot state
       case l if l.startsWith("op=") => ()  // commitInfo: introspection-only, never snapshot state
       case l => throw new IllegalStateException(s"unknown log action: $l")
@@ -289,7 +293,7 @@ object ManifestTable {
           s"version $v missing from the log of $dir (vacuumed past it?)")
       apply(readLog(o, mf, v))
     }
-    State(files, txns, schema, dvs)
+    State(files, txns, schema, dvs, colmap)
   }
 
   private def resolved(dir: String, version: Option[Long]): Long =
@@ -366,10 +370,11 @@ object ManifestTable {
     * None also for the zero-file snapshot (no rows → no extrema). */
   def rangeMeta(dir: String, statCol: String,
                 version: Option[Long] = None): Option[(Long, Long)] = {
+    val phys = physicalOf(dir, version, statCol)
     val statted = snapshotFilesWithStats(dir, version)
-    if (statted.isEmpty || !statted.forall(_._2.contains(statCol))) None
-    else Some((statted.iterator.map(_._2(statCol)._1).min,
-      statted.iterator.map(_._2(statCol)._2).max))
+    if (statted.isEmpty || !statted.forall(_._2.contains(phys))) None
+    else Some((statted.iterator.map(_._2(phys)._1).min,
+      statted.iterator.map(_._2(phys)._2).max))
   }
 
   def snapshotFilesWithStats(dir: String, version: Option[Long] = None)
@@ -402,16 +407,127 @@ object ManifestTable {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
           .fields.map(_.copy(nullable = true))))
 
-  /** Parquet reader pinned to the schema recorded at `version`, plain
-    * reader when none — EVERY path that reads committed data files
-    * (snapshot read, change feed, delete/merge rewrites) must come
-    * through here: an unpinned read of files spanning a schema
-    * evolution takes whichever footer parquet samples first, silently
-    * dropping (or crashing on) the evolved column. */
+  // ── column mapping (rename/drop without rewrites) ───────────────
+  // The Delta column-mapping shape: data files store PHYSICAL column
+  // names; a `colmap=<logical>:<physical>,...` metadata action gives
+  // the logical→physical indirection, so RENAME is a metadata-only
+  // commit (the physical name — and every file and stats entry keyed
+  // by it — is untouched) and DROP removes the mapping entry without
+  // touching a byte; a column re-added after a drop maps to a FRESH
+  // physical name, so the dropped data can never resurrect through
+  // old files. Stats are recorded under PHYSICAL names, which is
+  // exactly why pruning SURVIVES a rename. A colmap table always has
+  // a recorded schema (rename/drop record both). `colmap=-` clears
+  // the mapping (RESTORE to a pre-mapping version).
+
+  /** The logical→physical column mapping recorded at `version`
+    * (latest if omitted) — None for tables that never renamed or
+    * dropped a column (their file columns ARE the logical columns). */
+  def columnMapping(dir: String, version: Option[Long] = None)
+      : Option[Seq[(String, String)]] = {
+    if (latestVersion(dir).isEmpty) return None
+    fold(dir, resolved(dir, version)).colmap.map(decodeMapping)
+  }
+
+  private def decodeMapping(m: String): Seq[(String, String)] =
+    m.split(',').toSeq.map { e =>
+      e.split(':') match {
+        case Array(l, p) => (l, p)
+        case _ => throw new IllegalStateException(s"corrupt colmap entry '$e'")
+      }
+    }
+
+  private def encodeMapping(m: Seq[(String, String)]): String = {
+    m.foreach { case (l, p) =>
+      require(StatColName.matches(l) && StatColName.matches(p),
+        s"column names in a mapping must match [A-Za-z0-9_]+: '$l'/'$p'")
+    }
+    m.map { case (l, p) => s"$l:$p" }.mkString(",")
+  }
+
+  /** Physical name of a logical column under the snapshot's mapping —
+    * identity when the table never mapped. */
+  private def physicalOf(dir: String, version: Option[Long],
+                         logical: String): String =
+    columnMapping(dir, version)
+      .flatMap(_.find(_._1 == logical).map(_._2)).getOrElse(logical)
+
+  /** Rename physical columns back to their logical names (and DROP
+    * columns the mapping no longer carries); extra columns a frame
+    * carries beyond the mapping (cdf's `_change_type`, helper
+    * columns) pass through untouched. Identity without a mapping. */
+  private def logicalize(df: DataFrame,
+                         mapping: Option[Seq[(String, String)]]): DataFrame =
+    mapping match {
+      case None => df
+      case Some(m) =>
+        import org.apache.spark.sql.functions.col
+        val physNames = m.map(_._2).toSet
+        val mapped = m.collect {
+          case (l, p) if df.columns.contains(p) => col(p).as(l)
+        }
+        val passthrough = df.columns.filterNot(physNames.contains).map(col)
+        df.select(mapped ++ passthrough: _*)
+    }
+
+  /** Rename column `from` to `to` — METADATA-ONLY (the point of
+    * column mapping): one commit carrying the updated mapping and the
+    * renamed logical schema; zero data files touched, all physical-
+    * keyed column stats stay live, time travel before the commit
+    * presents the old name. */
+  def renameColumn(spark: SparkSession, dir: String,
+                   from: String, to: String): Long = {
+    require(StatColName.matches(to), s"illegal column name '$to'")
+    val logical = tableSchema(dir).getOrElse(read(spark, dir).schema)
+    require(logical.fieldNames.contains(from), s"no such column: '$from'")
+    require(!logical.fieldNames.contains(to), s"column '$to' already exists")
+    val mapping = columnMapping(dir)
+      .getOrElse(logical.fieldNames.toSeq.map(n => (n, n)))
+    val newMapping = mapping.map { case (l, p) => (if (l == from) to else l, p) }
+    val newSchema = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commit(dir, Seq("colmap=" + encodeMapping(newMapping),
+      "schema=" + newSchema.json, s"op=RENAME($from->$to)")).get
+  }
+
+  /** Drop column `name` — METADATA-ONLY: the mapping entry and the
+    * logical schema field go; the physical bytes stay in old files
+    * but no read path can reach them, and a column RE-ADDED under the
+    * same logical name ([[appendEvolving]]) maps to a fresh physical
+    * name, so the dropped values never resurrect. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val logical = tableSchema(dir).getOrElse(read(spark, dir).schema)
+    require(logical.fieldNames.contains(name), s"no such column: '$name'")
+    require(logical.fields.length > 1, "cannot drop the last column")
+    val mapping = columnMapping(dir)
+      .getOrElse(logical.fieldNames.toSeq.map(n => (n, n)))
+    val newMapping = mapping.filterNot(_._1 == name)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      logical.fields.filterNot(_.name == name))
+    commit(dir, Seq("colmap=" + encodeMapping(newMapping),
+      "schema=" + newSchema.json, s"op=DROP($name)")).get
+  }
+
+  /** Parquet reader pinned to the PHYSICAL schema at `version` (the
+    * recorded logical schema with mapping applied), plain reader when
+    * none — EVERY path that reads committed data files (snapshot
+    * read, change feed, delete/merge rewrites) must come through
+    * here: an unpinned read of files spanning a schema evolution
+    * takes whichever footer parquet samples first, silently dropping
+    * (or crashing on) the evolved column. Callers then [[logicalize]]
+    * the frame back to logical names. */
   private def pinnedReader(spark: SparkSession, dir: String,
                            version: Option[Long]): org.apache.spark.sql.DataFrameReader =
     tableSchema(dir, version) match {
-      case Some(st) => spark.read.schema(st)
+      case Some(st) =>
+        val physical = columnMapping(dir, version) match {
+          case None => st
+          case Some(m) =>
+            val byLogical = m.toMap
+            org.apache.spark.sql.types.StructType(st.fields.map(f =>
+              f.copy(name = byLogical.getOrElse(f.name, f.name))))
+        }
+        spark.read.schema(physical)
       case None => spark.read
     }
 
@@ -434,8 +550,9 @@ object ManifestTable {
   private def keyedRead(spark: SparkSession, dir: String,
                         version: Option[Long], rels: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, concat_ws, element_at, split => fsplit}
-    pinnedReader(spark, dir, version)
-      .parquet(rels.map(rel => dataPath(dir, rel)): _*)
+    logicalize(pinnedReader(spark, dir, version)
+        .parquet(rels.map(rel => dataPath(dir, rel)): _*),
+        columnMapping(dir, version))
       .withColumn("_m_rel", concat_ws("/",
         element_at(fsplit(col("_metadata.file_path"), "/"), -2),
         element_at(fsplit(col("_metadata.file_path"), "/"), -1)))
@@ -470,8 +587,9 @@ object ManifestTable {
                          version: Option[Long], rels: Seq[String],
                          dvs: Map[String, String]): DataFrame = {
     if (dvs.view.filterKeys(rels.toSet).isEmpty)
-      return pinnedReader(spark, dir, version)
-        .parquet(rels.map(rel => dataPath(dir, rel)): _*)
+      return logicalize(pinnedReader(spark, dir, version)
+          .parquet(rels.map(rel => dataPath(dir, rel)): _*),
+        columnMapping(dir, version))
     applyMask(spark, keyedRead(spark, dir, version, rels), dvs, rels)
       .drop("_m_rel", "_m_pos")
   }
@@ -581,7 +699,7 @@ object ManifestTable {
 
   /** Stage `df` as parquet under a fresh txn dir; returns the
     * data-relative part-file paths. */
-  private def stageFiles(df: DataFrame, dir: String): Seq[String] = {
+  private def stageFilesRaw(df: DataFrame, dir: String): Seq[String] = {
     val txn = s"txn-${UUID.randomUUID()}"
     val o = io(dir)
     val stage = new HPath(o.data, txn)
@@ -590,6 +708,23 @@ object ManifestTable {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$txn/$n").sorted
   }
+
+  /** Rename logical columns to their physical names before a write —
+    * the inverse of [[logicalize]]; columns outside the mapping
+    * (`_change_type`) pass through. */
+  private def physicalize(df: DataFrame,
+                          mapping: Option[Seq[(String, String)]]): DataFrame =
+    mapping match {
+      case None => df
+      case Some(m) =>
+        import org.apache.spark.sql.functions.col
+        val byLogical = m.toMap
+        df.select(df.columns.map(c =>
+          col(c).as(byLogical.getOrElse(c, c))).toSeq: _*)
+    }
+
+  private def stageFiles(df: DataFrame, dir: String): Seq[String] =
+    stageFilesRaw(physicalize(df, columnMapping(dir)), dir)
 
   /** Stage `df` as parquet and commit it appended to the latest
     * snapshot. Returns the committed version. Retries on version
@@ -667,8 +802,11 @@ object ManifestTable {
     // mid-collect otherwise) and the min/max aggregation
     val staged = spark.read.parquet(
       rels.map(r => dataPath(dir, r)): _*)
+    // stats are keyed by PHYSICAL column names (staged files carry
+    // physical columns) — which is what lets pruning survive a rename
+    val statPhys = statCols.map(c => physicalOf(dir, None, c))
     val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
-      statCols.map { c =>
+      statPhys.map { c =>
         val f = staged.schema.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
             s"stats column '$c' is not in the staged batch's schema " +
@@ -684,7 +822,7 @@ object ManifestTable {
     // [[countMeta]]'s metadata-only aggregates at zero extra passes.
     // Integer columns record as longs (their order embeds); string
     // columns record truncated UTF-8 byte bounds.
-    val aggs = count(lit(1)).as("_rows") +: statCols.flatMap(c =>
+    val aggs = count(lit(1)).as("_rows") +: statPhys.flatMap(c =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     val byFile = staged
       .groupBy(input_file_name().as("f"))
@@ -694,7 +832,7 @@ object ManifestTable {
         val name = new HPath(r.getString(0)).getName
         // an all-NULL column in a part file has null bounds — record
         // no stat for that (file, column); unknown ranges never prune
-        val stats = statCols.zipWithIndex.collect {
+        val stats = statPhys.zipWithIndex.collect {
           case (c, i) if !r.isNullAt(2 + 2 * i) && !r.isNullAt(3 + 2 * i) =>
             typeOf(c) match {
               case LongType =>
@@ -738,9 +876,10 @@ object ManifestTable {
     * plus every file without string stats for the column. */
   def plannedFilesForStringRange(dir: String, statCol: String,
                                  lo: String, hi: String): Seq[String] = {
+    val phys = physicalOf(dir, None, statCol)
     val (kLo, kHi) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
     snapshotFilesWithStringStats(dir).collect {
-      case (f, stats) if stats.get(statCol).forall { case (mn, mx) =>
+      case (f, stats) if stats.get(phys).forall { case (mn, mx) =>
         utf8Lex(mx, kLo) >= 0 && utf8Lex(mn, kHi) <= 0 } => f
     }
   }
@@ -759,7 +898,7 @@ object ManifestTable {
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readRangeString on $dir: snapshot holds no data files at all")
-    spark.read.parquet(dataPath(dir, all.head))
+    maskedSnapshotRead(spark, dir, None, Seq(all.head))
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 
@@ -798,11 +937,25 @@ object ManifestTable {
           s"schema evolution is additive: batch drops column '${f.name}'")
       }
     }
-    val staged = stageFiles(df, dir)
+    // on a COLUMN-MAPPED table, brand-new columns get FRESH physical
+    // names — a column re-added after a drop must never resurrect the
+    // dropped physical bytes through old files
+    val mapping = columnMapping(dir)
+    val (stagedDf, mapActions) = mapping match {
+      case None => (df, Nil)
+      case Some(m) =>
+        val known = m.map(_._1).toSet
+        val extended = m ++ df.schema.fieldNames.filterNot(known.contains)
+          .map(n => (n, s"${n}_${UUID.randomUUID().toString.take(8).replace("-", "")}"))
+        (physicalize(df, Some(extended)),
+          Seq("colmap=" + encodeMapping(extended)))
+    }
+    val staged = stageFilesRaw(stagedDf, dir)
     val adds =
       if (statCols.nonEmpty) statAddActions(spark, dir, staged, statCols)
       else staged.map("add=" + _)
-    commit(dir, adds ++ Seq("schema=" + df.schema.json, "op=APPEND")).get
+    commit(dir, adds ++ mapActions ++
+      Seq("schema=" + df.schema.json, "op=APPEND")).get
   }
 
   /** [[append]] that also records per-file (min, max) of one or more
@@ -821,11 +974,13 @@ object ManifestTable {
     * plus every file with no stats FOR THAT COLUMN (unknown ranges are
     * never skipped). */
   def plannedFilesForRange(dir: String, statCol: String,
-                           lo: Long, hi: Long): Seq[String] =
+                           lo: Long, hi: Long): Seq[String] = {
+    val phys = physicalOf(dir, None, statCol)
     snapshotFilesWithStats(dir).collect {
-      case (f, stats) if stats.get(statCol)
+      case (f, stats) if stats.get(phys)
         .forall { case (mn, mx) => mx >= lo && mn <= hi } => f
     }
+  }
 
   /** Range read with file skipping: plan only [[plannedFilesForRange]]
     * and apply the residual row filter (file pruning is a superset —
@@ -844,7 +999,7 @@ object ManifestTable {
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readRange on $dir: snapshot holds no data files at all")
-    spark.read.parquet(dataPath(dir, all.head))
+    maskedSnapshotRead(spark, dir, None, Seq(all.head))
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 
@@ -886,13 +1041,16 @@ object ManifestTable {
       s"bloom column '$bloomCol' must be LongType, found ${f.dataType.simpleString}")
     val staged = stageFiles(df, dir)
     val adds = statAddActions(spark, dir, staged, statCols)
+    // staged files carry PHYSICAL names; the bloom segment is keyed by
+    // the physical name too (plannedFilesForPoint translates)
+    val physBloom = physicalOf(dir, None, bloomCol)
     val blooms = BloomIndex.buildPerFile(
       spark.read.parquet(staged.map(r => dataPath(dir, r)): _*),
-      bloomCol)
+      physBloom)
     val withBloom = adds.map { a =>
       val rel = a.stripPrefix("add=").takeWhile(_ != '|')
       blooms.get(rel.split('/').last) match {
-        case Some(spec) => s"$a|bloom=$bloomCol:$spec"
+        case Some(spec) => s"$a|bloom=$physBloom:$spec"
         case None => a // all-NULL key in this file: no bloom, never skipped
       }
     }
@@ -905,12 +1063,14 @@ object ManifestTable {
     * negatives by the [[BloomIndex]] contract, so the planned set is
     * always a superset of the files that actually hold the value. */
   def plannedFilesForPoint(dir: String, colName: String, value: Long,
-                           version: Option[Long] = None): Seq[String] =
+                           version: Option[Long] = None): Seq[String] = {
+    val phys = physicalOf(dir, version, colName)
     snapshotFilesWithBloom(dir, version).collect {
-      case (f, blooms) if blooms.get(colName).forall {
+      case (f, blooms) if blooms.get(phys).forall {
         case (m, _, hex) => BloomIndex.maybeContains(hex, m, value)
       } => f
     }
+  }
 
   /** Point-lookup read with Bloom file skipping: plan only
     * [[plannedFilesForPoint]] and apply the residual equality filter
@@ -927,7 +1087,7 @@ object ManifestTable {
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readPoint on $dir: snapshot holds no data files at all")
-    spark.read.parquet(dataPath(dir, all.head))
+    maskedSnapshotRead(spark, dir, None, Seq(all.head))
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 
@@ -982,7 +1142,8 @@ object ManifestTable {
         if (statCols.isEmpty) snap.repartition(targetFiles)
         else snap.repartitionByRange(targetFiles, statCols.map(col): _*)
           .sortWithinPartitions(statCols.map(col): _*)
-      clustered.write.parquet(stage.toString)
+      physicalize(clustered, columnMapping(dir, Some(parent)))
+        .write.parquet(stage.toString)
       val mine = o.list(stage).map(_.getPath.getName)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .map(n => s"${stage.getName}/$n").sorted
@@ -1147,11 +1308,13 @@ object ManifestTable {
       // carries stats for both columns (zero Spark jobs — and retries
       // under contention stay metadata-only); one scan otherwise
       val statted = fold(dir, parent).files.map(parseStatsEntry)
+      val (physA, physB) = (physicalOf(dir, Some(parent), colA),
+        physicalOf(dir, Some(parent), colB))
       val bounds: Option[(Long, Long, Long, Long)] =
         if (statted.nonEmpty &&
-            statted.forall(e => zCols.forall(e._2.contains))) Some((
-          statted.map(_._2(colA)._1).min, statted.map(_._2(colA)._2).max,
-          statted.map(_._2(colB)._1).min, statted.map(_._2(colB)._2).max))
+            statted.forall(e => Seq(physA, physB).forall(e._2.contains))) Some((
+          statted.map(_._2(physA)._1).min, statted.map(_._2(physA)._2).max,
+          statted.map(_._2(physB)._1).min, statted.map(_._2(physB)._2).max))
         else {
           val b = snap.agg(min(col(colA)), max(col(colA)),
             min(col(colB)), max(col(colB))).head()
@@ -1176,7 +1339,8 @@ object ManifestTable {
       }
       val o = io(dir)
       val stage = new HPath(o.data, s"txn-${UUID.randomUUID()}")
-      clustered.write.parquet(stage.toString)
+      physicalize(clustered, columnMapping(dir, Some(parent)))
+        .write.parquet(stage.toString)
       val mine = o.list(stage).map(_.getPath.getName)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .map(n => s"${stage.getName}/$n").sorted
@@ -1248,7 +1412,13 @@ object ManifestTable {
             .schema.json)
         case None => Nil
       }
-      val actions = ("reset" +: (schemaAction ++ target.files.map("add=" + _) ++
+      val colmapAction: Seq[String] = (target.colmap, current.colmap) match {
+        case (Some(m), _) => Seq("colmap=" + m)
+        case (None, Some(_)) => Seq("colmap=-") // target predates mapping
+        case _ => Nil
+      }
+      val actions = ("reset" +: (schemaAction ++ colmapAction ++
+        target.files.map("add=" + _) ++
         target.dvs.toSeq.sortBy(_._1).map { case (r, sp) => s"dv=$r|$sp" })) :+
         s"op=RESTORE(v$toVersion)"
       tryCommitAt(dir, parent + 1L, actions) match {
@@ -1417,14 +1587,16 @@ object ManifestTable {
     val rels: Set[String] = entries.map(_.takeWhile(_ != '|')).toSet
     val statted = entries.map(parseStatsEntry)
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // stats are keyed by PHYSICAL name; the batch key is LOGICAL
+    val physKey = physicalOf(dir, Some(parent), key)
     // pruning path per key type: long/int keys prune on `stat=`
     // bounds, string keys on the truncated `sstat=` byte bounds —
     // anything else (or a stats-less table) scans all files
-    val hasLongStats = statted.exists(_._2.contains(key)) &&
+    val hasLongStats = statted.exists(_._2.contains(physKey)) &&
       (keyType == LongType || keyType == IntegerType)
     lazy val sstatted = snapshotFilesWithStringStats(dir, Some(parent))
     val hasStringStats = keyType == StringType &&
-      sstatted.exists(_._2.contains(key))
+      sstatted.exists(_._2.contains(physKey))
     val scanRels: Seq[String] =
       if (hasLongStats) {
         val bounds = keys.agg(
@@ -1434,7 +1606,7 @@ object ManifestTable {
         else {
           val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
           statted.collect {
-            case (rel, stats) if stats.get(key)
+            case (rel, stats) if stats.get(physKey)
               .forall { case (mn, mx) => mx >= bMin && mn <= bMax } => rel
           }
         }
@@ -1447,7 +1619,7 @@ object ManifestTable {
           val kLo = bounds.getString(0).getBytes("UTF-8")
           val kHi = bounds.getString(1).getBytes("UTF-8")
           sstatted.collect {
-            case (rel, stats) if stats.get(key).forall { case (mn, mx) =>
+            case (rel, stats) if stats.get(physKey).forall { case (mn, mx) =>
               utf8Lex(mx, kLo) >= 0 && utf8Lex(mn, kHi) <= 0 } => rel
           }
         }
@@ -1815,14 +1987,14 @@ object ManifestTable {
     // empty-interval fallback, whose frame must carry the CURRENT
     // schema, not a sampled pre-evolution one
     if (rels.nonEmpty)
-      return pinnedReader(spark, dir, toVersion).parquet(
-        rels.map(rel => dataPath(dir, rel)): _*)
+      return logicalize(pinnedReader(spark, dir, toVersion).parquet(
+        rels.map(rel => dataPath(dir, rel)): _*), columnMapping(dir, toVersion))
     val all = snapshotFiles(dir, toVersion)
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readSince on $dir: nothing added and the snapshot holds no files")
-    pinnedReader(spark, dir, toVersion)
-      .parquet(dataPath(dir, all.head))
+    logicalize(pinnedReader(spark, dir, toVersion)
+        .parquet(dataPath(dir, all.head)), columnMapping(dir, toVersion))
       .filter(org.apache.spark.sql.functions.lit(false))
   }
 
@@ -1918,21 +2090,31 @@ object ManifestTable {
     // change files carry the table schema AS OF their commit plus the
     // baked-in type column; pin to the target version's schema (when
     // the table evolved) so pre-evolution change files NULL-backfill
+    val mappingAtTo = columnMapping(dir, Some(to))
     val cdfReader = tableSchema(dir, Some(to)) match {
-      case Some(st) => spark.read.schema(st.add(
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType, nullable = true)))
+      case Some(st) =>
+        // physical pin (mapping applied) + the baked type column
+        val phys = mappingAtTo match {
+          case None => st
+          case Some(m) =>
+            val byLogical = m.toMap
+            org.apache.spark.sql.types.StructType(st.fields.map(f =>
+              f.copy(name = byLogical.getOrElse(f.name, f.name))))
+        }
+        spark.read.schema(phys.add(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = true)))
       case None => spark.read
     }
     val frames: Seq[DataFrame] = (sinceVersion + 1 to to).flatMap { v =>
       val (adds, cdfRels) = classifyChangeCommit(dir, v, s"($sinceVersion, $to]")
       if (cdfRels.nonEmpty)
-        Some(cdfReader.parquet(
-            cdfRels.map(rel => dataPath(dir, rel)): _*)
+        Some(logicalize(cdfReader.parquet(
+            cdfRels.map(rel => dataPath(dir, rel)): _*), mappingAtTo)
           .withColumn("_commit_version", lit(v)))
       else if (adds.isEmpty) None // markers-only commit: no row changes
-      else Some(pinnedReader(spark, dir, Some(to)).parquet(
-          adds.map(rel => dataPath(dir, rel)): _*)
+      else Some(logicalize(pinnedReader(spark, dir, Some(to)).parquet(
+          adds.map(rel => dataPath(dir, rel)): _*), mappingAtTo)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v)))
     }
@@ -1943,8 +2125,8 @@ object ManifestTable {
     if (all.isEmpty)
       throw new IllegalStateException(
         s"readChanges on $dir: no changes and the snapshot holds no files")
-    pinnedReader(spark, dir, Some(to))
-      .parquet(dataPath(dir, all.head))
+    logicalize(pinnedReader(spark, dir, Some(to))
+        .parquet(dataPath(dir, all.head)), mappingAtTo)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(-1L))
       .filter(org.apache.spark.sql.functions.lit(false))
@@ -2042,6 +2224,7 @@ object ManifestTable {
     val st = fold(dir, v)
     val body = (s"version=$v" +:
       (st.schema.map("schema=" + _).toSeq ++
+        st.colmap.map("colmap=" + _).toSeq ++
         st.files.map("add=" + _) ++
         st.dvs.toSeq.sortBy(_._1).map { case (r, sp) => s"dv=$r|$sp" } ++
         st.txns.toSeq.sorted.map("txn=" + _)))

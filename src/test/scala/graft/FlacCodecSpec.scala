@@ -128,4 +128,27 @@ class FlacCodecSpec extends AnyFunSuite {
       assert(out(0).toSeq == s.toSeq && out(1).toSeq == r.toSeq, s"mode $mode")
     }
   }
+
+  test("STREAMINFO block-size fields stay in the legal range (RFC 9639)") {
+    // 70 samples at blockSize 64: the ragged 6-sample tail must NOT
+    // surface as STREAMINFO min block size — 1..15 are reserved and
+    // the encoder is fixed-blocksize (min == max; the last frame is
+    // explicitly allowed to be shorter). Round-trip must stay exact.
+    val xs = Array.tabulate(70)(i => 100 - 3 * i)
+    val b = Flac.encode(44100, Array(xs), 64, -1, false, 0)
+    def be16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    // STREAMINFO starts right after "fLaC" + 4-byte block header
+    val minBlock = be16(8)
+    val maxBlock = be16(10)
+    assert(minBlock == maxBlock, "fixed-blocksize stream must report min == max")
+    assert(minBlock >= 16, s"reserved block size $minBlock in STREAMINFO")
+    val (_, out) = Flac.decode(b).getOrElse(fail("decode returned None"))
+    assert(out.head.toSeq == xs.toSeq)
+    // degenerate all-in-one-tiny-block stream clamps both fields to 16
+    val tiny = Array.tabulate(9)(i => i * 7)
+    val tb = Flac.encode(8000, Array(tiny), 64, -1, false, 0)
+    def tbe16(o: Int): Int = ((tb(o) & 0xff) << 8) | (tb(o + 1) & 0xff)
+    assert(tbe16(8) == 16 && tbe16(10) == 16)
+    assert(Flac.decode(tb).get._2.head.toSeq == tiny.toSeq)
+  }
 }

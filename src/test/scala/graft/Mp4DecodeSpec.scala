@@ -212,4 +212,31 @@ class Mp4DecodeSpec extends AnyFunSuite {
     assert(MM.mp4MjpegFrameLuma(patched).isEmpty,
       "frame decode refuses a non-jpeg entry")
   }
+
+  test("ragged final chunk gets its own stsc run (ISO-BMFF conformance)") {
+    // 7 frames at 2 per chunk: chunks of 2,2,2,1 — a single-entry stsc
+    // would claim 2 samples for the last chunk (a phantom sample a
+    // spec-strict reader plans). The builder must emit a second run.
+    val fs = frames(8, 8, 7)
+    val b = MM.mp4MjpegVideo(8, 8, fs, 90000, 3000, samplesPerChunk = 2)
+    // locate the stsc box and read its entry count + runs
+    def be32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val idx = (0 until b.length - 4).find(i =>
+      b(i) == 's' && b(i + 1) == 't' && b(i + 2) == 's' && b(i + 3) == 'c').get
+    val entryCount = be32(idx + 8) // skip fourcc + version/flags
+    assert(entryCount == 2, s"ragged chunking needs 2 stsc runs, got $entryCount")
+    val run1 = (be32(idx + 12), be32(idx + 16)) // (first_chunk, spc)
+    val run2 = (be32(idx + 24), be32(idx + 28))
+    assert(run1 == ((1L, 2L)))
+    assert(run2 == ((4L, 1L)), s"final-run remainder wrong: $run2")
+    // the walker still resolves all 7 samples to their exact bytes
+    val v = MM.mp4Walk(b).get.tracks.find(_.handler == "vide").get
+    assert(v.samples.length == 7)
+    v.samples.zip(fs).foreach { case ((off, len, _), f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + len), f))
+    }
+  }
 }
