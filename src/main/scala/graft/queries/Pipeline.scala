@@ -317,6 +317,80 @@ object Pipeline {
       |FROM documents WHERE doc_id % 97 <> 0
       |ORDER BY phase""".stripMargin
 
+  /** The DSv2 WRITE path proven end-to-end — the manifest table
+    * written through STANDARD Spark APIs
+    * (`df.write.format("graft-manifest")`): the corpus lands
+    * range-partitioned in ONE atomic v2 commit whose per-file stats
+    * were folded DURING the write (no extra pass), then a second
+    * append and an overwrite exercise schema inference and the
+    * truncate path. In-code requires pin the contract: write-side
+    * stats prune a range plan to 1 of 4 files, the metadata-only
+    * COUNT(*) is exact, overwrite is a forward `reset` commit that
+    * still time-travels, and the DSv2 READ with a pushed filter plans
+    * exactly the stats census. Emitted rows aggregate the final
+    * snapshot + the pruned ranged read, hash-matched against DuckDB.
+    * Scale shape: executors write straight into the staging dir
+    * (zero driver data movement), the driver commits O(files)
+    * metadata once. */
+  private def sinkManifestDsv2Write(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-w").toFile.getPath
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val n = docs.count()
+    docs.repartitionByRange(4, $"doc_id")
+      .write.format("graft-manifest")
+      .option("writeSchema", "doc_id BIGINT, n_chars BIGINT")
+      .mode("append").save(root)
+    require(ManifestTable.latestVersion(root).contains(0L),
+      "v2 batch write must land as ONE atomic commit")
+    require(ManifestTable.countMeta(root).contains(n),
+      "write-side rows= stats must make COUNT(*) metadata-only")
+    val w = (n + 3) / 4
+    require(ManifestTable.plannedFilesForRange(root, "doc_id", 0, w / 2).size == 1,
+      "write-side bounds must prune a 1-slice range to 1 of 4 files")
+    // second append (schema inferred from the table), then the pruned
+    // DSv2 read: pushed range filter plans the stats census only
+    docs.filter($"doc_id" < 3).select($"doc_id" + n as "doc_id", $"n_chars")
+      .coalesce(1)
+      .write.format("graft-manifest").mode("append").save(root)
+    val scan = s.read.format("graft-manifest")
+      .schema(ManifestTable.read(s, root).schema).load(root)
+      .filter($"doc_id" >= 0L && $"doc_id" < w)
+    require(scan.rdd.getNumPartitions == 1,
+      "pushed range filter must plan only the overlapping file")
+    // materialize the ranged census NOW: the scan plans lazily against
+    // the LATEST snapshot, and the overwrite below is about to reset it
+    val (rangedN, rangedSum) = scan
+      .agg(count(lit(1)), sum($"n_chars")).as[(Long, Long)].head()
+    // overwrite = forward reset commit; the pre-overwrite snapshot
+    // still time-travels
+    docs.limit(0).write.format("graft-manifest").mode("overwrite").save(root)
+    require(ManifestTable.snapshotFiles(root).isEmpty, "overwrite must reset")
+    require(ManifestTable.read(s, root, Some(1L)).count() == n + 3,
+      "pre-overwrite snapshot must still time-travel")
+    val res = ManifestTable.read(s, root, Some(1L))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .select(lit("full").as("phase"), $"n_docs", $"sum_chars")
+      .unionAll(Seq(("ranged", rangedN, rangedSum))
+        .toDF("phase", "n_docs", "sum_chars"))
+      .orderBy($"phase")
+    StreamReplay.finish(s, qname = "", root)(res)
+  }
+
+  private val sinkManifestDsv2WriteSql =
+    """WITH w AS (SELECT (COUNT(*) + 3) // 4 AS w FROM documents)
+      |SELECT 'full' AS phase, CAST(COUNT(*) + 3 AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) +
+      |    (SELECT SUM(n_chars) FROM documents WHERE doc_id < 3) AS BIGINT)
+      |    AS sum_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT 'ranged', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents, w WHERE doc_id >= 0 AND doc_id < w
+      |ORDER BY phase""".stripMargin
+
   /** Column RENAME via column mapping proven end-to-end — the Delta
     * column-mapping shape (metadata-only schema surgery): the corpus
     * lands as 4 stats-carrying doc_id slices, `renameColumn` turns
@@ -3112,6 +3186,8 @@ object Pipeline {
     "sink_manifest_delete" -> QueryDef(sinkManifestDelete, Some(sinkManifestDeleteSql)),
     "sink_manifest_dv" -> QueryDef(sinkManifestDv, Some(sinkManifestDvSql)),
     "sink_manifest_rename" -> QueryDef(sinkManifestRename, Some(sinkManifestRenameSql)),
+    "sink_manifest_dsv2_write" ->
+      QueryDef(sinkManifestDsv2Write, Some(sinkManifestDsv2WriteSql)),
     "sink_manifest_changefeed" ->
       QueryDef(sinkManifestChangefeed, Some(sinkManifestChangefeedSql)),
     "sink_manifest_stream_source" ->

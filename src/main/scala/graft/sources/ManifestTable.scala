@@ -783,7 +783,8 @@ object ManifestTable {
     }
   }
 
-  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private[graft] def hex(b: Array[Byte]): String =
+    b.map("%02x".format(_)).mkString
   private[graft] def unhex(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
@@ -2231,6 +2232,19 @@ object ManifestTable {
       .mkString("\n") + "\n"
     o.putIfAbsent(target, body.getBytes("UTF-8")): Unit
   }
+
+  /** DSv2-write entry point: commit fully-formed actions (the v2
+    * writer stages its own files and folds its own stats), with the
+    * optional `txn` marker giving exactly-once streaming epochs.
+    * Returns None when the marker says this epoch already landed. */
+  private[graft] def commitActions(dir: String, actions: Seq[String],
+                                   txn: Option[(String, Long)]): Option[Long] =
+    commit(dir, actions ++ txn.map { case (w, b) => s"txn=$w:$b" },
+      skipIfTxn = txn)
+
+  /** DSv2-write abort path: drop an aborted write's staging dir. */
+  private[graft] def dropStagedDir(dir: String, txnDir: String): Unit =
+    deleteStaged(dir, txnDir)
 
   /** Commit `actions` on top of the current snapshot, retrying past
     * concurrent committers. */

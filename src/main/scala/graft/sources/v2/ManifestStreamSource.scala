@@ -82,9 +82,25 @@ class ManifestStreamDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-manifest"
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // the WRITE path arrives here without a user schema (DataFrame/
+    // DataStreamWriter have no .schema API): resolve from the
+    // existing table — the recorded logical schema, else a live-file
+    // read through the session — or from a `writeSchema` DDL option
+    // for a brand-new table dir
+    val path = options.get("path")
+    Option(options.get("writeSchema")).map(StructType.fromDDL) match {
+      case Some(st) => return st
+      case None =>
+    }
+    if (path != null && ManifestTable.latestVersion(path).isDefined)
+      return ManifestTable.tableSchema(path).getOrElse(
+        ManifestTable.read(
+          org.apache.spark.sql.SparkSession.active, path).schema)
     throw new IllegalArgumentException(
-      "graft-manifest requires an explicit .schema(...) — supply the table's schema")
+      "graft-manifest requires an explicit .schema(...) for reads; for a " +
+        "write to a NEW table dir pass .option(\"writeSchema\", \"<ddl>\")")
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
@@ -212,7 +228,8 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
                                 versionAsOf: Option[Long],
                                 changeFeed: Boolean = false,
                                 maxRowsPerTrigger: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(dir != null, "graft-manifest requires a path")
   require(maxVersionsPerTrigger > 0, "maxVersionsPerTrigger must be positive")
   require(maxRowsPerTrigger.forall(_ > 0), "maxRowsPerTrigger must be positive")
@@ -226,7 +243,17 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
       .add(StructField("_commit_version", LongType, nullable = true))
   override def schema(): StructType = servedSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!changeFeed, "readChangeFeed is a read option; the feed is not writable")
+    new ManifestWriteBuilder(info.schema(), dir, info.queryId(),
+      new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters {
