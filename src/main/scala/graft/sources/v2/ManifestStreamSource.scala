@@ -106,7 +106,12 @@ class ManifestStreamDataSource extends TableProvider
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestStreamTable(schema, opts.get("path"),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
-      Option(opts.get("versionAsOf")).map(_.toLong),
+      // time travel: versionAsOf by number, or timestampAsOf by epoch
+      // millis (Delta's other axis — resolved through the repaired
+      // non-decreasing commit clock)
+      Option(opts.get("versionAsOf")).map(_.toLong).orElse(
+        Option(opts.get("timestampAsOf")).map(ts =>
+          ManifestTable.versionAtTimestamp(opts.get("path"), ts.toLong))),
       opts.getBoolean("readChangeFeed", false),
       Option(opts.get("maxRowsPerTrigger")).map(_.toLong))
   }
@@ -290,6 +295,14 @@ final class ManifestStreamTable(tableSchema: StructType, dir: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         private val pushedAtBuild = pushed
+        // .explain shows this line: the pushed predicates and (for
+        // batch) the stats-pruned planned-file census — the reader's
+        // evidence that pushdown actually reached the plan
+        override def description(): String = {
+          val f = if (pushedAtBuild.isEmpty) "[]"
+          else pushedAtBuild.mkString("[", ", ", "]")
+          s"graft-manifest $dir PushedFilters: $f"
+        }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(required, dir, maxVersionsPerTrigger,
             maxRowsPerTrigger, hadoopConf, changeFeed, pushedAtBuild)

@@ -136,6 +136,25 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     assert(batchRead(Map.empty).filter($"id" >= 10).count() == 5)
   }
 
+  test("timestampAsOf time-travels the batch read through the repaired clock") {
+    val dir = freshDir()
+    ManifestTable.append(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val t0 = ManifestTable.history(dir).head.timestampMs
+    Thread.sleep(1100) // local-FS mtime resolution: force distinct commit times
+    ManifestTable.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    val schema = ManifestTable.read(spark, dir).schema
+    val asOf = spark.read.format("graft-manifest").schema(schema)
+      .option("timestampAsOf", t0.toString).load(dir)
+    assert(asOf.count() == 1L, "timestampAsOf must pin the v0 snapshot")
+    assert(spark.read.format("graft-manifest").schema(schema).load(dir)
+      .count() == 2L)
+    // the scan's explain carries the pushed-filter evidence
+    val scan = spark.read.format("graft-manifest").schema(schema).load(dir)
+      .filter($"id" >= 2L)
+    assert(scan.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "pushed filters must surface in the physical plan description")
+  }
+
   test("filter pushdown prunes the batch plan to the stats census") {
     val dir = freshDir()
     // 4 disjoint stats slices of 25 ids each
