@@ -248,7 +248,14 @@ object ManifestTable {
     * checkpoint ≤ target, then each manifest up to target. Every
     * version in (checkpoint, target] must exist — [[vacuum]] preserves
     * this invariant by checkpointing before it drops history. */
+  /** Log folds performed — the metadata-read cost meter. Each fold is
+    * O(checkpoint + interval) file reads, which on an object store is
+    * remote LIST + GETs; the per-operation fold budget is spec-pinned
+    * (MetadataCostSpec) so a refactor can't quietly multiply it. */
+  private[graft] val foldCount = new java.util.concurrent.atomic.AtomicLong
+
   private def fold(dir: String, target: Long): State = {
+    foldCount.incrementAndGet()
     val o = io(dir)
     val ckpt = o.list(o.manifest)
       .flatMap(f => versionOf(f.getPath.getName, ".checkpoint"))
@@ -299,6 +306,43 @@ object ManifestTable {
   private def resolved(dir: String, version: Option[Long]): Long =
     version.orElse(latestVersion(dir)).getOrElse(
       throw new IllegalStateException(s"no committed version in $dir"))
+
+  /** ONE fold for a whole operation: resolve + fold, then derive
+    * schema/mapping/dvs from the returned state instead of re-folding
+    * per accessor — the difference between O(1) and O(accessors)
+    * metadata reads per operation at object-store scale. */
+  private def snapshotAt(dir: String, version: Option[Long]): (Long, State) = {
+    val v = resolved(dir, version)
+    (v, fold(dir, v))
+  }
+
+  private def schemaOf(st: State): Option[org.apache.spark.sql.types.StructType] =
+    st.schema.map(j =>
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fields.map(_.copy(nullable = true))))
+
+  private def mappingOf(st: State): Option[Seq[(String, String)]] =
+    st.colmap.map(decodeMapping)
+
+  /** Reader pinned to the state's PHYSICAL schema (recorded logical
+    * schema with the mapping applied) — the State-threaded twin of
+    * [[pinnedReader]]. */
+  private def pinnedReaderSt(spark: SparkSession, st: State)
+      : org.apache.spark.sql.DataFrameReader =
+    schemaOf(st) match {
+      case Some(lo) =>
+        val physical = mappingOf(st) match {
+          case None => lo
+          case Some(m) =>
+            val byLogical = m.toMap
+            org.apache.spark.sql.types.StructType(lo.fields.map(f =>
+              f.copy(name = byLogical.getOrElse(f.name, f.name))))
+        }
+        spark.read.schema(physical)
+      case None => spark.read
+    }
 
   /** Live file list of a snapshot (latest unless `version` given).
     * Paths only — any `|stat=..` stats suffix is stripped. */
@@ -548,11 +592,11 @@ object ManifestTable {
     * columns are bound to the scan itself, so they survive any join
     * stacked on top (input_file_name would not). */
   private def keyedRead(spark: SparkSession, dir: String,
-                        version: Option[Long], rels: Seq[String]): DataFrame = {
+                        st: State, rels: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, concat_ws, element_at, split => fsplit}
-    logicalize(pinnedReader(spark, dir, version)
+    logicalize(pinnedReaderSt(spark, st)
         .parquet(rels.map(rel => dataPath(dir, rel)): _*),
-        columnMapping(dir, version))
+        mappingOf(st))
       .withColumn("_m_rel", concat_ws("/",
         element_at(fsplit(col("_metadata.file_path"), "/"), -2),
         element_at(fsplit(col("_metadata.file_path"), "/"), -1)))
@@ -584,21 +628,20 @@ object ManifestTable {
     * itself) — a survivor rewrite that read a masked row would
     * resurrect it. */
   private def maskedRead(spark: SparkSession, dir: String,
-                         version: Option[Long], rels: Seq[String],
-                         dvs: Map[String, String]): DataFrame = {
-    if (dvs.view.filterKeys(rels.toSet).isEmpty)
-      return logicalize(pinnedReader(spark, dir, version)
+                         st: State, rels: Seq[String]): DataFrame = {
+    if (st.dvs.view.filterKeys(rels.toSet).isEmpty)
+      return logicalize(pinnedReaderSt(spark, st)
           .parquet(rels.map(rel => dataPath(dir, rel)): _*),
-        columnMapping(dir, version))
-    applyMask(spark, keyedRead(spark, dir, version, rels), dvs, rels)
+        mappingOf(st))
+    applyMask(spark, keyedRead(spark, dir, st, rels), st.dvs, rels)
       .drop("_m_rel", "_m_pos")
   }
 
-  /** [[maskedRead]] against a snapshot's own fold — the common case. */
+  /** [[maskedRead]] against a snapshot's own fold — the common case;
+    * costs exactly ONE fold. */
   private def maskedSnapshotRead(spark: SparkSession, dir: String,
                                  version: Option[Long], rels: Seq[String]): DataFrame =
-    maskedRead(spark, dir, version, rels,
-      fold(dir, resolved(dir, version)).dvs)
+    maskedRead(spark, dir, snapshotAt(dir, version)._2, rels)
 
   /** Resolve a wall-clock timestamp to a version — Delta's
     * `timestampAsOf` rule: the LATEST version whose commit time is ≤
@@ -692,9 +735,8 @@ object ManifestTable {
     * later version added are absent from an older snapshot. */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): DataFrame = {
-    val st = fold(dir, resolved(dir, version))
-    maskedRead(spark, dir, version,
-      st.files.map(_.takeWhile(_ != '|')), st.dvs)
+    val st = snapshotAt(dir, version)._2
+    maskedRead(spark, dir, st, st.files.map(_.takeWhile(_ != '|')))
   }
 
   /** Stage `df` as parquet under a fresh txn dir; returns the
@@ -804,8 +846,11 @@ object ManifestTable {
     val staged = spark.read.parquet(
       rels.map(r => dataPath(dir, r)): _*)
     // stats are keyed by PHYSICAL column names (staged files carry
-    // physical columns) — which is what lets pruning survive a rename
-    val statPhys = statCols.map(c => physicalOf(dir, None, c))
+    // physical columns) — which is what lets pruning survive a rename.
+    // Resolve the mapping ONCE (one fold), not once per column.
+    val mapping = columnMapping(dir)
+    val statPhys = statCols.map(c =>
+      mapping.flatMap(_.find(_._1 == c).map(_._2)).getOrElse(c))
     val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
       statPhys.map { c =>
         val f = staged.schema.find(_.name == c).getOrElse(
@@ -1490,7 +1535,7 @@ object ManifestTable {
       // their matched-row counts — result bounded by the file count.
       // Already-masked rows can never re-match.
       val census: Seq[(String, Long)] =
-        applyMask(spark, keyedRead(spark, dir, Some(parent), rels), st.dvs, rels)
+        applyMask(spark, keyedRead(spark, dir, st, rels), st.dvs, rels)
           .filter(hit).groupBy(col("_m_rel")).count().collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq
       census.foreach { case (rel, _) =>
@@ -1518,7 +1563,7 @@ object ManifestTable {
           // positions of the matched rows in ONLY the DV-eligible
           // files: collect is bounded by dvFraction × those files' rows
           val posByRel: Map[String, Seq[Long]] =
-            applyMask(spark, keyedRead(spark, dir, Some(parent), dvRels),
+            applyMask(spark, keyedRead(spark, dir, st, dvRels),
                 st.dvs, dvRels)
               .filter(hit).select(col("_m_rel"), col("_m_pos")).collect()
               .groupBy(_.getString(0))
@@ -1539,7 +1584,7 @@ object ManifestTable {
       val staged: Seq[String] =
         if (rwRels.isEmpty) Nil
         else stageFiles(
-          maskedRead(spark, dir, Some(parent), rwRels, st.dvs).filter(!hit), dir)
+          maskedRead(spark, dir, st, rwRels).filter(!hit), dir)
       // change-data feed (opt-in, the Delta enableChangeDataFeed
       // shape): the DELETED rows are written at commit time with a
       // baked-in `_change_type` — O(changed rows), one more
@@ -1549,7 +1594,7 @@ object ManifestTable {
       val cdfStaged: Seq[String] =
         if (!cdf) Nil
         else stageFiles(
-          maskedRead(spark, dir, Some(parent), affected.toSeq, st.dvs)
+          maskedRead(spark, dir, st, affected.toSeq)
             .filter(hit)
             .withColumn("_change_type", lit("delete")),
           dir)
@@ -1634,7 +1679,7 @@ object ManifestTable {
       // MASKED: a key whose only occurrence is DV-deleted must not
       // plan its file as affected.
       applyMask(spark,
-          keyedRead(spark, dir, Some(parent), scanRels), st.dvs, scanRels)
+          keyedRead(spark, dir, st, scanRels), st.dvs, scanRels)
         .join(keys, Seq(key), "left_semi")
         .select(col("_m_rel")).distinct().collect()
         .map(_.getString(0))
@@ -1671,7 +1716,7 @@ object ManifestTable {
       // _m_rel helper survives the mask's join (input_file_name would
       // not resolve through it)
       val affected: Set[String] =
-        applyMask(spark, keyedRead(spark, dir, Some(parent), rels), st.dvs, rels)
+        applyMask(spark, keyedRead(spark, dir, st, rels), st.dvs, rels)
           .filter(predicate)
           .select(col("_m_rel")).distinct().collect()
           .map(_.getString(0))
@@ -1680,7 +1725,7 @@ object ManifestTable {
       if (affected.isEmpty) return None
       // masked + pinned: the rewrite drops any prior DV rows of the
       // affected files for good (the remove= action drops their masks)
-      val base = maskedRead(spark, dir, Some(parent), affected.toSeq, st.dvs)
+      val base = maskedRead(spark, dir, st, affected.toSeq)
       set.keys.foreach { c =>
         require(base.columns.contains(c),
           s"UPDATE SET column '$c' is not in the table (schema evolution is appendEvolving's job)")
