@@ -1552,9 +1552,18 @@ object ManifestTable {
       // recorded `rows=` count to judge the fraction by — take the
       // copy-on-write rewrite as before. dvFraction=0 (default)
       // disables DVs entirely: exact legacy behavior.
+      // a file takes the DV path only when BOTH the matched fraction
+      // is under the threshold AND the absolute mask stays small: the
+      // positions of DV-eligible files are collected to the driver
+      // and broadcast at read time, so a hard per-file cap
+      // ([[DvMaxPositionsPerFile]]) bounds driver memory and broadcast
+      // size no matter how large the file — a 1 B-row file at
+      // fraction 0.01 would otherwise mask 10 M rows. Files over
+      // either limit take the copy-on-write rewrite.
       val (dvSide, rwSide) = census.partition { case (rel, matched) =>
-        dvFraction > 0 && rowsOf.get(rel).exists(n =>
-          n > 0 && matched.toDouble / n <= dvFraction)
+        dvFraction > 0 && matched <= DvMaxPositionsPerFile &&
+          rowsOf.get(rel).exists(n =>
+            n > 0 && matched.toDouble / n <= dvFraction)
       }
       val dvActions: Seq[String] =
         if (dvSide.isEmpty) Nil
@@ -2177,6 +2186,12 @@ object ManifestTable {
       .withColumn("_commit_version", lit(-1L))
       .filter(org.apache.spark.sql.functions.lit(false))
   }
+
+  /** Hard cap on a single file's deletion-vector cardinality: above
+    * this, [[deleteWhere]] rewrites the file even under the fraction
+    * threshold — masks are driver-collected and broadcast, so their
+    * size must stay bounded by policy, not by file size. */
+  val DvMaxPositionsPerFile: Long = 1000000L
 
   /** Default [[vacuum]] grace period: unreferenced files younger than
     * this survive, protecting a concurrent writer's staged-but-not-
