@@ -1275,13 +1275,30 @@ object ManifestTable {
     throw new IllegalStateException(s"gave up bin-packing $dir after 20 conflicts")
   }
 
-  private def pureAppends(dir: String, from: Long, to: Long): Boolean = {
+  /** True iff every commit in `[from, to]` COMMUTES with a rewrite
+    * that touches exactly `touched` files — the Delta disjoint-file-
+    * set conflict rule. Pure appends always commute (they cannot
+    * reference pre-existing files; the rewrite's predicate answers
+    * are monotone under concurrent row removal, WriteSerializable
+    * semantics). A concurrent `remove=`/`dv=` ALSO commutes when its
+    * file is OUTSIDE `touched`: two GDPR deletes on disjoint files
+    * both land without either redoing its scan. Overlapping
+    * removes/masks, `reset`, and schema/mapping changes force the
+    * caller to re-plan. */
+  private def commutesWithRewrite(dir: String, from: Long, to: Long,
+                                  touched: Set[String]): Boolean = {
     val o = io(dir)
     (from to to).forall { v =>
       val mf = new HPath(o.manifest, s"v$v.manifest")
-      o.exists(mf) && readLog(o, mf, v).forall(l =>
-        l.startsWith("add=") || l.startsWith("txn=") || l.startsWith("cdf=") ||
-          l.startsWith("op="))
+      o.exists(mf) && readLog(o, mf, v).forall { l =>
+        if (l.startsWith("add=") || l.startsWith("txn=") ||
+          l.startsWith("cdf=") || l.startsWith("op=")) true
+        else if (l.startsWith("remove="))
+          !touched.contains(l.stripPrefix("remove="))
+        else if (l.startsWith("dv="))
+          !touched.contains(l.stripPrefix("dv=").takeWhile(_ != '|'))
+        else false // reset / schema= / colmap= / unknown: re-plan
+      }
     }
   }
 
@@ -1290,19 +1307,28 @@ object ManifestTable {
   private[graft] case object RewriteSkippedTxn extends RewriteResult
   private[graft] case object RewriteConflict extends RewriteResult
 
-  /** Commit copy-on-write rewrite actions (`remove=` + `add=`) first
-    * at `parent + 1`, then — as long as every commit that beat us is a
-    * pure append, which commutes with a rewrite of pre-`parent` files —
-    * rebased onto each new latest. `skipIfTxn` is re-checked after
-    * every lost race (the commit that beat us may be a duplicate of
-    * this very batch). Returns [[RewriteConflict]] only when a
-    * NON-commuting commit (reset/remove) intervened: the caller must
-    * re-plan from the new snapshot. Package-visible for the
-    * deterministic rebase spec. */
+  /** Commit copy-on-write rewrite actions (`remove=`/`dv=` + `add=`)
+    * first at `parent + 1`, then — as long as every commit that beat
+    * us COMMUTES ([[commutesWithRewrite]]: pure appends, and removes/
+    * masks on files DISJOINT from ours — the Delta conflict rule) —
+    * rebased onto each new latest without redoing the scan.
+    * `skipIfTxn` is re-checked after every lost race (the commit that
+    * beat us may be a duplicate of this very batch). Returns
+    * [[RewriteConflict]] only when a non-commuting commit (reset, an
+    * OVERLAPPING remove/mask, a schema or mapping change) intervened:
+    * the caller must re-plan from the new snapshot. Package-visible
+    * for the deterministic rebase spec. */
   private[graft] def commitRewriteRebasing(dir: String, parent: Long,
                                            actions: Seq[String],
                                            skipIfTxn: Option[(String, Long)] = None)
       : RewriteResult = {
+    // the files THIS rewrite depends on: what it removes or masks — a
+    // concurrent commit touching any of them invalidates the staged
+    // survivors; anything else commutes
+    val touched: Set[String] = actions.collect {
+      case l if l.startsWith("remove=") => l.stripPrefix("remove=")
+      case l if l.startsWith("dv=") => l.stripPrefix("dv=").takeWhile(_ != '|')
+    }.toSet
     var at = parent + 1L
     while (true) {
       tryCommitAt(dir, at, actions) match {
@@ -1312,7 +1338,8 @@ object ManifestTable {
             if (committedBatches(dir, w).contains(b)) return RewriteSkippedTxn
           }
           val latest = resolved(dir, None)
-          if (!pureAppends(dir, at, latest)) return RewriteConflict
+          if (!commutesWithRewrite(dir, at, latest, touched))
+            return RewriteConflict
           at = latest + 1L
       }
     }

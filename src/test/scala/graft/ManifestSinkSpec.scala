@@ -404,16 +404,35 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(back.filter($"v" === "rw").count() == 1)
   }
 
-  test("rewrite rebase: a concurrent remove does NOT commute — caller must re-plan") {
+  test("rewrite rebase: DISJOINT concurrent removes commute; OVERLAPPING ones conflict") {
     val dir = freshDir()
-    ManifestTable.append(spark, (0 until 6).map(i => (i.toLong, "a")).toDF("k", "v"), dir)
-    ManifestTable.append(spark, (10 until 16).map(i => (i.toLong, "b")).toDF("k", "v"), dir)
-    val victim = ManifestTable.snapshotFiles(dir).head
-    // a concurrent DELETE lands first (remove-carrying commit at v2)
+    ManifestTable.append(spark,
+      (0 until 6).map(i => (i.toLong, "a")).toDF("k", "v").coalesce(1), dir)
+    ManifestTable.append(spark,
+      (10 until 16).map(i => (i.toLong, "b")).toDF("k", "v").coalesce(1), dir)
+    val files = ManifestTable.snapshotFiles(dir)
+    // a concurrent DELETE rewrites file B (remove-carrying commit at v2)
     assert(ManifestTable.deleteWhere(spark, dir, $"k" >= 12).isDefined)
-    val res = ManifestTable.commitRewriteRebasing(dir, parent = 1L,
-      actions = Seq(s"remove=$victim"))
-    assert(res == ManifestTable.RewriteConflict, s"got $res")
+    // the Delta disjoint-file-set rule: OUR rewrite touches only file
+    // A, so the concurrent remove of file B commutes — both land
+    // without either redoing its scan
+    val disjoint = ManifestTable.commitRewriteRebasing(dir, parent = 1L,
+      actions = Seq(s"remove=${files(0)}"))
+    assert(disjoint == ManifestTable.RewriteCommitted(3L), s"got $disjoint")
+    // an OVERLAPPING remove still conflicts: file B was rewritten at
+    // v2, so a rebase that touches it must re-plan
+    val overlap = ManifestTable.commitRewriteRebasing(dir, parent = 1L,
+      actions = Seq(s"remove=${files(1)}"))
+    assert(overlap == ManifestTable.RewriteConflict, s"got $overlap")
+    // a DELETION-VECTOR mask counts as touching its file too
+    val dir2 = freshDir()
+    ManifestTable.appendWithStats(spark,
+      (0L until 50L).map(i => (i, "x")).toDF("k", "v").coalesce(1), dir2, "k")
+    val f2 = ManifestTable.snapshotFiles(dir2).head
+    ManifestTable.deleteWhere(spark, dir2, $"k" === 1L, dvFraction = 0.1)
+    val dvOverlap = ManifestTable.commitRewriteRebasing(dir2, parent = 0L,
+      actions = Seq(s"remove=$f2"))
+    assert(dvOverlap == ManifestTable.RewriteConflict, s"got $dvOverlap")
   }
 
   test("mergeInto: matched rows replaced, unmatched inserted, commit is O(affected)") {
