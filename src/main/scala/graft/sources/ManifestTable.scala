@@ -1258,7 +1258,7 @@ object ManifestTable {
       // materialized — but never advance the log for nothing
       if (small.isEmpty ||
         (small.size < 2 && !small.exists(stDv.dvs.contains))) return None
-      val packed = maskedSnapshotRead(spark, dir, Some(parent), small)
+      val packed = maskedRead(spark, dir, stDv, small)
         .repartition(targetFiles)
       val staged = stageFiles(packed, dir)
       val adds =
@@ -1660,23 +1660,35 @@ object ManifestTable {
     * key-clustered table then plans its files without touching the
     * rest of the snapshot. */
   private def affectedByKeys(spark: SparkSession, dir: String, parent: Long,
+                             st: State,
                              keys: DataFrame, key: String,
                              keyType: org.apache.spark.sql.types.DataType): Set[String] = {
     import org.apache.spark.sql.functions.col
     if (parent < 0) return Set.empty
-    val st = fold(dir, parent)
     val entries = st.files
     val rels: Set[String] = entries.map(_.takeWhile(_ != '|')).toSet
     val statted = entries.map(parseStatsEntry)
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     // stats are keyed by PHYSICAL name; the batch key is LOGICAL
-    val physKey = physicalOf(dir, Some(parent), key)
+    val physKey = mappingOf(st)
+      .flatMap(_.find(_._1 == key).map(_._2)).getOrElse(key)
     // pruning path per key type: long/int keys prune on `stat=`
     // bounds, string keys on the truncated `sstat=` byte bounds —
     // anything else (or a stats-less table) scans all files
     val hasLongStats = statted.exists(_._2.contains(physKey)) &&
       (keyType == LongType || keyType == IntegerType)
-    lazy val sstatted = snapshotFilesWithStringStats(dir, Some(parent))
+    lazy val sstatted = entries.map { e =>
+      val parts = e.split('|')
+      val stats = parts.iterator.drop(1).collect {
+        case pp if pp.startsWith("sstat=") =>
+          pp.stripPrefix("sstat=").split(':') match {
+            case Array(c, mn, mx) => c -> ((unhex(mn), unhex(mx)))
+            case bad => throw new IllegalStateException(
+              s"corrupt sstat segment '${bad.mkString(":")}' in $e")
+          }
+      }.toMap
+      (parts(0), stats)
+    }
     val hasStringStats = keyType == StringType &&
       sstatted.exists(_._2.contains(physKey))
     val scanRels: Seq[String] =
@@ -1859,13 +1871,16 @@ object ManifestTable {
         if (committedBatches(dir, w).contains(b)) return None
       }
       val parent = latestVersion(dir).getOrElse(-1L)
+      // ONE fold serves planning and every affected-file read below
+      val stM = if (parent < 0) State(Vector.empty, Set.empty, None)
+        else fold(dir, parent)
       val affected: Set[String] =
-        affectedByKeys(spark, dir, parent, keys, key, batch.schema(key).dataType)
+        affectedByKeys(spark, dir, parent, stM, keys, key, batch.schema(key).dataType)
       // one staged write: affected files' NON-matched survivors, then
       // every batch row (update and insert alike land as fresh files)
       val rewritten =
         if (affected.isEmpty) guarded
-        else maskedSnapshotRead(spark, dir, Some(parent), affected.toSeq)
+        else maskedRead(spark, dir, stM, affected.toSeq)
           .join(keys, Seq(key), "left_anti")
           // strict by-name union: the pinned read gives pre-evolution
           // survivors the full recorded schema (NULL backfill), so a
@@ -1889,7 +1904,7 @@ object ManifestTable {
                 org.apache.spark.sql.functions.lit("insert"))
             else {
               val oldMatched =
-                maskedSnapshotRead(spark, dir, Some(parent), affected.toSeq)
+                maskedRead(spark, dir, stM, affected.toSeq)
                   .join(keys, Seq(key), "left_semi")
               val matchedKeys = oldMatched.select(col(key)).distinct()
               oldMatched
@@ -1974,8 +1989,10 @@ object ManifestTable {
         if (committedBatches(dir, w).contains(b)) return None
       }
       val parent = latestVersion(dir).getOrElse(-1L)
+      val stM = if (parent < 0) State(Vector.empty, Set.empty, None)
+        else fold(dir, parent)
       val affected: Set[String] =
-        affectedByKeys(spark, dir, parent, allKeys, key, batch.schema(key).dataType)
+        affectedByKeys(spark, dir, parent, stM, allKeys, key, batch.schema(key).dataType)
       if (affected.isEmpty && upserts.isEmpty)
         // nothing matched, nothing to insert: only a txn marker may
         // need recording (a retried empty CDC batch must stay no-op)
@@ -1983,7 +2000,7 @@ object ManifestTable {
           commit(dir, Seq(s"txn=$w:$b", "op=MERGE"), skipIfTxn = txn)
         }
       def affectedRead: DataFrame =
-        maskedSnapshotRead(spark, dir, Some(parent), affected.toSeq)
+        maskedRead(spark, dir, stM, affected.toSeq)
       val rewritten =
         if (affected.isEmpty) upserts
         else affectedRead.join(allKeys, Seq(key), "left_anti").unionByName(upserts)

@@ -53,6 +53,22 @@ class MetadataCostSpec extends AnyFunSuite {
     assert(tf == 1L, s"time-travel read cost $tf folds")
   }
 
+  test("a keyed merge stays within its fold budget") {
+    val dir = freshDir()
+    for (i <- 0 until 4)
+      ManifestTable.appendWithStats(spark,
+        (i * 25 until (i + 1) * 25).map(j => (j.toLong, s"v$j"))
+          .toDF("id", "v").coalesce(1), dir, "id")
+    val (_, mf) = folds {
+      ManifestTable.mergeInto(spark, dir,
+        Seq((3L, "up"), (500L, "new")).toDF("id", "v"), "id",
+        statCols = Seq("id"))
+    }
+    // one planning fold + staging mapping resolve + commit idempotence
+    // re-reads — a small constant, pinned so it can only shrink
+    assert(mf <= 5L, s"merge cost $mf folds, budget 5")
+  }
+
   test("a DV delete stays within its fold budget") {
     val dir = freshDir()
     ManifestTable.appendWithStats(spark,
