@@ -48,8 +48,12 @@ object BloomIndex {
   private val MaxBits = 1 << 24
 
   /** The two 64-bit hashes of `v` — query side. Evaluates the exact
-    * Catalyst expression the build side codegens. */
-  private def hashes(v: Long): (Long, Long) = {
+    * Catalyst expression the build side codegens. xxhash64 is
+    * type-dispatched INSIDE the one shared expression (longs hash
+    * their 8 bytes, strings their UTF-8 bytes), so long and string
+    * keys ride the same filter machinery without a parallel
+    * implementation. */
+  private def hashes(v: Any): (Long, Long) = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h1 = XxHash64(Seq(Literal(v)), 42L).eval().asInstanceOf[Long]
     val h2 = XxHash64(Seq(Literal(v), Literal(Salt)), 42L).eval().asInstanceOf[Long]
@@ -68,7 +72,7 @@ object BloomIndex {
 
   /** The K probe positions of `v` in an m-bit filter — query side.
     * m must be a power of two (the mask IS the modulo). */
-  def positions(v: Long, m: Int): Array[Int] = {
+  def positions(v: Any, m: Int): Array[Int] = {
     require(m >= 64 && (m & (m - 1)) == 0 && m <= MaxBits,
       s"bloom width $m must be a power of two in [64, 2^24]")
     val (h1, h2) = hashes(v)
@@ -95,8 +99,9 @@ object BloomIndex {
   def toHex(words: Array[Long]): String =
     words.map(w => f"$w%016x").mkString
 
-  /** Does the hex-encoded m-bit filter possibly contain `v`? */
-  def maybeContains(hex: String, m: Int, v: Long): Boolean =
+  /** Does the hex-encoded m-bit filter possibly contain `v`?
+    * `v` may be a Long or a String (same dispatch as the build). */
+  def maybeContains(hex: String, m: Int, v: Any): Boolean =
     positions(v, m).forall { pos =>
       val word = java.lang.Long.parseUnsignedLong(
         hex.substring((pos >>> 6) * 16, (pos >>> 6) * 16 + 16), 16)
@@ -128,7 +133,8 @@ object BloomIndex {
         expr("shiftleft(1L, pos % 64)").as("mask"))
       .groupBy(col("_f"), col("word")).agg(expr("bit_or(mask)").as("bits"))
       .collect() // files × ≤m/64 rows — metadata-sized
-    words.groupBy(r => new java.io.File(r.getString(0)).getName)
+    words.groupBy(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName)
       .map { case (name, rs) =>
         val arr = new Array[Long](m / 64)
         rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))

@@ -1083,8 +1083,10 @@ object ManifestTable {
     val f = df.schema.find(_.name == bloomCol).getOrElse(
       throw new IllegalArgumentException(
         s"bloom column '$bloomCol' is not in the batch's schema"))
-    require(f.dataType == org.apache.spark.sql.types.LongType,
-      s"bloom column '$bloomCol' must be LongType, found ${f.dataType.simpleString}")
+    require(f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.StringType,
+      s"bloom column '$bloomCol' must be long or string, " +
+        s"found ${f.dataType.simpleString}")
     val staged = stageFiles(df, dir)
     val adds = statAddActions(spark, dir, staged, statCols)
     // staged files carry PHYSICAL names; the bloom segment is keyed by
@@ -1109,7 +1111,20 @@ object ManifestTable {
     * negatives by the [[BloomIndex]] contract, so the planned set is
     * always a superset of the files that actually hold the value. */
   def plannedFilesForPoint(dir: String, colName: String, value: Long,
-                           version: Option[Long] = None): Seq[String] = {
+                           version: Option[Long] = None): Seq[String] =
+    plannedFilesForPointAny(dir, colName, value, version)
+
+  /** [[plannedFilesForPoint]] for a STRING key — the URL/doc-hash
+    * lookup shape a crawl warehouse needs (min/max bounds cannot
+    * prune high-cardinality strings scattered across every file;
+    * per-file blooms can). Same machinery: xxhash64 dispatches on the
+    * value's type inside the one shared expression. */
+  def plannedFilesForPointString(dir: String, colName: String, value: String,
+                                 version: Option[Long] = None): Seq[String] =
+    plannedFilesForPointAny(dir, colName, value, version)
+
+  private def plannedFilesForPointAny(dir: String, colName: String, value: Any,
+                                      version: Option[Long]): Seq[String] = {
     val phys = physicalOf(dir, version, colName)
     snapshotFilesWithBloom(dir, version).collect {
       case (f, blooms) if blooms.get(phys).forall {
@@ -1129,10 +1144,29 @@ object ManifestTable {
     if (planned.nonEmpty)
       return maskedSnapshotRead(spark, dir, None, planned)
         .filter(col(colName) === value)
+    pointMiss(spark, dir, "readPoint")
+  }
+
+  /** [[readPoint]] for a STRING key: bloom-planned files + the
+    * residual equality filter. */
+  def readPointString(spark: SparkSession, dir: String, colName: String,
+                      value: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val planned = plannedFilesForPointString(dir, colName, value)
+    if (planned.nonEmpty)
+      return maskedSnapshotRead(spark, dir, None, planned)
+        .filter(col(colName) === value)
+    pointMiss(spark, dir, "readPointString")
+  }
+
+  /** Every file bloom-pruned out: an empty frame in the table's
+    * schema (loud error for the zero-file snapshot). */
+  private def pointMiss(spark: SparkSession, dir: String,
+                        what: String): DataFrame = {
     val all = snapshotFiles(dir)
     if (all.isEmpty)
       throw new IllegalStateException(
-        s"readPoint on $dir: snapshot holds no data files at all")
+        s"$what on $dir: snapshot holds no data files at all")
     maskedSnapshotRead(spark, dir, None, Seq(all.head))
       .filter(org.apache.spark.sql.functions.lit(false))
   }

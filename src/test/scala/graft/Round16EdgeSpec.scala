@@ -237,10 +237,11 @@ class Round16EdgeSpec extends AnyFunSuite {
     assert(ManifestTable.plannedFilesForPoint(dir, "k", 12345L).nonEmpty)
   }
 
-  test("appendWithBloom validates the column: non-long or absent fails before staging commits") {
+  test("appendWithBloom validates the column: unsupported type or absent fails before staging commits") {
     val dir = freshDir()
+    // doubles have no equality-lookup semantics worth a bloom
     intercept[IllegalArgumentException](ManifestTable.appendWithBloom(spark,
-      Seq(("a", 1L)).toDF("s", "k"), dir, "s"))
+      Seq((1.5, 1L)).toDF("d", "k"), dir, "d"))
     intercept[IllegalArgumentException](ManifestTable.appendWithBloom(spark,
       Seq(("a", 1L)).toDF("s", "k"), dir, "nope"))
     assert(ManifestTable.latestVersion(dir).isEmpty,
@@ -253,5 +254,45 @@ class Round16EdgeSpec extends AnyFunSuite {
     assert(BloomIndex.sizeFor(1000) == 32768)
     val m = BloomIndex.sizeFor(100000)
     assert((m & (m - 1)) == 0 && m >= 100000 * 32 / 2)
+  }
+
+  test("STRING-keyed bloom: URL-shaped point lookups skip files, no false negatives") {
+    val dir = freshDir()
+    // 4 files of high-cardinality string keys (the crawl-URL shape
+    // min/max bounds cannot prune: hashes scatter across every range)
+    for (i <- 0 until 4)
+      ManifestTable.appendWithBloom(spark,
+        (0 until 200).map { j =>
+          val id = i * 200 + j
+          (s"https://host-${id % 97}.example/doc/$id", id.toLong)
+        }.toDF("url", "n").coalesce(1), dir, "url")
+    // every PRESENT key is found (no false negatives, the contract)
+    for (probe <- Seq(0, 199, 200, 799)) {
+      val u = s"https://host-${probe % 97}.example/doc/$probe"
+      val got = ManifestTable.readPointString(spark, dir, "url", u)
+      assert(got.count() == 1L, s"bloom false negative for $u")
+      // and the planned census contains the holding file
+      assert(ManifestTable.plannedFilesForPointString(dir, "url", u).nonEmpty)
+    }
+    // an absent key prunes most files (~1e-4 fp per file; 4 files →
+    // overwhelmingly 0 planned) and returns an EMPTY frame either way
+    val absentPlanned = (0 until 20).map(k =>
+      ManifestTable.plannedFilesForPointString(dir, "url",
+        s"https://nowhere.example/miss/$k").size).sum
+    assert(absentPlanned <= 2, s"string bloom barely prunes: $absentPlanned/80")
+    assert(ManifestTable.readPointString(spark, dir, "url",
+      "https://nowhere.example/miss/0").count() == 0L)
+    // build/query hash agreement ALSO holds for raw string probes
+    val m = 1024
+    val pos = BloomIndex.positions("https://a.example/x", m)
+    assert(pos.length == 4 && pos.forall(p => p >= 0 && p < m))
+    // long-keyed blooms keep working through the same dispatch
+    val dir2 = freshDir()
+    ManifestTable.appendWithBloom(spark,
+      (0L until 100L).map(i => (i * 7919L, i)).toDF("k", "n").coalesce(1),
+      dir2, "k")
+    assert(ManifestTable.readPoint(spark, dir2, "k", 7919L).count() == 1L)
+    assert(ManifestTable.plannedFilesForPoint(dir2, "k", 13L).isEmpty ||
+      ManifestTable.readPoint(spark, dir2, "k", 13L).count() == 0L)
   }
 }
