@@ -65,15 +65,31 @@ object Classifier {
       .select($"doc_id", $"k", expr("(c * 1000) div tot").as("c"))
       .unionAll(docs.select($"doc_id", lit(bias).as("k"), lit(1000L).as("c")))
     val lab = docs.select($"doc_id", $"label".cast("long").as("y"))
+    // Pre-partition the cached feature matrix by doc_id: every GD
+    // iteration's per-doc logit window requires hashpartitioning on
+    // doc_id, and InMemoryTableScan preserves the cached partitioning —
+    // so the 4 iteration windows run exchange-free over the cache
+    // instead of re-shuffling the matrix once per iteration (guide
+    // §2.4: two operations keyed the same way share one exchange).
     val xTrain = x.filter($"doc_id" % evalMod =!= evalRem)
       .join(lab, "doc_id")
+      .repartition($"doc_id")
       .persist()
     try {
       val n = docs.filter($"doc_id" % evalMod =!= evalRem).count()
       require(n > 0, "empty training slice")
       var w = Array.fill(nBuckets + 1)(0L)
-      def wMap: Column =
-        typedlit(w.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
+      // Weights ride as a LITERAL ARRAY indexed by bucket, not a literal
+      // map: GetMapValue on a map literal is a LINEAR scan of all K+1
+      // keys per row (Spark MapData has no hash), which put an O(K)
+      // factor on every (doc, bucket) row of every GD iteration and the
+      // eval scoring. element_at(array, k+1) is O(1); k ∈ [0, nBuckets]
+      // by construction (% nBuckets, bias = nBuckets), so the 1-based
+      // index is always in range.
+      def wAt(k: Column): Column = {
+        val arr = array(w.map(lit(_)).toIndexedSeq: _*)
+        element_at(arr, (k + 1L).cast("int"))
+      }
       // hard sigmoid over the passed logit column. Truncating division
       // of z by ZDiv in Column algebra: z - z%d is an exact multiple
       // (Spark % keeps the dividend's sign, so the subtraction rounds
@@ -85,7 +101,7 @@ object Classifier {
       }
       for (_ <- 0 until iters) {
         val grad = xTrain
-          .select($"doc_id", $"y", (element_at(wMap, $"k") * $"c").as("zz"),
+          .select($"doc_id", $"y", (wAt($"k") * $"c").as("zz"),
             $"k", $"c")
           .withColumn("z", sum($"zz").over(
             org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
@@ -97,7 +113,7 @@ object Classifier {
         }
       }
       x.filter($"doc_id" % evalMod === evalRem)
-        .select($"doc_id", (element_at(wMap, $"k") * $"c").as("zz"))
+        .select($"doc_id", (wAt($"k") * $"c").as("zz"))
         .groupBy($"doc_id").agg(sum($"zz").as("z"))
         .select($"doc_id", pMicro($"z").as("p_micro"))
         .join(lab, "doc_id")

@@ -121,7 +121,17 @@ object Similarity {
     * magnitude cheaper than the scoring it parallelizes; skipped when
     * the scan already has enough splits. */
   private[graft] def nearestCells(centroids: DataFrame, df: DataFrame,
-                           idCol: String, vecCol: String, keep: Int): DataFrame = {
+                           idCol: String, vecCol: String, keep: Int): DataFrame =
+    nearestCellsArr(centroids, df, vecCol, keep)
+      .withColumn("cell", explode(col("_cells"))).drop("_cells")
+
+  /** [[nearestCells]] with the ranked cell list kept as an ARRAY column
+    * (`_cells`, nearest-first) instead of exploded — the shared-pass
+    * form [[ivfTopK]]'s self-ANN path derives BOTH the top-1 assignment
+    * (element 1) and the nProbe probe list (explode) from, so the
+    * corpus×centroid kernel runs once, not twice. */
+  private[graft] def nearestCellsArr(centroids: DataFrame, df: DataFrame,
+                           vecCol: String, keep: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
     // top-`keep` INSIDE the row, not via crossJoin+window: the row_number
@@ -137,8 +147,7 @@ object Similarity {
     val centRows = centroids.select(col("cell").cast("long"), col("ce")).collect()
     val cellIds = centRows.map(_.getLong(0))
     val cvecs = centRows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    spread.withColumn("cell",
-      explode(Fns.top_cells(col(vecCol), cellIds, cvecs, keep)))
+    spread.withColumn("_cells", Fns.top_cells(col(vecCol), cellIds, cvecs, keep))
   }
 
   /** One-pass disk layout for an IVF index over a manifest table:
@@ -207,11 +216,28 @@ object Similarity {
     import spark.implicits._
     val centroids = coarseCentroids(emb, nCells, trainedCentroids)
 
-    val assigned0 = nearestCells(centroids, emb, "vec_id", "embedding", 1) // corpus: 1 cell each
+    // Self-ANN (the probe side IS the corpus object): ONE fused
+    // corpus×centroid kernel pass at keep=nProbe, checkpointed; the
+    // top-1 assignment is element 1 of the same ranked cell list the
+    // probes explode (identical ordering expression ⇒ bit-identical to
+    // two separate passes). The generic path below pays the assignment
+    // and probe kernels separately — correct when the probe set is a
+    // different (usually tiny) frame, pure waste when probes ≡ corpus
+    // (knn_graph ran the n·C scoring twice).
+    val (assigned0, probeCells) =
+      if ((probes eq emb) && corpusFilter.isEmpty) {
+        val cells = nearestCellsArr(centroids, emb, "embedding", nProbe)
+          .localCheckpoint() // feeds both join sides; n×(vec+nProbe longs)
+        (cells.withColumn("cell", element_at($"_cells", 1)).drop("_cells"),
+          cells.select($"vec_id".as("query_id"), $"embedding".as("qe"),
+            explode($"_cells").as("cell")))
+      } else {
+        (nearestCells(centroids, emb, "vec_id", "embedding", 1), // corpus: 1 cell each
+          nearestCells(centroids,
+            probes.select($"vec_id".as("query_id"), $"embedding".as("qe")),
+            "query_id", "qe", nProbe)) // probes: nProbe cells
+      }
     val assigned = corpusFilter.fold(assigned0)(assigned0.filter)
-    val probeCells = nearestCells(centroids,
-      probes.select($"vec_id".as("query_id"), $"embedding".as("qe")),
-      "query_id", "qe", nProbe) // probes: nProbe cells
 
     val probeSide = if (broadcastProbes) broadcast(probeCells) else probeCells
     val scored = probeSide

@@ -55,19 +55,29 @@ object Retrieval {
     val docs = Tables.documents(s, dir)
     val terms = Bm25Queries.map(_._2).distinct
     val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
-    // doc length in whitespace tokens (split keeps trailing empties —
-    // same in DuckDB)
-    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+    // ONE tokenize pass feeds tf, dl and df (guide §1.2/§2.3 — the old
+    // shape tokenized the corpus 4×: tf, a second full explode for df,
+    // a dl scan, a stats scan):
+    //  - dl (doc length in whitespace tokens; split keeps trailing
+    //    empties — same in DuckDB) is computed BEFORE the explode and
+    //    carried on each token row, so the tf⋈dl join disappears;
+    //  - df comes from a count window over tf (each (doc,term) row is
+    //    one distinct doc for that term — the text_tfidf trick), so the
+    //    second corpus explode and the tf⋈df join disappear.
+    // Only `stats` still needs its own full-docs pass (docs with no
+    // query term must count in n_docs/sum_dl). 2 text passes total.
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(split($"text", " ")).cast("long")).as("sum_dl"))
-    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tok = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", size($"ws").cast("long").as("dl"),
+        explode($"ws").as("term"))
       .filter($"term".isin(terms: _*))
-    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val tf = tok.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl")) // dl is per-doc constant
     val scored = tf
-      .join(broadcast(df), "term")
-      .join(dl, "doc_id")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
       .crossJoin(broadcast(stats))
       .join(broadcast(q), "term")
       .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
@@ -310,17 +320,27 @@ object Retrieval {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    // Type-level scoring (same restructure as textKnPerplexity, guide
+    // §2.3): nano is a pure function of the bigram type, so the model
+    // joins fold into one |types|-row table and the occurrence stream
+    // makes a single attach join — exact identity with the
+    // per-occurrence formulation.
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     val tokens = docs.select(explode(split($"text", " ")).as("w"))
     val c1 = tokens.groupBy($"w").agg(count(lit(1)).as("c1"))
-    val vocab = tokens.agg(countDistinct($"w").as("v"))
-    val scoredBg = bg
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, bg("w1") === c1("w"))
+      .localCheckpoint() // feeds the score join AND the vocab count
+    // |vocab| = COUNT(DISTINCT w) over the token stream ≡ row count of
+    // c1 — derived from the checkpoint instead of a second full
+    // tokenize pass of the corpus.
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val typeNano = c2
+      .join(c1, c2("w1") === c1("w"))
       .crossJoin(broadcast(vocab))
       .withColumn("nano",
         round(log(($"c2" + lit(1.0)) / ($"c1" + $"v")) * lit(1e9)).cast("long"))
-    scoredBg.groupBy($"doc_id")
+      .select($"w1", $"w2", $"nano")
+    bg.join(typeNano, Seq("w1", "w2"))
+      .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"nano").as("nano_sum"))
       .select($"doc_id", $"n_bigrams",
         (expr("sign(nano_sum) * (abs(nano_sum) div n_bigrams)")
@@ -383,13 +403,26 @@ object Retrieval {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    // Scored at bigram-TYPE level (guide §2.3 — shuffle fewer bytes):
+    // nano is a pure function of the bigram type, so the model joins
+    // (c2⋈left⋈right⋈btot) fold into ONE |types|-row table BEFORE
+    // touching the occurrence stream, and the occurrence side makes a
+    // single attach join on (w1,w2) instead of riding through a 3-way
+    // join chain (the old shape reshuffled O(corpus-bigrams) rows on
+    // (w1,w2), then w1, then w2). Exact identity: every occurrence
+    // joins exactly one type row carrying the same nano it computed
+    // inline before. (A variant that also pre-aggregated occurrences
+    // to (doc, w1, w2, cnt) was MEASURED and rejected: on this corpus
+    // bigram types-per-doc ≈ occurrences-per-doc, so the extra
+    // aggregation + checkpoint cost more than the recomputed explode
+    // it saved — see OPTIMIZATION_r16.md.)
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
       .localCheckpoint()
     val left = c2.groupBy($"w1")
       .agg(sum($"c2").as("cl"), count(lit(1)).as("nfwd"))
     val right = c2.groupBy($"w2").agg(count(lit(1)).as("nbwd"))
     val btot = c2.agg(count(lit(1)).as("btot"))
-    bg.join(c2, Seq("w1", "w2"))
+    val typeNano = c2
       .join(left, Seq("w1"))
       .join(right, Seq("w2"))
       .crossJoin(broadcast(btot))
@@ -397,6 +430,8 @@ object Retrieval {
         round(log(($"c2" - lit(d)) / $"cl"
           + (lit(d) * $"nfwd" * $"nbwd") / ($"cl".cast("double") * $"btot")) * lit(1e9))
           .cast("long"))
+      .select($"w1", $"w2", $"nano")
+    bg.join(typeNano, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"nano").as("nano_sum"))
       .select($"doc_id", $"n_bigrams",
