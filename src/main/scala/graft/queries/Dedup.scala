@@ -41,15 +41,22 @@ object Dedup {
     // signature is computed by one native expression inside the scan
     // stage (no shingle×perm row explosion); the oracle re-derives the
     // identical values relationally.
+    // Spread docs across tasks before the CPU-heavy signature pass
+    // (the test parquet is a single row group = one scan task) — by
+    // RANGE on doc_id, so the required (doc_id, perm) total order is a
+    // sortWithinPartitions and the signature kernel computes ONCE. The
+    // previous shape (hash repartition + final orderBy) ran the kernel
+    // three times: the orderBy's range-sampling pass re-executed it,
+    // and its size(sig) > 0 guard was pushed below the repartition into
+    // the single-task scan stage (a third, serial evaluation). The
+    // guard itself was redundant — posexplode of an empty signature
+    // emits no rows.
     Tables.documents(s, dir)
-      // spread docs across tasks before the CPU-heavy signature pass:
-      // the test parquet is a single row group (one scan task)
-      .repartition($"doc_id")
+      .repartitionByRange($"doc_id")
       .select($"doc_id",
         graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
-      .filter(size($"sig") > 0)
       .select($"doc_id", posexplode($"sig").as(Seq("perm", "minhash")))
-      .orderBy($"doc_id", $"perm")
+      .sortWithinPartitions($"doc_id", $"perm")
   }
 
   /** Shared oracle fragment: the md5-family MinHash signature table

@@ -83,6 +83,10 @@ object Winnow {
     val keep = fp.groupBy($"f").agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxDf)
       .select($"f")
+    // NOT checkpointed: a kept-set materialization was measured
+    // (r16 optimization round) and rejected — the checkpoint job +
+    // block re-reads cost more than the duplicated df-aggregate it
+    // saves (AQE reuses the broadcast keep-exchange at runtime).
     val kept = fp.join(keep, "f")
     kept.as("a").join(kept.as("b"),
         col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))

@@ -22,6 +22,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("dedup_minhash: range+sortWithinPartitions output IS the (doc_id, perm) total order, kernel evaluated once") {
+    // r16 optimization: the global orderBy was replaced by
+    // repartitionByRange(doc_id) + sortWithinPartitions(doc_id, perm) so
+    // the signature kernel is no longer re-executed by the sort's range-
+    // sampling pass (and no longer pushed into the scan stage as a
+    // filter condition). The output contract — total (doc_id, perm)
+    // order — must be preserved exactly.
+    val df = SparkEntry.all("dedup_minhash").fn(spark, TestSpark.sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.sameElements(got.sortBy(identity)), "output not in (doc_id, perm) total order")
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter (size(minhashsigmd5"),
+      s"signature kernel pushed into a pre-shuffle filter:\n$plan")
+  }
+
   test("dedup_streaming_replay emits exactly the batch-distinct hash set") {
     val got = SparkEntry.all("dedup_streaming_replay").fn(spark, TestSpark.sf)
       .collect().map(_.getString(0))
