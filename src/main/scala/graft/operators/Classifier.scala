@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * Scale shape: the normalized feature matrix is built ONCE (one
   * shuffle on (doc, bucket), cached for the loop); each iteration is
   * two map-side-combined aggregations over it; the model state is
-  * K+1 longs broadcast as a literal map — never a driver structure
+  * K+1 longs broadcast as a literal array (indexed via element_at)
+  * — never a driver structure
   * that grows with the corpus. Per-iteration driver traffic is the
   * K+1-row gradient collect, corpus-size independent. */
 object Classifier {

@@ -50,9 +50,11 @@ object Dedup {
     // and its size(sig) > 0 guard was pushed below the repartition into
     // the single-task scan stage (a third, serial evaluation). The
     // guard itself was redundant — posexplode of an empty signature
-    // emits no rows.
+    // emits no rows. The partition count must be EXPLICIT: without it
+    // AQE sizes the exchange by shuffle bytes (rows here are tiny) and
+    // coalesces the CPU-heavy kernel to 1-2 tasks.
     Tables.documents(s, dir)
-      .repartitionByRange($"doc_id")
+      .repartitionByRange(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id",
         graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
       .select($"doc_id", posexplode($"sig").as(Seq("perm", "minhash")))

@@ -61,9 +61,13 @@ object Retrieval {
     //  - dl (doc length in whitespace tokens; split keeps trailing
     //    empties — same in DuckDB) is computed BEFORE the explode and
     //    carried on each token row, so the tf⋈dl join disappears;
-    //  - df comes from a count window over tf (each (doc,term) row is
-    //    one distinct doc for that term — the text_tfidf trick), so the
-    //    second corpus explode and the tf⋈df join disappear.
+    //  - df comes from a map-side-combinable groupBy over tf (each
+    //    (doc,term) row is one distinct doc for that term — the
+    //    text_tfidf trick) broadcast back to the scorer, so the second
+    //    corpus explode disappears. NOT a window over tf: partitionBy
+    //    on a 6-value term key colocates every tf row of a common term
+    //    in one task — a skewed giant task at corpus scale — while the
+    //    groupBy shuffles only |terms| partial counts per mapper.
     // Only `stats` still needs its own full-docs pass (docs with no
     // query term must count in n_docs/sum_dl). 2 text passes total.
     val stats = docs.agg(
@@ -76,8 +80,9 @@ object Retrieval {
       .filter($"term".isin(terms: _*))
     val tf = tok.groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"), max($"dl").as("dl")) // dl is per-doc constant
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .join(broadcast(q), "term")
       .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
