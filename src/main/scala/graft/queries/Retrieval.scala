@@ -61,18 +61,28 @@ object Retrieval {
     //  - dl (doc length in whitespace tokens; split keeps trailing
     //    empties — same in DuckDB) is computed BEFORE the explode and
     //    carried on each token row, so the tf⋈dl join disappears;
-    //  - df comes from a map-side-combinable groupBy over tf (each
-    //    (doc,term) row is one distinct doc for that term — the
-    //    text_tfidf trick) broadcast back to the scorer, so the second
-    //    corpus explode disappears. NOT a window over tf: partitionBy
-    //    on a 6-value term key colocates every tf row of a common term
-    //    in one task — a skewed giant task at corpus scale — while the
-    //    groupBy shuffles only |terms| partial counts per mapper.
+    //  - df rides the `stats` pass as one conditional counter per
+    //    literal query term (df(t) = #docs whose token array contains
+    //    t — exactly the tf-row count per term), folded into the same
+    //    single-row scalar aggregate as n_docs/sum_dl. Map-side
+    //    combined, broadcast as a 1-row map, attached by element_at —
+    //    no second corpus explode, no window. NOT a window over tf:
+    //    partitionBy on a 6-value term key colocates every tf row of a
+    //    common term in one task (a skewed giant task at corpus
+    //    scale); and NOT a groupBy over tf either: the df branch
+    //    prunes `dl`, so its canonicalized exchange differs from the
+    //    scorer's and Catalyst re-tokenizes the whole corpus for it
+    //    (measured: 3 scans in the plan vs 2 for this shape).
     // Only `stats` still needs its own full-docs pass (docs with no
     // query term must count in n_docs/sum_dl). 2 text passes total.
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(split($"text", " ")).cast("long")).as("sum_dl"))
+    val stats = docs.select(split($"text", " ").as("ws")) // split ONCE per row
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"ws").cast("long")).as("sum_dl") +:
+          terms.map(t => sum(when(
+            array_contains($"ws", t), 1L).otherwise(0L)).as(s"df_$t")): _*)
+      .select($"n_docs", $"sum_dl",
+        map(terms.flatMap(t => Seq(lit(t), col(s"df_$t"))): _*).as("df_map"))
     val tok = docs
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", size($"ws").cast("long").as("dl"),
@@ -80,10 +90,9 @@ object Retrieval {
       .filter($"term".isin(terms: _*))
     val tf = tok.groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"), max($"dl").as("dl")) // dl is per-doc constant
-    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf
-      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
+      .withColumn("df", element_at($"df_map", $"term"))
       .join(broadcast(q), "term")
       .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
       .withColumn("nrm", lit(0.25) + lit(0.75) * ($"dl".cast("double") / ($"sum_dl".cast("double") / $"n_docs")))
