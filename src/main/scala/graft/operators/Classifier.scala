@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   *    the sign-safe CASE form so a floor-dividing engine cannot
   *    silently drift).
   *
-  * Scale shape: the normalized feature matrix is built ONCE (one
-  * shuffle on (doc, bucket), cached for the loop); each iteration is
-  * two map-side-combined aggregations over it; the model state is
+  * Scale shape: the normalized feature matrix is built ONCE (a
+  * map-side-combined (doc, bucket) count shuffle, then one doc_id
+  * repartition whose window derives per-doc totals; cached doc_id-
+  * partitioned and -sorted, serving the loop AND the eval scoring);
+  * each iteration is two aggregations over it; the model state is
   * K+1 longs broadcast as a literal array (indexed via element_at)
   * — never a driver structure
   * that grows with the corpus. Per-iteration driver traffic is the
@@ -60,22 +62,34 @@ object Classifier {
       .select($"doc_id",
         (conv(substring(md5($"f"), 1, 15), 16, 10).cast("long") % nBuckets).as("k"))
       .groupBy($"doc_id", $"k").agg(count(lit(1)).as("c"))
-    val tot = docs
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("tot"))
-    val x = counts.join(tot, "doc_id")
-      .select($"doc_id", $"k", expr("(c * 1000) div tot").as("c"))
-      .unionAll(docs.select($"doc_id", lit(bias).as("k"), lit(1000L).as("c")))
     val lab = docs.select($"doc_id", $"label".cast("long").as("y"))
-    // Pre-partition the cached feature matrix by doc_id: every GD
-    // iteration's per-doc logit window requires hashpartitioning on
-    // doc_id, and InMemoryTableScan preserves the cached partitioning —
-    // so the 4 iteration windows run exchange-free over the cache
-    // instead of re-shuffling the matrix once per iteration (guide
-    // §2.4: two operations keyed the same way share one exchange).
-    val xTrain = x.filter($"doc_id" % evalMod =!= evalRem)
-      .join(lab, "doc_id")
+    // One normalized feature matrix for BOTH slices, built with TWO
+    // text passes (the explode and the label scan) instead of five:
+    //  - tot (per-doc token count) = Σ_k c over the count rows, an
+    //    exchange-free window after the single repartition(doc_id) —
+    //    not a third text scan joined back on doc_id. Bias rows ride
+    //    the same window with c=0 so they leave tot untouched, then
+    //    take their fixed 1000 in the normalizing projection.
+    //  - the eval slice lives in the SAME cache (filtered per use), so
+    //    scoring does not re-tokenize the corpus (the old shape
+    //    rebuilt x from scratch: two more full text passes).
+    // Pre-partition the cached matrix by doc_id: every GD iteration's
+    // per-doc logit window requires hashpartitioning on doc_id, and
+    // InMemoryTableScan preserves the cached partitioning AND ordering
+    // (the lab SMJ leaves rows doc_id-sorted) — so the 4 iteration
+    // windows run exchange-free and sort-free over the cache (guide
+    // §2.4: operations keyed the same way share one exchange).
+    val xAll = counts
+      .unionAll(docs.select($"doc_id", lit(bias).as("k"), lit(0L).as("c")))
       .repartition($"doc_id")
+      .withColumn("tot", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .select($"doc_id", $"k",
+        when($"k" === bias, lit(1000L))
+          .otherwise(expr("(c * 1000) div tot")).as("c"))
+      .join(lab, "doc_id")
       .persist()
+    val xTrain = xAll.filter($"doc_id" % evalMod =!= evalRem)
     try {
       val n = docs.filter($"doc_id" % evalMod =!= evalRem).count()
       require(n > 0, "empty training slice")
@@ -113,16 +127,22 @@ object Classifier {
           wv - tdiv(grad.getOrElse(k.toLong, 0L), n * damp)
         }
       }
-      x.filter($"doc_id" % evalMod === evalRem)
-        .select($"doc_id", (wAt($"k") * $"c").as("zz"))
-        .groupBy($"doc_id").agg(sum($"zz").as("z"))
-        .select($"doc_id", pMicro($"z").as("p_micro"))
-        .join(lab, "doc_id")
-        .select($"doc_id", $"y".as("label"), $"p_micro",
+      // y is functionally dependent on doc_id, so grouping by (doc_id,
+      // y) over the cache replaces the old post-aggregation lab join.
+      // The scored slice is materialized (eager localCheckpoint) while
+      // the cache is still live: the returned plan must not reference
+      // the cache after the finally-unpersist, and leaving the matrix
+      // cached would leak across invocations.
+      xAll.filter($"doc_id" % evalMod === evalRem)
+        .select($"doc_id", $"y", (wAt($"k") * $"c").as("zz"))
+        .groupBy($"doc_id", $"y").agg(sum($"zz").as("z"))
+        .select($"doc_id", $"y".as("label"), pMicro($"z").as("p_micro"))
+        .select($"doc_id", $"label", $"p_micro",
           when($"p_micro" >= PHalf, 1L).otherwise(0L).as("pred"))
+        .localCheckpoint()
         .orderBy($"doc_id")
     } finally {
-      xTrain.unpersist(): Unit
+      xAll.unpersist(): Unit
     }
   }
 }

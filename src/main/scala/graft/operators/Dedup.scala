@@ -341,9 +341,16 @@ object Dedup {
     // runs in memory, while small corpora keep the session default
     // (the max() floor) so nothing changes below the cliff. A global
     // initialPartitionNum multiple was measured and rejected — it
-    // taxes every small shuffle instead (see GraftSession).
-    val estRows = pre.groupBy($"s").agg(count(lit(1)).as("cnt"))
-      .agg(coalesce(sum($"cnt" * $"cnt"), lit(0L))).head.getLong(0)
+    // taxes every small shuffle instead (see GraftSession). The probe
+    // job runs only past the broadcast cutoff: below it small corpora
+    // keep the session default anyway (measured fine at 50k docs), so
+    // the aggregate would be a blocking driver job spent computing the
+    // max() floor.
+    val big = nDocs > BroadcastVerifyMaxDocs
+    val estRows =
+      if (!big) 0L
+      else pre.groupBy($"s").agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum($"cnt" * $"cnt"), lit(0L))).head.getLong(0)
     val parts = math.max(spark.sessionState.conf.numShufflePartitions,
       math.min(4096L, estRows / 5000000L).toInt)
     // Past the broadcast cutoff, PIN shuffled joins. The checkpointed
@@ -355,7 +362,6 @@ object Dedup {
     // makes the strategy explicit instead of stats-dependent:
     // shuffle-hash (not merge) because the pair stream should never
     // be sorted, and per-partition builds are small once hashed.
-    val big = nDocs > BroadcastVerifyMaxDocs
     val preJ = if (big) pre.hint("shuffle_hash") else pre
     val cand = preJ.as("a")
       .join(preJ.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
