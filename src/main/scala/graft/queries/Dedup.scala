@@ -42,23 +42,23 @@ object Dedup {
     // stage (no shingle×perm row explosion); the oracle re-derives the
     // identical values relationally.
     // Spread docs across tasks before the CPU-heavy signature pass
-    // (the test parquet is a single row group = one scan task) — by
-    // RANGE on doc_id, so the required (doc_id, perm) total order is a
-    // sortWithinPartitions and the signature kernel computes ONCE. The
-    // previous shape (hash repartition + final orderBy) ran the kernel
-    // three times: the orderBy's range-sampling pass re-executed it,
-    // and its size(sig) > 0 guard was pushed below the repartition into
-    // the single-task scan stage (a third, serial evaluation). The
-    // guard itself was redundant — posexplode of an empty signature
-    // emits no rows. The partition count must be EXPLICIT: without it
-    // AQE sizes the exchange by shuffle bytes (rows here are tiny) and
-    // coalesces the CPU-heavy kernel to 1-2 tasks.
+    // (the test parquet is a single row group = one scan task) by HASH
+    // on doc_id — hash, not range: repartitionByRange runs a sampling
+    // pass that materializes the full text rows a second time in the
+    // single scan task (two serial ~300 ms stages before any parallel
+    // work). The partition count must be EXPLICIT: without it AQE
+    // sizes the exchange by shuffle bytes (rows here are tiny) and
+    // coalesces the CPU-heavy kernel to 1-2 tasks. The signature
+    // kernel computes ONCE: the checkpoint pins its result, so the
+    // final orderBy's range sampling walks 12-byte signature rows, not
+    // the kernel (the unpinned hash+orderBy shape ran it three times).
     Tables.documents(s, dir)
-      .repartitionByRange(s.sparkContext.defaultParallelism, $"doc_id")
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id",
         graft.functions.Fns.minhash_sig_md5($"text", 32).as("sig"))
       .select($"doc_id", posexplode($"sig").as(Seq("perm", "minhash")))
-      .sortWithinPartitions($"doc_id", $"perm")
+      .localCheckpoint()
+      .orderBy($"doc_id", $"perm")
   }
 
   /** Shared oracle fragment: the md5-family MinHash signature table
