@@ -76,9 +76,12 @@ object Classifier {
     // Pre-partition the cached matrix by doc_id: every GD iteration's
     // per-doc logit window requires hashpartitioning on doc_id, and
     // InMemoryTableScan preserves the cached partitioning AND ordering
-    // (the lab SMJ leaves rows doc_id-sorted) — so the 4 iteration
-    // windows run exchange-free and sort-free over the cache (guide
-    // §2.4: operations keyed the same way share one exchange).
+    // (the tot-window's sort leaves rows doc_id-sorted through the lab
+    // join) — so the 4 iteration windows run exchange-free and
+    // sort-free over the cache (guide §2.4: operations keyed the same
+    // way share one exchange; verified in
+    // plans/r17/text_classifier_train_iteration.txt — Window(53) sits
+    // directly on Filter+InMemoryTableScan, no Exchange, no Sort).
     val xAll = counts
       .unionAll(docs.select($"doc_id", lit(bias).as("k"), lit(0L).as("c")))
       .repartition($"doc_id")
