@@ -29,10 +29,10 @@ import org.apache.spark.sql.functions._
   *    the sign-safe CASE form so a floor-dividing engine cannot
   *    silently drift).
   *
-  * Scale shape: the normalized feature matrix is built ONCE (a
-  * map-side-combined (doc, bucket) count shuffle, then one doc_id
-  * repartition whose window derives per-doc totals; cached doc_id-
-  * partitioned and -sorted, serving the loop AND the eval scoring);
+  * Scale shape: the training matrix is built ONCE (a map-side-
+  * combined (doc, bucket) count shuffle, then one doc_id repartition
+  * whose window derives per-doc totals — no separate total scan or
+  * join; cached doc_id-partitioned and -sorted for the loop);
   * each iteration is two aggregations over it; the model state is
   * K+1 longs broadcast as a literal array (indexed via element_at)
   * — never a driver structure
@@ -63,26 +63,14 @@ object Classifier {
         (conv(substring(md5($"f"), 1, 15), 16, 10).cast("long") % nBuckets).as("k"))
       .groupBy($"doc_id", $"k").agg(count(lit(1)).as("c"))
     val lab = docs.select($"doc_id", $"label".cast("long").as("y"))
-    // One normalized feature matrix for BOTH slices, built with TWO
-    // text passes (the explode and the label scan) instead of five:
-    //  - tot (per-doc token count) = Σ_k c over the count rows, an
-    //    exchange-free window after the single repartition(doc_id) —
-    //    not a third text scan joined back on doc_id. Bias rows ride
-    //    the same window with c=0 so they leave tot untouched, then
-    //    take their fixed 1000 in the normalizing projection.
-    //  - the eval slice lives in the SAME cache (filtered per use), so
-    //    scoring does not re-tokenize the corpus (the old shape
-    //    rebuilt x from scratch: two more full text passes).
-    // Pre-partition the cached matrix by doc_id: every GD iteration's
-    // per-doc logit window requires hashpartitioning on doc_id, and
-    // InMemoryTableScan preserves the cached partitioning AND ordering
-    // (the tot-window's sort leaves rows doc_id-sorted through the lab
-    // join) — so the 4 iteration windows run exchange-free and
-    // sort-free over the cache (guide §2.4: operations keyed the same
-    // way share one exchange; verified in
-    // plans/r17/text_classifier_train_iteration.txt — Window(53) sits
-    // directly on Filter+InMemoryTableScan, no Exchange, no Sort).
-    val xAll = counts
+    // Normalized feature matrix with the per-doc token total derived
+    // IN the matrix pipeline: tot = Σ_k c over the count rows, an
+    // exchange-free window after the single repartition(doc_id) — not
+    // a separate text scan joined back on doc_id (that was a third
+    // corpus pass + a join). Bias rows ride the same window with c=0
+    // so they leave tot untouched, then take their fixed 1000 in the
+    // normalizing projection.
+    val x = counts
       .unionAll(docs.select($"doc_id", lit(bias).as("k"), lit(0L).as("c")))
       .repartition($"doc_id")
       .withColumn("tot", sum($"c").over(
@@ -90,9 +78,23 @@ object Classifier {
       .select($"doc_id", $"k",
         when($"k" === bias, lit(1000L))
           .otherwise(expr("(c * 1000) div tot")).as("c"))
+    // Pre-partition the cached TRAIN matrix by doc_id: every GD
+    // iteration's per-doc logit window requires hashpartitioning on
+    // doc_id, and InMemoryTableScan preserves the cached partitioning
+    // AND ordering (the tot-window's sort leaves rows doc_id-sorted
+    // through the broadcast lab join) — so the 4 iteration windows run
+    // exchange-free and sort-free over the cache (guide §2.4;
+    // verified in plans/r17/text_classifier_train_iteration.txt —
+    // Window sits directly on Filter+InMemoryTableScan, no Exchange,
+    // no Sort). Caching ONLY the train slice was MEASURED against
+    // caching both slices and scoring eval off the cache: the shared
+    // cache cost ~0.3-0.5 s/run (25% more cached rows through 4
+    // iteration scans, plus the eager checkpoint the unpersist-safety
+    // then requires) while the eval rebuild below is one pushed-down
+    // 20%-slice tokenize.
+    val xTrain = x.filter($"doc_id" % evalMod =!= evalRem)
       .join(lab, "doc_id")
       .persist()
-    val xTrain = xAll.filter($"doc_id" % evalMod =!= evalRem)
     try {
       val n = docs.filter($"doc_id" % evalMod =!= evalRem).count()
       require(n > 0, "empty training slice")
@@ -130,22 +132,21 @@ object Classifier {
           wv - tdiv(grad.getOrElse(k.toLong, 0L), n * damp)
         }
       }
-      // y is functionally dependent on doc_id, so grouping by (doc_id,
-      // y) over the cache replaces the old post-aggregation lab join.
-      // The scored slice is materialized (eager localCheckpoint) while
-      // the cache is still live: the returned plan must not reference
-      // the cache after the finally-unpersist, and leaving the matrix
-      // cached would leak across invocations.
-      xAll.filter($"doc_id" % evalMod === evalRem)
-        .select($"doc_id", $"y", (wAt($"k") * $"c").as("zz"))
-        .groupBy($"doc_id", $"y").agg(sum($"zz").as("z"))
-        .select($"doc_id", $"y".as("label"), pMicro($"z").as("p_micro"))
-        .select($"doc_id", $"label", $"p_micro",
+      // Eval scores from the UNCACHED matrix (the doc_id % filter
+      // pushes below the tokenize, so this is a 1/evalMod-slice pass):
+      // the returned lazy plan must not reference a cache the finally
+      // block unpersists, and keeping the matrix cached past return
+      // would leak (and silently serve) state across invocations.
+      x.filter($"doc_id" % evalMod === evalRem)
+        .select($"doc_id", (wAt($"k") * $"c").as("zz"))
+        .groupBy($"doc_id").agg(sum($"zz").as("z"))
+        .select($"doc_id", pMicro($"z").as("p_micro"))
+        .join(lab, "doc_id")
+        .select($"doc_id", $"y".as("label"), $"p_micro",
           when($"p_micro" >= PHalf, 1L).otherwise(0L).as("pred"))
-        .localCheckpoint()
         .orderBy($"doc_id")
     } finally {
-      xAll.unpersist(): Unit
+      xTrain.unpersist(): Unit
     }
   }
 }
